@@ -1,0 +1,427 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all designed for the 100 TB shape of the problem:
+
+- **exact**: hash-groupBy on a normalized fingerprint. One shuffle on a
+  16-byte key; map-side partial aggregation halves traffic.
+- **MinHash + LSH**: shingle → k minhashes → b bands → bucket join.
+  Candidate generation touches only (id, band_hash) pairs — 16 bytes/row/band
+  — never text². Verification either re-joins shingle sets (exact Jaccard)
+  or estimates from signature agreement (no text ever shuffled).
+- **SimHash**: 64-bit signature via per-bit token-hash voting; near-dup =
+  Hamming ≤ d found by pigeonhole banding of the 64 bits into d+1 chunks.
+- **n-gram Jaccard**: exact pairwise Jaccard on shingle sets — quadratic;
+  only for candidate verification or small inputs (the LSH families are the
+  scale path; this is the ground-truth oracle they approximate).
+- **embedding cosine**: near-dup pairs above a cosine threshold; brute
+  pairwise for small N, random-hyperplane LSH buckets as the scale path.
+
+Everything is JVM-expression-based (xxhash64 / transform / aggregate /
+bitwise ops) — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens
+from ..functions.vectors import as_double, dot, normalize
+
+__all__ = [
+    "exact_dedup_groups",
+    "exact_dedup",
+    "shingle_df",
+    "minhash_signature",
+    "minhash_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+]
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group rows by normalized-content fingerprint; keep min id as the
+    canonical representative. One hash-shuffle on the md5 key."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return df with exact duplicates removed (canonical row = min id).
+
+    Window-free: groupBy fingerprint → min id → semi-join back, so the
+    whole thing is two hash exchanges on small keys, never a sort."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------- minhash
+
+def shingle_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles) with shingles = distinct word n-grams of the
+    lowercased text. Docs with < n tokens yield their full token string as a
+    single shingle so short docs still participate."""
+    toks = tokens(F.col(text_col))
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    sh = F.when(F.size(toks) >= n, ngrams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    return df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shingles"))
+
+
+def minhash_signature(
+    shingled: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """Append a `sig: array<bigint>` of k minhashes.
+
+    Hash family = xxhash64(shingle, seed_i) — k independent 64-bit salted
+    hashes, evaluated as one JVM expression per row (k·|shingles| hash ops,
+    no shuffle, no Python)."""
+    def _salted(s: int):
+        # factory closure — a default-arg lambda would be two-arg and Spark
+        # would bind the seed slot to the element index instead
+        return lambda x: F.xxhash64(x, F.lit(s))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), _salted(seed + i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return shingled.withColumn("sig", sig)
+
+
+def minhash_candidate_pairs(
+    sig_df: DataFrame,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` equal slices, hash each
+    slice, and self-join docs sharing any (band, band_hash) bucket.
+
+    Scale design: the exploded relation is (id, band_id, band_hash) — tiny
+    and uniformly keyed; the self-join shuffles only ids. `max_bucket_size`
+    guards against degenerate buckets (boilerplate shingles) going
+    quadratic — the classic skew guard for web-corpus dedup.
+    """
+    rows = sig_df.select("id", "sig").first()
+    k = len(rows["sig"]) if rows else 0
+    r = max(1, k // bands)
+    banded = sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
+        banded = banded.join(
+            sizes.filter(F.col("n") <= max_bucket_size).drop("n"),
+            on=["band", "bh"],
+            how="left_semi",
+        )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    exact_verify: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → (id_a, id_b, jaccard) pairs with
+    jaccard ≥ threshold.
+
+    exact_verify=True re-joins candidate ids to shingle sets and computes
+    exact |∩|/|∪| (two broadcast-able joins of the candidate list against
+    the shingle table). exact_verify=False estimates Jaccard as the
+    signature agreement rate — nothing bigger than the 8·k-byte signatures
+    is ever shuffled, the right trade at 100 TB.
+    """
+    shingled = shingle_df(df, text_col, id_col, n).cache()
+    sigs = minhash_signature(shingled, num_hashes, seed)
+    cands = minhash_candidate_pairs(sigs, bands, max_bucket_size)
+    if exact_verify:
+        a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        verified = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b"))
+                ).alias("jaccard"),
+            )
+        )
+    else:
+        sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        verified = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(
+                        F.filter(
+                            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda eq: eq,
+                        )
+                    )
+                    / F.lit(num_hashes)
+                ).alias("jaccard"),
+            )
+        )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: each token votes ±1 on every bit of its xxhash64;
+    signature bit = sign of the vote sum.
+
+    Implemented as one aggregate over the token array per row
+    (`F.aggregate` with a 64-slot vote accumulator would need arrays; we use
+    the equivalent formulation: per-bit sum of ±1 via transform+aggregate).
+    All JVM-side; no explode, no shuffle.
+    """
+    toks = tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = [F.aggregate(th, F.lit(0), _vote(i)) for i in range(bits)]
+    sig = None
+    for i, s in enumerate(bit_sums):
+        contrib = F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = contrib if sig is None else sig.bitwiseOR(contrib)
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    sim_df: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any pair
+    within distance d shares at least one identical chunk — join on chunk
+    equality, then verify with bit_count(xor). The join key is a 16-bit-ish
+    chunk value: uniform, shuffle-friendly."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    banded = sim_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "simhash", "e.chunk", "e.cv")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT pairwise n-gram Jaccard via an inverted-index join (not a cross
+    join): explode shingles → self-join on shingle → count shared shingles
+    per pair → |∩| known, |∪| = |A|+|B|−|∩|.
+
+    Scale: the shuffle is keyed by shingle; frequency-skewed shingles are
+    the hazard (cap with a document-frequency filter upstream when corpus
+    boilerplate exists). Quadratic only within a shingle's posting list —
+    the standard exact-verification shape."""
+    sh = shingle_df(df, text_col, id_col, n)
+    sized = sh.select("id", F.size("shingles").alias("n_sh"), "shingles")
+    posting = sized.select(
+        "id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------- embedding cosine
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    use_lsh: bool = False,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    use_lsh=False: block-nested pairwise over unit-normalized vectors —
+    exact, O(N²) — the verification baseline.
+    use_lsh=True: multi-table random-hyperplane LSH. Each of `n_tables`
+    tables buckets by the sign-bit signature of `n_planes` hyperplanes
+    (deterministic from `seed`, shipped as array literals); candidates =
+    pairs sharing a bucket in ANY table (the AND-OR amplification that
+    single-table sign-LSH lacks: P(candidate) = 1-(1-p^b)^T). Candidates
+    are then exact-verified, so precision is 1; tables/planes only tune
+    recall vs cost. At 100 TB this is the only viable shape: the shuffle
+    key is (table, bucket) — small ints — and candidate volume is
+    Σ|bucket|², not N².
+    """
+    unit = df.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+    )
+    if use_lsh:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+        buckets = []
+        for t in range(n_tables):
+            bucket = None
+            for p in range(n_planes):
+                plane_lit = F.array(*[F.lit(float(x)) for x in planes[t, p]])
+                bit = F.when(dot(F.col("v"), plane_lit) > 0, 1).otherwise(0)
+                bucket = bit if bucket is None else bucket * 2 + bit
+            buckets.append(
+                F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+            )
+        banded = unit.select(
+            "id", "v", F.explode(F.array(*buckets)).alias("e")
+        ).select("id", "v", "e.table", "e.bucket")
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a, b = unit.alias("a"), unit.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        dot(F.col("va"), F.col("vb")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,152 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies:
+- `brute_force_topk`: exact cosine top-k. The query side is BROADCAST
+  (queries ≪ corpus in every retrieval workload), so the corpus is scanned
+  once with zero shuffle of the vectors; only (query_id, id, score) rows —
+  24 bytes each — shuffle into the per-query top-k. At 100 TB the scan is
+  embarrassingly parallel and the top-k is a TakeOrdered per query key.
+- `ivf_topk`: IVF-style pruning — corpus pre-bucketed by nearest of C
+  centroids (one pass), queries probe only `n_probe` nearest buckets. The
+  candidate set shrinks ~C/n_probe-fold; same broadcast + top-k tail.
+
+Scoring is pure JVM expression (zip_with/aggregate on unit-normalized
+vectors → dot == cosine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, dot, normalize
+
+__all__ = ["brute_force_topk", "build_ivf_index", "ivf_topk"]
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k with a deterministic (score desc, id) order."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "score")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the normalized queries, one corpus
+    scan, per-query top-k. Returns (query_id, neighbor_id, rank, score)."""
+    c = corpus.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), normalize(as_double(vec_col)).alias("qv")
+    )
+    joined = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "id", dot(F.col("v"), F.col("qv")).alias("score")
+    )
+    return _rank_topk(scored, k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """Assign each corpus vector to its nearest of C fixed random-direction
+    centroids (deterministic from seed — a kmeans fit can be slotted in
+    without changing the query path). Returns (bucketed corpus, centroids).
+
+    The bucketed corpus should be persisted `partitionBy('centroid')` in a
+    real deployment so a probe reads only its bucket directories."""
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    unit = corpus.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+    )
+    sims = F.array(
+        *[
+            dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cents[c]]))
+            for c in range(n_centroids)
+        ]
+    )
+    bucketed = unit.withColumn("_sims", sims).withColumn(
+        "centroid",
+        (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1).cast(
+            "int"
+        ),
+    ).drop("_sims")
+    return bucketed, cents
+
+
+def ivf_topk(
+    bucketed: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe the n_probe nearest centroid buckets per query; exact cosine
+    within candidates. Join key = centroid id (small int) → the corpus side
+    can be partition-pruned on it."""
+    n_centroids = centroids.shape[0]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), normalize(as_double(vec_col)).alias("qv")
+    )
+    qsims = F.array(
+        *[
+            dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in centroids[c]]))
+            for c in range(n_centroids)
+        ]
+    )
+    probes = (
+        q.withColumn("_sims", qsims)
+        .withColumn(
+            "probe",
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_sims"),
+                            lambda s, i: F.struct(s.alias("s"), i.alias("c")),
+                        )
+                    )
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select(
+            "query_id", "qv", F.explode("probe.c").alias("centroid")
+        )
+    )
+    joined = bucketed.join(F.broadcast(probes), on="centroid")
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "id", dot(F.col("v"), F.col("qv")).alias("score")
+    )
+    return _rank_topk(scored, k)

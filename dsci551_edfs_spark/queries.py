@@ -1,0 +1,812 @@
+"""Query catalog: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable, with a DuckDB oracle SQL string
+where the semantics are ANSI-SQL-expressible.
+
+This is the driver-facing inventory for SURVEY.md §2 plus the
+training-data-pipeline operators. Naming contract: every computed column is
+aliased IDENTICALLY in the Spark plan and the oracle SQL (the driver's
+compare hashes values after sorting columns by name).
+
+FP policy: aggregates whose accumulation order differs between engines
+(sums/avgs over many doubles) are rounded to a fixed scale ON BOTH SIDES;
+integer-derived and exact values are left unrounded.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TXT
+from .pipeline import dedup as DD
+from .pipeline import similarity as SIM
+from .sources import ingest as ING
+from .sources import scan as SCN
+from .sources.registry import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _scratch_dir(tag: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=SCRATCH)
+
+
+# =====================================================================
+# §2.2 PMR aggregates (reference parity: combined_flask.py:549-802)
+# =====================================================================
+
+@q("pmr_avg", "SELECT round(avg(l_quantity), 3) AS avg_qty FROM lineitem")
+def pmr_avg(spark, sf_dir):
+    """getAvg parity: whole-table scalar avg; Catalyst runs the reference's
+    partial(mean,count)→weighted-merge split natively."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.avg("l_quantity"), 3).alias("avg_qty")
+    )
+
+
+@q("pmr_max", "SELECT max(l_extendedprice) AS max_price FROM lineitem")
+def pmr_max(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.max("l_extendedprice").alias("max_price"))
+
+
+@q("pmr_min", "SELECT min(l_extendedprice) AS min_price FROM lineitem")
+def pmr_min(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.min("l_extendedprice").alias("min_price"))
+
+
+@q("pmr_count", "SELECT count(*) AS cnt FROM lineitem")
+def pmr_count(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+@q(
+    "pmr_avg_pruned",
+    "SELECT round(avg(l_extendedprice), 3) AS avg_price FROM lineitem "
+    "WHERE l_returnflag = 'R'",
+)
+def pmr_avg_pruned(spark, sf_dir):
+    """getAvg with `hash` partition pruning (`combined_flask.py:459-465`):
+    the equality filter is pushed to the parquet scan; over a partitionBy
+    layout it becomes directory pruning."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").agg(
+        F.round(F.avg("l_extendedprice"), 3).alias("avg_price")
+    )
+
+
+@q(
+    "pmr_legacy_max",
+    "SELECT greatest(max(coalesce(value, 0)), 0) AS legacy_max FROM events",
+)
+def pmr_legacy_max(spark, sf_dir):
+    """Legacy getMax quirk (`combined_flask.py:741`, `:777`): nulls→0,
+    result floored at 0."""
+    return _t(spark, sf_dir, "events").agg(
+        F.greatest(F.max(F.coalesce(F.col("value"), F.lit(0.0))), F.lit(0.0)).alias(
+            "legacy_max"
+        )
+    )
+
+
+@q(
+    "pmr_legacy_min_firebase",
+    "SELECT least(min(coalesce(value, 'infinity'::DOUBLE)), 0) AS legacy_min "
+    "FROM events",
+)
+def pmr_legacy_min_firebase(spark, sf_dir):
+    """Firebase getMin 0-seed bug (`combined_flask.py:1676-1688`)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.least(
+            F.min(F.coalesce(F.col("value"), F.lit(float("inf")))), F.lit(0.0)
+        ).alias("legacy_min")
+    )
+
+
+@q(
+    "pmr_partition_stats",
+    "SELECT l_returnflag AS part_key, count(*) AS n_rows FROM lineitem "
+    "GROUP BY l_returnflag",
+)
+def pmr_partition_stats(spark, sf_dir):
+    """getPartitionLocations analog (`combined_flask.py:438-490`): the
+    partition map as (key → row count) — metadata-cheap over a partitioned
+    layout."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("part_key"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# =====================================================================
+# §2.1 ingest + scans, exercised as a real put→read roundtrip
+# =====================================================================
+
+@q("edfs_cat_roundtrip", "SELECT * FROM region")
+def edfs_cat_roundtrip(spark, sf_dir):
+    """put (hash-partitioned parquet) → cat (order-restoring scan):
+    `combined_flask.py:324-436` + `:270-322` end-to-end."""
+    dest = _scratch_dir("cat")
+    ING.put_dataframe(_t(spark, sf_dir, "region"), dest, 3, "r_regionkey")
+    return SCN.cat(spark, dest)
+
+
+@q(
+    "edfs_read_partition",
+    "SELECT * FROM lineitem WHERE l_returnflag = 'A'",
+)
+def edfs_read_partition(spark, sf_dir):
+    """put hash-partitioned on l_returnflag → readPartition 1 (sorted keys
+    A < N < R ⇒ partition 1 = 'A'); a partition-pruned directory read
+    (`combined_flask.py:492-547`)."""
+    dest = _scratch_dir("rp")
+    ING.put_dataframe(_t(spark, sf_dir, "lineitem"), dest, 3, "l_returnflag")
+    return SCN.read_partition(spark, dest, 1)
+
+
+# =====================================================================
+# §2.5 relational surface (Spark-native additions)
+# =====================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 3) AS avg_qty,
+           round(avg(l_extendedprice), 3) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter → grouped multi-aggregate. Partial aggregation
+    map-side; the shuffle carries 6 rows per partition, not data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 3).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → 3-way join → grouped agg →
+    top-k. customer qualifies for broadcast; top-k runs as
+    TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "join_segment_revenue",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_segment_revenue(spark, sf_dir):
+    """Fact⋈dim with broadcast hint: the orders side never shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@q(
+    "join_region_revenue",
+    """
+    SELECT r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_region_revenue(spark, sf_dir):
+    """Star join: three successively broadcast dims — the lineitem fact is
+    scanned once, zero shuffles until the final 5-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "anti_join_customers",
+    "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def anti_join_customers(spark, sf_dir):
+    """left_anti join — Spark's NOT EXISTS. Broadcast-able when the probe
+    side's distinct keys are small."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "semi_join_customers",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)",
+)
+def semi_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def window_topk_orders(spark, sf_dir):
+    """Per-group top-k via row_number window — one shuffle on the partition
+    key, in-partition sort only (no global sort)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@q(
+    "topk_orders_global",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def topk_orders_global(spark, sf_dir):
+    """Global top-k = TakeOrderedAndProject: per-partition heaps + single
+    merge, never a total sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "setop_nations_intersect",
+    "SELECT c_nationkey AS nationkey FROM customer INTERSECT "
+    "SELECT s_nationkey AS nationkey FROM supplier",
+)
+def setop_nations_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q(
+    "setop_nations_except",
+    "SELECT c_nationkey AS nationkey FROM customer EXCEPT "
+    "SELECT s_nationkey AS nationkey FROM supplier",
+)
+def setop_nations_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@q(
+    "rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@q(
+    "scalar_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           upper(o_orderstatus) AS status_u,
+           substring(o_orderpriority, 1, 1) AS prio_code,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           round(o_totalprice * 1.1, 3) AS price_taxed,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    """,
+)
+def scalar_functions(spark, sf_dir):
+    """Scalar string/date/math surface — all JVM built-ins inside one
+    codegen'd projection (reference has zero data-level scalar fns)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.round(F.col("o_totalprice") * 1.1, 3).alias("price_taxed"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+@q(
+    "string_functions_part",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           replace(p_type, ' ', '_') AS type_slug,
+           concat(p_brand, '#', p_type) AS brand_type,
+           (p_name LIKE '%green%') AS is_green,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+)
+def string_functions_part(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.col("p_name").like("%green%").alias("is_green"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@q(
+    "json_events",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_events(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@q(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts)
+             + INTERVAL (CAST(minute(ts) AS INT) // 10 * 10) MINUTE AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 3) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """10-minute tumbling window aggregate (batch mode — the streaming
+    variant in streaming/ shares the same window semantics; Spark window
+    start = epoch-floored boundary, equal to the oracle's
+    hour-trunc + 10-min floor)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+# =====================================================================
+# Training-data-pipeline operators (north star)
+# =====================================================================
+
+_FP_SQL = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@q(
+    "dedup_exact_groups",
+    f"""
+    SELECT {_FP_SQL} AS fp, min(doc_id) AS keep_id, count(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized md5 fingerprint."""
+    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_exact_rows",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {_FP_SQL})
+    """,
+)
+def dedup_exact_rows(spark, sf_dir):
+    return DD.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+_SHINGLES_SQL = f"""
+    CASE WHEN len(t) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END
+"""
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               AS jaccard
+      FROM s a, s b WHERE a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """EXACT 3-gram Jaccard near-dup pairs via inverted-index join — the
+    ground truth the MinHash path approximates."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@q("minhash_dedup_pairs")  # LSH candidate set — not SQL-expressible; rows-only
+def minhash_dedup_pairs(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) near-dup pairs, exact-verified at
+    jaccard ≥ 0.5. Oracle omitted: the xxhash64 hash family has no DuckDB
+    equivalent; correctness is pinned by tests against
+    `ngram_jaccard_pairs` ground truth (recall at 0.5 ≈ 1)."""
+    return DD.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@q("simhash_pairs")  # rows-only: xxhash64 bit votes not expressible in DuckDB
+def simhash_pairs(spark, sf_dir):
+    """SimHash-64 near-dup pairs at Hamming ≤ 3 via pigeonhole banding."""
+    sims = DD.simhash(_t(spark, sf_dir, "documents"))
+    return DD.simhash_pairs(sims, max_hamming=3).orderBy("id_a", "id_b")
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@q(
+    "embedding_dup_pairs",
+    f"""
+    SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+               / ({_NORM_SQL.format(a="a.embedding")}
+                  * {_NORM_SQL.format(a="b.embedding")}) AS cosine
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+    WHERE round(cosine, 4) >= 0.4
+    """,
+)
+def embedding_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.4), exact pairwise baseline;
+    the RP-LSH variant is the scale path (tested separately)."""
+    out = DD.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=-2.0, use_lsh=False
+    )
+    return (
+        out.select(
+            "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+@q(
+    "ann_brute_force_topk",
+    f"""
+    WITH uq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS id,
+             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+               / ({_NORM_SQL.format(a="e.embedding")}
+                  * {_NORM_SQL.format(a="q.embedding")}) AS score
+      FROM embeddings e, uq q WHERE e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
+      SELECT query_id, id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id) AS rnk,
+             score
+      FROM scored) WHERE rnk <= 5
+    """,
+)
+def ann_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-5 for 10 query vectors: broadcast queries, one
+    corpus scan, per-query top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+@q("ann_ivf_topk")  # rows-only: centroid assignment not SQL-expressible
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-pruned ANN: corpus bucketed by nearest of 8 centroids, queries
+    probe 4 buckets. Tested for recall against the brute-force truth."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
+    out = SIM.ivf_topk(bucketed, cents, queries, k=5, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+@q(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+                AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_tokens,
+           round(length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\s+')) END, 1), 3)
+             AS avg_token_len,
+           round(len(regexp_extract_all(text, '[^\w\s]'))
+                 / greatest(length(text), 1), 3) AS punct_ratio,
+           round(len(regexp_extract_all(text, '[A-Z]'))
+                 / greatest(length(text), 1), 3) AS upper_ratio,
+           round(len(regexp_extract_all(text, '[0-9]'))
+                 / greatest(length(text), 1), 3) AS digit_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Quality-scoring features, one codegen'd projection per document."""
+    return TXT.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str, words: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"len(list_filter({_TOKENS_SQL}, t -> list_contains({lst}, t)))"
+    )
+
+
+_LANG_CASE = " ".join(
+    f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+    for lang in sorted(TXT.LANG_STOPWORDS)
+)
+
+
+@q(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           CASE {_LANG_CASE} ELSE 'und' END AS lang_pred,
+           CAST(best AS BIGINT) AS lang_score
+    FROM (
+      SELECT doc_id,
+             {", ".join(f"{_lang_score_sql(lang, sw)} AS s_{lang}" for lang, sw in sorted(TXT.LANG_STOPWORDS.items()))},
+             greatest({", ".join(f"{_lang_score_sql(lang, sw)}" for lang, sw in sorted(TXT.LANG_STOPWORDS.items()))}) AS best
+      FROM documents)
+    """,
+)
+def lang_id(spark, sf_dir):
+    """Stopword-overlap language ID (SQL-reproducible heuristic)."""
+    return TXT.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_fingerprint",
+    f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TXT.fingerprint("text").alias("fp")
+    )
+
+
+@q(
+    "token_frequencies",
+    rf"""
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+)
+def token_frequencies(spark, sf_dir):
+    """Corpus token histogram: explode → count → top-k. The groupBy key is
+    the token (heavy-hitter skew at corpus scale → AQE skew handling; the
+    top-k tail is a 20-row merge)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(20)
+    )

@@ -1,0 +1,159 @@
+"""Dedup / similarity / text-analysis operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsci551_edfs_spark.functions import text as TXT
+from dsci551_edfs_spark.pipeline import dedup as DD
+from dsci551_edfs_spark.pipeline import similarity as SIM
+from dsci551_edfs_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "THE  QUICK BROWN fox jumps over the lazy dog"),  # exact after norm
+        (4, "completely different text about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = DD.exact_dedup_groups(docs).collect()
+    sizes = sorted(g["group_size"] for g in groups)
+    assert sizes == [1, 1, 1, 2]  # docs 1+3 collapse
+    kept = DD.exact_dedup(docs).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2, 4, 5]
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = DD.minhash_dedup_pairs(docs.filter("doc_id <= 4"), threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found and (2, 3) in found
+    assert all(4 not in p for p in found)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """On real documents, LSH candidates must recover the exact-Jaccard
+    ground truth at threshold 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_dedup_pairs(d, threshold=0.5).collect()
+    }
+    assert truth, "fixture should contain near-dups"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95
+    assert got <= truth  # exact verification ⇒ no false positives
+
+
+def test_minhash_estimate_mode(docs):
+    pairs = DD.minhash_dedup_pairs(
+        docs.filter("doc_id <= 4"), threshold=0.5, exact_verify=False
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1, 3)}
+
+
+def test_simhash_near_dups(docs):
+    sims = DD.simhash(docs.filter("doc_id <= 4"))
+    # identical normalized text ⇒ identical simhash
+    vals = {r["id"]: r["simhash"] for r in sims.collect()}
+    assert vals[1] == vals[3]
+    pairs = DD.simhash_pairs(sims, max_hamming=3).collect()
+    assert (1, 3) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs.filter("doc_id <= 4"), threshold=0.1).collect()
+    }
+    assert pairs[(1, 3)] == pytest.approx(1.0)
+    # 9-token sentences, 7 shingles each, differing in last word → 6 shared
+    assert pairs[(1, 2)] == pytest.approx(6 / 8)
+
+
+def test_embedding_dup_pairs_lsh_agrees(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_dup_pairs(emb, threshold=0.35, use_lsh=False).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_dup_pairs(
+            emb, threshold=0.35, use_lsh=True, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert lsh <= exact  # same verification ⇒ no false positives
+    if exact:
+        # 8 tables × 4 bits at cosine≥0.35: P(candidate) ≈ 1-(1-0.615⁴)⁸ ≈ 0.71
+        assert len(lsh & exact) / len(exact) >= 0.5
+
+
+def test_brute_force_topk_tiny(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.brute_force_topk(df, df.filter("vec_id = 1"), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, q, k=5).collect()
+    }
+    bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(bucketed, cents, q, k=5, n_probe=4).collect()
+    }
+    # random-direction centroids, 4/8 probes — kmeans-fit centroids (round 2)
+    # will tighten this bound
+    assert len(truth & got) / len(truth) >= 0.5
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "Hello, World 42!")], "doc_id long, text string")
+    r = TXT.text_stats(df).collect()[0]
+    assert r["n_chars"] == 16
+    assert r["n_tokens"] == 3
+    assert r["n_bpe_tokens"] == 5  # Hello | , | World | 42 | !
+    assert r["punct_ratio"] == pytest.approx(round(2 / 16, 3))
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat and the dog of a house"),
+        (2, "le chat est pour le chien de la maison"),
+        (3, "qqq zzz xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"] for r in TXT.lang_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    fps = [r[0] for r in df.select(TXT.fingerprint("text")).collect()]
+    assert fps[0] == fps[1] != fps[2]

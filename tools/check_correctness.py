@@ -1,0 +1,119 @@
+"""Local mimic of the driver's correctness gate: run each queries() entry
+on Spark and its oracle on DuckDB at sf0.01; compare row count, schema
+(column names), and an order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        "|".join(_fmt(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in canon:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def _fmt(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(_fmt(x) for x in v) + "]"
+    return str(v)
+
+
+def main() -> int:
+    from __spark_entry__ import oracle_sql, queries
+
+    from dsci551_edfs_spark import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = queries()
+    oracles = oracle_sql()
+    names = sys.argv[1:] or list(qs)
+    failures = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        ok_count = len(srows) == len(drows)
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_hash = (
+            value_hash(srows, scols) == value_hash(drows, dcols)
+            if ok_count and ok_cols
+            else False
+        )
+        status = "ok" if (ok_count and ok_cols and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{status:5} {name}: spark={len(srows)} duck={len(drows)} "
+            f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"hash={'ok' if ok_hash else 'MISMATCH'}"
+        )
+        if status == "FAIL" and ok_count and ok_cols and len(srows) <= 2000:
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            sset = {"|".join(_fmt(r[i]) for i in order) for r in srows}
+            dset = {"|".join(_fmt(r[i]) for i in dorder) for r in drows}
+            for x in list(sset - dset)[:3]:
+                print(f"        spark-only: {x}")
+            for x in list(dset - sset)[:3]:
+                print(f"        duck-only:  {x}")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
