@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop-sink write (full materialization, no
+driver transfer) except tiny results, which are collected. One warm-up of
+the session (JVM + codegen) is excluded from timings via a throwaway count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline suite: reference-parity aggregate, TPC-H-shaped relational,
+# window, streaming-window (batch), and the training-data-pipeline ops
+HEADLINE = [
+    "pmr_avg_pruned",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_region_revenue",
+    "window_topk_orders",
+    "topk_orders_global",
+    "events_tumbling_window",
+    "dedup_exact_groups",
+    "minhash_dedup_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+    "ann_brute_force_topk",
+    "text_stats",
+    "lang_id",
+    "token_frequencies",
+]
+
+
+def main() -> None:
+    from dsci551_edfs_spark import get_spark
+    from dsci551_edfs_spark.queries import QUERIES
+
+    spark = get_spark("edfs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up JVM / parquet footer caches outside the timed region
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -93,23 +93,25 @@ def shingle_df(
 def minhash_signature(
     shingled: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
-    """Append a `sig: array<bigint>` of k minhashes.
+    """(id, sig) with `sig: array<bigint>` of k minhashes.
 
-    Hash family = xxhash64(shingle, seed_i) — k independent 64-bit salted
-    hashes, evaluated as one JVM expression per row (k·|shingles| hash ops,
-    no shuffle, no Python)."""
-    def _salted(s: int):
-        # factory closure — a default-arg lambda would be two-arg and Spark
-        # would bind the seed slot to the element index instead
-        return lambda x: F.xxhash64(x, F.lit(s))
-
-    sig = F.array(
+    Hash family = xxhash64(shingle, seed_i) — k independent salted 64-bit
+    hashes. Shape: explode shingles → ONE whole-stage-codegen projection
+    computing all k hashes → groupBy(id) with k min() aggregates → re-pack
+    as an array. Higher-order `transform` lambdas are interpreted per
+    element, so k transform passes over the shingle array are ~10x slower
+    than this; the k mins partial-aggregate map-side, so the shuffle
+    carries one k-long row per doc per partition."""
+    exploded = shingled.select("id", F.explode("shingles").alias("sh"))
+    mins = exploded.groupBy("id").agg(
         *[
-            F.array_min(F.transform(F.col("shingles"), _salted(seed + i)))
+            F.min(F.xxhash64("sh", F.lit(seed + i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    return shingled.withColumn("sig", sig)
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_candidate_pairs(
@@ -233,27 +235,30 @@ def simhash(
     """64-bit SimHash: each token votes ±1 on every bit of its xxhash64;
     signature bit = sign of the vote sum.
 
-    Implemented as one aggregate over the token array per row
-    (`F.aggregate` with a 64-slot vote accumulator would need arrays; we use
-    the equivalent formulation: per-bit sum of ±1 via transform+aggregate).
-    All JVM-side; no explode, no shuffle.
+    Shape: explode tokens → one codegen'd projection hashing each token →
+    groupBy(id) with 64 conditional sums (all partial-aggregated map-side)
+    → pack sign bits into one long. Interpreted `F.aggregate` folds over
+    the token array are ~10x slower than these codegen'd aggregates.
     """
-    toks = tokens(F.col(text_col))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_sums = [F.aggregate(th, F.lit(0), _vote(i)) for i in range(bits)]
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
     sig = None
-    for i, s in enumerate(bit_sums):
-        contrib = F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
+    for i in range(bits):
+        contrib = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
         sig = contrib if sig is None else sig.bitwiseOR(contrib)
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -413,15 +418,54 @@ def embedding_dup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        a, b = unit.alias("a"), unit.alias("b")
-        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        return _pairwise_cosine_broadcast(unit, threshold)
     return pairs.select(
         "id_a",
         "id_b",
         dot(F.col("va"), F.col("vb")).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def _pairwise_cosine_broadcast(unit: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs cosine via a broadcast corpus matrix + Arrow-batched
+    numpy matmul in `mapInPandas`.
+
+    This baseline is by definition O(N²) and only valid while the corpus
+    matrix fits in a broadcast (the LSH branch is the 100 TB path), so
+    collecting the normalized matrix to the driver is the broadcast-side
+    collect every broadcast join performs — each executor then scores its
+    Arrow batch against the matrix with one BLAS matmul instead of
+    interpreting 64-element lambda folds per pair (~20x faster).
+    """
+    import pandas as pd
+
+    spark = unit.sparkSession
+    rows = unit.collect()
+    if not rows:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    corpus_ids = np.array([r["id"] for r in rows])
+    corpus_mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((corpus_ids, corpus_mat))
+
+    def score(batches):
+        bids, bmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_p = pdf["id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            scores = m @ bmat.T
+            mask = (scores >= threshold) & (ids_p[:, None] < bids[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_p[ii],
+                    "id_b": bids[jj],
+                    "cosine": scores[ii, jj],
+                }
+            )
+
+    id_type = unit.schema["id"].dataType.simpleString()
+    return unit.mapInPandas(
+        score, f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
