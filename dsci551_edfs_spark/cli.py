@@ -1,0 +1,157 @@
+"""EDFS shell: the reference UI's command grammar over the Spark engine.
+
+Grammar (edfs-ui/src/Terminal.js:44-143):
+
+    clear
+    mkdir <path>
+    ls <path>
+    cat <path>
+    rm <path>
+    put <source> <destination> <partitions> [hash]
+    getPartitionLocations <path>
+    readPartition <path> <partition>
+    getAvg <path> <col> [debug] [hash]
+    getMax <path> <col> [debug] [hash]
+    getMin <path> <col> [debug] [hash]
+
+Responses mirror the reference's envelope `{response, status}` with
+EDFS-prefixed status codes (`combined_flask.py:590-596`): EDFS200 ok,
+EDFS204 empty, EDFS400 user error. Aggregates format as
+"The overall {x} is {v:.3f}" (`combined_flask.py:770`).
+
+Run: ``python -m dsci551_edfs_spark.cli [--warehouse DIR]`` for a REPL, or
+pass a single command after ``--``.
+"""
+
+from __future__ import annotations
+
+import json
+import shlex
+import sys
+
+from pyspark.sql import SparkSession
+
+from .catalog import EdfsCatalog
+from .operators import aggregates as AGG
+from .sources import ingest as ING
+from .sources import scan as SCN
+
+
+class EdfsShell:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.catalog = EdfsCatalog(spark, warehouse)
+
+    # ---------------------------------------------------------- helpers
+
+    def _ok(self, response, status: str = "EDFS200") -> dict:
+        return {"response": response, "status": status}
+
+    def _err(self, msg: str) -> dict:
+        return {"response": msg, "status": "EDFS400"}
+
+    def _table(self, path: str) -> str:
+        if not self.catalog.exists(path):
+            raise FileNotFoundError(f"{path}: no such file or directory")
+        return self.catalog.table_path(path)
+
+    def _agg(self, kind: str, args: list[str]) -> dict:
+        if len(args) < 2:
+            return self._err(f"usage: get{kind.capitalize()} <path> <col> [debug] [hash]")
+        path, col = args[0], args[1]
+        debug = len(args) >= 3 and args[2].lower() == "true"
+        hash_value = args[3] if len(args) >= 4 else None
+        df = self.spark.read.parquet(self._table(path))
+        fn = {"avg": AGG.get_avg, "max": AGG.get_max, "min": AGG.get_min}[kind]
+        value = fn(df, col, hash_value=hash_value)
+        out = {"result": AGG.format_result(kind, value)}
+        if debug:
+            out["partitions"] = [
+                r.asDict() for r in AGG.partition_debug(df, col, kind).collect()
+            ]
+        return self._ok(out)
+
+    # ---------------------------------------------------------- commands
+
+    def execute(self, line: str) -> dict:
+        try:
+            parts = shlex.split(line.strip())
+        except ValueError as e:
+            return self._err(str(e))
+        if not parts:
+            return self._ok("")
+        cmd, args = parts[0], parts[1:]
+        try:
+            if cmd == "mkdir":
+                return self._ok(self.catalog.mkdir(args[0]))
+            if cmd == "ls":
+                return self._ok(self.catalog.format_ls(args[0] if args else "/"))
+            if cmd == "cat":
+                df = SCN.cat(self.spark, self._table(args[0]))
+                return self._ok(df.toPandas().to_csv(index=False))
+            if cmd == "rm":
+                return self._ok(self.catalog.rm(args[0]))
+            if cmd == "put":
+                if len(args) < 3:
+                    return self._err("usage: put <source> <destination> <partitions> [hash]")
+                src, dest, n = args[0], args[1], int(args[2])
+                hash_col = args[3] if len(args) >= 4 else None
+                manifest = ING.put(
+                    self.spark, src, self.catalog.table_path(dest), n, hash_col
+                )
+                return self._ok(manifest)
+            if cmd == "getPartitionLocations":
+                return self._ok(
+                    SCN.get_partition_locations(self.spark, self._table(args[0]))
+                )
+            if cmd == "readPartition":
+                df = SCN.read_partition(self.spark, self._table(args[0]), int(args[1]))
+                return self._ok(df.toPandas().to_csv(index=False))
+            if cmd == "getAvg":
+                return self._agg("avg", args)
+            if cmd == "getMax":
+                return self._agg("max", args)
+            if cmd == "getMin":
+                return self._agg("min", args)
+            return self._err(f"unknown command: {cmd}")
+        except (
+            FileNotFoundError,
+            FileExistsError,
+            PermissionError,
+            OSError,
+            KeyError,
+            TypeError,
+            ValueError,
+            IndexError,
+        ) as e:
+            return self._err(f"{type(e).__name__}: {e}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    warehouse = "/root/repo/.scratch/warehouse"
+    if "--warehouse" in argv:
+        i = argv.index("--warehouse")
+        warehouse = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    from .session import get_spark
+
+    shell = EdfsShell(get_spark("edfs-cli"), warehouse)
+    if argv and argv[0] == "--":
+        print(json.dumps(shell.execute(" ".join(argv[1:])), indent=2, default=str))
+        return 0
+    while True:
+        try:
+            line = input("edfs> ")
+        except (EOFError, KeyboardInterrupt):
+            return 0
+        if line.strip() in ("exit", "quit"):
+            return 0
+        if line.strip() == "clear":
+            print("\033[2J\033[H", end="")
+            continue
+        print(json.dumps(shell.execute(line), indent=2, default=str))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -810,3 +810,85 @@ def token_frequencies(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(20)
     )
+
+
+# =====================================================================
+# Streaming-window semantics in batch mode (streaming/windows.py shares
+# the same functions; batch run == oracle for the streaming run)
+# =====================================================================
+
+_FLOOR5_SQL = (
+    "date_trunc('hour', ts) + INTERVAL (CAST(minute(ts) AS INT) // 5 * 5) MINUTE"
+)
+
+
+@q(
+    "events_sliding_window",
+    f"""
+    SELECT window_start, count(*) AS cnt, round(sum(value), 3) AS sum_value
+    FROM (
+      SELECT unnest([{_FLOOR5_SQL}, {_FLOOR5_SQL} - INTERVAL 5 MINUTE])
+               AS window_start,
+             value
+      FROM events)
+    GROUP BY window_start
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """10-min windows sliding by 5: every event belongs to exactly 2
+    windows (floor5(ts) and floor5(ts)-5min — the oracle states that
+    identity explicitly)."""
+    from .streaming.windows import sliding_agg
+
+    return sliding_agg(_t(spark, sf_dir, "events"))
+
+
+@q(
+    "events_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           user_id,
+           count(*) AS cnt,
+           round(sum(value), 3) AS sum_value
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def events_session_window(spark, sf_dir):
+    """Session windows (5-min gap) per user: Spark's `session_window`
+    vs the oracle's gaps-and-islands formulation (new session when the gap
+    to the previous event is >= the gap duration; session end = last event
+    + gap)."""
+    from .streaming.windows import session_agg
+
+    return session_agg(_t(spark, sf_dir, "events"))
+
+
+@q(
+    "events_dedup",
+    "SELECT event_id, count(*) AS cnt FROM (SELECT DISTINCT event_id, ts, "
+    "user_id, event_type, value, props FROM events) GROUP BY event_id",
+)
+def events_dedup(spark, sf_dir):
+    """Exact event dedup (batch form of dropDuplicatesWithinWatermark):
+    distinct full rows, then per-id count."""
+    from .streaming.windows import dedup_events
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        dedup_events(ev, id_cols=ev.columns)
+        .groupBy("event_id")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -52,9 +52,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: ns epochs (~1.7e18) exceed double's 2^53
+        # mantissa, so `/ 1000` + floor would corrupt the low microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
