@@ -1,0 +1,257 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The reference is CSV-only (SURVEY.md §1.1: "no streams, graphs, ... arrays");
+these are the Spark-native additions a training-data pipeline needs: media
+rides through the engine as an opaque `binary` column with a typed metadata
+struct, and decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched `mapInPandas` stages (or pure JVM expressions where the
+semantics allow).
+
+Real image/audio codecs (Pillow, torchaudio, ffmpeg) are NOT in this
+container, so the *codec* step is stubbed two ways, clearly marked:
+
+- ``use_real=True`` paths raise ``NotImplementedError`` at the exact point
+  a codec call would go;
+- the default path uses the deterministic FAKE container format below, so
+  the Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+  signatures, binary slicing — is real and fully tested, byte-for-byte
+  reproducible by the DuckDB oracle.
+
+FAKE container format (fixed 36-byte ASCII header + raw payload)::
+
+    FAKE|<kind>|w=%04d|h=%04d|f=%02d|r=%05d|<payload-bytes>
+
+``kind`` is ``img``/``aud``/``vid``; the payload is the UTF-8 bytes of the
+source document. Every header field is a pure function of ``doc_id``, so an
+oracle can restate the whole container in SQL.
+
+Scale notes (the 100 TB shape of the problem):
+- media bytes never leave their partition: decode/features are narrow
+  mapInPandas stages (no shuffle), frame sampling is a per-row explode;
+- metadata predicates (`media_meta.kind = 'vid'`) are struct-field filters
+  that prune before any byte-level work;
+- on a real lakehouse the binary column lives in Parquet with a small
+  row-group size so column pruning keeps metadata-only queries from ever
+  reading media bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real-codec gate: none of these ship in this container
+    import PIL  # type: ignore # noqa: F401
+
+    HAS_IMAGE_CODEC = True
+except ImportError:  # pragma: no cover - expected path here
+    HAS_IMAGE_CODEC = False
+
+__all__ = [
+    "HEADER_LEN",
+    "attach_media",
+    "decode_media",
+    "media_byte_histogram",
+    "resize_media",
+    "frame_sample",
+]
+
+HEADER_LEN = 36  # 5+3+1+6+1+6+1+4+1+7+1 fixed ASCII bytes
+
+_KIND = "CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END"
+_WIDTH = "CAST(16 + doc_id % 48 AS INT)"
+_HEIGHT = "CAST(16 + doc_id % 32 AS INT)"
+_FRAMES = "CAST(CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 7 ELSE 1 END AS INT)"
+_RATE = "CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 4000 ELSE 0 END AS INT)"
+
+
+def attach_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize the opaque ``media`` binary column + ``media_meta`` struct.
+
+    Deterministic in ``doc_id``/``text`` only — both engines can rebuild the
+    identical bytes. All JVM expressions (format_string/encode/concat); the
+    binary never round-trips through Python.
+    """
+    header = F.format_string(
+        "FAKE|%s|w=%04d|h=%04d|f=%02d|r=%05d|",
+        F.expr(_KIND),
+        F.expr(_WIDTH),
+        F.expr(_HEIGHT),
+        F.expr(_FRAMES),
+        F.expr(_RATE),
+    )
+    return df.select(
+        F.col(id_col),
+        F.concat(
+            F.encode(header, "UTF-8"), F.encode(F.col(text_col), "UTF-8")
+        ).alias("media"),
+        F.struct(
+            F.expr(_KIND).alias("kind"),
+            F.expr(_WIDTH).alias("width"),
+            F.expr(_HEIGHT).alias("height"),
+            F.expr(_FRAMES).alias("n_frames"),
+            F.expr(_RATE).alias("sample_rate"),
+        ).alias("media_meta"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+
+def decode_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
+    """Parse the binary container back into typed fields — the decode stage.
+
+    Arrow-batched ``mapInPandas``: each batch arrives as a pandas DataFrame
+    whose binary column is ``bytes`` objects; we parse headers and hash
+    payloads in Python exactly where a real codec (``PIL.Image.open(BytesIO
+    (payload))``) would be invoked. Narrow stage — no shuffle, media bytes
+    stay on their partition.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _DECODE_SCHEMA.fieldNames()}
+            for doc_id, raw in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(raw)
+                magic, kind, w, h, f, r, payload = b.split(b"|", 6)
+                if magic != b"FAKE":
+                    raise ValueError(f"bad media container magic: {magic!r}")
+                # >>> real codec call site: PIL.Image.open(BytesIO(payload))
+                out["doc_id"].append(int(doc_id))
+                out["kind"].append(kind.decode())
+                out["width"].append(int(w[2:]))
+                out["height"].append(int(h[2:]))
+                out["n_frames"].append(int(f[2:]))
+                out["sample_rate"].append(int(r[2:]))
+                out["payload_bytes"].append(len(payload))
+                out["payload_md5"].append(hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, media_col).mapInPandas(_decode, _DECODE_SCHEMA)
+
+
+def media_byte_histogram(
+    df: DataFrame,
+    buckets: int = 16,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document byte histogram of the payload — the feature-extraction
+    stage (stand-in for pixel/spectral features). numpy-vectorized inside
+    Arrow batches: ``frombuffer`` + ``bincount``, no per-byte Python loop."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("hist", T.ArrayType(T.LongType())),
+            T.StructField("mean_byte", T.DoubleType()),
+        ]
+    )
+    width = 256 // buckets
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hists, means = [], [], []
+            for doc_id, raw in zip(pdf[id_col], pdf[media_col]):
+                payload = np.frombuffer(bytes(raw), dtype=np.uint8)[HEADER_LEN:]
+                counts = np.bincount(payload // width, minlength=buckets)
+                ids.append(int(doc_id))
+                hists.append(counts[:buckets].tolist())
+                means.append(float(payload.mean()) if payload.size else 0.0)
+            yield pd.DataFrame({"doc_id": ids, "hist": hists, "mean_byte": means})
+
+    return df.select(id_col, media_col).mapInPandas(_features, schema)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    use_real: bool = False,
+) -> DataFrame:
+    """Resize stage. ``use_real=True`` is the real-codec path and is a
+    clearly-marked stub (no image library in this container); the default
+    deterministic fake rewrites the header dims and center-crops the payload
+    to ``width*height`` bytes — pure JVM expressions, no Python."""
+    if use_real:
+        raise NotImplementedError(
+            "real resize requires an image codec (Pillow/libvips) that is "
+            "not installed here; the decode->resample->encode call goes at "
+            "this exact point, batch shape identical to the fake path"
+        )
+    media = F.col(media_col)
+    header = F.decode(F.substring(media, 1, HEADER_LEN), "UTF-8")
+    new_header = F.regexp_replace(
+        F.regexp_replace(header, r"w=\d{4}", F.format_string("w=%04d", F.lit(width))),
+        r"h=\d{4}",
+        F.format_string("h=%04d", F.lit(height)),
+    )
+    keep = F.least(F.octet_length(media) - HEADER_LEN, F.lit(width * height))
+    out = df.withColumn(
+        media_col,
+        F.concat(
+            F.encode(new_header, "UTF-8"),
+            media.substr(F.lit(HEADER_LEN + 1), keep),
+        ),
+    )
+    if "media_meta" in df.columns:
+        out = out.withColumn(
+            "media_meta",
+            F.col("media_meta")
+            .withField("width", F.lit(width))
+            .withField("height", F.lit(height)),
+        )
+    return out
+
+
+def frame_sample(
+    df: DataFrame,
+    every: int = 2,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample every ``every``-th frame of video payloads — pure JVM plan.
+
+    The payload is split into ``n_frames`` equal byte-slices; sampled frame
+    indices come from ``sequence(0, n-1, every)`` + ``explode``; the slice
+    itself is a binary ``substring``. Fingerprint = md5 over the uppercase
+    hex of the slice (hex-space so the DuckDB oracle can state the same
+    bytes without blob slicing). Whole thing is codegen'd — media bytes are
+    sliced exactly once and never cross a shuffle.
+    """
+    n = F.col("media_meta.n_frames")
+    payload_len = F.octet_length(F.col(media_col)) - HEADER_LEN
+    frame_len = F.floor(payload_len / n).cast("int")
+    vids = df.filter(F.col("media_meta.kind") == "vid").select(
+        id_col,
+        media_col,
+        frame_len.alias("_flen"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(every))).alias("frame_idx"),
+    )
+    frame = F.expr(f"substring({media_col}, {HEADER_LEN} + 1 + frame_idx * _flen, _flen)")
+    return vids.select(
+        F.col(id_col),
+        F.col("frame_idx"),
+        F.col("_flen").cast("long").alias("frame_bytes"),
+        F.md5(F.hex(frame)).alias("frame_sig"),
+    )

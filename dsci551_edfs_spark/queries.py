@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as TXT
 from .pipeline import dedup as DD
+from .pipeline import multimodal as MM
 from .pipeline import similarity as SIM
 from .sources import ingest as ING
 from .sources import scan as SCN
@@ -892,3 +893,89 @@ def events_dedup(spark, sf_dir):
         .groupBy("event_id")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# =====================================================================
+# Multimodal columns (pipeline/multimodal.py): opaque binary media +
+# typed metadata; decode / features / resize / frame-sample
+# =====================================================================
+
+_MM_KIND_SQL = "CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END"
+
+
+@q(
+    "multimodal_decode",
+    f"""
+    SELECT doc_id,
+           {_MM_KIND_SQL} AS kind,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + doc_id % 32 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 7 ELSE 1 END AS INT)
+             AS n_frames,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 4000
+                     ELSE 0 END AS INT) AS sample_rate,
+           octet_length(encode(text)) AS payload_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """Binary media container roundtrip: attach (JVM encode/concat) then
+    decode (Arrow mapInPandas header parse + payload md5). The oracle
+    restates every header field as arithmetic on doc_id and the payload
+    hash as md5(text) — byte-for-byte container verification."""
+    return MM.decode_media(MM.attach_media(_t(spark, sf_dir, "documents")))
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             2 + doc_id % 7 AS n_frames,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS plen
+      FROM documents WHERE doc_id % 3 = 2
+    ), fr AS (
+      SELECT doc_id, hx,
+             CAST(plen // n_frames AS BIGINT) AS flen,
+             unnest(range(0, n_frames, 2)) AS frame_idx
+      FROM m
+    )
+    SELECT doc_id, frame_idx, flen AS frame_bytes,
+           md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)) AS frame_sig
+    FROM fr
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Every-2nd-frame sampling of video payloads — pure JVM explode +
+    binary substring. Frame fingerprints are md5-over-uppercase-hex on both
+    engines (DuckDB cannot slice blobs, so both sides hash the hex text)."""
+    return MM.frame_sample(MM.attach_media(_t(spark, sf_dir, "documents")), every=2)
+
+
+@q(
+    "multimodal_resize",
+    f"""
+    SELECT doc_id,
+           {_MM_KIND_SQL} AS kind,
+           24 AS width, 24 AS height,
+           least(octet_length(encode(text)), 576) AS payload_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Deterministic fake resize (header rewrite + center-crop payload to
+    w*h bytes) verified through the decode stage. payload_md5 excluded:
+    the crop can split a multi-byte char, and DuckDB cannot md5 blobs."""
+    resized = MM.resize_media(MM.attach_media(_t(spark, sf_dir, "documents")), 24, 24)
+    return MM.decode_media(resized).select(
+        "doc_id", "kind", "width", "height", "payload_bytes"
+    )
+
+
+@q("multimodal_byte_histogram")  # rows-only: DuckDB cannot explode blob bytes
+def multimodal_byte_histogram(spark, sf_dir):
+    """16-bucket byte histogram + mean byte of the payload — the
+    feature-extraction stage (numpy bincount inside Arrow batches)."""
+    return MM.media_byte_histogram(MM.attach_media(_t(spark, sf_dir, "documents")))

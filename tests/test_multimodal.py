@@ -1,0 +1,82 @@
+"""Multimodal binary-column pipeline tests: container roundtrip, Arrow
+batch shape, frame sampling, resize semantics, real-codec gate."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsci551_edfs_spark.pipeline import multimodal as MM
+from dsci551_edfs_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return MM.attach_media(load_table(spark, sf_dir, "documents")).cache()
+
+
+def test_container_layout(media):
+    row = media.filter("doc_id = 2").first()
+    b = bytes(row["media"])
+    assert b.startswith(b"FAKE|vid|")
+    assert b[: MM.HEADER_LEN].endswith(b"|")
+    meta = row["media_meta"]
+    assert (meta["kind"], meta["width"], meta["height"], meta["n_frames"]) == (
+        "vid", 18, 18, 4,
+    )
+
+
+def test_decode_roundtrip(media, spark, sf_dir):
+    """decode(attach(df)) must reproduce the metadata struct and the payload
+    md5 of the source text, across multiple partitions."""
+    decoded = MM.decode_media(media.repartition(5)).collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, sf_dir, "documents").collect()}
+    assert len(decoded) == len(docs)
+    for r in decoded:
+        raw = docs[r["doc_id"]].encode()
+        assert r["payload_bytes"] == len(raw)
+        assert r["payload_md5"] == hashlib.md5(raw).hexdigest()
+        assert r["kind"] == ("img", "aud", "vid")[r["doc_id"] % 3]
+
+
+def test_decode_empty_partition(media):
+    """mapInPandas must tolerate partitions that receive no batches."""
+    out = MM.decode_media(media.repartition(64))
+    assert out.count() == media.count()
+
+
+def test_frame_sample(media):
+    frames = MM.frame_sample(media, every=2)
+    rows = frames.filter("doc_id = 2").collect()  # doc 2: vid, 4 frames
+    assert sorted(r["frame_idx"] for r in rows) == [0, 2]
+    # frame slices must be distinct content with equal length
+    assert len({r["frame_sig"] for r in rows}) == 2
+    assert len({r["frame_bytes"] for r in rows}) == 1
+    # only videos produce frames
+    kinds = frames.join(media, "doc_id").select("media_meta.kind").distinct().collect()
+    assert [k["kind"] for k in kinds] == ["vid"]
+
+
+def test_resize_crops_and_rewrites_header(media):
+    resized = MM.decode_media(MM.resize_media(media, 8, 8))
+    for r in resized.collect():
+        assert (r["width"], r["height"]) == (8, 8)
+        assert r["payload_bytes"] <= 64
+    # kind and frame metadata survive the resize
+    kinds = set(r["kind"] for r in resized.collect())
+    assert kinds == {"img", "aud", "vid"}
+
+
+def test_real_codec_path_is_gated(media):
+    with pytest.raises(NotImplementedError):
+        MM.resize_media(media, 8, 8, use_real=True)
+
+
+def test_byte_histogram(media):
+    hist = MM.media_byte_histogram(media, buckets=16)
+    row = hist.filter("doc_id = 0").first()
+    assert len(row["hist"]) == 16
+    payload = bytes(media.filter("doc_id = 0").first()["media"])[MM.HEADER_LEN:]
+    assert sum(row["hist"]) == len(payload)
+    assert row["mean_byte"] == pytest.approx(sum(payload) / len(payload))
