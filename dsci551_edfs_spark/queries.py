@@ -663,9 +663,14 @@ _NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x A
 )
 def embedding_dup_pairs(spark, sf_dir):
     """Embedding near-dup pairs (cosine ≥ 0.4), exact pairwise baseline;
-    the RP-LSH variant is the scale path (tested separately)."""
+    the RP-LSH variant is the scale path (tested separately).
+
+    The inner threshold is a strict superset of round(·,4) ≥ 0.4 (any x
+    rounding up to 0.4 satisfies x ≥ 0.3999), so the O(N²) candidate mask
+    is applied INSIDE the numpy matmul — only near-dups cross Arrow, not
+    all N²/2 pairs."""
     out = DD.embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=-2.0, use_lsh=False
+        _t(spark, sf_dir, "embeddings"), threshold=0.3999, use_lsh=False
     )
     return (
         out.select(
