@@ -1,0 +1,144 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and banded range
+join, expressed as compositions of existing DataFrame ops (no Python in the
+row path).
+
+The reference has no joins at all (SURVEY.md §2.5); these are Spark-native
+additions every event/time-series workload needs.
+
+Scale design:
+- **as-of join** is the union-window formulation: tag both sides, union,
+  and carry the latest right-side payload forward with
+  ``last(ignorenulls)`` over (key, ts). ONE shuffle of each input on the
+  join key — never a per-row backward scan, never a range cross-product.
+  State per task is a single row of carried payload, so it streams through
+  a 1000-executor sort without memory pressure. Skewed keys ride on the
+  sort-merge machinery + AQE like any other shuffle.
+- **range join** buckets the time axis: each right interval explodes to
+  the buckets it covers (bounded by ``max_span``), each left point joins
+  its single bucket hash-to-hash, then the exact predicate filters. Turns
+  the O(N·M) nested-loop Spark would pick for an inequality join into a
+  hash join with fanout = interval span / bucket width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join_point_interval"]
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """Parse simple '<N> <unit>' interval specs to seconds."""
+    n, unit = spec.strip().split()
+    return int(n) * _UNIT_SECONDS[unit.lower()]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right.ts <= left.ts`` (direction='backward'; 'forward' mirrors it)
+    sharing the join key — DuckDB ``ASOF JOIN`` / pandas ``merge_asof``
+    semantics, left-outer flavored (unmatched left rows keep nulls).
+
+    Right-side ties on (key, ts) are broken by the later row in the
+    union's sort order; keep right unique per (key, ts) for full
+    determinism.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    rts = right_ts_col or ts_col
+    # the matched right ts is part of the payload (callers usually want it)
+    payload = [c for c in right.columns if c != on]
+    renamed = {c: f"{c}{suffix}" for c in payload}
+
+    l_tag = left.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in payload]).alias("s")).schema[
+                "s"
+            ].dataType
+        ).alias("_rpay"),
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(rts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+        F.struct(*[F.col(c) for c in payload]).alias("_rpay"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts so an exact-ts match
+        # is visible to the left row
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("_rpay", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("_rpay", ignorenulls=True).over(w)
+
+    matched = unioned.withColumn("_match", carried).filter(F.col("_is_left") == 1)
+    return matched.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_match.{c}").alias(renamed[c]) for c in payload],
+    )
+
+
+def range_join_point_interval(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to every interval containing them
+    (``start <= ts < end``) via time-bucket banding.
+
+    Each interval explodes to the buckets it overlaps; each point maps to
+    exactly one bucket; the equi-join on bucket is a plain shuffled hash
+    join and the precise containment predicate runs post-join. Fanout is
+    ceil(span/bucket)+1 rows per interval — pick ``bucket`` near the
+    median interval span.
+    """
+    secs = _interval_seconds(bucket)
+
+    def _bucket_of(c):
+        return F.floor(F.col(c).cast("double") / secs).cast("long")
+
+    p = points.withColumn("_bsec", _bucket_of(point_ts))
+    iv = intervals.withColumn(
+        "_bsec",
+        F.explode(F.sequence(_bucket_of(start_col), _bucket_of(end_col))),
+    )
+    joined = p.join(iv, on="_bsec", how=how).filter(
+        (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_bsec")

@@ -984,3 +984,80 @@ def multimodal_byte_histogram(spark, sf_dir):
     """16-bucket byte histogram + mean byte of the payload — the
     feature-extraction stage (numpy bincount inside Arrow batches)."""
     return MM.media_byte_histogram(MM.attach_media(_t(spark, sf_dir, "documents")))
+
+
+# =====================================================================
+# Temporal joins (operators/temporal.py): as-of + banded range join
+# =====================================================================
+
+@q(
+    "asof_join_last_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           p.ts AS purchase_ts, round(p.value, 3) AS purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_last_purchase(spark, sf_dir):
+    """As-of join: every event picks up the user's most recent purchase at
+    or before it. Union-window formulation — one shuffle per side on
+    user_id, no range cross-product (oracle: DuckDB native ASOF JOIN)."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        suffix="_p",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts_p").alias("purchase_ts"),
+        F.round(F.col("value_p"), 3).alias("purchase_value"),
+    )
+
+
+@q(
+    "range_join_purchase_hour",
+    """
+    SELECT p.event_id AS purchase_id, e.event_id, e.event_type
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts < p.ts
+    """,
+)
+def range_join_purchase_hour(spark, sf_dir):
+    """Banded range join: events in the 10 minutes leading up to each
+    purchase by the same user. Intervals explode to 10-minute buckets, the
+    bucket+user equi-join is a plain hash join, then the exact containment
+    predicate filters."""
+    from .operators.temporal import range_join_point_interval
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            (F.col("ts") - F.expr("INTERVAL 10 MINUTE")).alias("start"),
+            F.col("ts").alias("end"),
+        )
+    )
+    out = range_join_point_interval(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        iv,
+        bucket="10 minutes",
+    ).filter(F.col("user_id") == F.col("p_user"))
+    return out.select("purchase_id", "event_id", "event_type")

@@ -1,0 +1,72 @@
+"""EDFS shell end-to-end: the full Terminal.js command grammar driven
+through one session against a scratch warehouse (mkdir → put → ls → cat →
+getPartitionLocations → readPartition → aggregates → rm)."""
+
+import csv
+import io
+import os
+import tempfile
+
+import pytest
+
+from dsci551_edfs_spark.cli import EdfsShell
+from dsci551_edfs_spark.sources.registry import load_table
+
+SCRATCH = "/root/repo/.scratch/test_cli"
+
+
+@pytest.fixture(scope="module")
+def shell(spark):
+    os.makedirs(SCRATCH, exist_ok=True)
+    return EdfsShell(spark, tempfile.mkdtemp(prefix="wh_", dir=SCRATCH))
+
+
+@pytest.fixture(scope="module")
+def nation_csv(spark, sf_dir):
+    path = os.path.join(SCRATCH, "nation.csv")
+    load_table(spark, sf_dir, "nation").toPandas().to_csv(path, index=False)
+    return path
+
+
+def test_full_session(shell, nation_csv):
+    assert shell.execute("mkdir /data")["status"] == "EDFS200"
+    out = shell.execute(f"put {nation_csv} /data/nation.csv 4 n_regionkey")
+    assert out["status"] == "EDFS200"
+
+    ls = shell.execute("ls /data")
+    assert ls["status"] == "EDFS200"
+    assert "nation.csv" in ls["response"]
+
+    cat = shell.execute("cat /data/nation.csv")
+    rows = list(csv.DictReader(io.StringIO(cat["response"])))
+    assert len(rows) == 25
+    # row order restored via the injected index column; index not exposed
+    assert rows[0]["n_name"] is not None and "index" not in rows[0]
+
+    locs = shell.execute("getPartitionLocations /data/nation.csv")
+    assert locs["status"] == "EDFS200" and len(locs["response"]) >= 1
+
+    part1 = shell.execute("readPartition /data/nation.csv 1")
+    n_part1 = len(list(csv.DictReader(io.StringIO(part1["response"]))))
+    assert 0 < n_part1 < 25
+
+    avg = shell.execute("getAvg /data/nation.csv n_regionkey")
+    assert avg["status"] == "EDFS200"
+    assert avg["response"]["result"] == "The overall average is 2.000"
+
+    mx = shell.execute("getMax /data/nation.csv n_regionkey true")
+    assert mx["response"]["result"] == "The overall maximum is 4.000"
+    assert len(mx["response"]["partitions"]) >= 1  # debug channel
+
+    pruned = shell.execute("getAvg /data/nation.csv n_nationkey false 0")
+    assert pruned["status"] == "EDFS200"  # hash partition pruning path
+
+    assert shell.execute("rm /data/nation.csv")["status"] == "EDFS200"
+    assert shell.execute("cat /data/nation.csv")["status"] == "EDFS400"
+
+
+def test_errors(shell):
+    assert shell.execute("cat /nope")["status"] == "EDFS400"
+    assert shell.execute("frobnicate x")["status"] == "EDFS400"
+    assert shell.execute("getAvg /nope")["status"] == "EDFS400"
+    assert shell.execute("")["status"] == "EDFS200"
