@@ -1061,3 +1061,50 @@ def range_join_purchase_hour(spark, sf_dir):
         bucket="10 minutes",
     ).filter(F.col("user_id") == F.col("p_user"))
     return out.select("purchase_id", "event_id", "event_type")
+
+
+@q(
+    "stateful_user_stats",
+    "SELECT user_id, count(*) AS n_events, round(sum(value), 3) AS sum_value, "
+    "max(ts) AS last_ts FROM events GROUP BY user_id",
+)
+def stateful_user_stats(spark, sf_dir):
+    """Batch face of the applyInPandasWithState per-user running stats
+    (streaming/stateful.py); the streaming run's final state equals this
+    (pinned by test_streaming.py)."""
+    from .streaming.stateful import user_running_stats
+
+    out = user_running_stats(_t(spark, sf_dir, "events"))
+    return out.withColumn("sum_value", F.round("sum_value", 3))
+
+
+# =====================================================================
+# Sketch aggregates (operators/sketches.py)
+# =====================================================================
+
+@q("approx_ndv_orders")  # rows-only: HLL++ estimates have no DuckDB twin
+def approx_ndv_orders(spark, sf_dir):
+    """HyperLogLog++ distinct counts (rsd=2%) for order keys/customers.
+    Error pinned < 5% against exact counts in tests/test_sketches.py."""
+    from .operators.sketches import approx_ndv
+
+    return approx_ndv(
+        _t(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey"], rsd=0.02
+    )
+
+
+@q(
+    "frequent_event_types",
+    """
+    SELECT event_type, cnt, share FROM (
+      SELECT event_type, count(*) AS cnt,
+             round(count(*) / (SELECT count(*) FROM events), 4) AS share
+      FROM events GROUP BY event_type)
+    WHERE share >= 0.01 ORDER BY cnt DESC, event_type LIMIT 20
+    """,
+)
+def frequent_event_types(spark, sf_dir):
+    """Heavy hitters over event_type at >= 1% support."""
+    from .operators.sketches import frequent_items
+
+    return frequent_items(_t(spark, sf_dir, "events"), "event_type", 0.01, 20)

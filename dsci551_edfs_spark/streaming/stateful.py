@@ -1,0 +1,117 @@
+"""Custom stateful streaming: per-key running statistics via
+``applyInPandasWithState`` — the escape hatch for operators the built-in
+watermark/window/dedup set cannot express (running per-user counters that
+must survive across micro-batches and emit on every update).
+
+Batch/stream duality like streaming/windows.py: the SAME entry point
+returns the equivalent batch aggregation on a batch frame, so
+batch == final streaming state is the testable (and DuckDB-oracle-able)
+contract.
+
+Scale notes:
+- State is one tiny row (3 numbers + a timestamp) per user, partitioned by
+  the group key — the state store shards with the shuffle, nothing global.
+- In update mode each micro-batch emits only touched keys; the memory/sink
+  pressure is proportional to batch activity, not key cardinality.
+- A production deployment would add ``GroupStateTimeout`` eviction for
+  dormant keys; NoTimeout keeps the batch-equivalence contract exact here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["user_running_stats", "run_stateful_update"]
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),  # epoch micros; ts not allowed in state
+    ]
+)
+
+
+def user_running_stats(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """(user_id, n_events, sum_value, last_ts) maintained across batches.
+
+    Streaming: one state row per user updated per micro-batch (update
+    mode). Batch: the equivalent groupBy — what the stream's final state
+    must equal.
+    """
+    if not events.isStreaming:
+        return events.groupBy(key_col).agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max(ts_col).alias("last_ts"),
+        ).withColumnRenamed(key_col, "user_id")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s, last_us = state.get
+        else:
+            n, s, last_us = 0, 0.0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            batch_max = pdf[ts_col].max()
+            batch_us = int(batch_max.value // 1_000)  # pandas Timestamp ns → µs
+            last_us = max(last_us, batch_us)
+        state.update((n, s, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_stateful_update(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a stateful update-mode stream into a memory sink and return
+    the LATEST emitted row per user (update mode re-emits a key each time
+    its state changes; the last emission is the final state)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    sink = stream_df.sparkSession.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

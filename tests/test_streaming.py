@@ -121,3 +121,23 @@ def test_watermark_drops_late_rows(spark, event_dir):
         q.stop()
     out = spark.table("late_t")
     assert out.filter(F.col("window_start") < "2023-06-01").count() == 0
+
+
+def test_stateful_running_stats_equals_batch(spark, event_dir):
+    """applyInPandasWithState final state per user == batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.streaming import stateful as ST
+
+    ev = _batch(spark, event_dir)
+    batch = ST.user_running_stats(ev)
+    stream = ST.run_stateful_update(
+        ST.user_running_stats(_stream(spark, event_dir)), "stateful_t"
+    )
+    b = {r["user_id"]: r for r in batch.collect()}
+    s = {r["user_id"]: r for r in stream.collect()}
+    assert set(b) == set(s)
+    for uid in b:
+        assert s[uid]["n_events"] == b[uid]["n_events"]
+        assert s[uid]["sum_value"] == pytest.approx(b[uid]["sum_value"])
+        assert s[uid]["last_ts"] == b[uid]["last_ts"]
