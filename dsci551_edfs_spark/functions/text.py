@@ -80,6 +80,45 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.20,
+    max_digit_ratio: float = 0.30,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """The corpus quality gate: threshold the text_stats features and score
+    survivors. quality_score = min(n_tokens/100, 1) * (1-punct_ratio) *
+    (1-digit_ratio) — monotone in length and cleanliness, exactly
+    restatable in SQL. Single scan, all codegen; at 100 TB this is the
+    first (and cheapest) pass that typically drops 30-60% of raw crawl."""
+    s = text_stats(df, text_col, id_col)
+    kept = s.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("digit_ratio") <= max_digit_ratio)
+        & (F.col("avg_token_len") >= min_avg_token_len)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+    )
+    score = F.round(
+        F.least(F.col("n_tokens") / 100, F.lit(1.0))
+        * (1 - F.col("punct_ratio"))
+        * (1 - F.col("digit_ratio")),
+        4,
+    )
+    return kept.select(
+        F.col(id_col),
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        score.alias("quality_score"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text. Stable across engines (md5 hex is standard)."""

@@ -1108,3 +1108,35 @@ def frequent_event_types(spark, sf_dir):
     from .operators.sketches import frequent_items
 
     return frequent_items(_t(spark, sf_dir, "events"), "event_type", 0.01, 20)
+
+
+_NTOK_SQL = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS BIGINT)"
+)
+
+
+@q(
+    "quality_filter",
+    rf"""
+    WITH s AS (
+      SELECT doc_id,
+             {_NTOK_SQL} AS n_tokens,
+             round(length(text) / greatest({_NTOK_SQL}, 1), 3) AS avg_token_len,
+             round(len(regexp_extract_all(text, '[^\w\s]'))
+                   / greatest(length(text), 1), 3) AS punct_ratio,
+             round(len(regexp_extract_all(text, '[0-9]'))
+                   / greatest(length(text), 1), 3) AS digit_ratio
+      FROM documents)
+    SELECT doc_id, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+           round(least(n_tokens / 100.0, 1.0) * (1 - punct_ratio)
+                 * (1 - digit_ratio), 4) AS quality_score
+    FROM s
+    WHERE n_tokens >= 10 AND punct_ratio <= 0.20 AND digit_ratio <= 0.30
+      AND avg_token_len BETWEEN 2.0 AND 12.0
+    """,
+)
+def quality_filter(spark, sf_dir):
+    """Composite corpus quality gate: text_stats thresholds + monotone
+    quality score — the first pass of a training-data pipeline."""
+    return TXT.quality_filter(_t(spark, sf_dir, "documents"))
