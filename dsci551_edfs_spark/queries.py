@@ -1237,3 +1237,19 @@ def q17_small_qty_revenue(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 3).alias("avg_yearly"))
     )
+
+
+@q(
+    "jsonl_roundtrip",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def jsonl_roundtrip(spark, sf_dir):
+    """documents -> gzip JSONL -> schema-explicit read-back (sources/
+    formats.py). Exercises the edge-format contract: no inference pass,
+    values survive the text roundtrip bit-exact."""
+    from .sources.formats import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    dest = _scratch_dir("jsonl")
+    write_jsonl(docs, dest, n_files=4)
+    return read_jsonl(spark, dest, schema="doc_id long, lang string, n_chars long")
