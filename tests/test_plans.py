@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the 100 TB properties (pushdown,
+pruning, broadcast, codegen, no-Python-in-hot-path) asserted on the
+actual Catalyst output, so a refactor that silently de-optimizes a plan
+fails here rather than in a cluster bill."""
+
+import re
+
+import pytest
+
+from dsci551_edfs_spark.plans.debug import explain_str, plan_has
+from dsci551_edfs_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bind_spark(spark):
+    global _spark
+    _spark = spark
+
+
+def _plan(name):
+    return explain_str(QUERIES[name](_spark, SF))
+
+
+def test_q6_predicates_reach_the_scan():
+    plan = _plan("q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed down: {pushed}"
+
+
+def test_q6_prunes_columns():
+    plan = _plan("q6_forecast_revenue")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q3_broadcasts_dimensions():
+    plan = _plan("q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact side
+
+
+def test_pruned_aggregate_is_scan_partial_final():
+    plan = _plan("pmr_avg_pruned")
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial + final
+    assert "partial_avg" in plan  # map-side combine, not row shipping
+    assert "Exchange" in plan  # exactly the single-row partial exchange
+    # codegen markers only appear on the AQE final plan -> execute first
+    df = QUERIES["pmr_avg_pruned"](_spark, SF)
+    df.collect()
+    simple = explain_str(df, "simple")
+    assert re.search(r"\*\(\d+\) HashAggregate", simple), simple
+
+
+def test_semi_join_for_exists():
+    plan = _plan("q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_no_python_eval_in_relational_plans():
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "asof_join_last_purchase",
+        "range_join_purchase_hour",
+        "dedup_exact_groups",
+        "simhash_pairs",
+        "text_stats",
+        "lang_id",
+    ):
+        plan = _plan(name)
+        assert "BatchEvalPython" not in plan, f"row-at-a-time Python in {name}"
+        assert "ArrowEvalPython" not in plan, f"unexpected pandas UDF in {name}"
+
+
+def test_multimodal_decode_is_arrow_batched():
+    plan = _plan("multimodal_decode")
+    # mapInPandas shows up as MapInPandas / ArrowEvalPython — Arrow, not
+    # row-at-a-time
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_is_one_shuffle_per_side():
+    plan = _plan("asof_join_last_purchase")
+    # union-window formulation: no join node at all, one window sort
+    assert "Join" not in plan
+    assert "Window" in plan
