@@ -1253,3 +1253,110 @@ def jsonl_roundtrip(spark, sf_dir):
     dest = _scratch_dir("jsonl")
     write_jsonl(docs, dest, n_files=4)
     return read_jsonl(spark, dest, schema="doc_id long, lang string, n_chars long")
+
+
+# =====================================================================
+# Skew, grouping sets, window-function breadth, pivot
+# =====================================================================
+
+@q(
+    "salted_join_hot_keys",
+    """
+    SELECT e.user_id, count(*) AS cnt, round(sum(e.value), 3) AS sum_value
+    FROM events e JOIN (SELECT DISTINCT user_id FROM events) u
+      ON e.user_id = u.user_id
+    GROUP BY e.user_id
+    """,
+)
+def salted_join_hot_keys(spark, sf_dir):
+    """Hot-key salted join (operators/skew.py): detects the heaviest event
+    users, salts them across 8 sub-keys, joins, and aggregates. The result
+    set is identical to the plain join — the oracle states the plain join —
+    while the hot keys' rows land on 8 reducers instead of 1."""
+    from .operators.skew import salted_join, top_keys
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    hot = top_keys(ev, "user_id", n=5, min_count=10)
+    out = salted_join(ev, users, "user_id", hot_keys=hot, salts=8)
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 3).alias("sum_value")
+    )
+
+
+@q(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    and grand total in one pass — Catalyst expands then partial-aggregates
+    each set map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q(
+    "window_functions_showcase",
+    """
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(o_totalprice - max(o_totalprice)
+                 OVER (PARTITION BY o_custkey), 3) AS delta_from_max
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_functions_showcase(spark, sf_dir):
+    """lead/lag/ntile/percent_rank + partition-relative delta in one
+    window spec — a single sort per customer partition serves all five."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(
+            F.col("o_totalprice") - F.max("o_totalprice").over(wp), 3
+        ).alias("delta_from_max"),
+    )
+
+
+@q(
+    "pivot_returnflag_by_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_returnflag_by_status(spark, sf_dir):
+    """Pivot on a low-cardinality column with EXPLICIT pivot values — at
+    scale, never let pivot() run its distinct-values discovery job."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
