@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, dot, normalize
 
-__all__ = ["brute_force_topk", "build_ivf_index", "ivf_topk"]
+__all__ = ["brute_force_topk", "kmeans_centroids", "build_ivf_index", "ivf_topk"]
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -62,6 +62,62 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) over unit vectors, distributed per
+    iteration: assignment is a codegen'd dot-product argmax against
+    broadcast centroid literals; the update is posexplode →
+    groupBy(cluster, dim) avg — a shuffle of (cluster, dim) partial sums,
+    never of vectors. Init = random directions (seeded), so iters=0
+    degrades to the static index.
+
+    At 100 TB pass `sample_fraction`: centroids fit on a sample, the full
+    corpus only ever pays the one assignment pass in build_ivf_index."""
+    unit = corpus.select(normalize(as_double(vec_col)).alias("v"))
+    if sample_fraction:
+        unit = unit.sample(fraction=sample_fraction, seed=seed)
+    dim = unit.select(F.size("v").alias("d")).first()["d"]
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(iters):
+        sims = F.array(
+            *[
+                dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cents[c]]))
+                for c in range(n_centroids)
+            ]
+        )
+        assigned = unit.withColumn("_sims", sims).select(
+            "v",
+            (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1)
+            .cast("int")
+            .alias("c"),
+        )
+        means = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their direction
+        acc: dict[int, np.ndarray] = {}
+        for r in means:
+            acc.setdefault(r["c"], np.zeros(dim))[r["pos"]] = r["m"]
+        for c, vec in acc.items():
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[c] = vec / n
+        cents = new
+    return cents
+
+
 def build_ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -69,18 +125,25 @@ def build_ivf_index(
     id_col: str = "vec_id",
     seed: int = 42,
     dim: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
-    """Assign each corpus vector to its nearest of C fixed random-direction
-    centroids (deterministic from seed — a kmeans fit can be slotted in
-    without changing the query path). Returns (bucketed corpus, centroids).
+    """Assign each corpus vector to its nearest of C centroids — fixed
+    random directions by default (deterministic from seed), or pass
+    `centroids` from `kmeans_centroids` for data-adaptive buckets; the
+    query path is identical either way. Returns (bucketed corpus,
+    centroids).
 
     The bucketed corpus should be persisted `partitionBy('centroid')` in a
     real deployment so a probe reads only its bucket directories."""
-    if dim is None:
-        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
-    rng = np.random.RandomState(seed)
-    cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if centroids is not None:
+        cents = centroids
+        n_centroids = cents.shape[0]
+    else:
+        if dim is None:
+            dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+        rng = np.random.RandomState(seed)
+        cents = rng.standard_normal((n_centroids, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     unit = corpus.select(
         F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
     )

@@ -157,3 +157,27 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r[0] for r in df.select(TXT.fingerprint("text")).collect()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_kmeans_ivf_recall_beats_or_matches_random(spark, sf_dir):
+    """Data-adaptive centroids must not hurt recall at equal probe budget
+    (and typically help: buckets follow the data's cluster structure)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 20")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(centroids=None):
+        bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8, centroids=centroids)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(bucketed, cents, q, k=5, n_probe=2).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    km = SIM.kmeans_centroids(emb, n_centroids=8, iters=3)
+    r_random, r_kmeans = recall(), recall(km)
+    assert r_kmeans >= r_random - 0.05  # never materially worse
+    assert r_kmeans >= 0.4  # sane absolute floor at n_probe=2 of 8
