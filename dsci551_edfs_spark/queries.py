@@ -1360,3 +1360,32 @@ def pivot_returnflag_by_status(spark, sf_dir):
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.round(F.sum("l_quantity"), 2))
     )
+
+
+@q(
+    "stream_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Batch face of the stream-stream interval join (streaming/windows.py
+    interval_join): views in the 10 minutes before each purchase. The
+    streaming run with two watermarked inputs is pinned equal in
+    tests/test_streaming.py."""
+    from .streaming.windows import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("user_id_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("view_id"),
+    )
+    return interval_join(p, v).select("purchase_id", "view_id")

@@ -135,3 +135,34 @@ def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    lower: str = "10 minutes",
+    upper: str = "0 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) inner join on key + time range:
+    right rows within [left_ts - lower, left_ts - upper). With two
+    streaming inputs, the watermarks + the range condition bound both
+    join-state buffers (Spark evicts rows older than watermark + range) —
+    the only state-safe shape for stream-stream joins at scale. The batch
+    run of the same function is the oracle.
+    """
+    l = left
+    r = right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[f"{key}_r"])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lower}"))
+        & (r[right_ts] < l[left_ts] - F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond)

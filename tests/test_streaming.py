@@ -141,3 +141,42 @@ def test_stateful_running_stats_equals_batch(spark, event_dir):
         assert s[uid]["n_events"] == b[uid]["n_events"]
         assert s[uid]["sum_value"] == pytest.approx(b[uid]["sum_value"])
         assert s[uid]["last_ts"] == b[uid]["last_ts"]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, event_dir):
+    """Two watermarked streams joined on key + time range == batch join."""
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.streaming.windows import interval_join
+
+    def split(df):
+        purchases = df.filter("event_type = 'purchase'").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        views = df.filter("event_type = 'view'").select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("ts").alias("ts_r"),
+            F.col("event_id").alias("view_id"),
+        )
+        return purchases, views
+
+    bp, bv = split(_batch(spark, event_dir))
+    batch = interval_join(bp, bv).select("purchase_id", "view_id")
+
+    sp, sv = split(_stream(spark, event_dir))
+    # unbounded watermark for exact equivalence: availableNow delivers
+    # files in arbitrary ts order
+    joined = interval_join(sp, sv, watermark="3650 days").select(
+        "purchase_id", "view_id"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.table("ssj_t")
+    assert _as_sets(stream) == _as_sets(batch)
+    assert batch.count() > 0
