@@ -1389,3 +1389,26 @@ def stream_interval_join(spark, sf_dir):
         F.col("event_id").alias("view_id"),
     )
     return interval_join(p, v).select("purchase_id", "view_id")
+
+
+@q("corpus_prep_pipeline")  # rows-only: minhash stage has no SQL twin
+def corpus_prep_pipeline(spark, sf_dir):
+    """The full training-data recipe end-to-end: quality gate -> language
+    keep-list -> exact dedup -> MinHash near-dedup -> surviving corpus
+    with quality + lang metadata. Each stage is the tested operator; this
+    entry proves they compose (ids flow, no schema drift, one pipeline
+    plan). Rows-only: the MinHash stage is not SQL-expressible."""
+    docs = _t(spark, sf_dir, "documents")
+    quality = TXT.quality_filter(docs, min_tokens=5)
+    langs = TXT.lang_id(docs)
+    kept = (
+        docs.join(quality.select("doc_id", "quality_score"), "doc_id")
+        .join(langs.filter(F.col("lang_pred") != "und").select("doc_id", "lang_pred"), "doc_id")
+    )
+    exact_kept = DD.exact_dedup(kept)
+    near_pairs = DD.minhash_dedup_pairs(exact_kept, threshold=0.5)
+    drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = exact_kept.join(drop_ids, "doc_id", "left_anti")
+    return final.select(
+        "doc_id", "lang_pred", "quality_score", F.length("text").alias("n_chars")
+    ).orderBy("doc_id")

@@ -180,3 +180,30 @@ def test_stream_stream_interval_join_equals_batch(spark, event_dir):
     stream = spark.table("ssj_t")
     assert _as_sets(stream) == _as_sets(batch)
     assert batch.count() > 0
+
+
+def test_parquet_sink_with_checkpoint(spark, event_dir):
+    """File sink + checkpoint: exactly-once delivery to parquet; restarting
+    the query against the same checkpoint must not duplicate rows."""
+    import tempfile
+
+    ev = _batch(spark, event_dir)
+    out = tempfile.mkdtemp(dir=SCRATCH)
+    ckpt = tempfile.mkdtemp(dir=SCRATCH)
+
+    def run():
+        q = (
+            _stream(spark, event_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(out).count() == ev.count()
+    run()  # restart on the same checkpoint: no new input -> no duplicates
+    assert spark.read.parquet(out).count() == ev.count()
