@@ -343,25 +343,37 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    prune_df1: bool = True,
 ) -> DataFrame:
     """EXACT pairwise n-gram Jaccard via an inverted-index join (not a cross
     join): explode shingles → self-join on shingle → count shared shingles
     per pair → |∩| known, |∪| = |A|+|B|−|∩|.
 
-    Scale: the shuffle is keyed by shingle; frequency-skewed shingles are
-    the hazard (cap with a document-frequency filter upstream when corpus
-    boilerplate exists). Quadratic only within a shingle's posting list —
+    Scale: the join key is the 8-byte shingle hash, not the string — the
+    shuffle carries (hash, id, n_sh) only. Shingles with document
+    frequency 1 are pruned first (they cannot contribute to any
+    intersection; |∪| uses the precomputed per-doc sizes, so dropping them
+    is lossless) — on real corpora that is the long tail of the posting
+    table. Frequency-skewed boilerplate shingles remain the hazard: cap
+    with a DF upper bound upstream. Quadratic only within a posting list —
     the standard exact-verification shape."""
     sh = shingle_df(df, text_col, id_col, n)
     sized = sh.select("id", F.size("shingles").alias("n_sh"), "shingles")
     posting = sized.select(
         "id", "n_sh", F.explode("shingles").alias("shingle")
-    )
+    ).select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
+    if prune_df1:
+        # lossless on real corpora where the DF-1 tail dominates; skippable
+        # when the vocabulary is known-dense (costs one extra agg pass)
+        df_counts = posting.groupBy("shash").agg(F.count("*").alias("_df"))
+        posting = posting.join(
+            df_counts.filter(F.col("_df") >= 2).select("shash"), "shash", "left_semi"
+        )
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shash") == F.col("b.shash"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(
