@@ -1412,3 +1412,40 @@ def corpus_prep_pipeline(spark, sf_dir):
     return final.select(
         "doc_id", "lang_pred", "quality_score", F.length("text").alias("n_chars")
     ).orderBy("doc_id")
+
+
+@q(
+    "profile_orders",
+    """
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             count(DISTINCT o_orderkey) AS ndv,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_str
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderstatus),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*),
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR),
+             CAST(max(o_custkey) AS VARCHAR)
+      FROM orders)
+    """,
+)
+def profile_orders(spark, sf_dir):
+    """One-pass table profile (operators/profile.py) on three orders
+    columns, exact NDV for oracle parity (the sketch path is default at
+    scale). The oracle is the classic one-subquery-per-column UNION — the
+    engine computes the same numbers in a single scan."""
+    from .operators.profile import profile
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_custkey")
+    return profile(o, exact_ndv=True)

@@ -1,0 +1,45 @@
+"""Profile operator + I/O format contract tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsci551_edfs_spark.operators.profile import profile
+from dsci551_edfs_spark.sources.formats import read_jsonl, write_jsonl
+from dsci551_edfs_spark.sources.registry import load_table
+
+
+def test_profile_one_row_per_column(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 3.5), (2, "b", 1.0)],
+        "k long, s string, v double",
+    )
+    out = {r["column"]: r for r in profile(df, exact_ndv=True).collect()}
+    assert set(out) == {"k", "s", "v"}
+    assert all(r["n_rows"] == 3 for r in out.values())
+    assert out["s"]["n_nulls"] == 1 and out["v"]["n_nulls"] == 1
+    assert out["k"]["ndv"] == 2
+    assert out["k"]["min_str"] == "1" and out["k"]["max_str"] == "2"
+
+
+def test_profile_is_single_job(spark):
+    """The whole profile must be ONE aggregate plan (single scan), not a
+    per-column job loop."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    )
+    plan = profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("range") == 1  # one scan of the source
+
+
+def test_read_jsonl_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_jsonl(spark, str(tmp_path))
+
+
+def test_jsonl_roundtrip_types(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dest = str(tmp_path / "docs")
+    write_jsonl(docs, dest, n_files=2)
+    back = read_jsonl(spark, dest, schema="doc_id long, text string, lang string")
+    assert back.schema == docs.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
