@@ -401,7 +401,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     use_lsh: bool = False,
-    n_planes: int = 4,
+    n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -425,20 +425,35 @@ def embedding_dup_pairs(
     if use_lsh:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
         rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((n_tables, n_planes, dim))
-        buckets = []
-        for t in range(n_tables):
-            bucket = None
-            for p in range(n_planes):
-                plane_lit = F.array(*[F.lit(float(x)) for x in planes[t, p]])
-                bit = F.when(dot(F.col("v"), plane_lit) > 0, 1).otherwise(0)
-                bucket = bit if bucket is None else bucket * 2 + bit
-            buckets.append(
-                F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
-            )
-        banded = unit.select(
-            "id", "v", F.explode(F.array(*buckets)).alias("e")
-        ).select("id", "v", "e.table", "e.bucket")
+        planes = rng.standard_normal((n_tables * n_planes, dim))
+        # MSB-first bit weights: plane 0 of a table is its bucket's top bit
+        bit_weights = 1 << np.arange(n_planes - 1, -1, -1)
+
+        def assign(batches):
+            # all T*P hyperplane dots in ONE matmul per Arrow batch —
+            # the per-plane interpreted `aggregate` fold this replaces was
+            # ~2x the whole pipeline's runtime at 64 plane dots per vector
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                signs = (m @ planes.T > 0).reshape(len(pdf), n_tables, n_planes)
+                bucket = (signs * bit_weights).sum(axis=2)  # (B, T)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf["id"].to_numpy(), n_tables),
+                        "v": pdf["v"].repeat(n_tables),
+                        "table": np.tile(np.arange(n_tables), len(pdf)),
+                        "bucket": bucket.reshape(-1),
+                    }
+                )
+
+        id_type = unit.schema["id"].dataType.simpleString()
+        banded = unit.mapInPandas(
+            assign, f"id {id_type}, v array<double>, table int, bucket int"
+        )
         a, b = banded.alias("a"), banded.alias("b")
         pairs = (
             a.join(
@@ -457,11 +472,36 @@ def embedding_dup_pairs(
         )
     else:
         return _pairwise_cosine_broadcast(unit, threshold)
-    return pairs.select(
-        "id_a",
-        "id_b",
-        dot(F.col("va"), F.col("vb")).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    return _verify_pairs_cosine(pairs, threshold)
+
+
+def _verify_pairs_cosine(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Score candidate (id_a, id_b, va, vb) rows with one numpy einsum per
+    Arrow batch. An interpreted per-pair `aggregate`/`zip_with` fold costs
+    ~64 expression evaluations per candidate — measured ~8x slower than
+    this vectorized verify once candidates reach the millions."""
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", a, b)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    id_type = pairs.schema["id_a"].dataType.simpleString()
+    return pairs.mapInPandas(
+        score, f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
 
 
 def _pairwise_cosine_broadcast(unit: DataFrame, threshold: float) -> DataFrame:

@@ -1,0 +1,114 @@
+"""Empirical scaling probe: do the dedup/ANN pipelines scale linearly in
+corpus size, or is something quadratic hiding behind small-SF timings?
+
+Inflates the documents/embeddings tables KxN by unioning salted copies
+(ids remapped, text perturbed so copies are near- but not exact dups), and
+times the headline pipeline ops at K = 1, 2, 4. A healthy (shuffle-bound,
+LSH-pruned) op grows ~K; candidate-pair blowup or a hidden cross-join
+grows ~K².
+
+Caveat for the NEAR-DUP ops: the inflation makes every copy a true
+near-duplicate of its k-1 siblings, so the RESULT itself grows ~k²·N —
+growth above linear is partly semantically-required output, not
+necessarily wasted compute. Judge growth against the pair count the op
+returns (exact_dedup_groups and the signature stages are the clean
+linear-work yardsticks).
+
+Usage: python tools/scale_probe.py [op ...]   (default: all)
+Prints one JSON line per op: {"op": ..., "sec": {"1": s, "2": s, "4": s},
+"growth_2x": r, "growth_4x": r}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.1"
+FACTORS = (1, 2, 4)
+
+
+def inflate_docs(docs, k):
+    from pyspark.sql import functions as F
+
+    if k == 1:
+        return docs
+    copies = docs.crossJoin(
+        docs.sparkSession.range(k).select(F.col("id").alias("_copy"))
+    )
+    return copies.select(
+        (F.col("doc_id") * k + F.col("_copy")).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" variant"), F.col("_copy").cast("string")
+        ).alias("text"),
+    )
+
+
+def inflate_emb(emb, k):
+    from pyspark.sql import functions as F
+
+    if k == 1:
+        return emb
+    copies = emb.crossJoin(
+        emb.sparkSession.range(k).select(F.col("id").alias("_copy"))
+    )
+    # perturb one dimension so copies are near-identical, not identical
+    return copies.select(
+        (F.col("vec_id") * k + F.col("_copy")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.col("_copy") * 0.001).otherwise(x),
+        ).alias("embedding"),
+    )
+
+
+def main() -> None:
+    from dsci551_edfs_spark import get_spark
+    from dsci551_edfs_spark.pipeline import dedup as DD
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents").cache()
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    docs.count(), emb.count()
+
+    ops = {
+        "minhash_dedup_pairs": lambda k: DD.minhash_dedup_pairs(
+            inflate_docs(docs, k), threshold=0.5
+        ),
+        "simhash_pairs": lambda k: DD.simhash_pairs(
+            DD.simhash(inflate_docs(docs, k)), max_hamming=3
+        ),
+        "ngram_jaccard_pairs": lambda k: DD.ngram_jaccard_pairs(
+            inflate_docs(docs, k), threshold=0.5
+        ),
+        "embedding_lsh_pairs": lambda k: DD.embedding_dup_pairs(
+            inflate_emb(emb, k), threshold=0.95, use_lsh=True
+        ),
+        "exact_dedup_groups": lambda k: DD.exact_dedup_groups(inflate_docs(docs, k)),
+    }
+    wanted = sys.argv[1:] or list(ops)
+    for name in wanted:
+        secs = {}
+        for k in FACTORS:
+            t0 = time.perf_counter()
+            ops[name](k).write.mode("overwrite").format("noop").save()
+            secs[str(k)] = round(time.perf_counter() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "op": name,
+                    "sec": secs,
+                    "growth_2x": round(secs["2"] / max(secs["1"], 1e-9), 2),
+                    "growth_4x": round(secs["4"] / max(secs["1"], 1e-9), 2),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
