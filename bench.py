@@ -33,6 +33,7 @@ HEADLINE = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
     "ann_brute_force_topk",
     "text_stats",
     "lang_id",

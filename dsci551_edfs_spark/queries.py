@@ -1449,3 +1449,14 @@ def profile_orders(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_custkey")
     return profile(o, exact_ndv=True)
+
+
+@q("embedding_dup_pairs_lsh")  # rows-only: RP-LSH buckets have no SQL twin
+def embedding_dup_pairs_lsh(spark, sf_dir):
+    """The 100 TB scale path for embedding near-dup: multi-table random-
+    hyperplane LSH candidates (numpy-matmul bucket assignment per Arrow
+    batch) + batched einsum verification. Recall vs the exact pairwise
+    baseline is pinned in tests/test_pipeline.py."""
+    return DD.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.95, use_lsh=True
+    ).orderBy("id_a", "id_b")
