@@ -444,32 +444,32 @@ def embedding_dup_pairs(
                 yield pd.DataFrame(
                     {
                         "id": np.repeat(pdf["id"].to_numpy(), n_tables),
-                        "v": pdf["v"].repeat(n_tables),
                         "table": np.tile(np.arange(n_tables), len(pdf)),
                         "bucket": bucket.reshape(-1),
                     }
                 )
 
         id_type = unit.schema["id"].dataType.simpleString()
+        # bare (id, table, bucket) rows: the self-join and the candidate
+        # dedup shuffle only ids — vectors are attached AFTER dedup, once
+        # per surviving pair, for the verify stage
         banded = unit.mapInPandas(
-            assign, f"id {id_type}, v array<double>, table int, bucket int"
+            assign, f"id {id_type}, table int, bucket int"
         )
         a, b = banded.alias("a"), banded.alias("b")
-        pairs = (
+        cands = (
             a.join(
                 b,
                 (F.col("a.table") == F.col("b.table"))
                 & (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("va"),
-                F.col("b.v").alias("vb"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
+        va = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        vb = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = cands.join(va, "id_a").join(vb, "id_b")
     else:
         return _pairwise_cosine_broadcast(unit, threshold)
     return _verify_pairs_cosine(pairs, threshold)
