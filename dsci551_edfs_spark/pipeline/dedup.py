@@ -40,6 +40,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_dup_pairs",
+    "plant_embedding_twins",
 ]
 
 
@@ -394,6 +395,54 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------------- embedding cosine
+
+def plant_embedding_twins(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 0.0125,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Union the corpus with one perturbed twin per vector: twin id =
+    id + id_offset, twin vector = unit(v + eps·u) with u ~ N(0, I) drawn
+    from a per-id-seeded RNG (deterministic under any partitioning).
+
+    With eps=0.0125 on 64-dim unit vectors, cos(v, twin) =
+    1/√(1+eps²·‖u‖²) ≈ 0.995 ± 0.001 — far above a 0.95 near-dup
+    threshold — while twins of DIFFERENT vectors stay as far apart as
+    their originals. A near-dup detector run on the inflated corpus must
+    therefore return exactly the planted (id, id+offset) pairs, which
+    turns recall into an oracle-checkable contract instead of a
+    statistical claim. (The reference has no analogue; this is
+    pipeline-native self-certification.)"""
+    unit = df.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+    )
+
+    def perturb(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            ids = pdf["id"].to_numpy()
+            noise = np.empty_like(m)
+            for i, row_id in enumerate(ids):
+                rng = np.random.RandomState(int(row_id) % (2**32))
+                noise[i] = rng.standard_normal(m.shape[1])
+            t = m + eps * noise
+            t /= np.linalg.norm(t, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"id": ids + id_offset, "v": list(t)}
+            )
+
+    id_type = unit.schema["id"].dataType.simpleString()
+    twins = unit.mapInPandas(perturb, f"id {id_type}, v array<double>")
+    return unit.unionByName(twins).select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col)
+    )
+
 
 def embedding_dup_pairs(
     df: DataFrame,

@@ -1451,12 +1451,31 @@ def profile_orders(spark, sf_dir):
     return profile(o, exact_ndv=True)
 
 
-@q("embedding_dup_pairs_lsh")  # rows-only: RP-LSH buckets have no SQL twin
+@q(
+    "embedding_dup_pairs_lsh",
+    """
+    SELECT CAST(vec_id AS BIGINT) AS id_a,
+           CAST(vec_id + 1000000 AS BIGINT) AS id_b
+    FROM embeddings
+    """,
+)
 def embedding_dup_pairs_lsh(spark, sf_dir):
     """The 100 TB scale path for embedding near-dup: multi-table random-
     hyperplane LSH candidates (numpy-matmul bucket assignment per Arrow
-    batch) + batched einsum verification. Recall vs the exact pairwise
-    baseline is pinned in tests/test_pipeline.py."""
-    return DD.embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.95, use_lsh=True
-    ).orderBy("id_a", "id_b")
+    batch) + batched einsum verification.
+
+    Self-certifying recall contract: the corpus is inflated with one
+    planted twin per vector at cosine ≈ 0.995 (plant_embedding_twins);
+    the fixture corpus itself has no pairs above cosine ~0.52, so the
+    detector's output at threshold 0.95 must be EXACTLY the planted
+    (id, id+1e6) pairs. 16 tables × 8 hyperplanes puts per-pair miss
+    probability at (1-0.968⁸)¹⁶ ≈ 6e-11 — recall failures would surface
+    as an oracle hash mismatch, not a silent statistic."""
+    inflated = DD.plant_embedding_twins(_t(spark, sf_dir, "embeddings"))
+    return (
+        DD.embedding_dup_pairs(
+            inflated, threshold=0.95, use_lsh=True, n_planes=8, n_tables=16
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )

@@ -98,6 +98,28 @@ def test_embedding_dup_pairs_lsh_agrees(spark, sf_dir):
         assert len(lsh & exact) / len(exact) >= 0.5
 
 
+def test_planted_twins_recovered_exactly(spark, sf_dir):
+    """The self-certifying recall contract behind the
+    embedding_dup_pairs_lsh query: on the twin-inflated corpus the
+    detector must return exactly the planted (id, id+1e6) pairs —
+    nothing missed (recall), nothing extra (precision)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    inflated = DD.plant_embedding_twins(emb)
+    assert inflated.count() == 2 * n
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_dup_pairs(
+            inflated, threshold=0.95, use_lsh=True, n_planes=8, n_tables=16
+        ).collect()
+    }
+    want = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in emb.select("vec_id").collect()
+    }
+    assert got == want
+
+
 def test_brute_force_topk_tiny(spark):
     rows = [
         (1, [1.0, 0.0]),
