@@ -472,6 +472,12 @@ def embedding_dup_pairs(
         F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
     )
     if use_lsh:
+        # the LSH plan consumes `unit` three times (band assignment + the
+        # two vector-attach joins); without a persist the upstream lineage
+        # — at worst a whole ingest pipeline — re-executes per consumer.
+        # (id, v) is the smallest thing worth pinning: N×(8+8·dim) bytes,
+        # spillable, and exactly what a 1000-executor run would persist.
+        unit = unit.persist()
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((n_tables * n_planes, dim))

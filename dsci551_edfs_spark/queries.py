@@ -1468,13 +1468,15 @@ def embedding_dup_pairs_lsh(spark, sf_dir):
     planted twin per vector at cosine ≈ 0.995 (plant_embedding_twins);
     the fixture corpus itself has no pairs above cosine ~0.52, so the
     detector's output at threshold 0.95 must be EXACTLY the planted
-    (id, id+1e6) pairs. 16 tables × 8 hyperplanes puts per-pair miss
-    probability at (1-0.968⁸)¹⁶ ≈ 6e-11 — recall failures would surface
-    as an oracle hash mismatch, not a silent statistic."""
+    (id, id+1e6) pairs. 20 tables × 12 hyperplanes puts per-pair miss
+    probability at (1-0.968¹²)²⁰ ≈ 1e-10 — recall failures would surface
+    as an oracle hash mismatch, not a silent statistic — while random
+    pairs (cosine ≈ 0) collide at only 2⁻¹² per table, keeping the
+    candidate volume ~Σ|bucket|² linear-ish in N."""
     inflated = DD.plant_embedding_twins(_t(spark, sf_dir, "embeddings"))
     return (
         DD.embedding_dup_pairs(
-            inflated, threshold=0.95, use_lsh=True, n_planes=8, n_tables=16
+            inflated, threshold=0.95, use_lsh=True, n_planes=12, n_tables=20
         )
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")

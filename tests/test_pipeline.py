@@ -110,7 +110,7 @@ def test_planted_twins_recovered_exactly(spark, sf_dir):
     got = {
         (r["id_a"], r["id_b"])
         for r in DD.embedding_dup_pairs(
-            inflated, threshold=0.95, use_lsh=True, n_planes=8, n_tables=16
+            inflated, threshold=0.95, use_lsh=True, n_planes=12, n_tables=20
         ).collect()
     }
     want = {
