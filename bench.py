@@ -24,6 +24,8 @@ HEADLINE = [
     "pmr_avg_pruned",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
     "join_region_revenue",
     "window_topk_orders",
     "topk_orders_global",

@@ -1481,3 +1481,7 @@ def embedding_dup_pairs_lsh(spark, sf_dir):
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
+
+
+# Extended TPC-H-shape relational coverage registers itself via @q on import.
+from . import queries_tpch  # noqa: E402,F401  (registry side effects)
