@@ -41,6 +41,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_dup_pairs",
     "plant_embedding_twins",
+    "connected_components",
+    "dedup_clusters",
 ]
 
 
@@ -601,4 +603,94 @@ def _pairwise_cosine_broadcast(unit: DataFrame, threshold: float) -> DataFrame:
     id_type = unit.schema["id"].dataType.simpleString()
     return unit.mapInPandas(
         score, f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
+
+
+# ------------------------------------------------- cluster (the endgame)
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list via HashMin label
+    propagation: every node starts labeled with its own id, and each BSP
+    round replaces the label with the min over itself and its neighbors'
+    labels, until a fixpoint.
+
+    Returns ``(node, label)`` where ``label`` is the minimum node id in the
+    component — the canonical representative dedup keeps.
+
+    Scale posture:
+    - one shuffle join + one shuffle agg per round; rounds = graph
+      diameter. Near-dup graphs are overwhelmingly tiny cliques/chains
+      (diameter ≤ ~3), so this settles in a handful of rounds; for
+      adversarially deep graphs swap in the large-star/small-star
+      alternation (Kiveris et al., "Connected Components in MapReduce and
+      Beyond"), which converges in O(log n) rounds on the same join
+      primitive.
+    - ``localCheckpoint`` cuts lineage each round so the plan doesn't grow
+      by one join per iteration.
+    - convergence is detected from ``sum(label)``: labels only ever
+      decrease, so an unchanged sum IS the fixpoint — one scalar agg per
+      round, no full-frame diff join.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus-level dedup assignment: every document gets a ``cluster_id``
+    (the min doc id of its near-dup component; singletons cluster to
+    themselves). Pipeline: exact n-gram Jaccard pairs → connected
+    components → left join back onto the corpus. Downstream retention is
+    ``filter(doc_id == cluster_id)``."""
+    edges = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    ).select("id_a", "id_b")
+    comp = connected_components(edges)
+    return (
+        df.select(id_col)
+        .join(F.broadcast(comp), F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce("label", F.col(id_col)).cast("long").alias("cluster_id"),
+        )
     )

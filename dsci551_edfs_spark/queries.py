@@ -624,6 +624,43 @@ def ngram_jaccard_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS jaccard
+        FROM s a, s b WHERE a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.2
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Corpus-level dedup endgame: exact 3-gram Jaccard edges → HashMin
+    connected components → every doc labeled with its component's min id
+    (singletons label themselves). The DuckDB oracle recomputes the SAME
+    components via a recursive CTE, so transitive chains (A~B~C with A≁C)
+    are verified, not just pairwise hits. Retention = doc_id == cluster_id."""
+    return DD.dedup_clusters(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).orderBy("doc_id")
+
+
 @q("minhash_dedup_pairs")  # LSH candidate set — not SQL-expressible; rows-only
 def minhash_dedup_pairs(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) near-dup pairs, exact-verified at

@@ -203,3 +203,41 @@ def test_kmeans_ivf_recall_beats_or_matches_random(spark, sf_dir):
     r_random, r_kmeans = recall(), recall(km)
     assert r_kmeans >= r_random - 0.05  # never materially worse
     assert r_kmeans >= 0.4  # sane absolute floor at n_probe=2 of 8
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node path (needs >1 HashMin round to settle), a 2-clique, and an
+    implicit singleton: labels must be the component minimum."""
+    from dsci551_edfs_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    """Transitivity: near-identical A~B and B~C must co-cluster even if the
+    A-C similarity alone is below threshold; unrelated docs stay singleton."""
+    from dsci551_edfs_spark.pipeline.dedup import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra1 extra2 extra3"),
+            (3, base + " extra1 extra2 extra3 more4 more5 more6"),
+            (9, "completely different words nothing shared here at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, n=3, threshold=0.3).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[9] == 9
