@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile"]
+__all__ = ["profile", "quantiles"]
 
 
 def profile(df: DataFrame, exact_ndv: bool = False) -> DataFrame:
@@ -44,3 +44,31 @@ def profile(df: DataFrame, exact_ndv: bool = False) -> DataFrame:
         ),
         F.col("_rows").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "ndv", "min_str", "max_str")
+
+
+def quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Order statistics per group: one ``pXX`` column per probability.
+
+    ``approx=False`` uses exact ``percentile`` (linear interpolation, the
+    SQL-standard PERCENTILE_CONT semantics) — it buffers each group's
+    values, so reserve it for verification scales. ``approx=True`` is the
+    100 TB path: ``approx_percentile`` merges fixed-size KLL-like sketches
+    map-side, one pass, bounded memory, rank error ≤ 1/accuracy.
+    """
+    fn = (
+        (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(accuracy)))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
+    aggs = [
+        fn(F.col(value_col), p).alias(f"p{int(p * 100):02d}") for p in probs
+    ]
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    return grouped.agg(*aggs)

@@ -1520,5 +1520,32 @@ def embedding_dup_pairs_lsh(spark, sf_dir):
     )
 
 
+@q(
+    "profile_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def profile_quantiles(spark, sf_dir):
+    """Grouped order statistics, exact PERCENTILE_CONT semantics (linear
+    interpolation — same formula as DuckDB quantile_cont, so the hash
+    comparison is meaningful). The approx_percentile sketch variant is the
+    scale path (quantiles(approx=True)); its rank-error contract is pinned
+    in tests rather than an oracle."""
+    from .operators.profile import quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = quantiles(li, "l_extendedprice", by=["l_returnflag"])
+    return out.select(
+        "l_returnflag",
+        *[F.round(F.col(c), 4).alias(c) for c in ("p25", "p50", "p75", "p90")],
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

@@ -43,3 +43,29 @@ def test_jsonl_roundtrip_types(spark, sf_dir, tmp_path):
     back = read_jsonl(spark, dest, schema="doc_id long, text string, lang string")
     assert back.schema == docs.schema
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+
+
+def test_quantiles_exact_vs_approx_rank_error(spark, sf_dir):
+    """approx_percentile (the 100 TB sketch path) must land within its
+    rank-error contract of the exact PERCENTILE_CONT values."""
+    from dsci551_edfs_spark.operators.profile import quantiles
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = quantiles(li, "l_extendedprice", probs=(0.5, 0.9)).first()
+    approx = quantiles(
+        li, "l_extendedprice", probs=(0.5, 0.9), approx=True, accuracy=10000
+    ).first()
+    vals = sorted(r[0] for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+
+    def rank_of(v):
+        import bisect
+
+        return bisect.bisect_left(vals, v) / n
+
+    for p, col in ((0.5, "p50"), (0.9, "p90")):
+        assert abs(rank_of(approx[col]) - p) <= 0.01  # 100x the 1e-4 bound
+        assert exact[col] == pytest.approx(
+            sorted(vals)[int(p * (n - 1))], rel=0.01
+        )
