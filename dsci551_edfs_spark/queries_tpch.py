@@ -514,3 +514,376 @@ def q2_min_cost_supplier(spark, sf_dir):
             "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name"
         )
     )
+
+
+@q(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity
+                     AS DECIMAL(28, 6))) AS DOUBLE), 2) AS profit
+    FROM lineitem, part, supplier, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit) without partsupp: supply cost is
+    modeled as 0.4 * p_retailprice (the reference schema has no ps_supplycost;
+    TESTDATA.md trims partsupp). Profit by supplier nation and order year.
+
+    Scale posture: part is pre-filtered by the LIKE and broadcast with only
+    (p_partkey, p_retailprice); supplier+nation broadcast; the single fact
+    shuffle is lineitem⨝orders on orderkey. The LIKE filter cannot push to
+    parquet as a range but prunes the broadcast build side to a fraction of
+    part before any fact row is touched."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(profit.cast("decimal(28,6)")).cast("double"), 2
+            ).alias("profit")
+        )
+    )
+
+
+@q(
+    "q11_important_stock",
+    """
+    WITH partval AS (
+      SELECT l_partkey,
+             round(sum(p_retailprice * l_quantity), 2) AS value
+      FROM lineitem, part, supplier
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND s_nationkey = 3
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM partval
+    WHERE value > (SELECT 0.001 * sum(value) FROM partval)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock) on the trimmed schema: per-part
+    shipped value (retailprice x quantity) restricted to one supplier nation,
+    keeping parts above a fraction of the global total. The scalar subquery is
+    a 1-row aggregate of the ALREADY-GROUPED frame (|parts| rows, not fact
+    rows), broadcast back as a cross join — the fact table is scanned once.
+    Quantities are integral and retailprice has 2 decimals, so the partial
+    sums are exact in double and the rounded per-part values hash-match."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 3)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    partval = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("p_retailprice") * F.col("l_quantity")), 2).alias(
+                "value"
+            )
+        )
+    )
+    threshold = partval.agg(
+        (F.sum("value") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        partval.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+@q(
+    "q12_late_shipments",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes and priority) adapted: the trimmed
+    schema has no l_shipmode/l_commitdate/l_receiptdate, so 'late' is
+    ship > order date + 60 days and the grouping key is l_linestatus. The
+    late predicate references both sides, so it rides the join as a residual
+    condition on the one orderkey shuffle; the CASE counts are exact
+    integers (no FP rounding concerns)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer distribution): LEFT OUTER join so customers with
+    zero qualifying orders appear with c_count = 0, then a histogram of
+    order counts. The orders-side filter lives IN the join condition (outer
+    joins cannot push it below without changing semantics — putting it in
+    the ON clause lets Spark filter the right side pre-join while keeping
+    every customer row). First groupBy shuffles on custkey (same key as the
+    join, so AQE reuses the partitioning); the histogram agg is |distinct
+    counts| rows — trivial."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@q(
+    "q16_supplier_part_count",
+    """
+    WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM supplies, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship) with the part-supplier bridge
+    derived from lineitem (no partsupp in the trimmed schema). The NOT IN
+    blacklist (negative-balance suppliers standing in for the complaints
+    LIKE) is a broadcast LEFT ANTI join on a key-only frame. The DISTINCT
+    bridge is the lone fact-sized shuffle; everything downstream is
+    |parts|-scale. count(DISTINCT) re-shuffles only the bridge rows that
+    survived the selective p_size/brand/type broadcast filter."""
+    bridge = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        bridge.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q20_excess_shippers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), parttot AS (
+      SELECT l_partkey, sum(qty) AS total_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM shipped, parttot, part
+        WHERE shipped.l_partkey = parttot.l_partkey
+          AND p_partkey = shipped.l_partkey
+          AND p_name LIKE 'small%'
+          AND qty > 0.5 * total_qty
+      )
+    """,
+)
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers who shipped
+    more than half of a 'small%' part's 1996 volume (ps_availqty has no
+    trimmed-schema twin, so dominance over the part's total shipped quantity
+    is the excess test). Nested aggregation: per (part,supplier) sums roll up
+    to per-part totals, joined back on partkey — both aggregates shuffle the
+    ALREADY-REDUCED frame, and the year filter prunes the fact scan first.
+    Quantities are integral doubles: sums and the 0.5x compare are FP-exact.
+    The IN becomes a semi join onto broadcast supplier+nation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    parttot = shipped.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    excess = (
+        shipped.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(parttot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ), ord AS (
+      SELECT l_orderkey, max(supp_max) AS ord_max, count(*) AS n_supp
+      FROM per_supp GROUP BY l_orderkey
+    ), sole AS (
+      SELECT p.l_orderkey, min(p.l_suppkey) AS l_suppkey
+      FROM per_supp p, ord o
+      WHERE p.l_orderkey = o.l_orderkey AND o.n_supp > 1
+        AND p.supp_max = o.ord_max
+      GROUP BY p.l_orderkey HAVING count(*) = 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM sole, orders, supplier
+    WHERE sole.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      AND s_suppkey = sole.l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): on a finished order
+    with 2+ suppliers, the supplier who ALONE shipped last held it up. The
+    reference formulation's EXISTS / NOT EXISTS self-joins are re-expressed
+    as one grouped pass: per-(order,supplier) max shipdate, a window over
+    each order for the order-wide max and supplier count, then
+    sole-latest-supplier selection — lineitem shuffles once on
+    (orderkey, suppkey); the window reuses the orderkey prefix co-partitioning
+    (a single sort within partitions, no second exchange of fact data).
+    Timestamp equality is exact, counts are integers; the LIMIT orders by
+    (numwait DESC, s_name) for a deterministic row set."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    sole = (
+        per_supp.withColumn("ord_max", F.max("supp_max").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .filter((F.col("n_supp") > 1) & (F.col("supp_max") == F.col("ord_max")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.count("*").alias("n_at_max"),
+        )
+        .filter(F.col("n_at_max") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(o, sole.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
