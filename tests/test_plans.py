@@ -92,3 +92,35 @@ def test_asof_join_is_one_shuffle_per_side():
     # union-window formulation: no join node at all, one window sort
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_q12_residual_predicate_stays_on_hash_join():
+    """The late-shipment predicate references both join sides; it must ride
+    the equi-join as a residual condition, not demote the join to a
+    nested-loop plan."""
+    plan = _plan("q12_late_shipments")
+    assert "NestedLoop" not in plan, plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_q13_outer_join_keeps_customer_side():
+    """Q13's orders-side filter lives in the ON clause; the join must stay
+    LeftOuter (a post-join filter would silently drop 0-order customers)."""
+    plan = _plan("q13_customer_distribution")
+    assert "LeftOuter" in plan, plan
+
+
+def test_q21_single_fact_shuffle_for_window():
+    """per-(order,supplier) agg + per-order window must not re-exchange the
+    fact frame more than: groupBy hash, window repartition, final top-k
+    single-partition exchange."""
+    plan = _plan("q21_waiting_suppliers")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 3, plan
+
+
+def test_q9_decimal_sum_is_partial_final():
+    """Decimal accumulation must still split partial/final map-side."""
+    plan = _plan("q9_product_profit")
+    assert "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan
