@@ -164,6 +164,7 @@ def media_byte_histogram(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("hist", T.ArrayType(T.LongType())),
+            T.StructField("byte_sum", T.LongType()),
             T.StructField("mean_byte", T.DoubleType()),
         ]
     )
@@ -171,14 +172,17 @@ def media_byte_histogram(
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hists, means = [], [], []
+            ids, hists, sums, means = [], [], [], []
             for doc_id, raw in zip(pdf[id_col], pdf[media_col]):
                 payload = np.frombuffer(bytes(raw), dtype=np.uint8)[HEADER_LEN:]
                 counts = np.bincount(payload // width, minlength=buckets)
                 ids.append(int(doc_id))
                 hists.append(counts[:buckets].tolist())
+                sums.append(int(payload.sum(dtype=np.int64)))
                 means.append(float(payload.mean()) if payload.size else 0.0)
-            yield pd.DataFrame({"doc_id": ids, "hist": hists, "mean_byte": means})
+            yield pd.DataFrame(
+                {"doc_id": ids, "hist": hists, "byte_sum": sums, "mean_byte": means}
+            )
 
     return df.select(id_col, media_col).mapInPandas(_features, schema)
 

@@ -1016,11 +1016,52 @@ def multimodal_resize(spark, sf_dir):
     )
 
 
-@q("multimodal_byte_histogram")  # rows-only: DuckDB cannot explode blob bytes
+_HIST_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ), p AS (
+      SELECT doc_id, hx,
+             unnest(generate_series(1, CAST(length(hx)/2 AS BIGINT))) AS i
+      FROM b
+    ), e AS (
+      SELECT doc_id,
+             strpos('0123456789ABCDEF', substring(hx, CAST(2*i-1 AS INT), 1)) - 1 AS hi,
+             strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) - 1 AS lo
+      FROM p
+    ), agg AS (
+      SELECT doc_id,
+             {h_cols},
+             sum(hi*16 + lo) AS byte_sum
+      FROM e GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           {h_sel},
+           COALESCE(a.byte_sum, 0) AS byte_sum
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+""".format(
+    h_cols=", ".join(
+        f"count(*) FILTER (WHERE hi={i}) AS h{i}" for i in range(16)
+    ),
+    h_sel=", ".join(f"COALESCE(a.h{i}, 0) AS h{i}" for i in range(16)),
+)
+
+
+@q("multimodal_byte_histogram", _HIST_ORACLE)
 def multimodal_byte_histogram(spark, sf_dir):
-    """16-bucket byte histogram + mean byte of the payload — the
-    feature-extraction stage (numpy bincount inside Arrow batches)."""
-    return MM.media_byte_histogram(MM.attach_media(_t(spark, sf_dir, "documents")))
+    """16-bucket byte histogram + exact byte sum of the payload — the
+    feature-extraction stage (numpy bincount inside Arrow batches).
+
+    Output is 16 SCALAR columns h0..h15 (not an array: the driver's pandas
+    canonicalizer sorts every column and lists are unhashable) + byte_sum,
+    all exact integers so the hash-compare is FP-free. The DuckDB oracle
+    rebuilds each payload byte from hex(encode(text)) — high nibble IS the
+    16-bucket id — since DuckDB cannot slice blobs directly."""
+    h = MM.media_byte_histogram(MM.attach_media(_t(spark, sf_dir, "documents")))
+    return h.select(
+        "doc_id",
+        *[F.col("hist")[i].alias(f"h{i}") for i in range(16)],
+        "byte_sum",
+    )
 
 
 # =====================================================================
