@@ -681,14 +681,19 @@ def dedup_clusters(
     (the min doc id of its near-dup component; singletons cluster to
     themselves). Pipeline: exact n-gram Jaccard pairs → connected
     components → left join back onto the corpus. Downstream retention is
-    ``filter(doc_id == cluster_id)``."""
+    ``filter(doc_id == cluster_id)``.
+
+    The components table is NOT broadcast-hinted: it has one row per node
+    that appears in any near-dup edge — unbounded at corpus scale (a web
+    crawl easily has billions of near-dup docs). AQE broadcasts it at
+    runtime when it actually fits; a forced hint would OOM at 100 TB."""
     edges = ngram_jaccard_pairs(
         df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
     ).select("id_a", "id_b")
     comp = connected_components(edges)
     return (
         df.select(id_col)
-        .join(F.broadcast(comp), F.col(id_col) == F.col("node"), "left")
+        .join(comp, F.col(id_col) == F.col("node"), "left")
         .select(
             id_col,
             F.coalesce("label", F.col(id_col)).cast("long").alias("cluster_id"),

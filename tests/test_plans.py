@@ -124,3 +124,20 @@ def test_q9_decimal_sum_is_partial_final():
     plan = _plan("q9_product_profit")
     assert "partial_sum" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_clusters_components_join_not_force_broadcast():
+    """The corpus<-components join must carry NO mandatory broadcast hint:
+    components has one row per near-dup node — unbounded at corpus scale.
+    AQE may still broadcast at runtime when it fits; the hint must not
+    force it (VERDICT r01 'What's wrong' #2)."""
+    from dsci551_edfs_spark.pipeline.dedup import dedup_clusters
+
+    docs = _spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over the lazy dog") for i in range(12)],
+        "doc_id long, text string",
+    )
+    df = dedup_clusters(docs)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
+    assert df.count() == 12  # still executes end-to-end
