@@ -133,7 +133,7 @@ def minhash_candidate_pairs(
     sig_df: DataFrame,
     bands: int = 16,
     max_bucket_size: int | None = None,
-    num_hashes: int | None = None,
+    num_hashes: int = 64,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` equal slices, hash each
     slice, and self-join docs sharing any (band, band_hash) bucket.
@@ -142,10 +142,11 @@ def minhash_candidate_pairs(
     and uniformly keyed; the self-join shuffles only ids. `max_bucket_size`
     guards against degenerate buckets (boilerplate shingles) going
     quadratic — the classic skew guard for web-corpus dedup.
+
+    `num_hashes` must match the signature length (a `.first()` probe to
+    discover it would trigger a full upstream job on an aggregated frame —
+    the caller always knows k statically).
     """
-    if num_hashes is None:  # probe only when the caller can't tell us k
-        rows = sig_df.select("id", "sig").first()
-        num_hashes = len(rows["sig"]) if rows else 0
     r = max(1, num_hashes // bands)
     banded = sig_df.select(
         "id",
@@ -291,14 +292,21 @@ def simhash(
 
 
 def simhash_pairs(
-    sim_df: DataFrame, max_hamming: int = 3
+    sim_df: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any pair
     within distance d shares at least one identical chunk — join on chunk
     equality, then verify with bit_count(xor). The join key is a 16-bit-ish
-    chunk value: uniform, shuffle-friendly."""
+    chunk value: uniform, shuffle-friendly.
+
+    `max_bucket_size` is the degenerate-bucket guard (same semi-join shape
+    as `minhash_candidate_pairs`): boilerplate/empty docs share identical
+    chunk values, and one hot chunk bucket makes the self-join quadratic.
+    Capping drops only buckets whose membership exceeds the cap — on a web
+    corpus those are boilerplate clusters you'd exclude (or route to an
+    exact-group pass) anyway."""
     chunks = max_hamming + 1
     width = 64 // chunks
     banded = sim_df.select(
@@ -318,6 +326,13 @@ def simhash_pairs(
             )
         ).alias("e"),
     ).select("id", "simhash", "e.chunk", "e.cv")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("chunk", "cv").agg(F.count("*").alias("n"))
+        banded = banded.join(
+            sizes.filter(F.col("n") <= max_bucket_size).drop("n"),
+            on=["chunk", "cv"],
+            how="left_semi",
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -347,6 +362,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prune_df1: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT pairwise n-gram Jaccard via an inverted-index join (not a cross
     join): explode shingles → self-join on shingle → count shared shingles
@@ -357,21 +373,30 @@ def ngram_jaccard_pairs(
     frequency 1 are pruned first (they cannot contribute to any
     intersection; |∪| uses the precomputed per-doc sizes, so dropping them
     is lossless) — on real corpora that is the long tail of the posting
-    table. Frequency-skewed boilerplate shingles remain the hazard: cap
-    with a DF upper bound upstream. Quadratic only within a posting list —
+    table. Frequency-skewed boilerplate shingles are the quadratic hazard:
+    `max_df` drops posting lists longer than the cap (each contributes
+    |list|² candidate rows). Unlike DF-1 pruning this is lossy — a dropped
+    shingle no longer counts toward |∩| (|∪| is unaffected: per-doc sizes
+    are precomputed) — so computed Jaccard is a LOWER bound and max_df
+    trades bounded recall loss on boilerplate-heavy pairs for a hard
+    candidate-volume cap. Quadratic only within a (capped) posting list —
     the standard exact-verification shape."""
     sh = shingle_df(df, text_col, id_col, n)
     sized = sh.select("id", F.size("shingles").alias("n_sh"), "shingles")
     posting = sized.select(
         "id", "n_sh", F.explode("shingles").alias("shingle")
     ).select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
-    if prune_df1:
-        # lossless on real corpora where the DF-1 tail dominates; skippable
-        # when the vocabulary is known-dense (costs one extra agg pass)
+    if prune_df1 or max_df is not None:
+        # DF-1 pruning is lossless on real corpora where the singleton tail
+        # dominates; the max_df upper cap is the boilerplate guard. One agg
+        # pass serves both bounds.
+        lo = 2 if prune_df1 else 1
+        hi = max_df if max_df is not None else None
         df_counts = posting.groupBy("shash").agg(F.count("*").alias("_df"))
-        posting = posting.join(
-            df_counts.filter(F.col("_df") >= 2).select("shash"), "shash", "left_semi"
-        )
+        keep = df_counts.filter(F.col("_df") >= lo)
+        if hi is not None:
+            keep = keep.filter(F.col("_df") <= hi)
+        posting = posting.join(keep.select("shash"), "shash", "left_semi")
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(

@@ -241,3 +241,38 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     }
     assert got[1] == got[2] == got[3] == 1
     assert got[9] == 9
+
+
+def test_degenerate_corpus_bucket_caps(spark, docs):
+    """500 identical docs: every LSH bucket is one hot 500-member bucket
+    (~125k candidate pairs uncapped). The skew guards must drop the
+    degenerate buckets so candidate volume stays ZERO — and must not
+    change results on a normal corpus (no bucket anywhere near the cap)."""
+    clones = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated verbatim in every doc")
+         for i in range(500)],
+        "doc_id long, text string",
+    )
+    sims = DD.simhash(clones)
+    assert DD.simhash_pairs(sims, max_bucket_size=10).count() == 0
+    assert (
+        DD.ngram_jaccard_pairs(clones, threshold=0.5, max_df=10).count() == 0
+    )
+    # uncapped sanity on a 20-doc slice: all-pairs present
+    small = clones.filter("doc_id < 20")
+    assert DD.simhash_pairs(DD.simhash(small)).count() == 20 * 19 // 2
+
+    # caps are no-ops on the normal fixture (buckets far below the cap)
+    normal = docs.filter("doc_id <= 4")
+    base = {(r["id_a"], r["id_b"]) for r in DD.simhash_pairs(DD.simhash(normal)).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(DD.simhash(normal), max_bucket_size=100).collect()
+    }
+    assert base == capped
+    jb = {(r["id_a"], r["id_b"]) for r in DD.ngram_jaccard_pairs(normal).collect()}
+    jc = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(normal, max_df=100).collect()
+    }
+    assert jb == jc
