@@ -62,6 +62,50 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def _nearest_centroids(
+    df: DataFrame, cents: np.ndarray, vec_col: str, n_top: int = 1
+) -> DataFrame:
+    """Append a `centroid` column = nearest of C centroids (n_top=1), or
+    explode into the n_top nearest (similarity-descending) per row.
+
+    The centroid matrix travels as ONE Spark broadcast and every Arrow
+    batch is assigned with a single BLAS matmul — same pattern as the
+    RP-LSH plane assignment in `dedup.embedding_dup_pairs`. The previous
+    formulation embedded C·dim `F.lit` literals in the plan: fine at
+    8×64, but a quarter-million-literal plan (and per-row interpreted
+    dot-product trees) at a production 256×1024 index."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents, dtype=np.float64)
+    )
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", centroid int"
+    )
+    n_c = cents.shape[0]
+    k = min(n_top, n_c)
+
+    def assign(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = m @ C.T
+            if k == 1:
+                idx = sims.argmax(axis=1)[:, None]
+            else:
+                part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+                order = np.take_along_axis(-sims, part, axis=1).argsort(axis=1)
+                idx = np.take_along_axis(part, order, axis=1)
+            out = pdf.loc[pdf.index.repeat(k)].reset_index(drop=True)
+            out["centroid"] = idx.reshape(-1).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -72,8 +116,8 @@ def kmeans_centroids(
     sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Spherical k-means (Lloyd) over unit vectors, distributed per
-    iteration: assignment is a codegen'd dot-product argmax against
-    broadcast centroid literals; the update is posexplode →
+    iteration: assignment is one broadcast-matmul argmax per Arrow batch
+    (`_nearest_centroids`); the update is posexplode →
     groupBy(cluster, dim) avg — a shuffle of (cluster, dim) partial sums,
     never of vectors. Init = random directions (seeded), so iters=0
     degrades to the static index.
@@ -88,17 +132,8 @@ def kmeans_centroids(
     cents = rng.standard_normal((n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     for _ in range(iters):
-        sims = F.array(
-            *[
-                dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cents[c]]))
-                for c in range(n_centroids)
-            ]
-        )
-        assigned = unit.withColumn("_sims", sims).select(
-            "v",
-            (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1)
-            .cast("int")
-            .alias("c"),
+        assigned = _nearest_centroids(unit, cents, "v").select(
+            "v", F.col("centroid").alias("c")
         )
         means = (
             assigned.select("c", F.posexplode("v").alias("pos", "x"))
@@ -147,18 +182,7 @@ def build_ivf_index(
     unit = corpus.select(
         F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
     )
-    sims = F.array(
-        *[
-            dot(F.col("v"), F.array(*[F.lit(float(x)) for x in cents[c]]))
-            for c in range(n_centroids)
-        ]
-    )
-    bucketed = unit.withColumn("_sims", sims).withColumn(
-        "centroid",
-        (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1).cast(
-            "int"
-        ),
-    ).drop("_sims")
+    bucketed = _nearest_centroids(unit, cents, "v")
     return bucketed, cents
 
 
@@ -175,37 +199,10 @@ def ivf_topk(
     """Probe the n_probe nearest centroid buckets per query; exact cosine
     within candidates. Join key = centroid id (small int) → the corpus side
     can be partition-pruned on it."""
-    n_centroids = centroids.shape[0]
     q = queries.select(
         F.col(id_col).alias("query_id"), normalize(as_double(vec_col)).alias("qv")
     )
-    qsims = F.array(
-        *[
-            dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in centroids[c]]))
-            for c in range(n_centroids)
-        ]
-    )
-    probes = (
-        q.withColumn("_sims", qsims)
-        .withColumn(
-            "probe",
-            F.slice(
-                F.reverse(
-                    F.array_sort(
-                        F.transform(
-                            F.col("_sims"),
-                            lambda s, i: F.struct(s.alias("s"), i.alias("c")),
-                        )
-                    )
-                ),
-                1,
-                n_probe,
-            ),
-        )
-        .select(
-            "query_id", "qv", F.explode("probe.c").alias("centroid")
-        )
-    )
+    probes = _nearest_centroids(q, centroids, "qv", n_top=n_probe)
     joined = bucketed.join(F.broadcast(probes), on="centroid")
     if exclude_self:
         joined = joined.filter(F.col("id") != F.col("query_id"))
