@@ -13,11 +13,22 @@ Grammar (edfs-ui/src/Terminal.js:44-143):
     getAvg <path> <col> [debug] [hash]
     getMax <path> <col> [debug] [hash]
     getMin <path> <col> [debug] [hash]
+    getAvgFamilyIncome <path> [debug] [hash]       (column INDFMIN2 bound)
+    getAvgTimeInUS <path> [debug] [hash]           (column DMDYRSUS bound)
+    firebase_getAvgGripStrn <path> [debug] [hash]  (column MGDCGSZ bound)
+    firebase_getAvgArmCircum <path> [debug] [hash] (column BMXARMC bound)
 
 Responses mirror the reference's envelope `{response, status}` with
 EDFS-prefixed status codes (`combined_flask.py:590-596`): EDFS200 ok,
 EDFS204 empty, EDFS400 user error. Aggregates format as
 "The overall {x} is {v:.3f}" (`combined_flask.py:770`).
+
+Intentional divergence: `getPartitionLocations` returns
+`{partition: {key, rows, files}}` rather than the reference's replica map
+`{Replica k: {partition: {datanode: block}}}` (`combined_flask.py:477-487`)
+— replication/datanode placement is delegated to the storage layer
+(HDFS/object store) per SURVEY.md §1.3, so there is no replica dimension
+to report; `files` lists the physical parquet files backing the partition.
 
 Run: ``python -m dsci551_edfs_spark.cli [--warehouse DIR]`` for a REPL, or
 pass a single command after ``--``.
@@ -55,7 +66,11 @@ class EdfsShell:
             raise FileNotFoundError(f"{path}: no such file or directory")
         return self.catalog.table_path(path)
 
-    def _agg(self, kind: str, args: list[str]) -> dict:
+    def _agg(self, kind: str, args: list[str], bound_col: str | None = None) -> dict:
+        if bound_col is not None:
+            # hardcoded-column route (fs_commands.py:396-460): the column is
+            # bound server-side, remaining args are [debug] [hash]
+            args = [args[0], bound_col] + args[1:] if args else args
         if len(args) < 2:
             return self._err(f"usage: get{kind.capitalize()} <path> <col> [debug] [hash]")
         path, col = args[0], args[1]
@@ -113,6 +128,8 @@ class EdfsShell:
                 return self._agg("max", args)
             if cmd == "getMin":
                 return self._agg("min", args)
+            if cmd in AGG.HARDCODED_AVG_COLUMNS:
+                return self._agg("avg", args, bound_col=AGG.HARDCODED_AVG_COLUMNS[cmd])
             return self._err(f"unknown command: {cmd}")
         except (
             FileNotFoundError,

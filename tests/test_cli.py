@@ -70,3 +70,26 @@ def test_errors(shell):
     assert shell.execute("frobnicate x")["status"] == "EDFS400"
     assert shell.execute("getAvg /nope")["status"] == "EDFS400"
     assert shell.execute("")["status"] == "EDFS200"
+
+
+def test_hardcoded_column_aliases(shell):
+    """Reference surface parity: getAvgFamilyIncome / firebase_getAvgGripStrn
+    bind their NHANES column server-side (fs_commands.py:396-460,
+    proj-firebase-flask.py:637-703)."""
+    path = os.path.join(SCRATCH, "nhanes.csv")
+    with open(path, "w") as f:
+        f.write("SEQN,INDFMIN2,DMDYRSUS,MGDCGSZ,BMXARMC\n")
+        for i in range(10):
+            f.write(f"{i},{10 + i},{i % 5},{30 + i},{25 + i}\n")
+    assert shell.execute("mkdir /nhanes")["status"] == "EDFS200"
+    assert shell.execute(f"put {path} /nhanes/demo.csv 2 SEQN")["status"] == "EDFS200"
+
+    out = shell.execute("getAvgFamilyIncome /nhanes/demo.csv")
+    assert out["response"]["result"] == "The overall average is 14.500"
+    out = shell.execute("getAvgTimeInUS /nhanes/demo.csv")
+    assert out["response"]["result"] == "The overall average is 2.000"
+    out = shell.execute("firebase_getAvgGripStrn /nhanes/demo.csv true")
+    assert out["response"]["result"] == "The overall average is 34.500"
+    assert len(out["response"]["partitions"]) >= 1  # debug channel works
+    out = shell.execute("firebase_getAvgArmCircum /nhanes/demo.csv")
+    assert out["response"]["result"] == "The overall average is 29.500"

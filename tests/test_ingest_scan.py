@@ -91,3 +91,34 @@ def test_put_csv_end_to_end(spark, tmp_path, dest):
     assert manifest["num_partitions"] == 2
     out = scan.cat(spark, dest).collect()
     assert [(r["k"], r["v"]) for r in out] == [("a", 1), ("b", 2), ("a", 3)]
+
+
+def test_block_subsplit_matches_array_split(spark, dest):
+    """max_rows_per_block reproduces the reference's np.array_split block
+    membership (combined_flask.py:416-418): 10-row group, cap 4 ->
+    ceil(10/4)=3 blocks sized [4,3,3] in row order."""
+    import numpy as np
+
+    rows = [(i, "g") for i in range(10)] + [(100 + i, "h") for i in range(3)]
+    df = spark.createDataFrame(rows, "id int, k string")
+    manifest = ingest.put_dataframe(df, dest, 2, "k", max_rows_per_block=4)
+    assert manifest["num_partitions"] == 4  # g: 3 blocks, h: 1 block
+
+    out = spark.read.parquet(dest)
+    sizes = {
+        r["p"]: r["n"]
+        for r in out.groupBy(F.col(ingest.PARTITION_COL).alias("p"))
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .collect()
+    }
+    expected = [len(c) for c in np.array_split(np.arange(10), 3)]
+    assert [sizes["g__b0"], sizes["g__b1"], sizes["g__b2"]] == expected
+    assert sizes["h__b0"] == 3
+    # contiguity: block 0 holds the first 4 ids in ingest order
+    ids = {
+        r["p"]: list(r["ids"])
+        for r in out.groupBy(F.col(ingest.PARTITION_COL).alias("p"))
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .collect()
+    }
+    assert ids["g__b0"] == [0, 1, 2, 3] and ids["g__b1"] == [4, 5, 6]
