@@ -1,0 +1,258 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference engine (CSV files + PMR aggregates) has no analogue for any
+of these; they are the Spark-native operations a 100 TB pretraining-data
+pipeline runs between ingest and tokenization:
+
+- repetition quality metrics (top-bigram fraction, duplicate-trigram
+  fraction — the Gopher/"Scaling Language Models" repetition family)
+- deterministic train/val/test split (md5-bucket assignment: stable under
+  re-runs, re-partitioning and engine changes — never `rand()`)
+- per-stratum deterministic sampling (hash-mod downsampling by source)
+- global deterministic shuffle order (pretraining example order)
+- sequence packing (concat-and-chunk document→context-window assignment)
+- PII redaction (regex email/phone scrub)
+
+Every operator is a pure JVM-expression plan (zero Python in the hot
+path) with a deliberately SQL-expressible definition so the DuckDB oracle
+can restate it formula-for-formula.
+
+Scale notes:
+- repetition metrics: the trigram dup-fraction is per-row HOF work (no
+  shuffle); the top-bigram mode needs one explode + two-level groupBy —
+  the shuffle carries (doc_id, bigram-hash) pairs only.
+- split/sample/redact are narrow projections: they pipeline into the scan
+  and shuffle nothing.
+- shuffle-order and packing are global window ops: Spark realizes them as
+  a range-partitioned sort (the standard way a 100 TB corpus is ordered);
+  packing consumes the same sort so the two compose in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "ngram_array",
+    "repetition_stats",
+    "md5_bucket",
+    "deterministic_split",
+    "stratified_sample",
+    "global_shuffle_order",
+    "pack_sequences",
+    "redact_pii",
+]
+
+
+def ngram_array(text: Column | str, n: int) -> Column:
+    """NON-distinct word n-gram array (order-preserving), zip_with-shift
+    built — O(tokens) per doc (`dedup.shingle_df` holds the distinct
+    variant and the measured 7.5x note on the transform+slice trap)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    grams = toks
+    for i in range(1, n):
+        shift = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        grams = F.zip_with(grams, shift, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics (the Gopher repetition-filter
+    family): ``top_bigram_frac`` = occurrences of the most frequent bigram
+    / total bigrams; ``dup_trigram_frac`` = fraction of trigram slots
+    occupied by a repeat of an earlier trigram (1 - distinct/total).
+
+    dup_trigram_frac is computed entirely inside a projection
+    (array_distinct on the HOF-built trigram array — no shuffle); the
+    bigram mode takes one explode + groupBy(doc, bigram) + groupBy(doc),
+    both map-side-combining."""
+    tri = ngram_array(text_col, 3)
+    doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ngram_array(text_col, 2)).alias("n_bigrams"),
+        F.size(tri).alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).alias("n_distinct_trigrams"),
+    )
+    bi_counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(ngram_array(text_col, 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram_count"))
+    )
+    return (
+        doc.join(bi_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    F.coalesce(F.col("max_bigram_count"), F.lit(0)) / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                3,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.when(
+                    F.col("n_trigrams") > 0,
+                    1 - F.col("n_distinct_trigrams") / F.col("n_trigrams"),
+                ).otherwise(F.lit(0.0)),
+                3,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def md5_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 4 hex chars of
+    md5(id-as-string) mod buckets. Stable across engines, partitionings
+    and runs — the property `rand()`-based splits lack — and the identical
+    formula is restatable in any SQL dialect (the DuckDB oracle rebuilds
+    the hex nibbles with strpos since it lacks hex→int conversion)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Append a ``split`` column: 'train'/'val'/'test' by md5 bucket —
+    train = bucket < train_pct, val = next val_pct buckets, test = rest."""
+    b = md5_bucket(id_col, 100)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its md5
+    bucket (of 100) < fraction*100 for its stratum. The per-source mixture
+    re-weighting step of corpus assembly — reproducible, unlike
+    `sampleBy`, and expressible as a single narrow filter."""
+    b = md5_bucket(id_col, 100)
+    keep = F.lit(int(default_fraction * 100))
+    for value, frac in sorted(fractions.items()):
+        keep = F.when(F.col(strata_col) == value, F.lit(int(frac * 100))).otherwise(
+            keep
+        )
+    return df.filter(b < keep)
+
+
+def _bucketed_global_prefix(
+    base: DataFrame, id_col: str, weight_col: str | None
+) -> DataFrame:
+    """Global order/prefix-sum over (md5(id), id) WITHOUT the
+    single-partition window trap: an unpartitioned `Window.orderBy` makes
+    Spark move the whole corpus to ONE partition (WindowExec warns
+    exactly this) — instant 100 TB bottleneck.
+
+    Instead: the first 2 hex chars of the md5 key define 256 STATIC,
+    deterministic range buckets (md5 is uniform, so they are balanced by
+    construction — no sampled RangePartitioner whose boundaries could
+    drift between jobs). Per-bucket totals (256 rows) come to the driver,
+    their running sum is broadcast back as the bucket's global offset, and
+    the within-bucket window runs fully parallel across buckets.
+    global_value = bucket_offset + within-bucket prefix.
+
+    `base` must carry `_k` (the md5 key) and `weight_col` if summing.
+    Adds `_b` (bucket), `_off` (offset of the bucket) and `_rn`/`_cum`."""
+    spark = base.sparkSession
+    b = F.conv(F.substring("_k", 1, 2), 16, 10).cast("int")
+    base = base.withColumn("_b", b)
+    agg = F.sum(weight_col) if weight_col else F.count("*")
+    totals = {
+        r["_b"]: r["t"] for r in base.groupBy("_b").agg(agg.alias("t")).collect()
+    }
+    acc = 0
+    offs = []
+    for i in range(256):
+        offs.append((i, acc))
+        acc += int(totals.get(i, 0))
+    off_df = spark.createDataFrame(offs, "_b int, _off long")
+    w = Window.partitionBy("_b").orderBy("_k", id_col)
+    out = base.join(F.broadcast(off_df), "_b")
+    if weight_col:
+        cum = F.sum(weight_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        return out.withColumn("_cum", F.col("_off") + cum)
+    return out.withColumn("_rn", F.col("_off") + F.row_number().over(w))
+
+
+def global_shuffle_order(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic pretraining example order: rank by (md5(id), id) —
+    decorrelates from ingest order exactly like a one-time shuffle, stable
+    across runs/engines. Two-phase bucketed rank (see
+    `_bucketed_global_prefix`): 256-way parallel, one 256-row driver
+    exchange, never a single-partition sort."""
+    base = df.select(
+        F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("_k")
+    )
+    ranked = _bucketed_global_prefix(base, id_col, None)
+    return ranked.select(
+        id_col, F.col("_rn").cast("long").alias("shuffle_pos")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    target_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid out in the
+    deterministic shuffle order (md5(id), id) — the order a pretraining
+    loader would actually consume them — and chunked into fixed
+    ``target_tokens`` windows; a doc's ``pack_id`` is the window its first
+    token lands in. The prefix sum uses the same bucketed two-phase shape
+    as `global_shuffle_order` (offsets carry per-bucket TOKEN totals), so
+    the greedy sequential loop becomes one 256-way-parallel window."""
+    tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(tokens(F.col(text_col)))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+        tok.cast("long").alias("n_tokens"),
+    )
+    summed = _bucketed_global_prefix(base, id_col, "n_tokens")
+    return summed.select(
+        id_col,
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / target_tokens)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+# public, well-known patterns; ASCII-only so Java and RE2 agree
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Email/phone scrub — the minimal PII pass every public-corpus
+    pipeline runs. Pure regexp_replace (codegen, no Python); patterns are
+    ASCII-anchored so Java regex and RE2 (DuckDB) agree byte-for-byte."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "exact_dedup_groups",
     "exact_dedup",
     "shingle_df",
+    "incremental_exact_dedup",
     "minhash_signature",
     "minhash_candidate_pairs",
     "minhash_dedup_pairs",
@@ -72,6 +73,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col("keep_id").alias(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an INCOMING shard against an already-ingested corpus — the
+    incremental crawl workflow: each new batch must drop (a) docs whose
+    content already exists in the corpus and (b) within-batch duplicates
+    (min id wins).
+
+    Scale shape: the existing corpus contributes ONLY its distinct
+    fingerprint set (16-byte keys) to an anti-join — the historical text
+    is never re-read once a fingerprint index is materialized; both the
+    anti-join and the within-batch dedup shuffle on the same md5 key, so
+    AQE coalesces them into one exchange family."""
+    existing_fp = existing.select(fingerprint(text_col).alias("fp")).distinct()
+    fresh = (
+        new_docs.withColumn("fp", fingerprint(text_col))
+        .join(existing_fp, "fp", "left_anti")
+    )
+    keep = (
+        fresh.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return fresh.drop("fp").join(keep, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------- minhash

@@ -1333,6 +1333,50 @@ def jsonl_roundtrip(spark, sf_dir):
     return read_jsonl(spark, dest, schema="doc_id long, lang string, n_chars long")
 
 
+@q(
+    "orc_roundtrip",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def orc_roundtrip(spark, sf_dir):
+    """documents -> zlib ORC -> read-back (sources/formats.py). The
+    Hive-ecosystem columnar interchange path; schema, pushdown and
+    pruning behave as with Parquet."""
+    from .sources.formats import read_orc, write_orc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    dest = _scratch_dir("orc")
+    write_orc(docs, dest)
+    return read_orc(spark, dest)
+
+
+@q(
+    "incremental_dedup",
+    r"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             doc_id % 5 = 0 AS incoming
+      FROM documents
+    )
+    SELECT doc_id, lang FROM f
+    WHERE incoming
+      AND fp NOT IN (SELECT fp FROM f WHERE NOT incoming)
+      AND doc_id = (SELECT min(doc_id) FROM f f2
+                    WHERE f2.incoming AND f2.fp = f.fp)
+    """,
+)
+def incremental_dedup(spark, sf_dir):
+    """Incremental crawl dedup: docs with doc_id % 5 = 0 play the incoming
+    shard, the rest the already-ingested corpus. A new doc survives iff
+    its content fingerprint is absent from the corpus AND it is the
+    canonical (min-id) copy within its batch. The corpus side ships only
+    distinct 16-byte fingerprints into an anti-join."""
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return DD.incremental_exact_dedup(incoming, existing).select("doc_id", "lang")
+
+
 # =====================================================================
 # Skew, grouping sets, window-function breadth, pivot
 # =====================================================================
@@ -1492,6 +1536,36 @@ def corpus_prep_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@q("corpus_prep_full")  # rows-only: minhash + curation bucketing compose
+def corpus_prep_full(spark, sf_dir):
+    """The COMPLETE pretraining-data recipe: quality gate -> repetition
+    filter -> exact dedup -> MinHash near-dedup -> deterministic
+    train/val/test split -> sequence packing of the train split. Proves
+    the curation operators compose with the dedup pipeline in one flow
+    (ids thread through; every stage is individually oracle-checked)."""
+    from .pipeline import curation as CUR
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = TXT.quality_filter(docs, min_tokens=5).select("doc_id")
+    rep = CUR.repetition_stats(docs).filter(
+        (F.col("top_bigram_frac") < 0.9) & (F.col("dup_trigram_frac") < 0.9)
+    ).select("doc_id")
+    kept = docs.join(quality, "doc_id").join(rep, "doc_id")
+    exact_kept = DD.exact_dedup(kept)
+    near_pairs = DD.minhash_dedup_pairs(exact_kept, threshold=0.5)
+    drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = exact_kept.join(drop_ids, "doc_id", "left_anti")
+    split = CUR.deterministic_split(final)
+    train = split.filter(F.col("split") == "train")
+    packed = CUR.pack_sequences(train, target_tokens=512)
+    return (
+        train.select("doc_id", "split")
+        .join(packed, "doc_id")
+        .select("doc_id", "split", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "profile_orders",
     """
@@ -1585,6 +1659,183 @@ def profile_quantiles(spark, sf_dir):
     return out.select(
         "l_returnflag",
         *[F.round(F.col(c), 4).alias(c) for c in ("p25", "p50", "p75", "p90")],
+    )
+
+
+# =====================================================================
+# Corpus curation (pipeline/curation.py): the between-ingest-and-training
+# operators — repetition quality, deterministic split/sample/shuffle,
+# sequence packing, PII redaction
+# =====================================================================
+
+_MD5_BUCKET_SQL = """
+    ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
+"""
+
+
+@q(
+    "repetition_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS w,
+             unnest(generate_series(1, len(toks))) AS i
+      FROM t
+    ), bg AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), tg AS (
+      SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS tg
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                 JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), bstat AS (
+      SELECT doc_id, max(c) AS maxc, sum(c) AS nbg FROM (
+        SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    ), tstat AS (
+      SELECT doc_id, count(*) AS ntg, count(DISTINCT tg) AS ndtg
+      FROM tg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(COALESCE(b.maxc / b.nbg, 0), 3) AS top_bigram_frac,
+           round(COALESCE(1 - ts.ndtg / CAST(ts.ntg AS DOUBLE), 0), 3)
+             AS dup_trigram_frac
+    FROM documents d
+    LEFT JOIN bstat b USING (doc_id)
+    LEFT JOIN tstat ts USING (doc_id)
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-family repetition metrics: most-frequent-bigram fraction and
+    duplicate-trigram fraction per document. Trigram dedup fraction is a
+    shuffle-free HOF projection; the bigram mode is one explode +
+    two-level groupBy on (doc, bigram)."""
+    from .pipeline import curation as CUR
+
+    return CUR.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "corpus_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_MD5_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_MD5_BUCKET_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket —
+    stable under re-runs and re-partitioning, never rand()."""
+    from .pipeline import curation as CUR
+
+    return CUR.deterministic_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+
+
+@q(
+    "corpus_sample_stratified",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_MD5_BUCKET_SQL} <
+          CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 40
+                      WHEN 'src2' THEN 20 ELSE 10 END
+    """,
+)
+def corpus_sample_stratified(spark, sf_dir):
+    """Deterministic per-source downsampling (mixture re-weighting): keep
+    a row iff its md5 bucket clears its stratum's fraction. A single
+    narrow filter — pipelines into the scan, shuffles nothing."""
+    from .pipeline import curation as CUR
+
+    return CUR.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.8, "src1": 0.4, "src2": 0.2},
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
+@q(
+    "corpus_shuffle_order",
+    """
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS shuffle_pos
+    FROM documents
+    """,
+)
+def corpus_shuffle_order(spark, sf_dir):
+    """Deterministic global pretraining order: rank by md5(doc_id).
+    Executes as a range-partitioned distributed sort."""
+    from .pipeline import curation as CUR
+
+    return CUR.global_shuffle_order(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "sequence_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+             END AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT)
+             AS pack_id
+    FROM t
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Concat-and-chunk packing into 512-token windows in deterministic
+    shuffle order: pack_id = window holding the doc's first token.
+    Bucketed two-phase prefix sum — never a single-partition window."""
+    from .pipeline import curation as CUR
+
+    return CUR.pack_sequences(_t(spark, sf_dir, "documents"), target_tokens=512)
+
+
+@q(
+    "pii_redact",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS redacted
+    FROM documents
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """Email/phone redaction — codegen regexp_replace, ASCII-anchored so
+    Java regex and DuckDB's RE2 agree byte-for-byte."""
+    from .pipeline import curation as CUR
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", CUR.redact_pii("text").alias("redacted"))
+
+
+@q("minhash_dedup_pairs_estimate")  # no oracle: LSH recall is probabilistic
+def minhash_dedup_pairs_estimate(spark, sf_dir):
+    """The 100 TB mode of MinHash dedup: Jaccard estimated from signature
+    agreement — nothing larger than the 8*k-byte signatures is ever
+    shuffled (exact_verify re-joins shingle arrays; this doesn't)."""
+    d = _t(spark, sf_dir, "documents")
+    out = DD.minhash_dedup_pairs(d, threshold=0.5, exact_verify=False)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 3).alias("jaccard_est")
     )
 
 

@@ -21,7 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_jsonl", "write_jsonl", "read_csv", "write_csv"]
+__all__ = [
+    "read_jsonl",
+    "write_jsonl",
+    "read_csv",
+    "write_csv",
+    "read_orc",
+    "write_orc",
+]
 
 
 def read_jsonl(
@@ -68,3 +75,14 @@ def read_csv(
 
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC — the other columnar interchange format (Hive-ecosystem
+    exports). Self-describing schema, predicate pushdown and column
+    pruning work exactly as with Parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zlib") -> None:
+    df.write.mode("overwrite").option("compression", compression).orc(path)

@@ -1,0 +1,95 @@
+"""Corpus-curation operators: repetition metrics, deterministic
+split/sample/shuffle, sequence packing, PII redaction."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsci551_edfs_spark.pipeline import curation as CUR
+from dsci551_edfs_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_repetition_stats_crafted(spark):
+    d = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in CUR.repetition_stats(d).collect()}
+    # "a a a a": bigrams = 3x "a a" -> top frac 1.0; trigrams 2x "a a a" -> dup 0.5
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_trigram_frac"] == 0.5
+    # all-distinct text: top bigram 1/3, no dup trigrams
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 3)
+    assert out[2]["dup_trigram_frac"] == 0.0
+
+
+def test_deterministic_split_is_stable_and_partitioned(docs):
+    a = {r["doc_id"]: r["split"] for r in CUR.deterministic_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in CUR.deterministic_split(docs).collect()}
+    assert a == b  # stable across runs (the rand() splits can't do this)
+    n = len(a)
+    frac_train = sum(v == "train" for v in a.values()) / n
+    assert 0.7 < frac_train < 0.9  # md5 buckets ~uniform
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_stratified_sample_subset_and_rates(docs):
+    out = CUR.stratified_sample(
+        docs, {"src0": 0.8, "src3": 0.2}, default_fraction=0.0
+    )
+    rows = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in rows}
+    assert set(by_src) <= {"src0", "src3"}  # default 0 drops the rest
+    assert by_src.get("src0", 0) > by_src.get("src3", 0)
+    # subset of the input, deterministic
+    assert out.count() == out.intersect(out).count()
+
+
+def test_global_shuffle_is_permutation_matching_md5_order(docs):
+    out = CUR.global_shuffle_order(docs).collect()
+    n = len(out)
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(1, n + 1))
+    # spot-check the contract: pos order == (md5(id), id) order
+    expected = sorted(
+        (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"])
+        for r in out
+    )
+    got = {r["doc_id"]: r["shuffle_pos"] for r in out}
+    for pos, (_, doc_id) in enumerate(expected, start=1):
+        assert got[doc_id] == pos
+
+
+def test_pack_sequences_crafted(spark):
+    d = spark.createDataFrame(
+        [(i, " ".join(["tok"] * 300)) for i in range(4)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in CUR.pack_sequences(d, target_tokens=512).collect()}
+    order = sorted(range(4), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cum = 0
+    for doc_id in order:
+        assert out[doc_id]["n_tokens"] == 300
+        assert out[doc_id]["pack_id"] == cum // 512
+        cum += 300
+
+
+def test_redact_pii(spark):
+    d = spark.createDataFrame(
+        [(1, "mail bob.smith+x@example.co.uk or call 555-123-4567 now")],
+        "doc_id long, text string",
+    )
+    red = d.select(CUR.redact_pii("text").alias("t")).collect()[0]["t"]
+    assert red == "mail [EMAIL] or call [PHONE] now"
+
+
+def test_shuffle_order_plan_has_no_single_partition_window(docs):
+    """The 100 TB property: global rank must NOT collapse to a
+    single-partition WindowExec — the bucketed two-phase shape keeps the
+    window partitioned by the 256 static md5 ranges."""
+    df = CUR.global_shuffle_order(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan

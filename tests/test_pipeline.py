@@ -276,3 +276,23 @@ def test_degenerate_corpus_bucket_caps(spark, docs):
         for r in DD.ngram_jaccard_pairs(normal, max_df=100).collect()
     }
     assert jb == jc
+
+
+def test_incremental_exact_dedup(spark):
+    existing = spark.createDataFrame(
+        [(1, "old news article"), (2, "another story")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "OLD   news article"),   # dup of corpus after normalization
+            (11, "fresh content"),        # genuinely new
+            (12, "fresh  CONTENT"),       # within-batch dup of 11
+            (13, "more new text"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in DD.incremental_exact_dedup(incoming, existing).collect()
+    )
+    assert kept == [11, 13]

@@ -141,3 +141,14 @@ def test_dedup_clusters_components_join_not_force_broadcast():
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical, logical
     assert df.count() == 12  # still executes end-to-end
+
+
+def test_repetition_stats_prunes_to_two_columns():
+    """The curation scan must read only (doc_id, text) — a repetition pass
+    over 100 TB cannot afford to read lang/source/n_chars."""
+    plan = _plan("repetition_stats")
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    for schema in m:
+        cols = {c.split(":")[0] for c in schema.split(",")}
+        assert cols <= {"doc_id", "text"}, plan

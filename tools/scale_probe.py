@@ -90,23 +90,34 @@ def main() -> None:
             inflate_emb(emb, k), threshold=0.95, use_lsh=True
         ),
         "exact_dedup_groups": lambda k: DD.exact_dedup_groups(inflate_docs(docs, k)),
+        # the skew/DF guards in action: growth must stay bounded where the
+        # uncapped exact op legitimately blows up (inflated corpora make
+        # every copy a true near-dup, so OUTPUT itself grows ~k^2*N)
+        "ngram_jaccard_pairs_maxdf": lambda k: DD.ngram_jaccard_pairs(
+            inflate_docs(docs, k), threshold=0.5, max_df=16
+        ),
+        "simhash_pairs_capped": lambda k: DD.simhash_pairs(
+            DD.simhash(inflate_docs(docs, k)), max_hamming=3, max_bucket_size=64
+        ),
     }
     wanted = sys.argv[1:] or list(ops)
     for name in wanted:
-        secs = {}
+        secs, rows = {}, {}
         for k in FACTORS:
             t0 = time.perf_counter()
-            ops[name](k).write.mode("overwrite").format("noop").save()
+            rows[str(k)] = ops[name](k).count()  # forces full compute
             secs[str(k)] = round(time.perf_counter() - t0, 2)
         print(
             json.dumps(
                 {
                     "op": name,
                     "sec": secs,
+                    "rows": rows,
                     "growth_2x": round(secs["2"] / max(secs["1"], 1e-9), 2),
                     "growth_4x": round(secs["4"] / max(secs["1"], 1e-9), 2),
                 }
-            )
+            ),
+            flush=True,
         )
 
 
