@@ -199,6 +199,12 @@ def minhash_candidate_pairs(
             on=["band", "bh"],
             how="left_semi",
         )
+    # both self-join sides consume `banded`; without a persist the whole
+    # signature aggregation runs twice (AQE's broadcast conversion makes
+    # the two sides' exchanges non-identical, so ReuseExchange never
+    # fires). (id, band, bh) is ~20 bytes/row x bands rows per doc — the
+    # smallest thing worth pinning, same rationale as the RP-LSH persist.
+    banded = banded.persist()
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -363,6 +369,10 @@ def simhash_pairs(
             on=["chunk", "cv"],
             how="left_semi",
         )
+    # persist: both self-join sides read `banded`; without it the SWAR
+    # signature aggregation (the expensive stage) executes twice — see the
+    # identical note in minhash_candidate_pairs.
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
