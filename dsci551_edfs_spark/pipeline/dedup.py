@@ -426,6 +426,9 @@ def ngram_jaccard_pairs(
     posting = sized.select(
         "id", "n_sh", F.explode("shingles").alias("shingle")
     ).select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
+    # three consumers (DF-count agg, the semi-join back, both self-join
+    # sides): persist or the shingle explode+hash runs up to 3x
+    posting = posting.persist()
     if prune_df1 or max_df is not None:
         # DF-1 pruning is lossless on real corpora where the singleton tail
         # dominates; the max_df upper cap is the boilerplate guard. One agg
@@ -705,6 +708,10 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # every BSP round joins against `sym`; localCheckpoint cuts the edge
+    # GENERATION pipeline (potentially a full LSH dedup) out of the loop —
+    # without it each round re-executes edge discovery from the raw corpus
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
