@@ -580,7 +580,7 @@ def embedding_dup_pairs(
         # per surviving pair, for the verify stage
         banded = unit.mapInPandas(
             assign, f"id {id_type}, table int, bucket int"
-        )
+        ).persist()  # both self-join sides read it: one Arrow pass, not two
         a, b = banded.alias("a"), banded.alias("b")
         cands = (
             a.join(
