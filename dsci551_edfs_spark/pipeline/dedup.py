@@ -523,6 +523,7 @@ def embedding_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -548,7 +549,8 @@ def embedding_dup_pairs(
         # (id, v) is the smallest thing worth pinning: N×(8+8·dim) bytes,
         # spillable, and exactly what a 1000-executor run would persist.
         unit = unit.persist()
-        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        if dim is None:  # probe only when the caller can't tell us
+            dim = df.select(F.size(vec_col).alias("d")).first()["d"]
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((n_tables * n_planes, dim))
         # MSB-first bit weights: plane 0 of a table is its bucket's top bit

@@ -114,6 +114,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     seed: int = 42,
     sample_fraction: float | None = None,
+    dim: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means (Lloyd) over unit vectors, distributed per
     iteration: assignment is one broadcast-matmul argmax per Arrow batch
@@ -127,7 +128,8 @@ def kmeans_centroids(
     unit = corpus.select(normalize(as_double(vec_col)).alias("v"))
     if sample_fraction:
         unit = unit.sample(fraction=sample_fraction, seed=seed)
-    dim = unit.select(F.size("v").alias("d")).first()["d"]
+    if dim is None:  # probe only when the caller can't tell us
+        dim = unit.select(F.size("v").alias("d")).first()["d"]
     rng = np.random.RandomState(seed)
     cents = rng.standard_normal((n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)

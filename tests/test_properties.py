@@ -125,3 +125,43 @@ def test_asof_matches_pandas_merge_asof(spark, lrows, rrows):
             assert spark_px is None
         else:
             assert spark_px == pytest.approx(row["px"])
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
+                max_size=30, unique=True))
+def test_curation_split_matches_reference_md5(spark, ids):
+    """deterministic_split vs an independent hashlib restatement of the
+    bucket formula (first 4 md5-hex chars as int, mod 100)."""
+    import hashlib
+
+    from dsci551_edfs_spark.pipeline import curation as CUR
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in CUR.deterministic_split(df).collect()}
+    for i in ids:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[i] == want, (i, b, got[i], want)
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=20))
+def test_pack_sequences_matches_sequential_reference(spark, tok_counts):
+    """pack_id == floor(start_offset / target) where start offsets are the
+    sequential prefix sum in (md5(id), id) order — the distributed
+    two-phase prefix sum must equal the plain sequential loop."""
+    import hashlib
+
+    from dsci551_edfs_spark.pipeline import curation as CUR
+
+    rows = [(i, " ".join(["t"] * n) if n else "") for i, n in enumerate(tok_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pack_id"] for r in CUR.pack_sequences(df, target_tokens=64).collect()}
+    assert len(out) == len(tok_counts)
+    order = sorted(range(len(tok_counts)),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    offset = 0
+    for i in order:
+        assert out[i] == offset // 64, (i, out[i], offset)
+        offset += tok_counts[i]
