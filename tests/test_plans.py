@@ -152,3 +152,12 @@ def test_repetition_stats_prunes_to_two_columns():
     for schema in m:
         cols = {c.split(":")[0] for c in schema.split(",")}
         assert cols <= {"doc_id", "text"}, plan
+
+
+def test_incremental_dedup_is_anti_join_on_fingerprints():
+    """The corpus side must reach the anti-join as fingerprints only —
+    never a re-read of historical text into the join row."""
+    plan = _plan("incremental_dedup")
+    assert "LeftAnti" in plan, plan
+    # both dedup steps are hash joins/aggs on the md5 key - no sort of the corpus
+    assert "NestedLoop" not in plan, plan
