@@ -1839,5 +1839,46 @@ def minhash_dedup_pairs_estimate(spark, sf_dir):
     )
 
 
+@q(
+    "hypertable_rollup_day",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           event_type AS key,
+           count(*) AS n_events,
+           round(sum(value), 3) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(round(sum(value), 3) / count(*), 3) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup_day(spark, sf_dir):
+    """Hypertable continuous aggregate: materialize an HOURLY rollup of
+    events (mergeable partials only, Hive-partitioned by day), then
+    re-aggregate the rollup to DAY grain without touching the raw table.
+    The oracle states the day grain directly over raw events — equality
+    proves the partials merge losslessly (avg derived from merged
+    sum/count, never stored)."""
+    from .operators import rollup_hypertable as HT
+
+    ev = _t(spark, sf_dir, "events")
+    dest = _scratch_dir("rollup")
+    HT.build_rollup(ev, dest, bucket="1 hour")
+    day = HT.reaggregate(HT.read_rollup(spark, dest), grain="1 day")
+    # avg restated from the ROUNDED sum on both sides: the merged-partial
+    # sum and the oracle's single-pass sum can differ in the last double
+    # bit, which flips round(.,3) at an x.xxx5 boundary — rounding first
+    # pins both engines to the identical dividend.
+    return day.select(
+        "bucket_start",
+        "key",
+        "n_events",
+        F.round("sum_value", 3).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round(F.round("sum_value", 3) / F.col("n_events"), 3).alias("avg_value"),
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

@@ -90,3 +90,38 @@ def test_range_join_banding(spark):
     got = sorted(r["pid"] for r in out.collect())
     assert got == [1, 2, 3]  # 10:14, 10:15, 10:29; end is exclusive, 10:00 before
     assert "_bsec" not in out.columns
+
+
+def test_hypertable_rollup_merges_losslessly_and_prunes(spark, sf_dir, tmp_path):
+    """Hourly partials re-aggregated to day == direct day aggregation over
+    raw events; date-range reads prune rollup partitions at the source."""
+    from dsci551_edfs_spark.operators import rollup_hypertable as HT
+    from dsci551_edfs_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    dest = str(tmp_path / "rollup")
+    HT.build_rollup(ev, dest, bucket="1 hour")
+
+    day = HT.reaggregate(HT.read_rollup(spark, dest), grain="1 day")
+    direct = ev.groupBy(
+        F.window("ts", "1 day").start.alias("bucket_start"),
+        F.col("event_type").alias("key"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    merged = day.select(
+        "bucket_start", "key", "n_events",
+        F.round("sum_value", 3).alias("sum_value"), "min_value", "max_value",
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    pruned = HT.read_rollup(spark, dest, start="2024-01-10", end="2024-01-12")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:120], plan
+    mx = pruned.select(F.max(F.col("day").cast("string"))).collect()[0][0]
+    assert mx <= "2024-01-12"
