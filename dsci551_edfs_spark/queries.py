@@ -1840,6 +1840,31 @@ def minhash_dedup_pairs_estimate(spark, sf_dir):
 
 
 @q(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id,
+           CASE e.user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                ELSE 'bronze' END AS tier
+    FROM events e
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment (batch mode; the streaming run of the SAME
+    function is pinned equal in tests/test_streaming.py): every event
+    left-joins a broadcast user-tier dimension — zero stream state."""
+    from .streaming.windows import static_enrich
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().withColumn(
+        "tier",
+        F.when(F.col("user_id") % 3 == 0, "gold")
+        .when(F.col("user_id") % 3 == 1, "silver")
+        .otherwise("bronze"),
+    )
+    return static_enrich(ev, dim).select("event_id", "user_id", "tier")
+
+
+@q(
     "hypertable_rollup_day",
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,

@@ -28,6 +28,7 @@ __all__ = [
     "session_agg",
     "dedup_events",
     "run_available_now",
+    "static_enrich",
 ]
 
 
@@ -135,6 +136,20 @@ def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment: join each event against a (small, slowly
+    changing) dimension table. In streaming, Spark re-plans the static
+    side per micro-batch and BROADCASTS it — no stream state at all, the
+    canonical way to attach user/session metadata to a 100 TB/day event
+    stream. Left join so events with unknown keys survive (coalesced
+    downstream). Batch run of the same function = the oracle."""
+    return events.join(F.broadcast(dim), on=key, how="left")
 
 
 def interval_join(

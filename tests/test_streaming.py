@@ -207,3 +207,31 @@ def test_parquet_sink_with_checkpoint(spark, event_dir):
     assert spark.read.parquet(out).count() == ev.count()
     run()  # restart on the same checkpoint: no new input -> no duplicates
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_stream_static_enrich_equals_batch(spark, event_dir):
+    """Stream-static broadcast join: the streaming run (append mode, no
+    state) must equal the batch join row-for-row."""
+    from pyspark.sql import functions as F
+
+    dim = (
+        _batch(spark, event_dir)
+        .select("user_id").distinct()
+        .withColumn("tier", F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")))
+    )
+    batch = SW.static_enrich(_batch(spark, event_dir), dim).select(
+        "event_id", "user_id", "tier"
+    )
+    enriched = SW.static_enrich(_stream(spark, event_dir), dim).select(
+        "event_id", "user_id", "tier"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.table("enrich_t")
+    assert _as_sets(stream) == _as_sets(batch)
