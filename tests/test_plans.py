@@ -161,3 +161,11 @@ def test_incremental_dedup_is_anti_join_on_fingerprints():
     assert "LeftAnti" in plan, plan
     # both dedup steps are hash joins/aggs on the md5 key - no sort of the corpus
     assert "NestedLoop" not in plan, plan
+
+
+def test_stream_static_enrich_broadcasts_dim():
+    """The dim side must broadcast — a shuffled stream-dim join would
+    re-partition the full event stream every micro-batch."""
+    plan = _plan("stream_static_enrich")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

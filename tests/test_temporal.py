@@ -125,3 +125,20 @@ def test_hypertable_rollup_merges_losslessly_and_prunes(spark, sf_dir, tmp_path)
     assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:120], plan
     mx = pruned.select(F.max(F.col("day").cast("string"))).collect()[0][0]
     assert mx <= "2024-01-12"
+
+
+def test_hypertable_rollup_composes_to_week(spark, sf_dir, tmp_path):
+    """Rollup-of-rollup: hour -> day -> week must equal hour -> week
+    directly (mergeable partials are associative)."""
+    from dsci551_edfs_spark.operators import rollup_hypertable as HT
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dest = str(tmp_path / "rollup_w")
+    HT.build_rollup(ev, dest, bucket="1 hour")
+    hourly = HT.read_rollup(spark, dest)
+    via_day = HT.reaggregate(HT.reaggregate(hourly, "1 day").drop("avg_value"), "7 days")
+    direct = HT.reaggregate(hourly, "7 days")
+    cols = ["bucket_start", "key", "n_events", "min_value", "max_value"]
+    assert via_day.select(cols).exceptAll(direct.select(cols)).count() == 0
+    assert direct.select(cols).exceptAll(via_day.select(cols)).count() == 0
