@@ -41,6 +41,7 @@ __all__ = [
     "md5_bucket",
     "deterministic_split",
     "stratified_sample",
+    "upsample_repeat",
     "global_shuffle_order",
     "pack_sequences",
     "redact_pii",
@@ -195,6 +196,31 @@ def _bucketed_global_prefix(
         cum = F.sum(weight_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
         return out.withColumn("_cum", F.col("_off") + cum)
     return out.withColumn("_rn", F.col("_off") + F.row_number().over(w))
+
+
+def upsample_repeat(
+    df: DataFrame, factor: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic epoch upsampling — the >1x half of mixture
+    re-weighting (`stratified_sample` is the <1x half): every row gets
+    ``floor(factor)`` copies, plus one more iff its md5 bucket clears the
+    fractional part — so factor 2.3 repeats every doc twice and a stable
+    30% of docs a third time. Emits a ``copy`` index (0-based) so
+    downstream shuffling treats repeats as distinct examples.
+
+    A narrow projection + explode(sequence(...)) — no shuffle, no rand():
+    re-runs and re-partitions produce the identical corpus."""
+    whole = int(factor)
+    frac_pct = int(round((factor - whole) * 100))
+    n_copies = F.lit(whole) + F.when(
+        md5_bucket(id_col, 100) < frac_pct, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
 
 
 def global_shuffle_order(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

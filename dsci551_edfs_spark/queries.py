@@ -1827,6 +1827,44 @@ def pii_redact(spark, sf_dir):
     return d.select("doc_id", CUR.redact_pii("text").alias("redacted"))
 
 
+@q(
+    "corpus_mixture_weighted",
+    f"""
+    WITH b AS (
+      SELECT doc_id, source, {_MD5_BUCKET_SQL} AS bucket FROM documents
+      WHERE source IN ('src0', 'src1')
+    ), n AS (
+      SELECT doc_id, source,
+             CASE WHEN source = 'src0'
+                  THEN 2 + CASE WHEN bucket < 30 THEN 1 ELSE 0 END
+                  ELSE CASE WHEN bucket < 50 THEN 1 ELSE 0 END
+             END AS n_copies
+      FROM b
+    )
+    SELECT doc_id, source,
+           unnest(generate_series(0, CAST(n_copies - 1 AS BIGINT))) AS copy
+    FROM n WHERE n_copies > 0
+    """,
+)
+def corpus_mixture_weighted(spark, sf_dir):
+    """Mixture re-weighting, both directions at once: the high-quality
+    source (src0) is epoch-upsampled 2.3x (every doc twice, a stable 30%
+    thrice), the bulk source (src1) is downsampled to 0.5x — all md5-
+    deterministic, no rand(), so the assembled corpus is identical on
+    every re-run and every partitioning."""
+    from .pipeline import curation as CUR
+
+    docs = _t(spark, sf_dir, "documents")
+    up = CUR.upsample_repeat(
+        docs.filter(F.col("source") == "src0"), 2.3
+    ).select("doc_id", "source", "copy")
+    down = (
+        CUR.stratified_sample(docs, {"src1": 0.5}, default_fraction=0.0)
+        .select("doc_id", "source", F.lit(0).alias("copy"))
+    )
+    return up.unionByName(down)
+
+
 @q("minhash_dedup_pairs_estimate")  # no oracle: LSH recall is probabilistic
 def minhash_dedup_pairs_estimate(spark, sf_dir):
     """The 100 TB mode of MinHash dedup: Jaccard estimated from signature

@@ -93,3 +93,18 @@ def test_shuffle_order_plan_has_no_single_partition_window(docs):
     df = CUR.global_shuffle_order(docs)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_upsample_repeat_deterministic_and_exact(spark):
+    import hashlib
+
+    d = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = CUR.upsample_repeat(d, 2.3).groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in out}
+    for i in range(200):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        assert counts[i] == (3 if b < 30 else 2), (i, b, counts[i])
+    # factor < 1 degrades to pure sampling with copy always 0
+    frac = CUR.upsample_repeat(d, 0.5)
+    assert frac.filter("copy != 0").count() == 0
+    assert 0 < frac.count() < 200
