@@ -1031,12 +1031,12 @@ _HIST_ORACLE = """
     ), agg AS (
       SELECT doc_id,
              {h_cols},
-             sum(hi*16 + lo) AS byte_sum
+             CAST(sum(hi*16 + lo) AS BIGINT) AS byte_sum
       FROM e GROUP BY doc_id
     )
     SELECT d.doc_id,
            {h_sel},
-           COALESCE(a.byte_sum, 0) AS byte_sum
+           CAST(COALESCE(a.byte_sum, 0) AS BIGINT) AS byte_sum
     FROM documents d LEFT JOIN agg a USING (doc_id)
 """.format(
     h_cols=", ".join(
@@ -1571,21 +1571,21 @@ def corpus_prep_full(spark, sf_dir):
     """
     SELECT * FROM (
       SELECT 'o_orderkey' AS column, count(*) AS n_rows,
-             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              count(DISTINCT o_orderkey) AS ndv,
              CAST(min(o_orderkey) AS VARCHAR) AS min_str,
              CAST(max(o_orderkey) AS VARCHAR) AS max_str
       FROM orders
       UNION ALL
       SELECT 'o_orderstatus', count(*),
-             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT o_orderstatus),
              CAST(min(o_orderstatus) AS VARCHAR),
              CAST(max(o_orderstatus) AS VARCHAR)
       FROM orders
       UNION ALL
       SELECT 'o_custkey', count(*),
-             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT o_custkey),
              CAST(min(o_custkey) AS VARCHAR),
              CAST(max(o_custkey) AS VARCHAR)
