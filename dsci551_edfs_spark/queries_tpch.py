@@ -306,11 +306,12 @@ def q14_promo_revenue(spark, sf_dir):
     """,
 )
 def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 (top supplier): the scalar-subquery max is computed as an
-    unpartitioned window max OVER THE AGGREGATED frame — one row per supplier
-    (|suppliers| ≪ |lineitem|), so the single-partition window is a few
-    thousand rows even at 100 TB fact scale. Comparing rounded revenues makes
-    the argmax tie-handling identical to the oracle."""
+    """TPC-H Q15 (top supplier): the scalar-subquery max is a 1-row
+    ``agg(max)`` cross-joined (broadcast of one row) back onto the
+    aggregated revenue frame — never a single-partition window, so the
+    per-supplier frame stays partitioned no matter how many suppliers a
+    100 TB corpus has. Comparing rounded revenues makes the argmax
+    tie-handling identical to the oracle."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))
@@ -320,10 +321,8 @@ def q15_top_supplier(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("total_revenue")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
-    top = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.join(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     s = _t(spark, sf_dir, "supplier")

@@ -169,3 +169,12 @@ def test_stream_static_enrich_broadcasts_dim():
     plan = _plan("stream_static_enrich")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q15_has_no_single_partition_window():
+    """The Q15 scalar max must be a 1-row agg broadcast-joined back, never
+    an unpartitioned window (which drags every supplier's revenue row onto
+    one partition at scale)."""
+    plan = _plan("q15_top_supplier")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
