@@ -151,11 +151,13 @@ def stratified_sample(
     re-weighting step of corpus assembly — reproducible, unlike
     `sampleBy`, and expressible as a single narrow filter."""
     b = md5_bucket(id_col, 100)
-    keep = F.lit(int(default_fraction * 100))
+    # round, don't truncate: int(0.57*100) is 56 under FP error; matches
+    # upsample_repeat's conversion of the fractional part
+    keep = F.lit(int(round(default_fraction * 100)))
     for value, frac in sorted(fractions.items()):
-        keep = F.when(F.col(strata_col) == value, F.lit(int(frac * 100))).otherwise(
-            keep
-        )
+        keep = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * 100)))
+        ).otherwise(keep)
     return df.filter(b < keep)
 
 
@@ -179,7 +181,15 @@ def _bucketed_global_prefix(
     Adds `_b` (bucket), `_off` (offset of the bucket) and `_rn`/`_cum`."""
     spark = base.sparkSession
     b = F.conv(F.substring("_k", 1, 2), 16, 10).cast("int")
-    base = base.withColumn("_b", b)
+    # Two jobs consume `base` (the totals collect, then the join+window).
+    # localCheckpoint materializes it ONCE: the upstream plan — in
+    # corpus_prep_full the entire filter+dedup pipeline — doesn't run
+    # twice, and a nondeterministic upstream (sample(), AQE-order
+    # first-wins dedup) can't feed the two passes different rows, which
+    # would silently corrupt the offsets. Rows here are narrow
+    # (id, 32-char key, bucket[, weight]), so the checkpoint is cheap
+    # even at full corpus scale.
+    base = base.withColumn("_b", b).localCheckpoint(eager=True)
     agg = F.sum(weight_col) if weight_col else F.count("*")
     totals = {
         r["_b"]: r["t"] for r in base.groupBy("_b").agg(agg.alias("t")).collect()

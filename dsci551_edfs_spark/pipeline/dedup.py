@@ -44,7 +44,36 @@ __all__ = [
     "plant_embedding_twins",
     "connected_components",
     "dedup_clusters",
+    "release_cached",
 ]
+
+
+# Intermediates pinned with .persist() (banded frames, posting lists,
+# unit vectors). The persists are load-bearing — each has ≥2 consumers in
+# the same returned plan — but the returned DataFrames are lazy, so the
+# library can't know when the caller is done with them. A long-lived
+# session running many dedup calls should release them between calls;
+# otherwise only LRU eviction bounds cache memory/disk.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist + register for `release_cached`."""
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached(blocking: bool = False) -> int:
+    """Unpersist every intermediate this module has pinned and return how
+    many were released. Safe to call any time: results not yet
+    materialized just recompute. Harnesses (bench.py,
+    tools/check_correctness.py) call this between queries."""
+    n = 0
+    while _CACHED:
+        _CACHED.pop().unpersist(blocking=blocking)
+        n += 1
+    return n
 
 
 # ---------------------------------------------------------------- exact
@@ -204,7 +233,7 @@ def minhash_candidate_pairs(
     # the two sides' exchanges non-identical, so ReuseExchange never
     # fires). (id, band, bh) is ~20 bytes/row x bands rows per doc — the
     # smallest thing worth pinning, same rationale as the RP-LSH persist.
-    banded = banded.persist()
+    banded = _persist(banded)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -372,7 +401,7 @@ def simhash_pairs(
     # persist: both self-join sides read `banded`; without it the SWAR
     # signature aggregation (the expensive stage) executes twice — see the
     # identical note in minhash_candidate_pairs.
-    banded = banded.persist()
+    banded = _persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -428,7 +457,7 @@ def ngram_jaccard_pairs(
     ).select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
     # three consumers (DF-count agg, the semi-join back, both self-join
     # sides): persist or the shingle explode+hash runs up to 3x
-    posting = posting.persist()
+    posting = _persist(posting)
     if prune_df1 or max_df is not None:
         # DF-1 pruning is lossless on real corpora where the singleton tail
         # dominates; the max_df upper cap is the boilerplate guard. One agg
@@ -548,7 +577,7 @@ def embedding_dup_pairs(
         # — at worst a whole ingest pipeline — re-executes per consumer.
         # (id, v) is the smallest thing worth pinning: N×(8+8·dim) bytes,
         # spillable, and exactly what a 1000-executor run would persist.
-        unit = unit.persist()
+        unit = _persist(unit)
         if dim is None:  # probe only when the caller can't tell us
             dim = df.select(F.size(vec_col).alias("d")).first()["d"]
         rng = np.random.RandomState(seed)
@@ -582,7 +611,7 @@ def embedding_dup_pairs(
         # per surviving pair, for the verify stage
         banded = unit.mapInPandas(
             assign, f"id {id_type}, table int, bucket int"
-        ).persist()  # both self-join sides read it: one Arrow pass, not two
+        )  # both self-join sides read it: one Arrow pass, not two
         a, b = banded.alias("a"), banded.alias("b")
         cands = (
             a.join(

@@ -63,6 +63,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+
     qs = queries()
     oracles = oracle_sql()
     names = sys.argv[1:] or list(qs)
@@ -72,6 +74,7 @@ def main() -> int:
             sdf = qs[name](spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
+            release_cached()  # free this query's pinned intermediates
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
