@@ -46,6 +46,9 @@ HEADLINE = [
     "stateful_user_stats",
     "multimodal_decode",
     "multimodal_frame_sample",
+    "hypertable_rollup_day",
+    "sequence_packing",
+    "corpus_mixture_weighted",
 ]
 
 

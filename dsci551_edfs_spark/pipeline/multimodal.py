@@ -38,7 +38,7 @@ Scale notes (the 100 TB shape of the problem):
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -117,7 +117,13 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
-def decode_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
+def decode_media(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    codec: Callable[[str, bytes], dict] | None = None,
+    codec_fields: list[T.StructField] | None = None,
+) -> DataFrame:
     """Parse the binary container back into typed fields — the decode stage.
 
     Arrow-batched ``mapInPandas``: each batch arrives as a pandas DataFrame
@@ -125,28 +131,46 @@ def decode_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
     payloads in Python exactly where a real codec (``PIL.Image.open(BytesIO
     (payload))``) would be invoked. Narrow stage — no shuffle, media bytes
     stay on their partition.
+
+    ``codec`` is the real-codec injection point: a picklable callable
+    ``(kind, payload) -> dict`` invoked per media object at the exact call
+    site a PIL/torchaudio/ffmpeg decode would occupy. Its returned keys must
+    match ``codec_fields`` (StructFields appended to the output schema); the
+    base header/md5 columns are always produced, so an injected codec adds
+    typed feature columns without touching the engine. The callable ships to
+    executors via closure pickling — it must not capture a SparkSession or
+    other driver-only state. Default ``None`` keeps the deterministic fake.
     """
+    if (codec is None) != (codec_fields is None):
+        raise ValueError("codec and codec_fields must be supplied together")
+    schema = T.StructType(list(_DECODE_SCHEMA.fields) + list(codec_fields or []))
+    names = schema.fieldNames()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in _DECODE_SCHEMA.fieldNames()}
+            out = {k: [] for k in names}
             for doc_id, raw in zip(pdf[id_col], pdf[media_col]):
                 b = bytes(raw)
                 magic, kind, w, h, f, r, payload = b.split(b"|", 6)
                 if magic != b"FAKE":
                     raise ValueError(f"bad media container magic: {magic!r}")
+                kind_s = kind.decode()
                 # >>> real codec call site: PIL.Image.open(BytesIO(payload))
                 out["doc_id"].append(int(doc_id))
-                out["kind"].append(kind.decode())
+                out["kind"].append(kind_s)
                 out["width"].append(int(w[2:]))
                 out["height"].append(int(h[2:]))
                 out["n_frames"].append(int(f[2:]))
                 out["sample_rate"].append(int(r[2:]))
                 out["payload_bytes"].append(len(payload))
                 out["payload_md5"].append(hashlib.md5(payload).hexdigest())
+                if codec is not None:
+                    extra = codec(kind_s, payload)
+                    for fld in codec_fields:
+                        out[fld.name].append(extra[fld.name])
             yield pd.DataFrame(out)
 
-    return df.select(id_col, media_col).mapInPandas(_decode, _DECODE_SCHEMA)
+    return df.select(id_col, media_col).mapInPandas(_decode, schema)
 
 
 def media_byte_histogram(

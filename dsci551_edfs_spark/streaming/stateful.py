@@ -13,8 +13,12 @@ Scale notes:
   the group key — the state store shards with the shuffle, nothing global.
 - In update mode each micro-batch emits only touched keys; the memory/sink
   pressure is proportional to batch activity, not key cardinality.
-- A production deployment would add ``GroupStateTimeout`` eviction for
-  dormant keys; NoTimeout keeps the batch-equivalence contract exact here.
+- Dormant-key eviction is available as an OPT-IN ``timeout_ms`` parameter
+  (ProcessingTimeTimeout + ``state.remove()``): an unbounded key space
+  (crawl session ids, one-off users) otherwise grows the state store
+  forever. The default stays NoTimeout so the batch == final-stream-state
+  equivalence contract remains exact — an evicted key that reappears
+  restarts its counters from zero, which batch semantics cannot express.
 """
 
 from __future__ import annotations
@@ -47,13 +51,29 @@ _STATE_SCHEMA = T.StructType(
 
 
 def user_running_stats(
-    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    timeout_ms: int | None = None,
 ) -> DataFrame:
     """(user_id, n_events, sum_value, last_ts) maintained across batches.
 
     Streaming: one state row per user updated per micro-batch (update
     mode). Batch: the equivalent groupBy — what the stream's final state
     must equal.
+
+    ``timeout_ms`` (streaming only, default off): evict a key's state if
+    no event arrives for that long of PROCESSING time — the dormant-key
+    guard an unbounded key space needs at scale. Eviction emits nothing
+    (the key's last emission already carries its final counters) and a
+    reappearing key restarts from zero, so enabling it intentionally
+    weakens the exact batch-equivalence contract; hence opt-in.
+
+    Caveat: with ProcessingTimeTimeout the engine constructs micro-batches
+    continuously (timers can fire with no new data), so
+    ``StreamingQuery.processAllAvailable()`` never observes a quiesce and
+    blocks forever — poll the sink or use ``awaitTermination`` patterns
+    instead when the timeout is enabled.
     """
     if not events.isStreaming:
         return events.groupBy(key_col).agg(
@@ -65,6 +85,9 @@ def user_running_stats(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             n, s, last_us = state.get
         else:
@@ -76,6 +99,9 @@ def user_running_stats(
             batch_us = int(batch_max.value // 1_000)  # pandas Timestamp ns → µs
             last_us = max(last_us, batch_us)
         state.update((n, s, last_us))
+        if timeout_ms is not None:
+            # re-arm on every touch: the clock measures dormancy, not age
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -90,7 +116,7 @@ def user_running_stats(
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf="NoTimeout" if timeout_ms is None else "ProcessingTimeTimeout",
     )
 
 

@@ -73,6 +73,42 @@ def test_real_codec_path_is_gated(media):
         MM.resize_media(media, 8, 8, use_real=True)
 
 
+def test_injected_codec(media, spark, sf_dir):
+    """A user-supplied codec drops into decode_media without engine changes:
+    base columns unchanged, codec columns appended with the declared types."""
+    from pyspark.sql import types as T
+
+    def _toy_codec(kind, payload):
+        # stand-in for a real decoder: derives typed features from the bytes
+        # (what PIL/torchaudio would compute from pixels/samples); defined
+        # in-function so cloudpickle ships it by value to executors
+        return {
+            "first_byte": int(payload[0]) if payload else -1,
+            "codec_tag": f"toy-{kind}",
+        }
+
+    out = MM.decode_media(
+        media.repartition(5),
+        codec=_toy_codec,
+        codec_fields=[
+            T.StructField("first_byte", T.IntegerType()),
+            T.StructField("codec_tag", T.StringType()),
+        ],
+    )
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, sf_dir, "documents").collect()}
+    rows = out.collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        raw = docs[r["doc_id"]].encode()
+        assert r["payload_md5"] == hashlib.md5(raw).hexdigest()  # base intact
+        assert r["first_byte"] == (raw[0] if raw else -1)
+        assert r["codec_tag"] == f"toy-{r['kind']}"
+    # codec and codec_fields must travel together
+    with pytest.raises(ValueError):
+        MM.decode_media(media, codec=_toy_codec)
+
+
 def test_byte_histogram(media):
     hist = MM.media_byte_histogram(media, buckets=16)
     row = hist.filter("doc_id = 0").first()

@@ -235,3 +235,100 @@ def test_stream_static_enrich_equals_batch(spark, event_dir):
     q.awaitTermination()
     stream = spark.table("enrich_t")
     assert _as_sets(stream) == _as_sets(batch)
+
+
+def test_stateful_timeout_evicts_dormant_key(spark):
+    """Opt-in ProcessingTimeTimeout: a key that goes quiet past timeout_ms
+    is evicted (its counters restart from zero on reappearance) while keys
+    that keep receiving events accumulate across the eviction.
+
+    NOTE: with ProcessingTimeTimeout the engine constructs micro-batches
+    continuously to fire timers, so ``processAllAvailable()`` never sees a
+    no-new-data quiesce and blocks forever — the test polls the memory sink
+    instead (that hang is an engine property, documented in stateful.py).
+    """
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.streaming import stateful as ST
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    watch = tempfile.mkdtemp(dir=SCRATCH)
+    stage = tempfile.mkdtemp(dir=SCRATCH)
+
+    def deliver(tag, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        out = os.path.join(stage, tag)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(out)
+        import glob as g
+        import shutil
+
+        for i, f in enumerate(g.glob(os.path.join(out, "*.parquet"))):
+            shutil.copy(f, os.path.join(watch, f"{tag}_{i}.parquet"))
+
+    deliver(
+        "b1",
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 00:00:01", 1, "view", 2.0, "{}"),
+            (3, "2024-01-01 00:00:02", 2, "view", 5.0, "{}"),
+        ],
+    )
+    schema = spark.read.parquet(watch).schema
+    src = spark.readStream.schema(schema).parquet(watch)
+    out = ST.user_running_stats(src, timeout_ms=5000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_t")
+        .outputMode("update")
+        .start()
+    )
+
+    def rows(uid):
+        return [
+            r["n_events"]
+            for r in spark.table("evict_t").filter(F.col("user_id") == uid).collect()
+        ]
+
+    def wait_for(cond, what, timeout=90):
+        end = time.time() + timeout
+        while time.time() < end:
+            if q.exception() is not None:
+                raise q.exception()
+            if cond():
+                return
+            time.sleep(0.25)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    try:
+        # batch 1: both keys seeded (timers armed at processing time t0)
+        wait_for(lambda: rows(1) and rows(2), "batch-1 emissions")
+        t0 = time.time()
+        # key 2 re-arms inside the timeout window; key 1 stays dormant
+        time.sleep(max(0.0, t0 + 2.0 - time.time()))
+        deliver("b2", [(4, "2024-01-01 00:01:00", 2, "view", 7.0, "{}")])
+        wait_for(lambda: 2 in rows(2), "key-2 batch-2 emission")
+        # past key 1's expiry (t0+5s), before key 2's (>= t0+7s): key 1's
+        # timer fires in one of the continuously-constructed batches
+        time.sleep(max(0.0, t0 + 6.2 - time.time()))
+        deliver(
+            "b3",
+            [
+                (5, "2024-01-01 00:02:00", 1, "view", 9.0, "{}"),
+                (6, "2024-01-01 00:02:01", 2, "view", 11.0, "{}"),
+            ],
+        )
+        wait_for(lambda: 1 in rows(1) and 3 in rows(2), "batch-3 emissions")
+    finally:
+        q.stop()
+    k1, k2 = rows(1), rows(2)
+    # evicted key restarted from zero: its batch-3 emission counts only the
+    # new event; state surviving would have produced n_events == 3
+    assert 1 in k1 and max(k1) == 2, k1
+    # active key accumulated straight through the eviction
+    assert max(k2) == 3, k2
