@@ -674,6 +674,12 @@ def _pairwise_cosine_broadcast(unit: DataFrame, threshold: float) -> DataFrame:
     import pandas as pd
 
     spark = unit.sparkSession
+    # two consumers (the broadcast-side collect and the scoring scan): pin
+    # so the upstream read+normalize runs once. (Re-measured for round 3:
+    # the r2 1.31→1.68 s drift was ambient load — isolated repeats sit at
+    # ~1.5 s cold and fall with JVM warmup, and ann_brute_force_topk
+    # drifted identically with no plan change.)
+    unit = _persist(unit)
     rows = unit.collect()
     if not rows:
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")

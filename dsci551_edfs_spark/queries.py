@@ -1943,5 +1943,79 @@ def hypertable_rollup_day(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Benchmark decontamination (n-gram overlap vs a held-out eval set)
+# =====================================================================
+
+# Deterministic benchmark subset: md5 buckets 0-4 (5% of docs) play the
+# held-out eval set; the remaining 95% are the training corpus.
+_DECONTAM_CTES = f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(sh) AS g FROM s WHERE {_MD5_BUCKET_SQL} < 5
+    ),
+    train AS (SELECT doc_id, sh FROM s WHERE {_MD5_BUCKET_SQL} >= 5),
+    tg AS (SELECT doc_id, unnest(sh) AS g FROM train),
+    hits AS (
+      SELECT doc_id, count(*) AS overlap_ngrams
+      FROM tg JOIN bench USING (g) GROUP BY doc_id
+    )
+"""
+
+
+@q(
+    "decontam_overlap",
+    _DECONTAM_CTES
+    + """
+    SELECT tr.doc_id,
+           CAST(len(tr.sh) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
+           round(coalesce(h.overlap_ngrams, 0)
+                 / CAST(len(tr.sh) AS DOUBLE), 6) AS overlap_frac,
+           coalesce(h.overlap_ngrams, 0) >= 1 AS contaminated
+    FROM train tr LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontam_overlap(spark, sf_dir):
+    """GPT-3/PaLM-style benchmark decontamination stats: per training doc,
+    how many distinct word 3-grams it shares with the held-out benchmark
+    subset (md5 buckets 0-4). The benchmark side is reduced to its distinct
+    8-byte n-gram hash set and broadcast — corpus text never shuffles."""
+    from .pipeline import decontam as DC
+    from .pipeline.curation import md5_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = md5_bucket("doc_id", 100)
+    return DC.ngram_overlap_contamination(
+        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=1
+    )
+
+
+@q(
+    "decontam_clean",
+    _DECONTAM_CTES
+    + """
+    SELECT d.doc_id, d.n_chars FROM documents d
+    JOIN train tr ON d.doc_id = tr.doc_id
+    WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM hits WHERE overlap_ngrams >= 2)
+    """,
+)
+def decontam_clean(spark, sf_dir):
+    """Decontaminated training corpus at min_overlap=2 (anti-join on the
+    flagged id set; rows pass through untouched)."""
+    from .pipeline import decontam as DC
+    from .pipeline.curation import md5_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = md5_bucket("doc_id", 100)
+    return DC.decontaminate(
+        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2
+    ).select("doc_id", "n_chars")
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
