@@ -45,6 +45,8 @@ __all__ = [
     "global_shuffle_order",
     "pack_sequences",
     "redact_pii",
+    "boilerplate_line_stats",
+    "remove_boilerplate_lines",
 ]
 
 
@@ -276,6 +278,99 @@ def pack_sequences(
         F.floor((F.col("_cum") - F.col("n_tokens")) / target_tokens)
         .cast("long")
         .alias("pack_id"),
+    )
+
+
+def _segments_exploded(
+    df: DataFrame, text_col: str, id_col: str, delimiter: str
+) -> DataFrame:
+    """(doc_id, pos, seg, h): documents split into ordered segments with a
+    whitespace-normalized md5 line hash. One narrow projection + explode —
+    pipelines into the scan, shuffles nothing."""
+    segs = F.split(F.col(text_col), delimiter)
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos", "seg")
+    ).withColumn(
+        "h", F.md5(F.regexp_replace(F.trim(F.lower(F.col("seg"))), r"\s+", " "))
+    )
+
+
+def boilerplate_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(h, ndocs, example): normalized lines occurring in >= ``min_docs``
+    DISTINCT documents — the CCNet-style boilerplate inventory (nav bars,
+    cookie banners, copyright footers repeat across pages; real content
+    doesn't). ``example`` carries one arbitrary raw spelling for triage."""
+    ex = _segments_exploded(df, text_col, id_col, delimiter)
+    return (
+        ex.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("ndocs"),
+            F.min("seg").alias("example"),
+        )
+        .filter(F.col("ndocs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Strip corpus-frequent lines from every document (CCNet-style
+    boilerplate removal): a line is boilerplate iff its normalized hash
+    occurs in >= ``min_docs`` distinct docs; surviving lines are rejoined
+    in their original order. Returns ``(doc_id, n_segments, n_kept,
+    cleaned_text)`` — one row per input doc (all-boilerplate docs survive
+    with ``n_kept = 0`` and an empty ``cleaned_text``, so a downstream
+    min-length filter makes the drop decision explicitly).
+
+    Scale shape: the line-frequency pass shuffles (16-byte hash, doc_id)
+    pairs only; the boilerplate set is by construction small (<= total
+    lines / min_docs, and real boilerplate is a short head), so the
+    anti-join back is broadcast-friendly and AQE picks that up at runtime.
+    The re-assembly groupBy shuffles each surviving line once — the same
+    cost any per-doc reconstruction pays.
+
+    ``delimiter`` is used both as the split pattern and the rejoin string,
+    so it must be a literal (no regex metacharacters) — "\\n" is the
+    normal case."""
+    ex = _segments_exploded(df, text_col, id_col, delimiter)
+    boiler = (
+        ex.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("h")
+    )
+    kept = ex.join(boiler, "h", "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            delimiter,
+        ).alias("cleaned_text"),
+    )
+    totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    return (
+        totals.join(kept_agg, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
     )
 
 

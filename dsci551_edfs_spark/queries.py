@@ -2017,5 +2017,112 @@ def decontam_clean(spark, sf_dir):
     ).select("doc_id", "n_chars")
 
 
+# =====================================================================
+# Boilerplate line removal (corpus-frequency line dedup, CCNet-style)
+# =====================================================================
+
+# The fixture corpus has no newlines, so the query plants them: a footer
+# on every doc_id % 7 == 0 and a header on every doc_id % 11 == 0 —
+# deterministic, restated identically in the oracle. The operator then has
+# real multi-line docs with genuinely corpus-frequent lines to find.
+_BP_FOOTER = "subscribe to our newsletter for daily updates"
+_BP_HEADER = "copyright 2024 example corp all rights reserved"
+
+_BP_DOC2_SQL = f"""
+    doc2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN t1 || chr(10) || '{_BP_FOOTER}' ELSE t1 END AS text
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN '{_BP_HEADER}' || chr(10) || text
+                        ELSE text END AS t1
+            FROM documents)
+    )
+"""
+
+
+def _bp_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t1 = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(_BP_HEADER + "\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(t1, F.lit("\n" + _BP_FOOTER))
+    ).otherwise(t1)
+    return d.select("doc_id", t2.alias("text"))
+
+
+@q(
+    "boilerplate_lines",
+    f"""
+    WITH {_BP_DOC2_SQL},
+    segs AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS seg
+      FROM doc2
+    )
+    SELECT md5(regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')) AS h,
+           count(DISTINCT doc_id) AS ndocs,
+           min(seg) AS example
+    FROM segs
+    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+    """,
+)
+def boilerplate_lines(spark, sf_dir):
+    """Corpus-frequent line inventory: normalized lines appearing in >= 3
+    distinct docs (the planted header/footer, here)."""
+    from .pipeline import curation as CUR
+
+    return CUR.boilerplate_line_stats(_bp_corpus(spark, sf_dir), min_docs=3)
+
+
+@q(
+    "boilerplate_removal",
+    f"""
+    WITH {_BP_DOC2_SQL},
+    lists AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc2),
+    segs AS (
+      SELECT doc_id, unnest(l) AS seg,
+             unnest(range(1, len(l) + 1)) AS pos
+      FROM lists
+    ),
+    hs AS (
+      SELECT doc_id, pos, seg,
+             md5(regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')) AS h
+      FROM segs
+    ),
+    freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM hs GROUP BY h),
+    kept AS (SELECT doc_id, pos, seg
+             FROM hs JOIN freq USING (h) WHERE ndocs < 3),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(seg, chr(10) ORDER BY pos)) AS cleaned_md5
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_segments FROM hs GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(tt.n_segments AS BIGINT) AS n_segments,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
+    FROM doc2 d
+    JOIN tot tt USING (doc_id)
+    LEFT JOIN ka k USING (doc_id)
+    """,
+)
+def boilerplate_removal(spark, sf_dir):
+    """CCNet-style boilerplate strip over the planted corpus: lines in
+    >= 3 distinct docs are dropped, survivors rejoin in original order.
+    cleaned_md5 hashes the reassembled text so the oracle verifies exact
+    reconstruction without shipping full documents through the compare."""
+    from .pipeline import curation as CUR
+
+    out = CUR.remove_boilerplate_lines(_bp_corpus(spark, sf_dir), min_docs=3)
+    return out.select(
+        "doc_id", "n_segments", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

@@ -108,3 +108,42 @@ def test_upsample_repeat_deterministic_and_exact(spark):
     frac = CUR.upsample_repeat(d, 0.5)
     assert frac.filter("copy != 0").count() == 0
     assert 0 < frac.count() < 200
+
+
+def test_boilerplate_removal_crafted(spark):
+    footer = "Subscribe  To Our Newsletter"  # case/spacing variants collapse
+    d = spark.createDataFrame(
+        [
+            (1, "unique content one\nsubscribe to our newsletter"),
+            (2, "unique content two\n" + footer),
+            (3, "unique content three\nSUBSCRIBE TO OUR NEWSLETTER"),
+            (4, footer),  # all-boilerplate doc survives with n_kept = 0
+            (5, "no boilerplate here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    inv = CUR.boilerplate_line_stats(d, min_docs=3).collect()
+    assert len(inv) == 1 and inv[0]["ndocs"] == 4
+
+    out = {r["doc_id"]: r for r in CUR.remove_boilerplate_lines(d, min_docs=3).collect()}
+    assert len(out) == 5  # every input doc has an output row
+    assert out[1]["cleaned_text"] == "unique content one"
+    assert out[2]["cleaned_text"] == "unique content two"
+    assert out[3]["cleaned_text"] == "unique content three"
+    assert out[4]["n_kept"] == 0 and out[4]["cleaned_text"] == ""
+    assert out[5]["n_kept"] == 1 and out[5]["cleaned_text"] == d.collect()[4]["text"]
+    assert all(r["n_segments"] >= r["n_kept"] for r in out.values())
+
+
+def test_boilerplate_preserves_line_order(spark):
+    common = "shared line"
+    d = spark.createDataFrame(
+        [
+            (1, "alpha\n" + common + "\nbeta\ngamma"),
+            (2, common + "\nother doc body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CUR.remove_boilerplate_lines(d, min_docs=2).collect()}
+    assert out[1]["cleaned_text"] == "alpha\nbeta\ngamma"
+    assert out[2]["cleaned_text"] == "other doc body"
