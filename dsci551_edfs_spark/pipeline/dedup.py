@@ -44,6 +44,7 @@ __all__ = [
     "plant_embedding_twins",
     "connected_components",
     "dedup_clusters",
+    "semantic_dedup",
     "release_cached",
 ]
 
@@ -807,4 +808,100 @@ def dedup_clusters(
             id_col,
             F.coalesce("label", F.col(id_col)).cast("long").alias("cluster_id"),
         )
+    )
+
+
+# ------------------------------------------------- semantic dedup
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str | None = None,
+    n_clusters: int = 16,
+    kmeans_iters: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+    threshold: float = 0.95,
+    cosine_round: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then mark within-cluster near-duplicates above a
+    cosine threshold, keeping one representative per duplicate relation.
+
+    Clustering: pass ``cluster_col`` to use an existing partition (topic /
+    domain label, or a precomputed assignment); otherwise spherical k-means
+    centroids are fit (`similarity.kmeans_centroids`) and each vector is
+    assigned by one broadcast-matmul argmax per Arrow batch.
+
+    Dup rule (deterministic, SQL-restatable): a vector is a duplicate iff
+    some LOWER-id vector in its cluster has cosine ≥ threshold with it;
+    ``rep_id`` is the minimum such id (keepers carry their own id). This is
+    the greedy min-id rule, not a transitive closure — pair A~B, B~C, A≁C
+    keeps A, drops B and C (rep B→A, C→B). ``cosine_round`` rounds the
+    cosine before the compare so an external oracle computing the same
+    rounded value agrees bit-for-bit at the threshold boundary.
+
+    Returns ``(id_col, cluster_id, is_dup, rep_id)`` — one row per input.
+
+    Scale shape: candidate volume is Σ|cluster|² ids (never vectors — the
+    self-join runs on (id, cluster) pairs and vectors attach to surviving
+    candidates only, the same shape as the RP-LSH path); scoring is one
+    einsum per Arrow batch. More clusters → smaller Σ|c|²; the k-means fit
+    itself runs on a sample at 100 TB (`sample_fraction`)."""
+    if cluster_col is not None:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(cluster_col).alias("cluster_id"),
+            normalize(as_double(vec_col)).alias("v"),
+        )
+    else:
+        from .similarity import build_ivf_index, kmeans_centroids
+
+        cents = kmeans_centroids(
+            df,
+            n_centroids=n_clusters,
+            iters=kmeans_iters,
+            vec_col=vec_col,
+            id_col=id_col,
+            seed=seed,
+            dim=dim,
+        )
+        bucketed, _ = build_ivf_index(
+            df, vec_col=vec_col, id_col=id_col, centroids=cents
+        )
+        base = bucketed.select(
+            "id", F.col("centroid").alias("cluster_id"), "v"
+        )
+    # four consumers (both id-side self-join inputs + the two vector
+    # attaches); without the pin the normalize / k-means assignment runs
+    # once per consumer
+    base = _persist(base)
+    ids = base.select("id", "cluster_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = cands.join(va, "id_a").join(vb, "id_b")
+    # verify strictly below threshold when rounding: any cosine that rounds
+    # up to the threshold must survive the inner cut
+    inner = threshold - 10 ** -cosine_round if cosine_round else threshold
+    edges = _verify_pairs_cosine(pairs, inner)
+    if cosine_round is not None:
+        edges = edges.filter(
+            F.round(F.col("cosine"), cosine_round) >= threshold
+        )
+    dups = edges.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("_rep")
+    )
+    return base.select("id", "cluster_id").join(dups, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        F.col("_rep").isNotNull().alias("is_dup"),
+        F.coalesce("_rep", F.col("id")).alias("rep_id"),
     )

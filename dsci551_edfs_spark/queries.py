@@ -2124,5 +2124,59 @@ def boilerplate_removal(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Semantic dedup (SemDeDup-style cluster + cosine prune)
+# =====================================================================
+
+@q(
+    "semantic_dedup",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                  / ({_NORM_SQL.format(a="a.embedding")}
+                     * {_NORM_SQL.format(a="b.embedding")}), 4) >= 0.4
+    ),
+    d AS (SELECT id_b AS vec_id, min(id_a) AS rep FROM p GROUP BY id_b)
+    SELECT e.vec_id, e.label AS cluster_id,
+           d.rep IS NOT NULL AS is_dup,
+           coalesce(d.rep, e.vec_id) AS rep_id
+    FROM embeddings e LEFT JOIN d USING (vec_id)
+    """,
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup over the fixture's label clusters: within-cluster pairs at
+    cosine ≥ 0.4 (round-4, same FP-parity trick as embedding_dup_pairs)
+    mark the higher id a dup of its minimum lower-id neighbor. The oracle
+    restates the full greedy min-id rule in SQL."""
+    return DD.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        cluster_col="label",
+        threshold=0.4,
+        cosine_round=4,
+    )
+
+
+@q("semantic_dedup_kmeans")  # rows-only: k-means centroids not SQL-expressible
+def semantic_dedup_kmeans(spark, sf_dir):
+    """The self-clustering path: spherical k-means (16 centroids, 2 Lloyd
+    iterations, seeded) + within-cluster cosine prune at 0.95 over the
+    twin-planted corpus (`plant_embedding_twins`, cos ≈ 0.995 pairs).
+    Recall contract pinned in tests/test_pipeline.py: every planted twin
+    whose pair lands in the same cluster is marked is_dup with rep_id =
+    its original — misses are bounded by cluster-boundary splits, the
+    documented SemDeDup trade-off."""
+    inflated = DD.plant_embedding_twins(_t(spark, sf_dir, "embeddings"))
+    return (
+        DD.semantic_dedup(
+            inflated, n_clusters=16, kmeans_iters=2, threshold=0.95
+        )
+        .filter(F.col("is_dup"))
+        .orderBy("vec_id")
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

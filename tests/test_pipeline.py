@@ -296,3 +296,48 @@ def test_incremental_exact_dedup(spark):
         for r in DD.incremental_exact_dedup(incoming, existing).collect()
     )
     assert kept == [11, 13]
+
+
+# ------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_greedy_rule(spark):
+    """Identical vectors in one cluster collapse by the greedy min-id rule;
+    the same vector in ANOTHER cluster is untouched (SemDeDup prunes
+    within clusters only)."""
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),   # dup of 1
+        (3, 0, [0.999, 0.0447]),  # ~cos 0.999 with 1 -> dup of 1
+        (4, 0, [0.0, 1.0]),   # orthogonal: kept
+        (5, 1, [1.0, 0.0]),   # same direction, different cluster: kept
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in DD.semantic_dedup(
+            d, cluster_col="label", threshold=0.99
+        ).collect()
+    }
+    assert not out[1]["is_dup"] and out[1]["rep_id"] == 1
+    assert out[2]["is_dup"] and out[2]["rep_id"] == 1
+    assert out[3]["is_dup"] and out[3]["rep_id"] == 1
+    assert not out[4]["is_dup"]
+    assert not out[5]["is_dup"]  # cross-cluster: never compared
+
+
+def test_semantic_dedup_kmeans_twin_recall(spark, sf_dir):
+    """Planted twins (cos ~0.995) must be recovered by the self-clustering
+    path; misses are only cluster-boundary splits, bounded at 5%."""
+    d = load_table(spark, sf_dir, "embeddings")
+    n = d.count()
+    inflated = DD.plant_embedding_twins(d)
+    out = DD.semantic_dedup(
+        inflated, n_clusters=16, kmeans_iters=2, threshold=0.95
+    )
+    dups = out.filter("is_dup").collect()
+    # fixture corpus has no pairs at cos >= 0.95, so every dup is a twin
+    # (twin ids are original + 1e6, always the HIGHER id of the pair)
+    assert all(r["vec_id"] >= 1_000_000 for r in dups)
+    assert all(r["rep_id"] == r["vec_id"] - 1_000_000 for r in dups)
+    assert len(dups) / n >= 0.95  # recall across cluster splits
