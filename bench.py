@@ -49,6 +49,9 @@ HEADLINE = [
     "hypertable_rollup_day",
     "sequence_packing",
     "corpus_mixture_weighted",
+    "decontam_overlap",
+    "boilerplate_removal",
+    "semantic_dedup",
 ]
 
 

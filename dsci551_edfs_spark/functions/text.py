@@ -23,6 +23,8 @@ __all__ = [
     "token_count",
     "bpe_ish_token_count",
     "text_stats",
+    "quality_score_model",
+    "QUALITY_MODEL_WEIGHTS",
     "fingerprint",
     "LANG_STOPWORDS",
     "lang_id",
@@ -116,6 +118,52 @@ def quality_filter(
         "punct_ratio",
         "digit_ratio",
         score.alias("quality_score"),
+    )
+
+
+# Fixed linear-model weights for the model-based quality scorer. A real
+# deployment exports these from a trained fastText/logistic classifier;
+# the engine-side contract — one codegen projection computing features and
+# logit together, no Python — is identical either way.
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -1.0,
+    "len_sat": 2.5,       # saturating length feature min(n_tokens/100, 1)
+    "avg_token_len": 0.15,
+    "punct_ratio": -4.0,
+    "upper_ratio": -2.0,
+    "digit_ratio": -3.0,
+}
+
+
+def quality_score_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality scoring (the CCNet/fastText-classifier stage):
+    a linear logit over the `text_stats` features, squashed to a
+    probability. Features are the ROUNDED text_stats outputs so any
+    engine restating the formula reproduces the score bit-for-bit; the
+    sigmoid result is rounded to 4 decimals to absorb last-ulp exp()
+    differences between math libraries.
+
+    One scan, one codegen projection — the shape a 100 TB scoring pass
+    needs; swapping in real exported weights changes constants only."""
+    w = QUALITY_MODEL_WEIGHTS
+    s = text_stats(df, text_col, id_col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["len_sat"]) * F.least(F.col("n_tokens") / 100, F.lit(1.0))
+        + F.lit(w["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["upper_ratio"]) * F.col("upper_ratio")
+        + F.lit(w["digit_ratio"]) * F.col("digit_ratio")
+    )
+    return s.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(z, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 6))), 4).alias(
+            "quality_prob"
+        ),
     )
 
 

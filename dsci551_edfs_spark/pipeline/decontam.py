@@ -34,6 +34,38 @@ from .dedup import shingle_df
 __all__ = ["ngram_overlap_contamination", "decontaminate"]
 
 
+def _overlap_hits(
+    train_sh: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    broadcast_bench: bool,
+) -> DataFrame:
+    """(id, overlap_ngrams) for train docs with >= 1 shared n-gram.
+    ``train_sh`` is an already-shingled train frame (id, shingles)."""
+    # shingles are already distinct per doc (shingle_df array_distinct), so
+    # a plain count after the join is the distinct-overlap count.
+    posting = train_sh.select(
+        "id", F.explode("shingles").alias("sh")
+    ).select("id", F.xxhash64("sh").alias("gh"))
+
+    bench_grams = (
+        shingle_df(bench, text_col, id_col, n)
+        .select(F.explode("shingles").alias("sh"))
+        .select(F.xxhash64("sh").alias("gh"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+
+    return (
+        posting.join(bench_grams, "gh")
+        .groupBy("id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+
+
 def ngram_overlap_contamination(
     train: DataFrame,
     bench: DataFrame,
@@ -55,26 +87,7 @@ def ngram_overlap_contamination(
     sizes = train_sh.select(
         "id", F.size("shingles").cast("long").alias("n_ngrams")
     )
-    # shingles are already distinct per doc (shingle_df array_distinct), so
-    # a plain count after the join is the distinct-overlap count.
-    posting = train_sh.select(
-        "id", F.explode("shingles").alias("sh")
-    ).select("id", F.xxhash64("sh").alias("gh"))
-
-    bench_grams = (
-        shingle_df(bench, text_col, id_col, n)
-        .select(F.explode("shingles").alias("sh"))
-        .select(F.xxhash64("sh").alias("gh"))
-        .distinct()
-    )
-    if broadcast_bench:
-        bench_grams = F.broadcast(bench_grams)
-
-    hits = (
-        posting.join(bench_grams, "gh")
-        .groupBy("id")
-        .agg(F.count("*").alias("overlap_ngrams"))
-    )
+    hits = _overlap_hits(train_sh, bench, text_col, id_col, n, broadcast_bench)
     return (
         sizes.join(hits, "id", "left")
         .select(
@@ -103,12 +116,20 @@ def decontaminate(
     broadcast_bench: bool = True,
 ) -> DataFrame:
     """Drop contaminated docs from ``train``; rows pass through otherwise
-    untouched (anti-join on the flagged id set, no text shuffled)."""
+    untouched (anti-join on the flagged id set, no text shuffled).
+
+    Only the hit counts are computed — not the full per-doc stats frame —
+    so the removal path skips the shingle-size projection and its join."""
     flagged = (
-        ngram_overlap_contamination(
-            train, bench, text_col, id_col, n, min_overlap, broadcast_bench
+        _overlap_hits(
+            shingle_df(train, text_col, id_col, n),
+            bench,
+            text_col,
+            id_col,
+            n,
+            broadcast_bench,
         )
-        .filter(F.col("contaminated"))
-        .select(id_col)
+        .filter(F.col("overlap_ngrams") >= min_overlap)
+        .select(F.col("id").alias(id_col))
     )
     return train.join(flagged, id_col, "left_anti")

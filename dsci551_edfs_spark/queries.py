@@ -1538,23 +1538,35 @@ def corpus_prep_pipeline(spark, sf_dir):
 
 @q("corpus_prep_full")  # rows-only: minhash + curation bucketing compose
 def corpus_prep_full(spark, sf_dir):
-    """The COMPLETE pretraining-data recipe: quality gate -> repetition
-    filter -> exact dedup -> MinHash near-dedup -> deterministic
-    train/val/test split -> sequence packing of the train split. Proves
-    the curation operators compose with the dedup pipeline in one flow
-    (ids thread through; every stage is individually oracle-checked)."""
+    """The COMPLETE pretraining-data recipe: boilerplate line removal ->
+    quality gate -> repetition filter -> exact dedup -> MinHash near-dedup
+    -> benchmark decontamination -> deterministic train/val/test split ->
+    sequence packing of the train split. Proves the curation, dedup and
+    decontamination operators compose in one flow (ids thread through;
+    every stage is individually oracle-checked)."""
     from .pipeline import curation as CUR
+    from .pipeline import decontam as DC
+    from .pipeline.curation import md5_bucket
 
-    docs = _t(spark, sf_dir, "documents")
-    quality = TXT.quality_filter(docs, min_tokens=5).select("doc_id")
-    rep = CUR.repetition_stats(docs).filter(
+    raw = _bp_corpus(spark, sf_dir)  # fixture + planted boilerplate lines
+    cleaned = CUR.remove_boilerplate_lines(raw, min_docs=3).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    quality = TXT.quality_filter(cleaned, min_tokens=5).select("doc_id")
+    rep = CUR.repetition_stats(cleaned).filter(
         (F.col("top_bigram_frac") < 0.9) & (F.col("dup_trigram_frac") < 0.9)
     ).select("doc_id")
-    kept = docs.join(quality, "doc_id").join(rep, "doc_id")
+    kept = cleaned.join(quality, "doc_id").join(rep, "doc_id")
     exact_kept = DD.exact_dedup(kept)
     near_pairs = DD.minhash_dedup_pairs(exact_kept, threshold=0.5)
     drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    final = exact_kept.join(drop_ids, "doc_id", "left_anti")
+    deduped = exact_kept.join(drop_ids, "doc_id", "left_anti")
+    # held-out benchmark = the md5-bucket 0-4 docs (same subset the
+    # decontam_* queries use); train side = everything else, decontaminated
+    bench = raw.filter(md5_bucket("doc_id", 100) < 5)
+    final = DC.decontaminate(
+        deduped.filter(md5_bucket("doc_id", 100) >= 5), bench, min_overlap=8
+    )
     split = CUR.deterministic_split(final)
     train = split.filter(F.col("split") == "train")
     packed = CUR.pack_sequences(train, target_tokens=512)
@@ -2175,6 +2187,99 @@ def semantic_dedup_kmeans(spark, sf_dir):
         )
         .filter(F.col("is_dup"))
         .orderBy("vec_id")
+    )
+
+
+# =====================================================================
+# Model-based quality scoring + contamination reporting
+# =====================================================================
+
+_QM_FEATURES_SQL = r"""
+    feats AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+                  AS BIGINT) AS n_tokens,
+             round(length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\s+')) END, 1), 3)
+               AS avg_token_len,
+             round(len(regexp_extract_all(text, '[^\w\s]'))
+                   / greatest(length(text), 1), 3) AS punct_ratio,
+             round(len(regexp_extract_all(text, '[A-Z]'))
+                   / greatest(length(text), 1), 3) AS upper_ratio,
+             round(len(regexp_extract_all(text, '[0-9]'))
+                   / greatest(length(text), 1), 3) AS digit_ratio
+      FROM documents
+    )
+"""
+
+
+@q(
+    "quality_score_model",
+    "WITH "
+    + _QM_FEATURES_SQL
+    + """
+    SELECT doc_id, n_tokens,
+           round(-1.0 + 2.5 * least(n_tokens / 100.0, 1.0)
+                 + 0.15 * avg_token_len - 4.0 * punct_ratio
+                 - 2.0 * upper_ratio - 3.0 * digit_ratio, 6) AS logit,
+           round(1.0 / (1.0 + exp(-round(-1.0
+                 + 2.5 * least(n_tokens / 100.0, 1.0)
+                 + 0.15 * avg_token_len - 4.0 * punct_ratio
+                 - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
+             AS quality_prob
+    FROM feats
+    """,
+)
+def quality_score_model(spark, sf_dir):
+    """fastText-classifier-style quality scoring: linear logit over the
+    rounded text_stats features + sigmoid, all in one codegen projection.
+    The oracle restates the exact weights (`TXT.QUALITY_MODEL_WEIGHTS`)."""
+    return TXT.quality_score_model(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "decontam_report",
+    _DECONTAM_CTES
+    + """
+    , st AS (
+      SELECT tr.doc_id,
+             coalesce(h.overlap_ngrams, 0) >= 2 AS contaminated
+      FROM train tr LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN st.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(avg(CASE WHEN st.contaminated THEN 1.0 ELSE 0.0 END), 4)
+             AS contaminated_frac
+    FROM st JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def decontam_report(spark, sf_dir):
+    """Per-source contamination report — the aggregate a pipeline owner
+    actually reads before dropping a source from the mixture."""
+    from .pipeline import decontam as DC
+    from .pipeline.curation import md5_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = md5_bucket("doc_id", 100)
+    stats = DC.ngram_overlap_contamination(
+        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2
+    )
+    return (
+        stats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.avg(F.when(F.col("contaminated"), 1.0).otherwise(0.0)), 4
+            ).alias("contaminated_frac"),
+        )
     )
 
 

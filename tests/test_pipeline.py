@@ -341,3 +341,19 @@ def test_semantic_dedup_kmeans_twin_recall(spark, sf_dir):
     assert all(r["vec_id"] >= 1_000_000 for r in dups)
     assert all(r["rep_id"] == r["vec_id"] - 1_000_000 for r in dups)
     assert len(dups) / n >= 0.95  # recall across cluster splits
+
+
+def test_quality_score_model(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a clean readable sentence with plain lowercase words " * 3),
+            (2, "!!! ### $$$ %% 99 88 77 !!! ### $$$ %% 99 88 77"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TXT.quality_score_model(d).collect()}
+    assert out[1]["quality_prob"] > out[2]["quality_prob"]
+    assert 0.0 <= out[2]["quality_prob"] <= out[1]["quality_prob"] <= 1.0
+    # deterministic: same input, same score
+    again = {r["doc_id"]: r["quality_prob"] for r in TXT.quality_score_model(d).collect()}
+    assert again == {k: v["quality_prob"] for k, v in out.items()}

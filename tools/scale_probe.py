@@ -67,14 +67,18 @@ def inflate_emb(emb, k):
 
 def main() -> None:
     from dsci551_edfs_spark import get_spark
+    from dsci551_edfs_spark.pipeline import curation as CUR
+    from dsci551_edfs_spark.pipeline import decontam as DC
     from dsci551_edfs_spark.pipeline import dedup as DD
+    from dsci551_edfs_spark.pipeline.curation import md5_bucket
     from dsci551_edfs_spark.sources.registry import load_table
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, SF_DIR, "documents").cache()
     emb = load_table(spark, SF_DIR, "embeddings").cache()
-    docs.count(), emb.count()
+    bench_docs = docs.filter(md5_bucket("doc_id", 100) < 5).cache()
+    docs.count(), emb.count(), bench_docs.count()
 
     ops = {
         "minhash_dedup_pairs": lambda k: DD.minhash_dedup_pairs(
@@ -99,6 +103,29 @@ def main() -> None:
         "simhash_pairs_capped": lambda k: DD.simhash_pairs(
             DD.simhash(inflate_docs(docs, k)), max_hamming=3, max_bucket_size=64
         ),
+        # decontam: fixed benchmark set (5% of the base corpus), train side
+        # inflated — overlap scan must grow ~linearly in train size
+        "decontam_overlap": lambda k: DC.ngram_overlap_contamination(
+            inflate_docs(docs, k), bench_docs, n=3
+        ),
+        # boilerplate: line-frequency dedup; newline-free corpus degrades
+        # to whole-doc segments, still the same shuffle shape
+        "boilerplate_removal": lambda k: CUR.remove_boilerplate_lines(
+            inflate_docs(docs, k), min_docs=3
+        ),
+        # semantic dedup candidate volume is sum(|cluster|^2): FIXED
+        # cluster count goes quadratic by construction; scaling clusters
+        # with the corpus (the documented SemDeDup deployment rule)
+        # restores ~linear growth
+        "semantic_dedup_fixed_k": lambda k: DD.semantic_dedup(
+            inflate_emb(emb, k), n_clusters=64, kmeans_iters=1, threshold=0.95
+        ),
+        "semantic_dedup_scaled_k": lambda k: DD.semantic_dedup(
+            inflate_emb(emb, k),
+            n_clusters=64 * k,
+            kmeans_iters=1,
+            threshold=0.95,
+        ),
     }
     wanted = sys.argv[1:] or list(ops)
     for name in wanted:
@@ -107,6 +134,7 @@ def main() -> None:
             t0 = time.perf_counter()
             rows[str(k)] = ops[name](k).count()  # forces full compute
             secs[str(k)] = round(time.perf_counter() - t0, 2)
+            DD.release_cached()  # drop per-call pinned intermediates
         print(
             json.dumps(
                 {
