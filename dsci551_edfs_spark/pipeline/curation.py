@@ -47,6 +47,7 @@ __all__ = [
     "redact_pii",
     "boilerplate_line_stats",
     "remove_boilerplate_lines",
+    "dedup_paragraphs",
 ]
 
 
@@ -371,6 +372,61 @@ def remove_boilerplate_lines(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup: each normalized segment
+    survives only at its FIRST corpus occurrence (lowest ``(doc_id,
+    pos)``); every later copy — in the same doc or any other — is
+    dropped, and each doc is reassembled from its surviving segments in
+    order. This is the segment-granularity member of the dedup family
+    (RefinedWeb/MassiveText run exactly this pass between line-level
+    boilerplate removal and document-level MinHash): unlike
+    ``remove_boilerplate_lines`` (frequency threshold, drops ALL copies)
+    the first spelling is kept, so corpus content is preserved once.
+
+    Returns ``(id_col, n_segments, n_kept, cleaned_text)``, one row per
+    input doc.
+
+    Scale shape: the winner per segment-hash comes from
+    ``groupBy(h).agg(min(struct(doc_id, pos)))`` — a partial-aggregatable
+    (map-side combine) reduction, deliberately NOT a
+    ``row_number() over (partition by h)`` window, which cannot combine
+    map-side and sends every copy of a hot segment to one task. The join
+    back is hash-for-hash; reassembly pays the same per-doc groupBy as
+    boilerplate removal. Everything shuffled is (16-byte hash, id, int).
+    """
+    ex = _segments_exploded(df, text_col, id_col, delimiter)
+    winners = (
+        ex.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select("h", F.col("w.doc_id").alias("_wdoc"), F.col("w.pos").alias("_wpos"))
+    )
+    kept = ex.join(winners, "h").filter(
+        (F.col("doc_id") == F.col("_wdoc")) & (F.col("pos") == F.col("_wpos"))
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            delimiter,
+        ).alias("cleaned_text"),
+    )
+    totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    return totals.join(kept_agg, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 
 

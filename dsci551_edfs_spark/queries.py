@@ -2136,6 +2136,55 @@ def boilerplate_removal(spark, sf_dir):
     )
 
 
+@q(
+    "paragraph_dedup",
+    f"""
+    WITH {_BP_DOC2_SQL},
+    lists AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc2),
+    segs AS (
+      SELECT doc_id, unnest(l) AS seg,
+             unnest(range(1, len(l) + 1)) AS pos
+      FROM lists
+    ),
+    hs AS (
+      SELECT doc_id, pos, seg,
+             md5(regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')) AS h
+      FROM segs
+    ),
+    ranked AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM hs
+    ),
+    kept AS (SELECT doc_id, pos, seg FROM ranked WHERE rn = 1),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(seg, chr(10) ORDER BY pos)) AS cleaned_md5
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_segments FROM hs GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_segments AS BIGINT) AS n_segments,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
+    FROM tot t LEFT JOIN ka k USING (doc_id)
+    """,
+)
+def paragraph_dedup(spark, sf_dir):
+    """Corpus-wide keep-first paragraph dedup over the planted corpus:
+    the header/footer lines (and any cross-doc duplicate lines in the
+    underlying fixture) survive only in their lowest-(doc_id, pos)
+    occurrence; every doc is reassembled from its surviving lines.
+    cleaned_md5 hashes the reassembly so the oracle checks exact
+    reconstruction without shipping text through the compare."""
+    from .pipeline import curation as CUR
+
+    out = CUR.dedup_paragraphs(_bp_corpus(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_segments", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
+    )
+
+
 # =====================================================================
 # Semantic dedup (SemDeDup-style cluster + cosine prune)
 # =====================================================================

@@ -147,3 +147,39 @@ def test_boilerplate_preserves_line_order(spark):
     out = {r["doc_id"]: r for r in CUR.remove_boilerplate_lines(d, min_docs=2).collect()}
     assert out[1]["cleaned_text"] == "alpha\nbeta\ngamma"
     assert out[2]["cleaned_text"] == "other doc body"
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    shared = "this exact paragraph repeats across documents"
+    d = spark.createDataFrame(
+        [
+            (1, "alpha\n" + shared + "\nbeta"),
+            (2, shared + "\nunique two"),
+            (3, "unique three\n" + shared + "\n" + shared),  # in-doc repeat too
+            (4, shared),  # nothing survives: later copy of every segment
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CUR.dedup_paragraphs(d).collect()}
+    assert len(out) == 4
+    # first corpus occurrence is (doc 1, pos 1): doc 1 keeps everything
+    assert out[1]["cleaned_text"] == "alpha\n" + shared + "\nbeta"
+    assert out[2]["cleaned_text"] == "unique two"
+    assert out[3]["cleaned_text"] == "unique three"
+    assert out[3]["n_segments"] == 3 and out[3]["n_kept"] == 1
+    assert out[4]["n_kept"] == 0 and out[4]["cleaned_text"] == ""
+
+
+def test_dedup_paragraphs_normalized_match(spark):
+    # case/whitespace variants hash identically; the kept spelling is the
+    # first occurrence's RAW text, not the normalized form
+    d = spark.createDataFrame(
+        [
+            (1, "Shared  Line"),
+            (2, "shared line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CUR.dedup_paragraphs(d).collect()}
+    assert out[1]["cleaned_text"] == "Shared  Line"
+    assert out[2]["n_kept"] == 0
