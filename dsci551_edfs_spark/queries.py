@@ -2240,6 +2240,74 @@ def semantic_dedup_kmeans(spark, sf_dir):
 
 
 # =====================================================================
+# DSIR-style importance scoring (hashed n-gram log-likelihood ratio)
+# =====================================================================
+
+_GRAM_BUCKET_SQL = """
+    ((strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substring(md5(g), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substring(md5(g), 4, 1)) - 1)) % 1024
+"""
+
+
+@q(
+    "dsir_scores",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(t || list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM tok
+    ),
+    gb AS (SELECT doc_id, lang, {_GRAM_BUCKET_SQL} AS bucket FROM grams),
+    tdist AS (SELECT bucket, count(*) AS t_cnt FROM gb
+              WHERE lang = 'en' GROUP BY bucket),
+    rdist AS (SELECT bucket, count(*) AS r_cnt FROM gb GROUP BY bucket),
+    allb AS (SELECT unnest(range(0, 1024)) AS bucket),
+    w AS (
+      SELECT a.bucket,
+             round(ln((coalesce(t.t_cnt, 0) + 0.01)
+                      / ((SELECT count(*) FROM gb WHERE lang = 'en')
+                         + 0.01 * 1024))
+                 - ln((coalesce(r.r_cnt, 0) + 0.01)
+                      / ((SELECT count(*) FROM gb) + 0.01 * 1024)), 6) AS w
+      FROM allb a
+      LEFT JOIN tdist t USING (bucket)
+      LEFT JOIN rdist r USING (bucket)
+    ),
+    s AS (
+      SELECT gb.doc_id, count(*) AS n_grams,
+             sum(CAST(round(w.w * 1000000) AS BIGINT)) AS micro
+      FROM gb JOIN w USING (bucket)
+      GROUP BY gb.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           coalesce(s.micro, 0) / 1000000.0 AS log_weight,
+           round((coalesce(s.micro, 0) / 1000000.0)
+                 / greatest(coalesce(s.n_grams, 0), 1), 6) AS score
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def dsir_scores(spark, sf_dir):
+    """DSIR importance scoring: English docs are the target distribution,
+    the whole corpus the raw distribution; every doc gets the smoothed
+    hashed-ngram log-likelihood-ratio weight (unigrams + bigrams, 1024
+    md5 buckets). The oracle restates the full fit + score formula."""
+    from .pipeline import importance as IMP
+
+    docs = _t(spark, sf_dir, "documents")
+    w = IMP.dsir_log_weights(docs.filter(F.col("lang") == "en"), docs)
+    return IMP.dsir_scores(docs, w)
+
+
+# =====================================================================
 # Model-based quality scoring + contamination reporting
 # =====================================================================
 

@@ -357,3 +357,30 @@ def test_quality_score_model(spark):
     # deterministic: same input, same score
     again = {r["doc_id"]: r["quality_prob"] for r in TXT.quality_score_model(d).collect()}
     assert again == {k: v["quality_prob"] for k, v in out.items()}
+
+
+def test_dsir_scores_rank_target_like_docs(spark):
+    from dsci551_edfs_spark.pipeline import importance as IMP
+
+    # target corpus speaks "alpha beta"; raw corpus is half alpha-beta
+    # docs, half "gamma delta" docs — the alpha-beta docs must outrank
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta alpha beta alpha") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha beta alpha beta") for i in range(5)]
+        + [(10 + i, "gamma delta gamma delta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    w = IMP.dsir_log_weights(target, raw)
+    out = {r["doc_id"]: r for r in IMP.dsir_scores(raw, w).collect()}
+    assert len(out) == 10
+    lo_alpha = min(out[i]["score"] for i in range(5))
+    hi_gamma = max(out[10 + i]["score"] for i in range(5))
+    assert lo_alpha > hi_gamma
+    assert all(out[i]["n_grams"] == 7 for i in range(5))  # 4 uni + 3 bi
+
+    # deterministic: identical on recompute
+    again = {r["doc_id"]: r["score"] for r in IMP.dsir_scores(raw, w).collect()}
+    assert again == {k: v["score"] for k, v in out.items()}
