@@ -2240,6 +2240,76 @@ def semantic_dedup_kmeans(spark, sf_dir):
 
 
 # =====================================================================
+# Embedding int8 quantization
+# =====================================================================
+
+@q(
+    "embedding_quantize_error",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
+             END AS scale
+      FROM v
+    ),
+    qz AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> round(x / scale)) AS q
+      FROM s
+    ),
+    er AS (
+      SELECT vec_id, scale, len(e) AS dim,
+             list_transform(range(1, len(e) + 1),
+                            i -> e[i] - q[i] * scale) AS err
+      FROM qz
+    )
+    SELECT vec_id,
+           CAST(dim AS BIGINT) AS dim,
+           round(scale, 9) AS scale_r,
+           CAST(list_sum(list_transform(err,
+                x -> CAST(round(x * x * 1e12) AS BIGINT))) AS BIGINT)
+             AS sq_err_pico,
+           list_sum(list_transform(err,
+                x -> CAST(round(x * x * 1e12) AS BIGINT))) / 1e12 / dim
+             AS mse,
+           round(list_max(list_transform(err, x -> abs(x))), 9)
+             AS max_abs_err
+    FROM er
+    """,
+)
+def embedding_quantize_error(spark, sf_dir):
+    """Per-vector int8 quantization + reconstruction-error profile
+    (scale = max|x|/127, q = round(x/scale)); squared errors reduce as
+    exact integer picos so the oracle comparison is order-independent."""
+    from .pipeline import quantize as QZ
+
+    return QZ.quantization_error(_t(spark, sf_dir, "embeddings"))
+
+
+@q("ann_topk_int8")  # rows-only: int8 rounding is implementation-defined
+def ann_topk_int8(spark, sf_dir):
+    """Quantized brute-force cosine top-5 for 10 query vectors — the int8
+    scan path whose recall vs the exact scan is pinned in pytest."""
+    from .pipeline import quantize as QZ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = QZ.topk_int8(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+# =====================================================================
 # DSIR-style importance scoring (hashed n-gram log-likelihood ratio)
 # =====================================================================
 

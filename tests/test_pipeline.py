@@ -384,3 +384,22 @@ def test_dsir_scores_rank_target_like_docs(spark):
     # deterministic: identical on recompute
     again = {r["doc_id"]: r["score"] for r in IMP.dsir_scores(raw, w).collect()}
     assert again == {k: v["score"] for k, v in out.items()}
+
+
+def test_int8_topk_recall_vs_exact(spark, sf_dir):
+    from dsci551_edfs_spark.pipeline import quantize as QZ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    quant = QZ.topk_int8(emb, queries, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    s = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    # int8 on unit-normalized 64-dim vectors loses < 0.4% dot precision:
+    # top-10 overlap must stay high
+    assert len(e & s) / len(e) >= 0.9
+
+    # quantization round-trip: scale*q reconstructs within scale/2 per dim
+    prof = QZ.quantization_error(emb).collect()
+    assert all(r["max_abs_err"] <= r["scale_r"] / 2 + 1e-9 for r in prof)
+    assert all(r["dim"] == 64 for r in prof)
