@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .dedup import shingle_df
 
-__all__ = ["ngram_overlap_contamination", "decontaminate"]
+__all__ = ["ngram_overlap_contamination", "decontaminate", "decontam_gate"]
 
 
 def _overlap_hits(
@@ -133,3 +133,21 @@ def decontaminate(
         .select(F.col("id").alias(id_col))
     )
     return train.join(flagged, id_col, "left_anti")
+
+
+def decontam_gate(
+    docs: DataFrame, flagged: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Enforce an OFFLINE-computed contamination list on a document feed —
+    batch or streaming. ``flagged`` is the (small) id list produced by
+    ``ngram_overlap_contamination`` over the historical corpus; ``docs``
+    may be a Structured Streaming frame, in which case this is a
+    stateless stream-static left_anti join (re-planned and broadcast per
+    micro-batch, zero streaming state) — the production enforcement
+    shape: the expensive overlap scan runs offline on the cluster, the
+    ingest stream only pays a broadcast-hash probe per row. Batch and
+    streaming runs of this function are row-identical (pinned in
+    tests/test_streaming.py)."""
+    return docs.join(
+        F.broadcast(flagged.select(id_col).distinct()), id_col, "left_anti"
+    )

@@ -332,3 +332,45 @@ def test_stateful_timeout_evicts_dormant_key(spark):
     assert 1 in k1 and max(k1) == 2, k1
     # active key accumulated straight through the eviction
     assert max(k2) == 3, k2
+
+
+def test_stream_decontam_gate_equals_batch(spark, sf_dir):
+    """Stateless stream-static anti-join gate: streaming enforcement of an
+    offline contamination list must equal the batch anti-join exactly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.pipeline import decontam as DC
+    from dsci551_edfs_spark.pipeline.curation import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    os.makedirs(SCRATCH, exist_ok=True)
+    d = tempfile.mkdtemp(dir=SCRATCH)
+    docs.repartition(5).write.mode("overwrite").parquet(d)
+
+    bench = docs.filter(md5_bucket("doc_id", 100) < 5)
+    train_ids = docs.filter(md5_bucket("doc_id", 100) >= 5)
+    flagged = (
+        DC.ngram_overlap_contamination(train_ids, bench, n=3, min_overlap=2)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    flagged.persist().count()  # static side: computed once, reused per batch
+
+    batch = DC.decontam_gate(spark.read.parquet(d), flagged).select("doc_id")
+    schema = spark.read.parquet(d).schema
+    stream_in = SW.stream_from_parquet(spark, d, schema, max_files=2)
+    gated = DC.decontam_gate(stream_in, flagged).select("doc_id")
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("decontam_gate_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.table("decontam_gate_t")
+    assert _as_sets(stream) == _as_sets(batch)
+    assert 0 < stream.count() < docs.count()  # gate dropped something
+    flagged.unpersist()
