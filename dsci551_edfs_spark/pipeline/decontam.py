@@ -29,13 +29,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingle_df
+from .dedup import _persist, shingle_df
 
 __all__ = ["ngram_overlap_contamination", "decontaminate", "decontam_gate"]
 
 
+def _posting(train: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gh): one exploded 8-byte gram-hash row per distinct doc gram."""
+    return (
+        shingle_df(train, text_col, id_col, n)
+        .select("id", F.explode("shingles").alias("sh"))
+        .select("id", F.xxhash64("sh").alias("gh"))
+    )
+
+
 def _overlap_hits(
-    train_sh: DataFrame,
+    posting: DataFrame,
     bench: DataFrame,
     text_col: str,
     id_col: str,
@@ -43,13 +52,9 @@ def _overlap_hits(
     broadcast_bench: bool,
 ) -> DataFrame:
     """(id, overlap_ngrams) for train docs with >= 1 shared n-gram.
-    ``train_sh`` is an already-shingled train frame (id, shingles)."""
-    # shingles are already distinct per doc (shingle_df array_distinct), so
-    # a plain count after the join is the distinct-overlap count.
-    posting = train_sh.select(
-        "id", F.explode("shingles").alias("sh")
-    ).select("id", F.xxhash64("sh").alias("gh"))
-
+    ``posting`` is an (id, gh) gram-hash posting frame (from ``_posting``).
+    Shingles are distinct per doc (shingle_df array_distinct), so a plain
+    count after the join is the distinct-overlap count."""
     bench_grams = (
         shingle_df(bench, text_col, id_col, n)
         .select(F.explode("shingles").alias("sh"))
@@ -83,11 +88,14 @@ def ngram_overlap_contamination(
     anywhere in ``bench``, ``contaminated`` whether that count reaches
     ``min_overlap``.
     """
-    train_sh = shingle_df(train, text_col, id_col, n)
-    sizes = train_sh.select(
-        "id", F.size("shingles").cast("long").alias("n_ngrams")
-    )
-    hits = _overlap_hits(train_sh, bench, text_col, id_col, n, broadcast_bench)
+    # One shingle pass: the persisted (id, gh) posting frame feeds BOTH
+    # the per-doc distinct-gram count (shingles are distinct, so a plain
+    # map-side-combinable count == size(shingles)) and the overlap join —
+    # without it, sizes and hits would each re-run tokenize+ngram+explode
+    # over the full corpus. Registered for dedup.release_cached().
+    posting = _persist(_posting(train, text_col, id_col, n))
+    sizes = posting.groupBy("id").agg(F.count("*").alias("n_ngrams"))
+    hits = _overlap_hits(posting, bench, text_col, id_col, n, broadcast_bench)
     return (
         sizes.join(hits, "id", "left")
         .select(
@@ -122,7 +130,7 @@ def decontaminate(
     so the removal path skips the shingle-size projection and its join."""
     flagged = (
         _overlap_hits(
-            shingle_df(train, text_col, id_col, n),
+            _posting(train, text_col, id_col, n),
             bench,
             text_col,
             id_col,
