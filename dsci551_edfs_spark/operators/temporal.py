@@ -130,13 +130,23 @@ def range_join_point_interval(
     """
     secs = _interval_seconds(bucket)
 
-    def _bucket_of(c):
-        return F.floor(F.col(c).cast("double") / secs).cast("long")
+    def _bucket_of(df, c):
+        col = F.col(c)
+        # TIMESTAMP_NTZ (parquet timestamp[us] without tz) can't cast to
+        # double directly; hop through TIMESTAMP_LTZ — the session TZ is
+        # pinned to UTC (session.py), so the epoch value is unchanged
+        if dict(df.dtypes).get(c) == "timestamp_ntz":
+            col = col.cast("timestamp")
+        return F.floor(col.cast("double") / secs).cast("long")
 
-    p = points.withColumn("_bsec", _bucket_of(point_ts))
+    p = points.withColumn("_bsec", _bucket_of(points, point_ts))
     iv = intervals.withColumn(
         "_bsec",
-        F.explode(F.sequence(_bucket_of(start_col), _bucket_of(end_col))),
+        F.explode(
+            F.sequence(
+                _bucket_of(intervals, start_col), _bucket_of(intervals, end_col)
+            )
+        ),
     )
     joined = p.join(iv, on="_bsec", how=how).filter(
         (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
