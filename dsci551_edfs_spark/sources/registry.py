@@ -55,6 +55,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division: ns epochs (~1.7e18) exceed double's 2^53
         # mantissa, so `/ 1000` + floor would corrupt the low microseconds
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # parquet timestamp[us] with isAdjustedToUTC=false reads as
+        # TIMESTAMP_NTZ, which streaming watermarks and epoch casts reject;
+        # session TZ is pinned UTC above, so NTZ→LTZ keeps the same instant
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
