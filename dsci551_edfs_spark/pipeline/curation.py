@@ -41,6 +41,7 @@ __all__ = [
     "md5_bucket",
     "deterministic_split",
     "stratified_sample",
+    "group_sample_topk",
     "upsample_repeat",
     "global_shuffle_order",
     "pack_sequences",
@@ -162,6 +163,34 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * 100)))
         ).otherwise(keep)
     return df.filter(b < keep)
+
+
+def group_sample_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group sampling: the k rows per group whose
+    md5(id-as-string) sorts first (id as tiebreak — md5 collisions are
+    practically impossible but determinism must not rest on that). Returns
+    the input columns plus ``sample_rank`` (1-based).
+
+    The hash order is a uniform shuffle of each group that every engine
+    reproduces — unlike ``rand()`` it survives retries, repartitioning and
+    engine swaps, so a 100 TB "give me 10k docs per source for eyeballing"
+    pull is stable run-over-run. Plan shape: one hash-partition shuffle on
+    the group key + per-partition top-k via the rank window — Spark pushes
+    a WindowGroupLimit before the full sort at execution, so state per
+    group is O(k), not O(|group|)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )
 
 
 def _bucketed_global_prefix(

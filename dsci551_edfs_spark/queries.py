@@ -2470,5 +2470,250 @@ def decontam_report(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Heuristic quality filters (pipeline/heuristics.py): C4 line/page rules
+# and Gopher document rules — the published web-corpus cleaning recipes
+# =====================================================================
+
+# The fixture corpus is one unpunctuated line per doc, so the C4 query
+# synthesizes pages deterministically (restated identically in the
+# oracle): 13 docs per page, terminal punctuation planted on doc_id % 3
+# (period) and % 5 (bang), blocklist content on % 89 ('{') and % 97
+# ('lorem ipsum') — so the blocklist, line and page rules all fire.
+
+
+def _c4_pages(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    deco = (
+        F.when(F.col("doc_id") % 89 == 0, F.lit(" {block}"))
+        .when(F.col("doc_id") % 97 == 0, F.lit(" lorem ipsum dolor."))
+        .when(F.col("doc_id") % 3 == 0, F.lit("."))
+        .when(F.col("doc_id") % 5 == 0, F.lit("!"))
+        .otherwise(F.lit(""))
+    )
+    lines = d.select(
+        F.floor(F.col("doc_id") / 13).cast("long").alias("page_id"),
+        "doc_id",
+        F.concat("text", deco).alias("line"),
+    )
+    return lines.groupBy("page_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
+_C4_LINES_SQL = """
+    lines AS (
+      SELECT doc_id // 13 AS page_id, doc_id,
+             text || CASE WHEN doc_id % 89 = 0 THEN ' {block}'
+                          WHEN doc_id % 97 = 0 THEN ' lorem ipsum dolor.'
+                          WHEN doc_id % 3 = 0 THEN '.'
+                          WHEN doc_id % 5 = 0 THEN '!'
+                          ELSE '' END AS line
+      FROM documents
+    ),
+    blocked AS (
+      SELECT DISTINCT page_id FROM lines
+      WHERE contains(lower(line), 'lorem ipsum') OR contains(line, '{')
+    ),
+    ok AS (SELECT * FROM lines
+           WHERE page_id NOT IN (SELECT page_id FROM blocked))
+"""
+
+
+@q(
+    "c4_page_clean",
+    f"""
+    WITH {_C4_LINES_SQL},
+    flg AS (
+      SELECT page_id, doc_id, line,
+             len(regexp_extract_all(trim(line), '\\S+')) AS n_words,
+             regexp_matches(trim(line), '[.!?"”]$') AS ends_punct
+      FROM ok
+    ),
+    tot AS (SELECT page_id, count(*) AS n_lines FROM ok GROUP BY page_id),
+    kept AS (
+      SELECT page_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY doc_id)) AS cleaned_md5
+      FROM flg WHERE ends_punct AND n_words >= 5
+      GROUP BY page_id HAVING count(*) >= 3
+    )
+    SELECT k.page_id,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(k.n_kept AS BIGINT) AS n_kept,
+           k.cleaned_md5
+    FROM kept k JOIN tot t USING (page_id)
+    """,
+)
+def c4_page_clean(spark, sf_dir):
+    """C4-style page cleaning (Raffel et al. 2020 §2.2): drop lines not
+    ending in terminal punctuation or under 5 words; drop pages with
+    blocklisted content ('lorem ipsum', '{') or fewer than 3 surviving
+    lines. cleaned_md5 stands in for the rebuilt page text (same trick as
+    boilerplate_removal) so the compare doesn't haul full pages."""
+    from .pipeline import heuristics as HEU
+
+    out = HEU.c4_clean(
+        _c4_pages(spark, sf_dir),
+        text_col="text",
+        id_col="page_id",
+        min_words_per_line=5,
+        min_kept_lines=3,
+    )
+    return out.select(
+        "page_id", "n_lines", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
+    )
+
+
+@q(
+    "gopher_quality_flags",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             regexp_extract_all(trim(text), '\\S+') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(words) AS nw,
+             round(length(regexp_replace(text, '\\s+', '', 'g'))
+                   / greatest(len(words), 1), 3) AS mean_word_len,
+             round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                   / greatest(len(words), 1), 4) AS symbol_word_ratio,
+             round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(len(words), 1), 3) AS alpha_word_frac,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(words, s))) AS hits
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           mean_word_len,
+           symbol_word_ratio,
+           alpha_word_frac,
+           CAST(hits AS BIGINT) AS stopword_hits,
+           (nw >= 50 AND nw <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.10
+            AND alpha_word_frac >= 0.80
+            AND hits >= 1) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 Table A1) as one
+    codegen projection — every doc with its metrics and per-rule verdict.
+    min_stopword_hits=1 here because the fixture vocabulary contains only
+    'the' from the required list; the operator default is the paper's 2."""
+    from .pipeline import heuristics as HEU
+
+    return HEU.gopher_quality_flags(
+        _t(spark, sf_dir, "documents"), min_stopword_hits=1
+    )
+
+
+# =====================================================================
+# Source mixture accounting: the per-source report + blocklist removal a
+# corpus owner runs before re-weighting the training mixture
+# =====================================================================
+
+_SOURCE_BLOCKLIST = ["src3", "src7", "src11", "src15"]
+
+
+@q(
+    "source_mix_report",
+    """
+    WITH tot AS (SELECT count(*) AS n, sum(n_chars) AS c FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           round(count(*) / (SELECT n FROM tot), 4) AS doc_share,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(n_chars) / (SELECT c FROM tot), 4) AS char_share,
+           round(avg(n_chars), 3) AS avg_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def source_mix_report(spark, sf_dir):
+    """Per-source mixture report: doc/char share of corpus, size stats,
+    language spread. The corpus totals come from a 1-row scalar aggregate
+    broadcast back (the q15 shape) — NOT an unpartitioned window."""
+    d = _t(spark, sf_dir, "documents")
+    tot = d.agg(F.count("*").alias("_n"), F.sum("n_chars").alias("_c"))
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("_chars"),
+        F.avg("n_chars").alias("_avg"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_n"), 4).alias("doc_share"),
+        F.col("_chars").cast("long").alias("total_chars"),
+        F.round(F.col("_chars") / F.col("_c"), 4).alias("char_share"),
+        F.round("_avg", 3).alias("avg_chars"),
+        "n_langs",
+    )
+
+
+@q(
+    "source_blocklist_clean",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source NOT IN ({", ".join(repr(s) for s in _SOURCE_BLOCKLIST)})
+    GROUP BY source
+    """,
+)
+def source_blocklist_clean(spark, sf_dir):
+    """Blocklist removal as a broadcast ANTI join against a blocklist
+    table (not an IN-literal): at 100 TB the blocklist is a maintained
+    table of thousands of domains, and the anti-join shape scales where a
+    growing literal predicate would not."""
+    d = _t(spark, sf_dir, "documents")
+    bl = spark.createDataFrame(
+        [(s,) for s in _SOURCE_BLOCKLIST], "source string"
+    )
+    return (
+        d.join(F.broadcast(bl), "source", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@q(
+    "group_sample_per_lang",
+    """
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def group_sample_per_lang(spark, sf_dir):
+    """Deterministic per-language sample (20 docs each) by md5 hash
+    order — the reproducible 'pull k docs per stratum' primitive
+    (pipeline/curation.py:group_sample_topk)."""
+    from .pipeline.curation import group_sample_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return group_sample_topk(d, ["lang"], 20)
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

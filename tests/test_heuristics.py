@@ -1,0 +1,109 @@
+"""Unit semantics for the C4 / Gopher heuristic filters and the
+deterministic per-group sampler (pipeline/heuristics.py, curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsci551_edfs_spark.pipeline import heuristics as HEU
+from dsci551_edfs_spark.pipeline.curation import group_sample_topk
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        # page 1: 3 good lines + 1 unpunctuated + 1 short -> kept (3 >= 3)
+        (1, "this is a fine sentence with words.\n"
+            "another proper sentence right here!\n"
+            "does this one also qualify today?\n"
+            "no terminal punctuation on this line\n"
+            "too short."),
+        # page 2: only 2 surviving lines -> dropped by min_kept_lines
+        (2, "a good long enough first sentence.\n"
+            "a good long enough second sentence.\n"
+            "word salad without any punctuation at all"),
+        # page 3: blocklisted content -> dropped before line rules
+        (3, "a perfectly good sentence sits here.\n"
+            "another fine sentence with Lorem Ipsum inside.\n"
+            "and a third one to pad the count."),
+        # page 4: brace blocklist
+        (4, "function foo() { return 1; }\n"
+            "a good sentence that would otherwise survive.\n"
+            "and another good one right behind it.\n"
+            "plus a third fine sentence here too."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_clean_page_rules(pages):
+    out = HEU.c4_clean(pages, min_words_per_line=5, min_kept_lines=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_lines"] == 5
+    assert rows[1]["n_kept"] == 3
+    # kept lines rejoined in original order
+    assert rows[1]["cleaned_text"].split("\n") == [
+        "this is a fine sentence with words.",
+        "another proper sentence right here!",
+        "does this one also qualify today?",
+    ]
+
+
+def test_c4_line_flags_word_count_and_punct(spark):
+    lines = spark.createDataFrame(
+        [("one two three four five.",), ("one two three four five",),
+         ("short.",), ("  padded line with six words here!  ",)],
+        "line string",
+    )
+    got = HEU.c4_line_flags(lines, min_words=5).collect()
+    assert [r["line_keep"] for r in got] == [True, False, False, True]
+    assert got[0]["n_words"] == 5
+
+
+def test_gopher_flags_rules(spark):
+    long_good = " ".join(["the if word walk stone"] * 12)  # 60 words, has 'the'
+    short = "the quick brown fox"
+    symbols = " ".join(["word ### ... ..."] * 20)  # symbol-heavy
+    numeric = " ".join(["1234 5678"] * 30)  # no alpha words
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, symbols), (4, numeric)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            HEU.gopher_quality_flags(df, min_stopword_hits=1).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False          # under min word count
+    assert rows[2]["n_words"] == 4
+    assert rows[3]["keep"] is False          # symbol ratio over 0.1
+    assert rows[3]["symbol_word_ratio"] > 0.1
+    assert rows[4]["keep"] is False          # alpha fraction 0
+    assert rows[4]["alpha_word_frac"] == 0.0
+    assert rows[1]["stopword_hits"] == 1     # only 'the' from the list
+
+
+def test_gopher_clean_applies_verdict(spark):
+    long_good = " ".join(["the and of walk stone"] * 12)
+    df = spark.createDataFrame(
+        [(1, long_good), (2, "tiny")], "doc_id long, text string"
+    )
+    kept = HEU.gopher_clean(df, min_stopword_hits=1)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert "keep" not in kept.columns
+
+
+def test_group_sample_topk_deterministic(spark, sf_dir):
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = group_sample_topk(d, ["lang"], 5)
+    b = group_sample_topk(d.repartition(13), ["lang"], 5)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # partitioning-independent
+    per = a.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # rank is 1..k contiguous within each group
+    ranks = a.groupBy("lang").agg(
+        F.min("sample_rank").alias("lo"), F.max("sample_rank").alias("hi"),
+        F.count("*").alias("n")
+    ).collect()
+    assert all(r["lo"] == 1 and r["hi"] == r["n"] for r in ranks)
