@@ -23,6 +23,7 @@ bitwise ops) — zero Python in the hot path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +35,8 @@ __all__ = [
     "exact_dedup",
     "shingle_df",
     "incremental_exact_dedup",
+    "build_fingerprint_bloom",
+    "incremental_exact_dedup_bloom",
     "minhash_signature",
     "minhash_candidate_pairs",
     "minhash_dedup_pairs",
@@ -131,6 +134,110 @@ def incremental_exact_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
+    return fresh.drop("fp").join(keep, id_col, "left_semi")
+
+
+# ----------------------------------------------------- bloom prefilter
+
+def _bloom_hashes(fp_col):
+    """Two independent 64-bit hashes of the fingerprint; bit positions come
+    from double hashing h1 + i*h2 (Kirsch-Mitzenmacher), so any number of
+    index functions derives from two JVM xxhash64 calls."""
+    return F.xxhash64(fp_col), F.xxhash64(fp_col, F.lit(1))
+
+
+def build_fingerprint_bloom(
+    existing: DataFrame,
+    text_col: str = "text",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 4,
+) -> "np.ndarray":
+    """Distributed Bloom-filter build over the corpus fingerprint set:
+    each partition scatters its hashes into a local num_bits bitset (one
+    Arrow pass, numpy scatter), the per-partition bitsets are OR-merged on
+    the driver, and the result broadcasts to executors as num_bits/8 bytes.
+
+    num_bits must be a power of two. Default 4 Mi bits = 512 KiB — at 1%
+    target FPR that covers ~400k fingerprints; a 100 TB corpus sizes this
+    up (num_bits ≈ 10·n_fingerprints for ~1% with 4 hashes) and the merge
+    cost stays #partitions × bitset, independent of corpus rows."""
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    h1, h2 = _bloom_hashes(fingerprint(text_col))
+    fps = existing.select(h1.alias("h1"), h2.alias("h2"))
+    nbytes = num_bits // 8
+    mask = np.uint64(num_bits - 1)
+
+    def partial(batches):
+        import pandas as pd
+
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = pdf["h1"].to_numpy().astype(np.uint64)
+            b = pdf["h2"].to_numpy().astype(np.uint64)
+            for i in range(num_hashes):
+                idx = (a + np.uint64(i) * b) & mask
+                np.bitwise_or.at(
+                    bits,
+                    (idx >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+                )
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for row in fps.mapInPandas(partial, "bits binary").collect():
+        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return acc
+
+
+def incremental_exact_dedup_bloom(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """`incremental_exact_dedup` with a Bloom prefilter — IDENTICAL result
+    (the filter has no false negatives; positives are exact-verified), but
+    the corpus anti-join only sees the ~FPR·|new| + true-duplicate rows
+    instead of the whole incoming shard. On a steady-state crawl where
+    95%+ of a shard is genuinely new content, that turns the dominant
+    anti-join shuffle into a sliver AQE can broadcast, for the price of a
+    one-pass bitset build the corpus index can persist across shards.
+    """
+    bits = build_fingerprint_bloom(existing, text_col, num_bits, num_hashes)
+    bc = new_docs.sparkSession.sparkContext.broadcast(bits)
+    mask = np.uint64(num_bits - 1)
+
+    @F.pandas_udf("boolean")
+    def maybe_in_corpus(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        b = bc.value
+        a = h1.to_numpy().astype(np.uint64)
+        c = h2.to_numpy().astype(np.uint64)
+        res = np.ones(len(a), dtype=bool)
+        for i in range(num_hashes):
+            idx = (a + np.uint64(i) * c) & mask
+            byte = b[(idx >> np.uint64(3)).astype(np.int64)]
+            res &= ((byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1) == 1
+        return pd.Series(res)
+
+    h1, h2 = _bloom_hashes(F.col("fp"))
+    flagged = (
+        new_docs.withColumn("fp", fingerprint(text_col))
+        .withColumn("_maybe", maybe_in_corpus(h1, h2))
+    )
+    # two consumers (the definite-new branch and the verify branch) — pin
+    # so the scan + fingerprint + membership test run once
+    flagged = _persist(flagged)
+    definite_new = flagged.filter(~F.col("_maybe"))
+    candidates = flagged.filter(F.col("_maybe"))
+    existing_fp = existing.select(fingerprint(text_col).alias("fp")).distinct()
+    verified_new = candidates.join(existing_fp, "fp", "left_anti")
+    fresh = definite_new.unionByName(verified_new).drop("_maybe")
+    keep = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
     return fresh.drop("fp").join(keep, id_col, "left_semi")
 
 

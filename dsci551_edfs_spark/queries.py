@@ -1377,6 +1377,24 @@ def incremental_dedup(spark, sf_dir):
     return DD.incremental_exact_dedup(incoming, existing).select("doc_id", "lang")
 
 
+@q(
+    "incremental_dedup_bloom",
+    ORACLES.get("incremental_dedup"),
+)
+def incremental_dedup_bloom(spark, sf_dir):
+    """Same contract as `incremental_dedup` (identical oracle — the Bloom
+    prefilter is exact end-to-end: no false negatives, positives verified
+    against the fingerprint set), but only the ~FPR + true-dup sliver of
+    the incoming shard reaches the corpus anti-join
+    (pipeline/dedup.py:incremental_exact_dedup_bloom)."""
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return DD.incremental_exact_dedup_bloom(incoming, existing).select(
+        "doc_id", "lang"
+    )
+
+
 # =====================================================================
 # Skew, grouping sets, window-function breadth, pivot
 # =====================================================================
