@@ -2327,6 +2327,29 @@ def ann_topk_int8(spark, sf_dir):
     )
 
 
+@q("ann_topk_pq")  # rows-only: PQ quantization is approximate by design
+def ann_topk_pq(spark, sf_dir):
+    """Product-quantization two-stage top-5 for 10 query vectors: ADC
+    shortlist over 16-subspace × 64-code codes (12 bytes/vector vs 512
+    for float64), exact re-rank of the top-50 shortlist. Recall vs the
+    exact scan is pinned in pytest (pipeline/similarity.py:pq_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_subspaces=16,
+        n_codes=64,
+        rerank_k=50,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 # =====================================================================
 # DSIR-style importance scoring (hashed n-gram log-likelihood ratio)
 # =====================================================================
