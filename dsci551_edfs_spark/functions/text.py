@@ -15,7 +15,7 @@ Operators (graded as first-class engine components):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -28,6 +28,8 @@ __all__ = [
     "fingerprint",
     "LANG_STOPWORDS",
     "lang_id",
+    "build_vocab",
+    "encode_docs",
 ]
 
 # BPE-ish pre-tokenizer: word pieces or single non-space punctuation —
@@ -212,4 +214,97 @@ def lang_id(
         F.col(id_col),
         pick.alias("lang_pred"),
         best.cast("long").alias("lang_score"),
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int | None = None,
+    min_count: int = 1,
+    rank_partitions: int = 32,
+) -> DataFrame:
+    """Corpus vocabulary with dense 1-based ids ordered by (count desc,
+    token asc): ``(token, token_id, cnt)``. Id 0 is reserved for OOV (see
+    `encode_docs`).
+
+    The global dense rank deliberately avoids the single-partition window
+    trap: rows are range-partitioned on the sort key, each partition ranks
+    locally (window partitioned by spark_partition_id), and the
+    per-partition row counts — `rank_partitions` numbers — come to the
+    driver once to compute each partition's global offset. Same two-phase
+    shape as curation's 256-bucket global prefix, generalized to an
+    arbitrary sort order: a billion-token vocabulary ranks fully parallel
+    with one tiny driver exchange.
+
+    localCheckpoint pins the ranked frame because two jobs consume it (the
+    sizes collect, then the final projection) and a re-executed
+    `repartitionByRange` could re-sample different range boundaries —
+    offsets must be computed against the exact partitioning the final
+    pass reads."""
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
+    if top_n is not None:
+        # TakeOrdered top-n (scale-safe), not a global sort
+        counts = counts.orderBy(F.col("cnt").desc(), "token").limit(top_n)
+    ranked = counts.repartitionByRange(
+        rank_partitions, F.col("cnt").desc(), F.col("token").asc()
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    acc, offs = 0, []
+    for pid in range(rank_partitions):
+        offs.append((pid, acc))
+        acc += int(sizes.get(pid, 0))
+    off_df = ranked.sparkSession.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(F.col("cnt").desc(), "token")
+    return (
+        ranked.join(F.broadcast(off_df), "_pid")
+        .withColumn("token_id", F.col("_off") + F.row_number().over(w))
+        .select("token", F.col("token_id").cast("long"), F.col("cnt").cast("long"))
+    )
+
+
+def encode_docs(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode each document as its token-id sequence against a vocabulary
+    (`build_vocab` output): ``(id, token_ids array<long>, n_tokens,
+    n_oov)`` with out-of-vocabulary tokens mapped to ``oov_id``.
+
+    Scale shape: tokens explode with position, the vocabulary joins as a
+    BROADCAST (a 1M-token vocab is a few MB — never shuffle the corpus on
+    the token key for a dictionary lookup), and each doc reassembles its
+    id sequence in token order via the same groupBy + array_sort(struct)
+    reconstruction the curation reassembly paths use. One shuffle, keyed
+    by doc id."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    )
+    j = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.coalesce("token_id", F.lit(oov_id)).cast("long").alias("tid"),
+    )
+    return j.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda x: x["tid"]
+        ).alias("token_ids"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == oov_id, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
     )

@@ -855,6 +855,70 @@ def token_frequencies(spark, sf_dir):
     )
 
 
+_VOCAB_SQL = rf"""
+    vocab AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+               AS token_id,
+             CAST(cnt AS BIGINT) AS cnt
+      FROM (SELECT token, count(*) AS cnt FROM
+              (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+            GROUP BY token)
+      QUALIFY token_id <= 200
+    )
+"""
+
+
+@q(
+    "vocab_top200",
+    f"WITH {_VOCAB_SQL} SELECT token, token_id, cnt FROM vocab",
+)
+def vocab_top200(spark, sf_dir):
+    """Dense-id vocabulary (top 200 by count desc, token asc). The global
+    rank uses the two-phase range-partition + offset shape
+    (functions/text.py:build_vocab) — never a single-partition window."""
+    return TXT.build_vocab(_t(spark, sf_dir, "documents"), top_n=200)
+
+
+@q(
+    "encode_docs_vocab",
+    rf"""
+    WITH {_VOCAB_SQL},
+    toks AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    j AS (
+      SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
+      FROM toks t LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def encode_docs_vocab(spark, sf_dir):
+    """Token-id encoding of every document against the top-200 vocabulary
+    (OOV → 0): broadcast dictionary join + in-order sequence reassembly
+    (functions/text.py:encode_docs). The id sequence is md5'd for the
+    compare so full arrays never cross the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = TXT.build_vocab(docs, top_n=200)
+    enc = TXT.encode_docs(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("token_ids"), lambda x: x.cast("string")), ","
+            )
+        ).alias("ids_md5"),
+    )
+
+
 # =====================================================================
 # Streaming-window semantics in batch mode (streaming/windows.py shares
 # the same functions; batch run == oracle for the streaming run)

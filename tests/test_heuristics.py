@@ -107,3 +107,37 @@ def test_group_sample_topk_deterministic(spark, sf_dir):
         F.count("*").alias("n")
     ).collect()
     assert all(r["lo"] == 1 and r["hi"] == r["n"] for r in ranks)
+
+
+def test_build_vocab_dense_ids_and_order(spark, sf_dir):
+    from dsci551_edfs_spark.functions.text import build_vocab
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = build_vocab(docs, top_n=10).collect()
+    assert len(v) == 10
+    ids = sorted(r["token_id"] for r in v)
+    assert ids == list(range(1, 11))  # dense, 1-based
+    ordered = sorted(v, key=lambda r: r["token_id"])
+    counts = [r["cnt"] for r in ordered]
+    assert counts == sorted(counts, reverse=True)
+    # rank 1 is the corpus-wide most frequent token
+    top = max(v, key=lambda r: r["cnt"])
+    assert ordered[0]["token"] == top["token"]
+    # deterministic under a different input partitioning
+    v2 = build_vocab(docs.repartition(7), top_n=10).collect()
+    assert sorted(map(tuple, v)) == sorted(map(tuple, v2))
+
+
+def test_encode_docs_roundtrip_and_oov(spark):
+    from dsci551_edfs_spark.functions.text import build_vocab, encode_docs
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "bb zz aa")], "doc_id long, text string"
+    )
+    vocab = build_vocab(df, top_n=2)  # aa(3) -> 1, bb(2) -> 2; cc/zz OOV
+    rows = {r["doc_id"]: r for r in encode_docs(df, vocab).collect()}
+    assert rows[1]["token_ids"] == [1, 2, 1, 0]
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_oov"] == 1
+    assert rows[2]["token_ids"] == [2, 0, 1]
+    assert rows[2]["n_oov"] == 1
