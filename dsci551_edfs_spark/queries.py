@@ -1220,6 +1220,33 @@ def stateful_user_stats(spark, sf_dir):
     return out.withColumn("sum_value", F.round("sum_value", 3))
 
 
+@q(
+    "stream_exactly_once_sink",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_exactly_once_sink(spark, sf_dir):
+    """RUNS a real Structured Streaming query (availableNow) through the
+    idempotent foreachBatch parquet sink (streaming/sinks.py) and reads
+    the landed output back: exactly-once means the sink equals the input
+    row-for-row — which is exactly what the oracle states. Replay
+    idempotency is additionally pinned in test_streaming.py."""
+    from .streaming import sinks as SK
+    from .streaming import windows as SW
+
+    ev = _t(spark, sf_dir, "events")
+    base = _scratch_dir("eo_sink")
+    watch = os.path.join(base, "in")
+    ev.repartition(4).write.mode("overwrite").parquet(watch)
+    src = SW.stream_from_parquet(spark, watch, ev.schema, max_files=2)
+    sq = SK.exactly_once_parquet_sink(
+        src, os.path.join(base, "out"), os.path.join(base, "ckpt"), "eo_query"
+    )
+    sq.awaitTermination(300)
+    return SK.read_exactly_once(spark, os.path.join(base, "out")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 # =====================================================================
 # Sketch aggregates (operators/sketches.py)
 # =====================================================================

@@ -374,3 +374,50 @@ def test_stream_decontam_gate_equals_batch(spark, sf_dir):
     assert _as_sets(stream) == _as_sets(batch)
     assert 0 < stream.count() < docs.count()  # gate dropped something
     flagged.unpersist()
+
+
+def test_exactly_once_sink_idempotent_replay(spark, event_dir):
+    """The foreachBatch parquet sink must (a) land every input row exactly
+    once across micro-batches, (b) absorb a replay of an already-committed
+    batch without duplicating, and (c) restart from the checkpoint without
+    re-emitting committed batches."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.streaming import sinks as SK
+
+    ev = _batch(spark, event_dir)
+    watch = tempfile.mkdtemp(dir=SCRATCH)
+    out = tempfile.mkdtemp(dir=SCRATCH)
+    ckpt = tempfile.mkdtemp(dir=SCRATCH)
+    for i, f in enumerate(glob.glob(os.path.join(event_dir, "*.parquet"))):
+        shutil.copy(f, os.path.join(watch, f"a_{i}.parquet"))
+
+    src = SW.stream_from_parquet(spark, watch, ev.schema, max_files=2)
+    q = SK.exactly_once_parquet_sink(src, out, ckpt, "eo_sink")
+    q.awaitTermination(120)
+    got = SK.read_exactly_once(spark, out)
+    assert got.count() == ev.count()
+    n_batches = spark.read.parquet(out).select("_batch_id").distinct().count()
+    assert n_batches >= 2  # maxFilesPerTrigger=2 over 6 files
+
+    # (b) replay a committed batch id with the same data slice: no dupes
+    some_bid = spark.read.parquet(out).agg(F.min("_batch_id")).first()[0]
+    slice_df = spark.read.parquet(out).filter(
+        F.col("_batch_id") == some_bid
+    ).drop("_batch_id")
+    SK.write_batch_idempotent(slice_df, some_bid, out)
+    assert SK.read_exactly_once(spark, out).count() == ev.count()
+
+    # (c) restart from checkpoint with one new file: only new rows land
+    extra = ev.limit(7).withColumn("event_id", F.col("event_id") + 10_000_000)
+    stage = tempfile.mkdtemp(dir=SCRATCH)
+    extra.coalesce(1).write.mode("overwrite").parquet(stage)
+    for i, f in enumerate(glob.glob(os.path.join(stage, "*.parquet"))):
+        shutil.copy(f, os.path.join(watch, f"b_{i}.parquet"))
+    src2 = SW.stream_from_parquet(spark, watch, ev.schema, max_files=2)
+    q2 = SK.exactly_once_parquet_sink(src2, out, ckpt, "eo_sink2")
+    q2.awaitTermination(120)
+    assert SK.read_exactly_once(spark, out).count() == ev.count() + 7
