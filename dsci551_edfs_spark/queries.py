@@ -2847,5 +2847,51 @@ def group_sample_per_lang(spark, sf_dir):
     return group_sample_topk(d, ["lang"], 20)
 
 
+# =====================================================================
+# Z-order layout (sources/layout.py): Morton z-values for two-dimensional
+# data skipping — Delta/Iceberg OPTIMIZE ZORDER on plain parquet
+# =====================================================================
+
+@q(
+    "zorder_zvalues",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_custkey % 256 AS ab,
+             CAST(floor(o_totalprice) AS BIGINT) % 256 AS bb
+      FROM orders
+    ),
+    s1 AS (SELECT o_orderkey,
+                  (ab | (ab << 8)) & 16711935 AS xa,
+                  (bb | (bb << 8)) & 16711935 AS xb FROM b),
+    s2 AS (SELECT o_orderkey,
+                  (xa | (xa << 4)) & 252645135 AS xa,
+                  (xb | (xb << 4)) & 252645135 AS xb FROM s1),
+    s3 AS (SELECT o_orderkey,
+                  (xa | (xa << 2)) & 858993459 AS xa,
+                  (xb | (xb << 2)) & 858993459 AS xb FROM s2),
+    s4 AS (SELECT o_orderkey,
+                  (xa | (xa << 1)) & 1431655765 AS xa,
+                  (xb | (xb << 1)) & 1431655765 AS xb FROM s3)
+    SELECT o_orderkey, CAST(xa | (xb << 1) AS BIGINT) AS zval FROM s4
+    """,
+)
+def zorder_zvalues(spark, sf_dir):
+    """Morton z-value per order row over integer-exact bucket ids
+    (o_custkey % 256, bigint(o_totalprice) % 256 — deterministic on both
+    engines; the min/max-normalized bucketing lives in
+    sources/layout.py:zorder_layout and is pinned in tests). The oracle
+    restates the 4-step magic-mask spread bit-for-bit."""
+    from .sources.layout import zvalue16
+
+    o = _t(spark, sf_dir, "orders")
+    ab = (F.col("o_custkey") % 256).cast("long")
+    # floor, not cast: CAST(double AS BIGINT) truncates in Spark but
+    # ROUNDS in DuckDB — floor() agrees everywhere
+    bb = (F.floor("o_totalprice") % 256).cast("long")
+    return o.select(
+        "o_orderkey", zvalue16(ab, bb).cast("long").alias("zval")
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

@@ -1,0 +1,92 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+two-column data skipping on plain parquet.
+
+A table range-partitioned and sorted on ONE column skips beautifully on
+that column and not at all on any other. Interleaving the bits of two
+bucketized dimensions into a Morton z-value and laying the table out in
+z-order gives every file a tight min/max envelope on BOTH dimensions —
+the same trick Delta's OPTIMIZE ZORDER and Iceberg's z-ordered rewrites
+apply, reproduced here with nothing but Catalyst expressions +
+``repartitionByRange``.
+
+Scale notes:
+- The z-value is pure codegen bit-math (the classic 4-step magic-mask
+  spread), so the layout pass costs one range shuffle — the same price as
+  any global sort — and no Python anywhere.
+- ``repartitionByRange`` on the z-value gives ordered output files whose
+  parquet footer min/max stats prune on both dimensions; the
+  effectiveness contract (per-file spans shrink on BOTH dims vs a
+  single-column sort) is pinned in tests/test_layout.py.
+- Bucketization to 2^bits cells bounds the value domain; 16 bits/dim
+  (65536 cells) is plenty — skip granularity is files, not cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["spread_bits16", "zvalue16", "zorder_layout"]
+
+_MASKS16 = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def spread_bits16(c: Column) -> Column:
+    """Spread the low 16 bits of ``c`` so bit i lands at position 2i —
+    the standard magic-mask interleave half (4 shift+mask steps, exactly
+    restatable in any SQL dialect with <<, &, |)."""
+    x = c.cast("long")
+    for shift, mask in _MASKS16:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zvalue16(a: Column, b: Column) -> Column:
+    """Morton z-value of two 16-bit bucket ids: interleave a's bits at
+    even positions, b's at odd. Inputs must already be in [0, 65536)."""
+    return spread_bits16(a).bitwiseOR(F.shiftleft(spread_bits16(b), 1))
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_partitions: int = 32,
+    bits: int = 8,
+    bounds: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Return ``df`` re-laid-out in z-order on (col_a, col_b): both
+    columns are min/max-normalized into 2^bits buckets (bounds from one
+    scalar-agg pass unless provided), bucket ids interleave into ``_z``,
+    and the frame is range-partitioned + sorted on ``_z``.
+
+    Write the result with ``.write.parquet`` and every file carries tight
+    footer min/max on BOTH columns — a filter on either dimension prunes
+    files. The two jobs (bounds scan + layout shuffle) are each one pass;
+    pass ``bounds`` to skip the scan when stats are already known."""
+    if bounds is None:
+        row = df.agg(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).first()
+        bounds = tuple(float(v) for v in row)
+    amin, amax, bmin, bmax = bounds
+    cells = (1 << bits) - 1
+
+    def bucket(c: str, lo: float, hi: float) -> Column:
+        span = (hi - lo) or 1.0
+        return F.least(
+            F.floor((F.col(c) - F.lit(lo)) / F.lit(span) * (cells + 1)),
+            F.lit(cells),
+        ).cast("long")
+
+    z = zvalue16(bucket(col_a, amin, amax), bucket(col_b, bmin, bmax))
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_partitions, "_z")
+        .sortWithinPartitions("_z")
+    )
