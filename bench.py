@@ -52,6 +52,13 @@ HEADLINE = [
     "decontam_overlap",
     "boilerplate_removal",
     "semantic_dedup",
+    # round-4 additions
+    "c4_page_clean",
+    "gopher_quality_flags",
+    "encode_docs_vocab",
+    "incremental_dedup_bloom",
+    "ann_topk_pq",
+    "zorder_zvalues",
 ]
 
 

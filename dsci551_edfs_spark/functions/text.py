@@ -30,6 +30,7 @@ __all__ = [
     "lang_id",
     "build_vocab",
     "encode_docs",
+    "bpe_merge_candidates",
 ]
 
 # BPE-ish pre-tokenizer: word pieces or single non-space punctuation —
@@ -307,4 +308,35 @@ def encode_docs(
         F.sum(F.when(F.col("tid") == oov_id, 1).otherwise(0))
         .cast("long")
         .alias("n_oov"),
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """The first iteration of BPE tokenizer training, distributed: count
+    adjacent character-pair frequencies across every word occurrence in
+    the corpus and return the ``top_n`` merge candidates — ``(pair, cnt)``
+    by (count desc, pair asc).
+
+    Pure codegen: tokenize → per-word substring pairs via
+    transform(sequence) → explode → count. One shuffle on the 2-char pair
+    key; a full BPE train is this counting step iterated with a growing
+    merge table, and each iteration keeps this exact map-side-combinable
+    shape (the driver only ever sees the argmax pair, not the counts)."""
+    toks = tokens(F.col(text_col))
+    words = df.select(F.explode(toks).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(top_n)
     )

@@ -42,6 +42,7 @@ __all__ = [
     "deterministic_split",
     "stratified_sample",
     "group_sample_topk",
+    "chunk_documents",
     "upsample_repeat",
     "global_shuffle_order",
     "pack_sequences",
@@ -190,6 +191,44 @@ def group_sample_topk(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
         .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking for long-document training: token windows
+    of ``chunk_tokens`` starting every ``stride`` tokens (stride <
+    chunk_tokens ⇒ overlap, the usual context-carryover recipe). Returns
+    ``(id, chunk_idx, n_chunk_tokens, chunk_text)`` — the final window is
+    the natural tail remainder.
+
+    Pure codegen: tokenize → explode the start-offset sequence → slice.
+    No shuffle at all (chunks inherit the document's partition), which is
+    exactly what a 100 TB chunking pass should be: a map-only job whose
+    output feeds the pack/shuffle stages downstream."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    ex = base.select(
+        id_col, "_toks", "_n", F.explode(starts).alias("_start")
+    )
+    chunk = F.slice("_toks", F.col("_start") + 1, chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        (F.col("_start") / stride).cast("long").alias("chunk_idx"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
     )
 
 

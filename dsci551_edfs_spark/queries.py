@@ -2847,6 +2847,60 @@ def group_sample_per_lang(spark, sf_dir):
     return group_sample_topk(d, ["lang"], 20)
 
 
+@q(
+    "doc_chunks",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, len(toks), 24)) AS start
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_idx,
+           CAST(least(32, n - start) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[start + 1 : start + 32], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (32-token windows, stride 24 — overlap 8):
+    the long-document → training-context splitter
+    (pipeline/curation.py:chunk_documents). Map-only, no shuffle; chunk
+    text is md5'd for the compare."""
+    from .pipeline.curation import chunk_documents
+
+    out = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@q(
+    "bpe_merge_top20",
+    rf"""
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM (
+      SELECT pair, count(*) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, CAST(i AS INT), 2))) AS pair
+        FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+        WHERE length(w) >= 2)
+      GROUP BY pair)
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_top20(spark, sf_dir):
+    """First BPE training iteration, distributed: adjacent character-pair
+    counts over every word occurrence, top-20 merge candidates
+    (functions/text.py:bpe_merge_candidates)."""
+    return TXT.bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_n=20)
+
+
 # =====================================================================
 # Z-order layout (sources/layout.py): Morton z-values for two-dimensional
 # data skipping — Delta/Iceberg OPTIMIZE ZORDER on plain parquet

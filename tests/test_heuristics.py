@@ -141,3 +141,43 @@ def test_encode_docs_roundtrip_and_oov(spark):
     assert rows[1]["n_tokens"] == 4 and rows[1]["n_oov"] == 1
     assert rows[2]["token_ids"] == [2, 0, 1]
     assert rows[2]["n_oov"] == 1
+
+
+def test_chunk_documents_windows(spark):
+    from dsci551_edfs_spark.pipeline.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "one")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # starts 0,3,6,9 -> windows of 4,4,4,1
+    assert [r["n_chunk_tokens"] for r in d1] == [4, 4, 4, 1]
+    assert d1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert d1[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert d1[3]["chunk_text"] == "t9"
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "one"
+    # overlap: consecutive windows share chunk_tokens - stride tokens
+    assert d1[0]["chunk_text"].split()[3] == d1[1]["chunk_text"].split()[0]
+
+
+def test_bpe_merge_candidates_counts(spark):
+    from dsci551_edfs_spark.functions.text import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "ban")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["cnt"] for r in bpe_merge_candidates(df, top_n=50).collect()}
+    # an: b-an-ana / b-an-dana / b-an  -> 2+2+1... count manually:
+    # banana: ba an na an na -> an:2 na:2 ba:1
+    # bandana: ba an nd da an na -> an:2 na:1 nd:1 da:1 ba:1
+    # ban: ba an -> an:1 ba:1
+    assert got["an"] == 5
+    assert got["na"] == 3
+    assert got["ba"] == 3
+    assert got["nd"] == 1
