@@ -2847,6 +2847,73 @@ def group_sample_per_lang(spark, sf_dir):
     return group_sample_topk(d, ["lang"], 20)
 
 
+_BG_SQL = rf"""
+    t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1 : len(toks) - 1]) AS w1,
+             unnest(toks[2 : len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    )
+"""
+
+
+@q(
+    "bigram_lm_table",
+    f"""
+    WITH {_BG_SQL},
+    pc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+    cc AS (SELECT w1, count(*) AS ctx_cnt FROM bg GROUP BY w1)
+    SELECT p.w1, p.w2,
+           CAST(p.cnt AS BIGINT) AS cnt,
+           CAST(c.ctx_cnt AS BIGINT) AS ctx_cnt,
+           CAST(round(ln(p.cnt / c.ctx_cnt) * 1000000) AS BIGINT) AS logp_micro
+    FROM pc p JOIN cc c USING (w1)
+    """,
+)
+def bigram_lm_table(spark, sf_dir):
+    """Distributed bigram LM training (pipeline/lm.py:bigram_lm): MLE
+    conditional probabilities as exact integer micro-nats."""
+    from .pipeline import lm as LM
+
+    return LM.bigram_lm(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_perplexity_lm",
+    f"""
+    WITH {_BG_SQL},
+    pc AS (SELECT w1, w2, count(*) AS cnt FROM bg
+           WHERE doc_id % 5 != 0 GROUP BY w1, w2),
+    cc AS (SELECT w1, count(*) AS ctx_cnt FROM bg
+           WHERE doc_id % 5 != 0 GROUP BY w1),
+    lm AS (SELECT p.w1, p.w2,
+                  CAST(round(ln(p.cnt / c.ctx_cnt) * 1000000) AS BIGINT) AS lp
+           FROM pc p JOIN cc c USING (w1)),
+    sc AS (SELECT b.doc_id, coalesce(l.lp, -13815511) AS lp
+           FROM bg b LEFT JOIN lm l USING (w1, w2)
+           WHERE b.doc_id % 5 = 0),
+    a AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS micro
+          FROM sc GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(-micro / 1000000.0 / n_bigrams, 6) AS avg_neg_logp,
+           round(exp(round(-micro / 1000000.0 / n_bigrams, 6)), 3) AS ppl
+    FROM a
+    """,
+)
+def doc_perplexity_lm(spark, sf_dir):
+    """CCNet-style LM quality signal: train the bigram LM on the corpus
+    side (doc_id % 5 != 0), score the incoming shard (doc_id % 5 == 0)
+    with exact integer micro-nat sums — no FP accumulation-order
+    divergence (pipeline/lm.py:doc_perplexity)."""
+    from .pipeline import lm as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = LM.bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
+    return LM.doc_perplexity(docs.filter(F.col("doc_id") % 5 == 0), lm)
+
+
 @q(
     "doc_chunks",
     rf"""

@@ -181,3 +181,30 @@ def test_bpe_merge_candidates_counts(spark):
     assert got["na"] == 3
     assert got["ba"] == 3
     assert got["nd"] == 1
+
+
+def test_bigram_lm_and_perplexity(spark):
+    import math
+
+    from dsci551_edfs_spark.pipeline import lm as LM
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a c")], "doc_id long, text string"
+    )
+    lm = {(r["w1"], r["w2"]): r for r in LM.bigram_lm(train).collect()}
+    # contexts: 'a'->b,b,b,c (4), 'b'->a,a (2)
+    assert lm[("a", "b")]["cnt"] == 3 and lm[("a", "b")]["ctx_cnt"] == 4
+    assert lm[("a", "c")]["cnt"] == 1
+    assert lm[("b", "a")]["ctx_cnt"] == 2
+    assert lm[("a", "b")]["logp_micro"] == round(math.log(3 / 4) * 1e6)
+
+    model = LM.bigram_lm(train)
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "z z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in LM.doc_perplexity(score, model).collect()}
+    assert got[10]["n_bigrams"] == 1
+    assert abs(got[10]["avg_neg_logp"] - (-round(math.log(3 / 4) * 1e6) / 1e6)) < 1e-9
+    # fully-OOV doc sits at the floor: ppl = exp(13.815511)
+    assert got[11]["avg_neg_logp"] == 13.815511
+    assert got[11]["ppl"] > 990_000
