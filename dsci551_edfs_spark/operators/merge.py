@@ -1,0 +1,66 @@
+"""MERGE INTO (upsert) as a pure DataFrame composition — the Delta/Iceberg
+``MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`` semantics over
+plain tables.
+
+Spark SQL has no MERGE against parquet; lakehouses implement it as a
+join-and-rewrite. That join-and-rewrite IS the operator here, engine-side:
+
+    merged = target ⟕ source (full outer on key)
+      matched        → source values win (the UPDATE branch)
+      source-only    → insert
+      target-only    → carry through unchanged
+
+Scale notes:
+- One shuffle per side on the merge key — identical cost to the
+  lakehouse implementation before file-level pruning; with both sides
+  bucketed on the key (sources/bucketing.py) the exchanges vanish.
+- The rewrite is columnar and null-safe: each output column is
+  ``coalesce(source.c, target.c)`` only for UPDATE columns; key columns
+  come from ``coalesce(source.key, target.key)``.
+- ``_merge_action`` ('update' | 'insert' | 'keep') is emitted for audit —
+  the row-level ledger a production MERGE writes to its commit log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["merge_into"]
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """Upsert ``source`` into ``target`` on ``key``: matched rows take the
+    source's ``update_cols`` (default: every non-key source column),
+    unmatched source rows insert, unmatched target rows persist. Returns
+    the merged table plus ``_merge_action``."""
+    if update_cols is None:
+        update_cols = [c for c in source.columns if c != key]
+    missing = [c for c in update_cols if c not in target.columns]
+    if missing:
+        raise ValueError(f"update_cols not in target: {missing}")
+    s = source.select(
+        F.col(key).alias("_sk"),
+        *[F.col(c).alias(f"_s_{c}") for c in update_cols],
+    )
+    t = target.withColumnRenamed(key, "_tk")
+    joined = t.join(s, F.col("_tk") == F.col("_sk"), "full_outer")
+    action = (
+        F.when(F.col("_tk").isNull(), F.lit("insert"))
+        .when(F.col("_sk").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+    )
+    out_cols = [F.coalesce("_tk", "_sk").alias(key)]
+    for c in target.columns:
+        if c == key:
+            continue
+        if c in update_cols:
+            out_cols.append(F.coalesce(f"_s_{c}", c).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols, action.alias("_merge_action"))

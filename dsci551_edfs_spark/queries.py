@@ -2847,6 +2847,62 @@ def group_sample_per_lang(spark, sf_dir):
     return group_sample_topk(d, ["lang"], 20)
 
 
+@q(
+    "merge_upsert_orders",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             round(o_totalprice * 2, 2) AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000,
+             round(o_totalprice, 2),
+             'N'
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           round(coalesce(s.o_totalprice, t.o_totalprice), 2) AS price,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO semantics on plain tables (operators/merge.py): source =
+    doubled prices for every 7th order (UPDATE branch) plus brand-new
+    orders for every 97th key (INSERT branch); everything else carries
+    through. The doubling keeps the arithmetic exact in binary so the
+    hash compare is FP-safe."""
+    from .operators.merge import merge_into
+
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    merged = merge_into(
+        o,
+        updates.unionByName(inserts),
+        key="o_orderkey",
+        update_cols=["o_totalprice", "o_orderstatus"],
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("_merge_action").alias("merge_action"),
+    )
+
+
 _BG_SQL = rf"""
     t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
     bg AS (

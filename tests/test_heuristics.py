@@ -208,3 +208,28 @@ def test_bigram_lm_and_perplexity(spark):
     # fully-OOV doc sits at the floor: ppl = exp(13.815511)
     assert got[11]["avg_neg_logp"] == 13.815511
     assert got[11]["ppl"] > 990_000
+
+
+def test_merge_into_semantics(spark):
+    from dsci551_edfs_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, status string, price double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, status string, price double"
+    )
+    got = {r["k"]: r for r in merge_into(target, source, "k").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["_merge_action"] == "keep" and got[1]["price"] == 10.0
+    assert got[2]["_merge_action"] == "update" and got[2]["status"] == "B"
+    assert got[2]["price"] == 99.0
+    assert got[4]["_merge_action"] == "insert" and got[4]["price"] == 40.0
+
+    # partial update_cols: price updates, status persists
+    got2 = {r["k"]: r for r in
+            merge_into(target, source, "k", update_cols=["price"]).collect()}
+    assert got2[2]["status"] == "b" and got2[2]["price"] == 99.0
+    # insert row has no target status to carry -> null
+    assert got2[4]["status"] is None
