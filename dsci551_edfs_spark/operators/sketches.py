@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["approx_ndv", "approx_quantiles", "frequent_items"]
+__all__ = ["approx_ndv", "approx_quantiles", "frequent_items", "count_min_build", "count_min_estimate"]
 
 
 def approx_ndv(df: DataFrame, cols: Sequence[str], rsd: float = 0.05) -> DataFrame:
@@ -60,4 +60,44 @@ def frequent_items(
         .filter(F.col("share") >= min_share)
         .orderBy(F.col("cnt").desc(), F.col(col))
         .limit(top)
+    )
+
+
+def count_min_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a count-min sketch as a (row, bucket, cnt) table: each item
+    increments one bucket per hash row (xxhash64 with the row index as an
+    extra hashed column = `depth` independent hash functions).
+
+    The build IS a groupBy on at most depth×width keys — map-side
+    combinable, so a 100 TB stream shuffles O(sketch), not O(items); the
+    materialized sketch is a few thousand rows whatever the corpus size."""
+    ex = df.select(
+        F.col(col).alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    return (
+        ex.groupBy(
+            "row", F.pmod(F.xxhash64("v", "row"), F.lit(width)).alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    cms: DataFrame, items: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-estimate item frequencies from a `count_min_build` table:
+    min over the depth rows of each item's bucket counter (0 when the
+    bucket is empty). Guarantees est >= true count; overestimate bounded
+    by collisions (~N/width per row) — pinned in tests."""
+    ex = items.select(
+        F.col(col).alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("v", "row"), F.lit(width)))
+    return (
+        ex.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(F.col("v").alias(col))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_cnt"))
     )

@@ -2847,6 +2847,82 @@ def group_sample_per_lang(spark, sf_dir):
     return group_sample_topk(d, ["lang"], 20)
 
 
+@q("cms_token_counts")  # rows-only: xxhash64 bucket layout has no SQL twin
+def cms_token_counts(spark, sf_dir):
+    """Count-min sketch demo: build a 4x64 sketch over every token
+    occurrence, then point-estimate the 31-token vocabulary against exact
+    counts — (token, exact_cnt, cms_cnt). The width is deliberately
+    under-provisioned so collisions are visible; est >= exact is pinned
+    in pytest (operators/sketches.py:count_min_build)."""
+    from .operators.sketches import count_min_build, count_min_estimate
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(TXT.tokens(F.col("text"))).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
+    cms = count_min_build(toks, "token", depth=4, width=64)
+    est = count_min_estimate(cms, exact.select("token"), "token", depth=4, width=64)
+    return exact.join(est, "token").orderBy("token")
+
+
+_PR_ITER_SQL = """
+    i{K} AS (
+      SELECT n.node,
+             (15 * 1000000) // (100 * (SELECT n FROM nn))
+             + (85 * coalesce(s.sc, 0)) // 100 AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // d.deg) AS sc
+        FROM edges e
+        JOIN i{P} p ON e.src = p.node
+        JOIN deg d ON e.src = d.node
+        GROUP BY e.dst) s ON n.node = s.node
+    )
+"""
+
+
+@q(
+    "pagerank_user_events",
+    """
+    WITH ue AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+                                'e:' || event_type AS e FROM events),
+    edges AS (SELECT u AS src, e AS dst FROM ue
+              UNION ALL SELECT e AS src, u AS dst FROM ue),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    i0 AS (SELECT node, 1000000 // (SELECT n FROM nn) AS pr FROM nodes),
+    """
+    + _PR_ITER_SQL.format(K=1, P=0)
+    + ","
+    + _PR_ITER_SQL.format(K=2, P=1)
+    + ","
+    + _PR_ITER_SQL.format(K=3, P=2)
+    + """
+    SELECT node, CAST(pr AS BIGINT) AS pr_micro FROM i3
+    """,
+)
+def pagerank_user_events(spark, sf_dir):
+    """Integer-exact PageRank (3 rounds) over the bipartite user ↔
+    event-type graph — an iterative distributed algorithm with a FULL SQL
+    oracle, possible because ranks are integer micro-units with floor
+    division everywhere (operators/graph.py:pagerank_micro)."""
+    from .operators.graph import pagerank_micro
+
+    ue = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+            F.concat(F.lit("e:"), F.col("event_type")).alias("e"),
+        )
+        .distinct()
+    )
+    edges = ue.select(F.col("u").alias("src"), F.col("e").alias("dst")).unionByName(
+        ue.select(F.col("e").alias("src"), F.col("u").alias("dst"))
+    )
+    return pagerank_micro(edges, iterations=3)
+
+
 @q(
     "merge_upsert_orders",
     """

@@ -38,3 +38,58 @@ def test_frequent_items_exact_shares(spark, sf_dir):
              ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
     for k, v in out.items():
         assert v == pytest.approx(exact[k], abs=1e-4)
+
+
+def test_count_min_overestimates_only(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.functions.text import tokens
+    from dsci551_edfs_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    n_items = toks.count()
+    for width in (64, 4096):
+        cms = count_min_build(toks, "token", depth=4, width=width)
+        est = count_min_estimate(cms, exact.select("token"), "token", 4, width)
+        rows = exact.join(est, "token").collect()
+        assert all(r["cms_cnt"] >= r["cnt"] for r in rows)  # never undercounts
+        # depth-4 min over rows: overestimate well under the additive
+        # e*N/width bound in expectation
+        worst = max(r["cms_cnt"] - r["cnt"] for r in rows)
+        assert worst <= 3 * n_items / width
+    # wide sketch on a small vocab: exact recovery
+    cms = count_min_build(toks, "token", depth=4, width=4096)
+    est = count_min_estimate(cms, exact.select("token"), "token", 4, 4096)
+    assert all(
+        r["cms_cnt"] == r["cnt"] for r in exact.join(est, "token").collect()
+    )
+
+
+def test_pagerank_micro_properties(spark):
+    from dsci551_edfs_spark.operators.graph import SCALE, pagerank_micro
+
+    # star graph: hub h pointed at by a,b,c (and back-edges so every node
+    # has outdegree)
+    edges = spark.createDataFrame(
+        [("a", "h"), ("b", "h"), ("c", "h"), ("h", "a"), ("h", "b"), ("h", "c")],
+        "src string, dst string",
+    )
+    pr = {r["node"]: r["pr_micro"] for r in pagerank_micro(edges, 3).collect()}
+    assert set(pr) == {"a", "b", "c", "h"}
+    assert pr["h"] > pr["a"] == pr["b"] == pr["c"]  # hub dominates, leaves tie
+    total = sum(pr.values())
+    assert 0.9 * SCALE <= total <= SCALE  # floor-division mass leak only
+
+    # deterministic under repartition
+    pr2 = {
+        r["node"]: r["pr_micro"]
+        for r in pagerank_micro(edges.repartition(5), 3).collect()
+    }
+    assert pr == pr2
