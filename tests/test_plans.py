@@ -178,3 +178,51 @@ def test_q15_has_no_single_partition_window():
     plan = _plan("q15_top_supplier")
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_source_mix_report_no_single_partition_window():
+    """Corpus totals must come from the scalar-agg broadcast shape, not an
+    unpartitioned window over every source row."""
+    plan = _plan("source_mix_report")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_vocab_rank_window_is_partitioned():
+    """build_vocab's dense rank must run partitioned by spark_partition_id
+    (the two-phase range shape) — never a global Window.orderBy."""
+    plan = _plan("vocab_top200")
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), f"unpartitioned window in plan: {plan}"
+
+
+def test_encode_docs_vocab_join_is_broadcast():
+    """The dictionary must broadcast — shuffling the exploded corpus on the
+    token key to meet a few-hundred-row vocab would be the classic
+    dimension-join mistake at 100 TB."""
+    plan = _plan("encode_docs_vocab")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_group_sample_uses_window_group_limit():
+    """Per-group top-k must push a WindowGroupLimit (state O(k) per group)
+    before the full sort."""
+    plan = _plan("group_sample_per_lang")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_source_blocklist_is_broadcast_anti_join():
+    plan = _plan("source_blocklist_clean")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_chunking_is_map_only():
+    """chunk_documents must not shuffle: tokenize -> explode -> slice all
+    pipeline into the scan."""
+    plan = _plan("doc_chunks")
+    assert "Exchange" not in plan, plan
+
+
+def test_perplexity_model_join_is_broadcast():
+    plan = _plan("doc_perplexity_lm")
+    assert "BroadcastHashJoin" in plan, plan
