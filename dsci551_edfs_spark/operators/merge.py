@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_into"]
+__all__ = ["merge_into", "scd2_from_changes"]
 
 
 def merge_into(
@@ -64,3 +64,33 @@ def merge_into(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols, action.alias("_merge_action"))
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: turn a change stream (one row per
+    version) into validity intervals — ``valid_from`` = the row's own
+    timestamp, ``valid_to`` = the NEXT version's timestamp (null while
+    current), ``version`` = 1-based ordinal, ``is_current``.
+
+    One window partitioned by the business key (never unpartitioned):
+    state per task is one lead row, so a 100 TB change history
+    sessionizes in a single keyed shuffle — the same shape as the as-of
+    join's union-window. ``tiebreak`` orders same-timestamp versions
+    deterministically (defaults to the key itself being unique per ts)."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("version", F.row_number().over(w).cast("long"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

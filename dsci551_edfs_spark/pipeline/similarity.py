@@ -244,12 +244,15 @@ def train_pq_codebooks(
     distributed encode pass. Returns (n_subspaces, n_codes, dsub).
     """
     sample = (
-        corpus.select(F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v"))
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
         .limit(sample_limit)
         .collect()
     )
+    # normalize driver-side: one numpy pass beats an interpreted JVM
+    # higher-order-function chain for a bounded sample
     mat = np.array([r["v"] for r in sample], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     n, dim = mat.shape
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
@@ -263,7 +266,9 @@ def train_pq_codebooks(
             pad = cents[rng.choice(len(cents), n_codes - len(cents))]
             cents = np.vstack([cents, pad + 1e-6 * rng.standard_normal(pad.shape)])
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||² argmin ≡ (||c||² - 2x·c) argmin: one BLAS matmul
+            # instead of an (n, ks, dsub) broadcast-subtract allocation
+            d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (sub @ cents.T)
             assign = d2.argmin(axis=1)
             for c in range(n_codes):
                 members = sub[assign == c]

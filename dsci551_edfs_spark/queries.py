@@ -2979,6 +2979,37 @@ def merge_upsert_orders(spark, sf_dir):
     )
 
 
+@q(
+    "scd2_user_versions",
+    """
+    SELECT user_id, event_id,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WHERE event_id % 20 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_versions(spark, sf_dir):
+    """SCD Type 2 dimension build from a change stream: every 20th event
+    is a 'profile version'; validity intervals come from one
+    key-partitioned lead window (operators/merge.py:scd2_from_changes)."""
+    from .operators.merge import scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    out = scd2_from_changes(
+        ev.select("user_id", "event_id", "ts"),
+        key="user_id",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "event_id",
+        "valid_from", "valid_to", "version", "is_current",
+    )
+
+
 _BG_SQL = rf"""
     t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
     bg AS (

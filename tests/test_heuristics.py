@@ -233,3 +233,29 @@ def test_merge_into_semantics(spark):
     assert got2[2]["status"] == "b" and got2[2]["price"] == 99.0
     # insert row has no target status to carry -> null
     assert got2[4]["status"] is None
+
+
+def test_scd2_intervals(spark):
+    from datetime import datetime
+
+    from dsci551_edfs_spark.operators.merge import scd2_from_changes
+
+    rows = [
+        (1, 100, datetime(2024, 1, 1)),
+        (1, 101, datetime(2024, 2, 1)),
+        (1, 102, datetime(2024, 3, 1)),
+        (2, 200, datetime(2024, 1, 15)),
+    ]
+    df = spark.createDataFrame(rows, "k long, change_id long, ts timestamp")
+    out = sorted(
+        scd2_from_changes(df, "k", tiebreak="change_id").collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    k1 = [r for r in out if r["k"] == 1]
+    assert [r["version"] for r in k1] == [1, 2, 3]
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]  # contiguous intervals
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]
+    assert k1[2]["valid_to"] is None and k1[2]["is_current"]
+    assert not k1[0]["is_current"] and not k1[1]["is_current"]
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"] and k2[0]["version"] == 1
