@@ -30,6 +30,7 @@ __all__ = [
     "train_pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -407,6 +408,104 @@ def pq_topk(
     rescored = (
         shortlist.join(c, "id")
         .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "id", dot(F.col("v"), F.col("qv")).alias("score"))
+    )
+    return _rank_topk(rescored, k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 16,
+    n_codes: int = 64,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    exclude_self: bool = True,
+    rerank_k: int | None = None,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ architecture, DataFrame-native): a coarse
+    quantizer prunes the corpus to ``n_probe`` of ``n_centroids`` buckets
+    per query, and within the probed buckets scoring is PQ/ADC table
+    gathers over the int codes — the float vectors are touched only by
+    the optional exact re-rank of the final shortlist.
+
+    Cost at scale multiplies the two savings: ~n_probe/n_centroids of the
+    corpus scanned × ~40× fewer bytes per scanned row (12-16 code bytes
+    vs 8·dim float64). The probe join key is the centroid id (small int,
+    broadcast probes), the ADC emits only (query_id, id, score) rows, and
+    the re-rank semi-joins Q·rerank_k vectors. Recall vs the exact scan
+    is pinned in pytest."""
+    bucketed, cents = build_ivf_index(
+        corpus, n_centroids, vec_col, id_col, seed
+    )
+    books = train_pq_codebooks(
+        corpus, n_subspaces, n_codes, iters, vec_col, id_col, seed
+    )
+    codes = pq_encode(corpus, books, vec_col, id_col)
+    enc = bucketed.select("id", "centroid").join(codes, "id")
+
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("qid"), normalize(as_double(vec_col)).alias("qv")
+        )
+        .orderBy("qid")
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows])
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    m, ks, dsub = books.shape
+    lut = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids), m, dsub), books)
+    q_unit = queries.select(
+        F.col(id_col).alias("query_id"), normalize(as_double(vec_col)).alias("qv")
+    )
+    probes = _nearest_centroids(q_unit, cents, "qv", n_top=n_probe).select(
+        "query_id", "centroid"
+    )
+    cand = enc.join(F.broadcast(probes), "centroid")
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, lut))
+    id_type = codes.schema["id"].dataType.simpleString()
+
+    def scan(batches):
+        import pandas as pd
+
+        q_ids, tables = bc.value
+        pos = {int(q): i for i, q in enumerate(q_ids)}
+        cols = np.arange(tables.shape[1])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.stack(pdf["codes"].to_numpy())
+            qi = np.array([pos[int(q)] for q in pdf["query_id"]])
+            scores = tables[qi[:, None], cols[None, :], cm].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "id": pdf["id"].to_numpy(),
+                    "score": scores,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        scan, f"query_id {id_type}, id {id_type}, score double"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("id") != F.col("query_id"))
+    if not rerank_k:
+        return _rank_topk(scored, k)
+    shortlist = _rank_topk(scored, max(rerank_k, k)).select(
+        "query_id", F.col("neighbor_id").alias("id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+    )
+    rescored = (
+        shortlist.join(c, "id")
+        .join(F.broadcast(q_unit), "query_id")
         .select("query_id", "id", dot(F.col("v"), F.col("qv")).alias("score"))
     )
     return _rank_topk(rescored, k)

@@ -2847,6 +2847,30 @@ def group_sample_per_lang(spark, sf_dir):
     return group_sample_topk(d, ["lang"], 20)
 
 
+@q("ann_topk_ivf_pq")  # rows-only: coarse+fine quantization, approximate
+def ann_topk_ivf_pq(spark, sf_dir):
+    """FAISS-style IVF-PQ: probe 4 of 8 coarse buckets, ADC-score PQ
+    codes inside them, exact-rerank the top-50 shortlist
+    (pipeline/similarity.py:ivf_pq_topk). Recall pinned in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        n_probe=4,
+        n_subspaces=16,
+        n_codes=64,
+        rerank_k=50,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 @q("cms_token_counts")  # rows-only: xxhash64 bucket layout has no SQL twin
 def cms_token_counts(spark, sf_dir):
     """Count-min sketch demo: build a 4x64 sketch over every token

@@ -439,3 +439,34 @@ def test_pq_encode_shape_and_range(spark, sf_dir):
     assert len(codes) == emb.count()
     assert all(len(r["codes"]) == 8 for r in codes)
     assert all(0 <= c < 16 for r in codes for c in r["codes"])
+
+
+def test_ivf_pq_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    # full probe (n_probe = n_centroids) with rerank recovers exact: the
+    # PQ/ADC stage + shortlist loses nothing when no bucket is pruned
+    full = SIM.ivf_pq_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8,
+        n_subspaces=16, n_codes=64, rerank_k=50,
+    )
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert len(e & f) / len(e) >= 0.95
+
+    # the HIGH-SIMILARITY recall contract (what IVF pruning is for): a
+    # planted twin at cosine ~0.995 shares its original's coarse bucket,
+    # so probing 4/8 buckets must surface it at rank 1. (For near-random
+    # ties recall ~ probe share is the expected IVF behavior.)
+    from dsci551_edfs_spark.pipeline.dedup import plant_embedding_twins
+
+    inflated = plant_embedding_twins(emb)
+    got = SIM.ivf_pq_topk(
+        inflated, inflated.filter(F.col("vec_id") < 10), k=1,
+        n_centroids=8, n_probe=4, n_subspaces=16, n_codes=64, rerank_k=20,
+    )
+    hits = {r["query_id"]: r["neighbor_id"] for r in got.collect()}
+    found = sum(1 for q, n in hits.items() if n == q + 1_000_000)
+    assert found >= 9  # >= 9 of 10 twins at rank 1 through 4/8 probes
