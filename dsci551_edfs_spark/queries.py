@@ -3004,6 +3004,46 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "length_bucket_stats",
+    rf"""
+    WITH n AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_TOKENS_SQL}) END AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(n_tokens // 32 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           round(1.0 - sum(n_tokens) / (count(*) * max(n_tokens)), 4)
+             AS pad_waste_frac
+    FROM n GROUP BY 1
+    """,
+)
+def length_bucket_stats(spark, sf_dir):
+    """Length-bucketed batching planner: docs grouped into 32-token
+    buckets with the padding waste a pad-to-bucket-max batcher pays —
+    the report that decides bucket boundaries for efficient training
+    batches. One scan + a tiny bucket-keyed aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.select(TXT.token_count(F.col("text")).alias("n_tokens"))
+    return (
+        n.groupBy(F.floor(F.col("n_tokens") / 32).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.round(
+                1.0
+                - F.sum("n_tokens") / (F.count("*") * F.max("n_tokens")),
+                4,
+            ).alias("pad_waste_frac"),
+        )
+    )
+
+
+@q(
     "scd2_user_versions",
     """
     SELECT user_id, event_id,
