@@ -749,6 +749,44 @@ def ann_brute_force_topk(spark, sf_dir):
     )
 
 
+@q(
+    "hard_negatives",
+    f"""
+    WITH uq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS id,
+             {{dot}} / ({{norm_e}} * {{norm_q}}) AS score
+      FROM embeddings e, uq q WHERE e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
+      SELECT query_id, id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id) AS rnk,
+             score
+      FROM scored) WHERE rnk BETWEEN 6 AND 20
+    """.format(
+        dot=_DOT_SQL.format(a="e.embedding", b="q.embedding"),
+        norm_e=_NORM_SQL.format(a="e.embedding"),
+        norm_q=_NORM_SQL.format(a="q.embedding"),
+    ),
+)
+def hard_negatives(spark, sf_dir):
+    """Contrastive-training hard-negative mining: per anchor, the
+    near-but-not-nearest neighbors (exact-cosine ranks 6-20) — similar
+    enough to be informative negatives, far enough to not be latent
+    positives. Same broadcast-scan + per-query-rank shape as the top-k
+    retrieval; a production pass feeds the IVF/PQ shortlist instead of
+    the exact scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.brute_force_topk(emb, queries, k=20).filter(F.col("rank") > 5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 @q("ann_ivf_topk")  # rows-only: centroid assignment not SQL-expressible
 def ann_ivf_topk(spark, sf_dir):
     """IVF-pruned ANN: corpus bucketed by nearest of 8 centroids, queries
