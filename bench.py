@@ -59,6 +59,9 @@ HEADLINE = [
     "incremental_dedup_bloom",
     "ann_topk_pq",
     "zorder_zvalues",
+    "doc_perplexity_lm",
+    "pagerank_user_events",
+    "merge_upsert_orders",
 ]
 
 

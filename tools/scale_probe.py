@@ -66,12 +66,21 @@ def inflate_emb(emb, k):
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from dsci551_edfs_spark import get_spark
+    from dsci551_edfs_spark.functions import text as TXT
     from dsci551_edfs_spark.pipeline import curation as CUR
     from dsci551_edfs_spark.pipeline import decontam as DC
     from dsci551_edfs_spark.pipeline import dedup as DD
+    from dsci551_edfs_spark.pipeline import heuristics as HEU
+    from dsci551_edfs_spark.pipeline import lm as LM
+    from dsci551_edfs_spark.pipeline import similarity as SIM
     from dsci551_edfs_spark.pipeline.curation import md5_bucket
     from dsci551_edfs_spark.sources.registry import load_table
+
+    def F_mod5(v):
+        return (F.col("doc_id") % 5) == v
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -126,6 +135,21 @@ def main() -> None:
             kmeans_iters=1,
             threshold=0.95,
         ),
+        # round-4 ops. bloom: shard = the inflated corpus' 20%-bucket,
+        # index = the other 80% — both sides grow with k
+        "incremental_dedup_bloom": lambda k: DD.incremental_exact_dedup_bloom(
+            inflate_docs(docs, k).filter(F_mod5(0)),
+            inflate_docs(docs, k).filter(~F_mod5(0)),
+        ),
+        # pq encode: one Arrow pass — the clean linear yardstick for the
+        # vector side (codebooks train on the base sample each time)
+        "pq_encode": lambda k: SIM.pq_encode(
+            inflate_emb(emb, k),
+            SIM.train_pq_codebooks(emb, 16, 64),
+        ),
+        "bigram_lm": lambda k: LM.bigram_lm(inflate_docs(docs, k)),
+        "vocab_rank": lambda k: TXT.build_vocab(inflate_docs(docs, k), top_n=200),
+        "gopher_flags": lambda k: HEU.gopher_quality_flags(inflate_docs(docs, k)),
     }
     wanted = sys.argv[1:] or list(ops)
     for name in wanted:
