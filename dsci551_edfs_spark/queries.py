@@ -3042,6 +3042,58 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "funnel_stages",
+    """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events WHERE event_id % 31 = 0
+      GROUP BY user_id
+    )
+    SELECT CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 3
+                WHEN regexp_matches(seq, 'v.*c') THEN 2
+                WHEN contains(seq, 'v') THEN 1
+                ELSE 0 END AS stage,
+           count(*) AS n_users
+    FROM s GROUP BY 1
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    """Conversion-funnel analysis: per user, the furthest
+    view → click → purchase stage reached as an ordered SUBSEQUENCE of
+    their event stream (sparse sample: every 31st event, so stages
+    actually vary). Sequence assembly is the standard one-keyed-shuffle
+    collect + array_sort reconstruction; stage detection is a regex over
+    the per-user first-letter string — all codegen, state O(events/user)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    stage = (
+        F.when(F.col("seq").rlike("v.*c.*p"), F.lit(3))
+        .when(F.col("seq").rlike("v.*c"), F.lit(2))
+        .when(F.col("seq").contains("v"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return seq.groupBy(stage.alias("stage")).agg(F.count("*").alias("n_users"))
+
+
+@q(
     "length_bucket_stats",
     rf"""
     WITH n AS (
