@@ -165,3 +165,83 @@ def test_pack_sequences_matches_sequential_reference(spark, tok_counts):
     for i in order:
         assert out[i] == offset // 64, (i, out[i], offset)
         offset += tok_counts[i]
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="abcdefgh ", min_size=1, max_size=30),
+                min_size=1, max_size=20))
+def test_bloom_never_false_negative(spark, docs_texts):
+    """Any inserted fingerprint must test positive — for arbitrary text."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs_texts)), "text": docs_texts})
+    )
+    bits = DD.build_fingerprint_bloom(df, num_bits=1 << 12, num_hashes=4)
+    h1c, h2c = DD._bloom_hashes(DD.fingerprint("text"))
+    hashes = df.select(h1c.alias("h1"), h2c.alias("h2")).toPandas()
+    a = hashes["h1"].to_numpy().astype(np.uint64)
+    c = hashes["h2"].to_numpy().astype(np.uint64)
+    mask = np.uint64((1 << 12) - 1)
+    res = np.ones(len(a), dtype=bool)
+    for i in range(4):
+        idx = (a + np.uint64(i) * c) & mask
+        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        res &= ((byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1) == 1
+    assert res.all()
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                min_size=1, max_size=50))
+def test_zvalue_interleave_bijective(spark, pairs):
+    """z = interleave(a, b) must be invertible: deinterleaving the even /
+    odd bits recovers (a, b) exactly — for arbitrary 16-bit inputs."""
+    from dsci551_edfs_spark.sources.layout import zvalue16
+
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["a", "b"]))
+    got = df.select("a", "b", zvalue16(F.col("a"), F.col("b")).alias("z")).collect()
+
+    def deinterleave(z):
+        a = b = 0
+        for i in range(16):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in got:
+        assert deinterleave(r["z"]) == (r["a"], r["b"])
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="xyz ", min_size=1, max_size=80),
+                min_size=1, max_size=10),
+       st.integers(2, 8), st.integers(1, 8))
+def test_chunking_covers_all_tokens(spark, docs_texts, chunk, stride):
+    """Every token index must be covered by >= 1 chunk, first chunks start
+    at 0, and reassembling stride-aligned chunks recovers the doc."""
+    from dsci551_edfs_spark.functions.text import tokens as tok_expr
+    from dsci551_edfs_spark.pipeline.curation import chunk_documents
+
+    stride = min(stride, chunk)  # overlap requires stride <= chunk
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs_texts)), "text": docs_texts})
+    )
+    toks = {r["doc_id"]: [t for t in r["t"] if t != ""]
+            for r in df.select("doc_id", tok_expr("text").alias("t")).collect()}
+    out = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, expected in toks.items():
+        if not expected:
+            continue
+        rows = sorted(by_doc[did], key=lambda r: r["chunk_idx"])
+        assert rows[0]["chunk_idx"] == 0
+        covered = set()
+        for r in rows:
+            start = r["chunk_idx"] * stride
+            got_toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert got_toks == expected[start : start + chunk]
+            covered.update(range(start, min(start + chunk, len(expected))))
+        assert covered == set(range(len(expected)))
