@@ -3042,6 +3042,44 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "token_drift_report",
+    rf"""
+    WITH ta AS (
+      SELECT token, count(*) AS cnt_a FROM
+        (SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+         WHERE doc_id % 2 = 0) GROUP BY token),
+    tb AS (
+      SELECT token, count(*) AS cnt_b FROM
+        (SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+         WHERE doc_id % 2 = 1) GROUP BY token),
+    v AS (
+      SELECT coalesce(ta.token, tb.token) AS token,
+             CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+             CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+      FROM ta FULL OUTER JOIN tb ON ta.token = tb.token),
+    tot AS (SELECT sum(cnt_a) AS sa, sum(cnt_b) AS sb, count(*) AS nv FROM v)
+    SELECT token, cnt_a, cnt_b,
+           CAST(round(((cnt_a + 1.0) / (sa + nv))
+                      * ln(((cnt_a + 1.0) / (sa + nv))
+                           / ((cnt_b + 1.0) / (sb + nv))) * 1000000000)
+                AS BIGINT) AS kl_nano
+    FROM v, tot
+    """,
+)
+def token_drift_report(spark, sf_dir):
+    """Distribution-drift monitor between two corpus snapshots (even vs
+    odd doc ids): per-token KL(A‖B) contribution in exact integer
+    nano-nats (pipeline/drift.py:token_distribution_drift) — the
+    'did this week's crawl shift?' report."""
+    from .pipeline.drift import token_distribution_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return token_distribution_drift(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+@q(
     "funnel_stages",
     """
     WITH s AS (

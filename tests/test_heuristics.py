@@ -259,3 +259,23 @@ def test_scd2_intervals(spark):
     assert not k1[0]["is_current"] and not k1[1]["is_current"]
     k2 = [r for r in out if r["k"] == 2]
     assert len(k2) == 1 and k2[0]["is_current"] and k2[0]["version"] == 1
+
+
+def test_token_drift_kl_properties(spark):
+    from dsci551_edfs_spark.pipeline.drift import token_distribution_drift
+
+    a = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y z")], "doc_id long, text string"
+    )
+    ident = token_distribution_drift(a, a).collect()
+    # identical distributions: every contribution is exactly zero
+    assert all(r["kl_nano"] == 0 for r in ident)
+
+    b = spark.createDataFrame([(3, "y z z z")], "doc_id long, text string")
+    rows = {r["token"]: r for r in token_distribution_drift(a, b).collect()}
+    assert rows["x"]["kl_nano"] > 0      # over-represented in A
+    assert rows["z"]["kl_nano"] < 0      # under-represented in A
+    assert rows["x"]["cnt_a"] == 4 and rows["x"]["cnt_b"] == 0
+    # total KL(A||B) with smoothing is >= 0 only in aggregate over the
+    # full support; the planted shift must dominate here
+    assert sum(r["kl_nano"] for r in rows.values()) > 0
