@@ -43,6 +43,7 @@ __all__ = [
     "stratified_sample",
     "group_sample_topk",
     "chunk_documents",
+    "largest_remainder_allocation",
     "upsample_repeat",
     "global_shuffle_order",
     "pack_sequences",
@@ -229,6 +230,68 @@ def chunk_documents(
         .cast("long")
         .alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def largest_remainder_allocation(
+    weights: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    weight_col: str = "w_micro",
+) -> DataFrame:
+    """Integer token-budget allocation by the largest-remainder method:
+    given per-source mixture weights in micro-units (summing to 1e6) and
+    a total ``budget``, return ``(key, w_micro, alloc)`` with
+    Σ alloc == budget EXACTLY — the mixture planner step before
+    `stratified_sample`/`upsample_repeat` materialize the allocation.
+
+    quota = budget·w (micro-exact), base = quota // 1e6, and the
+    ``budget − Σ base`` leftover units go to the largest remainders
+    (ties by key). The remainder rank is a JOIN-based count — how many
+    sources sort ahead — not a global window: for the ≤ thousands of
+    sources a real mixture has, the self-join is trivial and the
+    single-partition WindowExec trap never enters the plan. All integer
+    arithmetic → bit-identical on any engine (SQL-oracle-checkable)."""
+    w = weights.select(
+        F.col(key_col).alias("_k"), F.col(weight_col).cast("long").alias("_w")
+    )
+    alloc = w.select(
+        "_k",
+        "_w",
+        (F.col("_w") * budget).alias("_quota"),
+    ).select(
+        "_k",
+        "_w",
+        F.expr("_quota div 1000000").alias("_base"),
+        (F.col("_quota") % 1_000_000).alias("_rem"),
+    )
+    tot = alloc.agg(F.sum("_base").alias("_sb"))
+    a, b = alloc.alias("a"), alloc.alias("b")
+    ahead = (
+        a.join(
+            b,
+            (F.col("b._rem") > F.col("a._rem"))
+            | ((F.col("b._rem") == F.col("a._rem")) & (F.col("b._k") < F.col("a._k"))),
+            "left",
+        )
+        .groupBy(F.col("a._k").alias("_k"))
+        .agg(F.count(F.col("b._k")).alias("_ahead"))
+    )
+    return (
+        alloc.join(ahead, "_k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_w").alias(weight_col),
+            (
+                F.col("_base")
+                + F.when(
+                    F.col("_ahead") < (budget - F.col("_sb")), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
     )
 
 

@@ -3042,6 +3042,57 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "mixture_token_allocation",
+    """
+    WITH w AS (
+      SELECT DISTINCT source,
+             20000 + CAST(substr(source, 4) AS INT) * 3000
+             + CASE WHEN source = 'src0' THEN 30000 ELSE 0 END AS w_micro
+      FROM documents),
+    b AS (
+      SELECT source, w_micro,
+             (CAST(w_micro AS BIGINT) * 1234567) // 1000000 AS base,
+             (CAST(w_micro AS BIGINT) * 1234567) % 1000000 AS rem
+      FROM w),
+    t AS (SELECT sum(base) AS sb FROM b),
+    r AS (
+      SELECT x.source, count(y.source) AS ahead
+      FROM b x LEFT JOIN b y
+        ON (y.rem > x.rem) OR (y.rem = x.rem AND y.source < x.source)
+      GROUP BY x.source)
+    SELECT b.source,
+           CAST(b.w_micro AS BIGINT) AS w_micro,
+           CAST(b.base + CASE WHEN r.ahead < (1234567 - t.sb)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM b JOIN r USING (source), t
+    """,
+)
+def mixture_token_allocation(spark, sf_dir):
+    """Mixture planning: allocate a 1,234,567-token budget across sources
+    by largest remainder (weights 2-8.9% per source, summing to exactly
+    1e6 micro). Integer arithmetic + join-based remainder rank → exact,
+    window-free, Σ alloc == budget
+    (pipeline/curation.py:largest_remainder_allocation)."""
+    from .pipeline.curation import largest_remainder_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int")
+    weights = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                20000
+                + idx * 3000
+                + F.when(F.col("source") == "src0", 30000).otherwise(0)
+            ).alias("w_micro"),
+        )
+    )
+    return largest_remainder_allocation(weights, budget=1_234_567)
+
+
+@q(
     "token_drift_report",
     rf"""
     WITH ta AS (

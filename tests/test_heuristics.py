@@ -279,3 +279,27 @@ def test_token_drift_kl_properties(spark):
     # total KL(A||B) with smoothing is >= 0 only in aggregate over the
     # full support; the planted shift must dominate here
     assert sum(r["kl_nano"] for r in rows.values()) > 0
+
+
+def test_largest_remainder_allocation_sums_to_budget(spark):
+    from dsci551_edfs_spark.pipeline.curation import largest_remainder_allocation
+
+    w = spark.createDataFrame(
+        [("a", 333333), ("b", 333333), ("c", 333334)],
+        "source string, w_micro long",
+    )
+    for budget in (10, 100, 999_999, 1_000_000, 7):
+        rows = {r["source"]: r["alloc"]
+                for r in largest_remainder_allocation(w, budget).collect()}
+        assert sum(rows.values()) == budget, (budget, rows)
+    # proportionality: equal thirds of 9 → 3 each
+    rows = {r["source"]: r["alloc"]
+            for r in largest_remainder_allocation(w, 9).collect()}
+    assert rows == {"a": 3, "b": 3, "c": 3}
+    # skewed weights get the remainder unit deterministically (tie → key asc)
+    w2 = spark.createDataFrame(
+        [("x", 500000), ("y", 500000)], "source string, w_micro long"
+    )
+    rows = {r["source"]: r["alloc"]
+            for r in largest_remainder_allocation(w2, 5).collect()}
+    assert rows == {"x": 3, "y": 2}
