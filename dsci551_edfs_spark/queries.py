@@ -3042,6 +3042,152 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "tfidf_keywords",
+    rf"""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM
+        (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
+      GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS BIGINT) * CAST(round(ln(
+               CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df) * 1000000)
+               AS BIGINT) AS score_micro
+      FROM tf JOIN df USING (token))
+    SELECT doc_id, token, score_micro, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT doc_id, token, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, token) AS rnk
+      FROM scored) WHERE rnk <= 3
+    """,
+)
+def tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction (top 3): tf · round(ln(N/df)
+    ·1e6) as exact integer micro-nats — two count aggregations (token
+    keys), a broadcast-scale df join, and a per-doc WindowGroupLimit
+    top-k. The classic IR relevance primitive, FP-order-free."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    idf_micro = F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6).cast(
+        "long"
+    )
+    scored = tf.join(F.broadcast(df_t), "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf").cast("long") * idf_micro).alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "token"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "score_micro", "rnk")
+    )
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_no
+    FROM g
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Batch sessionization: a new session starts after a >30 min gap;
+    session_no = running count of session starts per user. Two stacked
+    windows over ONE keyed shuffle (same partitioning, Catalyst reuses
+    the sort) — the batch face of the streaming session_window, exact
+    instead of state-store-approximate."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(run).cast("long").alias("session_no"),
+    )
+
+
+@q(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events
+      GROUP BY user_id),
+    f AS (SELECT user_id,
+                 first_day - CAST(dayofweek(first_day) AS INT) AS cohort_week
+          FROM firsts),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor((epoch(CAST(CAST(e.ts AS DATE) AS TIMESTAMP))
+                         - epoch(CAST(f.cohort_week AS TIMESTAMP)))
+                        / 604800) AS BIGINT) AS week_offset
+      FROM events e JOIN f USING (user_id))
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by their first-activity week
+    (week = Sunday-aligned day truncation, identical arithmetic both
+    engines), counted once per (cohort, week-offset) they were active.
+    Two aggregations + one broadcast-scale cohort join — the standard
+    retention-triangle feed."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    cohort = firsts.select(
+        "user_id",
+        # Spark dayofweek is 1-7 (Sun=1), DuckDB's is 0-6 (Sun=0):
+        # subtract (dow-1) here to match the oracle's Sunday alignment
+        F.date_sub(
+            F.col("first_day"), F.dayofweek("first_day").cast("int") - 1
+        ).alias("cohort_week"),
+    )
+    act = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.col("d").cast("timestamp").cast("long")
+                    - F.col("cohort_week").cast("timestamp").cast("long")
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@q(
     "mixture_token_allocation",
     """
     WITH w AS (

@@ -303,3 +303,25 @@ def test_largest_remainder_allocation_sums_to_budget(spark):
     rows = {r["source"]: r["alloc"]
             for r in largest_remainder_allocation(w2, 5).collect()}
     assert rows == {"x": 3, "y": 2}
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from dsci551_edfs_spark.queries import QUERIES  # noqa: F401  (shape only)
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10, 0)),
+        (1, 2, datetime(2024, 1, 1, 10, 10)),   # same session (10 min)
+        (1, 3, datetime(2024, 1, 1, 11, 0)),    # 50 min gap -> new session
+        (2, 4, datetime(2024, 1, 1, 9, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = {r["event_id"]: r["s"] for r in df.select(
+        "event_id", F.sum(new_sess).over(run).alias("s")).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
