@@ -3041,6 +3041,117 @@ def merge_upsert_orders(spark, sf_dir):
     )
 
 
+_BG_SQL = rf"""
+    t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1 : len(toks) - 1]) AS w1,
+             unnest(toks[2 : len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    )
+"""
+
+
+@q(
+    "pmi_collocations",
+    f"""
+    WITH {_BG_SQL},
+    pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    l AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    r AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2),
+    n AS (SELECT count(*) AS total FROM bg)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           CAST(round(ln(CAST(c12 AS DOUBLE) * (SELECT total FROM n)
+                         / (CAST(c1 AS DOUBLE) * c2)) * 1000000) AS BIGINT)
+             AS pmi_micro
+    FROM pc JOIN l USING (w1) JOIN r USING (w2)
+    WHERE c12 >= 5
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Collocation mining: pointwise mutual information per bigram,
+    ln(c12·N / (c1·c2)) in exact integer micro-nats, min support 5 —
+    three count aggregations on token keys + two broadcast-scale joins
+    (the margins are vocab-sized). The classic word-association prep."""
+    from .pipeline.lm import _doc_bigrams
+
+    bg = _doc_bigrams(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    l_m = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    r_m = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    total = bg.count()
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * total
+            / (F.col("c1").cast("double") * F.col("c2"))
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        pc.join(F.broadcast(l_m), "w1")
+        .join(F.broadcast(r_m), "w2")
+        .filter(F.col("c12") >= 5)
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
+                pmi.alias("pmi_micro"))
+    )
+
+
+@q(
+    "event_rate_anomalies",
+    """
+    WITH hr AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(c) AS s1,
+             sum(c * c) AS s2
+      FROM hr GROUP BY event_type)
+    SELECT hr.event_type, hr.h, CAST(hr.c AS BIGINT) AS c,
+           round((hr.c - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                        / (CAST(n AS DOUBLE) * (n - 1))), 3) AS zscore
+    FROM hr JOIN st USING (event_type)
+    WHERE abs((hr.c - CAST(s1 AS DOUBLE) / n)
+              / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                     / (CAST(n AS DOUBLE) * (n - 1)))) >= 2.0
+    """,
+)
+def event_rate_anomalies(spark, sf_dir):
+    """Rate-anomaly detection: hourly counts per event type, z-scored
+    against the type's own distribution, |z| >= 2 flagged. Variance comes
+    from EXACT integer sums (n, Σc, Σc²) — not a streaming stddev whose
+    merge order differs across partitionings — so the doubles derive from
+    identical integers on every engine and the hash compare holds."""
+    ev = _t(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    st = hr.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("n").cast("double") * F.col("s2")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        hr.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) >= 2.0)
+        .select(
+            "event_type",
+            "h",
+            F.col("c").cast("long").alias("c"),
+            F.round(z, 3).alias("zscore"),
+        )
+    )
+
+
 @q(
     "tfidf_keywords",
     rf"""
@@ -3397,17 +3508,6 @@ def scd2_user_versions(spark, sf_dir):
         "user_id", "event_id",
         "valid_from", "valid_to", "version", "is_current",
     )
-
-
-_BG_SQL = rf"""
-    t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
-    bg AS (
-      SELECT doc_id,
-             unnest(toks[1 : len(toks) - 1]) AS w1,
-             unnest(toks[2 : len(toks)]) AS w2
-      FROM t WHERE len(toks) >= 2
-    )
-"""
 
 
 @q(
