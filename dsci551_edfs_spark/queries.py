@@ -3041,6 +3041,165 @@ def merge_upsert_orders(spark, sf_dir):
     )
 
 
+@q(
+    "histogram_totalprice",
+    """
+    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)
+                           ) AS BIGINT), 19) AS BIGINT) AS bin,
+           count(*) AS cnt,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max
+    FROM orders, b GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Equi-width 20-bin histogram of order totals: bounds from one
+    scalar-agg broadcast (never an unpartitioned window), binning as a
+    codegen projection, one small groupBy — the profiling primitive for
+    distribution eyeballing at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20)
+            ).cast("long"),
+            F.lit(19),
+        ).alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+    )
+
+
+@q(
+    "frequent_event_triples",
+    """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events WHERE event_id % 11 = 0
+      GROUP BY user_id),
+    tri AS (
+      SELECT unnest(list_transform(range(1, length(seq) - 1),
+                                   i -> substr(seq, CAST(i AS INT), 3)))
+               AS triple
+      FROM s WHERE length(seq) >= 3)
+    SELECT triple, count(*) AS cnt FROM tri
+    GROUP BY triple ORDER BY cnt DESC, triple LIMIT 15
+    """,
+)
+def frequent_event_triples(spark, sf_dir):
+    """Sequential-pattern mining lite: the 15 most frequent consecutive
+    event-type triples across per-user ordered streams (sparse sample so
+    sequences vary). Sequence reconstruction is one keyed shuffle; the
+    n-gram explode + count is the same map-side-combinable shape as BPE
+    pair counting."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    tri = seq.filter(F.length("seq") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("seq") - 2),
+                lambda i: F.substring(F.col("seq"), i, 3),
+            )
+        ).alias("triple")
+    )
+    return (
+        tri.groupBy("triple")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "triple")
+        .limit(15)
+    )
+
+
+@q(
+    "weighted_sample_docs",
+    """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             round(exp(ln(((strpos('0123456789abcdef',
+                                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                           ) * 16
+                           + strpos('0123456789abcdef',
+                                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                           + 1.0) / 257.0)
+                       / n_chars) * 1000000000) AS key_nano
+      FROM documents),
+    top AS (SELECT doc_id, n_chars, key_nano FROM k
+            ORDER BY key_nano DESC, doc_id LIMIT 50)
+    SELECT a.doc_id, CAST(a.n_chars AS BIGINT) AS n_chars,
+           CAST(a.key_nano AS BIGINT) AS key_nano,
+           CAST(1 + count(b.doc_id) AS BIGINT) AS rnk
+    FROM top a LEFT JOIN top b
+      ON (b.key_nano > a.key_nano)
+         OR (b.key_nano = a.key_nano AND b.doc_id < a.doc_id)
+    GROUP BY a.doc_id, a.n_chars, a.key_nano
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): key =
+    u^(1/w) with u derived from the doc's md5 first byte (uniform-ish,
+    engine-identical) and w = n_chars; top-50 keys win. Longer docs are
+    proportionally likelier — the char-budget-weighted corpus draw —
+    and the whole draw replays bit-identically on any engine or
+    partitioning (key rounded to integer nano-units). Top-k is
+    TakeOrdered-shaped; the final rank is a join-based count over the
+    bounded 50-row shortlist — no unpartitioned window anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+    u = (nib(1) * 16 + nib(2) + 1.0) / 257.0
+    key_nano = F.round(
+        F.exp(F.log(u) / F.col("n_chars")) * 1e9
+    ).cast("long")
+    scored = d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                      key_nano.alias("key_nano"))
+    top = scored.orderBy(F.col("key_nano").desc(), "doc_id").limit(50)
+    # rank within the bounded top-50 via a join-based count of rows ahead
+    # (window-free: no single-partition WindowExec even on the tail)
+    a, b = top.alias("a"), top.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.key_nano") > F.col("a.key_nano"))
+            | (
+                (F.col("b.key_nano") == F.col("a.key_nano"))
+                & (F.col("b.doc_id") < F.col("a.doc_id"))
+            ),
+            "left",
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.n_chars").alias("n_chars"),
+            F.col("a.key_nano").alias("key_nano"),
+        )
+        .agg((F.count(F.col("b.doc_id")) + 1).cast("long").alias("rnk"))
+    )
+
+
 _BG_SQL = rf"""
     t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
     bg AS (
