@@ -226,3 +226,25 @@ def test_chunking_is_map_only():
 def test_perplexity_model_join_is_broadcast():
     plan = _plan("doc_perplexity_lm")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_no_unpartitioned_window_in_any_registered_query():
+    """Registry-wide lint: NO registered query may contain a WindowExec
+    with an empty partition spec — the single-partition trap that q15
+    originally had. Bounded tails are expected to use TakeOrdered,
+    scalar-agg broadcasts, or join-based ranks instead."""
+    skip = set()  # no exemptions: every query must pass
+    offenders = {}
+    for name in sorted(QUERIES):
+        if name in skip:
+            continue
+        try:
+            plan = _plan(name)
+        except Exception:
+            continue  # scratch-dependent queries may need setup; covered elsewhere
+        for m in re.finditer(r"Window \[[^\]]*\](?:, \[([^\]]*)\])?, \[", plan):
+            part = (m.group(1) or "").strip()
+            if not part:
+                offenders[name] = m.group(0)
+                break
+    assert not offenders, offenders
