@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_into", "scd2_from_changes"]
+__all__ = ["merge_into", "scd2_from_changes", "snapshot_diff"]
 
 
 def merge_into(
@@ -93,4 +93,48 @@ def scd2_from_changes(
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("version", F.row_number().over(w).cast("long"))
         .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two table versions keyed by ``key``:
+    ``change`` ∈ added | removed | changed | unchanged, with the key and
+    both sides' compared values carried for audit. The
+    what-did-this-pipeline-run-touch report (a lakehouse commit diff on
+    plain tables).
+
+    One full-outer join on the key — same single-shuffle shape as
+    `merge_into`; with both snapshots bucketed on the key the exchange
+    vanishes. Null-safe comparison (`eqNullSafe`) so NULL→value edits
+    count as changes."""
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c != key]
+    o = old.select(
+        F.col(key).alias("_ok"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key).alias("_nk"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, F.col("_ok") == F.col("_nk"), "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_ok").isNull(), F.lit("added"))
+        .when(F.col("_nk").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.coalesce("_ok", "_nk").alias(key),
+        change.alias("change"),
+        *[F.col(f"_o_{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"_n_{c}").alias(f"new_{c}") for c in compare_cols],
     )

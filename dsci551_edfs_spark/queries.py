@@ -3042,6 +3042,58 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 13 != 0),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus,
+             round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END, 2) AS price
+      FROM orders WHERE o_orderkey % 11 != 0)
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus = n.o_orderstatus
+                     AND o.price = n.price THEN 'unchanged'
+                ELSE 'changed' END AS change,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_orderstatus AS new_o_orderstatus,
+           o.price AS old_price,
+           n.price AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """Table-version diff (operators/merge.py:snapshot_diff): the 'new'
+    snapshot drops %11 keys, the 'old' lacked %13 keys, and %7 keys got a
+    status+price edit — so all four change classes appear. One full-outer
+    key join; bucketing both snapshots makes it exchange-free."""
+    from .operators.merge import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price"),
+    )
+    return snapshot_diff(old, new, key="o_orderkey")
+
+
+@q(
     "histogram_totalprice",
     """
     WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi

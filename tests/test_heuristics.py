@@ -325,3 +325,19 @@ def test_sessionize_gap_semantics(spark):
     out = {r["event_id"]: r["s"] for r in df.select(
         "event_id", F.sum(new_sess).over(run).alias("s")).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_snapshot_diff_classes(spark):
+    from dsci551_edfs_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (5, None, 5.0)],
+        "k long, s string, p double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0), (5, "x", 5.0)],
+        "k long, s string, p double",
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "changed"}  # NULL -> 'x' counts as changed
