@@ -95,11 +95,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # the suite has grown every round (r1: 25 queries, r4: 43); the r1
+    # subset subtotal keeps round-over-round totals comparable
+    r1_set = HEADLINE[:25]
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
                 "value": round(sum(timings.values()), 3),
+                "value_r1_comparable_25q": round(
+                    sum(timings[q] for q in r1_set), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
