@@ -3042,6 +3042,108 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "trend_per_event_type",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+             CAST(value AS DECIMAL(18, 6)) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS sx,
+             sum(x * x) AS sxx,
+             sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(18, 0)) * y) AS sxy
+      FROM b GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 86400 * 1000000, 4) AS slope_micro_per_day
+    FROM s
+    """,
+)
+def trend_per_event_type(spark, sf_dir):
+    """Per-key OLS trend (is this event type's value drifting?): the
+    slope comes from sufficient statistics where every sum is EXACT —
+    epoch offsets are integers and `value` is summed as DECIMAL(18,6),
+    so no accumulation-order dependence — and only the final division is
+    floating point. Scaled to micro-units/day. One groupBy; the classic
+    map-side-combinable regression shape."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (F.col("ts").cast("long") - 1704067200).alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+    )
+    # cast each EXACT sum to double first, then slope arithmetic in
+    # doubles — Spark's decimal-overflow scale reduction rounds
+    # differently than DuckDB's widening, but identical doubles in,
+    # identical doubles out
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den * 86400 * 1e6, 4).alias("slope_micro_per_day"),
+    )
+
+
+@q(
+    "price_percentile_by_status",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           round(CAST(rnk - 1 AS DOUBLE) / (cnt - 1), 6) AS pct_rank
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             rank() OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS rnk,
+             count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      FROM orders)
+    WHERE o_orderkey % 17 = 0
+    """,
+)
+def price_percentile_by_status(spark, sf_dir):
+    """Exact percentile rank of each order's price within its status
+    group ((rank-1)/(n-1) — integer rank arithmetic, so the double is
+    derived identically on both engines). Keyed windows only; the %17
+    projection keeps the compare table small while ranks come from the
+    FULL group."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    cw = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.count("*").over(cw).alias("cnt"),
+    )
+    return ranked.filter(F.col("o_orderkey") % 17 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(
+            (F.col("rnk") - 1).cast("double") / (F.col("cnt") - 1), 6
+        ).alias("pct_rank"),
+    )
+
+
+@q(
     "snapshot_diff_orders",
     """
     WITH old AS (
