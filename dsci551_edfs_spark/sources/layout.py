@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spread_bits16", "zvalue16", "zorder_layout"]
+__all__ = ["spread_bits16", "zvalue16", "zorder_layout", "spread_bits10_3", "zvalue3"]
 
 _MASKS16 = (
     (8, 0x00FF00FF),
@@ -89,4 +89,35 @@ def zorder_layout(
         df.withColumn("_z", z)
         .repartitionByRange(n_partitions, "_z")
         .sortWithinPartitions("_z")
+    )
+
+
+# 3-dim interleave: spread 10 bits so bit i lands at position 3i
+_MASKS10_3 = (
+    (16, 0x030000FF),
+    (8, 0x0300F00F),
+    (4, 0x030C30C3),
+    (2, 0x09249249),
+)
+
+
+def spread_bits10_3(c: Column) -> Column:
+    """Spread the low 10 bits of ``c`` to every 3rd position — the 3-dim
+    magic-mask half (same 4-step shape as the 2-dim spread)."""
+    x = c.cast("long").bitwiseAND(F.lit(0x3FF))
+    for shift, mask in _MASKS10_3:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zvalue3(a: Column, b: Column, c: Column) -> Column:
+    """Morton z-value of three 10-bit bucket ids (30-bit result): a's
+    bits at positions 3i, b's at 3i+1, c's at 3i+2. Inputs in [0, 1024).
+    Three-column data skipping — the practical ceiling for z-ordering
+    (beyond ~3 dims the curve's locality, and therefore file envelope
+    tightness, degrades)."""
+    return (
+        spread_bits10_3(a)
+        .bitwiseOR(F.shiftleft(spread_bits10_3(b), 1))
+        .bitwiseOR(F.shiftleft(spread_bits10_3(c), 2))
     )

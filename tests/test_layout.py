@@ -103,3 +103,36 @@ def test_zorder_files_carry_both_dim_stats(spark, sf_dir):
     # though the layout also clusters totalprice
     assert len(spans) >= 4
     assert sum(spans) / len(spans) < 0.6
+
+
+def test_zvalue3_matches_reference(spark):
+    def py_spread3(x):
+        x &= 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    from dsci551_edfs_spark.sources.layout import zvalue3
+
+    df = spark.range(0, 1500).select(
+        (F.col("id") * 7 % 1024).alias("a"),
+        (F.col("id") * 131 % 1024).alias("b"),
+        (F.col("id") * 523 % 1024).alias("c"),
+    )
+    got = df.select(
+        "a", "b", "c",
+        zvalue3(F.col("a"), F.col("b"), F.col("c")).alias("z"),
+    ).collect()
+    for r in got:
+        expect = (py_spread3(r["a"]) | (py_spread3(r["b"]) << 1)
+                  | (py_spread3(r["c"]) << 2))
+        assert r["z"] == expect
+        # invertibility: deinterleave every 3rd bit
+        a = b = c = 0
+        for i in range(10):
+            a |= ((r["z"] >> (3 * i)) & 1) << i
+            b |= ((r["z"] >> (3 * i + 1)) & 1) << i
+            c |= ((r["z"] >> (3 * i + 2)) & 1) << i
+        assert (a, b, c) == (r["a"], r["b"], r["c"])
