@@ -3042,6 +3042,40 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "dedup_keep_best",
+    r"""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT fp,
+           CAST(max_by(doc_id, n_chars * 10000000 - doc_id) AS BIGINT)
+             AS keep_id,
+           CAST(max(n_chars) AS BIGINT) AS keep_chars,
+           count(*) AS group_size
+    FROM f GROUP BY fp
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-priority exact dedup: per content fingerprint keep the
+    LONGEST copy (ties → smallest id) instead of blindly the min id —
+    the 'keep the best duplicate' policy real pipelines want. One
+    map-side-combinable max_by aggregation; no window, no second pass."""
+    d = _t(spark, sf_dir, "documents")
+    f = d.select("doc_id", "n_chars", TXT.fingerprint("text").alias("fp"))
+    # scalar composite key (longest wins, ties -> smallest id): DuckDB's
+    # max_by has no struct-key overload, and the integer encoding is
+    # engine-portable anyway
+    return f.groupBy("fp").agg(
+        F.max_by("doc_id", F.col("n_chars") * 10_000_000 - F.col("doc_id"))
+        .cast("long")
+        .alias("keep_id"),
+        F.max("n_chars").cast("long").alias("keep_chars"),
+        F.count("*").alias("group_size"),
+    )
+
+
+@q(
     "trend_per_event_type",
     """
     WITH b AS (
