@@ -3042,6 +3042,135 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "copurchase_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 5 = 0),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS together
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT part_a, part_b, CAST(together AS BIGINT) AS together,
+           CAST(round(CAST(together AS DOUBLE) * (SELECT n_orders FROM n)
+                      / (CAST(sa.s AS DOUBLE) * sb.s) * 1000000)
+                AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN supp sa ON sa.l_partkey = part_a
+    JOIN supp sb ON sb.l_partkey = part_b
+    """,
+)
+def copurchase_lift(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order (distinct per order, %5 part filter bounds the item universe),
+    min support 2, lift = P(ab)/(P(a)P(b)) in exact integer micro-units.
+    The within-basket self-join is bounded by basket size (~7 lines/order)
+    — never an unconstrained cross join — and the margins join at
+    item-vocabulary scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    supp = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
+    lift = F.round(
+        F.col("together").cast("double")
+        * n_orders
+        / (F.col("sa").cast("double") * F.col("sb"))
+        * 1e6
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a", "part_b",
+            F.col("together").cast("long").alias("together"),
+            lift.alias("lift_micro"),
+        )
+    )
+
+
+@q(
+    "langid_agreement",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, source, lang, {_TOKENS_SQL} AS t FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, source, lang,
+             len(list_filter(t, x -> list_contains(
+               ['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+             len(list_filter(t, x -> list_contains(
+               ['the','and','of','to','a','in','is','that'], x))) AS s_en,
+             len(list_filter(t, x -> list_contains(
+               ['el','la','de','que','y','en','un','es'], x))) AS s_es,
+             len(list_filter(t, x -> list_contains(
+               ['le','la','de','et','un','est','que','pour'], x))) AS s_fr,
+             len(list_filter(t, x -> list_contains(
+               ['的','是','了','在','我','有','他','这'], x))) AS s_zh
+      FROM toks
+    ),
+    pred AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM scores
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           round(avg(CASE WHEN lang_pred = lang THEN 1.0 ELSE 0.0 END), 4)
+             AS agree_frac
+    FROM pred GROUP BY source
+    """,
+)
+def langid_agreement(spark, sf_dir):
+    """Label-quality audit: per source, how often the heuristic language
+    detector agrees with the recorded `lang` label — the metadata-trust
+    report a corpus owner runs before using labels for filtering. Pure
+    composition of the existing lang_id projection + one aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    pred = TXT.lang_id(d).select("doc_id", "lang_pred")
+    joined = d.select("doc_id", "source", "lang").join(pred, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+        F.round(
+            F.avg(F.when(F.col("lang_pred") == F.col("lang"), 1.0).otherwise(0.0)),
+            4,
+        ).alias("agree_frac"),
+    )
+
+
+@q(
     "dedup_keep_best",
     r"""
     WITH f AS (
