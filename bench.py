@@ -95,7 +95,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # the suite has grown every round (r1: 25 queries, r4: 43); the r1
+    # the suite has grown every round (r1: 25 queries, r4: 40); the r1
     # subset subtotal keeps round-over-round totals comparable
     r1_set = HEADLINE[:25]
     print(

@@ -34,11 +34,24 @@ def merge_into(
     source: DataFrame,
     key: str,
     update_cols: list[str] | None = None,
+    dedupe_source: bool = False,
 ) -> DataFrame:
     """Upsert ``source`` into ``target`` on ``key``: matched rows take the
     source's ``update_cols`` (default: every non-key source column),
     unmatched source rows insert, unmatched target rows persist. Returns
-    the merged table plus ``_merge_action``."""
+    the merged table plus ``_merge_action``.
+
+    PRECONDITION: ``source`` must be unique on ``key`` — duplicate source
+    keys would fan the target row out (real MERGE raises 'multiple source
+    rows matched' here). ``dedupe_source=True`` enforces it by keeping ONE
+    deterministic row per key (lexicographic struct-min over the non-key
+    columns — a whole row, never a column-wise mash-up) before joining."""
+    if dedupe_source:
+        others = [c for c in source.columns if c != key]
+        packed = source.groupBy(key).agg(F.min(F.struct(*others)).alias("_s"))
+        source = packed.select(
+            key, *[F.col(f"_s.{c}").alias(c) for c in others]
+        )
     if update_cols is None:
         update_cols = [c for c in source.columns if c != key]
     missing = [c for c in update_cols if c not in target.columns]

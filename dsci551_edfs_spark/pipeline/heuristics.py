@@ -101,9 +101,13 @@ def c4_clean(
     for s in blocklist:
         blocked = blocked | F.contains(F.lower(c), F.lit(s.lower()))
     pages = docs.filter(~blocked)
+    # F.split takes a REGEX but the rejoin uses the delimiter literally:
+    # escape so '|', '.', etc. behave as the same literal on both ends
+    import re as _re
+
     segs = pages.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(c, delimiter)).alias("pos", "line"),
+        F.posexplode(F.split(c, _re.escape(delimiter))).alias("pos", "line"),
     )
     flagged = c4_line_flags(
         segs, "line", min_words=min_words_per_line

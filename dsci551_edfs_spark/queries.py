@@ -1279,7 +1279,9 @@ def stream_exactly_once_sink(spark, sf_dir):
     sq = SK.exactly_once_parquet_sink(
         src, os.path.join(base, "out"), os.path.join(base, "ckpt"), "eo_query"
     )
-    sq.awaitTermination(300)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError("exactly-once sink did not finish within 300s")
     return SK.read_exactly_once(spark, os.path.join(base, "out")).select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -3077,7 +3079,7 @@ def copurchase_lift(spark, sf_dir):
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    n_orders = li.select("l_orderkey").distinct().count()
+    n_tot = li.agg(F.count_distinct("l_orderkey").alias("_n"))
     supp = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
     a, b = items.alias("a"), items.alias("b")
     pairs = (
@@ -3097,13 +3099,14 @@ def copurchase_lift(spark, sf_dir):
     sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
     lift = F.round(
         F.col("together").cast("double")
-        * n_orders
+        * F.col("_n")
         / (F.col("sa").cast("double") * F.col("sb"))
         * 1e6
     ).cast("long")
     return (
         pairs.join(F.broadcast(sa), "part_a")
         .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_tot))
         .select(
             "part_a", "part_b",
             F.col("together").cast("long").alias("together"),
@@ -3178,7 +3181,7 @@ def langid_agreement(spark, sf_dir):
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       FROM documents)
     SELECT fp,
-           CAST(max_by(doc_id, n_chars * 10000000 - doc_id) AS BIGINT)
+           CAST(max_by(doc_id, n_chars * 1000000000000 - doc_id) AS BIGINT)
              AS keep_id,
            CAST(max(n_chars) AS BIGINT) AS keep_chars,
            count(*) AS group_size
@@ -3194,9 +3197,10 @@ def dedup_keep_best(spark, sf_dir):
     f = d.select("doc_id", "n_chars", TXT.fingerprint("text").alias("fp"))
     # scalar composite key (longest wins, ties -> smallest id): DuckDB's
     # max_by has no struct-key overload, and the integer encoding is
-    # engine-portable anyway
+    # engine-portable. 1e12 multiplier keeps the order correct for any
+    # doc_id < 1e12 and n_chars < 9.2e6 without overflowing int64
     return f.groupBy("fp").agg(
-        F.max_by("doc_id", F.col("n_chars") * 10_000_000 - F.col("doc_id"))
+        F.max_by("doc_id", F.col("n_chars") * 1_000_000_000_000 - F.col("doc_id"))
         .cast("long")
         .alias("keep_id"),
         F.max("n_chars").cast("long").alias("keep_chars"),
@@ -3420,22 +3424,7 @@ def frequent_event_triples(spark, sf_dir):
     n-gram explode + count is the same map-side-combinable shape as BPE
     pair counting."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
-    seq = ev.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "ts", "event_id",
-                            F.substring("event_type", 1, 1).alias("c"),
-                        )
-                    )
-                ),
-                lambda x: x["c"],
-            ),
-            "",
-        ).alias("seq")
-    )
+    seq = _user_event_seq(ev)
     tri = seq.filter(F.length("seq") >= 3).select(
         F.explode(
             F.transform(
@@ -3551,26 +3540,32 @@ def pmi_collocations(spark, sf_dir):
     (the margins are vocab-sized). The classic word-association prep."""
     from .pipeline.lm import _doc_bigrams
 
+    # ONE corpus explode: margins (c1 = Σ_w2 c12, c2 = Σ_w1 c12) and the
+    # grand total all derive from the vocab-sized pc aggregate, so the
+    # corpus is scanned exactly once
     bg = _doc_bigrams(_t(spark, sf_dir, "documents"), "text", "doc_id")
-    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    l_m = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    r_m = bg.groupBy("w2").agg(F.count("*").alias("c2"))
-    total = bg.count()
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
+    l_m = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    r_m = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = pc.agg(F.sum("c12").alias("_n"))
     pmi = F.round(
         F.log(
             F.col("c12").cast("double")
-            * total
+            * F.col("_n")
             / (F.col("c1").cast("double") * F.col("c2"))
         )
         * 1e6
     ).cast("long")
-    return (
+    out = (
         pc.join(F.broadcast(l_m), "w1")
         .join(F.broadcast(r_m), "w2")
+        .crossJoin(F.broadcast(tot))
         .filter(F.col("c12") >= 5)
         .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
                 pmi.alias("pmi_micro"))
     )
+    pc.unpersist()
+    return out
 
 
 @q(
@@ -3659,14 +3654,18 @@ def tfidf_keywords(spark, sf_dir):
     toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
-    idf_micro = F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6).cast(
-        "long"
-    )
-    scored = tf.join(F.broadcast(df_t), "token").select(
-        "doc_id",
-        "token",
-        (F.col("tf").cast("long") * idf_micro).alias("score_micro"),
+    n_tot = d.agg(F.count("*").alias("_n"))  # scalar-agg broadcast, no
+    idf_micro = F.round(                      # eager driver count job
+        F.log(F.col("_n").cast("double") / F.col("df")) * 1e6
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf").cast("long") * idf_micro).alias("score_micro"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_micro").desc(), "token"
@@ -3684,7 +3683,9 @@ def tfidf_keywords(spark, sf_dir):
     WITH g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                  WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                       THEN 1
                   ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
@@ -3863,6 +3864,28 @@ def token_drift_report(spark, sf_dir):
     )
 
 
+def _user_event_seq(ev):
+    """Per-user first-letter event sequence in (ts, event_id) order — the
+    shared reconstruction for funnel_stages and frequent_event_triples."""
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+
+
 @q(
     "funnel_stages",
     """
@@ -3889,23 +3912,7 @@ def funnel_stages(spark, sf_dir):
     collect + array_sort reconstruction; stage detection is a regex over
     the per-user first-letter string — all codegen, state O(events/user)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
-    seq = ev.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "ts",
-                            "event_id",
-                            F.substring("event_type", 1, 1).alias("c"),
-                        )
-                    )
-                ),
-                lambda x: x["c"],
-            ),
-            "",
-        ).alias("seq")
-    )
+    seq = _user_event_seq(ev)
     stage = (
         F.when(F.col("seq").rlike("v.*c.*p"), F.lit(3))
         .when(F.col("seq").rlike("v.*c"), F.lit(2))

@@ -341,3 +341,32 @@ def test_snapshot_diff_classes(spark):
     got = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added", 5: "changed"}  # NULL -> 'x' counts as changed
+
+
+def test_merge_into_dedupe_source_guard(spark):
+    from dsci551_edfs_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a", 10.0)], "k long, s string, p double")
+    dup_src = spark.createDataFrame(
+        [(1, "z", 99.0), (1, "b", 50.0), (2, "c", 7.0)],
+        "k long, s string, p double",
+    )
+    out = merge_into(target, dup_src, "k", dedupe_source=True).collect()
+    rows = {r["k"]: r for r in out}
+    assert len(out) == 2  # no fan-out
+    # struct-min keeps the ('b', 50.0) ROW intact — never ('b', 99.0)
+    assert rows[1]["s"] == "b" and rows[1]["p"] == 50.0
+    assert rows[2]["_merge_action"] == "insert"
+
+
+def test_c4_clean_regex_delimiter(spark):
+    from dsci551_edfs_spark.pipeline import heuristics as HEU
+
+    df = spark.createDataFrame(
+        [(1, "a good first sentence right here.|a good second sentence here too!|"
+             "and a fine third sentence as well.")],
+        "doc_id long, text string",
+    )
+    out = HEU.c4_clean(df, delimiter="|", min_words_per_line=5, min_kept_lines=3)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_kept"] == 3  # '|' treated literally

@@ -233,18 +233,17 @@ def test_no_unpartitioned_window_in_any_registered_query():
     with an empty partition spec — the single-partition trap that q15
     originally had. Bounded tails are expected to use TakeOrdered,
     scalar-agg broadcasts, or join-based ranks instead."""
-    skip = set()  # no exemptions: every query must pass
-    offenders = {}
+    offenders, broken = {}, {}
     for name in sorted(QUERIES):
-        if name in skip:
-            continue
         try:
             plan = _plan(name)
-        except Exception:
-            continue  # scratch-dependent queries may need setup; covered elsewhere
+        except Exception as e:  # a query that can't even build is a failure,
+            broken[name] = repr(e)[:200]  # not an exemption
+            continue
         for m in re.finditer(r"Window \[[^\]]*\](?:, \[([^\]]*)\])?, \[", plan):
             part = (m.group(1) or "").strip()
             if not part:
                 offenders[name] = m.group(0)
                 break
+    assert not broken, broken
     assert not offenders, offenders
