@@ -3044,6 +3044,39 @@ def merge_upsert_orders(spark, sf_dir):
 
 
 @q(
+    "trending_event_types",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts)
+               - INTERVAL (CAST(hour(ts) AS INT) % 6) HOUR AS win,
+             event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT win, event_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT win, event_type, cnt,
+                 row_number() OVER (PARTITION BY win
+                                    ORDER BY cnt DESC, event_type) AS rnk
+          FROM w)
+    WHERE rnk <= 3
+    """,
+)
+def trending_event_types(spark, sf_dir):
+    """Trending analysis: top-3 event types per 6-hour tumbling window —
+    the batch face of a streaming trending dashboard (windowed counts +
+    per-window WindowGroupLimit rank). One (window, type) count shuffle,
+    rank state O(k) per window."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "6 hours").getField("start").alias("win")
+    cnt = ev.groupBy(win, "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("win").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("win", "event_type", F.col("cnt").cast("long").alias("cnt"), "rnk")
+    )
+
+
+@q(
     "copurchase_lift",
     """
     WITH items AS (
