@@ -3577,7 +3577,10 @@ def pmi_collocations(spark, sf_dir):
     # grand total all derive from the vocab-sized pc aggregate, so the
     # corpus is scanned exactly once
     bg = _doc_bigrams(_t(spark, sf_dir, "documents"), "text", "doc_id")
-    pc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
+    # managed persist (released by the harnesses between queries): an
+    # inline unpersist-before-return would evict the cache before the
+    # LAZY plan ever runs and silently restore the 4-scan behavior
+    pc = DD._persist(bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
     l_m = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     r_m = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = pc.agg(F.sum("c12").alias("_n"))
@@ -3597,7 +3600,6 @@ def pmi_collocations(spark, sf_dir):
         .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
                 pmi.alias("pmi_micro"))
     )
-    pc.unpersist()
     return out
 
 

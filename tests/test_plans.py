@@ -247,3 +247,26 @@ def test_no_unpartitioned_window_in_any_registered_query():
                 break
     assert not broken, broken
     assert not offenders, offenders
+
+
+def test_tfidf_dictionary_join_is_broadcast():
+    """df-table and corpus-total must broadcast; the tf side must never
+    shuffle on the token key to meet a vocab-sized dimension."""
+    plan = _plan("tfidf_keywords")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_pmi_scans_corpus_once():
+    """After the review fix, margins and the total derive from the single
+    pc aggregate — the documents scan must appear exactly once."""
+    plan = _plan("pmi_collocations")
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_bloom_incremental_shape():
+    """Membership is an Arrow-batched pandas UDF; the verify branch is a
+    LeftAnti join on the fingerprint key."""
+    plan = _plan("incremental_dedup_bloom")
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan, plan
+    assert re.search(r"LeftAnti", plan), plan
