@@ -16,8 +16,8 @@ Update rule per iteration (all integer ops):
 Scale shape: each iteration is one shuffle of (dst, contrib) pairs
 grouped by destination — the textbook Pregel/GraphX message pattern; the
 rank vector is (node, long) rows, never collected. Iterations extend the
-lineage, so a production run localCheckpoints every ~5 rounds exactly
-like connected_components does.
+lineage, so the loop localCheckpoints the rank vector every 5 rounds
+exactly like connected_components does.
 """
 
 from __future__ import annotations
@@ -49,12 +49,14 @@ def pagerank_micro(
     # two consumers per iteration + the N count: pin the small frames
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_micro: cannot rank an empty edge list")
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("deg")
     )
     teleport = (15 * SCALE) // (100 * n)
     pr = nodes.withColumn("pr", F.lit(SCALE // n).cast("long"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("node", "src"), "src")
             .join(deg.withColumnRenamed("node", "src"), "src")
@@ -74,4 +76,9 @@ def pagerank_micro(
             .cast("long")
             .alias("pr"),
         )
+        # cut lineage every 5 rounds: without this a high iteration
+        # count grows the plan tree exponentially in analysis time
+        # (each pr embeds the previous pr twice via join+select)
+        if (it + 1) % 5 == 0 and (it + 1) < iterations:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select("node", F.col("pr").alias("pr_micro"))

@@ -72,7 +72,11 @@ def count_min_build(
 
     The build IS a groupBy on at most depth×width keys — map-side
     combinable, so a 100 TB stream shuffles O(sketch), not O(items); the
-    materialized sketch is a few thousand rows whatever the corpus size."""
+    materialized sketch is a few thousand rows whatever the corpus size.
+
+    The (depth, width) geometry is stamped onto every sketch row so that
+    `count_min_estimate` can recover it from the table itself instead of
+    trusting the caller to repeat the same parameters."""
     ex = df.select(
         F.col(col).alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
@@ -82,16 +86,41 @@ def count_min_build(
             "row", F.pmod(F.xxhash64("v", "row"), F.lit(width)).alias("bucket")
         )
         .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("depth", F.lit(int(depth)))
+        .withColumn("width", F.lit(int(width)))
     )
 
 
 def count_min_estimate(
-    cms: DataFrame, items: DataFrame, col: str, depth: int = 4, width: int = 1024
+    cms: DataFrame, items: DataFrame, col: str, depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Point-estimate item frequencies from a `count_min_build` table:
     min over the depth rows of each item's bucket counter (0 when the
     bucket is empty). Guarantees est >= true count; overestimate bounded
-    by collisions (~N/width per row) — pinned in tests."""
+    by collisions (~N/width per row) — pinned in tests.
+
+    The hash geometry is read from the sketch's own (depth, width)
+    metadata columns; explicit depth/width arguments are accepted only as
+    a cross-check and raise on mismatch (a silently wrong width would
+    hash probes into the wrong buckets and break the est>=true bound)."""
+    if "depth" in cms.columns and "width" in cms.columns:
+        meta = cms.select("depth", "width").first()
+        if meta is not None:
+            if depth is not None and depth != meta["depth"]:
+                raise ValueError(
+                    f"depth={depth} does not match sketch depth={meta['depth']}"
+                )
+            if width is not None and width != meta["width"]:
+                raise ValueError(
+                    f"width={width} does not match sketch width={meta['width']}"
+                )
+            depth, width = meta["depth"], meta["width"]
+        cms = cms.drop("depth", "width")
+    if depth is None or width is None:
+        raise ValueError(
+            "cms table carries no depth/width metadata; pass both explicitly"
+        )
     ex = items.select(
         F.col(col).alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),

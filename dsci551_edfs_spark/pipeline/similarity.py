@@ -474,13 +474,15 @@ def ivf_pq_topk(
         import pandas as pd
 
         q_ids, tables = bc.value
-        pos = {int(q): i for i, q in enumerate(q_ids)}
+        # Key on the raw id value (mirrors pq_topk): query ids may be
+        # strings or any type, not just ints.
+        pos = {q: i for i, q in enumerate(q_ids)}
         cols = np.arange(tables.shape[1])
         for pdf in batches:
             if pdf.empty:
                 continue
             cm = np.stack(pdf["codes"].to_numpy())
-            qi = np.array([pos[int(q)] for q in pdf["query_id"]])
+            qi = np.array([pos[q] for q in pdf["query_id"]])
             scores = tables[qi[:, None], cols[None, :], cm].sum(axis=1)
             yield pd.DataFrame(
                 {

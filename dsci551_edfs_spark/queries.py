@@ -2924,8 +2924,12 @@ def cms_token_counts(spark, sf_dir):
         F.explode(TXT.tokens(F.col("text"))).alias("token")
     )
     exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
-    cms = count_min_build(toks, "token", depth=4, width=64)
-    est = count_min_estimate(cms, exact.select("token"), "token", depth=4, width=64)
+    # Persist the (tiny, <=depth*width rows) sketch: count_min_estimate
+    # reads the geometry metadata off it with a first(), and the probe
+    # join reads it again — without the persist the corpus would be
+    # scanned twice.
+    cms = count_min_build(toks, "token", depth=4, width=64).persist()
+    est = count_min_estimate(cms, exact.select("token"), "token")
     return exact.join(est, "token").orderBy("token")
 
 
@@ -3253,7 +3257,7 @@ def dedup_keep_best(spark, sf_dir):
       SELECT event_type,
              count(*) AS n,
              sum(x) AS sx,
-             sum(x * x) AS sxx,
+             sum(CAST(x AS DECIMAL(18, 0)) * x) AS sxx,
              sum(y) AS sy,
              sum(CAST(x AS DECIMAL(18, 0)) * y) AS sxy
       FROM b GROUP BY event_type)
@@ -3283,7 +3287,11 @@ def trend_per_event_type(spark, sf_dir):
     s = b.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # sxx accumulates as decimal(38,0) (same trick as sxy): a long
+        # accumulator is safe at fixture scale (~1e15) but could silently
+        # overflow Spark-side only on a much wider epoch range, breaking
+        # the cross-engine hash vs DuckDB's HUGEINT.
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("sxx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
     )

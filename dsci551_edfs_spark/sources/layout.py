@@ -73,6 +73,11 @@ def zorder_layout(
         row = df.agg(
             F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
         ).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "zorder_layout: cannot derive bounds from an empty frame "
+                "(or all-null layout columns); pass bounds= explicitly"
+            )
         bounds = tuple(float(v) for v in row)
     amin, amax, bmin, bmax = bounds
     cells = (1 << bits) - 1

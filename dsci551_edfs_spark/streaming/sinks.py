@@ -34,18 +34,17 @@ def write_batch_idempotent(df: DataFrame, batch_id: int, out_dir: str) -> None:
     `_batch_id=<batch_id>` directory. Re-running the same (df, batch_id)
     replaces the directory with identical content — a replay is a no-op
     in effect."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.withColumn("_batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("_batch_id")
-            .parquet(out_dir)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Per-write option, NOT a session-conf toggle: two concurrent
+    # foreachBatch queries sharing one session must not race on a global
+    # conf (a restore to 'static' mid-write would turn a replay into a
+    # full-table overwrite).
+    (
+        df.withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_dir)
+    )
 
 
 def exactly_once_parquet_sink(

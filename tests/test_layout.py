@@ -3,6 +3,8 @@ contract — per-file min/max envelopes must be tight on BOTH dimensions,
 where a single-column sort is tight on one and useless on the other."""
 
 import os
+
+import pytest
 import tempfile
 
 from pyspark.sql import functions as F
@@ -136,3 +138,12 @@ def test_zvalue3_matches_reference(spark):
             b |= ((r["z"] >> (3 * i + 1)) & 1) << i
             c |= ((r["z"] >> (3 * i + 2)) & 1) << i
         assert (a, b, c) == (r["a"], r["b"], r["c"])
+
+
+def test_zorder_empty_frame_raises(spark):
+    empty = spark.createDataFrame([], "a double, b double")
+    with pytest.raises(ValueError, match="empty"):
+        zorder_layout(empty, "a", "b")
+    # explicit bounds sidestep the scan and an empty layout is fine
+    out = zorder_layout(empty, "a", "b", bounds=(0.0, 1.0, 0.0, 1.0))
+    assert out.count() == 0

@@ -470,3 +470,18 @@ def test_ivf_pq_recall(spark, sf_dir):
     hits = {r["query_id"]: r["neighbor_id"] for r in got.collect()}
     found = sum(1 for q, n in hits.items() if n == q + 1_000_000)
     assert found >= 9  # >= 9 of 10 twins at rank 1 through 4/8 probes
+
+
+def test_ivf_pq_topk_string_ids(spark, sf_dir):
+    """ivf_pq_topk must support arbitrary id types like pq_topk does —
+    the ADC position map keys on the raw id value, not int(id)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec_id", F.concat(F.lit("doc_"), F.col("vec_id").cast("string"))
+    )
+    queries = emb.filter(F.col("vec_id").isin("doc_0", "doc_1", "doc_2"))
+    got = SIM.ivf_pq_topk(
+        emb, queries, k=3, n_centroids=8, n_probe=8,
+        n_subspaces=16, n_codes=64, rerank_k=20,
+    ).collect()
+    assert {r["query_id"] for r in got} == {"doc_0", "doc_1", "doc_2"}
+    assert all(isinstance(r["neighbor_id"], str) for r in got)

@@ -93,3 +93,65 @@ def test_pagerank_micro_properties(spark):
         for r in pagerank_micro(edges.repartition(5), 3).collect()
     }
     assert pr == pr2
+
+
+def test_count_min_geometry_from_metadata(spark, sf_dir):
+    """The sketch carries its (depth, width) geometry; estimate derives
+    it and rejects mismatched explicit params instead of silently
+    hashing probes into the wrong buckets."""
+    from dsci551_edfs_spark.functions.text import tokens
+    from dsci551_edfs_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    cms = count_min_build(toks, "token", depth=4, width=128).persist()
+    try:
+        # no explicit params: geometry read from the sketch itself
+        est = count_min_estimate(cms, exact.select("token"), "token")
+        rows = exact.join(est, "token").collect()
+        assert rows and all(r["cms_cnt"] >= r["cnt"] for r in rows)
+        # matching explicit params cross-check cleanly
+        count_min_estimate(cms, exact.select("token"), "token", 4, 128).count()
+        # mismatched params fail loudly
+        with pytest.raises(ValueError, match="width"):
+            count_min_estimate(cms, exact.select("token"), "token", 4, 64)
+        with pytest.raises(ValueError, match="depth"):
+            count_min_estimate(cms, exact.select("token"), "token", 8, 128)
+    finally:
+        cms.unpersist()
+    # a bare legacy sketch (no metadata columns) needs explicit params
+    bare = cms.drop("depth", "width")
+    with pytest.raises(ValueError, match="metadata"):
+        count_min_estimate(bare, exact.select("token"), "token")
+
+
+def test_pagerank_deep_iterations_lineage_bounded(spark):
+    """20 iterations complete quickly: the every-5-rounds localCheckpoint
+    keeps the plan tree from growing exponentially (each un-truncated
+    iteration embeds the previous rank vector twice)."""
+    import time
+
+    from dsci551_edfs_spark.operators.graph import pagerank_micro
+
+    edges = spark.createDataFrame(
+        [("a", "h"), ("b", "h"), ("c", "h"), ("h", "a"), ("h", "b"), ("h", "c")],
+        "src string, dst string",
+    )
+    t0 = time.monotonic()
+    pr = {r["node"]: r["pr_micro"] for r in pagerank_micro(edges, 20).collect()}
+    assert time.monotonic() - t0 < 60
+    assert pr["h"] > pr["a"] == pr["b"] == pr["c"]
+
+
+def test_pagerank_empty_edges_raises(spark):
+    from dsci551_edfs_spark.operators.graph import pagerank_micro
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank_micro(empty, 3)
