@@ -1,0 +1,61 @@
+"""Size-guarded broadcast hints.
+
+A *forced* ``F.broadcast()`` is unconditional: Spark will build the
+broadcast relation no matter how large the side turns out, failing only
+at the 8 GB broadcast hard limit (or OOMing the driver/executors first).
+That is the right call for genuinely bounded relations (a scalar agg, a
+fixed dimension table) but wrong for VOCAB-sized relations — a bigram
+margin table or a token document-frequency dictionary grows with corpus
+vocabulary, not corpus rows: KBs at test scale, potentially 10⁷–10⁸ rows
+on a 100 TB web corpus.
+
+``broadcast_if_small`` makes the hint conditional on Catalyst's own
+size-in-bytes estimate for the frame's optimized plan (driver-side plan
+statistics only — no job is triggered). Under the threshold, the hint is
+applied and the plan keeps the zero-shuffle broadcast shape; over it, the
+frame is returned unhinted so the join planner / AQE picks the strategy
+from runtime sizes (sort-merge or shuffled-hash, with AQE free to demote
+back to broadcast if the RUNTIME size turns out small — propagated
+estimates overestimate post-aggregation cardinality, and that is the safe
+direction here: worst case is one extra shuffle, never an OOM).
+
+Threshold conf: ``spark.dsci551.broadcastEstimateThreshold`` (bytes,
+default 256 MiB of *estimated* input — deliberately larger than the
+classic 10 MB autoBroadcastJoinThreshold because non-CBO estimates for
+an aggregate propagate the pre-aggregation child size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["broadcast_if_small", "plan_size_estimate"]
+
+_THRESHOLD_CONF = "spark.dsci551.broadcastEstimateThreshold"
+_DEFAULT_THRESHOLD = 256 << 20
+
+
+def plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df``'s optimized logical
+    plan. Pure driver-side planning — runs analysis + optimization but
+    never launches a job; without CBO this is the propagated scan-size
+    estimate, an upper bound for aggregated relations."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size = stats.sizeInBytes()
+    # py4j maps scala.math.BigInt to a Python int directly when it fits;
+    # fall back to the string form for a genuine BigInt proxy
+    return size if isinstance(size, int) else int(size.toString())
+
+
+def broadcast_if_small(df: DataFrame, threshold_bytes: int | None = None) -> DataFrame:
+    """Apply ``F.broadcast`` only when the plan-estimated size is under
+    the threshold; otherwise return ``df`` unhinted and let the planner /
+    AQE choose from runtime sizes."""
+    if threshold_bytes is None:
+        threshold_bytes = int(
+            df.sparkSession.conf.get(_THRESHOLD_CONF, str(_DEFAULT_THRESHOLD))
+        )
+    if plan_size_estimate(df) <= threshold_bytes:
+        return F.broadcast(df)
+    return df

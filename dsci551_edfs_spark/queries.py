@@ -3600,9 +3600,16 @@ def pmi_collocations(spark, sf_dir):
         )
         * 1e6
     ).cast("long")
+    # the margins are VOCAB-sized (grow with distinct bigrams, not corpus
+    # rows): hint them only while the plan-size estimate stays under the
+    # broadcast threshold; on a 100x-vocab corpus the guard declines and
+    # the planner/AQE falls back to a shuffled join instead of OOMing a
+    # forced 8 GB+ broadcast
+    from .plans.hints import broadcast_if_small
+
     out = (
-        pc.join(F.broadcast(l_m), "w1")
-        .join(F.broadcast(r_m), "w2")
+        pc.join(broadcast_if_small(l_m), "w1")
+        .join(broadcast_if_small(r_m), "w2")
         .crossJoin(F.broadcast(tot))
         .filter(F.col("c12") >= 5)
         .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
@@ -3701,8 +3708,12 @@ def tfidf_keywords(spark, sf_dir):
     idf_micro = F.round(                      # eager driver count job
         F.log(F.col("_n").cast("double") / F.col("df")) * 1e6
     ).cast("long")
+    # the df dictionary is VOCAB-sized: size-guarded hint (see
+    # plans/hints.py) — broadcast under threshold, shuffled join above
+    from .plans.hints import broadcast_if_small
+
     scored = (
-        tf.join(F.broadcast(df_t), "token")
+        tf.join(broadcast_if_small(df_t), "token")
         .crossJoin(F.broadcast(n_tot))
         .select(
             "doc_id",

@@ -250,11 +250,51 @@ def test_no_unpartitioned_window_in_any_registered_query():
 
 
 def test_tfidf_dictionary_join_is_broadcast():
-    """df-table and corpus-total must broadcast; the tf side must never
-    shuffle on the token key to meet a vocab-sized dimension."""
+    """At test scale the size-guarded hint fires: df-table and
+    corpus-total broadcast, the tf side never shuffles on the token key.
+    (Above the estimate threshold the guard declines the hint — covered
+    by test_broadcast_guard_flips_on_oversized_dictionary.)"""
     plan = _plan("tfidf_keywords")
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_broadcast_guard_flips_on_oversized_dictionary():
+    """broadcast_if_small declines the hint when Catalyst's size estimate
+    exceeds the threshold: the vocab-sized joins in tfidf/pmi must flip
+    to a shuffled strategy instead of forcing an 8 GB+ broadcast on a
+    100x-vocab corpus."""
+    from dsci551_edfs_spark.plans.hints import broadcast_if_small
+
+    orders = _spark.read.parquet(f"{SF}/orders.parquet")
+    dim = orders.groupBy("o_custkey").count()
+    # under threshold: hint applied (a new hinted frame is returned)
+    assert broadcast_if_small(dim, threshold_bytes=1 << 40) is not dim
+    # over threshold: frame returned unhinted, identity preserved
+    assert broadcast_if_small(dim, threshold_bytes=1) is dim
+
+    # end-to-end through the conf. autoBroadcastJoinThreshold is disabled
+    # so the planner can't independently re-broadcast from its own small
+    # test-scale estimate — at 100x vocab BOTH the guard and the planner
+    # see an over-threshold estimate, which is the scenario modeled here.
+    conf = "spark.dsci551.broadcastEstimateThreshold"
+    auto = "spark.sql.autoBroadcastJoinThreshold"
+    _spark.conf.set(auto, "-1")
+    try:
+        # guard declines at a 1-byte threshold: shuffled join (the
+        # scalar corpus-total stays a broadcast nested-loop, always 1 row)
+        _spark.conf.set(conf, "1")
+        plan = _plan("tfidf_keywords")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        # guard fires at the default threshold: the HINT alone (planner
+        # auto-broadcast still off) restores the broadcast shape
+        _spark.conf.unset(conf)
+        assert "BroadcastHashJoin" in _plan("tfidf_keywords")
+    finally:
+        _spark.conf.unset(auto)
+        if _spark.conf.get(conf, None):
+            _spark.conf.unset(conf)
 
 
 def test_pmi_scans_corpus_once():
