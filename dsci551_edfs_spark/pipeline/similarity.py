@@ -284,18 +284,28 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as `n_subspaces` uint8 codes (nearest centroid
     per subspace, L2): (id, codes array<int>). One Arrow pass; the encoded
     corpus is dim·8/n_subspaces-fold smaller than float64 vectors — the
-    representation a 100 TB index actually stores and scans."""
+    representation a 100 TB index actually stores and scans.
+
+    ``extra_cols`` pass through the encode pass untouched (e.g. an IVF
+    ``centroid`` assignment), so callers carrying per-row metadata avoid
+    a corpus-sized id-join back onto the codes."""
     bc = corpus.sparkSession.sparkContext.broadcast(
         np.ascontiguousarray(codebooks)
     )
     unit = corpus.select(
-        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+        F.col(id_col).alias("id"),
+        normalize(as_double(vec_col)).alias("v"),
+        *extra_cols,
     )
     id_type = unit.schema["id"].dataType.simpleString()
+    extra_schema = "".join(
+        f", {c} {unit.schema[c].dataType.simpleString()}" for c in extra_cols
+    )
 
     def encode(batches):
         import pandas as pd
@@ -313,9 +323,14 @@ def pq_encode(
                 dots = sub @ books[j].T
                 c2 = (books[j] ** 2).sum(axis=1)
                 codes[:, j] = (c2[None, :] - 2 * dots).argmin(axis=1)
-            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
+            out = {"id": pdf["id"].to_numpy(), "codes": list(codes)}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return unit.mapInPandas(encode, f"id {id_type}, codes array<int>")
+    return unit.mapInPandas(
+        encode, f"id {id_type}, codes array<int>{extra_schema}"
+    )
 
 
 def pq_topk(
@@ -349,11 +364,22 @@ def pq_topk(
     `rerank_k` per query, then ONLY those Q·rerank_k rows pay an exact
     float re-score (one semi-join back to the vectors). Near-exact recall
     for a scan that never touches floats outside the shortlist."""
+    from .dedup import _persist
+
+    # normalize ONCE into a managed-persisted (id, v) frame: the codebook
+    # sample, the encode pass, and the shortlist re-rank all read it —
+    # without this the raw corpus is scanned (and re-normalized) up to
+    # three times per call
+    unit = _persist(
+        corpus.select(
+            F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+        )
+    )
     if codebooks is None:
         codebooks = train_pq_codebooks(
-            corpus, n_subspaces, n_codes, iters, vec_col, id_col, seed
+            unit, n_subspaces, n_codes, iters, "v", "id", seed
         )
-    codes = pq_encode(corpus, codebooks, vec_col, id_col)
+    codes = pq_encode(unit, codebooks, "v", "id")
     qrows = (
         queries.select(
             F.col(id_col).alias("qid"), normalize(as_double(vec_col)).alias("qv")
@@ -399,14 +425,11 @@ def pq_topk(
     shortlist = _rank_topk(scored, max(rerank_k, k)).select(
         "query_id", F.col("neighbor_id").alias("id")
     )
-    c = corpus.select(
-        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
-    )
     qdf = queries.select(
         F.col(id_col).alias("query_id"), normalize(as_double(vec_col)).alias("qv")
     )
     rescored = (
-        shortlist.join(c, "id")
+        shortlist.join(unit, "id")  # cached unit frame, not a re-scan
         .join(F.broadcast(qdf), "query_id")
         .select("query_id", "id", dot(F.col("v"), F.col("qv")).alias("score"))
     )
@@ -440,14 +463,21 @@ def ivf_pq_topk(
     broadcast probes), the ADC emits only (query_id, id, score) rows, and
     the re-rank semi-joins Q·rerank_k vectors. Recall vs the exact scan
     is pinned in pytest."""
-    bucketed, cents = build_ivf_index(
-        corpus, n_centroids, vec_col, id_col, seed
+    from .dedup import _persist
+
+    # normalize ONCE into a managed-persisted (id, v) frame shared by the
+    # coarse quantizer, the codebook sample, the encode pass, and the
+    # re-rank; encoding the BUCKETED frame with the centroid passed
+    # through also removes the corpus-sized id-join codes⋈buckets that
+    # this path originally paid
+    unit = _persist(
+        corpus.select(
+            F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+        )
     )
-    books = train_pq_codebooks(
-        corpus, n_subspaces, n_codes, iters, vec_col, id_col, seed
-    )
-    codes = pq_encode(corpus, books, vec_col, id_col)
-    enc = bucketed.select("id", "centroid").join(codes, "id")
+    bucketed, cents = build_ivf_index(unit, n_centroids, "v", "id", seed)
+    books = train_pq_codebooks(unit, n_subspaces, n_codes, iters, "v", "id", seed)
+    enc = pq_encode(bucketed, books, "v", "id", extra_cols=("centroid",))
 
     qrows = (
         queries.select(
@@ -468,7 +498,7 @@ def ivf_pq_topk(
     )
     cand = enc.join(F.broadcast(probes), "centroid")
     bc = corpus.sparkSession.sparkContext.broadcast((qids, lut))
-    id_type = codes.schema["id"].dataType.simpleString()
+    id_type = enc.schema["id"].dataType.simpleString()
 
     def scan(batches):
         import pandas as pd
@@ -502,11 +532,8 @@ def ivf_pq_topk(
     shortlist = _rank_topk(scored, max(rerank_k, k)).select(
         "query_id", F.col("neighbor_id").alias("id")
     )
-    c = corpus.select(
-        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
-    )
     rescored = (
-        shortlist.join(c, "id")
+        shortlist.join(unit, "id")  # cached unit frame, not a re-scan
         .join(F.broadcast(q_unit), "query_id")
         .select("query_id", "id", dot(F.col("v"), F.col("qv")).alias("score"))
     )
