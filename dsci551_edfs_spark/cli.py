@@ -49,9 +49,37 @@ from .sources import scan as SCN
 
 
 class EdfsShell:
+    #: cap on rows any single `cat`/`readPartition` emits — the reference
+    #: contract is emit-whole-CSV, which is fine for EDFS-scale tables but
+    #: would OOM the driver on a real one; past the cap the CSV carries a
+    #: trailing truncation marker comment
+    max_csv_rows = 100_000
+
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.catalog = EdfsCatalog(spark, warehouse)
+
+    def _emit_csv(self, df) -> str:
+        """Stream a frame into CSV text without driver-materializing the
+        whole table: `toLocalIterator` holds ONE partition's rows at a
+        time, and the emit stops at `max_csv_rows` (reference parity is
+        whole-CSV output — `combined_flask.py` cat — but the reference
+        serves KB-scale tables; the cap keeps the contract shape while
+        bounding driver memory on a large table)."""
+        import csv as _csv
+        import io
+
+        buf = io.StringIO()
+        w = _csv.writer(buf, lineterminator="\n")
+        w.writerow(df.columns)
+        n = 0
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            if n >= self.max_csv_rows:
+                buf.write(f"# truncated at {self.max_csv_rows} rows\n")
+                break
+            w.writerow(row)
+            n += 1
+        return buf.getvalue()
 
     # ---------------------------------------------------------- helpers
 
@@ -101,9 +129,13 @@ class EdfsShell:
                 return self._ok(self.catalog.mkdir(args[0]))
             if cmd == "ls":
                 return self._ok(self.catalog.format_ls(args[0] if args else "/"))
+            if cmd == "clear":
+                # Terminal.js:44-47 clears client-side; the engine returns
+                # an action envelope the frontend (or REPL) acts on
+                return self._ok({"action": "clear"})
             if cmd == "cat":
                 df = SCN.cat(self.spark, self._table(args[0]))
-                return self._ok(df.toPandas().to_csv(index=False))
+                return self._ok(self._emit_csv(df))
             if cmd == "rm":
                 return self._ok(self.catalog.rm(args[0]))
             if cmd == "put":
@@ -121,7 +153,7 @@ class EdfsShell:
                 )
             if cmd == "readPartition":
                 df = SCN.read_partition(self.spark, self._table(args[0]), int(args[1]))
-                return self._ok(df.toPandas().to_csv(index=False))
+                return self._ok(self._emit_csv(df))
             if cmd == "getAvg":
                 return self._agg("avg", args)
             if cmd == "getMax":
@@ -144,6 +176,31 @@ class EdfsShell:
             return self._err(f"{type(e).__name__}: {e}")
 
 
+CLEAR_SEQ = "\033[2J\033[H"
+
+
+def repl(shell: EdfsShell, input_fn=input, write=None) -> int:
+    """Interactive loop: prompt, execute, JSON-print the envelope.
+    `clear` acts on the terminal (ANSI clear) instead of printing its
+    envelope — the same client-side behavior as Terminal.js. Injectable
+    input/write hooks make the loop unit-testable."""
+    if write is None:
+        write = lambda s: sys.stdout.write(s)  # noqa: E731
+    while True:
+        try:
+            line = input_fn("edfs> ")
+        except (EOFError, KeyboardInterrupt):
+            return 0
+        if line.strip() in ("exit", "quit"):
+            return 0
+        out = shell.execute(line)
+        resp = out.get("response")
+        if isinstance(resp, dict) and resp.get("action") == "clear":
+            write(CLEAR_SEQ)
+            continue
+        write(json.dumps(out, indent=2, default=str) + "\n")
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     warehouse = "/root/repo/.scratch/warehouse"
@@ -157,17 +214,7 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] == "--":
         print(json.dumps(shell.execute(" ".join(argv[1:])), indent=2, default=str))
         return 0
-    while True:
-        try:
-            line = input("edfs> ")
-        except (EOFError, KeyboardInterrupt):
-            return 0
-        if line.strip() in ("exit", "quit"):
-            return 0
-        if line.strip() == "clear":
-            print("\033[2J\033[H", end="")
-            continue
-        print(json.dumps(shell.execute(line), indent=2, default=str))
+    return repl(shell)
 
 
 if __name__ == "__main__":

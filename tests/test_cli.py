@@ -93,3 +93,64 @@ def test_hardcoded_column_aliases(shell):
     assert len(out["response"]["partitions"]) >= 1  # debug channel works
     out = shell.execute("firebase_getAvgArmCircum /nhanes/demo.csv")
     assert out["response"]["result"] == "The overall average is 29.500"
+
+
+def test_clear_and_repl_loop(shell):
+    """`clear` completes the 11-command Terminal.js grammar: execute()
+    returns an action envelope, and the REPL acts on it terminal-side
+    (ANSI clear) instead of printing JSON — then exits cleanly on both
+    'exit' and EOF."""
+    from dsci551_edfs_spark.cli import CLEAR_SEQ, repl
+
+    out = shell.execute("clear")
+    assert out["status"] == "EDFS200"
+    assert out["response"] == {"action": "clear"}
+
+    lines = iter(["ls /", "clear", "exit"])
+    writes = []
+    assert repl(shell, input_fn=lambda _: next(lines), write=writes.append) == 0
+    assert len(writes) == 2  # ls envelope + clear sequence, no post-exit writes
+    assert "Found" in writes[0] or "EDFS" in writes[0]
+    assert writes[1] == CLEAR_SEQ
+
+    # EOF (ctrl-d) ends the loop without error
+    def eof(_):
+        raise EOFError
+
+    assert repl(shell, input_fn=eof, write=writes.append) == 0
+
+
+def test_cat_emit_is_streamed_and_capped(shell, nation_csv, monkeypatch):
+    """The CSV emit path must not driver-materialize the table: rows
+    stream through toLocalIterator (toPandas would collect everything),
+    and the row cap truncates with an explicit marker."""
+    import dsci551_edfs_spark.cli as CLI
+
+    shell.execute("mkdir /cap")
+    assert shell.execute(f"put {nation_csv} /cap/nation.csv 4 n_regionkey")[
+        "status"
+    ] == "EDFS200"
+
+    # structural: the emit path never calls DataFrame.toPandas
+    def _boom(self, *a, **k):
+        raise AssertionError("emit path must not driver-materialize via toPandas")
+
+    from pyspark.sql import DataFrame
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    full = shell.execute("cat /cap/nation.csv")
+    assert full["status"] == "EDFS200"
+    assert len(list(csv.DictReader(io.StringIO(full["response"])))) == 25
+
+    # capped: 10-row limit on a 25-row table → 10 rows + truncation marker
+    monkeypatch.setattr(CLI.EdfsShell, "max_csv_rows", 10)
+    capped = shell.execute("cat /cap/nation.csv")
+    body = capped["response"]
+    assert "# truncated at 10 rows" in body
+    data_lines = [
+        l for l in body.strip().splitlines()[1:] if not l.startswith("#")
+    ]
+    assert len(data_lines) == 10
+    part = shell.execute("readPartition /cap/nation.csv 1")
+    assert part["status"] == "EDFS200"
+    shell.execute("rm /cap/nation.csv")
