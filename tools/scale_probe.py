@@ -65,6 +65,79 @@ def inflate_emb(emb, k):
     )
 
 
+def inflate_events_hot(ev, k, hot_share=0.5):
+    """K× the events table with SKEW: `hot_share` of the added copies
+    funnel onto ONE user and ONE event type — the hot-key shape that
+    turns a keyed shuffle/window into a straggler task at scale."""
+    from pyspark.sql import functions as F
+
+    if k == 1:
+        return ev
+    copies = ev.crossJoin(
+        ev.sparkSession.range(k).select(F.col("id").alias("_copy"))
+    )
+    hot = (F.col("_copy") > 0) & (
+        F.pmod(F.xxhash64("event_id", "_copy"), F.lit(100))
+        < int(hot_share * 100)
+    )
+    return copies.select(
+        (F.col("event_id") * k + F.col("_copy")).alias("event_id"),
+        (F.col("ts") + F.make_interval(secs=F.col("_copy"))).alias("ts"),
+        F.when(hot, F.lit(999_999_999)).otherwise(
+            F.col("user_id") * k + F.col("_copy")
+        ).alias("user_id"),
+        F.when(hot, F.lit("hot_type")).otherwise(F.col("event_type")).alias(
+            "event_type"
+        ),
+        "value",
+        "props",
+    )
+
+
+def inflate_docs_hot_token(docs, k):
+    """K× documents with a hot BIGRAM: every added copy appends the same
+    two-token tail, so one (w1, w2) key concentrates ~k·N occurrences —
+    the skew axis for pmi's count shuffle."""
+    from pyspark.sql import functions as F
+
+    if k == 1:
+        return docs
+    copies = docs.crossJoin(
+        docs.sparkSession.range(k).select(F.col("id").alias("_copy"))
+    )
+    return copies.select(
+        (F.col("doc_id") * k + F.col("_copy")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" hottoken hotpair")).alias("text"),
+    )
+
+
+def inflate_items_hot_basket(li, k, hot_parts=512):
+    """Distinct (order, part) items K× by remapping order keys (linear in
+    baskets), PLUS one hot basket holding `hot_parts`·k distinct parts —
+    the within-basket self-join's quadratic axis. Output pairs grow
+    ~(hot_parts·k)² by SEMANTICS; the probe checks runtime tracks that
+    output rather than exceeding it."""
+    from pyspark.sql import functions as F
+
+    base = (
+        li.filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    if k == 1:
+        return base
+    copies = base.crossJoin(
+        li.sparkSession.range(k).select(F.col("id").alias("_copy"))
+    ).select(
+        (F.col("l_orderkey") * k + F.col("_copy")).alias("l_orderkey"),
+        "l_partkey",
+    )
+    hot = li.sparkSession.range(hot_parts * k).select(
+        F.lit(-1).alias("l_orderkey"), (F.col("id") * 5).alias("l_partkey")
+    )
+    return copies.unionByName(hot)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -82,12 +155,58 @@ def main() -> None:
     def F_mod5(v):
         return (F.col("doc_id") % 5) == v
 
+    from pyspark.sql import Window
+
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, SF_DIR, "documents").cache()
     emb = load_table(spark, SF_DIR, "embeddings").cache()
+    ev = load_table(spark, SF_DIR, "events").cache()
+    li = load_table(spark, SF_DIR, "lineitem").cache()
     bench_docs = docs.filter(md5_bucket("doc_id", 100) < 5).cache()
-    docs.count(), emb.count(), bench_docs.count()
+    docs.count(), emb.count(), ev.count(), li.count(), bench_docs.count()
+
+    def _trending(events):
+        win = F.window("ts", "6 hours").getField("start").alias("win")
+        cnt = events.groupBy(win, "event_type").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("win").orderBy(F.col("cnt").desc(), "event_type")
+        return cnt.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= 3
+        )
+
+    def _sessionize(events):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return events.select(
+            "user_id", "event_id", F.sum(new_sess).over(run).alias("session_no")
+        )
+
+    def _copurchase(items):
+        a, b = items.alias("a"), items.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("part_a"),
+                F.col("b.l_partkey").alias("part_b"),
+            )
+            .agg(F.count("*").alias("together"))
+            .filter(F.col("together") >= 2)
+        )
+
+    def _pmi(corpus):
+        bg = LM._doc_bigrams(corpus, "text", "doc_id")
+        pc = DD._persist(bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+        l_m = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        r_m = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+        return (
+            pc.join(l_m, "w1").join(r_m, "w2").filter(F.col("c12") >= 5)
+        )
 
     ops = {
         "minhash_dedup_pairs": lambda k: DD.minhash_dedup_pairs(
@@ -150,6 +269,16 @@ def main() -> None:
         "bigram_lm": lambda k: LM.bigram_lm(inflate_docs(docs, k)),
         "vocab_rank": lambda k: TXT.build_vocab(inflate_docs(docs, k), top_n=200),
         "gopher_flags": lambda k: HEU.gopher_quality_flags(inflate_docs(docs, k)),
+        # round-5: hot-KEY skew probes for the analytics suite (mirror the
+        # registered query bodies — queries.py trending_event_types /
+        # sessionize_events / copurchase_lift / pmi_collocations — over
+        # skew-inflated inputs)
+        "trending_hot_type": lambda k: _trending(inflate_events_hot(ev, k)),
+        "sessionize_hot_user": lambda k: _sessionize(inflate_events_hot(ev, k)),
+        "copurchase_hot_basket": lambda k: _copurchase(
+            inflate_items_hot_basket(li, k)
+        ),
+        "pmi_hot_bigram": lambda k: _pmi(inflate_docs_hot_token(docs, k)),
     }
     wanted = sys.argv[1:] or list(ops)
     for name in wanted:
