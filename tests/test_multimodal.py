@@ -140,3 +140,58 @@ def test_chunk_audio(media):
     # chunk signatures are distinct within a doc (content varies)
     one = chunks.filter("doc_id = 1").collect()
     assert len({r["chunk_sig"] for r in one}) == len(one)
+
+
+@pytest.mark.skipif(
+    not MM.HAS_IMAGE_CODEC, reason="Pillow not installed in this container"
+)
+def test_real_image_codec_through_hook(spark):
+    """When a REAL image codec is present, it must drop into the exact
+    codec= call site the deterministic fake occupies: container payloads
+    are genuine PNGs, the injected codec decodes them executor-side, and
+    the reported dimensions come from the actual image data (not the
+    container header). Green-skips where Pillow is absent — the stub's
+    contract is proven against a genuine codec wherever one exists."""
+    import io
+
+    from PIL import Image
+    from pyspark.sql import types as T
+
+    def png_bytes(w, h, shade):
+        buf = io.BytesIO()
+        Image.new("L", (w, h), color=shade).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (i, b"FAKE|img|w=%04d|h=%04d|f=01|r=00000|" % (4 + i, 6 + i)
+         + png_bytes(4 + i, 6 + i, 40 * i))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    def _pil_codec(kind, payload):
+        from io import BytesIO
+
+        from PIL import Image as _I
+
+        img = _I.open(BytesIO(payload))
+        return {
+            "px_width": img.size[0],
+            "px_height": img.size[1],
+            "px_mean": float(sum(img.getdata())) / (img.size[0] * img.size[1]),
+        }
+
+    out = MM.decode_media(
+        df.repartition(3),
+        codec=_pil_codec,
+        codec_fields=[
+            T.StructField("px_width", T.IntegerType()),
+            T.StructField("px_height", T.IntegerType()),
+            T.StructField("px_mean", T.DoubleType()),
+        ],
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        # real pixel dims agree with the container header fields
+        assert (r["px_width"], r["px_height"]) == (r["width"], r["height"])
+        assert abs(r["px_mean"] - 40 * r["doc_id"]) < 1e-9
