@@ -245,3 +245,38 @@ def test_chunking_covers_all_tokens(spark, docs_texts, chunk, stride):
             assert got_toks == expected[start : start + chunk]
             covered.update(range(start, min(start + chunk, len(expected))))
         assert covered == set(range(len(expected)))
+
+
+def test_exactness_queries_partitioning_invariant(spark, sf_dir):
+    """The exactness discipline's actual claim, pinned: every log/prob/
+    iterative op reduces over integer micro-nat or exact-decimal sums, so
+    results are bit-identical under a different parallelism — the
+    property that makes them hash-checkable against a second engine and
+    safe to re-run incrementally. Run a representative query per family
+    at 3 vs 32 shuffle partitions and require identical row sets."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    names = [
+        "doc_perplexity_lm",      # bigram LM micro-nats
+        "pmi_collocations",       # PMI micro-nats
+        "trend_per_event_type",   # OLS decimal sufficient stats
+        "pagerank_user_events",   # iterative integer ranks
+        "token_drift_report",     # KL nano-nats
+        "dsir_scores",            # importance micro-nats
+    ]
+
+    def run_all(n_parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            out = {}
+            for n in names:
+                rows = QUERIES[n](spark, sf_dir).collect()
+                out[n] = sorted(tuple(r) for r in rows)
+                DD.release_cached()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    wide, narrow = run_all(32), run_all(3)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} differs across partitionings"
