@@ -4203,5 +4203,45 @@ def zorder_zvalues(spark, sf_dir):
     )
 
 
+@q(
+    "compaction_plan",
+    """
+    WITH f AS (
+      SELECT event_type || '/' || strftime(ts, '%Y-%m-%d') AS file_id,
+             sum(strlen(props) + 64) AS bytes
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT file_id, bytes,
+             sum(bytes) OVER (ORDER BY bytes DESC, file_id
+                              ROWS UNBOUNDED PRECEDING) - bytes AS before
+      FROM f)
+    SELECT file_id, CAST(bytes AS BIGINT) AS bytes,
+           CAST(before // 32000 AS BIGINT) AS out_group
+    FROM c
+    """,
+)
+def compaction_plan(spark, sf_dir):
+    """OPTIMIZE-style small-file compaction planning
+    (sources/compaction.py): the per-(event_type, day) micro-batch
+    directories a streaming sink would leave behind become the file
+    manifest (bytes = payload + 64B object overhead), packed toward
+    32 KB output files under the greedy size-descending rule. The oracle
+    restates the packing as one window cumsum; the engine computes the
+    same sum two-phase (range-partition + per-partition offsets) so no
+    single-partition window appears in the plan."""
+    from .sources.compaction import plan_compaction
+
+    ev = _t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.concat(
+            "event_type", F.lit("/"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("file_id")
+    ).agg(
+        F.sum(F.octet_length("props") + F.lit(64)).cast("long").alias("bytes")
+    )
+    plan = plan_compaction(files, target_bytes=32_000)
+    return plan.select("file_id", "bytes", "out_group")
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
