@@ -4204,6 +4204,64 @@ def zorder_zvalues(spark, sf_dir):
 
 
 @q(
+    "streaming_merge_upsert",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             round(o_totalprice * 2, 2) AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000,
+             round(o_totalprice, 2),
+             'N'
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           round(coalesce(s.o_totalprice, t.o_totalprice), 2) AS price
+    FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def streaming_merge_upsert(spark, sf_dir):
+    """RUNS a real Structured Streaming CDC apply (streaming/cdc.py): the
+    same change feed as merge_upsert_orders — doubled prices for every
+    7th order, new rows for every 97th — lands as parquet files and
+    replays batch-by-batch (maxFilesPerTrigger=1) through foreachBatch
+    MERGE into versioned table snapshots. Feed keys are unique, so the
+    final version must equal ONE single-shot MERGE of the whole feed —
+    which is exactly what the oracle states (batch/stream equivalence)."""
+    from .streaming.cdc import apply_changes_stream
+
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    base = _scratch_dir("cdc")
+    feed = os.path.join(base, "feed")
+    # three feed files -> three micro-batches at maxFilesPerTrigger=1
+    updates.repartition(2).write.mode("overwrite").parquet(feed)
+    inserts.repartition(1).write.mode("append").parquet(feed)
+    target = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    final = apply_changes_stream(
+        spark, target, feed, base, key="o_orderkey",
+        update_cols=["o_totalprice", "o_orderstatus"],
+    )
+    return final.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
+@q(
     "compaction_plan",
     """
     WITH f AS (

@@ -421,3 +421,38 @@ def test_exactly_once_sink_idempotent_replay(spark, event_dir):
     q2 = SK.exactly_once_parquet_sink(src2, out, ckpt, "eo_sink2")
     q2.awaitTermination(120)
     assert SK.read_exactly_once(spark, out).count() == ev.count() + 7
+
+
+def test_cdc_apply_last_writer_wins(spark, tmp_path):
+    """Across micro-batches the CDC contract is last-writer-wins per key:
+    a key updated in an early batch and again in a later one ends at the
+    later value; batch-internal duplicate keys collapse via the
+    deterministic struct-min before the merge."""
+    import os
+
+    from dsci551_edfs_spark.streaming.cdc import apply_changes_stream
+
+    base = str(tmp_path / "cdc")
+    feed = os.path.join(base, "feed")
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, s string, v double"
+    )
+    # batch order follows file modification time for the file source:
+    # write the early batch first, the later batch second
+    b1 = spark.createDataFrame([(1, "a", 11.0), (3, "c", 30.0)],
+                               "k long, s string, v double")
+    b2 = spark.createDataFrame([(1, "a", 12.0)], "k long, s string, v double")
+    b1.coalesce(1).write.mode("overwrite").parquet(feed)
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtimes => deterministic batch order
+    b2.coalesce(1).write.mode("append").parquet(feed)
+
+    final = apply_changes_stream(
+        spark, target, feed, base, key="k", max_files=1
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in final.collect()}
+    assert got == {1: ("a", 12.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+    # versioned snapshots: v0 (init) + one per batch remain on disk
+    vdirs = sorted(d for d in os.listdir(base) if d.startswith("target_v"))
+    assert vdirs == ["target_v0", "target_v1", "target_v2"]
