@@ -601,6 +601,86 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def shared_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_span: int = 6,
+    max_occ: int = 1000,
+) -> DataFrame:
+    """Exact-substring dedup pairs (the Lee et al. 2021 "Deduplicating
+    Training Data" contract, re-expressed relationally): for every document
+    pair sharing at least one verbatim run of ``min_span`` consecutive
+    tokens, return ``(id_a, id_b, longest_span)`` — the length in tokens of
+    the longest shared run.
+
+    Suffix arrays find these spans in O(corpus) on one machine; the
+    distributed re-expression is positional n-gram fingerprints + run
+    stitching, all shuffle-partitioned by pair key:
+
+    1. every (doc, position) emits the xxhash64 of the n-gram starting
+       there — one scan, pure codegen, the shuffle carries (id, pos, 8-byte
+       hash), never token strings;
+    2. occurrence-1 grams are pruned losslessly (a pair needs >= 2
+       occurrences) and grams above ``max_occ`` occurrences are capped —
+       the boilerplate guard bounding candidate volume at Σ|posting|²,
+       same posture as `ngram_jaccard_pairs`;
+    3. the inverted-index self-join yields matched positions (pa, pb);
+       matches with equal offset d = pb - pa that are CONSECUTIVE in pa
+       stitch into one run (classic gaps-and-islands: island key =
+       pa - row_number over (pair, d) — a window PARTITIONED by pair key,
+       never global);
+    4. a run of k stitched n-grams covers k + n - 1 tokens; the pair's
+       longest span is the max over its runs.
+
+    Spans shorter than ``min_span`` tokens are dropped. Exact for every
+    span whose grams survive the ``max_occ`` cap; the cap only ever
+    shortens reported spans of pathological boilerplate (lower bound), it
+    cannot invent one."""
+    if min_span < n:
+        raise ValueError(f"min_span={min_span} must be >= n={n}")
+    toks = tokens(F.col(text_col))
+    # zip_with chain = O(tokens) per doc (the transform+slice spelling is
+    # O(tokens·n) — same rationale as shingle_df above), positions kept
+    grams = toks
+    for i in range(1, n):
+        shift = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        grams = F.zip_with(grams, shift, lambda a, b: F.concat(a, F.lit(" "), b))
+    ngrams = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    posting = df.select(
+        F.col(id_col).alias("id"), F.posexplode(ngrams).alias("pos", "ng")
+    ).select("id", "pos", F.xxhash64("ng").alias("gh"))
+    posting = _persist(posting)
+    occ = (
+        posting.groupBy("gh")
+        .agg(F.count("*").alias("_occ"))
+        .filter((F.col("_occ") >= 2) & (F.col("_occ") <= max_occ))
+    )
+    posting = posting.join(occ.select("gh"), "gh", "left_semi")
+    a, b = posting.alias("a"), posting.alias("b")
+    m = a.join(
+        b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("b.pos") - F.col("a.pos")).alias("d"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    runs = m.withColumn("isl", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("id_a", "id_b", "d", "isl").agg(
+        (F.count("*") + F.lit(n - 1)).alias("span_tokens")
+    )
+    return (
+        spans.groupBy("id_a", "id_b")
+        .agg(F.max("span_tokens").cast("long").alias("longest_span"))
+        .filter(F.col("longest_span") >= min_span)
+    )
+
+
 # ------------------------------------------------------- embedding cosine
 
 def plant_embedding_twins(

@@ -4301,5 +4301,303 @@ def compaction_plan(spark, sf_dir):
     return plan.select("file_id", "bytes", "out_group")
 
 
+# =====================================================================
+# Round-5 pipeline additions: exact-substring spans, tokenizer economics,
+# entropy quality, multi-n decontamination, schema evolution, cross-source
+# duplication audit, exact per-source length percentiles
+# =====================================================================
+
+
+@q(
+    "shared_span_pairs",
+    r"""
+    WITH tt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS ng
+      FROM tt, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i)
+    ),
+    keep AS (SELECT ng FROM g GROUP BY ng HAVING count(*) BETWEEN 2 AND 1000),
+    gk AS (SELECT g.* FROM g JOIN keep USING (ng)),
+    m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+                 b.pos - a.pos AS d
+          FROM gk a JOIN gk b USING (ng) WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT id_a, id_b, d, pa,
+                    pa - row_number() OVER (PARTITION BY id_a, id_b, d
+                                            ORDER BY pa) AS isl
+             FROM m),
+    spans AS (SELECT id_a, id_b, count(*) + 3 AS span_tokens
+              FROM runs GROUP BY id_a, id_b, d, isl)
+    SELECT id_a, id_b, CAST(max(span_tokens) AS BIGINT) AS longest_span
+    FROM spans GROUP BY 1, 2 HAVING max(span_tokens) >= 6
+    """,
+)
+def shared_span_pairs_q(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2021 semantics): document pairs
+    sharing a verbatim run of >= 6 consecutive tokens, with the longest
+    shared span per pair — positional 4-gram fingerprints + gaps-and-
+    islands run stitching, windows partitioned by pair key only."""
+    return DD.shared_span_pairs(
+        _t(spark, sf_dir, "documents"), n=4, min_span=6, max_occ=1000
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "tokenizer_fertility",
+    r"""
+    WITH d AS (
+      SELECT source,
+             octet_length(encode(text)) AS n_bytes,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+               AS ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS bpe_tokens
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           round(sum(n_chars) / CAST(sum(ws_tokens) AS DOUBLE), 4)
+             AS chars_per_ws_token,
+           round(sum(n_bytes) / CAST(sum(bpe_tokens) AS DOUBLE), 4)
+             AS bytes_per_bpe_token,
+           round(sum(bpe_tokens) / CAST(sum(ws_tokens) AS DOUBLE), 4)
+             AS fertility
+    FROM d GROUP BY source
+    """,
+)
+def tokenizer_fertility(spark, sf_dir):
+    """Tokenizer economics per source: whitespace-token vs BPE-ish-token
+    totals, chars-per-token, bytes-per-token, and fertility (BPE tokens
+    per word) — the report that prices a corpus in training tokens and
+    flags sources a tokenizer fragments badly. One codegen projection +
+    one small groupBy; at 100 TB this is scan-bound."""
+    d = _t(spark, sf_dir, "documents")
+    proj = d.select(
+        "source",
+        F.octet_length("text").alias("n_bytes"),
+        F.length("text").alias("n_chars"),
+        TXT.token_count(F.col("text")).alias("ws_tokens"),
+        TXT.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    return proj.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.round(F.sum("n_chars") / F.sum("ws_tokens").cast("double"), 4).alias(
+            "chars_per_ws_token"
+        ),
+        F.round(F.sum("n_bytes") / F.sum("bpe_tokens").cast("double"), 4).alias(
+            "bytes_per_bpe_token"
+        ),
+        F.round(F.sum("bpe_tokens") / F.sum("ws_tokens").cast("double"), 4).alias(
+            "fertility"
+        ),
+    )
+
+
+@q(
+    "char_entropy_quality",
+    """
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents WHERE length(text) > 0),
+    cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+    n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY 1)
+    SELECT cc.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(-sum((k / CAST(n AS DOUBLE)) * ln(k / CAST(n AS DOUBLE))), 6)
+             AS char_entropy,
+           -sum((k / CAST(n AS DOUBLE)) * ln(k / CAST(n AS DOUBLE)))
+             < 2.0 AS low_entropy
+    FROM cc JOIN n USING (doc_id) GROUP BY 1
+    """,
+)
+def char_entropy_quality(spark, sf_dir):
+    """Character-entropy quality signal: Shannon entropy (nats) of each
+    document's character distribution — near-zero entropy = padding /
+    repeated-char spam, the cheap gibberish detector quality pipelines
+    run before any model scoring. Explode to (doc, char) → two keyed
+    aggregations; entropy rounded to micro-nats on both engines so the
+    cross-engine hash is stable."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ch = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    # two keyed aggs + a doc_id-keyed join: both shuffles land on the same
+    # key, so Catalyst reuses the exchange (no second shuffle for the join)
+    n = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") / F.col("n").cast("double")
+    ent = (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            (-F.sum(p * F.log(p))).alias("_h"),
+        )
+    )
+    return ent.select(
+        "doc_id",
+        "n_distinct_chars",
+        F.round("_h", 6).alias("char_entropy"),
+        (F.col("_h") < 2.0).alias("low_entropy"),
+    )
+
+
+@q(
+    "decontam_multi_n",
+    _DECONTAM_CTES
+    + f"""
+    , s5 AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                     i -> array_to_string(t[i:i+4], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    bench5 AS (
+      SELECT DISTINCT unnest(sh) AS g FROM s5 WHERE {_MD5_BUCKET_SQL} < 5
+    ),
+    train5 AS (SELECT doc_id, sh FROM s5 WHERE {_MD5_BUCKET_SQL} >= 5),
+    tg5 AS (SELECT doc_id, unnest(sh) AS g FROM train5),
+    hits5 AS (SELECT doc_id, count(*) AS o5 FROM tg5 JOIN bench5 USING (g)
+              GROUP BY doc_id)
+    SELECT tr.doc_id,
+           CAST(coalesce(h.overlap_ngrams, 0) AS BIGINT) AS overlap_3,
+           CAST(coalesce(h5.o5, 0) AS BIGINT) AS overlap_5,
+           coalesce(h.overlap_ngrams, 0) >= 1 AS contaminated_loose,
+           coalesce(h5.o5, 0) >= 1 AS contaminated_strict
+    FROM train tr
+    LEFT JOIN hits h USING (doc_id)
+    LEFT JOIN hits5 h5 USING (doc_id)
+    """,
+)
+def decontam_multi_n(spark, sf_dir):
+    """Multi-n decontamination report (the GPT-3 appendix-C recipe runs
+    several n's): per training doc, benchmark-overlapping distinct 3-grams
+    (loose) AND 5-grams (strict). Two broadcast-bench overlap passes over
+    the same md5-bucket split, joined on doc id — a doc is strict-
+    contaminated only when a full 5-token run leaks."""
+    from .pipeline import decontam as DC
+    from .pipeline.curation import md5_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = md5_bucket("doc_id", 100)
+    train, bench = docs.filter(b >= 5), docs.filter(b < 5)
+    o3 = DC.ngram_overlap_contamination(train, bench, n=3, min_overlap=1)
+    o5 = DC.ngram_overlap_contamination(train, bench, n=5, min_overlap=1)
+    return (
+        o3.select("doc_id", F.col("overlap_ngrams").alias("overlap_3"))
+        .join(
+            o5.select("doc_id", F.col("overlap_ngrams").alias("overlap_5")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "overlap_3",
+            "overlap_5",
+            (F.col("overlap_3") >= 1).alias("contaminated_loose"),
+            (F.col("overlap_5") >= 1).alias("contaminated_strict"),
+        )
+    )
+
+
+@q(
+    "schema_evolution_union",
+    """
+    SELECT * FROM (
+      SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             'v2' AS schema_rev
+      FROM documents WHERE doc_id % 2 = 1)
+    """,
+)
+def schema_evolution_union(spark, sf_dir):
+    """Schema-evolution read: two snapshots of the same logical table with
+    drifted schemas (v1 carries `lang`, v2 dropped it and added
+    `schema_rev` + `n_chars`) union by COLUMN NAME with null-fill — the
+    `unionByName(allowMissingColumns=True)` contract every long-lived
+    ingest pipeline needs (parquet mergeSchema reads compose the same
+    way). Pure metadata alignment: zero shuffle, two scans."""
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source")
+    v2 = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.lit("v2").alias("schema_rev"),
+        )
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@q(
+    "cross_source_dup_audit",
+    r"""
+    SELECT md5(array_to_string(
+             (string_split_regex(trim(lower(text)), '\s+'))[1:8], ' ')) AS fp,
+           count(*) AS n_copies,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS keep_id,
+           count(DISTINCT source) > 1 AS cross_source
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def cross_source_dup_audit(spark, sf_dir):
+    """Cross-source duplication audit on opening-prefix fingerprints (md5
+    of the first 8 tokens — the template/boilerplate-opening detector):
+    groups with copy count and how many distinct sources they span. A
+    one-source group is an upstream crawler double-fetch; a cross-source
+    group is syndication, with license/mixture-weighting implications.
+    One fingerprint groupBy, map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    pre = F.md5(F.concat_ws(" ", F.slice(TXT.tokens(F.col("text")), 1, 8)))
+    return (
+        d.groupBy(pre.alias("fp"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("keep_id"),
+            (F.count_distinct("source") > 1).alias("cross_source"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@q(
+    "source_length_percentiles",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 4) AS p25,
+           round(quantile_cont(n_chars, 0.50), 4) AS p50,
+           round(quantile_cont(n_chars, 0.75), 4) AS p75,
+           round(quantile_cont(n_chars, 0.95), 4) AS p95
+    FROM documents GROUP BY source
+    """,
+)
+def source_length_percentiles(spark, sf_dir):
+    """Exact per-source length percentiles (linear interpolation — the
+    percentile_cont definition): the data-card numbers a mixture designer
+    reads. Spark's exact `percentile` aggregates a per-group value-count
+    map — memory scales with DISTINCT lengths per source, not rows, so
+    per-source groups stay bounded at any corpus size; for a truly
+    unbounded-domain column the GK-sketch `profile_quantiles` entry is
+    the declared scale path."""
+    d = _t(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.25, 0.50, 0.75, 0.95))")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(pct[3], 4).alias("p95"),
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

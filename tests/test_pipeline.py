@@ -220,6 +220,26 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_deep_chain_lineage_bounded(spark):
+    """A 40-edge path graph needs ~40 HashMin rounds (the min label walks
+    one hop per round): the per-round localCheckpoint keeps the plan tree
+    from embedding one extra join per iteration, so even a diameter-40
+    run settles in bounded time with the correct single component."""
+    import time
+
+    from dsci551_edfs_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    t0 = time.monotonic()
+    got = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert time.monotonic() - t0 < 120
+    assert got == {i: 0 for i in range(41)}
+
+
 def test_dedup_clusters_transitive_and_singletons(spark):
     """Transitivity: near-identical A~B and B~C must co-cluster even if the
     A-C similarity alone is below threshold; unrelated docs stay singleton."""

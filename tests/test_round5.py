@@ -1,0 +1,195 @@
+"""Round-5 operator tests: exact-substring span pairs, tokenizer
+fertility, char-entropy quality, multi-n decontamination, schema-evolution
+union, cross-source prefix-duplication audit, exact per-source percentiles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsci551_edfs_spark.pipeline import dedup as DD
+
+
+# ------------------------------------------------- shared_span_pairs
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+
+def test_shared_span_exact_length(spark):
+    """Two docs sharing exactly a 7-token run (and nothing else long)
+    report longest_span == 7; an unrelated doc pairs with nobody."""
+    span = " ".join(BASE[:7])  # 7 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "xx yy " + span + " zz ww"),
+            (2, "aa bb cc " + span + " qq"),
+            (3, "totally unrelated words nothing here matches at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = DD.shared_span_pairs(docs, n=4, min_span=6).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["longest_span"]) == (1, 2, 7)
+
+
+def test_shared_span_min_span_filters(spark):
+    """A 5-token shared run is found at min_span=5 but dropped at 6."""
+    span = " ".join(BASE[:5])
+    docs = spark.createDataFrame(
+        [(1, "xx " + span + " yy"), (2, "zz " + span + " ww")],
+        "doc_id long, text string",
+    )
+    assert DD.shared_span_pairs(docs, n=4, min_span=5).count() == 1
+    assert DD.shared_span_pairs(docs, n=4, min_span=6).count() == 0
+
+
+def test_shared_span_two_runs_takes_longest(spark):
+    """Two disjoint shared runs (6 and 9 tokens): the pair reports the
+    longer one, not the sum."""
+    run_a = "a1 a2 a3 a4 a5 a6"
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    docs = spark.createDataFrame(
+        [
+            (1, run_a + " filler1 " + run_b),
+            (2, run_b + " other junk " + run_a),
+        ],
+        "doc_id long, text string",
+    )
+    rows = DD.shared_span_pairs(docs, n=4, min_span=6).collect()
+    assert len(rows) == 1
+    assert rows[0]["longest_span"] == 9
+
+
+def test_shared_span_validates_min_span(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_span"):
+        DD.shared_span_pairs(docs, n=4, min_span=3)
+
+
+def test_shared_span_short_docs_no_crash(spark):
+    """Docs shorter than n tokens produce no grams and no pairs."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    assert DD.shared_span_pairs(docs, n=4, min_span=4).count() == 0
+
+
+def test_shared_span_max_occ_caps_boilerplate(spark):
+    """A gram occurring in more docs than max_occ is pruned: with the cap
+    below the group size the boilerplate span disappears."""
+    span = " ".join(BASE)
+    docs = spark.createDataFrame(
+        [(i, f"u{i} v{i} " + span) for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    # 6 docs share the run -> 15 pairs uncapped
+    assert DD.shared_span_pairs(docs, n=4, min_span=6).count() == 15
+    # every shared gram occurs 6 times > max_occ=5 -> all pruned
+    assert DD.shared_span_pairs(docs, n=4, min_span=6, max_occ=5).count() == 0
+
+
+# ------------------------------------------------- registered queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_char_entropy_flags_degenerate_docs(spark):
+    """Single-repeated-char text has entropy 0 (low_entropy); mixed text
+    lands higher; empty docs are excluded."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    import tempfile
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, "aaaaaaaaaa", "en", "s0", 10),
+                (2, "the quick brown fox 123!", "en", "s0", 24),
+                (3, "", "en", "s0", 0),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["char_entropy_quality"](spark, d).collect()
+        }
+    assert set(out) == {1, 2}
+    assert out[1]["char_entropy"] == 0.0 and out[1]["low_entropy"]
+    assert out[2]["char_entropy"] > 2.0 and not out[2]["low_entropy"]
+
+
+def test_schema_evolution_union_null_fill(spark):
+    """v1 rows carry null schema_rev/n_chars; v2 rows carry null lang —
+    and every doc appears exactly once."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["schema_evolution_union"](spark, SF_DIR).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    v1 = [r for r in rows if r["doc_id"] % 2 == 0]
+    v2 = [r for r in rows if r["doc_id"] % 2 == 1]
+    assert v1 and v2
+    assert all(r["schema_rev"] is None and r["n_chars"] is None for r in v1)
+    assert all(r["lang"] is None and r["schema_rev"] == "v2" for r in v2)
+    assert all(r["lang"] is not None for r in v1)
+
+
+def test_tokenizer_fertility_bounds(spark):
+    """Fertility >= 1 (BPE-ish splits never merge words) and byte/char
+    ratios are positive and finite on the fixture corpus."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["tokenizer_fertility"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_ws_token"] > 0
+        assert r["bytes_per_bpe_token"] > 0
+
+
+def test_source_length_percentiles_ordering(spark):
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["source_length_percentiles"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+
+
+def test_cross_source_dup_audit_flags(spark):
+    """Same 8-token opening across two sources -> one cross_source group;
+    same opening twice within one source -> flagged but not cross_source."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    import tempfile
+    import os
+
+    pre = "one two three four five six seven eight"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, pre + " tail a", "en", "s0", 1),
+                (2, pre + " tail b", "en", "s1", 1),
+                (3, "nine ten more words here padding out eight tokens x", "en", "s0", 1),
+                (4, "nine ten more words here padding out eight tokens y", "en", "s0", 1),
+                (5, "a lone document with an opening nobody else shares", "en", "s2", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = QUERIES["cross_source_dup_audit"](spark, d).collect()
+    by_keep = {r["keep_id"]: r for r in rows}
+    assert set(by_keep) == {1, 3}
+    assert by_keep[1]["cross_source"] and by_keep[1]["n_sources"] == 2
+    assert not by_keep[3]["cross_source"] and by_keep[3]["n_sources"] == 1
+
+
+def test_decontam_multi_n_strict_implies_loose(spark):
+    """Every strict (5-gram) contamination is also loose (3-gram): a
+    5-token verbatim run contains 3-token runs."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["decontam_multi_n"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["contaminated_strict"]:
+            assert r["contaminated_loose"]
+        assert r["overlap_5"] >= 0 and r["overlap_3"] >= 0
