@@ -62,6 +62,11 @@ HEADLINE = [
     "doc_perplexity_lm",
     "pagerank_user_events",
     "merge_upsert_orders",
+    # round-5 additions
+    "shared_span_pairs",
+    "char_entropy_quality",
+    "decontam_multi_n",
+    "tokenizer_fertility",
 ]
 
 

@@ -4403,15 +4403,15 @@ def tokenizer_fertility(spark, sf_dir):
     """
     WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
                 FROM documents WHERE length(text) > 0),
-    cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
-    n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY 1)
-    SELECT cc.doc_id,
+    cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2)
+    SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_distinct_chars,
-           round(-sum((k / CAST(n AS DOUBLE)) * ln(k / CAST(n AS DOUBLE))), 6)
+           round(ln(CAST(sum(k) AS DOUBLE))
+                 - sum(k * ln(CAST(k AS DOUBLE))) / sum(k), 6)
              AS char_entropy,
-           -sum((k / CAST(n AS DOUBLE)) * ln(k / CAST(n AS DOUBLE)))
-             < 2.0 AS low_entropy
-    FROM cc JOIN n USING (doc_id) GROUP BY 1
+           ln(CAST(sum(k) AS DOUBLE))
+             - sum(k * ln(CAST(k AS DOUBLE))) / sum(k) < 2.0 AS low_entropy
+    FROM cc GROUP BY 1
     """,
 )
 def char_entropy_quality(spark, sf_dir):
@@ -4419,22 +4419,19 @@ def char_entropy_quality(spark, sf_dir):
     document's character distribution — near-zero entropy = padding /
     repeated-char spam, the cheap gibberish detector quality pipelines
     run before any model scoring. Explode to (doc, char) → two keyed
-    aggregations; entropy rounded to micro-nats on both engines so the
-    cross-engine hash is stable."""
+    aggregations on the SAME doc_id exchange, no join: the identity
+    H = ln n − (Σ k·ln k)/n needs only Σk and Σ k·ln k, both plain sums
+    over the per-(doc, char) counts. Entropy rounded to micro-nats on
+    both engines so the cross-engine hash is stable."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     ch = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
     cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
-    # two keyed aggs + a doc_id-keyed join: both shuffles land on the same
-    # key, so Catalyst reuses the exchange (no second shuffle for the join)
-    n = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
-    p = F.col("k") / F.col("n").cast("double")
-    ent = (
-        cc.join(n, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_distinct_chars"),
-            (-F.sum(p * F.log(p))).alias("_h"),
-        )
+    h = F.log(F.sum("k").cast("double")) - F.sum(
+        F.col("k") * F.log(F.col("k").cast("double"))
+    ) / F.sum("k")
+    ent = cc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        h.alias("_h"),
     )
     return ent.select(
         "doc_id",
