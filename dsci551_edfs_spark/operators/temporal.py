@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_point_interval"]
+__all__ = ["asof_join", "range_join_point_interval", "gap_fill_locf"]
 
 _UNIT_SECONDS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
@@ -152,3 +152,58 @@ def range_join_point_interval(
         (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("_bsec")
+
+
+def gap_fill_locf(
+    observed: DataFrame,
+    key_col: str = "series_key",
+    ts_col: str = "bucket_ts",
+    value_cols: tuple[str, ...] = ("value",),
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward — the
+    TimescaleDB `time_bucket_gapfill` + `locf` contract, composed from
+    DataFrame ops.
+
+    ``observed`` has one row per (key, bucket timestamp) with gaps. Each
+    key's grid spans ITS OWN min..max bucket at ``step`` resolution —
+    ``sequence()`` on the per-key extremes, exploded; a left join lands
+    observations on the grid; ``last(ignorenulls)`` over (key, ts) carries
+    values across the gaps; ``filled`` marks synthesized rows.
+
+    Scale design:
+    - the grid generation is one per-key aggregate + explode — rows
+      produced = series length, no cross join with a global calendar;
+    - join and window BOTH partition on the series key, so the grid
+      shuffle is reused by the fill window (one exchange on a
+      1000-executor plan);
+    - LOCF state per task = one carried row per value column (same
+      union-window machinery as `asof_join`).
+    """
+    secs = _interval_seconds(step)
+    grid = (
+        observed.groupBy(key_col)
+        .agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    "_lo", "_hi", F.expr(f"INTERVAL {secs} SECONDS")
+                )
+            ).alias(ts_col),
+        )
+    )
+    joined = grid.join(observed, [key_col, ts_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled_flag = F.col(value_cols[0]).isNull().alias("filled")
+    out = joined.select(
+        key_col,
+        ts_col,
+        filled_flag,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return out

@@ -57,6 +57,7 @@ __all__ = [
     "attach_media",
     "decode_media",
     "media_byte_histogram",
+    "media_phash",
     "resize_media",
     "frame_sample",
     "chunk_audio",
@@ -209,6 +210,63 @@ def media_byte_histogram(
             )
 
     return df.select(id_col, media_col).mapInPandas(_features, schema)
+
+
+def media_phash(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    grid: tuple[int, int] = (8, 9),
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of the decoded payload: the
+    payload bytes stand in for grayscale pixels (a real deployment decodes
+    with Pillow at exactly this point — same batch shape), average-pool
+    into an ``rows x cols`` grid, and set bit (r, c) when cell (r, c) is
+    brighter than its right neighbor — 64 bits for the default 8x9 grid.
+
+    dHash is stable under LOCALIZED edits — a changed region flips only
+    the bits of the cells it lands in — so Hamming-near phashes are
+    near-duplicate media. As with real image dHash (where the resize
+    normalizes dimensions but cropping still breaks alignment), a global
+    shift of the payload moves every pool boundary and is NOT in the
+    robustness class. The output schema is ``(id, phash)`` — rename
+    ``phash`` to ``simhash`` and the pigeonhole-banded `simhash_pairs`
+    pair generator applies UNCHANGED: one Hamming-banding engine serves
+    text and media dedup.
+
+    Arrow-batched ``mapInPandas``; numpy pooling, no per-byte Python loop;
+    zero shuffle (pairing happens downstream in the banding join)."""
+    import numpy as np
+
+    rows, cols = grid
+    if rows * (cols - 1) != 64:
+        raise ValueError("grid must yield 64 comparison bits (rows*(cols-1)==64)")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    weights = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, raw in zip(pdf[id_col], pdf[media_col]):
+                payload = np.frombuffer(bytes(raw), dtype=np.uint8)[HEADER_LEN:]
+                if payload.size == 0:
+                    payload = np.zeros(1, dtype=np.uint8)
+                cells = np.array(
+                    [seg.mean() if seg.size else 0.0
+                     for seg in np.array_split(payload, rows * cols)]
+                ).reshape(rows, cols)
+                bits = (cells[:, :-1] > cells[:, 1:]).ravel()
+                h = int((weights * bits.astype(np.uint64)).sum())
+                ids.append(int(doc_id))
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"id": ids, "phash": hashes})
+
+    return df.select(id_col, media_col).mapInPandas(_phash, schema)
 
 
 def resize_media(

@@ -4596,5 +4596,78 @@ def source_length_percentiles(spark, sf_dir):
     )
 
 
+@q(
+    "gap_fill_locf",
+    """
+    WITH o AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                      round(avg(value), 4) AS v FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type,
+                 unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                        INTERVAL 1 HOUR)) AS bucket_ts
+          FROM o GROUP BY event_type),
+    j AS (SELECT g.event_type, g.bucket_ts, o.v
+          FROM g LEFT JOIN o USING (event_type, bucket_ts))
+    SELECT event_type, bucket_ts, v IS NULL AS filled,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS value
+    FROM j
+    """,
+)
+def gap_fill_locf_q(spark, sf_dir):
+    """Time-series gap filling (TimescaleDB time_bucket_gapfill + locf):
+    hourly per-type value averages land on each series' dense hour grid,
+    missing buckets synthesized and filled with the last observation
+    carried forward (operators/temporal.py gap_fill_locf). Grid explode +
+    left join + fill window all partition on the series key — one
+    exchange. The observed average is rounded BEFORE the fill so the
+    carried value is byte-identical on both engines."""
+    from .operators.temporal import gap_fill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    observed = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.round(F.avg("value"), 4).alias("value"))
+    return gap_fill_locf(
+        observed, key_col="event_type", ts_col="bucket_ts",
+        value_cols=("value",), step="1 hour",
+    )
+
+
+@q(
+    "csv_roundtrip",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def csv_roundtrip(spark, sf_dir):
+    """documents -> headered CSV -> schema-explicit read-back — the
+    reference's native interchange format (`combined_flask.py:343`
+    ingests CSV exclusively) on the engine's format surface. Explicit
+    schema on read: no inference pass, values survive the text roundtrip
+    exactly."""
+    from .sources.formats import read_csv, write_csv
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    dest = _scratch_dir("csv")
+    write_csv(docs, dest)
+    return read_csv(
+        spark, dest, schema="doc_id long, lang string, n_chars long"
+    )
+
+
+@q("media_phash_pairs")  # rows-only: python pooling is not SQL-expressible;
+# the identical/near/far contract is pinned in tests/test_round5.py
+def media_phash_pairs(spark, sf_dir):
+    """Near-duplicate MEDIA detection: perceptual dHash over the decoded
+    payload (Arrow-batched mapInPandas, pipeline/multimodal.py
+    media_phash), then the SAME pigeonhole Hamming-banding pair generator
+    the text SimHash path uses — one banding engine, two modalities.
+    Returns (id_a, id_b, hamming) pairs with Hamming <= 6."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.attach_media(docs)
+    sigs = MM.media_phash(media).select(
+        "id", F.col("phash").alias("simhash")
+    )
+    return DD.simhash_pairs(sigs, max_hamming=6).orderBy("id_a", "id_b")
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

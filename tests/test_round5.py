@@ -193,3 +193,87 @@ def test_decontam_multi_n_strict_implies_loose(spark):
         if r["contaminated_strict"]:
             assert r["contaminated_loose"]
         assert r["overlap_5"] >= 0 and r["overlap_3"] >= 0
+
+
+# ------------------------------------------------- media phash + gap fill
+
+
+def test_media_phash_identical_near_far(spark):
+    """Identical payloads hash identically; a LOCALIZED same-length edit
+    (the perturbation class dHash is robust to — a global shift breaks
+    real dHash too) stays within Hamming 6; unrelated docs don't pair."""
+    from dsci551_edfs_spark.pipeline import multimodal as MM
+    from dsci551_edfs_spark.pipeline import dedup as DD
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    # one same-length character substitution mid-document: localized edit
+    near = base[:200] + "Q" + base[201:]
+    other = ("one two three four five six seven eight nine ten " * 8).strip()
+    docs = spark.createDataFrame(
+        # doc_id % 3 controls the fake media kind; keep all three the same
+        # kind (img) so headers match and only payloads differ
+        [(0, base), (3, base), (6, near), (9, other)],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r["id"]: r["phash"]
+        for r in MM.media_phash(MM.attach_media(docs)).collect()
+    }
+    assert sigs[0] == sigs[3]  # identical payload -> identical phash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sigs[0], sigs[6]) <= 6  # small edit stays near
+    assert ham(sigs[0], sigs[9]) > 6  # unrelated stays far
+
+    from pyspark.sql import functions as F
+
+    pairs = DD.simhash_pairs(
+        MM.media_phash(MM.attach_media(docs)).select(
+            "id", F.col("phash").alias("simhash")
+        ),
+        max_hamming=6,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got and (0, 6) in got and (3, 6) in got
+    assert all(9 not in p for p in got)
+
+
+def test_media_phash_grid_validation(spark):
+    from dsci551_edfs_spark.pipeline import multimodal as MM
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="64"):
+        MM.media_phash(MM.attach_media(docs), grid=(4, 4))
+
+
+def test_gap_fill_locf_carries_and_flags(spark):
+    """A series with a 2-bucket hole gets the hole synthesized, filled
+    with the prior value, and flagged; leading rows are never flagged."""
+    import datetime as dt
+
+    from dsci551_edfs_spark.operators.temporal import gap_fill_locf
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def hour(i):
+        return t0 + dt.timedelta(hours=i)
+
+    obs = spark.createDataFrame(
+        [("a", hour(0), 1.0), ("a", hour(3), 4.0), ("b", hour(1), 9.0)],
+        "series_key string, bucket_ts timestamp, value double",
+    )
+    rows = {
+        (r["series_key"], r["bucket_ts"]): r
+        for r in gap_fill_locf(obs).collect()
+    }
+    assert len(rows) == 5  # a: hours 0-3 (4 rows), b: hour 1 only
+    a1 = rows[("a", hour(1))]
+    a2 = rows[("a", hour(2))]
+    a3 = rows[("a", hour(3))]
+    assert a1["filled"] and a1["value"] == 1.0
+    assert a2["filled"] and a2["value"] == 1.0
+    assert not a3["filled"] and a3["value"] == 4.0
+    assert not rows[("a", hour(0))]["filled"]
+    assert not rows[("b", hour(1))]["filled"]

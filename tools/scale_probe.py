@@ -199,6 +199,16 @@ def main() -> None:
             .filter(F.col("together") >= 2)
         )
 
+    def _entropy(corpus):
+        ch = corpus.select(
+            "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+        )
+        cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+        h = F.log(F.sum("k").cast("double")) - F.sum(
+            F.col("k") * F.log(F.col("k").cast("double"))
+        ) / F.sum("k")
+        return cc.groupBy("doc_id").agg(h.alias("h"))
+
     def _pmi(corpus):
         bg = LM._doc_bigrams(corpus, "text", "doc_id")
         pc = DD._persist(bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
@@ -273,6 +283,17 @@ def main() -> None:
         # registered query bodies — queries.py trending_event_types /
         # sessionize_events / copurchase_lift / pmi_collocations — over
         # skew-inflated inputs)
+        # round-5: exact-substring spans. Inflation makes every copy share
+        # its full base text with k-1 siblings, so OUTPUT pairs grow
+        # ~k^2*N/2 by semantics; the capped variant bounds candidate
+        # volume the same way ngram_jaccard's max_df does
+        "shared_span_pairs": lambda k: DD.shared_span_pairs(
+            inflate_docs(docs, k), n=4, min_span=6
+        ),
+        "shared_span_pairs_capped": lambda k: DD.shared_span_pairs(
+            inflate_docs(docs, k), n=4, min_span=6, max_occ=16
+        ),
+        "char_entropy": lambda k: _entropy(inflate_docs(docs, k)),
         "trending_hot_type": lambda k: _trending(inflate_events_hot(ev, k)),
         "sessionize_hot_user": lambda k: _sessionize(inflate_events_hot(ev, k)),
         "copurchase_hot_basket": lambda k: _copurchase(
