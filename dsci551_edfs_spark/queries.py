@@ -4669,5 +4669,130 @@ def media_phash_pairs(spark, sf_dir):
     return DD.simhash_pairs(sigs, max_hamming=6).orderBy("id_a", "id_b")
 
 
+@q(
+    "rolling_7d_avg_by_type",
+    """
+    WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                                     date_trunc('day', ts)) AS BIGINT) AS day_num,
+                      round(sum(value), 4) AS day_sum, count(*) AS day_n
+               FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, day,
+           CAST(sum(day_n) OVER w AS BIGINT) AS n_7d,
+           round(sum(day_sum) OVER w / sum(day_n) OVER w, 4) AS avg_7d
+    FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7d_avg_by_type(spark, sf_dir):
+    """Trailing-7-day rolling average per event type — the moving-window
+    time-series smoother, as a RANGE frame over PRE-AGGREGATED days:
+    the window input is (types x days) rows however large the raw corpus,
+    so the keyed sort is trivially bounded. Per-day sums are rounded
+    BEFORE the rolling sum so both engines accumulate identical values;
+    the range frame is keyed by event_type (never unpartitioned)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_num"),
+    ).agg(
+        F.round(F.sum("value"), 4).alias("day_sum"),
+        F.count("*").alias("day_n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        F.sum("day_n").over(w).cast("long").alias("n_7d"),
+        F.round(F.sum("day_sum").over(w) / F.sum("day_n").over(w), 4).alias(
+            "avg_7d"
+        ),
+    )
+
+
+@q(
+    "dq_orders_report",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_distinct_keys,
+           count(*) - count(DISTINCT o_orderkey) AS dup_key_rows,
+           count(*) - count(o_custkey) AS null_custkey,
+           CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS orphan_orders,
+           CAST(coalesce(sum(CASE WHEN o_totalprice <= 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS nonpositive_price
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def dq_orders_report(spark, sf_dir):
+    """Data-quality assertion report for the orders table: key
+    uniqueness, null foreign keys, referential integrity against the
+    customer dimension (broadcast left join — the dim is the small
+    side), and a domain rule (positive price). One scan + one broadcast
+    join; each violation count is a map-side-combinable aggregate. The
+    planted-violation contract (every counter actually fires) is pinned
+    in pytest."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_distinct_keys"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_key_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        F.coalesce(
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("orphan_orders"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("nonpositive_price"),
+    )
+
+
+@q(
+    "daily_new_users_cumulative",
+    """
+    WITH fu AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE))
+                         AS day
+                FROM events GROUP BY 1),
+    nd AS (SELECT day, count(*) AS new_users FROM fu GROUP BY 1)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_users
+    FROM nd
+    """,
+)
+def daily_new_users_cumulative(spark, sf_dir):
+    """User-acquisition curve: first-seen day per user, new users per
+    day, and the cumulative total — the growth chart every event product
+    tracks. The cumulative sum runs through `operators/cumulative.py
+    running_total` (range partition + broadcast per-partition offsets),
+    so the plan has NO single-partition window even though the series is
+    globally ordered; the oracle restates it as a plain window cumsum."""
+    from .operators.cumulative import running_total
+
+    ev = _t(spark, sf_dir, "events")
+    fu = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("day")
+    )
+    nd = fu.groupBy("day").agg(F.count("*").alias("new_users"))
+    return running_total(
+        nd, ["day"], "new_users", out_col="cumulative_users"
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

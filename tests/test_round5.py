@@ -277,3 +277,87 @@ def test_gap_fill_locf_carries_and_flags(spark):
     assert not a3["filled"] and a3["value"] == 4.0
     assert not rows[("a", hour(0))]["filled"]
     assert not rows[("b", hour(1))]["filled"]
+
+
+# ----------------------------------------- rolling / dq / running total
+
+
+def test_running_total_matches_naive(spark):
+    """Two-phase running total == the naive single-window answer, at a
+    partition count larger than the row count (offset bookkeeping holds
+    with empty range partitions)."""
+    from dsci551_edfs_spark.operators.cumulative import running_total
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["running_total"]
+        for r in running_total(df, ["k"], "v", rank_partitions=64).collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+def test_dq_report_counts_planted_violations(spark):
+    """Every dq counter fires on a doctored orders/customer pair:
+    duplicate key, null FK, orphan FK, non-positive price."""
+    import os
+    import tempfile
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, 10, 5.0),
+                (1, 10, 6.0),      # duplicate key
+                (2, None, 7.0),    # null custkey
+                (3, 99, 8.0),      # orphan custkey
+                (4, 10, -1.0),     # non-positive price
+            ],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            [(10,)], "c_custkey long"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        r = QUERIES["dq_orders_report"](spark, d).collect()[0]
+    assert r["n_rows"] == 5 and r["n_distinct_keys"] == 4
+    assert r["dup_key_rows"] == 1
+    assert r["null_custkey"] == 1
+    # null FK rows also fail the join; orphan counts join-misses (null + 99)
+    assert r["orphan_orders"] == 2
+    assert r["nonpositive_price"] == 1
+
+
+def test_rolling_7d_avg_window_math(spark):
+    """Hand-checkable series: one event per day, value = day index.
+    Trailing-7-day average at day 9 (0-based) = mean(3..9) = 6."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "click", float(i), "{}")
+        for i in range(10)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["day"].isoformat(): r
+            for r in QUERIES["rolling_7d_avg_by_type"](spark, d).collect()
+        }
+    last = out[max(out)]  # 2024-01-10
+    assert last["n_7d"] == 7
+    assert last["avg_7d"] == 6.0
+    first = out[min(out)]
+    assert first["n_7d"] == 1 and first["avg_7d"] == 0.0
