@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["running_total"]
+__all__ = ["running_total", "running_max"]
 
 
 def running_total(
@@ -68,5 +68,57 @@ def running_total(
         .select(
             *keep,
             (F.col("_off") + F.sum(value_col).over(w)).cast("long").alias(out_col),
+        )
+    )
+
+
+def running_max(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    out_col: str = "running_max",
+    rank_partitions: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = the running max of ``value_col`` in global
+    ``order_cols`` order — same two-phase shape as ``running_total``
+    (range partition, per-partition maxima to the driver, prefix-max
+    offsets broadcast back), so a globally-ordered monotone watermark
+    can be computed with no single-partition window. Rows in partitions
+    before the first non-null value get a null offset, exactly like a
+    window max over an empty preceding frame."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(rank_partitions, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    maxima = {
+        r["_pid"]: r["m"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.max(value_col).cast("long").alias("m"))
+        .collect()
+    }
+    run, offs = None, []
+    for pid in range(rank_partitions):
+        offs.append((pid, run))
+        m = maxima.get(pid)
+        if m is not None and (run is None or m > run):
+            run = int(m)
+    off_df = ranged.sparkSession.createDataFrame(offs, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = list(df.columns)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            *keep,
+            # greatest() skips nulls, so a null offset (no earlier
+            # partition had values) falls through to the local max
+            F.greatest(F.col("_off"), F.max(value_col).over(w).cast("long"))
+            .cast("long")
+            .alias(out_col),
         )
     )

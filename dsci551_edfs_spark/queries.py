@@ -4794,5 +4794,200 @@ def daily_new_users_cumulative(spark, sf_dir):
     )
 
 
+@q(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst_type
+      FROM events),
+    p AS (SELECT event_type AS src_type, dst_type, count(*) AS cnt
+          FROM s WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+    m AS (SELECT src_type, sum(cnt) AS tot FROM p GROUP BY 1)
+    SELECT p.src_type, p.dst_type, CAST(p.cnt AS BIGINT) AS cnt,
+           CAST((p.cnt * 1000000) // m.tot AS BIGINT) AS prob_ppm
+    FROM p JOIN m USING (src_type)
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: for each
+    user's event stream in (ts, event_id) order, count src→dst
+    event-type transitions and normalize per source into integer ppm
+    (floor division — FP-order-free). The sequence window is KEYED by
+    user_id (never a global window); the transition table is
+    |types|²-sized, so the per-source margin join is broadcast-scale.
+    At 100 TB the only big shuffle is the user_id keyed sort — the same
+    shape sessionize_events already pays."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).filter(F.col("dst_type").isNotNull())
+    p = s.groupBy("src_type", "dst_type").agg(F.count("*").alias("cnt"))
+    m = p.groupBy("src_type").agg(F.sum("cnt").alias("tot"))
+    return p.join(F.broadcast(m), "src_type").select(
+        "src_type",
+        "dst_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("(cnt * CAST(1000000 AS BIGINT)) div tot")
+        .cast("long")
+        .alias("prob_ppm"),
+    )
+
+
+@q(
+    "key_skew_report",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+    t AS (SELECT count(*) AS total FROM events),
+    n AS (SELECT count(*) AS ndv FROM c)
+    SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+           CAST((cnt * 1000000) // t.total AS BIGINT) AS share_ppm,
+           CAST((cnt * n.ndv * 100) // t.total AS BIGINT) AS x_avg_pct
+    FROM c, t, n
+    ORDER BY cnt DESC, user_id LIMIT 20
+    """,
+)
+def key_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnosis for a join/groupBy key: top-20 heaviest
+    keys with their row count, corpus share (integer ppm) and multiple
+    of the average key load (integer percent) — the report that decides
+    whether a key needs salting (`operators/skew.py`) before a 100 TB
+    join. One groupBy on the key plus two scalar aggregates joined as
+    broadcast scalars; the top-20 is a global TakeOrdered, never a
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    t = ev.agg(F.count("*").alias("total"))
+    n = c.agg(F.count("*").alias("ndv"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(cnt * CAST(1000000 AS BIGINT)) div total")
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr("(cnt * ndv * CAST(100 AS BIGINT)) div total")
+            .cast("long")
+            .alias("x_avg_pct"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@q(
+    "equi_depth_histogram",
+    """
+    WITH r AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
+      FROM orders),
+    n AS (SELECT count(*) AS total FROM orders)
+    SELECT CAST(((rnk - 1) * 10) // n.total AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+             AS sum_price
+    FROM r, n GROUP BY 1
+    """,
+)
+def equi_depth_histogram(spark, sf_dir):
+    """Equi-depth (equal-frequency) 10-bucket histogram of order value —
+    the optimizer-statistics primitive equi-WIDTH histograms miss on
+    skewed money columns. Exact global rank comes from the two-phase
+    `running_total` (range partition + broadcast offsets), so the plan
+    has NO single-partition window; bucket = (rank-1)·10 div N with
+    integer floor division, identical on both engines. Sums accumulate
+    as DECIMAL(18,2) (prices carry 2 decimals) so the bucket totals are
+    FP-order-free."""
+    from .operators.cumulative import running_total
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = o.agg(F.count("*").alias("total"))
+    r = running_total(
+        o.withColumn("_one", F.lit(1)),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        "_one",
+        out_col="rnk",
+    )
+    return (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("((rnk - 1) * CAST(10 AS BIGINT)) div total")
+            .cast("long")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@q(
+    "events_late_data_audit",
+    """
+    WITH s AS (SELECT event_id, event_type,
+                      md5(CAST(event_id AS VARCHAR)) AS arr,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+               FROM events),
+    w AS (SELECT event_type,
+                 max(ts_s) OVER (ORDER BY arr, event_id
+                                 ROWS UNBOUNDED PRECEDING) - ts_s AS late_s
+          FROM s)
+    SELECT event_type, count(*) AS n_late,
+           CAST(max(late_s) AS BIGINT) AS max_late_s,
+           CAST(sum(late_s) AS BIGINT) AS sum_late_s
+    FROM w WHERE late_s > 604800 GROUP BY 1
+    """,
+)
+def events_late_data_audit(spark, sf_dir):
+    """Watermark-policy STRESS audit for the streaming pipeline: replay
+    the batch table in a deterministic md5-permuted arrival order (a
+    worst-case out-of-order stream — the fixture's natural event_id
+    order is perfectly sorted, which would make the audit vacuous),
+    track the running max event time — exactly Structured Streaming's
+    watermark clock before the delay subtraction — and report, per
+    event type, how many rows arrive >7 days behind it and how far
+    behind. This measures what `withWatermark` would drop under a given
+    delay budget (`streaming/windows.py`). The running max is the
+    two-phase `running_max` (range partition + broadcast prefix-max
+    offsets) — no single-partition window even though the clock is
+    globally ordered."""
+    from .operators.cumulative import running_max
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.md5(F.col("event_id").cast("string")).alias("arr"),
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    wm = running_max(ev, ["arr", "event_id"], "ts_s", out_col="max_seen")
+    return (
+        wm.select(
+            "event_type", (F.col("max_seen") - F.col("ts_s")).alias("late_s")
+        )
+        .filter(F.col("late_s") > 604800)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_late"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+            F.sum("late_s").cast("long").alias("sum_late_s"),
+        )
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

@@ -301,6 +301,25 @@ def test_running_total_matches_naive(spark):
     assert got == want
 
 
+def test_running_max_matches_naive(spark):
+    """Two-phase running max == the naive prefix max, with empty range
+    partitions in play and a value order deliberately decorrelated from
+    the order key (max must come from the offset, not the local frame)."""
+    from dsci551_edfs_spark.operators.cumulative import running_max
+
+    rows = [(i, ((i * 31) % 17) * 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["running_max"]
+        for r in running_max(df, ["k"], "v", rank_partitions=64).collect()
+    }
+    run, want = None, {}
+    for k, v in sorted(rows):
+        run = v if run is None or v > run else run
+        want[k] = run
+    assert got == want
+
+
 def test_dq_report_counts_planted_violations(spark):
     """Every dq counter fires on a doctored orders/customer pair:
     duplicate key, null FK, orphan FK, non-positive price."""
