@@ -31,6 +31,7 @@ __all__ = [
     "build_vocab",
     "encode_docs",
     "bpe_merge_candidates",
+    "bpe_segment_vocab",
 ]
 
 # BPE-ish pre-tokenizer: word pieces or single non-space punctuation —
@@ -339,4 +340,62 @@ def bpe_merge_candidates(
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(top_n)
+    )
+
+
+def bpe_segment_vocab(
+    vocab: DataFrame, merges: list[str], token_col: str = "token"
+) -> DataFrame:
+    """Apply an ordered BPE merge list to a DISTINCT-token vocabulary:
+    each token starts as its character sequence and the applicable merge
+    with the best (lowest) priority rank is applied one occurrence at a
+    time until none applies — the standard greedy BPE encode loop.
+
+    Returns ``(token, pieces string, n_pieces long)`` where ``pieces``
+    joins the final units with '·'.
+
+    Scale shape: the expensive loop runs over the VOCABULARY (distinct
+    tokens), never the corpus — corpus-side subword counts are then a
+    broadcast join of this table onto the token stream (see the
+    `bpe_segment_docs` query). The merge table is tokenizer-sized
+    (thousands of entries for a real tokenizer) and ships as a plain
+    Python broadcast into an Arrow-batched ``mapInPandas`` — the only
+    Python in the path, and it touches |vocab| rows, not |corpus|."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    sc = vocab.sparkSession.sparkContext
+    bc = sc.broadcast(ranks)
+
+    def seg(batches):
+        import pandas as pd
+
+        r = bc.value
+
+        def one(word):
+            units = list(word)
+            while len(units) > 1:
+                best_rank, best_i = None, -1
+                for i in range(len(units) - 1):
+                    got = r.get(units[i] + units[i + 1])
+                    if got is not None and (best_rank is None or got < best_rank):
+                        best_rank, best_i = got, i
+                if best_rank is None:
+                    break
+                units[best_i : best_i + 2] = [units[best_i] + units[best_i + 1]]
+            return units
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            segs = [one(w) for w in pdf["_tok"]]
+            yield pd.DataFrame(
+                {
+                    "token": pdf["_tok"].to_numpy(),
+                    "pieces": ["·".join(u) for u in segs],
+                    "n_pieces": [len(u) for u in segs],
+                }
+            )
+
+    src = vocab.select(F.col(token_col).cast("string").alias("_tok"))
+    return src.mapInPandas(
+        seg, "token string, pieces string, n_pieces long"
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_micro", "SCALE"]
+__all__ = ["pagerank_micro", "triangle_count", "SCALE"]
 
 SCALE = 1_000_000
 
@@ -82,3 +82,61 @@ def pagerank_micro(
         if (it + 1) % 5 == 0 and (it + 1) < iterations:
             pr = pr.localCheckpoint(eager=True)
     return pr.select("node", F.col("pr").alias("pr_micro"))
+
+
+def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Exact triangle count of the undirected graph given as an edge
+    list — degree-ordered edge orientation (the MapReduce-era
+    Suri–Vassilvitskii / Cohen recipe, DataFrame-native).
+
+    Why not the naive triple self-join: its wedge stage enumerates
+    Σ deg(v)² pairs, which a single celebrity node turns quadratic. The
+    fix is to orient every edge from its lower-(degree, id) endpoint to
+    the higher one; each triangle then has exactly ONE source node with
+    two outgoing oriented edges, and every node's oriented out-degree is
+    O(√m), so the wedge join is bounded Σ outdeg(v)² ≤ m^1.5 regardless
+    of skew. Three shuffles total (degree count, wedge join, closing-edge
+    semi join) — each on edge keys, never collected.
+
+    Returns a single row ``(n_triangles long)``.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionByName(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    # orient u→v when (deg(u), u) < (deg(v), v); carry deg(v) so the
+    # wedge stage can compare the two far endpoints in π-order without
+    # another degree join
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("degx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("degy"))
+    ed = e.join(dx, "x").join(dy, "y")
+    fwd = (F.col("degx") < F.col("degy")) | (
+        (F.col("degx") == F.col("degy")) & (F.col("x") < F.col("y"))
+    )
+    f = ed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(fwd, F.col("degy")).otherwise(F.col("degx")).alias("degv"),
+    )
+    f1 = f.select(F.col("u"), F.col("v").alias("v1"), F.col("degv").alias("d1"))
+    f2 = f.select(F.col("u"), F.col("v").alias("v2"), F.col("degv").alias("d2"))
+    wedges = f1.join(f2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closed = wedges.join(
+        f.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "left_semi",
+    )
+    return closed.agg(F.count("*").cast("long").alias("n_triangles"))

@@ -4989,5 +4989,220 @@ def events_late_data_audit(spark, sf_dir):
     )
 
 
+@q(
+    "copurchase_triangles",
+    """
+    WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS x, b.p AS y
+          FROM i a JOIN i b ON a.o = b.o AND a.p < b.p)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.y = e2.x
+              JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    """,
+)
+def copurchase_triangles(spark, sf_dir):
+    """Triangle count of the part co-purchase graph (parts co-occurring
+    in an order are connected): the classic graph-density / community
+    cohesion statistic. Edge generation is basket-bounded (baskets have
+    ≤7 items, so the per-order self-join is constant work per order);
+    counting runs through `operators/graph.py triangle_count` —
+    degree-ORDERED orientation, so the wedge join is bounded m^1.5 even
+    when one hub part appears in every basket, where the oracle's naive
+    triple join would go quadratic on the hub. Three edge-keyed
+    shuffles, nothing collected."""
+    from .operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = items.select("o", F.col("p").alias("pa"))
+    b = items.select("o", F.col("p").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    return triangle_count(edges, "pa", "pb")
+
+
+@q(
+    "tfidf_doc_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * CAST(round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                                    / dfr.df) * 1000) AS BIGINT) AS w
+      FROM tf JOIN dfr USING (token)
+      WHERE dfr.df BETWEEN 2 AND 100),
+    nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+    dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot_w,
+           CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
+    FROM dot d JOIN nrm na ON na.doc_id = d.doc_a
+               JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE 4 * CAST(d.dot AS HUGEINT) * d.dot >= CAST(na.n2 AS HUGEINT) * nb.n2
+      AND d.dot > 0
+    """,
+)
+def tfidf_doc_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity pairs (cos ≥ 0.5) via an inverted
+    index — the lexical complement to `embedding_dup_pairs`: documents
+    never meet unless they share an informative token. Weights are
+    exact integers (tf · milli-nat idf); the DF prune (2 ≤ df ≤ 100)
+    drops both pair-less hapaxes and boilerplate tokens, which is what
+    bounds each posting list — the same skew cap discipline as
+    `ngram_jaccard_pairs`. The cosine threshold is evaluated EXACTLY in
+    integer arithmetic (4·dot² ≥ ‖a‖²·‖b‖², valid since weights are
+    non-negative) — no FP division anywhere, so the result is
+    engine- and partitioning-independent. Output carries the exact
+    integer dot and norms; cosine itself is one driver-side sqrt away."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_tot = d.agg(F.count("*").alias("_n"))
+    idf_milli = F.round(
+        F.log(F.col("_n").cast("double") / F.col("df")) * 1e3
+    ).cast("long")
+    from .plans.hints import broadcast_if_small
+
+    w = (
+        tf.join(
+            broadcast_if_small(dfr.filter(F.col("df").between(2, 100))),
+            "token",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id", "token", (F.col("tf").cast("long") * idf_milli).alias("w")
+        )
+    )
+    from .pipeline.dedup import _persist
+
+    w = _persist(w)  # consumed by the norm pass AND both join sides
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    out = (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(4).cast("decimal(38,0)")
+                * F.col("dot").cast("decimal(19,0)")
+                * F.col("dot").cast("decimal(19,0)")
+                >= F.col("na2").cast("decimal(19,0)")
+                * F.col("nb2").cast("decimal(19,0)")
+            )
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("dot").cast("long").alias("dot_w"),
+        F.col("na2").cast("long").alias("na2"),
+        F.col("nb2").cast("long").alias("nb2"),
+    )
+
+
+@q(
+    "fuzzy_name_pairs",
+    """
+    WITH n AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
+    b AS (SELECT p_name, n_parts, split_part(p_name, ' ', 1) AS blk FROM n)
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist,
+           CAST(a.n_parts AS BIGINT) AS n_a, CAST(c.n_parts AS BIGINT) AS n_b
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 3
+    """,
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Blocked fuzzy record linkage on entity names: candidate duplicate
+    part names within edit distance 3, with how many rows each spelling
+    covers. The scale discipline is the record-linkage classic — edit
+    distance only WITHIN blocks (shared first token), never all-pairs,
+    and the self-join runs on the DISTINCT-name table (entity-
+    vocabulary-sized, orders of magnitude below row count at 100 TB).
+    `levenshtein` is JVM codegen on both engines — no UDF."""
+    p = _t(spark, sf_dir, "part")
+    n = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    b = n.select(
+        "p_name", "n_parts", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    )
+    a = b.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"), "blk"
+    )
+    c = b.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"), "blk"
+    )
+    return (
+        a.join(c, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            "dist",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )
+
+
+@q("bpe_segment_docs")  # greedy BPE apply — not SQL-expressible; exact
+def bpe_segment_docs(spark, sf_dir):  # segmentation pinned in pytest
+    """End-to-end BPE tokenizer application: learn the first-iteration
+    merge table from the corpus (`bpe_merge_candidates`, top 20), apply
+    it greedily to the DISTINCT-token vocabulary
+    (`bpe_segment_vocab` — the only Python, Arrow-batched, vocab-sized),
+    then roll subword counts up to documents through a broadcast-scale
+    join onto the (doc, token, tf) stream. Output: per-doc whitespace
+    token count vs post-BPE piece count — the fertility input a
+    tokenizer-budget planner needs. The corpus is scanned twice (merge
+    count + tf count) and never leaves the JVM."""
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        r["pair"]
+        for r in TXT.bpe_merge_candidates(d, "text", top_n=20).collect()
+    ]
+    toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    vocab = tf.select("token").distinct()
+    seg = TXT.bpe_segment_vocab(vocab, merges)
+    from .plans.hints import broadcast_if_small
+
+    return (
+        tf.join(broadcast_if_small(seg.select("token", "n_pieces")), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("n_pieces")).cast("long").alias("n_pieces"),
+        )
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

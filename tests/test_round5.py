@@ -301,6 +301,50 @@ def test_running_total_matches_naive(spark):
     assert got == want
 
 
+def test_bpe_segment_vocab_exact(spark):
+    """Greedy merge application is exact and priority-ordered: with
+    merges ['ab', 'bc'], 'ab' (rank 0) wins at every applicable site
+    before 'bc' is considered, and merged multi-char units stop
+    matching the 2-char merge table."""
+    from dsci551_edfs_spark.functions.text import bpe_segment_vocab
+
+    vocab = spark.createDataFrame(
+        [("abc",), ("babc",), ("bcbc",), ("x",), ("",)], "token string"
+    )
+    got = {
+        r["token"]: (r["pieces"], r["n_pieces"])
+        for r in bpe_segment_vocab(vocab, ["ab", "bc"]).collect()
+    }
+    assert got["abc"] == ("ab·c", 2)       # 'ab' beats 'bc'
+    assert got["babc"] == ("b·ab·c", 3)
+    assert got["bcbc"] == ("bc·bc", 2)     # 'bc' applies where 'ab' absent
+    assert got["x"] == ("x", 1)
+    assert got[""] == ("", 0)
+
+
+def test_bpe_segment_docs_rollup(spark):
+    """Doc-level piece counts == Σ tf·pieces(token) against a hand
+    computation on a toy corpus written as a parquet 'documents' table."""
+    import os
+    import tempfile
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "aa ab aa", "en", "s", 8), (2, "b aa", "en", "s", 4)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+            for r in QUERIES["bpe_segment_docs"](spark, d).collect()
+        }
+    # corpus pairs: 'aa'x3 -> aa:3+ab:1... merge table top20 covers all;
+    # 'aa' rank0 (cnt 3), 'ab' rank1 -> both single-piece; 'b' 1 piece
+    assert rows[1] == (3, 3)
+    assert rows[2] == (2, 2)
+
+
 def test_running_max_matches_naive(spark):
     """Two-phase running max == the naive prefix max, with empty range
     partitions in play and a value order deliberately decorrelated from
