@@ -67,6 +67,10 @@ HEADLINE = [
     "char_entropy_quality",
     "decontam_multi_n",
     "tokenizer_fertility",
+    "copurchase_triangles",
+    "tfidf_doc_pairs",
+    "event_transition_matrix",
+    "events_late_data_audit",
 ]
 
 

@@ -107,6 +107,9 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
+        # two consumers (degree count + orientation join): pin so the
+        # upstream edge generation (often an expensive self-join) runs once
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("x").alias("node"))
@@ -127,16 +130,51 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
         F.when(fwd, F.col("degy")).otherwise(F.col("degx")).alias("degv"),
-    )
+    ).localCheckpoint(eager=True)  # three consumers: f1, f2, closing edges
     f1 = f.select(F.col("u"), F.col("v").alias("v1"), F.col("degv").alias("d1"))
     f2 = f.select(F.col("u"), F.col("v").alias("v2"), F.col("degv").alias("d2"))
     wedges = f1.join(f2, "u").filter(
         (F.col("d1") < F.col("d2"))
         | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
     )
-    closed = wedges.join(
-        f.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
-        ["v1", "v2"],
-        "left_semi",
+    # the wedge relation is the big side (Σ outdeg² rows); the closing-edge
+    # side is only m rows — broadcast it when small so the wedges never
+    # shuffle, fall back to a shuffled semi join at 100 TB edge counts
+    from ..plans.hints import broadcast_if_small
+
+    # probe-key layout: hashing one long beats hashing a two-field struct
+    # measurably on a 10⁷-wedge probe, so when node ids provably fit in
+    # 32 bits (one cheap agg on the already-materialized edge checkpoint)
+    # pack (v1, v2) into a single long — exact, not a hash
+    integral = e.schema["x"].dataType.simpleString() in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
     )
+    packable = False
+    if integral:
+        bounds = e.agg(
+            F.min(F.least("x", "y")).cast("long").alias("lo"),
+            F.max(F.greatest("x", "y")).cast("long").alias("hi"),
+        ).first()
+        packable = (
+            bounds["lo"] is not None
+            and bounds["lo"] >= 0
+            and bounds["hi"] < (1 << 31)
+        )
+    if packable:
+        wk = wedges.select(
+            (F.col("v1") * F.lit(1 << 32) + F.col("v2")).alias("_k")
+        )
+        fk = f.select((F.col("u") * F.lit(1 << 32) + F.col("v")).alias("_k"))
+        closed = wk.join(broadcast_if_small(fk), "_k", "left_semi")
+    else:
+        closed = wedges.join(
+            broadcast_if_small(
+                f.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+            ),
+            ["v1", "v2"],
+            "left_semi",
+        )
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))

@@ -5013,15 +5013,25 @@ def copurchase_triangles(spark, sf_dir):
     from .operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = items.select("o", F.col("p").alias("pa"))
-    b = items.select("o", F.col("p").alias("pb"))
+    # ONE shuffle to baskets (collect_set dedups in-order), then pair
+    # expansion in pure codegen — cheaper than the two-sided self-join
+    # (3 exchanges) as long as baskets are bounded, which they are (≤7)
+    basket = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
+        basket.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ps, (x, i) -> transform("
+                        "slice(ps, i + 2, size(ps) - i - 1), "
+                        "y -> struct(x AS pa, y AS pb)))"
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
         .distinct()
     )
     return triangle_count(edges, "pa", "pb")
@@ -5042,7 +5052,8 @@ def copurchase_triangles(spark, sf_dir):
              tf.tf * CAST(round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
                                     / dfr.df) * 1000) AS BIGINT) AS w
       FROM tf JOIN dfr USING (token)
-      WHERE dfr.df BETWEEN 2 AND 100),
+      WHERE dfr.df >= 2
+        AND dfr.df <= greatest(100, (SELECT n_docs FROM n) // 5)),
     nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
     dot AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -5079,11 +5090,21 @@ def tfidf_doc_pairs(spark, sf_dir):
     ).cast("long")
     from .plans.hints import broadcast_if_small
 
-    w = (
-        tf.join(
-            broadcast_if_small(dfr.filter(F.col("df").between(2, 100))),
-            "token",
+    # the boilerplate cap scales with corpus size (20% of docs, floor
+    # 100) so the prune keeps the same meaning at any SF
+    dfr_kept = (
+        dfr.crossJoin(F.broadcast(n_tot))
+        .filter(
+            (F.col("df") >= 2)
+            & (
+                F.col("df")
+                <= F.greatest(F.lit(100).cast("long"), F.expr("_n div 5"))
+            )
         )
+        .drop("_n")
+    )
+    w = (
+        tf.join(broadcast_if_small(dfr_kept), "token")
         .crossJoin(F.broadcast(n_tot))
         .select(
             "doc_id", "token", (F.col("tf").cast("long") * idf_milli).alias("w")

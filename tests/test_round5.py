@@ -345,6 +345,24 @@ def test_bpe_segment_docs_rollup(spark):
     assert rows[2] == (2, 2)
 
 
+def test_triangle_count_known_graphs(spark):
+    """K4 (4 triangles) + a disjoint square (0) + a pendant edge = 4,
+    robust to duplicate and reversed input edges; string node ids take
+    the non-packed struct-key path and agree."""
+    from dsci551_edfs_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    noise = [(2, 1), (3, 1), (4, 20)]  # dup reversed + pendant
+    df = spark.createDataFrame(k4 + square + noise, "a long, b long")
+    assert triangle_count(df).first()["n_triangles"] == 4
+    sdf = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in k4 + square + noise],
+        "a string, b string",
+    )
+    assert triangle_count(sdf).first()["n_triangles"] == 4
+
+
 def test_running_max_matches_naive(spark):
     """Two-phase running max == the naive prefix max, with empty range
     partitions in play and a value order deliberately decorrelated from
