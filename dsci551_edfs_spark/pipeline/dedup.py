@@ -43,6 +43,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "tfidf_cosine_pairs",
     "embedding_dup_pairs",
     "plant_embedding_twins",
     "connected_components",
@@ -599,6 +600,103 @@ def ngram_jaccard_pairs(
             "jaccard"
         ),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_floor: int = 100,
+    max_df_den: int = 5,
+    threshold_milli: int = 500,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via an inverted index — the
+    lexical complement of `embedding_dup_pairs`: documents only meet when
+    they share an informative token.
+
+    Exactness discipline: weights are integers (tf · round(ln(N/df)·1e3)
+    milli-nats) and the cosine threshold is evaluated WITHOUT FP division
+    as ``dot²·10⁶ ≥ t_milli²·‖a‖²·‖b‖²`` in DECIMAL(38,0) (valid since
+    weights are non-negative) — engine- and partitioning-independent, so
+    a DuckDB oracle can restate it bit-for-bit.
+
+    Scale: posting lists are bounded by the DF prune — hapaxes
+    (df < min_df) can't pair, boilerplate (df > max(max_df_floor,
+    N div max_df_den)) is capped exactly like `ngram_jaccard_pairs`'
+    max_df (integer division so the oracle states the same bound); the
+    pair join is quadratic only within a capped posting list. Returns
+    (doc_a, doc_b, dot_w, na2, nb2) — exact integers; cosine is one
+    driver-side sqrt away."""
+    from ..functions import text as TXT
+    from ..plans.hints import broadcast_if_small
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TXT.tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_tot = df.agg(F.count("*").alias("_n"))
+    idf_milli = F.round(
+        F.log(F.col("_n").cast("double") / F.col("df")) * 1e3
+    ).cast("long")
+    dfr_kept = (
+        dfr.crossJoin(F.broadcast(n_tot))
+        .filter(
+            (F.col("df") >= min_df)
+            & (
+                F.col("df")
+                <= F.greatest(
+                    F.lit(int(max_df_floor)).cast("long"),
+                    F.expr(f"_n div {int(max_df_den)}"),
+                )
+            )
+        )
+        .drop("_n")
+    )
+    w = (
+        tf.join(broadcast_if_small(dfr_kept), "token")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id", "token", (F.col("tf").cast("long") * idf_milli).alias("w")
+        )
+    )
+    w = _persist(w)  # consumed by the norm pass AND both join sides
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    t2 = int(threshold_milli) * int(threshold_milli)
+    out = (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("decimal(19,0)")
+                * F.col("dot").cast("decimal(19,0)")
+                * F.lit(1_000_000).cast("decimal(7,0)")
+                >= F.lit(t2).cast("decimal(19,0)")
+                * F.col("na2").cast("decimal(19,0)")
+                * F.col("nb2").cast("decimal(19,0)")
+            )
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("dot").cast("long").alias("dot_w"),
+        F.col("na2").cast("long").alias("na2"),
+        F.col("nb2").cast("long").alias("nb2"),
+    )
 
 
 def shared_span_pairs(

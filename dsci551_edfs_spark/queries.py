@@ -4993,29 +4993,33 @@ def events_late_data_audit(spark, sf_dir):
     "copurchase_triangles",
     """
     WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    e AS (SELECT DISTINCT a.p AS x, b.p AS y
-          FROM i a JOIN i b ON a.o = b.o AND a.p < b.p)
+    e0 AS (SELECT a.p AS x, b.p AS y, count(*) AS sup
+           FROM i a JOIN i b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+    e AS (SELECT x, y FROM e0 WHERE sup >= 2)
     SELECT CAST(count(*) AS BIGINT) AS n_triangles
     FROM e e1 JOIN e e2 ON e1.y = e2.x
               JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
     """,
 )
 def copurchase_triangles(spark, sf_dir):
-    """Triangle count of the part co-purchase graph (parts co-occurring
-    in an order are connected): the classic graph-density / community
-    cohesion statistic. Edge generation is basket-bounded (baskets have
-    ≤7 items, so the per-order self-join is constant work per order);
-    counting runs through `operators/graph.py triangle_count` —
-    degree-ORDERED orientation, so the wedge join is bounded m^1.5 even
-    when one hub part appears in every basket, where the oracle's naive
-    triple join would go quadratic on the hub. Three edge-keyed
-    shuffles, nothing collected."""
+    """Triangle count of the STRONG part co-purchase graph (parts
+    co-occurring in ≥2 orders are connected — the same support floor as
+    `copurchase_lift`, pruning coincidental single co-occurrences): the
+    classic graph-density / community cohesion statistic. Edge
+    generation is basket-bounded (baskets have ≤7 items, so pair
+    expansion is constant work per order); counting runs through
+    `operators/graph.py triangle_count` — degree-ORDERED orientation,
+    so the wedge join is bounded m^1.5 even when one hub part appears
+    in every basket, where the oracle's naive triple join would go
+    quadratic on the hub. Three edge-keyed shuffles, nothing
+    collected."""
     from .operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem")
     # ONE shuffle to baskets (collect_set dedups in-order), then pair
     # expansion in pure codegen — cheaper than the two-sided self-join
-    # (3 exchanges) as long as baskets are bounded, which they are (≤7)
+    # (3 exchanges) as long as baskets are bounded, which they are (≤7);
+    # the support count is a map-side-combinable groupBy on the pair key
     basket = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -5031,8 +5035,10 @@ def copurchase_triangles(spark, sf_dir):
                 )
             ).alias("e")
         )
-        .select("e.pa", "e.pb")
-        .distinct()
+        .groupBy("e.pa", "e.pb")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
     )
     return triangle_count(edges, "pa", "pb")
 
@@ -5081,70 +5087,7 @@ def tfidf_doc_pairs(spark, sf_dir):
     engine- and partitioning-independent. Output carries the exact
     integer dot and norms; cosine itself is one driver-side sqrt away."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_tot = d.agg(F.count("*").alias("_n"))
-    idf_milli = F.round(
-        F.log(F.col("_n").cast("double") / F.col("df")) * 1e3
-    ).cast("long")
-    from .plans.hints import broadcast_if_small
-
-    # the boilerplate cap scales with corpus size (20% of docs, floor
-    # 100) so the prune keeps the same meaning at any SF
-    dfr_kept = (
-        dfr.crossJoin(F.broadcast(n_tot))
-        .filter(
-            (F.col("df") >= 2)
-            & (
-                F.col("df")
-                <= F.greatest(F.lit(100).cast("long"), F.expr("_n div 5"))
-            )
-        )
-        .drop("_n")
-    )
-    w = (
-        tf.join(broadcast_if_small(dfr_kept), "token")
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            "doc_id", "token", (F.col("tf").cast("long") * idf_milli).alias("w")
-        )
-    )
-    from .pipeline.dedup import _persist
-
-    w = _persist(w)  # consumed by the norm pass AND both join sides
-    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa"))
-    b = w.select(F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb"))
-    dot = (
-        a.join(b, "token")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
-    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
-    out = (
-        dot.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.lit(4).cast("decimal(38,0)")
-                * F.col("dot").cast("decimal(19,0)")
-                * F.col("dot").cast("decimal(19,0)")
-                >= F.col("na2").cast("decimal(19,0)")
-                * F.col("nb2").cast("decimal(19,0)")
-            )
-        )
-    )
-    return out.select(
-        "doc_a",
-        "doc_b",
-        F.col("dot").cast("long").alias("dot_w"),
-        F.col("na2").cast("long").alias("na2"),
-        F.col("nb2").cast("long").alias("nb2"),
-    )
+    return DD.tfidf_cosine_pairs(d)
 
 
 @q(

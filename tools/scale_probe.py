@@ -209,6 +209,29 @@ def main() -> None:
         ) / F.sum("k")
         return cc.groupBy("doc_id").agg(h.alias("h"))
 
+    def _triangles(items):
+        from dsci551_edfs_spark.operators.graph import triangle_count
+
+        basket = items.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+        edges = (
+            basket.select(
+                F.explode(
+                    F.flatten(
+                        F.expr(
+                            "transform(ps, (x, i) -> transform("
+                            "slice(ps, i + 2, size(ps) - i - 1), "
+                            "y -> struct(x AS pa, y AS pb)))"
+                        )
+                    )
+                ).alias("e")
+            )
+            .select("e.pa", "e.pb")
+            .distinct()
+        )
+        return triangle_count(edges, "pa", "pb")
+
     def _pmi(corpus):
         bg = LM._doc_bigrams(corpus, "text", "doc_id")
         pc = DD._persist(bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
@@ -294,6 +317,21 @@ def main() -> None:
             inflate_docs(docs, k), n=4, min_span=6, max_occ=16
         ),
         "char_entropy": lambda k: _entropy(inflate_docs(docs, k)),
+        # round-5: tf-idf cosine pairs. Base inflation makes every copy
+        # share its full token set with siblings (OUTPUT grows ~k^2*N by
+        # semantics, like shared_span_pairs); the hot-token variant checks
+        # the scale-relative DF cap actually prunes a token whose df
+        # explodes with k (cost must stay ~output-bound, not posting^2)
+        "tfidf_pairs": lambda k: DD.tfidf_cosine_pairs(inflate_docs(docs, k)),
+        "tfidf_pairs_hot_token": lambda k: DD.tfidf_cosine_pairs(
+            inflate_docs_hot_token(docs, k)
+        ),
+        # round-5: degree-ordered triangle counting with one hot basket
+        # growing as 128*k (a (128k)-clique): wedge work must track the
+        # C(128k,3)-ish semantic output, not the naive deg^2 of the hub
+        "triangles_hot_basket": lambda k: _triangles(
+            inflate_items_hot_basket(li, k, hot_parts=128)
+        ),
         "trending_hot_type": lambda k: _trending(inflate_events_hot(ev, k)),
         "sessionize_hot_user": lambda k: _sessionize(inflate_events_hot(ev, k)),
         "copurchase_hot_basket": lambda k: _copurchase(
