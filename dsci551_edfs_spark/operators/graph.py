@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_micro", "triangle_count", "SCALE"]
+__all__ = [
+    "pagerank_micro",
+    "triangle_count",
+    "clustering_coefficient",
+    "label_propagation",
+    "SCALE",
+]
 
 SCALE = 1_000_000
 
@@ -178,3 +184,99 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
             "left_semi",
         )
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def clustering_coefficient(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Global clustering coefficient = 3·triangles / wedges, where
+    wedges = Σ_v C(deg(v), 2) over the undirected simple graph. Reuses
+    `triangle_count` (degree-ordered, skew-bounded); the wedge total is
+    one degree aggregation. Returned as exact integers plus an integer
+    ppm ratio (floor division) so the row is engine-independent:
+    ``(n_wedges, n_triangles, gcc_ppm)``."""
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degree agg + triangle_count
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionByName(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    tri = triangle_count(e, "x", "y")
+    return (
+        wedges.crossJoin(F.broadcast(tri))
+        .select(
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN 0 "
+                "ELSE (3 * n_triangles * CAST(1000000 AS BIGINT)) div n_wedges "
+                "END"
+            )
+            .cast("long")
+            .alias("gcc_ppm"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Synchronous label propagation (LPA) community detection over an
+    undirected edge list: labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors, ties to
+    the SMALLEST label — fully deterministic (the async/random-order
+    variants are not), which is what makes an unrolled SQL oracle
+    possible.
+
+    Scale shape per round: one edge-keyed join shipping (dst, label)
+    messages + one (node, label) count — the same Pregel message
+    pattern as `pagerank_micro`; the argmax is a node-KEYED window
+    (never global). Lineage is cut every 5 rounds like the other
+    iterative ops. Returns ``(node, label)``."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    bidir = (
+        e.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .unionByName(e.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+        .localCheckpoint(eager=True)  # consumed once per iteration
+    )
+    labels = bidir.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+    for it in range(iterations):
+        msgs = bidir.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        cnt = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if (it + 1) % 5 == 0 and (it + 1) < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

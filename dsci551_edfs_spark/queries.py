@@ -5168,5 +5168,169 @@ def bpe_segment_docs(spark, sf_dir):  # segmentation pinned in pytest
     )
 
 
+_STRONG_EDGES_SQL = """
+    i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (SELECT a.p AS x, b.p AS y, count(*) AS sup
+           FROM i a JOIN i b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+    e AS (SELECT x, y FROM e0 WHERE sup >= 2)
+"""
+
+
+def _strong_copurchase_edges(spark, sf_dir):
+    """Shared edge generator: the support-≥2 part co-purchase graph."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        basket.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ps, (x, i) -> transform("
+                        "slice(ps, i + 2, size(ps) - i - 1), "
+                        "y -> struct(x AS pa, y AS pb)))"
+                    )
+                )
+            ).alias("e")
+        )
+        .groupBy("e.pa", "e.pb")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+
+
+@q(
+    "copurchase_clustering_coeff",
+    f"""
+    WITH {_STRONG_EDGES_SQL},
+    d AS (SELECT node, count(*) AS deg FROM
+            (SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+    wd AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+           FROM d),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM e e1 JOIN e e2 ON e1.y = e2.x
+                    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+    SELECT n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges = 0 THEN 0
+                     ELSE (3 * n_triangles * 1000000) // n_wedges END
+                AS BIGINT) AS gcc_ppm
+    FROM wd, t
+    """,
+)
+def copurchase_clustering_coeff(spark, sf_dir):
+    """Global clustering coefficient of the strong co-purchase graph —
+    3·triangles/wedges as an exact integer-ppm row. Wedge total is one
+    degree aggregation; triangles reuse the degree-ordered
+    `triangle_count`, so the whole statistic stays skew-bounded."""
+    from .operators.graph import clustering_coefficient
+
+    return clustering_coefficient(
+        _strong_copurchase_edges(spark, sf_dir), "pa", "pb"
+    )
+
+
+@q(
+    "copurchase_communities",
+    f"""
+    WITH {_STRONG_EDGES_SQL},
+    bidir AS (SELECT x AS src, y AS dst FROM e
+              UNION ALL SELECT y, x FROM e),
+    c1 AS (SELECT dst AS node, src AS label, count(*) AS c
+           FROM bidir GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label) AS rn
+             FROM c1) WHERE rn = 1),
+    c2 AS (SELECT b.dst AS node, l.label, count(*) AS c
+           FROM bidir b JOIN l1 l ON b.src = l.node GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label) AS rn
+             FROM c2) WHERE rn = 1)
+    SELECT node, CAST(label AS BIGINT) AS label FROM l2
+    """,
+)
+def copurchase_communities(spark, sf_dir):
+    """Community detection on the strong co-purchase graph: 2 rounds of
+    synchronous label propagation (`operators/graph.py
+    label_propagation`) — deterministic by construction (most-frequent
+    neighbor label, ties to the smallest), which is why a 2-round
+    unrolled SQL oracle can restate it exactly. Per round: one
+    edge-keyed message join + one (node, label) count + a node-KEYED
+    argmax window — the Pregel shape, nothing global."""
+    from .operators.graph import label_propagation
+
+    return label_propagation(
+        _strong_copurchase_edges(spark, sf_dir), iterations=2,
+        a_col="pa", b_col="pb",
+    )
+
+
+@q(
+    "attribution_last_click",
+    """
+    WITH s AS (SELECT event_id, user_id, event_type, ts,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+               FROM events),
+    w AS (SELECT event_id, user_id, event_type, ts_s,
+                 last_value(CASE WHEN event_type = 'click'
+                                 THEN event_id END IGNORE NULLS)
+                   OVER uw AS last_click_id,
+                 last_value(CASE WHEN event_type = 'click'
+                                 THEN ts_s END IGNORE NULLS)
+                   OVER uw AS click_ts
+          FROM s
+          WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING))
+    SELECT event_id AS purchase_id, user_id, last_click_id,
+           ts_s - click_ts AS gap_s
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_click(spark, sf_dir):
+    """Last-touch attribution: for every purchase, the user's most
+    recent preceding click and the seconds between them (null when the
+    purchase was never preceded by a click) — the bread-and-butter
+    marketing attribution join, expressed as a single user-KEYED
+    ordered window with `last(..., ignorenulls)` instead of a range
+    self-join: one shuffle on user_id, no pair blowup, late events
+    handled by event-time ordering."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    uw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_s",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(uw)
+        .alias("last_click_id"),
+        F.last(F.when(is_click, F.col("ts_s")), ignorenulls=True)
+        .over(uw)
+        .alias("click_ts"),
+    )
+    return w.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "last_click_id",
+        (F.col("ts_s") - F.col("click_ts")).alias("gap_s"),
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

@@ -363,6 +363,44 @@ def test_triangle_count_known_graphs(spark):
     assert triangle_count(sdf).first()["n_triangles"] == 4
 
 
+def test_clustering_coefficient_known(spark):
+    """K4 + pendant: wedges = Σ C(deg,2) = 3·C(3,2)+C(4,2)+0 = 15,
+    triangles = 4, gcc_ppm = 12e6 div 15 = 800000."""
+    from dsci551_edfs_spark.operators.graph import clustering_coefficient
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    row = clustering_coefficient(
+        spark.createDataFrame(edges, "a long, b long")
+    ).first()
+    assert (row["n_wedges"], row["n_triangles"], row["gcc_ppm"]) == (
+        15,
+        4,
+        800000,
+    )
+
+
+def test_label_propagation_exact_trace(spark):
+    """Synchronous LPA is deterministic: the result after each round
+    equals the hand-computed trace (most-frequent neighbor label, ties
+    to the smallest). Two triangles + bridge (3,10): round 1 is
+    all-ties (labels distinct), so every node takes its min neighbor;
+    round 2 has real majorities — exactly these labels."""
+    from dsci551_edfs_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    r1 = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=1).collect()
+    }
+    assert r1 == {1: 2, 2: 1, 3: 1, 10: 3, 11: 10, 12: 10}
+    r2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=2).collect()
+    }
+    assert r2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}
+
+
 def test_running_max_matches_naive(spark):
     """Two-phase running max == the naive prefix max, with empty range
     partitions in play and a value order deliberately decorrelated from
