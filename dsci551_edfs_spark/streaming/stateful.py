@@ -55,6 +55,8 @@ def user_running_stats(
     key_col: str = "user_id",
     ts_col: str = "ts",
     timeout_ms: int | None = None,
+    timeout_mode: str = "processing",
+    watermark_delay: str = "10 seconds",
 ) -> DataFrame:
     """(user_id, n_events, sum_value, last_ts) maintained across batches.
 
@@ -63,18 +65,30 @@ def user_running_stats(
     must equal.
 
     ``timeout_ms`` (streaming only, default off): evict a key's state if
-    no event arrives for that long of PROCESSING time — the dormant-key
-    guard an unbounded key space needs at scale. Eviction emits nothing
-    (the key's last emission already carries its final counters) and a
-    reappearing key restarts from zero, so enabling it intentionally
-    weakens the exact batch-equivalence contract; hence opt-in.
+    no event arrives for that long — the dormant-key guard an unbounded
+    key space needs at scale. Eviction emits nothing (the key's last
+    emission already carries its final counters) and a reappearing key
+    restarts from zero, so enabling it intentionally weakens the exact
+    batch-equivalence contract; hence opt-in. Two clocks:
 
-    Caveat: with ProcessingTimeTimeout the engine constructs micro-batches
-    continuously (timers can fire with no new data), so
-    ``StreamingQuery.processAllAvailable()`` never observes a quiesce and
-    blocks forever — poll the sink or use ``awaitTermination`` patterns
-    instead when the timeout is enabled.
+    - ``timeout_mode="processing"``: ProcessingTimeTimeout — dormancy on
+      the wall clock. Right for production (a key that stops arriving
+      stops holding state) but inherently non-deterministic to test: how
+      many micro-batches a key survives depends on scheduling latency.
+      Caveat: the engine constructs micro-batches continuously so timers
+      can fire with no new data — ``processAllAvailable()`` never
+      observes a quiesce and blocks forever; poll the sink or query
+      progress instead.
+    - ``timeout_mode="event"``: EventTimeTimeout — dormancy on EVENT
+      time: a key is evicted once the watermark (max seen ``ts_col``
+      minus ``watermark_delay``) passes its last event + ``timeout_ms``.
+      Purely data-driven, so results are deterministic regardless of
+      processing speed — the testable variant, and the right one when
+      "dormant" should mean dormant in the modeled timeline (replays,
+      backfills) rather than on the ingest clock.
     """
+    if timeout_mode not in ("processing", "event"):
+        raise ValueError(f"timeout_mode must be processing|event, got {timeout_mode!r}")
     if not events.isStreaming:
         return events.groupBy(key_col).agg(
             F.count("*").alias("n_events"),
@@ -101,7 +115,16 @@ def user_running_stats(
         state.update((n, s, last_us))
         if timeout_ms is not None:
             # re-arm on every touch: the clock measures dormancy, not age
-            state.setTimeoutDuration(timeout_ms)
+            if timeout_mode == "processing":
+                state.setTimeoutDuration(timeout_ms)
+            else:
+                # event clock: expire when the watermark passes the key's
+                # last event + timeout. Spark requires the timestamp to be
+                # strictly ahead of the current watermark.
+                due_ms = last_us // 1_000 + timeout_ms
+                state.setTimeoutTimestamp(
+                    max(due_ms, state.getCurrentWatermarkMs() + 1)
+                )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -111,12 +134,20 @@ def user_running_stats(
             }
         )
 
+    if timeout_ms is None:
+        conf = "NoTimeout"
+    elif timeout_mode == "processing":
+        conf = "ProcessingTimeTimeout"
+    else:
+        conf = "EventTimeTimeout"
+        # EventTimeTimeout needs a watermark to define "now" in event time
+        events = events.withWatermark(ts_col, watermark_delay)
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf="NoTimeout" if timeout_ms is None else "ProcessingTimeTimeout",
+        timeoutConf=conf,
     )
 
 

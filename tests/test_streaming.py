@@ -237,41 +237,78 @@ def test_stream_static_enrich_equals_batch(spark, event_dir):
     assert _as_sets(stream) == _as_sets(batch)
 
 
-def test_stateful_timeout_evicts_dormant_key(spark):
-    """Opt-in ProcessingTimeTimeout: a key that goes quiet past timeout_ms
-    is evicted (its counters restart from zero on reappearance) while keys
-    that keep receiving events accumulate across the eviction.
+class _FileFeed:
+    """Deliver parquet micro-batches into a watched dir, poll the memory
+    sink / query progress. Shared by the two timeout-eviction tests."""
 
-    NOTE: with ProcessingTimeTimeout the engine constructs micro-batches
-    continuously to fire timers, so ``processAllAvailable()`` never sees a
-    no-new-data quiesce and blocks forever — the test polls the memory sink
-    instead (that hang is an engine property, documented in stateful.py).
-    """
-    import time
+    def __init__(self, spark):
+        import pandas as pd
 
-    import pandas as pd
-    from pyspark.sql import functions as F
+        self.spark = spark
+        self.pd = pd
+        os.makedirs(SCRATCH, exist_ok=True)
+        self.watch = tempfile.mkdtemp(dir=SCRATCH)
+        self.stage = tempfile.mkdtemp(dir=SCRATCH)
+        self.q = None
 
-    from dsci551_edfs_spark.streaming import stateful as ST
-
-    os.makedirs(SCRATCH, exist_ok=True)
-    watch = tempfile.mkdtemp(dir=SCRATCH)
-    stage = tempfile.mkdtemp(dir=SCRATCH)
-
-    def deliver(tag, rows):
-        pdf = pd.DataFrame(
+    def deliver(self, tag, rows):
+        pdf = self.pd.DataFrame(
             rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
         )
-        pdf["ts"] = pd.to_datetime(pdf["ts"])
-        out = os.path.join(stage, tag)
-        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(out)
+        pdf["ts"] = self.pd.to_datetime(pdf["ts"])
+        out = os.path.join(self.stage, tag)
+        self.spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(out)
         import glob as g
         import shutil
 
         for i, f in enumerate(g.glob(os.path.join(out, "*.parquet"))):
-            shutil.copy(f, os.path.join(watch, f"{tag}_{i}.parquet"))
+            shutil.copy(f, os.path.join(self.watch, f"{tag}_{i}.parquet"))
 
-    deliver(
+    def rows(self, name, uid):
+        from pyspark.sql import functions as F
+
+        return [
+            r["n_events"]
+            for r in self.spark.table(name).filter(F.col("user_id") == uid).collect()
+        ]
+
+    def state_rows(self):
+        p = self.q.lastProgress
+        ops = (p or {}).get("stateOperators") or []
+        return ops[0]["numRowsTotal"] if ops else None
+
+    def wait_for(self, cond, what, timeout=120):
+        import time
+
+        end = time.time() + timeout
+        while time.time() < end:
+            if self.q.exception() is not None:
+                raise self.q.exception()
+            if cond():
+                return
+            time.sleep(0.25)
+        raise AssertionError(f"timed out waiting for {what}")
+
+
+def test_stateful_event_timeout_evicts_dormant_key(spark):
+    """EventTimeTimeout eviction is watermark-driven, so the full
+    semantics are deterministic regardless of processing speed: a key
+    whose last event falls timeout_ms behind the watermark is evicted
+    (counters restart from zero on reappearance) while a key that keeps
+    receiving events accumulates straight through.
+
+    Timeline (event time, timeout 30 s, watermark delay 0):
+      b1: key1 @00:00:00/01, key2 @00:00:02   → both seeded
+      b2: key2 @00:01:00                       → watermark 00:01:00;
+          key1 due at 00:00:31 < watermark → evicted in the no-data
+          batch; key2 due at 00:01:30 > watermark → survives
+      b3: key1 @00:02:00, key2 @00:02:01       → key1 restarts (n=1),
+          key2 accumulates (n=3)
+    """
+    from dsci551_edfs_spark.streaming import stateful as ST
+
+    feed = _FileFeed(spark)
+    feed.deliver(
         "b1",
         [
             (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
@@ -279,59 +316,85 @@ def test_stateful_timeout_evicts_dormant_key(spark):
             (3, "2024-01-01 00:00:02", 2, "view", 5.0, "{}"),
         ],
     )
-    schema = spark.read.parquet(watch).schema
-    src = spark.readStream.schema(schema).parquet(watch)
-    out = ST.user_running_stats(src, timeout_ms=5000)
-    q = (
+    schema = spark.read.parquet(feed.watch).schema
+    src = spark.readStream.schema(schema).parquet(feed.watch)
+    out = ST.user_running_stats(
+        src, timeout_ms=30_000, timeout_mode="event", watermark_delay="0 seconds"
+    )
+    feed.q = (
         out.writeStream.format("memory")
-        .queryName("evict_t")
+        .queryName("evict_et")
         .outputMode("update")
         .start()
     )
-
-    def rows(uid):
-        return [
-            r["n_events"]
-            for r in spark.table("evict_t").filter(F.col("user_id") == uid).collect()
-        ]
-
-    def wait_for(cond, what, timeout=90):
-        end = time.time() + timeout
-        while time.time() < end:
-            if q.exception() is not None:
-                raise q.exception()
-            if cond():
-                return
-            time.sleep(0.25)
-        raise AssertionError(f"timed out waiting for {what}")
-
+    rows = lambda uid: feed.rows("evict_et", uid)
     try:
-        # batch 1: both keys seeded (timers armed at processing time t0)
-        wait_for(lambda: rows(1) and rows(2), "batch-1 emissions")
-        t0 = time.time()
-        # key 2 re-arms inside the timeout window; key 1 stays dormant
-        time.sleep(max(0.0, t0 + 2.0 - time.time()))
-        deliver("b2", [(4, "2024-01-01 00:01:00", 2, "view", 7.0, "{}")])
-        wait_for(lambda: 2 in rows(2), "key-2 batch-2 emission")
-        # past key 1's expiry (t0+5s), before key 2's (>= t0+7s): key 1's
-        # timer fires in one of the continuously-constructed batches
-        time.sleep(max(0.0, t0 + 6.2 - time.time()))
-        deliver(
+        feed.wait_for(lambda: rows(1) and rows(2), "batch-1 emissions")
+        feed.deliver("b2", [(4, "2024-01-01 00:01:00", 2, "view", 7.0, "{}")])
+        feed.wait_for(lambda: 2 in rows(2), "key-2 batch-2 emission")
+        # watermark is now 00:01:00 > key1's 00:00:31 deadline: the engine's
+        # no-data batch fires the timer. Observe the eviction itself (state
+        # row count 2 → 1) before sending key1 back in, so b3 can't race it.
+        feed.wait_for(lambda: feed.state_rows() == 1, "key-1 state eviction")
+        feed.deliver(
             "b3",
             [
                 (5, "2024-01-01 00:02:00", 1, "view", 9.0, "{}"),
                 (6, "2024-01-01 00:02:01", 2, "view", 11.0, "{}"),
             ],
         )
-        wait_for(lambda: 1 in rows(1) and 3 in rows(2), "batch-3 emissions")
+        feed.wait_for(lambda: 1 in rows(1) and 3 in rows(2), "batch-3 emissions")
     finally:
-        q.stop()
+        feed.q.stop()
     k1, k2 = rows(1), rows(2)
     # evicted key restarted from zero: its batch-3 emission counts only the
     # new event; state surviving would have produced n_events == 3
     assert 1 in k1 and max(k1) == 2, k1
     # active key accumulated straight through the eviction
     assert max(k2) == 3, k2
+
+
+def test_stateful_processing_timeout_evicts(spark):
+    """ProcessingTimeTimeout: wall-clock dormancy eviction. How many
+    micro-batches a key survives depends on scheduling latency, so this
+    test asserts only the load-robust half of the contract — a dormant
+    key IS eventually evicted (observed via state-store row count, since
+    eviction emits nothing) and restarts from zero on reappearance.
+    Survival-under-activity is pinned by the deterministic event-time
+    test above; asserting it here would race the scheduler.
+    """
+    from dsci551_edfs_spark.streaming import stateful as ST
+
+    feed = _FileFeed(spark)
+    feed.deliver(
+        "b1",
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 00:00:01", 1, "view", 2.0, "{}"),
+        ],
+    )
+    schema = spark.read.parquet(feed.watch).schema
+    src = spark.readStream.schema(schema).parquet(feed.watch)
+    out = ST.user_running_stats(src, timeout_ms=1000)
+    feed.q = (
+        out.writeStream.format("memory")
+        .queryName("evict_pt")
+        .outputMode("update")
+        .start()
+    )
+    rows = lambda uid: feed.rows("evict_pt", uid)
+    try:
+        feed.wait_for(lambda: 2 in rows(1), "batch-1 emission")
+        # no further input: the continuously-constructed batches fire the
+        # timer once >=1 s of wall time passes — however long that takes
+        feed.wait_for(lambda: feed.state_rows() == 0, "state eviction")
+        feed.deliver("b2", [(3, "2024-01-01 00:05:00", 1, "view", 9.0, "{}")])
+        feed.wait_for(lambda: 1 in rows(1), "post-eviction restart emission")
+    finally:
+        feed.q.stop()
+    k1 = rows(1)
+    # restart from zero: 2 (batch 1) then 1 (batch 2), never 3
+    assert sorted(set(k1)) == [1, 2], k1
 
 
 def test_stream_decontam_gate_equals_batch(spark, sf_dir):

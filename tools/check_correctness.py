@@ -2,7 +2,11 @@
 on Spark and its oracle on DuckDB at sf0.01; compare row count, schema
 (column names), and an order-insensitive value hash.
 
-Usage: python tools/check_correctness.py [name ...]
+Usage: python tools/check_correctness.py [--json PATH] [name ...]
+
+``--json PATH`` additionally writes the per-query results as a JSON dict
+(same shape as the driver's CORRECTNESS_r{N}.json) so a full-registry
+sweep leaves an auditable artifact in the tree, not just stdout.
 """
 
 from __future__ import annotations
@@ -67,7 +71,14 @@ def main() -> int:
 
     qs = queries()
     oracles = oracle_sql()
-    names = sys.argv[1:] or list(qs)
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    names = argv or list(qs)
+    results: dict[str, dict] = {}
     failures = 0
     for name in names:
         try:
@@ -77,10 +88,12 @@ def main() -> int:
             release_cached()  # free this query's pinned intermediates
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"err": f"spark error: {e}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            results[name] = {"spark_rows": len(srows), "oracle": None, "err": None}
             continue
         try:
             cur = con.execute(oracles[name])
@@ -88,6 +101,7 @@ def main() -> int:
             drows = cur.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            results[name] = {"err": f"oracle error: {e}"}
             failures += 1
             continue
         ok_count = len(srows) == len(drows)
@@ -98,6 +112,14 @@ def main() -> int:
             else False
         )
         status = "ok" if (ok_count and ok_cols and ok_hash) else "FAIL"
+        results[name] = {
+            "rows_match": ok_count,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
         if status == "FAIL":
             failures += 1
         print(
@@ -115,6 +137,12 @@ def main() -> int:
             for x in list(dset - sset)[:3]:
                 print(f"        duck-only:  {x}")
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
