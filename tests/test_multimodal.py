@@ -68,9 +68,29 @@ def test_resize_crops_and_rewrites_header(media):
     assert kinds == {"img", "aud", "vid"}
 
 
-def test_real_codec_path_is_gated(media):
-    with pytest.raises(NotImplementedError):
-        MM.resize_media(media, 8, 8, use_real=True)
+def test_real_resize_decodes_resamples_reencodes(spark):
+    """use_real=True runs a genuine decode→resample→encode through the
+    stdlib PNG codec: output payloads are valid PNGs at the target dims,
+    header dims are rewritten to match, and a uniform-shade image keeps
+    its shade through the resample (pixel-level check, not header-level)."""
+    from dsci551_edfs_spark.pipeline.png_stdlib import decode_png, encode_png_gray
+
+    rows = [
+        (
+            i,
+            b"FAKE|img|w=%04d|h=%04d|f=01|r=00000|" % (10 + i, 14 + i)
+            + encode_png_gray([[50 * i] * (10 + i) for _ in range(14 + i)]),
+        )
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = MM.resize_media(df.repartition(3), 6, 5, use_real=True)
+    decoded = MM.decode_media(out).collect()
+    assert {(r["width"], r["height"]) for r in decoded} == {(6, 5)}
+    for r in out.collect():
+        w, h, ch, pix = decode_png(bytes(r["media"])[MM.HEADER_LEN :])
+        assert (w, h, ch) == (6, 5, 1)
+        assert set(pix) == {50 * r["doc_id"]}  # shade survives resampling
 
 
 def test_injected_codec(media, spark, sf_dir):
@@ -142,48 +162,31 @@ def test_chunk_audio(media):
     assert len({r["chunk_sig"] for r in one}) == len(one)
 
 
-@pytest.mark.skipif(
-    not MM.HAS_IMAGE_CODEC, reason="Pillow not installed in this container"
-)
 def test_real_image_codec_through_hook(spark):
-    """When a REAL image codec is present, it must drop into the exact
-    codec= call site the deterministic fake occupies: container payloads
-    are genuine PNGs, the injected codec decodes them executor-side, and
-    the reported dimensions come from the actual image data (not the
-    container header). Green-skips where Pillow is absent — the stub's
-    contract is proven against a genuine codec wherever one exists."""
-    import io
-
-    from PIL import Image
+    """A REAL image codec drops into the exact codec= call site the
+    deterministic fake occupies: container payloads are genuine PNGs, the
+    injected codec decodes them executor-side, and the reported dimensions
+    come from the actual image data (not the container header). Runs
+    UNSKIPPED everywhere via the pure-stdlib PNG codec; when Pillow is
+    present the same fixtures are additionally decoded with PIL and the
+    two codecs must agree exactly."""
     from pyspark.sql import types as T
 
-    def png_bytes(w, h, shade):
-        buf = io.BytesIO()
-        Image.new("L", (w, h), color=shade).save(buf, format="PNG")
-        return buf.getvalue()
+    from dsci551_edfs_spark.pipeline.png_stdlib import encode_png_gray, png_codec
 
+    def png_bytes(w, h, shade):
+        return encode_png_gray([[shade] * w for _ in range(h)])
+
+    fixtures = [(4 + i, 6 + i, 40 * i) for i in range(4)]
     rows = [
-        (i, b"FAKE|img|w=%04d|h=%04d|f=01|r=00000|" % (4 + i, 6 + i)
-         + png_bytes(4 + i, 6 + i, 40 * i))
-        for i in range(4)
+        (i, b"FAKE|img|w=%04d|h=%04d|f=01|r=00000|" % (w, h) + png_bytes(w, h, s))
+        for i, (w, h, s) in enumerate(fixtures)
     ]
     df = spark.createDataFrame(rows, "doc_id long, media binary")
 
-    def _pil_codec(kind, payload):
-        from io import BytesIO
-
-        from PIL import Image as _I
-
-        img = _I.open(BytesIO(payload))
-        return {
-            "px_width": img.size[0],
-            "px_height": img.size[1],
-            "px_mean": float(sum(img.getdata())) / (img.size[0] * img.size[1]),
-        }
-
     out = MM.decode_media(
         df.repartition(3),
-        codec=_pil_codec,
+        codec=png_codec,
         codec_fields=[
             T.StructField("px_width", T.IntegerType()),
             T.StructField("px_height", T.IntegerType()),
@@ -195,3 +198,13 @@ def test_real_image_codec_through_hook(spark):
         # real pixel dims agree with the container header fields
         assert (r["px_width"], r["px_height"]) == (r["width"], r["height"])
         assert abs(r["px_mean"] - 40 * r["doc_id"]) < 1e-9
+
+    if MM.HAS_IMAGE_CODEC:  # cross-check vs a third-party codec when present
+        from io import BytesIO
+
+        from PIL import Image
+
+        for i, (w, h, s) in enumerate(fixtures):
+            img = Image.open(BytesIO(png_bytes(w, h, s)))
+            assert img.size == (w, h)
+            assert set(img.getdata()) == {s}
