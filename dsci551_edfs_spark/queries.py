@@ -1516,6 +1516,34 @@ def orc_roundtrip(spark, sf_dir):
 
 
 @q(
+    "avro_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def avro_roundtrip(spark, sf_dir):
+    """orders -> Avro OCF (deflate) -> read-back. The spark-avro module
+    is absent here, so the codec is `sources/avro_stdlib.py` — the Avro
+    spec implemented on zlib/struct/json: zigzag varints, null-union
+    prefixes, OCF block framing. Write is one OCF file per partition
+    (executor-side); read distributes files via the built-in binaryFile
+    source and decodes in an Arrow mapInPandas stage. The oracle is the
+    identity projection, so a hash match proves every value — including
+    timestamp-micros — survived a full binary encode/decode."""
+    from .sources.avro_stdlib import read_avro, write_avro
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    dest = _scratch_dir("avro")
+    write_avro(orders.repartition(8), dest)
+    return read_avro(spark, dest)
+
+
+@q(
     "incremental_dedup",
     r"""
     WITH f AS (

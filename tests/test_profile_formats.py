@@ -45,6 +45,55 @@ def test_jsonl_roundtrip_types(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
 
 
+def test_avro_roundtrip_all_types(spark, tmp_path):
+    """Stdlib Avro OCF: every supported Spark type — including nulls,
+    negative zigzag values, empty strings, bytes, timestamps — survives
+    a distributed write + binaryFile read bit-exact."""
+    from datetime import date, datetime
+
+    from dsci551_edfs_spark.sources.avro_stdlib import read_avro, write_avro
+
+    rows = [
+        (1, -7, 1.5, float("inf"), "a", True, bytearray(b"\x00\xff"),
+         datetime(2024, 1, 2, 3, 4, 5, 123456), date(2024, 2, 29)),
+        (-(2**62), None, -0.0, None, "", False, None, None, None),
+        (0, 42, 2.25, -3.5, "héllo→", None, bytearray(b""),
+         datetime(1969, 12, 31, 23, 59, 59), date(1969, 1, 1)),
+    ]
+    schema = (
+        "l long, i int, d double, f float, s string, b boolean, "
+        "raw binary, ts timestamp, dt date"
+    )
+    df = spark.createDataFrame(rows, schema)
+    dest = str(tmp_path / "avro")
+    n = write_avro(df.repartition(2), dest)
+    assert n == 3
+    back = read_avro(spark, dest)
+    assert back.schema == df.schema
+    got = sorted([tuple(r) for r in back.collect()], key=str)
+    want = sorted([tuple(r) for r in df.collect()], key=str)
+    assert got == want
+
+
+def test_avro_roundtrip_table_and_schema_peek(spark, sf_dir, tmp_path):
+    from dsci551_edfs_spark.sources.avro_stdlib import read_avro, write_avro
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dest = str(tmp_path / "docs_avro")
+    write_avro(docs.repartition(3), dest)
+    back = read_avro(spark, dest)  # schema resolved from one-file peek
+    assert back.schema == docs.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+
+
+def test_avro_rejects_unsupported_types(spark):
+    from dsci551_edfs_spark.sources.avro_stdlib import spark_to_avro_schema
+
+    df = spark.createDataFrame([([1, 2],)], "arr array<long>")
+    with pytest.raises(TypeError, match="does not map"):
+        spark_to_avro_schema(df.schema)
+
+
 def test_quantiles_exact_vs_approx_rank_error(spark, sf_dir):
     """approx_percentile (the 100 TB sketch path) must land within its
     rank-error contract of the exact PERCENTILE_CONT values."""
