@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_point_interval", "gap_fill_locf"]
+__all__ = ["asof_join", "range_join_point_interval", "gap_fill_locf", "sessionize"]
 
 _UNIT_SECONDS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
@@ -207,3 +207,39 @@ def gap_fill_locf(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization: a new session starts after a > ``gap_s``
+    silence; session_no = running count of session starts per user. Two
+    stacked windows over ONE keyed shuffle (identical partitioning+order,
+    Catalyst reuses the exchange and sort) — the batch face of the
+    streaming session_window, exact instead of state-store-approximate.
+
+    Scale: the hot-user straggler bound is sort(hot-user rows) — one task
+    per user by SEMANTICS (full per-user ordering); salting would break
+    exact session numbering. The mitigation is layout, not plan surgery:
+    run this over a table bucketed by ``user_col`` (sources/bucketing.py)
+    and the window's required hashpartitioning is satisfied by the
+    bucketed scan — zero runtime Exchange, the shuffle paid once at
+    write time and amortized over every user-keyed query that follows
+    (pinned in tests/test_plans.py; measured in SCALE.md)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    run = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        user_col,
+        id_col,
+        F.sum(new_sess).over(run).cast("long").alias("session_no"),
+    )

@@ -3819,19 +3819,35 @@ def sessionize_events(spark, sf_dir):
     session_no = running count of session starts per user. Two stacked
     windows over ONE keyed shuffle (same partitioning, Catalyst reuses
     the sort) — the batch face of the streaming session_window, exact
-    instead of state-store-approximate."""
+    instead of state-store-approximate (operators/temporal.py
+    sessionize)."""
+    from .operators.temporal import sessionize
+
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    return sessionize(ev)
+
+
+@q(
+    "sessionize_events_bucketed",
+    ORACLES.get("sessionize_events"),
+)
+def sessionize_events_bucketed(spark, sf_dir):
+    """Identical contract and oracle to `sessionize_events`, run over a
+    table bucketed by user_id — the documented hot-user mitigation: the
+    keyed shuffle is paid ONCE at write (bucketBy + sortBy user_id) and
+    the window's required hashpartitioning(user_id) is satisfied by the
+    bucketed scan, so the query plan has ZERO Exchange operators (pinned
+    in tests/test_plans.py). At 100 TB every user-keyed window/agg/join
+    re-runs against the same layout shuffle-free; SCALE.md measures the
+    hot-user probe on both layouts."""
+    from .operators.temporal import sessionize
+    from .sources.bucketing import write_bucketed
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    write_bucketed(
+        ev, "events_by_user_sess", "user_id", 16, _scratch_dir("sess_bucket")
     )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.sum(new_sess).over(run).cast("long").alias("session_no"),
-    )
+    return sessionize(spark.table("events_by_user_sess"))
 
 
 @q(

@@ -223,6 +223,20 @@ def test_chunking_is_map_only():
     assert "Exchange" not in plan, plan
 
 
+def test_bucketed_sessionize_has_zero_exchange():
+    """The hot-user mitigation made concrete: over a user-bucketed table
+    the sessionize windows' required hashpartitioning(user_id) is
+    satisfied by the bucketed scan — NO Exchange anywhere in the plan
+    (the plain-events variant pays exactly one). The write-side shuffle
+    happened once at bucketing time."""
+    plan = _plan("sessionize_events_bucketed")
+    assert "Exchange" not in plan, plan
+    assert "Window" in plan
+    # and the plain layout pays its one runtime exchange
+    plain = _plan("sessionize_events")
+    assert len(re.findall(r"\(\d+\) Exchange", plain)) == 1, plain
+
+
 def test_perplexity_model_join_is_broadcast():
     plan = _plan("doc_perplexity_lm")
     assert "BroadcastHashJoin" in plan, plan

@@ -174,6 +174,23 @@ def main() -> None:
             F.col("rnk") <= 3
         )
 
+    def _bucket_by_user(events):
+        import tempfile
+
+        from dsci551_edfs_spark.sources.bucketing import write_bucketed
+
+        scratch = "/root/repo/.scratch"
+        import os as _os
+
+        _os.makedirs(scratch, exist_ok=True)
+        write_bucketed(
+            events.select("user_id", "event_id", "ts"),
+            "probe_events_by_user",
+            "user_id",
+            32,
+            tempfile.mkdtemp(prefix="probe_bucket_", dir=scratch),
+        )
+
     def _sessionize(events):
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
@@ -334,6 +351,19 @@ def main() -> None:
         ),
         "trending_hot_type": lambda k: _trending(inflate_events_hot(ev, k)),
         "sessionize_hot_user": lambda k: _sessionize(inflate_events_hot(ev, k)),
+        # round-6: the documented hot-user mitigation, measured. Setup
+        # (untimed) writes the inflated events bucketed by user_id — the
+        # offline layout cost paid once; the timed query then runs the
+        # SAME sessionize over the bucketed scan with zero Exchange. The
+        # delta vs sessionize_hot_user is the runtime shuffle of the hot
+        # partition that bucketing removes (the residual straggler is
+        # sort(hot-user rows), irreducible by semantics).
+        "sessionize_hot_user_bucketed": (
+            lambda k: _bucket_by_user(inflate_events_hot(ev, k)),
+            lambda k: _sessionize(
+                ev.sparkSession.table("probe_events_by_user")
+            ),
+        ),
         "copurchase_hot_basket": lambda k: _copurchase(
             inflate_items_hot_basket(li, k)
         ),
@@ -343,8 +373,14 @@ def main() -> None:
     for name in wanted:
         secs, rows = {}, {}
         for k in FACTORS:
+            op = ops[name]
+            if isinstance(op, tuple):  # (setup, build): setup is UNTIMED
+                setup, build = op      # offline cost (e.g. a bucketed write)
+                setup(k)
+            else:
+                build = op
             t0 = time.perf_counter()
-            rows[str(k)] = ops[name](k).count()  # forces full compute
+            rows[str(k)] = build(k).count()  # forces full compute
             secs[str(k)] = round(time.perf_counter() - t0, 2)
             DD.release_cached()  # drop per-call pinned intermediates
         print(
