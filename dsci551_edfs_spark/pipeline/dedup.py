@@ -668,39 +668,75 @@ def tfidf_cosine_pairs(
         )
     )
     w = _persist(w)  # consumed by the norm pass AND both join sides
-    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    return cosine_pairs_from_weights(w, threshold_milli)
+
+
+def cosine_pairs_from_weights(
+    w: DataFrame, threshold_milli: int = 500
+) -> DataFrame:
+    """Pair stage of `tfidf_cosine_pairs` over a prepared (doc_id, token,
+    w) weight table — exposed so the overflow contract is property-
+    testable at adversarial magnitudes without synthesizing 100 MB texts.
+
+    Overflow discipline: ``w`` is LONG, but every accumulation is
+    DECIMAL(38,0) — on a 100x corpus with long documents a single
+    ``w²`` already brushes int64 max (tf ~1e5 · idf_milli ~2.8e4 squared
+    ≈ 8e18) and ``Σw²`` silently WRAPS in a long sum (Spark long agg is
+    modular outside ANSI mode) while DuckDB promotes to HUGEINT — the
+    cross-engine asymmetry this stage must never have. DECIMAL(38,0)
+    matches HUGEINT's headroom, so both engines agree bit-for-bit right
+    up to magnitudes no real corpus reaches. Outputs stay DECIMAL: a
+    cast back to long would just re-introduce the wrap at the edge."""
+    wd = F.col("w").cast("decimal(19,0)")
+    nrm = (
+        w.select("doc_id", (wd * wd).alias("w2"))
+        .groupBy("doc_id")
+        .agg(F.sum("w2").cast("decimal(38,0)").alias("n2"))
+    )
     a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb"))
     dot = (
         a.join(b, "token")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("wa").cast("decimal(19,0)") * F.col("wb").cast("decimal(19,0)")
+            ).alias("ww"),
+        )
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .agg(F.sum("ww").cast("decimal(38,0)").alias("dot"))
     )
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
     t2 = int(threshold_milli) * int(threshold_milli)
+    # The exact-compare envelope is 38 decimal digits per product — the
+    # same ceiling the DuckDB oracle's HUGEINT (~1.7e38) has. Inside it
+    # both engines decide the threshold bit-for-bit; beyond it BOTH fail
+    # LOUD (Spark ANSI ArithmeticException / DuckDB out-of-range), never
+    # silently wrong — pinned in tests/test_properties.py.
     out = (
         dot.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(
             (F.col("dot") > 0)
             & (
-                F.col("dot").cast("decimal(19,0)")
-                * F.col("dot").cast("decimal(19,0)")
+                F.col("dot")
+                * F.col("dot")
                 * F.lit(1_000_000).cast("decimal(7,0)")
                 >= F.lit(t2).cast("decimal(19,0)")
-                * F.col("na2").cast("decimal(19,0)")
-                * F.col("nb2").cast("decimal(19,0)")
+                * F.col("na2")
+                * F.col("nb2")
             )
         )
     )
     return out.select(
         "doc_a",
         "doc_b",
-        F.col("dot").cast("long").alias("dot_w"),
-        F.col("na2").cast("long").alias("na2"),
-        F.col("nb2").cast("long").alias("nb2"),
+        F.col("dot").alias("dot_w"),
+        F.col("na2").alias("na2"),
+        F.col("nb2").alias("nb2"),
     )
 
 

@@ -280,3 +280,78 @@ def test_exactness_queries_partitioning_invariant(spark, sf_dir):
     wide, narrow = run_all(32), run_all(3)
     for n in names:
         assert wide[n] == narrow[n], f"{n} differs across partitionings"
+
+
+@given(
+    big=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),                  # token
+            st.integers(min_value=2_000_000_000, max_value=3_000_000_000),
+        ),
+        min_size=3,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    small=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),                  # doc
+            st.integers(min_value=0, max_value=5),                  # token
+            st.integers(min_value=1, max_value=1000),               # weight
+        ),
+        min_size=2,
+        max_size=10,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cosine_pairs_exact_at_adversarial_magnitudes(spark, big, small):
+    """Overflow contract for the tf-idf pair stage: doc 0 carries weights
+    up to 3e9, so a single w² is ~9e18 (the int64 edge) and its Σw² far
+    exceeds it — a long-typed aggregation would silently WRAP Spark-side
+    while DuckDB promotes to HUGEINT. The DECIMAL(38,0) accumulation must
+    match exact Python bignum arithmetic bit-for-bit — sums AND threshold
+    decisions (dot²·10⁶ ≥ t²·na²·nb², t=500 ⇔ cos ≥ 0.5). Small docs 1-3
+    keep the cross products inside the 38-digit exact-compare envelope
+    (the same ceiling the HUGEINT oracle has)."""
+    rows = [(0, t, w) for t, w in big] + list(small)
+    w_df = spark.createDataFrame(
+        [(d, f"t{t}", w) for d, t, w in rows], "doc_id long, token string, w long"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): (int(r["dot_w"]), int(r["na2"]), int(r["nb2"]))
+        for r in DD.cosine_pairs_from_weights(w_df, threshold_milli=500).collect()
+    }
+
+    # exact reference on Python bignums
+    from collections import defaultdict
+
+    vec = defaultdict(dict)
+    for d, t, w in rows:
+        vec[d][t] = w
+    expect = {}
+    docs = sorted(vec)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            dot = sum(vec[a][t] * vec[b][t] for t in vec[a] if t in vec[b])
+            na2 = sum(w * w for w in vec[a].values())
+            nb2 = sum(w * w for w in vec[b].values())
+            if dot > 0 and dot * dot * 1_000_000 >= 250_000 * na2 * nb2:
+                expect[(a, b)] = (dot, na2, nb2)
+    assert out == expect
+    # the giant doc's norm really exceeded int64 (else this test proves
+    # nothing about wrap protection)
+    assert sum(w * w for w in vec[0].values()) > 2**63
+
+
+def test_cosine_pairs_fail_loud_beyond_envelope(spark):
+    """Past 38 digits the threshold products cannot be represented —
+    BOTH engines must refuse rather than mis-decide: DuckDB HUGEINT
+    errors out of range, Spark ANSI throws. Pin the Spark side: two
+    huge-norm docs sharing a token raise, never return a wrong row."""
+    import pytest as _pt
+
+    rows = [(0, "t", 3_000_000_000), (0, "u", 3_000_000_000),
+            (1, "t", 2_999_999_999), (1, "u", 2_999_999_999)]
+    w_df = spark.createDataFrame(rows, "doc_id long, token string, w long")
+    with _pt.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|Decimal"):
+        DD.cosine_pairs_from_weights(w_df, threshold_milli=500).collect()
