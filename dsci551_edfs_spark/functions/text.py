@@ -31,6 +31,7 @@ __all__ = [
     "build_vocab",
     "encode_docs",
     "bpe_merge_candidates",
+    "bpe_train_merges",
     "bpe_segment_vocab",
 ]
 
@@ -398,4 +399,96 @@ def bpe_segment_vocab(
     src = vocab.select(F.col(token_col).cast("string").alias("_tok"))
     return src.mapInPandas(
         seg, "token string, pieces string, n_pieces long"
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    num_merges: int = 50,
+    text_col: str = "text",
+    max_vocab_words: int = 50_000,
+) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016), two-phase the
+    way real trainers run it:
+
+    1. DISTRIBUTED: one corpus pass builds the word-frequency table
+       (tokenize → explode → groupBy(word).count()) — the only stage that
+       touches corpus rows, map-side combinable, one shuffle on the word
+       key.
+    2. DRIVER: the merge loop runs over the word-frequency dict, which is
+       VOCAB-sized, not corpus-sized — the same bounded-driver-state
+       recipe as the PQ codebook fit. Each iteration picks the most
+       frequent adjacent symbol pair (ties broken lexicographically, so
+       training is deterministic and engine-independent) and rewrites
+       only the words containing it (an inverted pair→words index makes
+       each merge touch its posting list, not the whole vocab).
+
+    ``max_vocab_words`` bounds driver memory: the top-N words by
+    (count desc, word asc) train the tokenizer — the standard cap; the
+    dropped tail is singleton-dominated and contributes negligible pair
+    mass. At 100 TB the word table is still ~1e6 rows (vocabulary growth
+    is sub-linear in corpus size), so the collect stays bounded.
+
+    Returns (rank, left, right, merged, pair_count) — `merged` strings in
+    rank order are exactly the merge list `bpe_segment_vocab` consumes,
+    closing the train→apply loop."""
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(int(max_vocab_words))
+    )
+    freqs = {r["w"]: int(r["cnt"]) for r in words.collect()}  # vocab-sized
+
+    # driver-side classic BPE over the word-freq dict
+    syms = {w: tuple(w) for w in freqs}
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[str]] = {}
+    for w, units in syms.items():
+        c = freqs[w]
+        for a, b in zip(units, units[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+            where.setdefault((a, b), set()).add(w)
+    out_rows = []
+    for rank in range(int(num_merges)):
+        best = None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            # max by (count, then LEX-SMALLEST pair): deterministic
+            if best is None or c > best[1] or (c == best[1] and p < best[0]):
+                best = (p, c)
+        if best is None or best[1] < 1:
+            break
+        (la, lb), cnt = best
+        merged = la + lb
+        out_rows.append((rank, la, lb, merged, cnt))
+        for w in list(where.get((la, lb), ())):
+            units = syms[w]
+            c = freqs[w]
+            # remove old pair contributions, apply merge, add new ones
+            for a, b in zip(units, units[1:]):
+                pair_counts[(a, b)] -= c
+                s = where.get((a, b))
+                if s is not None:
+                    s.discard(w)
+            new = []
+            i = 0
+            while i < len(units):
+                if i + 1 < len(units) and units[i] == la and units[i + 1] == lb:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(units[i])
+                    i += 1
+            units = tuple(new)
+            syms[w] = units
+            for a, b in zip(units, units[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+                where.setdefault((a, b), set()).add(w)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, "rank long, left string, right string, merged string, pair_count long"
     )

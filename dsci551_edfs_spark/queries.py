@@ -5215,6 +5215,22 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
 
 
+@q("bpe_train_merges")  # iterative argmax loop — not SQL-expressible;
+def bpe_train_merges_q(spark, sf_dir):  # exact vs naive-recount in pytest
+    """FULL BPE tokenizer TRAINING (Sennrich 2016) — completes the
+    train→apply loop whose apply half is `bpe_segment_docs`: one
+    distributed corpus pass builds the word-frequency table, then the
+    merge loop runs over the vocab-sized dict with an inverted
+    pair→words index (each merge touches its posting list, not the whole
+    vocab). Deterministic tie-break (count desc, pair asc), so the merge
+    table is engine- and partitioning-independent — pinned in pytest
+    against a naive full-recount reference (functions/text.py
+    bpe_train_merges)."""
+    return TXT.bpe_train_merges(
+        _t(spark, sf_dir, "documents"), num_merges=40
+    ).orderBy("rank")
+
+
 @q("bpe_segment_docs")  # greedy BPE apply — not SQL-expressible; exact
 def bpe_segment_docs(spark, sf_dir):  # segmentation pinned in pytest
     """End-to-end BPE tokenizer application: learn the first-iteration

@@ -480,3 +480,75 @@ def test_rolling_7d_avg_window_math(spark):
     assert last["avg_7d"] == 6.0
     first = out[min(out)]
     assert first["n_7d"] == 1 and first["avg_7d"] == 0.0
+
+
+def test_bpe_train_matches_naive_reference(spark):
+    """bpe_train_merges (inverted-index incremental recount) must equal a
+    NAIVE reference that re-derives every pair count from scratch each
+    iteration — same corpus, same (count desc, pair asc) tie-break."""
+    from dsci551_edfs_spark.functions.text import bpe_train_merges, tokens as _tk
+
+    texts = [
+        "the theme of the thesis", "low lower lowest low",
+        "new newer newest news", "the low new thesis",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(df, num_merges=12).orderBy("rank").collect()
+    ]
+
+    # naive reference: full recount per iteration
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            if len(w) >= 2:
+                words[w] += 1
+    syms = {w: tuple(w) for w in words}
+    expect = []
+    for rank in range(12):
+        pc = Counter()
+        for w, units in syms.items():
+            for a, b in zip(units, units[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, lb), cnt = best
+        expect.append((rank, la, lb, la + lb, cnt))
+        for w, units in syms.items():
+            new, i = [], 0
+            while i < len(units):
+                if i + 1 < len(units) and units[i] == la and units[i + 1] == lb:
+                    new.append(la + lb)
+                    i += 2
+                else:
+                    new.append(units[i])
+                    i += 1
+            syms[w] = tuple(new)
+    assert got == expect
+    # train -> apply closes the loop: the learned merges segment a trained
+    # word into fewer pieces than characters
+    from dsci551_edfs_spark.functions.text import bpe_segment_vocab
+
+    merges = [m for _, _, _, m, _ in got]
+    seg = {
+        r["token"]: r["n_pieces"]
+        for r in bpe_segment_vocab(
+            spark.createDataFrame([("lowest",)], "token string"), merges
+        ).collect()
+    }
+    assert seg["lowest"] < len("lowest")
+
+
+def test_bpe_train_partitioning_invariant(spark, sf_dir):
+    from dsci551_edfs_spark.functions.text import bpe_train_merges
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = bpe_train_merges(docs.repartition(3), num_merges=8).collect()
+    b = bpe_train_merges(docs.repartition(17), num_merges=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
