@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_into", "scd2_from_changes", "snapshot_diff"]
+__all__ = ["merge_into", "scd2_from_changes", "snapshot_diff", "asof_snapshot"]
 
 
 def merge_into(
@@ -150,4 +150,25 @@ def snapshot_diff(
         change.alias("change"),
         *[F.col(f"_o_{c}").alias(f"old_{c}") for c in compare_cols],
         *[F.col(f"_n_{c}").alias(f"new_{c}") for c in compare_cols],
+    )
+
+
+def asof_snapshot(
+    scd2: DataFrame,
+    as_of,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """TIME TRAVEL over an SCD2 dimension: the table state AS OF a
+    timestamp is exactly the rows whose validity interval covers it —
+    ``valid_from <= t < coalesce(valid_to, +inf)``. One row per key by
+    construction (intervals partition each key's timeline), zero shuffle:
+    the filter composes onto the SCD2 plan and — when the dimension is
+    stored partitioned/z-ordered on the interval columns — prunes to the
+    files overlapping ``t``. The lakehouse `VERSION AS OF` read
+    re-expressed over interval columns instead of a commit log."""
+    t = F.lit(as_of).cast("timestamp")
+    return scd2.filter(
+        (F.col(from_col) <= t)
+        & (F.col(to_col).isNull() | (F.col(to_col) > t))
     )

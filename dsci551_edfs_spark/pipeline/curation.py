@@ -238,6 +238,7 @@ def largest_remainder_allocation(
     budget: int,
     key_col: str = "source",
     weight_col: str = "w_micro",
+    normalize: bool = False,
 ) -> DataFrame:
     """Integer token-budget allocation by the largest-remainder method:
     given per-source mixture weights in micro-units (summing to 1e6) and
@@ -251,19 +252,31 @@ def largest_remainder_allocation(
     sources sort ahead — not a global window: for the ≤ thousands of
     sources a real mixture has, the self-join is trivial and the
     single-partition WindowExec trap never enters the plan. All integer
-    arithmetic → bit-identical on any engine (SQL-oracle-checkable)."""
+    arithmetic → bit-identical on any engine (SQL-oracle-checkable).
+
+    ``normalize=True`` drops the weights-sum-to-1e6 precondition: the
+    divisor becomes Σ weights (scalar-agg broadcast), so RAW integer
+    scores — e.g. temperature-sampling scores round(n^α · 1e6) — allocate
+    directly without a lossy pre-normalization step (quota = s·budget
+    div Σs stays integer-exact)."""
     w = weights.select(
         F.col(key_col).alias("_k"), F.col(weight_col).cast("long").alias("_w")
     )
+    if normalize:
+        denom = w.agg(F.sum("_w").alias("_d"))
+        w = w.crossJoin(F.broadcast(denom))
+    else:
+        w = w.withColumn("_d", F.lit(1_000_000).cast("long"))
     alloc = w.select(
         "_k",
         "_w",
+        "_d",
         (F.col("_w") * budget).alias("_quota"),
     ).select(
         "_k",
         "_w",
-        F.expr("_quota div 1000000").alias("_base"),
-        (F.col("_quota") % 1_000_000).alias("_rem"),
+        F.expr("_quota div _d").alias("_base"),
+        (F.col("_quota") % F.col("_d")).alias("_rem"),
     )
     tot = alloc.agg(F.sum("_base").alias("_sb"))
     a, b = alloc.alias("a"), alloc.alias("b")

@@ -667,7 +667,6 @@ def tfidf_cosine_pairs(
             "doc_id", "token", (F.col("tf").cast("long") * idf_milli).alias("w")
         )
     )
-    w = _persist(w)  # consumed by the norm pass AND both join sides
     return cosine_pairs_from_weights(w, threshold_milli)
 
 
@@ -687,6 +686,10 @@ def cosine_pairs_from_weights(
     matches HUGEINT's headroom, so both engines agree bit-for-bit right
     up to magnitudes no real corpus reaches. Outputs stay DECIMAL: a
     cast back to long would just re-introduce the wrap at the edge."""
+    # three consumers (norm agg + both pair-join sides): persist ONCE,
+    # pre-partitioned on the join key so the a⋈b join adds no exchange —
+    # only the norm agg re-keys (by doc_id)
+    w = _persist(w.repartition("token"))
     wd = F.col("w").cast("decimal(19,0)")
     nrm = (
         w.select("doc_id", (wd * wd).alias("w2"))
@@ -790,13 +793,19 @@ def shared_span_pairs(
     posting = df.select(
         F.col(id_col).alias("id"), F.posexplode(ngrams).alias("pos", "ng")
     ).select("id", "pos", F.xxhash64("ng").alias("gh"))
-    posting = _persist(posting)
+    posting = _persist(posting)  # 2 consumers: occ agg + semi-join left
     occ = (
         posting.groupBy("gh")
         .agg(F.count("*").alias("_occ"))
         .filter((F.col("_occ") >= 2) & (F.col("_occ") <= max_occ))
     )
     posting = posting.join(occ.select("gh"), "gh", "left_semi")
+    # persist the FILTERED posting pre-partitioned on the join key — both
+    # self-join aliases read one cache (otherwise each side re-runs the
+    # occ agg + semi-join) and hashpartitioning(gh) from the cache
+    # satisfies the pair join's distribution (same fix as
+    # ngram_jaccard_pairs)
+    posting = _persist(posting.repartition("gh"))
     a, b = posting.alias("a"), posting.alias("b")
     m = a.join(
         b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.id") < F.col("b.id"))

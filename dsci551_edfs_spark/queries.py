@@ -3909,6 +3909,63 @@ def cohort_retention(spark, sf_dir):
 
 
 @q(
+    "mixture_temperature_sampling",
+    """
+    WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    b AS (
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS score
+      FROM n),
+    t AS (SELECT sum(score) AS s FROM b),
+    q AS (
+      SELECT source, n_docs, score,
+             (score * 1000000) // (SELECT s FROM t) AS base,
+             (score * 1000000) % (SELECT s FROM t) AS rem
+      FROM b),
+    tb AS (SELECT sum(base) AS sb FROM q),
+    r AS (
+      SELECT x.source, count(y.source) AS ahead
+      FROM q x LEFT JOIN q y
+        ON (y.rem > x.rem) OR (y.rem = x.rem AND y.source < x.source)
+      GROUP BY x.source)
+    SELECT q.source, q.n_docs, q.score AS w_micro,
+           CAST(q.base + CASE WHEN r.ahead < (1000000 - tb.sb)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM q JOIN r USING (source), tb
+    """,
+)
+def mixture_temperature_sampling(spark, sf_dir):
+    """Temperature-based mixture rebalancing (the mT5/XLM-R recipe,
+    α = 0.5): per-source sampling mass ∝ n_docs^α, so small sources are
+    upweighted relative to their raw share. α = 0.5 is computed via
+    sqrt — IEEE-correctly-rounded on every engine, unlike pow/exp — and
+    scores feed `largest_remainder_allocation(normalize=True)`: quota =
+    score·budget div Σscore stays integer-exact with Σ alloc == budget
+    (a 1e6-unit budget here, i.e. ppm sampling rates). One count agg +
+    a sources-sized self-join; no window."""
+    from .pipeline.curation import largest_remainder_allocation
+
+    n = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    scored = n.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")) * 1e6).cast("long").alias("w_micro"),
+    )
+    out = largest_remainder_allocation(
+        scored, budget=1_000_000, key_col="source", normalize=True
+    )
+    return out.join(scored.select("source", "n_docs"), "source").select(
+        "source", "n_docs", "w_micro", "alloc"
+    )
+
+
+
+
+@q(
     "mixture_token_allocation",
     """
     WITH w AS (
@@ -4123,6 +4180,39 @@ def scd2_user_versions(spark, sf_dir):
     return out.select(
         "user_id", "event_id",
         "valid_from", "valid_to", "version", "is_current",
+    )
+
+
+@q(
+    "scd2_asof_snapshot",
+    """
+    WITH v AS (
+      SELECT user_id, event_id,
+             ts AS valid_from,
+             lead(ts) OVER w AS valid_to
+      FROM events
+      WHERE event_id % 20 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, valid_from
+    FROM v
+    WHERE valid_from <= TIMESTAMP '2024-01-16 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-16 00:00:00')
+    """,
+)
+def scd2_asof_snapshot(spark, sf_dir):
+    """TIME TRAVEL: reconstruct the dimension state AS OF 2024-01-16
+    from the SCD2 validity intervals (operators/merge.py:asof_snapshot)
+    — one row per user that had any version by then, zero extra shuffle
+    (the interval filter composes onto the SCD2 window plan). The
+    lakehouse `VERSION AS OF` read over interval columns."""
+    from .operators.merge import asof_snapshot, scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    scd2 = scd2_from_changes(
+        ev.select("user_id", "event_id", "ts"), key="user_id", tiebreak="event_id"
+    )
+    return asof_snapshot(scd2, "2024-01-16 00:00:00").select(
+        "user_id", "event_id", "valid_from"
     )
 
 

@@ -370,3 +370,33 @@ def test_c4_clean_regex_delimiter(spark):
     out = HEU.c4_clean(df, delimiter="|", min_words_per_line=5, min_kept_lines=3)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["n_kept"] == 3  # '|' treated literally
+
+
+def test_largest_remainder_normalize_raw_scores(spark):
+    """normalize=True: RAW integer scores (no sum-to-1e6 precondition)
+    allocate with quota = s·budget div Σs — Σ alloc == budget exactly,
+    and hand-checkable proportions."""
+    from dsci551_edfs_spark.pipeline.curation import largest_remainder_allocation
+
+    w = spark.createDataFrame(
+        [("a", 7), ("b", 2), ("c", 1)], "source string, w_micro long"
+    )
+    for budget in (10, 13, 1_000_000, 3):
+        rows = {
+            r["source"]: r["alloc"]
+            for r in largest_remainder_allocation(
+                w, budget, normalize=True
+            ).collect()
+        }
+        assert sum(rows.values()) == budget, (budget, rows)
+    rows = {
+        r["source"]: r["alloc"]
+        for r in largest_remainder_allocation(w, 10, normalize=True).collect()
+    }
+    assert rows == {"a": 7, "b": 2, "c": 1}
+    # 13·7/10=9.1, 13·2/10=2.6, 13·1/10=1.3 → bases 9,2,1; leftover 1 → 'b'
+    rows = {
+        r["source"]: r["alloc"]
+        for r in largest_remainder_allocation(w, 13, normalize=True).collect()
+    }
+    assert rows == {"a": 9, "b": 3, "c": 1}
