@@ -249,6 +249,29 @@ def main() -> None:
         )
         return triangle_count(edges, "pa", "pb")
 
+    def _communities(items):
+        from dsci551_edfs_spark.operators.graph import label_propagation
+
+        basket = items.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+        edges = (
+            basket.select(
+                F.explode(
+                    F.flatten(
+                        F.expr(
+                            "transform(ps, (x, i) -> transform("
+                            "slice(ps, i + 2, size(ps) - i - 1), "
+                            "y -> struct(x AS pa, y AS pb)))"
+                        )
+                    )
+                ).alias("e")
+            )
+            .select("e.pa", "e.pb")
+            .distinct()  # NO support filter (same edges as _triangles):
+        )                # keeps the hot clique in the graph
+        return label_propagation(edges, iterations=2, a_col="pa", b_col="pb")
+
     def _pmi(corpus):
         bg = LM._doc_bigrams(corpus, "text", "doc_id")
         pc = DD._persist(bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
@@ -347,6 +370,14 @@ def main() -> None:
         # growing as 128*k (a (128k)-clique): wedge work must track the
         # C(128k,3)-ish semantic output, not the naive deg^2 of the hub
         "triangles_hot_basket": lambda k: _triangles(
+            inflate_items_hot_basket(li, k, hot_parts=128)
+        ),
+        # round-6: label propagation under the same hot-basket skew — the
+        # (128·K)-clique makes one community whose every node has 128·K
+        # neighbors; per round that's deg² messages through the hot
+        # labels join and a node-KEYED argmax (the hot node's count
+        # group is its own task, never a global window)
+        "communities_hot_basket": lambda k: _communities(
             inflate_items_hot_basket(li, k, hot_parts=128)
         ),
         "trending_hot_type": lambda k: _trending(inflate_events_hot(ev, k)),
