@@ -37,6 +37,7 @@ __all__ = [
     "incremental_exact_dedup",
     "build_fingerprint_bloom",
     "incremental_exact_dedup_bloom",
+    "incremental_minhash_dedup",
     "minhash_signature",
     "minhash_candidate_pairs",
     "minhash_dedup_pairs",
@@ -297,6 +298,27 @@ def minhash_signature(
     )
 
 
+def _banded(sig_df: DataFrame, bands: int, num_hashes: int) -> DataFrame:
+    """(id, band, bh): hash each of `bands` equal signature slices — the
+    LSH bucket keys. Shared by the within-table self-join and the
+    cross-corpus incremental join."""
+    r = max(1, num_hashes // bands)
+    return sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+
+
 def minhash_candidate_pairs(
     sig_df: DataFrame,
     bands: int = 16,
@@ -315,21 +337,7 @@ def minhash_candidate_pairs(
     discover it would trigger a full upstream job on an aggregated frame —
     the caller always knows k statically).
     """
-    r = max(1, num_hashes // bands)
-    banded = sig_df.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("id", "e.band", "e.bh")
+    banded = _banded(sig_df, bands, num_hashes)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
         banded = banded.join(
@@ -417,6 +425,91 @@ def minhash_dedup_pairs(
             )
         )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """NEAR-duplicate incremental dedup — the LSH counterpart of
+    `incremental_exact_dedup`: an incoming shard survives iff it is not
+    Jaccard-≥-threshold similar to (a) any corpus document or (b) a
+    smaller-id document in its own shard (min id is canonical, matching
+    the exact path's convention).
+
+    Scale shape: the corpus contributes ONLY its banded signature table
+    (id, band, bh — ~20 bytes/row × bands) to an equi-join against the
+    shard's bands; in a deployment that table is materialized once per
+    corpus and appended per ingested shard, so each new batch costs
+    sigs(shard) + one join against the signature index — the corpus TEXT
+    is reread only for the exact verification of the (tiny) candidate
+    set. Candidates are verified with exact shingle-set Jaccard before
+    anything is dropped, so banding misses (false negatives of LSH) are
+    the only approximation — same recall contract as
+    `minhash_dedup_pairs`, pinned in pytest with planted cross-corpus
+    twins."""
+    sh_new = _persist(shingle_df(new_docs, text_col, id_col, n))
+    sh_old = _persist(shingle_df(existing, text_col, id_col, n))
+    sig_new = minhash_signature(sh_new, num_hashes, seed)
+    sig_old = minhash_signature(sh_old, num_hashes, seed)
+    banded_new = _persist(_banded(sig_new, bands, num_hashes))
+    banded_old = _banded(sig_old, bands, num_hashes)
+    if max_bucket_size is not None:
+        # degenerate-bucket guard across BOTH tables: a boilerplate band
+        # bucket is quadratic regardless of which side its members live on
+        sizes = (
+            banded_new.unionByName(banded_old)
+            .groupBy("band", "bh")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        banded_new = banded_new.join(sizes, ["band", "bh"], "left_semi")
+        banded_old = banded_old.join(sizes, ["band", "bh"], "left_semi")
+    cross = (
+        banded_new.select(F.col("id").alias("id_new"), "band", "bh")
+        .join(banded_old.select(F.col("id").alias("id_old"), "band", "bh"),
+              ["band", "bh"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    a = sh_new.select(F.col("id").alias("id_new"), F.col("shingles").alias("sh_a"))
+    b = sh_old.select(F.col("id").alias("id_old"), F.col("shingles").alias("sh_b"))
+    dup_vs_corpus = (
+        cross.join(a, "id_new")
+        .join(b, "id_old")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= threshold
+        )
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    within = minhash_candidate_pairs(sig_new, bands, max_bucket_size, num_hashes)
+    b2 = sh_new.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    a2 = sh_new.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    dup_within = (
+        within.join(a2, "id_a")
+        .join(b2, "id_b")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))  # id_a < id_b: min id survives
+        .distinct()
+    )
+    dropped = dup_vs_corpus.unionByName(dup_within).distinct()
+    return new_docs.join(dropped, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------- simhash

@@ -1515,6 +1515,24 @@ def orc_roundtrip(spark, sf_dir):
     return read_orc(spark, dest)
 
 
+@q("incremental_dedup_near")  # rows-only: LSH banding (recall contract
+def incremental_dedup_near(spark, sf_dir):  # pinned in pytest)
+    """NEAR-duplicate incremental gate: the %5==0 shard is deduped
+    against the rest of the corpus by MinHash-LSH — the corpus side
+    contributes only its banded signature index to the join, candidates
+    are exact-Jaccard verified before dropping
+    (pipeline/dedup.py:incremental_minhash_dedup). The LSH counterpart
+    of `incremental_dedup` (exact fingerprints)."""
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return (
+        DD.incremental_minhash_dedup(incoming, existing, threshold=0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "avro_roundtrip",
     """

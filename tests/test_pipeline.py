@@ -505,3 +505,41 @@ def test_ivf_pq_topk_string_ids(spark, sf_dir):
     ).collect()
     assert {r["query_id"] for r in got} == {"doc_0", "doc_1", "doc_2"}
     assert all(isinstance(r["neighbor_id"], str) for r in got)
+
+
+def test_incremental_minhash_dedup_contract(spark, sf_dir):
+    """Cross-corpus near-dup gate: a shard doc that is a near-copy of a
+    CORPUS doc is dropped, a near-copy pair WITHIN the shard keeps only
+    its min id, and clean docs survive untouched."""
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {r["doc_id"]: r["text"] for r in corpus.limit(3).collect()}
+    ids = sorted(base)
+    shard_rows = [
+        # near-copy of corpus doc ids[0] (one word appended) -> dropped
+        (1_000_001, base[ids[0]] + " tail"),
+        # clean doc -> survives
+        (1_000_002, "completely novel content about zebra llamas " * 5),
+        # within-shard near-pair: min id survives, larger id dropped
+        (1_000_003, "repeated shard passage with many shared tokens " * 6),
+        (1_000_004, "repeated shard passage with many shared tokens " * 6 + " x"),
+    ]
+    shard = spark.createDataFrame(shard_rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in DD.incremental_minhash_dedup(
+            shard, corpus, threshold=0.5
+        ).collect()
+    )
+    assert kept == [1_000_002, 1_000_003]
+
+
+def test_incremental_minhash_equals_batch_union_on_clean_shard(spark, sf_dir):
+    """A shard with no dups in or across must pass through unchanged."""
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = spark.createDataFrame(
+        [(2_000_000 + i, f"unique shard document number {i} " * (i + 3))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    kept = DD.incremental_minhash_dedup(shard, corpus, threshold=0.5)
+    assert kept.count() == 5
