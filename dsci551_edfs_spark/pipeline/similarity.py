@@ -24,6 +24,7 @@ from ..functions.vectors import as_double, dot, normalize
 
 __all__ = [
     "brute_force_topk",
+    "knn_classify",
     "kmeans_centroids",
     "build_ivf_index",
     "ivf_topk",
@@ -538,3 +539,44 @@ def ivf_pq_topk(
         .select("query_id", "id", dot(F.col("v"), F.col("qv")).alias("score"))
     )
     return _rank_topk(rescored, k)
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding column — the
+    label-audit / auto-label workflow: each query vector takes the most
+    frequent label among its k exact-cosine nearest LABELED neighbors
+    (ties → smallest label, so the vote is deterministic and
+    SQL-oracle-able).
+
+    Composition: `brute_force_topk` (broadcast queries, one corpus scan)
+    → broadcast-size join back to neighbor labels → query-KEYED argmax
+    window. Returns (query_id, pred_label, votes). The scale path swaps
+    the exact top-k for `ivf_topk`/`pq_topk` without touching the vote."""
+    top = brute_force_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("query_id", "_lbl")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_lbl").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("_lbl").cast("long").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )

@@ -750,6 +750,112 @@ def ann_brute_force_topk(spark, sf_dir):
 
 
 @q(
+    "knn_label_vote",
+    f"""
+    WITH uq AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS id, e.label,
+             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+               / ({_NORM_SQL.format(a="e.embedding")}
+                  * {_NORM_SQL.format(a="q.embedding")}) AS score
+      FROM embeddings e, uq q
+      WHERE e.vec_id <> q.vec_id AND e.vec_id % 50 <> 0),
+    top AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS rnk
+        FROM scored) WHERE rnk <= 5),
+    v AS (SELECT query_id, label, count(*) AS votes
+          FROM top GROUP BY 1, 2)
+    SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+           CAST(votes AS BIGINT) AS votes FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS rn
+      FROM v) WHERE rn = 1
+    """,
+)
+def knn_label_vote(spark, sf_dir):
+    """k-NN majority-vote labeling: every 50th vector plays the unlabeled
+    query set, classified by its 5 exact-cosine nearest labeled
+    neighbors (pipeline/similarity.py:knn_classify — broadcast queries,
+    one corpus scan, query-keyed vote argmax). Deterministic ties
+    (votes desc, label asc) make the whole prediction SQL-oracle-able."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return SIM.knn_classify(corpus, queries, k=5).orderBy("query_id")
+
+
+@q(
+    "label_outlier_report",
+    """
+    WITH x AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS xm
+      FROM embeddings),
+    c AS (
+      SELECT label, dim,
+             CAST(sum(xm) AS BIGINT) // count(*) AS cm
+      FROM x GROUP BY 1, 2),
+    d AS (
+      SELECT x.vec_id, x.label,
+             CAST(sum((x.xm - c.cm) * (x.xm - c.cm)) AS BIGINT) AS dist2
+      FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
+      GROUP BY 1, 2)
+    SELECT vec_id, label, dist2 FROM (
+      SELECT vec_id, label, dist2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rn
+      FROM d) WHERE rn <= 3
+    """,
+)
+def label_outlier_report(spark, sf_dir):
+    """Mislabeled-data detector: per label, the 3 vectors farthest from
+    their OWN label's centroid. Exactness discipline: coordinates are
+    integer micro-units, the centroid is an integer floor-mean (sum div
+    count), and the distance is an exact integer sum of squares — so the
+    ranking is bit-identical on any engine (FP centroid averaging would
+    be summation-order-dependent). Shuffles: one (label, dim) agg reused
+    by the join back, one per-vector agg, one label-KEYED window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        # DuckDB's unnest ordinality is 1-based; align
+        (F.col("dim") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("xm"),
+    )
+    x = DD._persist(x)  # two consumers: the centroid agg + the join back
+    cent = x.groupBy("label", "dim").agg(
+        F.expr("sum(xm) div count(*)").alias("cm")
+    )
+    d = (
+        x.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm")))
+            .cast("long")
+            .alias("dist2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "label", "dist2")
+    )
+
+
+@q(
     "hard_negatives",
     f"""
     WITH uq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
