@@ -77,6 +77,13 @@ HEADLINE = [
     "attribution_last_click",
     "gap_fill_locf",
     "compaction_plan",
+    # round-6 new operators
+    "multimodal_png_roundtrip",
+    "avro_roundtrip",
+    "incremental_dedup_near",
+    "knn_label_vote",
+    "bpe_train_merges",
+    "sessionize_events_bucketed",
 ]
 
 

@@ -526,6 +526,57 @@ def json_events(spark, sf_dir):
 
 
 @q(
+    "json_schema_audit",
+    """
+    WITH t AS (SELECT count(*) AS total FROM events),
+    k AS (
+      SELECT 'event_type' AS key, count(*) AS n FROM events
+      UNION ALL SELECT 'user_id', count(*) FROM events
+      UNION ALL SELECT 'value', count(*) FROM events WHERE event_type = 'view'
+      UNION ALL SELECT 'k', count(*) FROM events WHERE event_id % 2 = 0)
+    SELECT key, CAST(n AS BIGINT) AS n_rows,
+           CAST(n * 1000000 // (SELECT total FROM t) AS BIGINT)
+             AS coverage_ppm
+    FROM k WHERE n > 0
+    """,
+)
+def json_schema_audit(spark, sf_dir):
+    """Semi-structured schema-drift audit: per JSON key, how many event
+    payloads carry it and its corpus coverage (ppm). The payloads are
+    REAL JSON built row-side (`to_json` drops null fields, so key sets
+    vary by row: `value` only on views, `k` only on even event ids) and
+    the keys come back through `json_object_keys` — the engine does
+    genuine JSON construction + parsing while the oracle states the
+    expected counts from the generating rules in closed form. One
+    explode + one key-count agg; coverage denominator is a broadcast
+    scalar."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type"),
+            F.col("user_id"),
+            F.when(F.col("event_type") == "view", F.col("value")).alias("value"),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.get_json_object("props", "$.k").cast("long"),
+            ).alias("k"),
+        )
+    )
+    keys = ev.select(F.explode(F.json_object_keys(payload)).alias("key"))
+    total = ev.agg(F.count("*").alias("_t"))
+    return (
+        keys.groupBy("key")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("n_rows * 1000000 div _t").cast("long").alias("coverage_ppm"),
+        )
+    )
+
+
+@q(
     "events_tumbling_window",
     """
     SELECT date_trunc('hour', ts)
