@@ -458,13 +458,17 @@ def incremental_minhash_dedup(
     twins."""
     sh_new = _persist(shingle_df(new_docs, text_col, id_col, n))
     sh_old = _persist(shingle_df(existing, text_col, id_col, n))
-    sig_new = minhash_signature(sh_new, num_hashes, seed)
-    sig_old = minhash_signature(sh_old, num_hashes, seed)
-    banded_new = _persist(_banded(sig_new, bands, num_hashes))
-    banded_old = _banded(sig_old, bands, num_hashes)
+    # band each side ONCE and reuse: banded_new feeds the cross join AND
+    # both sides of the within-shard self-join (re-deriving it through
+    # minhash_candidate_pairs would re-run the signature aggregation)
+    banded_new = _persist(
+        _banded(minhash_signature(sh_new, num_hashes, seed), bands, num_hashes)
+    )
+    banded_old = _banded(minhash_signature(sh_old, num_hashes, seed), bands, num_hashes)
     if max_bucket_size is not None:
         # degenerate-bucket guard across BOTH tables: a boilerplate band
         # bucket is quadratic regardless of which side its members live on
+        banded_old = _persist(banded_old)
         sizes = (
             banded_new.unionByName(banded_old)
             .groupBy("band", "bh")
@@ -472,7 +476,7 @@ def incremental_minhash_dedup(
             .filter(F.col("_n") <= max_bucket_size)
             .drop("_n")
         )
-        banded_new = banded_new.join(sizes, ["band", "bh"], "left_semi")
+        banded_new = _persist(banded_new.join(sizes, ["band", "bh"], "left_semi"))
         banded_old = banded_old.join(sizes, ["band", "bh"], "left_semi")
     cross = (
         banded_new.select(F.col("id").alias("id_new"), "band", "bh")
@@ -494,7 +498,17 @@ def incremental_minhash_dedup(
         .select(F.col("id_new").alias(id_col))
         .distinct()
     )
-    within = minhash_candidate_pairs(sig_new, bands, max_bucket_size, num_hashes)
+    wa, wb = banded_new.alias("a"), banded_new.alias("b")
+    within = (
+        wa.join(
+            wb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     b2 = sh_new.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     a2 = sh_new.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     dup_within = (
