@@ -519,3 +519,54 @@ def test_cdc_apply_last_writer_wins(spark, tmp_path):
     # versioned snapshots: v0 (init) + one per batch remain on disk
     vdirs = sorted(d for d in os.listdir(base) if d.startswith("target_v"))
     assert vdirs == ["target_v0", "target_v1", "target_v2"]
+
+
+def test_dedup_ingest_stream_equals_sequential_batch(spark, sf_dir):
+    """The streaming near-dup ingest gate must equal applying
+    incremental_minhash_dedup shard-by-shard in feed order: a batch-2 doc
+    near-dup of a batch-1 SURVIVOR is dropped (state accumulates), a
+    near-dup of the seed corpus is dropped, clean docs pass."""
+    import tempfile
+
+    from dsci551_edfs_spark.pipeline import dedup as DD
+    from dsci551_edfs_spark.streaming.ingest_dedup import dedup_ingest_stream
+
+    seed = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    base_text = {r["doc_id"]: r["text"] for r in seed.limit(1).collect()}
+    seed_id = next(iter(base_text))
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    feed = tempfile.mkdtemp(dir=SCRATCH)
+    base = tempfile.mkdtemp(dir=SCRATCH)
+
+    b1 = [
+        (9_000_001, "novel passage about distributed joins " * 8),
+        (9_000_002, base_text[seed_id] + " appended"),      # dup of seed
+    ]
+    b2 = [
+        (9_000_003, "novel passage about distributed joins " * 8 + " tail"),
+        # dup of b1 survivor 9_000_001
+        (9_000_004, "entirely different second batch content " * 8),
+    ]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+
+    final = dedup_ingest_stream(
+        spark, seed, feed, base, threshold=0.5, max_files=1
+    )
+    got = {r["doc_id"] for r in final.collect()}
+
+    # sequential batch reference
+    ref = seed
+    for rows in [b1, b2]:
+        shard = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = ref.unionByName(
+            DD.incremental_minhash_dedup(shard, ref, threshold=0.5)
+        )
+    want = {r["doc_id"] for r in ref.collect()}
+    assert got == want
+    assert 9_000_001 in got and 9_000_004 in got
+    assert 9_000_002 not in got            # dup of seed corpus
+    assert 9_000_003 not in got            # dup of earlier batch survivor
