@@ -712,6 +712,70 @@ def dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@q(
+    "dedup_cluster_keep_best",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS jaccard
+        FROM s a, s b WHERE a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.2
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id, doc_id AS keep_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(csize AS BIGINT) AS cluster_size
+    FROM (
+      SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+             count(*) OVER (PARTITION BY cl.cluster_id) AS csize,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+      FROM cl JOIN documents d USING (doc_id))
+    WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """NEAR-dup cluster canonicalization: the corpus-level counterpart of
+    exact keep-best — within each Jaccard connected component keep the
+    LONGEST copy (ties → min id), the 'fullest version wins' retention
+    policy crawl dedup actually wants (min-id keeps whichever copy was
+    crawled first, including truncated ones). Reuses `dedup_clusters`'
+    components; the per-cluster argmax is a cluster-KEYED window over
+    cluster-sized groups."""
+    cl = DD.dedup_clusters(_t(spark, sf_dir, "documents"), n=3, threshold=0.2)
+    meta = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = cl.join(meta, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("cluster_size", F.count("*").over(wc).cast("long"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "cluster_size",
+        )
+    )
+
+
 @q("minhash_dedup_pairs")  # LSH candidate set — not SQL-expressible; rows-only
 def minhash_dedup_pairs(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) near-dup pairs, exact-verified at
