@@ -4456,6 +4456,55 @@ def scd2_asof_snapshot(spark, sf_dir):
 
 
 @q(
+    "pit_enrich_events",
+    """
+    WITH v AS (
+      SELECT user_id, event_id AS version_event, ts AS valid_from,
+             lead(ts) OVER w AS valid_to
+      FROM events
+      WHERE event_id % 20 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e.event_id, e.user_id, v.version_event
+    FROM events e JOIN v
+      ON e.user_id = v.user_id
+     AND v.valid_from <= e.ts
+     AND (v.valid_to IS NULL OR v.valid_to > e.ts)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def pit_enrich_events(spark, sf_dir):
+    """POINT-IN-TIME enrichment (the feature-store join): every purchase
+    event is joined to the dimension VERSION that was valid at the
+    event's own timestamp — never a later one (no feature leakage), via
+    the SCD2 validity intervals. Interval containment means at most one
+    version matches per (user, ts), so the join is 1:≤1 by construction.
+    Plan: the SCD2 side is dimension-sized → broadcast; the interval
+    predicate evaluates on the build side with zero fact-side shuffle.
+    At 100 TB with a fact-sized dimension the same query runs as the
+    banded `range_join_point_interval` instead — the call site swaps,
+    the semantics don't."""
+    from .operators.merge import scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_changes(
+        ev.filter(F.col("event_id") % 20 == 0).select(
+            "user_id", F.col("event_id").alias("version_event"), "ts"
+        ),
+        key="user_id",
+        tiebreak="version_event",
+    ).select("user_id", "version_event", "valid_from", "valid_to")
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return fact.join(
+        F.broadcast(dim),
+        (fact.user_id == dim.user_id)
+        & (dim.valid_from <= fact.ts)
+        & (dim.valid_to.isNull() | (dim.valid_to > fact.ts)),
+    ).select("event_id", fact.user_id.alias("user_id"), "version_event")
+
+
+@q(
     "bigram_lm_table",
     f"""
     WITH {_BG_SQL},
