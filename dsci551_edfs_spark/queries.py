@@ -2244,6 +2244,50 @@ def corpus_shuffle_order(spark, sf_dir):
 
 
 @q(
+    "training_shard_manifest",
+    """
+    WITH o AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS pos
+      FROM documents)
+    SELECT CAST(pos // 64 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(min(pos) AS BIGINT) AS first_pos,
+           CAST(max(pos) AS BIGINT) AS last_pos
+    FROM o GROUP BY 1
+    """,
+)
+def training_shard_manifest(spark, sf_dir):
+    """Export planning: the deterministic global shuffle order
+    (`corpus_shuffle_order`, two-phase bucketed rank — never a
+    single-partition sort) cut into fixed-64-doc shards, with the
+    per-shard doc/char totals and position range a shard writer records
+    in its manifest. Contiguous rank ranges mean each shard is one
+    `write.partitionBy(shard_id)` task's worth of SEQUENTIAL examples —
+    the layout a dataloader streams without seeking. One rank pass + one
+    shard-keyed agg."""
+    from .pipeline import curation as CUR
+
+    docs = _t(spark, sf_dir, "documents")
+    order = CUR.global_shuffle_order(docs)
+    j = order.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        (F.col("shuffle_pos") - 1).alias("pos"), "n_chars"
+    )
+    return (
+        j.groupBy(F.expr("pos div 64").cast("long").alias("shard_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+        )
+    )
+
+
+@q(
     "sequence_packing",
     r"""
     WITH t AS (
