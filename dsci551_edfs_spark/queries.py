@@ -713,6 +713,57 @@ def dedup_clusters(spark, sf_dir):
 
 
 @q(
+    "doc_novelty_scores",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest(sh) AS gram FROM (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh
+        FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents))),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen,
+           CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS seen_ppm
+    FROM g JOIN firsts f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def doc_novelty_scores(spark, sf_dir):
+    """Memorization-risk / novelty audit: per document, the share of its
+    distinct 3-gram shingles that already occur in an EARLIER document
+    (ingest order = doc_id) — high seen_ppm flags near-copies and
+    templated boilerplate BEFORE pair generation, and is the per-doc
+    overlap profile a dedup-threshold choice should be based on.
+    Plan: one shingle explode feeds both the gram→first-doc aggregate
+    and the join back (persisted once); counts are integer-exact ppm.
+    Everything shuffles on the 8-byte gram key — no pair blowup at any
+    scale (contrast `ngram_jaccard_pairs`, which this pre-screens)."""
+    sh = DD.shingle_df(_t(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    g = DD._persist(
+        sh.select(F.col("id").alias("doc_id"), F.explode("shingles").alias("gram"))
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen",
+            F.expr("n_seen * 1000000 div n_grams").cast("long").alias("seen_ppm"),
+        )
+    )
+
+
+@q(
     "dedup_cluster_keep_best",
     f"""
     WITH RECURSIVE s AS (
