@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["approx_ndv", "approx_quantiles", "frequent_items", "count_min_build", "count_min_estimate"]
+__all__ = ["approx_ndv", "approx_quantiles", "frequent_items", "count_min_build", "count_min_estimate", "ndv_partials", "ndv_rollup"]
 
 
 def approx_ndv(df: DataFrame, cols: Sequence[str], rsd: float = 0.05) -> DataFrame:
@@ -129,4 +129,45 @@ def count_min_estimate(
         ex.join(F.broadcast(cms), ["row", "bucket"], "left")
         .groupBy(F.col("v").alias(col))
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_cnt"))
+    )
+
+
+def ndv_partials(
+    df: DataFrame,
+    grain_col,
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable per-grain NDV sketches: one Datasketches HLL per grain
+    bucket (``hll_sketch_agg`` — map-side combinable, the shuffle carries
+    O(2^lg_k)-byte sketches, never values). The materialized partial
+    table is what a continuous aggregate stores: any COARSER grain's
+    distinct count comes from `ndv_rollup` merging sketches — the corpus
+    is never rescanned, the re-aggregation property exact COUNT(DISTINCT)
+    can never have (distincts don't sum)."""
+    return df.groupBy(grain_col).agg(
+        F.hll_sketch_agg(F.col(value_col).cast("string"), F.lit(lg_k)).alias(
+            "ndv_sketch"
+        ),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def ndv_rollup(partials: DataFrame, coarse_col) -> DataFrame:
+    """Merge fine-grain HLL partials up to a coarser grain:
+    ``hll_union_agg`` over the sketch column + an estimate. Union of
+    HLLs is EXACTLY the sketch of the union (lossless merge), so the
+    rolled-up estimate equals what a direct scan at the coarse grain
+    would have produced — pinned in pytest."""
+    return (
+        partials.groupBy(coarse_col)
+        .agg(
+            F.hll_union_agg("ndv_sketch").alias("ndv_sketch"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+        .select(
+            coarse_col,
+            F.hll_sketch_estimate("ndv_sketch").cast("long").alias("ndv_est"),
+            "n_rows",
+        )
     )

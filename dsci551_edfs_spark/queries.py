@@ -4599,6 +4599,30 @@ def pit_enrich_events(spark, sf_dir):
     ).select("event_id", fact.user_id.alias("user_id"), "version_event")
 
 
+@q("ndv_daily_to_weekly")  # rows-only: HLL estimates have no SQL twin;
+def ndv_daily_to_weekly(spark, sf_dir):  # merge==direct + error pinned in pytest
+    """Continuous-aggregate pattern for DISTINCT counts: per-day HLL
+    sketches of active users (`operators/sketches.py:ndv_partials`, the
+    shuffle carries O(2^lg_k)-byte sketches) merged up to weeks with
+    `ndv_rollup` — the corpus is never rescanned at the coarse grain,
+    the re-aggregation property exact COUNT(DISTINCT) cannot have.
+    Lossless-merge (rollup == direct weekly sketch) and the 5% error
+    contract are pinned in pytest."""
+    from .operators.sketches import ndv_partials, ndv_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        "user_id",
+    )
+    daily = ndv_partials(ev, ["week", "day"], "user_id")
+    return (
+        ndv_rollup(daily.drop("day"), "week")
+        .select("week", "ndv_est", "n_rows")
+        .orderBy("week")
+    )
+
+
 @q(
     "bigram_lm_table",
     f"""

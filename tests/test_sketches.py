@@ -155,3 +155,38 @@ def test_pagerank_empty_edges_raises(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty"):
         pagerank_micro(empty, 3)
+
+
+def test_ndv_rollup_merge_is_lossless_and_bounded(spark, sf_dir):
+    """HLL partial mergeability: weekly estimate from merged DAILY
+    sketches must equal the direct weekly sketch (union of HLLs is the
+    HLL of the union), and land within 5% of exact COUNT(DISTINCT)."""
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.operators.sketches import ndv_partials, ndv_rollup
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        "user_id",
+    )
+    daily = ndv_partials(ev, ["week", "day"], "user_id")
+    rolled = {
+        r["week"]: r["ndv_est"]
+        for r in ndv_rollup(daily.drop("day"), "week").collect()
+    }
+    direct = {
+        r["week"]: r["ndv_est"]
+        for r in ndv_rollup(ndv_partials(ev, "week", "user_id"), "week").collect()
+    }
+    exact = {
+        r["week"]: r["x"]
+        for r in ev.groupBy("week")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert rolled == direct                      # lossless merge
+    assert set(rolled) == set(exact)
+    for wk, est in rolled.items():
+        assert abs(est - exact[wk]) / exact[wk] <= 0.05, (wk, est, exact[wk])
