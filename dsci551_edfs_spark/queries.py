@@ -2525,6 +2525,93 @@ _DECONTAM_CTES = f"""
 
 
 @q(
+    "curation_pipeline_e2e",
+    f"""
+    WITH pool AS (
+      SELECT * FROM documents WHERE {_MD5_BUCKET_SQL} >= 5),
+    w AS (
+      SELECT doc_id, text,
+             regexp_extract_all(trim(text), '\\S+') AS words
+      FROM pool),
+    m AS (
+      SELECT doc_id,
+             len(words) AS nw,
+             round(length(regexp_replace(text, '\\s+', '', 'g'))
+                   / greatest(len(words), 1), 3) AS mwl,
+             round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                   / greatest(len(words), 1), 4) AS swr,
+             round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                   / greatest(len(words), 1), 3) AS awf,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(words, s))) AS hits
+      FROM w),
+    quality AS (
+      SELECT doc_id FROM m
+      WHERE nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND swr <= 0.10 AND awf >= 0.80 AND hits >= 1),
+    fp AS (
+      SELECT p.doc_id,
+             md5(regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g')) AS f
+      FROM pool p JOIN quality q USING (doc_id)),
+    canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+    bench AS (
+      SELECT DISTINCT unnest(sh) AS g FROM s WHERE {_MD5_BUCKET_SQL} < 5),
+    tg AS (SELECT s.doc_id, unnest(s.sh) AS g
+           FROM s JOIN canon USING (doc_id)),
+    dirty AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (g)),
+    clean AS (SELECT doc_id FROM canon
+              WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+    FROM documents d JOIN clean USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def curation_pipeline_e2e(spark, sf_dir):
+    """FLAGSHIP composition — the whole curation recipe as ONE lazy plan:
+    quality gate (Gopher rules, scan-bound projection) → exact dedup
+    (min-id canonical, fingerprint groupBy) → benchmark decontamination
+    (3-gram overlap vs the md5-bucket<5 held-out set, bench side reduced
+    to a broadcast hash set) → per-source survival report. Each stage
+    narrows the corpus before the next pays for it — the filters compose
+    into Catalyst as one pipeline, no materialization between stages —
+    and every stage's semantics are individually oracle-pinned
+    (gopher_quality_flags / dedup_exact_* / decontam_clean), so this row
+    verifies their COMPOSITION end-to-end."""
+    from .pipeline import decontam as DC
+    from .pipeline import heuristics as HEU
+    from .pipeline.curation import md5_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = md5_bucket("doc_id", 100)
+    pool = docs.filter(b >= 5)
+    bench = docs.filter(b < 5)
+    keep = (
+        HEU.gopher_quality_flags(pool, min_stopword_hits=1)
+        .filter("keep")
+        .select("doc_id")
+    )
+    quality = pool.join(keep, "doc_id", "left_semi")
+    deduped = DD.exact_dedup(quality)
+    flags = DC.ngram_overlap_contamination(
+        deduped, bench, n=3, min_overlap=1
+    )
+    clean = deduped.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return clean.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@q(
     "decontam_overlap",
     _DECONTAM_CTES
     + """
