@@ -84,6 +84,9 @@ HEADLINE = [
     "knn_label_vote",
     "bpe_train_merges",
     "sessionize_events_bucketed",
+    "curation_pipeline_e2e",
+    "doc_novelty_scores",
+    "pit_enrich_events",
 ]
 
 

@@ -2577,9 +2577,10 @@ def curation_pipeline_e2e(spark, sf_dir):
     (min-id canonical, fingerprint groupBy) → benchmark decontamination
     (3-gram overlap vs the md5-bucket<5 held-out set, bench side reduced
     to a broadcast hash set) → per-source survival report. Each stage
-    narrows the corpus before the next pays for it — the filters compose
-    into Catalyst as one pipeline, no materialization between stages —
-    and every stage's semantics are individually oracle-pinned
+    narrows the corpus before the next pays for it (the deduped pool is
+    the one pinned intermediate: decontam, the clean semi-join and the
+    report all consume it) and every stage's semantics are individually
+    oracle-pinned
     (gopher_quality_flags / dedup_exact_* / decontam_clean), so this row
     verifies their COMPOSITION end-to-end."""
     from .pipeline import decontam as DC
@@ -2596,7 +2597,10 @@ def curation_pipeline_e2e(spark, sf_dir):
         .select("doc_id")
     )
     quality = pool.join(keep, "doc_id", "left_semi")
-    deduped = DD.exact_dedup(quality)
+    # the deduped pool has 3+ consumers (decontam's n-gram pass, the
+    # clean semi-join, the final agg) and its subtree re-runs the
+    # quality gate + dedup joins per consumer — pin it once
+    deduped = DD._persist(DD.exact_dedup(quality))
     flags = DC.ngram_overlap_contamination(
         deduped, bench, n=3, min_overlap=1
     )
