@@ -40,6 +40,7 @@ __all__ = [
     "repetition_stats",
     "md5_bucket",
     "deterministic_split",
+    "leakage_safe_split",
     "stratified_sample",
     "group_sample_topk",
     "chunk_documents",
@@ -142,6 +143,46 @@ def deterministic_split(
         F.when(b < train_pct, F.lit("train"))
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    eval boundary: documents are first grouped into near-dup components
+    (exact n-gram Jaccard edges → HashMin connected components,
+    `dedup.dedup_clusters`), then the md5 bucket is taken of the
+    CLUSTER id rather than the doc id — so every member of a near-dup
+    family lands on the same side. A plain per-doc split puts ~10% of
+    each duplicated test document's twins into train, silently inflating
+    eval scores; clustering first is the published fix (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", §6).
+
+    Returns ``(doc_id, cluster_id, split)``. Scale posture inherits from
+    the two building blocks: sub-quadratic banded edge generation and
+    O(diameter) HashMin rounds (near-dup families are shallow), plus one
+    stateless projection for the bucket — no extra shuffle beyond the
+    clustering itself."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+    b = md5_bucket("cluster_id", 100)
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )
 
 

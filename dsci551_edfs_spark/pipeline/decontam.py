@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from .dedup import _persist, shingle_df
 
-__all__ = ["ngram_overlap_contamination", "decontaminate", "decontam_gate"]
+__all__ = [
+    "ngram_overlap_contamination",
+    "decontaminate",
+    "decontam_gate",
+    "semantic_decontam",
+]
 
 
 def _posting(train: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -158,4 +163,91 @@ def decontam_gate(
     tests/test_streaming.py)."""
     return docs.join(
         F.broadcast(flagged.select(id_col).distinct()), id_col, "left_anti"
+    )
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    n-gram recipe above: a corpus item is contaminated if its cosine
+    similarity to ANY benchmark item clears ``threshold``, which catches
+    paraphrased/translated benchmark leakage that shares no surface
+    n-grams (the failure mode n-gram decontam is blind to).
+
+    Returns one row per contaminated corpus item:
+    ``(vec_id, n_hits, max_cosine)`` — how many benchmark items it
+    collides with and the strongest collision (both over ROUNDED cosines,
+    so the report is engine-exact; see the rounding note below).
+
+    Scale shape (100 TB corpus vs bounded benchmark): only the BENCHMARK
+    side is collected and broadcast — eval suites are thousands-to-
+    millions of items by construction, the same boundedness contract as
+    the n-gram path's broadcast gram set — while the corpus streams
+    through ONE Arrow `mapInPandas` scan doing a single BLAS matmul per
+    batch. No shuffle touches corpus vectors; the only shuffle is the
+    final per-id aggregation over already-flagged rows (a tiny subset by
+    construction: flagged ≈ contamination rate × N). For a benchmark too
+    big to broadcast, swap the scan for the banded RP-LSH cross-join
+    (`dedup.embedding_dup_pairs` use_lsh machinery) — same verify
+    contract, shuffle keyed on (table, bucket).
+
+    Rounding discipline: the in-matmul mask keeps cosine ≥ threshold−1e-4
+    (a strict superset of round(·,4) ≥ threshold), full-precision scores
+    cross Arrow only for flagged rows, and the JVM side applies
+    round(·,4) before the count/max — so both aggregates are over the
+    same rounded values the DuckDB oracle computes, making the whole
+    report hash-matchable despite float summation-order differences
+    between BLAS and SQL folds."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import as_double, normalize
+
+    unit = corpus.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+    )
+    bench_unit = bench.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+    )
+    spark = corpus.sparkSession
+    # broadcast-side collect: the benchmark is bounded by construction
+    # (this is the same collect a broadcast join performs); rows are
+    # sorted by id so executor-side behavior is deterministic
+    rows = sorted(bench_unit.collect(), key=lambda r: r["id"])
+    if not rows:
+        return spark.createDataFrame(
+            [], f"{id_col} long, n_hits long, max_cosine double"
+        )
+    bench_mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(bench_mat)
+    inner = threshold - 1e-4  # strict superset of round(.,4) >= threshold
+
+    def score(batches):
+        bmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_p = pdf["id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            scores = m @ bmat.T  # (batch, bench)
+            mask = scores >= inner
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame({"id": ids_p[ii], "cosine": scores[ii, jj]})
+
+    id_type = unit.schema["id"].dataType.simpleString()
+    hits = unit.mapInPandas(score, f"id {id_type}, cosine double")
+    c4 = F.round(F.col("cosine"), 4)
+    return (
+        hits.select("id", c4.alias("c4"))
+        .filter(F.col("c4") >= threshold)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.max("c4").alias("max_cosine"),
+        )
     )

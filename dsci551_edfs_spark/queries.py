@@ -2182,6 +2182,19 @@ def profile_quantiles(spark, sf_dir):
 # sequence packing, PII redaction
 # =====================================================================
 
+def _md5_bucket_sql(col: str) -> str:
+    """DuckDB restatement of curation.md5_bucket(col, 100) for any column:
+    first 4 hex nibbles of md5(col-as-string) as an int, mod 100 (DuckDB
+    lacks hex->int conversion, so the nibbles are rebuilt with strpos)."""
+    m = f"md5(CAST({col} AS VARCHAR))"
+    return f"""
+    ((strpos('0123456789abcdef', substring({m}, 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substring({m}, 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substring({m}, 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substring({m}, 4, 1)) - 1)) % 100
+"""
+
+
 _MD5_BUCKET_SQL = """
     ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
    + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
@@ -2252,6 +2265,53 @@ def corpus_split(spark, sf_dir):
     return CUR.deterministic_split(_t(spark, sf_dir, "documents")).select(
         "doc_id", "split"
     )
+
+
+@q(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS jaccard
+        FROM s a, s b WHERE a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.2
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_md5_bucket_sql("cluster_id")} < 80 THEN 'train'
+                WHEN {_md5_bucket_sql("cluster_id")} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split: md5 bucket of the CLUSTER id
+    (3-gram Jaccard components, same clustering as `dedup_clusters`), so
+    a test document's near-duplicates can never land in train — the
+    eval-leakage failure mode a per-doc split has by construction. The
+    oracle recomputes the components with a recursive CTE and re-buckets
+    on the component label, verifying the transitive same-side property
+    end-to-end (pipeline/curation.py:leakage_safe_split)."""
+    from .pipeline import curation as CUR
+
+    return CUR.leakage_safe_split(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).orderBy("doc_id")
 
 
 @q(
@@ -2664,6 +2724,42 @@ def decontam_clean(spark, sf_dir):
     return DC.decontaminate(
         docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2
     ).select("doc_id", "n_chars")
+
+
+@q(
+    "semantic_decontam",
+    f"""
+    WITH b AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 20 = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+    s AS (
+      SELECT c.vec_id,
+             round({_DOT_SQL.format(a="c.embedding", b="b.embedding")}
+                   / ({_NORM_SQL.format(a="c.embedding")}
+                      * {_NORM_SQL.format(a="b.embedding")}), 4) AS c4
+      FROM c, b)
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+           max(c4) AS max_cosine
+    FROM s WHERE c4 >= 0.4 GROUP BY vec_id
+    """,
+)
+def semantic_decontam_report(spark, sf_dir):
+    """Embedding-space contamination report — catches paraphrased
+    benchmark leakage that shares no surface n-grams with the eval set
+    (the case `decontam_overlap` is blind to). The %20==0 shard plays
+    the benchmark; for each corpus vector colliding at cosine ≥ 0.4 the
+    report gives its hit count and strongest collision. Only the bounded
+    benchmark matrix is broadcast; the corpus streams through one Arrow
+    matmul scan, no corpus-side shuffle before the flagged-rows agg
+    (pipeline/decontam.py:semantic_decontam)."""
+    from .pipeline import decontam as DC
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return DC.semantic_decontam(corpus, bench, threshold=0.4).orderBy(
+        "vec_id"
+    )
 
 
 # =====================================================================

@@ -183,3 +183,29 @@ def test_dedup_paragraphs_normalized_match(spark):
     out = {r["doc_id"]: r for r in CUR.dedup_paragraphs(d).collect()}
     assert out[1]["cleaned_text"] == "Shared  Line"
     assert out[2]["n_kept"] == 0
+
+
+def test_leakage_safe_split_keeps_near_dups_on_one_side(spark):
+    from dsci551_edfs_spark.pipeline.curation import leakage_safe_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),          # near-dup of 1 (high Jaccard)
+            (3, base),                    # verbatim dup of 1
+            (4, "completely different text about spark shuffle behavior"),
+        ]
+        # spread ids so md5 buckets differ: without clustering, the
+        # family {1,2,3} would straddle split boundaries for SOME id
+        # triple; the assertion below is id-independent anyway
+        ,
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    # the whole near-dup family shares one cluster and one side
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+    # singleton clusters to itself
+    assert out[4]["cluster_id"] == 4
+    assert set(r["split"] for r in out.values()) <= {"train", "val", "test"}

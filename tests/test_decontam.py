@@ -79,3 +79,49 @@ def test_bench_side_is_broadcast(corpus):
         train, bench, broadcast_bench=False
     )
     assert off.count() == 4  # shuffle-join fallback stays correct
+
+
+def test_semantic_decontam_crafted(spark):
+    # bench vector along +x; corpus: a verbatim copy (cos=1), a near
+    # match at ~45 deg (cos≈0.707), and an orthogonal vector (cos=0)
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),   # same direction, different norm → cos 1.0
+            (2, [1.0, 1.0]),   # cos ≈ 0.7071
+            (3, [0.0, 5.0]),   # orthogonal → below threshold
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in DC.semantic_decontam(corpus, bench, threshold=0.5).collect()
+    }
+    assert sorted(rows) == [1, 2]  # the orthogonal vector is clean
+    assert rows[1]["n_hits"] == 1 and rows[1]["max_cosine"] == 1.0
+    assert rows[2]["max_cosine"] == pytest.approx(0.7071, abs=1e-4)
+
+
+def test_semantic_decontam_counts_multiple_hits(spark):
+    # two bench vectors both within threshold of the corpus vector
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.05])], "vec_id long, embedding array<float>"
+    )
+    row = DC.semantic_decontam(corpus, bench, threshold=0.9).collect()[0]
+    assert row["n_hits"] == 2
+
+
+def test_semantic_decontam_empty_bench(spark):
+    bench = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert DC.semantic_decontam(corpus, bench).count() == 0
