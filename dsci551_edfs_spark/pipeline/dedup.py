@@ -246,11 +246,15 @@ def incremental_exact_dedup_bloom(
 # ---------------------------------------------------------------- minhash
 
 def shingle_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, shingles) with shingles = distinct word n-grams of the
-    lowercased text. Docs with < n tokens yield their full token string as a
-    single shingle so short docs still participate.
+    """(id, shingles[, *keep_cols]) with shingles = distinct word n-grams
+    of the lowercased text. Docs with < n tokens yield their full token
+    string as a single shingle so short docs still participate.
 
     Built as a zip_with chain (token array zipped against its shift-i
     copies), which is O(tokens) per doc. The obvious
@@ -268,13 +272,20 @@ def shingle_df(
     sh = F.when(F.size(toks) >= n, ngrams).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
-    return df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shingles"))
+    return df.select(
+        F.col(id_col).alias("id"), F.array_distinct(sh).alias("shingles"), *keep_cols
+    )
 
 
 def minhash_signature(
-    shingled: DataFrame, num_hashes: int = 64, seed: int = 42
+    shingled: DataFrame,
+    num_hashes: int = 64,
+    seed: int = 42,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, sig) with `sig: array<bigint>` of k minhashes.
+    """(id, sig[, *keep_cols]) with `sig: array<bigint>` of k minhashes.
+    ``keep_cols`` ride along as extra grouping keys (callers pass columns
+    functionally determined by the id, e.g. a side tag).
 
     Hash family = xxhash64(xxhash64(shingle), seed_i): the ~20-byte shingle
     string is hashed ONCE, and the k salted family members rehash the
@@ -284,27 +295,35 @@ def minhash_signature(
     groupBy(id) with k min() aggregates → re-pack as an array. The k mins
     partial-aggregate map-side, so the shuffle carries one k-long row per
     doc per partition."""
-    exploded = shingled.select("id", F.explode("shingles").alias("sh")).select(
-        "id", F.xxhash64("sh").alias("h0")
-    )
-    mins = exploded.groupBy("id").agg(
+    exploded = shingled.select(
+        "id", *keep_cols, F.explode("shingles").alias("sh")
+    ).select("id", *keep_cols, F.xxhash64("sh").alias("h0"))
+    mins = exploded.groupBy("id", *keep_cols).agg(
         *[
             F.min(F.xxhash64("h0", F.lit(seed + i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
     return mins.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        "id",
+        *keep_cols,
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
-def _banded(sig_df: DataFrame, bands: int, num_hashes: int) -> DataFrame:
-    """(id, band, bh): hash each of `bands` equal signature slices — the
-    LSH bucket keys. Shared by the within-table self-join and the
-    cross-corpus incremental join."""
+def _banded(
+    sig_df: DataFrame,
+    bands: int,
+    num_hashes: int,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, *keep_cols], band, bh): hash each of `bands` equal signature
+    slices — the LSH bucket keys. Shared by the within-table self-join and
+    the cross-corpus incremental join."""
     r = max(1, num_hashes // bands)
     return sig_df.select(
         "id",
+        *keep_cols,
         F.explode(
             F.array(
                 *[
@@ -316,7 +335,7 @@ def _banded(sig_df: DataFrame, bands: int, num_hashes: int) -> DataFrame:
                 ]
             )
         ).alias("e"),
-    ).select("id", "e.band", "e.bh")
+    ).select("id", *keep_cols, "e.band", "e.bh")
 
 
 def minhash_candidate_pairs(
@@ -456,73 +475,75 @@ def incremental_minhash_dedup(
     the only approximation — same recall contract as
     `minhash_dedup_pairs`, pinned in pytest with planted cross-corpus
     twins."""
-    sh_new = _persist(shingle_df(new_docs, text_col, id_col, n))
-    sh_old = _persist(shingle_df(existing, text_col, id_col, n))
-    # band each side ONCE and reuse: banded_new feeds the cross join AND
-    # both sides of the within-shard self-join (re-deriving it through
-    # minhash_candidate_pairs would re-run the signature aggregation)
-    banded_new = _persist(
-        _banded(minhash_signature(sh_new, num_hashes, seed), bands, num_hashes)
+    # shingle/sign/band ONCE over the tagged union of both sides — one
+    # corpus scan and one map-side-combined signature aggregation instead
+    # of two of each (the tag is id-determined, so it rides the groupBy
+    # for free). In a deployment the existing side's banded rows come from
+    # the materialized signature index; this is the from-scratch path.
+    tagged = new_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("_new")
+    ).unionByName(
+        existing.select(F.col(id_col), F.col(text_col), F.lit(False).alias("_new"))
     )
-    banded_old = _banded(minhash_signature(sh_old, num_hashes, seed), bands, num_hashes)
+    sh_all = _persist(shingle_df(tagged, text_col, id_col, n, keep_cols=("_new",)))
+    banded_all = _banded(
+        minhash_signature(sh_all, num_hashes, seed, keep_cols=("_new",)),
+        bands,
+        num_hashes,
+        keep_cols=("_new",),
+    )
     if max_bucket_size is not None:
-        # degenerate-bucket guard across BOTH tables: a boilerplate band
-        # bucket is quadratic regardless of which side its members live on
-        banded_old = _persist(banded_old)
+        # degenerate-bucket guard across BOTH sides at once: a boilerplate
+        # band bucket is quadratic regardless of which side its members
+        # live on
+        banded_all = _persist(banded_all)
         sizes = (
-            banded_new.unionByName(banded_old)
-            .groupBy("band", "bh")
+            banded_all.groupBy("band", "bh")
             .agg(F.count("*").alias("_n"))
             .filter(F.col("_n") <= max_bucket_size)
             .drop("_n")
         )
-        banded_new = _persist(banded_new.join(sizes, ["band", "bh"], "left_semi"))
-        banded_old = banded_old.join(sizes, ["band", "bh"], "left_semi")
-    cross = (
-        banded_new.select(F.col("id").alias("id_new"), "band", "bh")
-        .join(banded_old.select(F.col("id").alias("id_old"), "band", "bh"),
-              ["band", "bh"])
-        .select("id_new", "id_old")
-        .distinct()
+        banded_all = banded_all.join(sizes, ["band", "bh"], "left_semi")
+    # banded_all feeds the cross join (both sides via the tag filters) and
+    # the within-shard self-join — three consumers, one pinned frame
+    banded_all = _persist(banded_all)
+    bn = banded_all.filter("_new")
+    bo = banded_all.filter(~F.col("_new"))
+    # unified candidate frame: (drop_id, keep_id) where drop_id is the new
+    # doc that dies if the pair verifies. Cross pairs drop the new side;
+    # within-shard pairs drop the larger id (min id is canonical).
+    cross = bn.select(F.col("id").alias("drop_id"), "band", "bh").join(
+        bo.select(F.col("id").alias("keep_id"), "band", "bh"), ["band", "bh"]
     )
-    a = sh_new.select(F.col("id").alias("id_new"), F.col("shingles").alias("sh_a"))
-    b = sh_old.select(F.col("id").alias("id_old"), F.col("shingles").alias("sh_b"))
-    dup_vs_corpus = (
-        cross.join(a, "id_new")
-        .join(b, "id_old")
+    wa, wb = bn.alias("a"), bn.alias("b")
+    within = wa.join(
+        wb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("b.id").alias("drop_id"), F.col("a.id").alias("keep_id"))
+    cands = (
+        cross.select("drop_id", "keep_id")
+        .unionByName(within)
+        .distinct()  # dedup ACROSS band hits before the array-heavy verify
+    )
+    # one verify pass for both families: shingles live in the same tagged
+    # frame, so each side of the pair joins the same cached table
+    sha = sh_all.filter("_new").select(
+        F.col("id").alias("drop_id"), F.col("shingles").alias("sh_a")
+    )
+    shb = sh_all.select(F.col("id").alias("keep_id"), F.col("shingles").alias("sh_b"))
+    dropped = (
+        cands.join(sha, "drop_id")
+        .join(shb, "keep_id")
         .filter(
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b"))
             >= threshold
         )
-        .select(F.col("id_new").alias(id_col))
+        .select(F.col("drop_id").alias(id_col))
         .distinct()
     )
-    wa, wb = banded_new.alias("a"), banded_new.alias("b")
-    within = (
-        wa.join(
-            wb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    b2 = sh_new.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    a2 = sh_new.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    dup_within = (
-        within.join(a2, "id_a")
-        .join(b2, "id_b")
-        .filter(
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b"))
-            >= threshold
-        )
-        .select(F.col("id_b").alias(id_col))  # id_a < id_b: min id survives
-        .distinct()
-    )
-    dropped = dup_vs_corpus.unionByName(dup_within).distinct()
     return new_docs.join(dropped, id_col, "left_anti")
 
 
