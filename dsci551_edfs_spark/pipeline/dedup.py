@@ -48,6 +48,7 @@ __all__ = [
     "embedding_dup_pairs",
     "plant_embedding_twins",
     "connected_components",
+    "connected_components_star",
     "dedup_clusters",
     "semantic_dedup",
     "release_cached",
@@ -1243,12 +1244,107 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the deep-graph-safe counterpart to
+    `connected_components`. Same contract: ``(node, label)`` with
+    ``label`` the minimum node id in the component.
+
+    Each round rewrites the edge set with two groupBy passes:
+
+    - **large-star**: per node u over its full (symmetric) neighborhood,
+      m = min(Γ(u) ∪ {u}); every strictly-larger neighbor v > u re-attaches
+      as (v, m).
+    - **small-star**: edges arrive child>parent-oriented from large-star;
+      per node u over its smaller neighbors Γ⁻(u), m = min(Γ⁻(u));
+      every other small neighbor re-attaches as (v, m), plus (u, m).
+
+    Both stars strictly decrease the potential Σ height, and the
+    alternation contracts component diameter geometrically, so the loop
+    converges in **O(log d) rounds regardless of diameter** — vs HashMin's
+    d rounds. A 4096-node path settles in ~10 rounds here where HashMin
+    needs 4096 (pinned in pytest). Use this for graphs that aren't
+    near-dup-shaped (social graphs, citation chains, long event threads);
+    HashMin remains cheaper per round for tiny-diameter dedup cliques.
+
+    Scale posture per round: two shuffle aggs + two shuffle joins on the
+    CURRENT edge set, which only shrinks (stars collapse multi-hop paths
+    immediately). ``localCheckpoint`` cuts lineage every round; the
+    fixpoint test is a 2-scalar agg (count + hash-sum of the canonical
+    edge set), not a frame diff. Raises after ``max_iter`` non-converged
+    rounds rather than returning a wrong labeling."""
+    E = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not E.take(1):
+        return E.select(F.col("u").alias("node"), F.col("v").alias("label"))
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    prev = _sig(E)
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # 2 consumers: mins2 + the join
+        )
+        # small-star: every edge now has v < u (large-star emits (bigger,
+        # component-ward min)), so Γ⁻(u) is exactly the v side
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        E = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(mins2.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _sig(E)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds"
+        )
+    # converged edge set is a star forest: (node, component-min); roots
+    # label themselves
+    return (
+        E.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .unionByName(E.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "hashmin",
 ) -> DataFrame:
     """Corpus-level dedup assignment: every document gets a ``cluster_id``
     (the min doc id of its near-dup component; singletons cluster to
@@ -1263,7 +1359,8 @@ def dedup_clusters(
     edges = ngram_jaccard_pairs(
         df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
     ).select("id_a", "id_b")
-    comp = connected_components(edges)
+    cc = connected_components_star if method == "star" else connected_components
+    comp = cc(edges)
     return (
         df.select(id_col)
         .join(comp, F.col(id_col) == F.col("node"), "left")

@@ -675,9 +675,10 @@ def ngram_jaccard_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@q(
-    "dedup_clusters",
-    f"""
+# recursive-CTE ground truth shared by BOTH cluster queries: recomputes
+# the same 3-gram Jaccard components from scratch, so transitive chains
+# (A~B~C with A≁C) are verified, not just pairwise hits
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE s AS (
       SELECT doc_id, {_SHINGLES_SQL} AS sh
       FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
@@ -699,8 +700,10 @@ def ngram_jaccard_pairs(spark, sf_dir):
       SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node
     )
     SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@q("dedup_clusters", _CLUSTERS_ORACLE)
 def dedup_clusters(spark, sf_dir):
     """Corpus-level dedup endgame: exact 3-gram Jaccard edges → HashMin
     connected components → every doc labeled with its component's min id
@@ -709,6 +712,20 @@ def dedup_clusters(spark, sf_dir):
     are verified, not just pairwise hits. Retention = doc_id == cluster_id."""
     return DD.dedup_clusters(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).orderBy("doc_id")
+
+
+@q("dedup_clusters_star", _CLUSTERS_ORACLE)
+def dedup_clusters_star(spark, sf_dir):
+    """Same cluster assignment computed through the alternating
+    large-star/small-star components (Kiveris et al. 2014) instead of
+    HashMin: O(log d) rounds regardless of component diameter, so it's
+    the variant that survives chain-shaped near-dup graphs (serial
+    plagiarism, quote threads) where HashMin's round count equals the
+    chain length. Exact algorithm → shares `dedup_clusters`' recursive-CTE
+    oracle verbatim; both must hash-match the same ground truth."""
+    return DD.dedup_clusters(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2, method="star"
     ).orderBy("doc_id")
 
 

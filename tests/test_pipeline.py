@@ -240,6 +240,53 @@ def test_connected_components_deep_chain_lineage_bounded(spark):
     assert got == {i: 0 for i in range(41)}
 
 
+def test_star_cc_matches_hashmin_on_random_graph(spark):
+    """Alternating large-star/small-star must produce the exact same
+    (node, label) map as HashMin on an arbitrary multigraph with
+    self-loop-free random edges — stars, cliques, chains, singletons."""
+    import random
+
+    from dsci551_edfs_spark.pipeline.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(250)],
+        ["id_a", "id_b"],
+    ).filter("id_a != id_b")
+    a = sorted((r["node"], r["label"]) for r in connected_components(edges).collect())
+    b = sorted(
+        (r["node"], r["label"]) for r in connected_components_star(edges).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_star_cc_logarithmic_rounds_on_deep_path(spark):
+    """The O(log d) claim, pinned: a 1024-node path (diameter 1023) must
+    reach the fixpoint within 12 star rounds — HashMin would need ~1023.
+    max_iter raises on non-convergence, so passing max_iter=12 IS the
+    round-count assertion."""
+    from dsci551_edfs_spark.pipeline.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1023)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_star(edges, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(1024)}
+
+
+def test_star_cc_empty_edges(spark):
+    from dsci551_edfs_spark.pipeline.dedup import connected_components_star
+
+    em = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(em).count() == 0
+
+
 def test_dedup_clusters_transitive_and_singletons(spark):
     """Transitivity: near-identical A~B and B~C must co-cluster even if the
     A-C similarity alone is below threshold; unrelated docs stay singleton."""
