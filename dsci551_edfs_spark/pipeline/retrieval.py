@@ -1,0 +1,107 @@
+"""Ranked full-text retrieval over the corpus: BM25 scoring + top-k.
+
+The missing sibling of the TF-IDF family in `functions.text` /
+`pipeline.dedup`: given a bag of query terms, score every document with
+BM25 (Robertson/Spärck Jones; the Lucene "BM25+1" idf variant that never
+goes negative) and return the best k. This is the retrieval primitive a
+training-data pipeline uses for targeted corpus mining ("find me docs
+about X to upsample") and for building retrieval-augmented eval sets.
+
+Scale posture:
+- One explode over the corpus with the query-term filter applied BEFORE
+  the (doc, term) aggregation, so the shuffle carries only matching
+  tokens — for a q-term query that's a tiny fraction of the corpus.
+- Per-term df and the corpus scalars (N, total token count) are
+  query-term-sized / scalar: broadcast joins, no second corpus shuffle.
+- Top-k is a global orderBy().limit(k): Spark runs TakeOrderedAndProject
+  (per-partition heaps + driver merge of k·P rows), no full sort.
+
+Numeric contract (FP-order-free, house micro-nat style): with k1 = 6/5
+and b = 3/4 the per-term score
+
+    idf · tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))
+
+rewrites over avgdl = SL/N (SL = Σ doc lengths) to the integer-heavy form
+
+    idf_micro · 22·SL·tf / (10·SL·tf + 3·SL + 9·dl·N)
+
+so the only floating-point steps are the idf ln() (frozen to integer
+micro-nats, same as `tfidf_keywords`) and ONE bigint/bigint division —
+both IEEE-identical between Spark and DuckDB, which is what lets the
+oracle hash-match the summed score exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["bm25_topk", "BM25_K1_NUM", "BM25_B_NUM"]
+
+# k1 = 6/5, b = 3/4 as exact rationals — the standard defaults, chosen
+# here as small fractions so the score rewrites to integer arithmetic.
+BM25_K1_NUM = (6, 5)
+BM25_B_NUM = (3, 4)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents by BM25 against a fixed bag of query terms.
+
+    Returns ``(doc_id, score_micro)`` with ``score_micro`` the summed
+    per-term BM25 contribution in integer micro-units (bigint), ordered
+    score-desc then id-asc (deterministic tiebreak).
+
+    Query terms are lowercased and deduplicated; BM25 term frequency is
+    over the same whitespace tokenization as the rest of the text stack.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    # corpus scalars: N docs, SL total tokens — one scalar-agg broadcast
+    corpus = df.select(F.size(tokens(F.col(text_col))).cast("long").alias("_dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("_dl").alias("sl")
+    )
+    # matching tokens only — the filter lands before the shuffle
+    hits = toks.filter(F.col("term").isin(terms))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    # df per query term: query-term-sized frame, broadcast
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(corpus))
+    idf_micro = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * 1e6
+    ).cast("long")
+    num = idf_micro * 22 * F.col("sl") * F.col("tf")
+    den = 10 * F.col("sl") * F.col("tf") + 3 * F.col("sl") + 9 * F.col("dl") * F.col(
+        "n_docs"
+    )
+    per_term = F.round(num.cast("double") / den.cast("double")).cast("long")
+    return (
+        scored.select("doc_id", per_term.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(k)
+    )

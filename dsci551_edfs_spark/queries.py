@@ -4333,6 +4333,51 @@ def tfidf_keywords(spark, sf_dir):
 
 
 @q(
+    "bm25_search_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS sl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             any_value(dl) AS dl
+      FROM toks WHERE term IN ('dup', 'hash', 'scan')
+      GROUP BY doc_id, term),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               CAST(CAST(round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                          * 1e6) AS BIGINT)
+                    * 22 * sl * tf AS DOUBLE)
+               / CAST(10 * sl * tf + 3 * sl + 9 * dl * n_docs AS DOUBLE)
+             ) AS BIGINT) AS c
+      FROM tf JOIN dft USING (term), corpus)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search_topk(spark, sf_dir):
+    """Ranked full-text retrieval: BM25 (Lucene non-negative idf, k1=1.2,
+    b=0.75) of the query bag {dup, hash, scan} over `documents`, top 20.
+    'dup' appears in only ~5% of docs, so the idf spread is real. The
+    score is summed integer micro-units via the rational rewrite in
+    `pipeline/retrieval.py` — only ln() and one bigint/bigint division
+    touch floating point, so the oracle hash-matches exactly. Corpus
+    mining primitive: "find docs about X to upsample"."""
+    from .pipeline.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20
+    )
+
+
+@q(
     "sessionize_events",
     """
     WITH g AS (

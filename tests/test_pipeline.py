@@ -590,3 +590,48 @@ def test_incremental_minhash_equals_batch_union_on_clean_shard(spark, sf_dir):
     )
     kept = DD.incremental_minhash_dedup(shard, corpus, threshold=0.5)
     assert kept.count() == 5
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    """Scores recomputed in plain Python with the same rational micro
+    formula must match row-for-row, and ranking must put the doc that
+    actually contains the rare query term first."""
+    import math
+
+    from dsci551_edfs_spark.pipeline.retrieval import bm25_topk
+
+    texts = {
+        1: "alpha beta gamma alpha",          # tf(alpha)=2, dl=4
+        2: "alpha beta beta beta",            # tf(alpha)=1, dl=4
+        3: "gamma gamma gamma gamma gamma",   # no query term, dl=5
+        4: "alpha",                           # tf=1 but tiny dl=1
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["score_micro"])
+        for r in bm25_topk(df, ["alpha"], k=10).collect()
+    ]
+
+    n, sl = 4, sum(len(t.split()) for t in texts.values())
+    df_t = 3
+    idf = round(math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0) * 1e6)
+    def score(tf, dl):
+        return round(idf * 22 * sl * tf / (10 * sl * tf + 3 * sl + 9 * dl * n))
+    exp = sorted(
+        [(1, score(2, 4)), (2, score(1, 4)), (4, score(1, 1))],
+        key=lambda p: (-p[1], p[0]),
+    )
+    assert got == exp
+    # shorter doc with same tf outranks the longer one; higher tf wins
+    assert got[0][0] in (1, 4) and 3 not in {d for d, _ in got}
+
+
+def test_bm25_topk_limit_and_miss(spark):
+    from dsci551_edfs_spark.pipeline.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "common words here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert bm25_topk(df, ["common"], k=5).count() == 5
+    assert bm25_topk(df, ["absent"], k=5).count() == 0
