@@ -87,6 +87,8 @@ HEADLINE = [
     "curation_pipeline_e2e",
     "doc_novelty_scores",
     "pit_enrich_events",
+    "dedup_clusters_star",
+    "bm25_search_topk",
 ]
 
 

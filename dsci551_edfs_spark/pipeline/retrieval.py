@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_topk", "BM25_K1_NUM", "BM25_B_NUM"]
+__all__ = ["bm25_topk", "hybrid_rrf_topk", "BM25_K1_NUM", "BM25_B_NUM"]
 
 # k1 = 6/5, b = 3/4 as exact rationals — the standard defaults, chosen
 # here as small fractions so the score rewrites to integer arithmetic.
@@ -103,5 +103,77 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.sum("c").alias("score_micro"))
         .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def _join_rank(
+    leg: DataFrame, score_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, rnk) over a LEG-SIZED frame (≤ n_leg rows by construction)
+    without a global window: rnk = 1 + |strictly better rows|, better =
+    (score desc, id asc). A self-join on ≤50 rows is constant work at any
+    corpus size — the registry lint (test_plans) forbids the
+    empty-partition-spec WindowExec this replaces."""
+    a, b = leg.alias("a"), leg.alias("b")
+    sa, sb = F.col(f"a.{score_col}"), F.col(f"b.{score_col}")
+    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    better = (sb > sa) | ((sb == sa) & (ib < ia))
+    return (
+        a.join(b, better, "left")
+        .groupBy(ia.alias(id_col))
+        .agg((F.count(ib) + F.lit(1)).cast("long").alias("rnk"))
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: Sequence[str],
+    query_vec_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    k: int = 20,
+    n_leg: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with Reciprocal Rank Fusion
+    (Cormack/Clarke/Büttcher 2009): each leg contributes
+    ``round(1e6 / (rrf_k + rank))`` integer micro-points for its top
+    ``n_leg`` hits, summed per doc; return the top ``k`` by fused score
+    (id-asc tiebreak). The modern RAG-corpus retrieval shape: BM25 catches
+    exact-term docs the embedding misses, the vector leg catches
+    paraphrases.
+
+    Legs: `bm25_topk` over ``query_terms``; exact cosine top-n against the
+    stored embedding of ``query_vec_id`` (brute force — the small-corpus
+    baseline; swap the IVF/PQ path from `pipeline.similarity` for the
+    100 TB corpus, fusion is identical). Both legs end n_leg-BOUNDED, so
+    ranking and fusion are constant-size work regardless of corpus scale;
+    only the two leg scans are corpus-sized. Integer contributions keep
+    the whole fusion FP-free → DuckDB-hash-matchable."""
+    from .similarity import brute_force_topk
+
+    lex = _join_rank(
+        bm25_topk(docs, query_terms, text_col=text_col, id_col=id_col, k=n_leg),
+        "score_micro",
+        id_col,
+    )
+    qv = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    vec = brute_force_topk(
+        embeddings, qv, k=n_leg, vec_col=vec_col, id_col=vec_id_col
+    ).select(F.col("neighbor_id").alias(id_col), F.col("rank").cast("long").alias("rnk"))
+    contrib = lambda d: d.select(  # noqa: E731
+        id_col,
+        F.round(F.lit(1e6) / (F.lit(rrf_k) + F.col("rnk"))).cast("long").alias("c"),
+    )
+    return (
+        contrib(lex)
+        .unionByName(contrib(vec))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("rrf_micro"))
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col))
         .limit(k)
     )

@@ -4378,6 +4378,73 @@ def bm25_search_topk(spark, sf_dir):
 
 
 @q(
+    "hybrid_rrf_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS sl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             any_value(dl) AS dl
+      FROM toks WHERE term IN ('dup', 'hash', 'scan')
+      GROUP BY doc_id, term),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+    bm AS (
+      SELECT doc_id, CAST(sum(CAST(round(
+               CAST(CAST(round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                          * 1e6) AS BIGINT)
+                    * 22 * sl * tf AS DOUBLE)
+               / CAST(10 * sl * tf + 3 * sl + 9 * dl * n_docs AS DOUBLE)
+             ) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM tf JOIN dft USING (term), corpus GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM bm QUALIFY rnk <= 50),
+    vec AS (
+      SELECT id AS doc_id, row_number() OVER (ORDER BY score DESC, id) AS rnk
+      FROM (
+        SELECT e.vec_id AS id,
+               {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+                 / ({_NORM_SQL.format(a="e.embedding")}
+                    * {_NORM_SQL.format(a="q.embedding")}) AS score
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0)
+      QUALIFY rnk <= 50),
+    contrib AS (
+      SELECT doc_id, CAST(round(1e6 / (60 + rnk)) AS BIGINT) AS c FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(round(1e6 / (60 + rnk)) AS BIGINT) FROM vec)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval, the RAG-corpus shape: BM25 leg ({dup, hash,
+    scan}) + exact-cosine leg (query = stored embedding of vec_id 0, the
+    tables share the 0..N-1 id space) fused with Reciprocal Rank Fusion
+    at rrf_k=60, top 20. Leg ranks are n_leg-bounded join-ranks (no
+    global window — registry lint); contributions are integer micro
+    points, so fusion is FP-free and the oracle hash-matches."""
+    from .pipeline.retrieval import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        ["dup", "hash", "scan"],
+        query_vec_id=0,
+        k=20,
+        n_leg=50,
+    )
+
+
+@q(
     "sessionize_events",
     """
     WITH g AS (

@@ -635,3 +635,54 @@ def test_bm25_topk_limit_and_miss(spark):
     )
     assert bm25_topk(df, ["common"], k=5).count() == 5
     assert bm25_topk(df, ["absent"], k=5).count() == 0
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """A doc ranked #1 lexically and #1 by vector must out-fuse docs that
+    appear on only one leg; join-rank must equal dense position order."""
+    from dsci551_edfs_spark.pipeline.retrieval import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha alpha alpha"),       # lexical winner, vector query
+            (1, "alpha beta"),              # lexical only
+            (2, "gamma gamma"),             # vector only (close embedding)
+            (3, "delta"),                   # neither
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.99, 0.1]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["doc_id"], r["rrf_micro"])
+        for r in hybrid_rrf_topk(
+            docs, embs, ["alpha"], query_vec_id=0, k=4, n_leg=3
+        ).collect()
+    ]
+    order = [d for d, _ in got]
+    # doc 0: lex rank 1 (tf=3) but excluded from vector leg (self).
+    # doc 2: vector rank 1. doc 1: lex rank 2 + some vector rank.
+    # doc 1 is on BOTH legs (embedding [0,1] still ranks within top-3 of
+    # the 3 non-self vectors), so it must beat single-leg doc 2 iff its
+    # summed reciprocal ranks are larger — verify against plain python.
+    import math  # noqa: F401  (documentation of hand-check below)
+
+    def rrf(*ranks):
+        return sum(round(1e6 / (60 + r)) for r in ranks)
+
+    # lexical leg: only docs 0,1 contain 'alpha' → ranks 1,2 (tf/dl math:
+    # doc0 tf=3 beats doc1 tf=1). vector leg (query=[1,0], self excluded):
+    # doc2 cos≈.995 → 1, doc1 cos=0 → 2, doc3 cos=-1 → 3.
+    expect = sorted(
+        [(0, rrf(1)), (1, rrf(2, 2)), (2, rrf(1)), (3, rrf(3))],
+        key=lambda p: (-p[1], p[0]),
+    )
+    assert got == expect
+    assert order[0] == 1  # two mid ranks beat any single first place at k=60
