@@ -89,6 +89,10 @@ HEADLINE = [
     "pit_enrich_events",
     "dedup_clusters_star",
     "bm25_search_topk",
+    "hybrid_rrf_search",
+    "retrieval_eval_metrics",
+    "embedding_gram_matrix",
+    "embedding_pca_project",
 ]
 
 

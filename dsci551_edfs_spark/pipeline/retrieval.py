@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_topk", "hybrid_rrf_topk", "BM25_K1_NUM", "BM25_B_NUM"]
+__all__ = [
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "bm25_eval_metrics",
+    "BM25_K1_NUM",
+    "BM25_B_NUM",
+]
 
 # k1 = 6/5, b = 3/4 as exact rationals — the standard defaults, chosen
 # here as small fractions so the score rewrites to integer arithmetic.
@@ -176,4 +182,123 @@ def hybrid_rrf_topk(
         .agg(F.sum("c").alias("rrf_micro"))
         .orderBy(F.col("rrf_micro").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def bm25_eval_metrics(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    min_tf: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """IR evaluation harness: treat each term as a one-term query, rank
+    the corpus by its BM25 contribution, and score the ranking against a
+    deterministic relevance set (docs with tf ≥ ``min_tf``) with the
+    classic retrieval metrics.
+
+    Returns one row per term:
+    ``(term, n_rel, hits, prec_micro, recall_micro, rr_micro, ap_micro)``
+    — precision@k, recall@k, reciprocal rank, and average precision, all
+    in integer micro-units so the only FP steps are single well-defined
+    divisions (round(1e6·a/b)) that are IEEE-identical on any engine →
+    DuckDB-hash-matchable. This is the eval loop a corpus-mining pipeline
+    runs to pick retrieval settings before committing to an upsample.
+
+    Scale posture: the corpus-sized work is the SAME single filtered
+    explode as `bm25_topk` (only matching tokens shuffle). Ranking is a
+    window partitioned BY TERM (q partitions, never the unpartitioned
+    global window the registry lint forbids) over the per-term match
+    lists; everything after the ≤ q·k row QUALIFY is constant-size.
+    """
+    from pyspark.sql import Window
+
+    terms = sorted({t.lower() for t in terms})
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    corpus = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("_dl")
+    ).agg(F.count("*").alias("n_docs"), F.sum("_dl").alias("sl"))
+    hits = toks.filter(F.col("term").isin(list(terms)))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(corpus))
+    idf_micro = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * 1e6
+    ).cast("long")
+    num = idf_micro * 22 * F.col("sl") * F.col("tf")
+    den = 10 * F.col("sl") * F.col("tf") + 3 * F.col("sl") + 9 * F.col(
+        "dl"
+    ) * F.col("n_docs")
+    per_term = scored.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.round(num.cast("double") / den.cast("double")).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("c").desc(), F.col("doc_id"))
+    ranked = (
+        per_term.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("term", "doc_id", "rnk")
+    )
+    qrels = per_term.filter(F.col("tf") >= min_tf).select(
+        "term", "doc_id", F.lit(1).cast("long").alias("rel")
+    )
+    n_rel = qrels.groupBy("term").agg(F.count("*").alias("n_rel"))
+    flagged = ranked.join(qrels, ["term", "doc_id"], "left").select(
+        "term", "doc_id", "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    wc = (
+        Window.partitionBy("term")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = flagged.withColumn("cum_rel", F.sum("rel").over(wc))
+    per_q = cum.groupBy("term").agg(
+        F.sum("rel").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(
+                    F.lit(1e6) * F.col("cum_rel") / F.col("rnk")
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("sum_prec_micro"),
+    )
+    return (
+        per_q.join(F.broadcast(n_rel), "term")
+        .select(
+            "term",
+            "n_rel",
+            "hits",
+            F.round(F.lit(1e6) * F.col("hits") / F.lit(k))
+            .cast("long")
+            .alias("prec_micro"),
+            F.round(F.lit(1e6) * F.col("hits") / F.col("n_rel"))
+            .cast("long")
+            .alias("recall_micro"),
+            F.coalesce(
+                F.round(F.lit(1e6) / F.col("first_rel")).cast("long"), F.lit(0)
+            ).alias("rr_micro"),
+            F.round(F.col("sum_prec_micro").cast("double") / F.col("n_rel"))
+            .cast("long")
+            .alias("ap_micro"),
+        )
+        .orderBy("term")
     )

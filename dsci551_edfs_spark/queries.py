@@ -6240,5 +6240,126 @@ def attribution_last_click(spark, sf_dir):
     )
 
 
+# =====================================================================
+# §2.5 ext: distributed PCA + retrieval evaluation
+# =====================================================================
+
+@q(
+    "embedding_gram_matrix",
+    """
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+               AS qi
+      FROM embeddings)
+    SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+           CAST(sum(a.qi * b.qi) AS BIGINT) AS sxy_q
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def embedding_gram_matrix(spark, sf_dir):
+    """Distributed exact Gram matrix of the quantized embedding corpus
+    (pipeline/pca.py): one mapInPandas pass reduces each partition to its
+    d(d+1)/2 int64 partial (a qᵀq matmul per Arrow batch), then a tiny
+    DECIMAL(38,0)-guarded groupBy-sum merges partials — the shuffle is
+    P·d² rows no matter the corpus size. The moment-collection half of
+    large-scale PCA, integer-exact so the oracle hash-matches."""
+    from .pipeline.pca import gram_matrix
+
+    return gram_matrix(_t(spark, sf_dir, "embeddings"))
+
+
+@q("embedding_pca_project")  # rows-only: eigendecomposition isn't ANSI SQL
+def embedding_pca_project(spark, sf_dir):
+    """PCA projection (pipeline/pca.py): covariance assembled driver-side
+    from the exact distributed moments, numpy eigh on the d×d (trivial at
+    any scale), components sign-fixed (largest-|entry| positive) and
+    broadcast as LITERAL arrays; the corpus-sized projection pass is pure
+    codegen zip_with/aggregate. Deterministic run-to-run; contracts
+    (orthonormality, variance ordering, numpy parity) in
+    tests/test_pca.py."""
+    from .pipeline.pca import pca_project
+
+    return pca_project(_t(spark, sf_dir, "embeddings"), k=2)
+
+
+@q(
+    "retrieval_eval_metrics",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS sl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             any_value(dl) AS dl
+      FROM toks WHERE term IN ('dup', 'hash', 'scan')
+      GROUP BY doc_id, term),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.term, tf.doc_id, tf.tf,
+             CAST(round(
+               CAST(CAST(round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                          * 1e6) AS BIGINT)
+                    * 22 * sl * tf AS DOUBLE)
+               / CAST(10 * sl * tf + 3 * sl + 9 * dl * n_docs AS DOUBLE)
+             ) AS BIGINT) AS c
+      FROM tf JOIN dft USING (term), corpus),
+    ranked AS (
+      SELECT term, doc_id,
+             CAST(row_number() OVER (PARTITION BY term ORDER BY c DESC, doc_id)
+               AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 20),
+    qrels AS (SELECT term, doc_id FROM scored WHERE tf >= 2),
+    nrel AS (SELECT term, CAST(count(*) AS BIGINT) AS n_rel
+             FROM qrels GROUP BY term),
+    flags AS (
+      SELECT r.term, r.rnk,
+             CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+      FROM ranked r
+      LEFT JOIN qrels q ON r.term = q.term AND r.doc_id = q.doc_id),
+    cum AS (
+      SELECT term, rnk, rel,
+             CAST(sum(rel) OVER (PARTITION BY term ORDER BY rnk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_rel
+      FROM flags),
+    perq AS (
+      SELECT term,
+             CAST(sum(rel) AS BIGINT) AS hits,
+             min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+             CAST(sum(CASE WHEN rel = 1
+                  THEN CAST(round(1e6 * cum_rel / rnk) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sum_prec_micro
+      FROM cum GROUP BY term)
+    SELECT p.term, n.n_rel, p.hits,
+           CAST(round(1e6 * p.hits / 20) AS BIGINT) AS prec_micro,
+           CAST(round(1e6 * p.hits / n.n_rel) AS BIGINT) AS recall_micro,
+           COALESCE(CAST(round(1e6 / p.first_rel) AS BIGINT), 0) AS rr_micro,
+           CAST(round(CAST(p.sum_prec_micro AS DOUBLE) / n.n_rel) AS BIGINT)
+             AS ap_micro
+    FROM perq p JOIN nrel n USING (term)
+    ORDER BY p.term
+    """,
+)
+def retrieval_eval_metrics(spark, sf_dir):
+    """IR evaluation loop (pipeline/retrieval.py:bm25_eval_metrics): each
+    of {dup, hash, scan} ranked as a one-term BM25 query, scored against
+    the deterministic tf≥2 relevance set — precision@20, recall@20,
+    reciprocal rank, and average precision per query, all integer micro
+    (the only FP steps are single round(1e6·a/b) divisions) → oracle
+    hash-matches. The settings-selection harness a corpus-mining pipeline
+    runs before committing to an upsample."""
+    from .pipeline.retrieval import bm25_eval_metrics
+
+    return bm25_eval_metrics(
+        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20, min_tf=2
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
