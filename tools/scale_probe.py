@@ -148,6 +148,8 @@ def main() -> None:
     from dsci551_edfs_spark.pipeline import dedup as DD
     from dsci551_edfs_spark.pipeline import heuristics as HEU
     from dsci551_edfs_spark.pipeline import lm as LM
+    from dsci551_edfs_spark.pipeline import pca as PCA
+    from dsci551_edfs_spark.pipeline import retrieval as RET
     from dsci551_edfs_spark.pipeline import similarity as SIM
     from dsci551_edfs_spark.pipeline.curation import md5_bucket
     from dsci551_edfs_spark.sources.registry import load_table
@@ -399,6 +401,27 @@ def main() -> None:
             inflate_items_hot_basket(li, k)
         ),
         "pmi_hot_bigram": lambda k: _pmi(inflate_docs_hot_token(docs, k)),
+        # round-6 session 2: BM25 with a HOT query term — inflation
+        # appends 'hottoken' to every copy, so one term's posting list
+        # grows ~k·N while the others stay fixed. The term-filtered
+        # shuffle must grow with MATCHES (linear), never with the corpus
+        # times terms; ranking stays TakeOrdered top-k
+        "bm25_hot_term": lambda k: RET.bm25_topk(
+            inflate_docs_hot_token(docs, k), ["hottoken", "dup", "scan"], k=20
+        ),
+        # round-6 session 2: the PCA moment pass — ONE mapInPandas matmul
+        # per partition, shuffle fixed at P·d(d+1)/2 rows. The clean
+        # linear yardstick for the vector-moment side (like pq_encode)
+        "gram_matrix": lambda k: PCA.gram_matrix(inflate_emb(emb, k)),
+        # round-6 session 2: star components on a DEEP path (diameter
+        # 4096·k): rounds grow O(log d) ⇒ runtime ~log(k) on top of the
+        # linear edge pass — the shape HashMin would turn into 4096·k
+        # sequential rounds
+        "star_components_chain": lambda k: DD.connected_components_star(
+            ev.sparkSession.range(4096 * k - 1).select(
+                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+            )
+        ),
     }
     wanted = sys.argv[1:] or list(ops)
     for name in wanted:
