@@ -93,6 +93,7 @@ HEADLINE = [
     "retrieval_eval_metrics",
     "embedding_gram_matrix",
     "embedding_pca_project",
+    "quantile_histogram_rollup",
 ]
 
 

@@ -17,10 +17,20 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["approx_ndv", "approx_quantiles", "frequent_items", "count_min_build", "count_min_estimate", "ndv_partials", "ndv_rollup"]
+__all__ = [
+    "approx_ndv",
+    "approx_quantiles",
+    "frequent_items",
+    "count_min_build",
+    "count_min_estimate",
+    "ndv_partials",
+    "ndv_rollup",
+    "quantile_hist_partials",
+    "quantile_hist_rollup",
+]
 
 
 def approx_ndv(df: DataFrame, cols: Sequence[str], rsd: float = 0.05) -> DataFrame:
@@ -171,3 +181,64 @@ def ndv_rollup(partials: DataFrame, coarse_col) -> DataFrame:
             "n_rows",
         )
     )
+
+
+def quantile_hist_partials(
+    df: DataFrame, grain_col, value_col: str, bins_per_octave: int = 8
+) -> DataFrame:
+    """Mergeable per-grain quantile sketch as a LOG-BINNED histogram:
+    ``(grain, bin, cnt)`` with ``bin = floor(ln(v)·bins_per_octave)`` —
+    every bin spans a fixed ratio (e^(1/bpo) ≈ +13% at bpo=8), so the
+    bin-derived quantile carries a bounded RELATIVE error at any data
+    scale, the same guarantee shape as t-digest/KLL but with exact
+    integer counts that roll up losslessly.
+
+    This is the percentile sibling of `ndv_partials`: the materialized
+    daily partial table is what a continuous aggregate stores; any
+    coarser grain's percentiles come from `quantile_hist_rollup` summing
+    bin counts — the corpus is never rescanned, and unlike a true
+    percentile the merge is EXACT (bin counts sum; merge == direct is
+    pinned in pytest). Values must be > 0 (log bins).
+
+    Scale: one map-side-combinable groupBy; the shuffle carries
+    (grains × occupied bins) rows — occupied bins ≈ bpo·ln(max/min),
+    ~100 per grain for a 6-decade spread, corpus-size-independent.
+    """
+    b = F.floor(F.log(F.col(value_col).cast("double")) * bins_per_octave)
+    return df.groupBy(grain_col, b.cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def quantile_hist_rollup(
+    partials: DataFrame,
+    coarse_col,
+    quantiles: Sequence[tuple[str, int, int]] = (("p50", 1, 2), ("p95", 19, 20)),
+) -> DataFrame:
+    """Merge fine-grain histogram partials to a coarser grain and read
+    quantiles off the merged histogram: for each (name, num, den) the
+    reported ``<name>_bin`` is the smallest bin whose cumulative count
+    reaches ceil(n·num/den) — rank targets in exact integer arithmetic
+    (``(n·num + den − 1) div den``), so the whole rollup is FP-free and
+    DuckDB-hash-matchable. Windows are coarse-grain-keyed (never the
+    global window the registry lint forbids); per-grain row counts ride
+    the same window pass."""
+    merged = partials.groupBy(coarse_col, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    name = coarse_col if isinstance(coarse_col, str) else merged.columns[0]
+    wall = Window.partitionBy(name)
+    wcum = wall.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = merged.select(
+        name,
+        "bin",
+        F.sum("cnt").over(wall).cast("long").alias("n_rows"),
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+    )
+    aggs = [F.first("n_rows").alias("n_rows")]
+    for qname, num, den in quantiles:
+        target = F.expr(f"(n_rows * {num} + {den} - 1) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("bin"))).alias(f"{qname}_bin")
+        )
+    return cum.groupBy(name).agg(*aggs)

@@ -6361,5 +6361,52 @@ def retrieval_eval_metrics(spark, sf_dir):
     )
 
 
+@q(
+    "quantile_histogram_rollup",
+    """
+    WITH part AS (
+      SELECT o_orderdate AS day,
+             CAST(floor(ln(CAST(o_totalprice AS DOUBLE)) * 8) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2),
+    merged AS (
+      SELECT CAST(date_trunc('week', day) AS DATE) AS week, bin,
+             CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM part GROUP BY 1, 2),
+    cum AS (
+      SELECT week, bin,
+             CAST(sum(cnt) OVER (PARTITION BY week) AS BIGINT) AS n_rows,
+             CAST(sum(cnt) OVER (PARTITION BY week ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM merged)
+    SELECT week, any_value(n_rows) AS n_rows,
+           min(CASE WHEN cum >= (n_rows * 1 + 1) // 2 THEN bin END) AS p50_bin,
+           min(CASE WHEN cum >= (n_rows * 19 + 19) // 20 THEN bin END) AS p95_bin
+    FROM cum GROUP BY week
+    """,
+)
+def quantile_histogram_rollup(spark, sf_dir):
+    """Mergeable quantile sketch rollup (operators/sketches.py): daily
+    log-binned price histograms (bin = floor(ln(price)·8), exact integer
+    counts, shuffle = grains × ~100 occupied bins regardless of corpus
+    size) merged losslessly to weekly grain, p50/p95 read off the merged
+    histogram with integer rank targets — the percentile sibling of
+    `ndv_daily_to_weekly`, but with an EXACT merge (bin counts sum), so
+    unlike HLL it hash-matches a direct SQL twin. The continuous-
+    aggregate pattern: store daily partials once, answer any coarser
+    percentile without rescanning."""
+    from .operators.sketches import quantile_hist_partials, quantile_hist_rollup
+
+    o = _t(spark, sf_dir, "orders")
+    parts = quantile_hist_partials(
+        o, F.col("o_orderdate").alias("day"), "o_totalprice"
+    )
+    weekly = parts.select(
+        F.date_trunc("week", "day").cast("date").alias("week"), "bin", "cnt"
+    )
+    return quantile_hist_rollup(weekly, "week")
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)

@@ -190,3 +190,51 @@ def test_ndv_rollup_merge_is_lossless_and_bounded(spark, sf_dir):
     assert set(rolled) == set(exact)
     for wk, est in rolled.items():
         assert abs(est - exact[wk]) / exact[wk] <= 0.05, (wk, est, exact[wk])
+
+
+def test_quantile_hist_rollup_merge_is_exact(orders):
+    """The mergeable-sketch contract, STRONGER than HLL's: weekly
+    percentiles read from merged daily partials must EQUAL the histogram
+    built directly at week grain (bin counts sum losslessly)."""
+    week = F.date_trunc("week", "o_orderdate").cast("date").alias("week")
+    daily = SK.quantile_hist_partials(
+        orders, F.col("o_orderdate").alias("day"), "o_totalprice"
+    ).select(
+        F.date_trunc("week", "day").cast("date").alias("week"), "bin", "cnt"
+    )
+    direct = SK.quantile_hist_partials(orders, week, "o_totalprice")
+    via_merge = {
+        r["week"]: (r["n_rows"], r["p50_bin"], r["p95_bin"])
+        for r in SK.quantile_hist_rollup(daily, "week").collect()
+    }
+    via_direct = {
+        r["week"]: (r["n_rows"], r["p50_bin"], r["p95_bin"])
+        for r in SK.quantile_hist_rollup(direct, "week").collect()
+    }
+    assert via_merge == via_direct
+
+
+def test_quantile_hist_bin_brackets_true_quantile(orders):
+    """The sketch's precise contract: the reported p-bin CONTAINS the
+    exact rank statistic it targets (the ceil(q·n)-th smallest value),
+    i.e. e^(bin/8) ≤ value < e^((bin+1)/8) — so any bin-derived estimate
+    has relative error bounded by e^(1/8)-1 ≈ 13%."""
+    import math
+
+    week = F.date_trunc("week", "o_orderdate").cast("date").alias("week")
+    parts = SK.quantile_hist_partials(orders, week, "o_totalprice")
+    rolled = {r["week"]: r for r in SK.quantile_hist_rollup(parts, "week").collect()}
+    rows = orders.select(week, "o_totalprice").collect()
+    by_week: dict = {}
+    for r in rows:
+        by_week.setdefault(r["week"], []).append(r["o_totalprice"])
+    for wk, vals in by_week.items():
+        vals.sort()
+        n = len(vals)
+        got = rolled[wk]
+        assert got["n_rows"] == n
+        for bin_col, num, den in (("p50_bin", 1, 2), ("p95_bin", 19, 20)):
+            target_rank = (n * num + den - 1) // den  # ceil(n·q)
+            qv = vals[target_rank - 1]
+            b = got[bin_col]
+            assert math.exp(b / 8) <= qv < math.exp((b + 1) / 8)
