@@ -94,6 +94,7 @@ HEADLINE = [
     "embedding_gram_matrix",
     "embedding_pca_project",
     "quantile_histogram_rollup",
+    "stream_interval_join_outer",
 ]
 
 

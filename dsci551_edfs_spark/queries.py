@@ -2032,6 +2032,39 @@ def stream_interval_join(spark, sf_dir):
     return interval_join(p, v).select("purchase_id", "view_id")
 
 
+@q(
+    "stream_interval_join_outer",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
+    """,
+)
+def stream_interval_join_outer(spark, sf_dir):
+    """Batch face of the watermarked LEFT-OUTER stream-stream join
+    (streaming/windows.py interval_join how='leftOuter'): every purchase
+    with its preceding-10-minute views, or a null row if none — the
+    "conversions with no attributable touchpoint" audit. In streaming,
+    outer-null rows emit at state-eviction time (watermark past the join
+    window; both legs' watermarks bound the state); the streaming run is
+    pinned equal to this batch plan in tests/test_streaming.py with a
+    ts-ordered feed + checkpoint-restart eviction."""
+    from .streaming.windows import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("user_id_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("view_id"),
+    )
+    return interval_join(p, v, how="leftOuter").select("purchase_id", "view_id")
+
+
 @q("corpus_prep_pipeline")  # rows-only: minhash stage has no SQL twin
 def corpus_prep_pipeline(spark, sf_dir):
     """The full training-data recipe end-to-end: quality gate -> language

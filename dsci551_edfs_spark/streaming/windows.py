@@ -161,14 +161,25 @@ def interval_join(
     lower: str = "10 minutes",
     upper: str = "0 seconds",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream (or batch-batch) inner join on key + time range:
+    """Stream-stream (or batch-batch) join on key + time range:
     right rows within [left_ts - lower, left_ts - upper). With two
     streaming inputs, the watermarks + the range condition bound both
     join-state buffers (Spark evicts rows older than watermark + range) —
     the only state-safe shape for stream-stream joins at scale. The batch
     run of the same function is the oracle.
+
+    ``how="leftOuter"`` emits unmatched left rows with nulls once the
+    watermark passes their join window (state-eviction time) — the
+    "purchases with NO preceding view" audit shape. Outer emission is
+    watermark-driven: the batch twin is the oracle for the final result
+    set, and the streaming run needs the watermark to actually advance
+    past a row's window before its null-row appears (pinned in
+    tests/test_streaming.py with a ts-ordered file feed).
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported join type: {how}")
     l = left
     r = right
     if l.isStreaming:
@@ -180,4 +191,4 @@ def interval_join(
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lower}"))
         & (r[right_ts] < l[left_ts] - F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)  # "leftOuter" is valid batch or stream

@@ -570,3 +570,116 @@ def test_dedup_ingest_stream_equals_sequential_batch(spark, sf_dir):
     assert 9_000_001 in got and 9_000_004 in got
     assert 9_000_002 not in got            # dup of seed corpus
     assert 9_000_003 not in got            # dup of earlier batch survivor
+
+def test_stream_stream_interval_left_outer_equals_batch(spark, event_dir):
+    """Watermarked LEFT-OUTER stream-stream join == batch left join.
+
+    Outer-null rows emit only when the GLOBAL watermark (the min across
+    BOTH legs) passes a row's join window, so the harness makes watermark
+    advancement deterministic:
+    - the feed is split into ts-quartile files written SEQUENTIALLY
+      (distinct mtimes → the file source delivers them in ts order;
+      same-mtime files arrive in arbitrary order and their rows would be
+      dropped as late data),
+    - a far-future flush event lands on EACH leg (purchase AND view —
+      one leg alone leaves the min-watermark behind the other),
+    - the query uses a file sink + checkpoint and runs availableNow
+      TWICE: the restart's no-data batch performs the final state
+      eviction that availableNow termination doesn't guarantee.
+    """
+    import time
+
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.streaming.windows import (
+        interval_join,
+        stream_from_parquet,
+    )
+
+    ev = _batch(spark, event_dir)
+    d = tempfile.mkdtemp(dir=SCRATCH)
+    out = tempfile.mkdtemp(dir=SCRATCH)
+    ckpt = tempfile.mkdtemp(dir=SCRATCH)
+
+    # ts-ordered delivery: quartile files with strictly increasing mtime
+    bounds = [
+        r["p"]
+        for r in ev.selectExpr(
+            "explode(percentile(cast(ts AS BIGINT), array(0.25, 0.5, 0.75))) AS p"
+        ).collect()
+    ]
+    lo = [None] + bounds
+    hi = bounds + [None]
+    ts_s = F.col("ts").cast("long")
+    for a, b in zip(lo, hi):
+        part = ev
+        if a is not None:
+            part = part.filter(ts_s > a)
+        if b is not None:
+            part = part.filter(ts_s <= b)
+        part.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+
+    # flush events: one per leg, far past every real row's join window
+    base = ev.orderBy(F.col("ts").desc()).limit(1)
+
+    def mk(eid, uid, etype):
+        return base.select(
+            F.lit(eid).cast(ev.schema["event_id"].dataType).alias("event_id"),
+            F.lit(uid).cast(ev.schema["user_id"].dataType).alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            *[
+                F.lit(None).cast(ev.schema[c].dataType).alias(c)
+                for c in ev.columns
+                if c not in ("event_id", "user_id", "event_type", "ts")
+            ],
+        ).select(*ev.columns)
+
+    mk(-999, -1, "purchase").unionByName(mk(-998, -2, "view")).coalesce(
+        1
+    ).write.mode("append").parquet(d)
+
+    def split(df):
+        purchases = df.filter("event_type = 'purchase'").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        views = df.filter("event_type = 'view'").select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("ts").alias("ts_r"),
+            F.col("event_id").alias("view_id"),
+        )
+        return purchases, views
+
+    bp, bv = split(spark.read.parquet(d))
+    batch = interval_join(bp, bv, how="leftOuter").select(
+        "purchase_id", "view_id"
+    )
+
+    schema = spark.read.parquet(d).schema
+
+    def run_once():
+        sp, sv = split(stream_from_parquet(spark, d, schema, max_files=1))
+        joined = interval_join(
+            sp, sv, watermark="1 seconds", how="leftOuter"
+        ).select("purchase_id", "view_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # checkpoint restart: final no-data batch evicts tail state
+
+    drop_flush = lambda s: {t for t in s if t[0] != -999}  # noqa: E731
+    bset = drop_flush(_as_sets(batch))
+    sset = drop_flush(_as_sets(spark.read.parquet(out)))
+    assert bset == sset
+    # the outer rows are the point: some purchase must have no prior view
+    assert any(v is None for _, v in bset)
+    assert any(v is not None for _, v in bset)
