@@ -95,6 +95,8 @@ HEADLINE = [
     "embedding_pca_project",
     "quantile_histogram_rollup",
     "stream_interval_join_outer",
+    "event_rate_anomalies_robust",
+    "variant_json_stats",
 ]
 
 

@@ -6395,6 +6395,95 @@ def retrieval_eval_metrics(spark, sf_dir):
 
 
 @q(
+    "variant_json_stats",
+    """
+    SELECT event_type,
+           CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_stats(spark, sf_dir):
+    """Semi-structured analytics over the VARIANT type (Spark 4): the
+    props JSON column is parsed ONCE with try_parse_json into Spark's
+    binary variant encoding, fields are extracted with variant_get, and
+    the aggregate runs on the typed values. At 100 TB this is the
+    recommended shape over per-field get_json_object calls — variant
+    parses each document once into a shredded binary form instead of
+    re-running a JSON parser per extraction, and malformed documents
+    degrade to NULL (try_) rather than failing the scan. Extracted longs
+    are exact integers → oracle hash-matches."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).cast("long").alias("n_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+@q(
+    "event_rate_anomalies_robust",
+    """
+    WITH hr AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    r1 AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM hr),
+    med AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n + 1) // 2 THEN c END)
+             + min(CASE WHEN rn = (n + 2) // 2 THEN c END) AS med2
+      FROM r1 GROUP BY event_type),
+    dev AS (
+      SELECT hr.event_type, hr.h, hr.c, med2,
+             abs(2 * hr.c - med2) AS dev2
+      FROM hr JOIN med USING (event_type)),
+    r2 AS (
+      SELECT event_type, dev2,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n + 1) // 2 THEN dev2 END)
+             + min(CASE WHEN rn = (n + 2) // 2 THEN dev2 END) AS mad4
+      FROM r2 GROUP BY event_type)
+    SELECT d.event_type, d.h, d.c,
+           CAST(round(CAST(1349000 * (2 * d.c - d.med2) AS DOUBLE) / mad4)
+             AS BIGINT) AS rz_micro
+    FROM dev d JOIN mad USING (event_type)
+    WHERE mad4 > 0
+      AND abs(CAST(round(CAST(1349000 * (2 * d.c - d.med2) AS DOUBLE) / mad4)
+                AS BIGINT)) >= 3500000
+    """,
+)
+def event_rate_anomalies_robust(spark, sf_dir):
+    """Median/MAD robust rate anomalies (operators/profile.py:
+    robust_zscores): hourly counts per event type, modified z-score
+    0.6745·(c−median)/MAD in integer micro-units (rank-formula medians in
+    doubled/quadrupled units — no interpolation, one bigint division),
+    |rz| ≥ 3.5 flagged. The detector a burst can't poison: the mean/std
+    z-score (`event_rate_anomalies`) inflates its own yardstick when the
+    anomaly is large; median+MAD has a 50% breakdown point."""
+    from .operators.profile import robust_zscores
+
+    ev = _t(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("long").alias("c"))
+    rz = robust_zscores(hr, ["event_type"], "c", carry_cols=("h",))
+    return rz.filter(
+        F.col("rz_micro").isNotNull() & (F.abs("rz_micro") >= 3_500_000)
+    ).select("event_type", "h", "c", "rz_micro")
+
+
+@q(
     "quantile_histogram_rollup",
     """
     WITH part AS (

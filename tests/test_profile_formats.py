@@ -118,3 +118,43 @@ def test_quantiles_exact_vs_approx_rank_error(spark, sf_dir):
         assert exact[col] == pytest.approx(
             sorted(vals)[int(p * (n - 1))], rel=0.01
         )
+
+
+def test_robust_zscores_match_numpy_and_resist_poisoning(spark):
+    """Median/MAD robust z-scores: (a) agree with a direct numpy
+    computation, (b) an extreme outlier does NOT drag the scores of
+    normal points (the breakdown property the classical z-score lacks)."""
+    import numpy as np
+
+    from dsci551_edfs_spark.operators.profile import robust_zscores
+
+    vals = [10, 11, 12, 10, 11, 12, 10, 11, 13, 9]
+    poisoned = vals + [100_000]
+    rows = [("g", i, v) for i, v in enumerate(poisoned)]
+    df = spark.createDataFrame(rows, "grp string, idx long, v long")
+    got = {
+        r["idx"]: r["rz_micro"]
+        for r in robust_zscores(df, ["grp"], "v", carry_cols=("idx",)).collect()
+    }
+    a = np.array(poisoned, dtype=np.float64)
+    med = np.median(a)
+    mad = np.median(np.abs(a - med))
+    for i, v in enumerate(poisoned):
+        expect = round(0.6745 * (v - med) / mad * 1e6)
+        assert abs(got[i] - expect) <= 1, (i, v, got[i], expect)
+    # normal points stay un-flagged, the outlier is flagged hard
+    assert all(abs(got[i]) < 3_500_000 for i in range(len(vals)))
+    assert abs(got[len(vals)]) > 3_500_000
+
+
+def test_robust_zscores_constant_group_null(spark):
+    """mad4 == 0 (over half the values identical) → NULL score, row kept."""
+    from dsci551_edfs_spark.operators.profile import robust_zscores
+
+    df = spark.createDataFrame(
+        [("g", i, 5) for i in range(6)] + [("g", 6, 9)],
+        "grp string, idx long, v long",
+    )
+    rows = robust_zscores(df, ["grp"], "v", carry_cols=("idx",)).collect()
+    assert len(rows) == 7
+    assert all(r["rz_micro"] is None for r in rows)
