@@ -97,6 +97,7 @@ HEADLINE = [
     "stream_interval_join_outer",
     "event_rate_anomalies_robust",
     "variant_json_stats",
+    "streaming_sessions_tws",
 ]
 
 

@@ -6395,6 +6395,45 @@ def retrieval_eval_metrics(spark, sf_dir):
 
 
 @q(
+    "streaming_sessions_tws",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                       THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts_s,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts_s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_no
+      FROM g)
+    SELECT user_id, CAST(min(ts_s) AS BIGINT) AS start_s,
+           CAST(max(ts_s) AS BIGINT) AS end_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def streaming_sessions_tws(spark, sf_dir):
+    """Batch face of the transformWithStateInPandas session assembler
+    (streaming/tws_sessions.py): one row per completed session. The
+    streaming run keeps ONE fixed-width tuple per ACTIVE user (state ∝
+    active users, not events) and closes quiet sessions with event-time
+    TIMERS — the Spark-4 arbitrary-stateful API this engine uses where
+    emission must happen on silence, which no row-driven operator can
+    express. State machine pinned equal to this plan in
+    tests/test_streaming.py (wiring test protobuf-gated)."""
+    from .streaming.tws_sessions import sessions_batch
+
+    return sessions_batch(_t(spark, sf_dir, "events"))
+
+
+@q(
     "variant_json_stats",
     """
     SELECT event_type,

@@ -1,0 +1,159 @@
+"""Timer-driven streaming sessionization on transformWithStateInPandas —
+the Spark-4 arbitrary-stateful-processing API (SPARK-46815, the successor
+to applyInPandasWithState with first-class timers, TTL state, and
+composite state types).
+
+Why this exists next to the SQL session window (`windows.session_agg`)
+and the batch gaps-and-islands (`queries.sessionize_events`): a session
+ASSEMBLER must emit one row per completed session — including sessions
+that end because the user went quiet, which no inner operator over
+arriving rows can see. The event-time TIMER is the primitive for that:
+every open session registers a timer at ``last_event + gap``; when the
+watermark passes it, `handleExpiredTimer` fires, the session row is
+emitted, and the per-user state is cleared. State is one fixed-width
+tuple per ACTIVE user (not per event), so the state store carries
+|active users| rows regardless of throughput — the 100 TB/day shape.
+
+Semantics: sessions close after ``gap_s`` of inactivity. In-batch closure
+(a gap inside one micro-batch) emits immediately; cross-batch closure
+emits from the timer. Stale timers (superseded by later activity) are
+ignored by re-checking the state's true expiry in the callback — timer
+registration is monotone-append in this API, not replace.
+
+Batch twin: `sessions_batch` (same gaps-and-islands plan the
+`sessionize_events` oracle verifies, aggregated to session grain);
+stream == batch is pinned in tests/test_streaming.py over a ts-ordered
+feed with a checkpoint-restart final eviction.
+
+Dependency gate: the transformWithState Python wiring talks to Spark's
+state server over protobuf; in containers without ``google.protobuf``
+the STREAM run cannot start (the batch twin and the state machine are
+dependency-free). tests/test_streaming.py skips the wiring pin when
+protobuf is absent and always runs the state-machine equivalence tests
+(SessionAssembler driven directly against `sessions_batch`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+__all__ = ["SessionAssembler", "sessions_stream", "sessions_batch"]
+
+OUTPUT_SCHEMA = "user_id long, start_s long, end_s long, n_events long"
+
+
+class SessionAssembler(StatefulProcessor):
+    """Per-user session state machine: fold events into the open session,
+    emit closed ones, keep exactly one (start, end, count) tuple alive."""
+
+    def __init__(self, gap_s: int = 1800):
+        self.gap_s = gap_s
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState(
+            "open_session", "start_s long, end_s long, n_events long"
+        )
+
+    def _emit(self, key, sessions) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(sessions),
+                "start_s": [s[0] for s in sessions],
+                "end_s": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    def handleInputRows(
+        self, key, rows, timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        ts: list[int] = []
+        for pdf in rows:
+            ts.extend(
+                (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+            )
+        ts.sort()  # within-batch order is arbitrary; the fold needs time order
+        cur = list(self.state.get()) if self.state.exists() else None
+        closed: list[list[int]] = []
+        for t in ts:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > self.gap_s:
+                closed.append(cur)
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        self.state.update(tuple(cur))
+        # close the open session when the watermark passes end + gap
+        self.handle.registerTimer((cur[1] + self.gap_s) * 1000)
+        if closed:
+            yield self._emit(key, closed)
+
+    def handleExpiredTimer(
+        self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if not self.state.exists():
+            return
+        cur = list(self.state.get())
+        # stale-timer guard: later activity re-registered a LATER expiry;
+        # only the timer matching the session's true close time fires it
+        if expiredTimerInfo.getExpiryTimeInMs() < (cur[1] + self.gap_s) * 1000:
+            return
+        self.state.clear()
+        yield self._emit(key, [cur])
+
+    def close(self) -> None:
+        pass
+
+
+def sessions_stream(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "1 seconds",
+) -> DataFrame:
+    """(user_id, start_s, end_s, n_events) per COMPLETED session over a
+    streaming events frame. Event-time timers require a watermarked
+    input; output is append-mode (each session exactly once)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionAssembler(gap_s),
+            OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+def sessions_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Batch twin: gaps-and-islands sessionization (user-keyed windows —
+    the same plan shape `sessionize_events` pins against DuckDB)
+    aggregated to session grain."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_s = F.col("ts").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    sess = events.select(
+        "user_id",
+        ts_s.alias("ts_s"),
+        F.sum(new_sess).over(run).alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "start_s", "end_s", "n_events")

@@ -683,3 +683,216 @@ def test_stream_stream_interval_left_outer_equals_batch(spark, event_dir):
     # the outer rows are the point: some purchase must have no prior view
     assert any(v is None for _, v in bset)
     assert any(v is not None for _, v in bset)
+
+
+def _protobuf_available():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState wiring needs google.protobuf (state-server "
+    "protocol); the SessionAssembler state machine is covered "
+    "dependency-free below",
+)
+def test_tws_sessionization_equals_batch(spark, event_dir):
+    """transformWithStateInPandas session assembler == batch
+    gaps-and-islands sessions. Event-time timers close quiet sessions:
+    the ts-ordered feed advances the watermark monotonically, the
+    far-future flush event (user -1) pushes it past every real session's
+    close time, and the checkpoint restart fires the tail timers."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.streaming.tws_sessions import (
+        sessions_batch,
+        sessions_stream,
+    )
+    from dsci551_edfs_spark.streaming.windows import stream_from_parquet
+
+    ev = _batch(spark, event_dir)
+    d = tempfile.mkdtemp(dir=SCRATCH)
+    out = tempfile.mkdtemp(dir=SCRATCH)
+    ckpt = tempfile.mkdtemp(dir=SCRATCH)
+
+    bounds = [
+        r["p"]
+        for r in ev.selectExpr(
+            "explode(percentile(cast(ts AS BIGINT), array(0.25, 0.5, 0.75))) AS p"
+        ).collect()
+    ]
+    ts_s = F.col("ts").cast("long")
+    for a, b in zip([None] + bounds, bounds + [None]):
+        part = ev
+        if a is not None:
+            part = part.filter(ts_s > a)
+        if b is not None:
+            part = part.filter(ts_s <= b)
+        part.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+    flush = ev.orderBy(F.col("ts").desc()).limit(1).select(
+        F.lit(-999).cast(ev.schema["event_id"].dataType).alias("event_id"),
+        F.lit(-1).cast(ev.schema["user_id"].dataType).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+        *[
+            F.lit(None).cast(ev.schema[c].dataType).alias(c)
+            for c in ev.columns
+            if c not in ("event_id", "user_id", "event_type", "ts")
+        ],
+    ).select(*ev.columns)
+    flush.coalesce(1).write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+
+    def run_once():
+        stream = sessions_stream(stream_from_parquet(spark, d, schema, max_files=1))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # restart: the no-data batch fires the tail timers
+
+    batch = sessions_batch(spark.read.parquet(d)).filter("user_id >= 0")
+    stream_res = spark.read.parquet(out).filter("user_id >= 0")
+    bset, sset = _as_sets(batch), _as_sets(stream_res)
+    assert bset == sset
+    assert len(bset) > 0
+    # multi-event sessions must exist, or the fold is untested
+    assert any(n > 1 for _, _, _, n in bset)
+
+
+class _FakeState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = tuple(v)
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeState())
+
+    def registerTimer(self, ms):
+        self.timers.append(ms)
+
+
+class _FakeTimerInfo:
+    def __init__(self, ms):
+        self.ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self.ms
+
+
+def _drive_assembler(events_by_user, batches, gap_s=1800):
+    """Run SessionAssembler exactly the way the operator would: per-key
+    batches of pandas frames in event-time batch order, then fire every
+    registered timer in ms order against a final watermark at +inf."""
+    import pandas as pd
+
+    from dsci551_edfs_spark.streaming.tws_sessions import SessionAssembler
+
+    out = []
+    procs = {}
+    for uid in events_by_user:
+        p = SessionAssembler(gap_s)
+        h = _FakeHandle()
+        p.init(h)
+        p._h = h
+        procs[uid] = p
+    for lo, hi in batches:
+        for uid, ts in events_by_user.items():
+            batch_ts = [t for t in ts if lo <= t < hi]
+            if not batch_ts:
+                continue
+            pdf = pd.DataFrame(
+                {"ts": pd.to_datetime(pd.Series(batch_ts), unit="s")}
+            )
+            for df in procs[uid].handleInputRows((uid,), iter([pdf]), None):
+                out.extend(df.itertuples(index=False, name=None))
+    # end of stream: watermark → ∞, fire timers in order (stale ones first)
+    for uid, p in procs.items():
+        for ms in sorted(set(p._h.timers)):
+            for df in p.handleExpiredTimer((uid,), None, _FakeTimerInfo(ms)):
+                out.extend(df.itertuples(index=False, name=None))
+    return set(out)
+
+
+def test_tws_state_machine_equals_batch_sessions(spark, event_dir):
+    """SessionAssembler (driven directly, no state server) == the batch
+    gaps-and-islands sessions — covers the fold, in-batch closure,
+    cross-batch continuation, timer closure, and the stale-timer guard."""
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.streaming.tws_sessions import sessions_batch
+
+    ev = _batch(spark, event_dir)
+    rows = ev.select("user_id", F.col("ts").cast("long").alias("t")).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["t"])
+    for ts in by_user.values():
+        ts.sort()
+    tmin = min(t for ts in by_user.values() for t in ts)
+    tmax = max(t for ts in by_user.values() for t in ts) + 1
+    step = (tmax - tmin) // 5 + 1
+    batches = [(tmin + i * step, tmin + (i + 1) * step) for i in range(6)]
+    got = _drive_assembler(by_user, batches)
+    expect = _as_sets(sessions_batch(ev))
+    assert got == expect
+    assert any(n > 1 for _, _, _, n in expect)
+
+
+def test_tws_stale_timer_does_not_split_session(spark):
+    """A timer registered for an earlier quiet period must NOT close a
+    session that later activity extended (the stale-timer guard)."""
+    import pandas as pd
+
+    from dsci551_edfs_spark.streaming.tws_sessions import SessionAssembler
+
+    p = SessionAssembler(gap_s=100)
+    h = _FakeHandle()
+    p.init(h)
+    mk = lambda ts: pd.DataFrame(  # noqa: E731
+        {"ts": pd.to_datetime(pd.Series(ts), unit="s")}
+    )
+    out = list(p.handleInputRows((7,), iter([mk([1000])]), None))
+    out += list(p.handleInputRows((7,), iter([mk([1050])]), None))
+    assert out == []  # still one open session
+    assert h.timers == [(1000 + 100) * 1000, (1050 + 100) * 1000]
+    # the FIRST (stale) timer fires: must be a no-op
+    assert list(p.handleExpiredTimer((7,), None, _FakeTimerInfo(h.timers[0]))) == []
+    assert h.states["open_session"].exists()
+    # the true close timer fires: one session, both events
+    res = list(p.handleExpiredTimer((7,), None, _FakeTimerInfo(h.timers[1])))
+    assert len(res) == 1
+    assert list(res[0].itertuples(index=False, name=None)) == [(7, 1000, 1050, 2)]
+    assert not h.states["open_session"].exists()
