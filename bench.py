@@ -98,6 +98,7 @@ HEADLINE = [
     "event_rate_anomalies_robust",
     "variant_json_stats",
     "streaming_sessions_tws",
+    "concurrent_sessions_peak",
 ]
 
 

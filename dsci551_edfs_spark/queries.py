@@ -6395,6 +6395,116 @@ def retrieval_eval_metrics(spark, sf_dir):
 
 
 @q(
+    "concurrent_sessions_peak",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                       THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts_s,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts_s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sn
+      FROM g),
+    sess AS (
+      SELECT user_id, sn, min(ts_s) AS start_s, max(ts_s) AS end_s
+      FROM s GROUP BY user_id, sn),
+    d AS (
+      SELECT start_s AS t, 1 AS delta FROM sess
+      UNION ALL SELECT end_s + 1, -1 FROM sess),
+    net AS (SELECT t, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY t),
+    c AS (
+      SELECT t, CAST(sum(delta) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+      FROM net)
+    SELECT t // 86400 AS epoch_day, CAST(max(conc) AS BIGINT) AS peak_conc
+    FROM c GROUP BY 1
+    """,
+)
+def concurrent_sessions_peak(spark, sf_dir):
+    """Peak concurrent sessions per day, sweep-line style: sessionized
+    intervals become ±1 delta events, NETTED PER TIMESTAMP first (so the
+    running order has no ties and the peak is engine-independent), then
+    the global running sum runs through `operators/cumulative.py
+    running_total` — two-phase range partition + broadcast offsets, never
+    the single-partition window the registry lint forbids (the oracle's
+    plain OVER (ORDER BY) is fine for DuckDB; Spark must not do that at
+    100 TB). Peaks are evaluated at delta instants (standard sweep-line
+    contract). Capacity-planning shape: "how many users are ever active
+    at once?"."""
+    from .operators.cumulative import running_total
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_s = F.col("ts").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.select(
+            "user_id",
+            ts_s.alias("ts_s"),
+            F.sum(new_sess).over(run).alias("sn"),
+        )
+        .groupBy("user_id", "sn")
+        .agg(F.min("ts_s").alias("start_s"), F.max("ts_s").alias("end_s"))
+    )
+    deltas = sess.select(
+        F.col("start_s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select((F.col("end_s") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = deltas.groupBy("t").agg(F.sum("delta").cast("long").alias("delta"))
+    conc = running_total(net, ["t"], "delta", out_col="conc")
+    return conc.groupBy(
+        (F.col("t") - F.pmod("t", 86400)).alias("_d")
+    ).agg(F.max("conc").alias("peak_conc")).select(
+        (F.col("_d") / 86400).cast("long").alias("epoch_day"), "peak_conc"
+    )
+
+
+@q(
+    "udtf_token_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id % 20 = 0),
+    s AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, greatest(len(t) - 32, 0), 16)) AS st
+      FROM toks)
+    SELECT doc_id, CAST(st AS INTEGER) AS start,
+           CAST(len(list_slice(t, st + 1, st + 32)) AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(t, st + 1, st + 32), ' ') AS chunk
+    FROM s
+    """,
+)
+def udtf_token_chunks(spark, sf_dir):
+    """Python UDTF surface (functions/udtfs.py): the RAG chunker as an
+    Arrow-optimized table function invoked through a correlated LATERAL
+    join in SQL — the API face the codegen `doc_chunks` operator doesn't
+    show. Per-row Python, so it is the DEMO path; the %20 projection
+    keeps the compare table bounded while still crossing the Arrow
+    boundary thousands of times."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = _t(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 20 == 0).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.start, c.n_tokens, c.chunk "
+        "FROM _udtf_docs d, LATERAL token_chunks(d.text, 32, 16) c"
+    )
+
+
+@q(
     "streaming_sessions_tws",
     """
     WITH g AS (
