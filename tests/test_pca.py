@@ -126,3 +126,27 @@ def test_retrieval_eval_perfect_ranking_is_ap_1(spark):
     assert r["recall_micro"] == 1_000_000
     assert r["rr_micro"] == 1_000_000
     assert r["prec_micro"] == 500_000  # 5 of k=10 slots filled
+
+
+def test_gram_partials_merge_equals_direct(spark):
+    """The PCA moment pass is a mergeable sketch like the NDV/quantile
+    partials: Gram(shard A) + Gram(shard B) == Gram(A ∪ B) exactly
+    (integer sums), so a 100 TB corpus can accumulate its moments
+    shard-by-shard and never rescan — and an incremental-PCA refresh is
+    one small-table add + re-eigh."""
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.pipeline.pca import gram_matrix
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = df.filter(F.col("vec_id") % 2 == 0)
+    b = df.filter(F.col("vec_id") % 2 == 1)
+    merged = (
+        gram_matrix(a)
+        .unionByName(gram_matrix(b))
+        .groupBy("i", "j")
+        .agg(F.sum("sxy_q").alias("sxy_q"))
+    )
+    direct = {(r["i"], r["j"]): r["sxy_q"] for r in gram_matrix(df).collect()}
+    got = {(r["i"], r["j"]): r["sxy_q"] for r in merged.collect()}
+    assert got == direct
