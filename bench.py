@@ -99,6 +99,7 @@ HEADLINE = [
     "variant_json_stats",
     "streaming_sessions_tws",
     "concurrent_sessions_peak",
+    "span_corruption_targets",
 ]
 
 

@@ -52,6 +52,7 @@ __all__ = [
     "boilerplate_line_stats",
     "remove_boilerplate_lines",
     "dedup_paragraphs",
+    "span_corruption",
 ]
 
 
@@ -627,4 +628,81 @@ def redact_pii(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(
         F.regexp_replace(c, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate_pct: int = 15,
+) -> DataFrame:
+    """T5-style span-corruption training targets (Raffel et al. 2020):
+    ~``rate_pct``% of tokens are masked, ADJACENT masked tokens collapse
+    into one ``<extra_id_k>`` sentinel in the input, and the target is
+    the sentinel-prefixed masked spans in order —
+    ``(id, input_text, target_text, n_spans)``.
+
+    Determinism contract: the mask is `md5_bucket(id:pos) < rate_pct` —
+    stable across engines, partitionings, and runs (the property a
+    rand() mask lacks, and what makes the DuckDB oracle able to rebuild
+    the EXACT same corruption). Span merging is one doc-keyed window pass
+    (lag → run-start flags → running run ids); assembly is an ordered
+    string agg. No Python anywhere; every window is doc-keyed.
+
+    Scale: one explode + two doc-keyed window functions + one groupBy —
+    all shuffles are doc-keyed, state per doc ∝ doc length. This is the
+    "construct the denoising objective IN the warehouse" pattern: targets
+    ship to trainers as columns, not through a bespoke preprocessing job.
+    """
+    pos_tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    mask_key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    with_mask = pos_tok.select(
+        id_col,
+        "pos",
+        "tok",
+        (md5_bucket(mask_key, 100) < rate_pct).alias("m"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("m").over(w)
+    start = F.col("m") & (prev.isNull() | ~prev)
+    flagged = with_mask.select(
+        id_col,
+        "pos",
+        "tok",
+        "m",
+        start.alias("st"),
+        F.sum(F.when(start, 1).otherwise(0)).over(run).alias("k"),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">"))
+    pieces = flagged.select(
+        id_col,
+        "pos",
+        "k",
+        F.when(~F.col("m"), F.col("tok"))
+        .when(F.col("st"), sentinel)
+        .alias("in_piece"),
+        F.when(F.col("st"), F.concat(sentinel, F.lit(" "), F.col("tok")))
+        .when(F.col("m"), F.col("tok"))
+        .alias("tgt_piece"),
+    )
+    ordered_join = lambda c: F.array_join(  # noqa: E731
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col(c).alias("p")))
+            ),
+            lambda s: s["p"],
+        ),
+        " ",
+    )
+    return pieces.groupBy(id_col).agg(
+        ordered_join("in_piece").alias("input_text"),
+        ordered_join("tgt_piece").alias("target_text"),
+        F.max("k").cast("long").alias("n_spans"),
     )

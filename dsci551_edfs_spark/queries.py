@@ -6394,6 +6394,59 @@ def retrieval_eval_metrics(spark, sf_dir):
     )
 
 
+def _SPAN_CORRUPTION_SQL() -> str:
+    mb = _md5_bucket_sql(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+    m AS (
+      SELECT doc_id, pos, tok, ({mb}) < 15 AS m
+      FROM toks),
+    f0 AS (
+      SELECT doc_id, pos, tok, m,
+             m AND (lag(m) OVER w IS NULL OR NOT lag(m) OVER w) AS st
+      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    f AS (
+      SELECT doc_id, pos, tok, m, st,
+             CAST(sum(CASE WHEN st THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS k
+      FROM f0),
+    p AS (
+      SELECT doc_id, pos, k,
+             CASE WHEN NOT m THEN tok
+                  WHEN st THEN '<extra_id_' || k || '>' END AS in_piece,
+             CASE WHEN st THEN '<extra_id_' || k || '> ' || tok
+                  WHEN m THEN tok END AS tgt_piece
+      FROM f)
+    SELECT doc_id,
+           COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+           COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
+           CAST(max(k) AS BIGINT) AS n_spans
+    FROM p GROUP BY doc_id
+    """
+
+
+@q("span_corruption_targets", None)
+def span_corruption_targets(spark, sf_dir):
+    """T5 span-corruption targets (pipeline/curation.py:span_corruption):
+    deterministic md5-bucket mask (engine/partitioning/run stable —
+    the property rand() lacks), adjacent masked tokens collapsed to one
+    <extra_id_k> sentinel, ordered string assembly. The
+    construct-the-denoising-objective-in-the-warehouse pattern; every
+    window doc-keyed. Oracle rebuilds the EXACT corruption in SQL."""
+    from .pipeline.curation import span_corruption
+
+    return span_corruption(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["span_corruption_targets"] = _SPAN_CORRUPTION_SQL()
+
+
 @q(
     "concurrent_sessions_peak",
     """

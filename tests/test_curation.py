@@ -209,3 +209,47 @@ def test_leakage_safe_split_keeps_near_dups_on_one_side(spark):
     # singleton clusters to itself
     assert out[4]["cluster_id"] == 4
     assert set(r["split"] for r in out.values()) <= {"train", "val", "test"}
+
+
+def test_span_corruption_roundtrip_reconstructs_original(spark):
+    """Substituting each <extra_id_k> in the input with the k-th target
+    span must reconstruct the original token sequence exactly — the
+    invariant that makes the corruption a lossless training objective."""
+    import re
+
+    from dsci551_edfs_spark.functions.text import tokens as tok_expr
+    from dsci551_edfs_spark.pipeline.curation import span_corruption
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r["doc_id"]: r for r in span_corruption(docs).collect()}
+    orig = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", tok_expr(F.col("text")).alias("t")
+        ).collect()
+    }
+    sent = re.compile(r"^<extra_id_(\d+)>$")
+    masked_total = 0
+    for did, row in out.items():
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for t in row["target_text"].split():
+            m = sent.match(t)
+            if m:
+                cur = spans.setdefault(int(m.group(1)), [])
+            else:
+                assert cur is not None
+                cur.append(t)
+        assert len(spans) == row["n_spans"]
+        rebuilt: list[str] = []
+        for t in row["input_text"].split():
+            m = sent.match(t)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))])
+                masked_total += len(spans[int(m.group(1))])
+            else:
+                rebuilt.append(t)
+        assert rebuilt == orig[did], did
+    # the mask rate should land near 15%
+    total = sum(len(t) for t in orig.values())
+    assert 0.10 < masked_total / total < 0.20
