@@ -100,6 +100,7 @@ HEADLINE = [
     "streaming_sessions_tws",
     "concurrent_sessions_peak",
     "span_corruption_targets",
+    "mlm_mask_targets",
 ]
 
 

@@ -53,6 +53,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "dedup_paragraphs",
     "span_corruption",
+    "mlm_mask",
 ]
 
 
@@ -705,4 +706,95 @@ def span_corruption(
         ordered_join("in_piece").alias("input_text"),
         ordered_join("tgt_piece").alias("target_text"),
         F.max("k").cast("long").alias("n_spans"),
+    )
+
+
+def mlm_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate_pct: int = 15,
+    vocab_top: int = 200,
+) -> DataFrame:
+    """BERT-style MLM corruption (Devlin et al. 2019), built in-warehouse
+    like `span_corruption`: ~``rate_pct``% of tokens are selected; of
+    those, 80% become ``[MASK]``, 10% are replaced with a "random" vocab
+    token, 10% are kept unchanged. Returns
+    ``(id, input_text, target_text, n_masked, n_random, n_kept)`` with
+    ``target_text`` = space-joined ``pos:original`` labels.
+
+    Every "random" choice is a deterministic md5 bucket of (id:pos) —
+    selection, the 80/10/10 action, and the replacement token index —
+    so the corruption is identical across engines, partitionings, and
+    runs, and the DuckDB oracle rebuilds it EXACTLY. The replacement
+    token comes from the top-``vocab_top`` corpus vocabulary
+    (`functions.text.build_vocab`, the two-phase global rank) joined by
+    index — a vocab-sized broadcast, never a corpus shuffle.
+    """
+    from ..functions.text import build_vocab
+    from ..plans.hints import broadcast_if_small
+
+    vocab = build_vocab(df, text_col, top_n=vocab_top).select(
+        F.col("token_id").alias("_rid"), F.col("token").alias("_rtok")
+    )
+    nv = vocab.agg(F.count("*").alias("_nv"))
+    pos_tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).crossJoin(F.broadcast(nv))
+    key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    sel = md5_bucket(key, 100) < rate_pct
+    action = md5_bucket(F.concat(F.lit("a:"), key), 10)
+    ridx = (
+        md5_bucket(F.concat(F.lit("r:"), key), vocab_top) % F.col("_nv") + 1
+    )
+    flagged = pos_tok.select(
+        id_col,
+        "pos",
+        "tok",
+        sel.alias("sel"),
+        action.alias("a"),
+        F.when(sel & (action == 8), ridx).alias("_rid"),
+    ).join(broadcast_if_small(vocab), "_rid", "left")
+    out_tok = (
+        F.when(~F.col("sel"), F.col("tok"))
+        .when(F.col("a") < 8, F.lit("[MASK]"))
+        .when(F.col("a") == 8, F.col("_rtok"))
+        .otherwise(F.col("tok"))
+    )
+    label = F.when(
+        F.col("sel"),
+        F.concat(F.col("pos").cast("string"), F.lit(":"), F.col("tok")),
+    )
+    pieces = flagged.select(
+        id_col,
+        "pos",
+        "sel",
+        "a",
+        out_tok.alias("in_piece"),
+        label.alias("lbl"),
+    )
+    ordered_join = lambda c: F.array_join(  # noqa: E731
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col(c).alias("p")))
+            ),
+            lambda s: s["p"],
+        ),
+        " ",
+    )
+    return pieces.groupBy(id_col).agg(
+        ordered_join("in_piece").alias("input_text"),
+        ordered_join("lbl").alias("target_text"),
+        F.sum(F.when(F.col("sel") & (F.col("a") < 8), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.sum(F.when(F.col("sel") & (F.col("a") == 8), 1).otherwise(0))
+        .cast("long")
+        .alias("n_random"),
+        F.sum(F.when(F.col("sel") & (F.col("a") == 9), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
     )

@@ -6431,6 +6431,73 @@ def _SPAN_CORRUPTION_SQL() -> str:
     """
 
 
+def _MLM_SQL() -> str:
+    def mb(expr: str, mod: int) -> str:
+        m = f"md5(CAST({expr} AS VARCHAR))"
+        return f"""((strpos('0123456789abcdef', substring({m}, 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substring({m}, 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substring({m}, 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substring({m}, 4, 1)) - 1)) % {mod}"""
+
+    key = "concat(CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rid
+      FROM (SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY tok)
+      QUALIFY rid <= 200),
+    nv AS (SELECT count(*) AS n FROM vocab),
+    f AS (
+      SELECT doc_id, pos, tok,
+             ({mb(key, 100)}) < 15 AS sel,
+             ({mb(f"concat('a:', {key})", 10)}) AS a,
+             ({mb(f"concat('r:', {key})", 200)}) % (SELECT n FROM nv) + 1
+               AS rid
+      FROM toks),
+    j AS (
+      SELECT f.*, v.token AS rtok
+      FROM f LEFT JOIN vocab v ON f.sel AND f.a = 8 AND v.rid = f.rid),
+    p AS (
+      SELECT doc_id, pos, sel, a,
+             CASE WHEN NOT sel THEN tok
+                  WHEN a < 8 THEN '[MASK]'
+                  WHEN a = 8 THEN rtok
+                  ELSE tok END AS in_piece,
+             CASE WHEN sel THEN pos || ':' || tok END AS lbl
+      FROM j)
+    SELECT doc_id,
+           COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+           COALESCE(string_agg(lbl, ' ' ORDER BY pos), '') AS target_text,
+           CAST(sum(CASE WHEN sel AND a < 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           CAST(sum(CASE WHEN sel AND a = 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_random,
+           CAST(sum(CASE WHEN sel AND a = 9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM p GROUP BY doc_id
+    """
+
+
+@q("mlm_mask_targets", None)
+def mlm_mask_targets(spark, sf_dir):
+    """BERT MLM corruption (pipeline/curation.py:mlm_mask): 15% of
+    tokens selected, 80/10/10 [MASK]/random/keep — every choice a
+    deterministic md5 bucket of (doc:pos), replacement tokens joined
+    from the top-200 vocabulary by index (vocab-sized broadcast). The
+    oracle rebuilds the exact corruption in SQL; together with
+    `span_corruption_targets` this is the construct-the-objective-in-
+    the-warehouse family (T5 + BERT)."""
+    from .pipeline.curation import mlm_mask
+
+    return mlm_mask(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["mlm_mask_targets"] = _MLM_SQL()
+
+
 @q("span_corruption_targets", None)
 def span_corruption_targets(spark, sf_dir):
     """T5 span-corruption targets (pipeline/curation.py:span_corruption):

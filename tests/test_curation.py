@@ -253,3 +253,50 @@ def test_span_corruption_roundtrip_reconstructs_original(spark):
     # the mask rate should land near 15%
     total = sum(len(t) for t in orig.values())
     assert 0.10 < masked_total / total < 0.20
+
+
+def test_mlm_mask_contract(spark):
+    """MLM corruption invariants: labels recover the original sequence,
+    non-selected tokens are untouched, the 80/10/10 split and ~15% rate
+    hold corpus-wide, and every random replacement is a vocab token."""
+    from dsci551_edfs_spark.functions.text import build_vocab
+    from dsci551_edfs_spark.functions.text import tokens as tok_expr
+    from dsci551_edfs_spark.pipeline.curation import mlm_mask
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r["doc_id"]: r for r in mlm_mask(docs).collect()}
+    orig = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", tok_expr(F.col("text")).alias("t")).collect()
+    }
+    vocab = {r["token"] for r in build_vocab(docs, top_n=200).collect()}
+    tot_sel = tot_masked = tot_random = tot_kept = tot = 0
+    for did, row in out.items():
+        toks_in = row["input_text"].split()
+        labels = dict(
+            t.split(":", 1) for t in row["target_text"].split() if t
+        )
+        labels = {int(k): v for k, v in labels.items()}
+        o = orig[did]
+        assert len(toks_in) == len(o)
+        n_mask_seen = 0
+        for pos, t in enumerate(toks_in):
+            if pos in labels:
+                assert labels[pos] == o[pos]  # label = original token
+                if t == "[MASK]":
+                    n_mask_seen += 1
+                else:
+                    assert t in vocab or t == o[pos]
+            else:
+                assert t == o[pos]  # untouched outside the selection
+        assert n_mask_seen == row["n_masked"]
+        assert len(labels) == row["n_masked"] + row["n_random"] + row["n_kept"]
+        tot_sel += len(labels)
+        tot_masked += row["n_masked"]
+        tot_random += row["n_random"]
+        tot_kept += row["n_kept"]
+        tot += len(o)
+    assert 0.10 < tot_sel / tot < 0.20          # ~15% selection
+    assert 0.70 < tot_masked / tot_sel < 0.90   # ~80% [MASK]
+    assert 0.05 < tot_random / tot_sel < 0.15   # ~10% random
+    assert 0.05 < tot_kept / tot_sel < 0.15     # ~10% kept
