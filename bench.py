@@ -101,6 +101,8 @@ HEADLINE = [
     "concurrent_sessions_peak",
     "span_corruption_targets",
     "mlm_mask_targets",
+    "correlation_matrix_lineitem",
+    "phrase_search",
 ]
 
 

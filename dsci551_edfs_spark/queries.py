@@ -6431,6 +6431,155 @@ def _SPAN_CORRUPTION_SQL() -> str:
     """
 
 
+@q(
+    "correlation_matrix_lineitem",
+    """
+    WITH c AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax
+      FROM lineitem),
+    s AS (
+      SELECT count(*) AS n,
+             sum(qty) AS s_qty, sum(price) AS s_price,
+             sum(disc) AS s_disc, sum(tax) AS s_tax,
+             sum(qty * qty) AS ss_qty, sum(price * price) AS ss_price,
+             sum(disc * disc) AS ss_disc, sum(tax * tax) AS ss_tax,
+             sum(qty * price) AS p_qty_price, sum(qty * disc) AS p_qty_disc,
+             sum(qty * tax) AS p_qty_tax, sum(price * disc) AS p_price_disc,
+             sum(price * tax) AS p_price_tax, sum(disc * tax) AS p_disc_tax
+      FROM c),
+    pairs AS (
+      SELECT 'qty' AS col_a, 'price' AS col_b, p_qty_price AS sxy,
+             s_qty AS sx, s_price AS sy, ss_qty AS sxx, ss_price AS syy, n
+        FROM s
+      UNION ALL SELECT 'qty', 'disc', p_qty_disc, s_qty, s_disc,
+             ss_qty, ss_disc, n FROM s
+      UNION ALL SELECT 'qty', 'tax', p_qty_tax, s_qty, s_tax,
+             ss_qty, ss_tax, n FROM s
+      UNION ALL SELECT 'price', 'disc', p_price_disc, s_price, s_disc,
+             ss_price, ss_disc, n FROM s
+      UNION ALL SELECT 'price', 'tax', p_price_tax, s_price, s_tax,
+             ss_price, ss_tax, n FROM s
+      UNION ALL SELECT 'disc', 'tax', p_disc_tax, s_disc, s_tax,
+             ss_disc, ss_tax, n FROM s)
+    SELECT col_a, col_b,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr
+    FROM pairs
+    """,
+)
+def correlation_matrix_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation of the lineitem measures in ONE scan:
+    all 14 moment sums (n, Σx, Σx², Σxy for 6 pairs) come from a single
+    wide aggregate over exact integer cents — partial-aggregated map-side
+    like any agg, DECIMAL(38,0) so Σ(price²·cents²) cannot wrap int64 at
+    any scale — then the 6 correlations are derived in-plan from the
+    one-row moment frame (inline table, no collect). Doubles are derived
+    identically from identical integers on both engines → hash-match.
+    The `ml.stat.Correlation` alternative assembles vectors per row; this
+    shape keeps everything in whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {
+        "qty": "l_quantity",
+        "price": "l_extendedprice",
+        "disc": "l_discount",
+        "tax": "l_tax",
+    }
+    cents = {
+        k: F.round(F.col(v) * 100).cast("long") for k, v in cols.items()
+    }
+    names = list(cols)
+    aggs = [F.count("*").alias("n")]
+    for k in names:
+        aggs.append(F.sum(cents[k].cast("decimal(38,0)")).alias(f"s_{k}"))
+        aggs.append(
+            F.sum((cents[k] * cents[k]).cast("decimal(38,0)")).alias(f"ss_{k}")
+        )
+    pair_list = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    for a, b in pair_list:
+        aggs.append(
+            F.sum((cents[a] * cents[b]).cast("decimal(38,0)")).alias(f"p_{a}_{b}")
+        )
+    s = li.agg(*aggs)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"p_{a}_{b}").cast("double").alias("sxy"),
+                F.col(f"s_{a}").cast("double").alias("sx"),
+                F.col(f"s_{b}").cast("double").alias("sy"),
+                F.col(f"ss_{a}").cast("double").alias("sxx"),
+                F.col(f"ss_{b}").cast("double").alias("syy"),
+            )
+            for a, b in pair_list
+        ]
+    )
+    e = s.select(F.col("n").cast("double").alias("nd"), F.explode(pair_structs).alias("p"))
+    num = F.col("nd") * F.col("p.sxy") - F.col("p.sx") * F.col("p.sy")
+    den = F.sqrt(
+        (F.col("nd") * F.col("p.sxx") - F.col("p.sx") * F.col("p.sx"))
+        * (F.col("nd") * F.col("p.syy") - F.col("p.sy") * F.col("p.sy"))
+    )
+    return e.select(
+        F.col("p.col_a").alias("col_a"),
+        F.col("p.col_b").alias("col_b"),
+        F.round(num / den, 6).alias("corr"),
+    )
+
+
+@q(
+    "phrase_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+    p0 AS (SELECT doc_id, pos FROM toks WHERE tok = 'hash'),
+    p1 AS (SELECT doc_id, pos FROM toks WHERE tok = 'value'),
+    p2 AS (SELECT doc_id, pos FROM toks WHERE tok = 'table')
+    SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM p0
+    JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+    JOIN p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+    GROUP BY p0.doc_id
+    """,
+)
+def phrase_search(spark, sf_dir):
+    """Exact-phrase search ("hash value table") via POSITIONAL POSTINGS:
+    the classic inverted-index AND-merge — postings are filtered to the
+    phrase's terms BEFORE any shuffle (the corpus never moves), then
+    consecutive-position equi-joins stitch the phrase. At 100 TB the
+    postings would be the stored index and the rarest term drives the
+    probe; a contains() over raw text would rescan every byte instead.
+    Returns (doc_id, n_occurrences)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    phrase = ["hash", "value", "table"]
+    legs = [
+        toks.filter(F.col("tok") == w).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        for i, w in enumerate(phrase)
+    ]
+    hits = legs[0]
+    for leg in legs[1:]:
+        hits = hits.join(leg, ["doc_id", "start"])
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+
+
 def _MLM_SQL() -> str:
     def mb(expr: str, mod: int) -> str:
         m = f"md5(CAST({expr} AS VARCHAR))"

@@ -158,3 +158,25 @@ def test_robust_zscores_constant_group_null(spark):
     rows = robust_zscores(df, ["grp"], "v", carry_cols=("idx",)).collect()
     assert len(rows) == 7
     assert all(r["rz_micro"] is None for r in rows)
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    """The one-scan integer-moment Pearson matrix equals numpy.corrcoef
+    on the collected (cents-quantized) data."""
+    import numpy as np
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["correlation_matrix_lineitem"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in rows}
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    data = li.select("l_quantity", "l_extendedprice", "l_discount", "l_tax").collect()
+    m = np.round(np.array([[r[i] for i in range(4)] for r in data]) * 100)
+    cc = np.corrcoef(m.T)
+    names = ["qty", "price", "disc", "tax"]
+    assert len(got) == 6
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert got[(names[i], names[j])] == pytest.approx(cc[i, j], abs=1e-5)
