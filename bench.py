@@ -103,6 +103,7 @@ HEADLINE = [
     "mlm_mask_targets",
     "correlation_matrix_lineitem",
     "phrase_search",
+    "curation_drop_ledger",
 ]
 
 

@@ -6580,6 +6580,96 @@ def phrase_search(spark, sf_dir):
     )
 
 
+def _DROP_LEDGER_SQL() -> str:
+    scores = ", ".join(
+        f"{_lang_score_sql(lang, sw)} AS s_{lang}"
+        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
+    )
+    best = ", ".join(
+        _lang_score_sql(lang, sw)
+        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
+    )
+    return rf"""
+    WITH s AS (
+      SELECT doc_id,
+             {_NTOK_SQL} AS n_tokens,
+             round(length(text) / greatest({_NTOK_SQL}, 1), 3)
+               AS avg_token_len,
+             round(len(regexp_extract_all(text, '[^\w\s]'))
+                   / greatest(length(text), 1), 3) AS punct_ratio,
+             round(len(regexp_extract_all(text, '[0-9]'))
+                   / greatest(length(text), 1), 3) AS digit_ratio,
+             {_FP_SQL} AS fp
+      FROM documents),
+    l AS (
+      SELECT doc_id, CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
+      FROM (SELECT doc_id, {scores}, greatest({best}) AS best
+            FROM documents)),
+    flags AS (
+      SELECT s.doc_id, s.fp, l.lang_pred,
+             (n_tokens >= 10 AND punct_ratio <= 0.20
+              AND digit_ratio <= 0.30
+              AND avg_token_len BETWEEN 2.0 AND 12.0) AS q_ok
+      FROM s JOIN l USING (doc_id)),
+    keepers AS (
+      SELECT fp, min(doc_id) AS keep_id FROM flags
+      WHERE q_ok AND lang_pred <> 'und' GROUP BY fp)
+    SELECT f.doc_id,
+           CASE WHEN NOT q_ok THEN 'quality'
+                WHEN lang_pred = 'und' THEN 'langid'
+                WHEN f.doc_id <> k.keep_id THEN 'exact_dup'
+                ELSE 'kept' END AS stage
+    FROM flags f LEFT JOIN keepers k ON f.fp = k.fp
+    """
+
+
+@q("curation_drop_ledger", None)
+def curation_drop_ledger(spark, sf_dir):
+    """Per-document drop ledger: WHY did each doc leave the corpus? Every
+    doc is tagged with the FIRST curation stage that rejected it
+    (quality thresholds → language-ID 'und' → exact-dup loser among
+    survivors) or 'kept'. Dedup keepers are chosen among docs that
+    SURVIVED the earlier gates (true pipeline order, not independent
+    flags). The audit face of `corpus_prep_pipeline`: at 100 TB this
+    table is what data-governance reads — all three gates are single-scan
+    projections plus one fingerprint-keyed agg, no extra passes over
+    text."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = TXT.text_stats(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "digit_ratio"
+    )
+    lang = TXT.lang_id(docs).select("doc_id", "lang_pred")
+    fp = docs.select("doc_id", TXT.fingerprint("text").alias("fp"))
+    q_ok = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("punct_ratio") <= 0.20)
+        & (F.col("digit_ratio") <= 0.30)
+        & (F.col("avg_token_len") >= 2.0)
+        & (F.col("avg_token_len") <= 12.0)
+    )
+    flags = (
+        stats.join(lang, "doc_id")
+        .join(fp, "doc_id")
+        .select("doc_id", "fp", "lang_pred", q_ok.alias("q_ok"))
+    )
+    keepers = (
+        flags.filter(F.col("q_ok") & (F.col("lang_pred") != "und"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    return flags.join(keepers, "fp", "left").select(
+        "doc_id",
+        F.when(~F.col("q_ok"), F.lit("quality"))
+        .when(F.col("lang_pred") == "und", F.lit("langid"))
+        .when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("stage"),
+    )
+
+
+ORACLES["curation_drop_ledger"] = _DROP_LEDGER_SQL()
+
+
 def _MLM_SQL() -> str:
     def mb(expr: str, mod: int) -> str:
         m = f"md5(CAST({expr} AS VARCHAR))"
