@@ -104,6 +104,7 @@ HEADLINE = [
     "correlation_matrix_lineitem",
     "phrase_search",
     "curation_drop_ledger",
+    "ann_ivf_persisted",
 ]
 
 

@@ -28,6 +28,9 @@ __all__ = [
     "kmeans_centroids",
     "build_ivf_index",
     "ivf_topk",
+    "save_ivf_index",
+    "load_ivf_index",
+    "ivf_topk_pruned",
     "train_pq_codebooks",
     "pq_encode",
     "pq_topk",
@@ -580,3 +583,68 @@ def knn_classify(
             F.col("votes").cast("long").alias("votes"),
         )
     )
+
+
+def save_ivf_index(
+    bucketed: DataFrame, centroids: np.ndarray, path: str
+) -> None:
+    """Persist an IVF index: the bucketed corpus hive-partitioned by
+    centroid id (each probe then reads ONLY its bucket directories —
+    partition pruning is the point of IVF on disk) plus the centroid
+    matrix as a C-row parquet. This is what "the index" IS at 100 TB:
+    a layout, not an in-memory structure."""
+    bucketed.write.mode("overwrite").partitionBy("centroid").parquet(
+        f"{path}/buckets"
+    )
+    spark = bucketed.sparkSession
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "centroid int, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Read a `save_ivf_index` layout back. The partition column comes
+    back as string (type inference is deliberately off in the session);
+    cast restores the int join key."""
+    bucketed = spark.read.parquet(f"{path}/buckets").withColumn(
+        "centroid", F.col("centroid").cast("int")
+    )
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()  # C rows
+    cents = np.array(
+        [r["vec"] for r in sorted(cent_rows, key=lambda r: r["centroid"])]
+    )
+    return bucketed, cents
+
+
+def ivf_topk_pruned(
+    bucketed: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """`ivf_topk` with an EXPLICIT partition-prune: the probed centroid
+    ids (n_probe × |queries| values — bounded because the query set is;
+    the broadcast-join path serves unbounded query streams) are pushed as
+    an `isin` filter on the partition column, so a disk-backed index scan
+    touches only the probed bucket directories. The plan's
+    PartitionFilters line is pinned in tests/test_pipeline.py."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), normalize(as_double(vec_col)).alias("qv")
+    )
+    probes = _nearest_centroids(q, centroids, "qv", n_top=n_probe)
+    probe_ids = sorted(
+        {r["centroid"] for r in probes.select("centroid").distinct().collect()}
+    )
+    pruned = bucketed.filter(F.col("centroid").isin(probe_ids))
+    joined = pruned.join(F.broadcast(probes), on="centroid")
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "id", dot(F.col("v"), F.col("qv")).alias("score")
+    )
+    return _rank_topk(scored, k)

@@ -6580,6 +6580,31 @@ def phrase_search(spark, sf_dir):
     )
 
 
+@q("ann_ivf_persisted")  # rows-only: IVF assignment not SQL-expressible
+def ann_ivf_persisted(spark, sf_dir):
+    """Disk-backed IVF search (pipeline/similarity.py save/load/
+    ivf_topk_pruned): the index is a hive LAYOUT — corpus partitioned by
+    centroid id + a C-row centroid table — and the probe pushes its
+    centroid ids as a partition filter, so the scan touches only the
+    probed bucket directories (PartitionFilters pinned in
+    tests/test_pipeline.py, exact equality with the in-memory path too).
+    What "loading the index" means at 100 TB: no rebuild, no memory
+    residency, just pruned reads."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
+    path = _scratch_dir("ivf_idx")
+    SIM.save_ivf_index(bucketed, cents, path)
+    loaded, cents2 = SIM.load_ivf_index(spark, path)
+    out = SIM.ivf_topk_pruned(loaded, cents2, queries, k=5, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def _DROP_LEDGER_SQL() -> str:
     scores = ", ".join(
         f"{_lang_score_sql(lang, sw)} AS s_{lang}"

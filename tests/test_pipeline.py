@@ -686,3 +686,42 @@ def test_hybrid_rrf_fuses_both_legs(spark):
     )
     assert got == expect
     assert order[0] == 1  # two mid ranks beat any single first place at k=60
+
+
+def test_ivf_index_persist_roundtrip_and_pruning(spark, sf_dir):
+    """Disk-backed IVF: save (hive-partitioned by centroid) → load →
+    pruned probe must return EXACTLY the in-memory ivf_topk results, and
+    the pruned scan's plan must show PartitionFilters on the centroid
+    partition column (the probe reads only its bucket directories)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.pipeline import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
+    inline = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in SIM.ivf_topk(bucketed, cents, queries, k=5, n_probe=4).collect()
+    }
+
+    scratch = "/root/repo/.scratch"
+    os.makedirs(scratch, exist_ok=True)
+    path = tempfile.mkdtemp(prefix="ivf_idx_", dir=scratch)
+    SIM.save_ivf_index(bucketed, cents, path)
+    loaded, cents2 = SIM.load_ivf_index(spark, path)
+    assert (cents2 == cents).all()
+    persisted = SIM.ivf_topk_pruned(loaded, cents2, queries, k=5, n_probe=4)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in persisted.collect()
+    }
+    assert got == inline
+
+    # the prune reaches the parquet scan as a partition filter
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid" in plan.split("PartitionFilters", 1)[1][:200]
