@@ -105,6 +105,7 @@ HEADLINE = [
     "phrase_search",
     "curation_drop_ledger",
     "ann_ivf_persisted",
+    "aqp_sampled_revenue",
 ]
 
 

@@ -6580,6 +6580,83 @@ def phrase_search(spark, sf_dir):
     )
 
 
+@q(
+    "aqp_sampled_revenue",
+    f"""
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ({_md5_bucket_sql("o_orderkey")}) AS b
+      FROM orders),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN b < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sample,
+             CAST(sum(CASE WHEN b < 5 THEN cents ELSE 0 END) AS BIGINT)
+               AS s1,
+             CAST(sum(CASE WHEN b < 5 THEN cents * cents ELSE 0 END)
+               AS BIGINT) AS s2,
+             CAST(sum(cents) AS BIGINT) AS true_cents
+      FROM s)
+    SELECT n_total, n_sample,
+           CAST(round(CAST(s1 AS DOUBLE) * n_total / n_sample) AS BIGINT)
+             AS est_total_cents,
+           CAST(round(1.96 * n_total
+                * sqrt(((CAST(n_sample AS DOUBLE) * s2
+                         - CAST(s1 AS DOUBLE) * s1)
+                        / (CAST(n_sample AS DOUBLE) * (n_sample - 1)))
+                       / n_sample)) AS BIGINT) AS ci95_half_cents,
+           true_cents,
+           CAST(round(CAST(s1 AS DOUBLE) * n_total / n_sample) AS BIGINT)
+             - true_cents AS err_cents
+    FROM agg
+    """,
+)
+def aqp_sampled_revenue(spark, sf_dir):
+    """Approximate query processing: total revenue estimated from a
+    DETERMINISTIC 5% sample (md5 bucket of the key — reproducible across
+    engines/runs, unlike TABLESAMPLE's rand) with a 95% CI from the
+    sample variance. Sample sums are exact integer cents; the estimate
+    and half-width are single well-defined double expressions → the
+    oracle hash-matches, and the row carries the TRUE total so the
+    error is visible next to the interval. At 100 TB the sample
+    predicate pushes into the scan and the answer costs 5% of the
+    I/O — the trade AQP exists for."""
+    o = _t(spark, sf_dir, "orders")
+    from .pipeline.curation import md5_bucket
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    in_s = md5_bucket("o_orderkey", 100) < 5
+    agg = o.select(cents.alias("cents"), in_s.alias("b")).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("b"), 1).otherwise(0)).cast("long").alias("n_sample"),
+        F.sum(F.when(F.col("b"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("b"), F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum("cents").cast("long").alias("true_cents"),
+    )
+    nd = F.col("n_sample").cast("double")
+    est = F.round(F.col("s1").cast("double") * F.col("n_total") / F.col("n_sample")).cast(
+        "long"
+    )
+    var = (
+        nd * F.col("s2") - F.col("s1").cast("double") * F.col("s1")
+    ) / (nd * (F.col("n_sample") - 1))
+    half = F.round(
+        F.lit(1.96) * F.col("n_total") * F.sqrt(var / F.col("n_sample"))
+    ).cast("long")
+    return agg.select(
+        "n_total",
+        "n_sample",
+        est.alias("est_total_cents"),
+        half.alias("ci95_half_cents"),
+        "true_cents",
+        (est - F.col("true_cents")).alias("err_cents"),
+    )
+
+
 @q("ann_ivf_persisted")  # rows-only: IVF assignment not SQL-expressible
 def ann_ivf_persisted(spark, sf_dir):
     """Disk-backed IVF search (pipeline/similarity.py save/load/
