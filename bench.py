@@ -106,6 +106,8 @@ HEADLINE = [
     "curation_drop_ledger",
     "ann_ivf_persisted",
     "aqp_sampled_revenue",
+    "k_anonymity_report",
+    "golden_record_parts",
 ]
 
 

@@ -6581,6 +6581,167 @@ def phrase_search(spark, sf_dir):
 
 
 @q(
+    "golden_record_parts",
+    """
+    WITH RECURSIVE n AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts FROM part
+      GROUP BY 1),
+    b AS (SELECT p_name, n_parts, split_part(p_name, ' ', 1) AS blk FROM n),
+    pairs AS (
+      SELECT a.p_name AS u, c.p_name AS v
+      FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+      WHERE levenshtein(a.p_name, c.p_name) <= 3),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    reach AS (
+      SELECT p_name AS node, p_name AS r FROM n
+      UNION
+      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node),
+    clusters AS (
+      SELECT node AS p_name, min(r) AS cluster_id FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.cluster_id, n.p_name, n.n_parts,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY n.n_parts DESC, n.p_name) AS rk
+      FROM clusters c JOIN n USING (p_name))
+    SELECT cluster_id,
+           min(CASE WHEN rk = 1 THEN p_name END) AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(sum(n_parts) AS BIGINT) AS total_rows
+    FROM ranked GROUP BY cluster_id
+    HAVING count(*) > 1
+    """,
+)
+def golden_record_parts(spark, sf_dir):
+    """Entity-resolution endgame (MDM golden record): blocked fuzzy
+    pairs (`fuzzy_name_pairs`' discipline — edit distance only within
+    first-token blocks, over the DISTINCT-name table) → exact HashMin
+    connected components (so transitive chains A~B~C merge even when
+    A≁C directly) → SURVIVORSHIP: the canonical spelling is the variant
+    covering the most rows (tie → lexicographically first), with how
+    many variants and rows the merged entity absorbs. The recursive-CTE
+    oracle re-derives the SAME components and survivor. Components run
+    on surrogate int ids (monotonically_increasing_id — component SETS
+    are id-invariant) and the cluster label is re-derived as min(name),
+    so the output is deterministic."""
+    p = _t(spark, sf_dir, "part")
+    n = p.groupBy("p_name").agg(F.count("*").cast("long").alias("n_parts"))
+    b = n.select(
+        "p_name",
+        "n_parts",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    a_side = b.select(F.col("p_name").alias("u"), "blk")
+    c_side = b.select(F.col("p_name").alias("v"), "blk")
+    pairs = (
+        a_side.join(c_side, "blk")
+        .filter(F.col("u") < F.col("v"))
+        .filter(F.levenshtein("u", "v") <= 3)
+        .select("u", "v")
+    )
+    ids = n.select("p_name").withColumn("nid", F.monotonically_increasing_id())
+    int_edges = (
+        pairs.join(ids.withColumnRenamed("p_name", "u").withColumnRenamed("nid", "id_a"), "u")
+        .join(ids.withColumnRenamed("p_name", "v").withColumnRenamed("nid", "id_b"), "v")
+        .select("id_a", "id_b")
+    )
+    labels = DD.connected_components(int_edges)  # (node, label) int ids
+    named = labels.join(ids, labels.node == ids.nid).select("p_name", "label")
+    cluster_name = named.groupBy("label").agg(
+        F.min("p_name").alias("cluster_id")
+    )
+    clustered = named.join(cluster_name, "label").select("p_name", "cluster_id")
+    # names with no fuzzy edge are singleton clusters of themselves —
+    # excluded by HAVING below, so only merged entities remain
+    full = n.join(clustered, "p_name", "left").select(
+        "p_name",
+        "n_parts",
+        F.coalesce("cluster_id", "p_name").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_parts").desc(), "p_name"
+    )
+    ranked = full.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("p_name"))).alias(
+                "canonical_name"
+            ),
+            F.count("*").cast("long").alias("n_variants"),
+            F.sum("n_parts").cast("long").alias("total_rows"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )
+
+
+@q(
+    "k_anonymity_report",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(grouping(c_nationkey) AS BIGINT) * 2
+             + CAST(grouping(c_mktsegment) AS BIGINT) AS gid
+      FROM customer
+      GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
+                              (c_nationkey), (c_mktsegment)))
+    SELECT CASE gid WHEN 0 THEN 'nation+segment'
+                    WHEN 1 THEN 'nation'
+                    WHEN 2 THEN 'segment' END AS qi_set,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(cnt) AS BIGINT) AS min_group_size
+    FROM g GROUP BY gid
+    """,
+)
+def k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit (k=5) over quasi-identifier ladders in ONE scan:
+    GROUPING SETS computes group sizes for (nation+segment), (nation),
+    (segment) in a single pass (Spark expands sets map-side — no three
+    separate jobs), then each ladder rung reports how many groups are
+    below k and how many rows those expose. The governance pre-check a
+    pipeline runs before releasing joined demographic slices: if the
+    finest QI set has re-identifiable rows, publish the coarser rung."""
+    c = _t(spark, sf_dir, "customer")
+    g = (
+        c.groupingSets(
+            [["c_nationkey", "c_mktsegment"], ["c_nationkey"], ["c_mktsegment"]],
+            "c_nationkey",
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            (
+                F.grouping("c_nationkey").cast("long") * 2
+                + F.grouping("c_mktsegment").cast("long")
+            ).alias("gid"),
+        )
+    )
+    qi = (
+        F.when(F.col("gid") == 0, "nation+segment")
+        .when(F.col("gid") == 1, "nation")
+        .otherwise("segment")
+    )
+    small = F.col("cnt") < 5
+    return g.groupBy("gid").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("n_small_groups"),
+        F.sum(F.when(small, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("cnt").cast("long").alias("min_group_size"),
+    ).select(
+        qi.alias("qi_set"),
+        "n_groups",
+        "n_small_groups",
+        "rows_at_risk",
+        "min_group_size",
+    )
+
+
+@q(
     "aqp_sampled_revenue",
     f"""
     WITH s AS (
