@@ -108,6 +108,8 @@ HEADLINE = [
     "aqp_sampled_revenue",
     "k_anonymity_report",
     "golden_record_parts",
+    "dow_hour_seasonality",
+    "conversion_latency_histogram",
 ]
 
 

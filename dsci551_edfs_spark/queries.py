@@ -6581,6 +6581,123 @@ def phrase_search(spark, sf_dir):
 
 
 @q(
+    "dow_hour_seasonality",
+    """
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+    slots AS (
+      SELECT (t // 86400 + 4) % 7 AS dow,
+             (t % 86400) // 3600 AS hour,
+             t // 86400 AS epoch_day
+      FROM e)
+    SELECT dow, hour,
+           CAST(count(DISTINCT epoch_day) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS total_events,
+           CAST(round(1e6 * count(*) / count(DISTINCT epoch_day)) AS BIGINT)
+             AS avg_per_day_micro
+    FROM slots GROUP BY dow, hour
+    """,
+)
+def dow_hour_seasonality(spark, sf_dir):
+    """Weekly seasonality profile: expected events per (day-of-week ×
+    hour) slot, averaged over the days that slot was observed. Day-of-
+    week is derived ARITHMETICALLY from the epoch day ((d+4) % 7, day 0
+    = Thursday) so the grouping is engine- and locale-neutral — Spark's
+    dayofweek() and DuckDB's disagree on numbering, epoch math doesn't.
+    The load-profile baseline capacity planning and anomaly thresholds
+    start from; one map-side-combinable aggregation, 168 output rows at
+    any scale."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("ts").cast("long")
+    slots = ev.select(
+        ((t / 86400).cast("long") + 4) % 7,
+        (t % 86400 / 3600).cast("long"),
+        (t / 86400).cast("long"),
+    ).toDF("dow", "hour", "epoch_day")
+    return slots.groupBy("dow", "hour").agg(
+        F.count_distinct("epoch_day").cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("total_events"),
+        F.round(
+            F.lit(1e6) * F.count("*") / F.count_distinct("epoch_day")
+        ).cast("long").alias("avg_per_day_micro"),
+    )
+
+
+@q(
+    "conversion_latency_histogram",
+    """
+    WITH w AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             max(CASE WHEN event_type = 'view'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_view_s
+      FROM events),
+    gaps AS (
+      SELECT CAST(floor(ln(ts_s - last_view_s + 1) * 8) AS BIGINT) AS bin
+      FROM w
+      WHERE event_type = 'purchase' AND last_view_s IS NOT NULL),
+    h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM gaps GROUP BY bin),
+    c AS (
+      SELECT bin,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n_rows,
+             CAST(sum(cnt) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM h)
+    SELECT any_value(n_rows) AS n_conversions,
+           min(CASE WHEN cum >= (n_rows + 1) // 2 THEN bin END) AS p50_bin,
+           min(CASE WHEN cum >= (n_rows * 19 + 19) // 20 THEN bin END)
+             AS p95_bin
+    FROM c
+    """,
+)
+def conversion_latency_histogram(spark, sf_dir):
+    """View→purchase conversion latency distribution: per purchase, the
+    gap to the user's most recent preceding view (the attribution
+    window pass — user-keyed running max, no global window), log-binned
+    through the mergeable quantile histogram (`operators/sketches.py`)
+    with p50/p95 read off by integer rank targets. The gap+1 shift makes
+    ln() total at gap 0. The oracle's flat OVER () is DuckDB-side only;
+    Spark aggregates the BIN table (≤ ~100 rows after the groupBy), so
+    no corpus-sized single-partition anything."""
+    ev = _t(spark, sf_dir, "events")
+    uw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_s = F.col("ts").cast("long")
+    w = ev.select(
+        "event_type",
+        ts_s.alias("ts_s"),
+        F.max(F.when(F.col("event_type") == "view", ts_s)).over(uw).alias(
+            "last_view_s"
+        ),
+    )
+    gaps = w.filter(
+        (F.col("event_type") == "purchase") & F.col("last_view_s").isNotNull()
+    ).select(
+        F.floor(F.log(F.col("ts_s") - F.col("last_view_s") + 1) * 8)
+        .cast("long")
+        .alias("bin")
+    )
+    h = gaps.groupBy("bin").agg(F.count("*").cast("long").alias("cnt"))
+    # the histogram is ~100 rows: a single-row summary agg over it is
+    # driver-cheap at any corpus size (the corpus-sized work ended at
+    # the groupBy above)
+    from .operators.sketches import quantile_hist_rollup
+
+    rolled = quantile_hist_rollup(
+        h.select(F.lit(1).alias("_g"), "bin", "cnt"), "_g"
+    )
+    return rolled.select(
+        F.col("n_rows").alias("n_conversions"), "p50_bin", "p95_bin"
+    )
+
+
+@q(
     "golden_record_parts",
     """
     WITH RECURSIVE n AS (
