@@ -110,6 +110,7 @@ HEADLINE = [
     "golden_record_parts",
     "dow_hour_seasonality",
     "conversion_latency_histogram",
+    "nested_order_items",
 ]
 
 

@@ -6581,6 +6581,58 @@ def phrase_search(spark, sf_dir):
 
 
 @q(
+    "nested_order_items",
+    """
+    SELECT l_orderkey AS orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
+           CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_price_cents
+    FROM lineitem GROUP BY l_orderkey
+    HAVING count(*) >= 6
+    """,
+)
+def nested_order_items(spark, sf_dir):
+    """Complex-type path: lineitems DENORMALIZED into an
+    array<struct> per order (the nested-parquet layout that keeps a
+    100 TB fact table join-free — items ship inside their order row),
+    then the per-order metrics are computed from the NESTED form with
+    pure higher-order functions (size / aggregate / transform over the
+    struct array — no re-explode, no second shuffle). The oracle states
+    the same numbers from the flat table, so the nested pipeline is
+    verified against relational ground truth — the invariant that makes
+    denormalization safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.collect_list(
+            F.struct(
+                F.round(F.col("l_quantity") * 100)
+                .cast("long")
+                .alias("qty_cents"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("price_cents"),
+            )
+        ).alias("items")
+    )
+    qty_sum = F.aggregate(
+        F.col("items"),
+        F.lit(0).cast("long"),
+        lambda acc, it: acc + it["qty_cents"],
+    )
+    max_price = F.array_max(
+        F.transform(F.col("items"), lambda it: it["price_cents"])
+    )
+    return nested.select(
+        "orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        qty_sum.alias("qty_cents"),
+        max_price.alias("max_price_cents"),
+    ).filter(F.col("n_items") >= 6)
+
+
+@q(
     "dow_hour_seasonality",
     """
     WITH e AS (

@@ -413,6 +413,44 @@ def main() -> None:
         # per partition, shuffle fixed at P·d(d+1)/2 rows. The clean
         # linear yardstick for the vector-moment side (like pq_encode)
         "gram_matrix": lambda k: PCA.gram_matrix(inflate_emb(emb, k)),
+        # round-6 session 2: fuzzy linkage with K×-inflated BLOCKS —
+        # every copy keeps its base first token, so each block grows K×
+        # and candidate volume grows ~K² BY SEMANTICS (the variants
+        # really are within edit distance of each other). The probe
+        # checks runtime tracks that candidate volume, not worse; the
+        # mitigation at 100 TB is finer blocking keys, not a faster join
+        "fuzzy_hot_block": lambda k: (
+            lambda names: (
+                lambda b: b.alias("a")
+                .join(b.alias("b"), "blk")
+                .filter(F.col("a.p_name") < F.col("b.p_name"))
+                .filter(
+                    F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3
+                )
+                .select(F.col("a.p_name"), F.col("b.p_name"))
+            )(
+                names.select(
+                    "p_name",
+                    F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias(
+                        "blk"
+                    ),
+                )
+            )
+        )(
+            li.sparkSession.read.parquet(f"{SF_DIR}/part.parquet")
+            .select("p_name")
+            .distinct()
+            .crossJoin(
+                li.sparkSession.range(k).select(F.col("id").alias("_c"))
+            )
+            .select(
+                F.when(
+                    F.col("_c") == 0, F.col("p_name")
+                ).otherwise(
+                    F.concat(F.col("p_name"), F.lit(" v"), F.col("_c").cast("string"))
+                ).alias("p_name")
+            )
+        ),
         # round-6 session 2: star components on a DEEP path (diameter
         # 4096·k): rounds grow O(log d) ⇒ runtime ~log(k) on top of the
         # linear edge pass — the shape HashMin would turn into 4096·k
