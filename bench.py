@@ -111,6 +111,7 @@ HEADLINE = [
     "dow_hour_seasonality",
     "conversion_latency_histogram",
     "nested_order_items",
+    "edfs_datasource_scan",
 ]
 
 

@@ -6581,6 +6581,40 @@ def phrase_search(spark, sf_dir):
 
 
 @q(
+    "edfs_datasource_scan",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 1
+    """,
+)
+def edfs_datasource_scan(spark, sf_dir):
+    """EDFS as a REGISTERED Spark format (sources/edfs_datasource.py,
+    Python DataSource API): the layout `ingest.put` writes is read back
+    through ``spark.read.format("edfs")`` with one InputPartition per
+    EDFS partition directory and Spark-4.1 python-DSv2 filter pushdown —
+    the ``n_regionkey = 1`` equality prunes partitions() to the single
+    matching directory (getPartitionLocations pruning as real engine
+    pushdown; partial — the row filter stays in the plan because the
+    sentinel partition can hold null rows). Arrow RecordBatches
+    straight from parquet, no Python row loop."""
+    from .sources.edfs_datasource import register_edfs
+    from .sources.ingest import put_dataframe
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    dest = _scratch_dir("edfs_ds")
+    put_dataframe(_t(spark, sf_dir, "nation"), dest, 5, hash_col="n_regionkey")
+    register_edfs(spark)
+    return (
+        spark.read.format("edfs")
+        .option("path", dest)
+        .option("hash_col", "n_regionkey")
+        .load()
+        .filter(F.col("n_regionkey") == 1)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@q(
     "nested_order_items",
     """
     SELECT l_orderkey AS orderkey,

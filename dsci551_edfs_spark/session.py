@@ -46,6 +46,7 @@ def get_spark(app_name: str = "edfs-spark", extra_conf: dict | None = None) -> S
         # EDFS partition keys are opaque strings (incl. the "NULL" sentinel);
         # don't let Hive-layout reads re-infer them into numerics
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

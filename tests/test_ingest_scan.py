@@ -122,3 +122,57 @@ def test_block_subsplit_matches_array_split(spark, dest):
         .collect()
     }
     assert ids["g__b0"] == [0, 1, 2, 3] and ids["g__b1"] == [4, 5, 6]
+
+
+def test_edfs_datasource_pushdown_prunes_partitions(spark, sf_dir):
+    """format('edfs') reads the put layout; EqualTo pushdown on the hash
+    column prunes partitions() to one directory; the sentinel partition
+    keeps non-matching null rows OUT of an equality result (partial
+    pushdown: the row filter stays in Spark's plan)."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.sources.edfs_datasource import (
+        EdfsDataSource,
+        _EdfsReader,
+        register_edfs,
+    )
+    from dsci551_edfs_spark.sources.ingest import put_dataframe
+    from pyspark.sql.datasource import EqualTo
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    scratch = "/root/repo/.scratch"
+    os.makedirs(scratch, exist_ok=True)
+    dest = tempfile.mkdtemp(prefix="eds_t_", dir=scratch)
+    base = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, None), (5, None)],
+        "id long, grp int",
+    )
+    put_dataframe(base, dest, 3, hash_col="grp")
+    register_edfs(spark)
+
+    # unit-level pruning: pushFilters + partitions
+    reader = _EdfsReader({"path": dest, "hash_col": "grp"}, ["id", "grp"])
+    # nulls sentinel-fill INTO the 0 partition → dirs are {0, 1}
+    assert len(reader.partitions()) == 2
+    list(reader.pushFilters([EqualTo(("grp",), 1)]))
+    assert len(reader.partitions()) == 1
+
+    df = (
+        spark.read.format("edfs")
+        .option("path", dest)
+        .option("hash_col", "grp")
+        .load()
+    )
+    assert df.count() == 5
+    # equality on the sentinel value must NOT surface the null rows
+    zero = df.filter(F.col("grp") == 0).select("id").collect()
+    assert sorted(r["id"] for r in zero) == [1, 2]
+    one = df.filter(F.col("grp") == 1).select("id").collect()
+    assert [r["id"] for r in one] == [3]
+    # the pruned scan runs as a single task (one InputPartition)
+    assert (
+        df.filter(F.col("grp") == 1).select("id").rdd.getNumPartitions() == 1
+    )
