@@ -176,3 +176,57 @@ def test_edfs_datasource_pushdown_prunes_partitions(spark, sf_dir):
     assert (
         df.filter(F.col("grp") == 1).select("id").rdd.getNumPartitions() == 1
     )
+
+
+def test_edfs_stream_tail_exactly_once(spark, sf_dir):
+    """readStream.format('edfs') tails the layout: the initial batch
+    delivers existing files, later batches ONLY the newly appeared ones
+    (offset = files consumed), and nothing is delivered twice."""
+    import os
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.sources.edfs_datasource import register_edfs
+    from dsci551_edfs_spark.sources.ingest import put_dataframe
+
+    scratch = "/root/repo/.scratch"
+    os.makedirs(scratch, exist_ok=True)
+    dest = tempfile.mkdtemp(prefix="eds_s_", dir=scratch)
+    base = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, grp int"
+    )
+    put_dataframe(base, dest, 3, hash_col="grp")
+    register_edfs(spark)
+
+    stream = (
+        spark.readStream.format("edfs")
+        .option("path", dest)
+        .option("hash_col", "grp")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("edfs_tail_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.table("edfs_tail_t").select("id").collect()
+        assert sorted(r["id"] for r in got1) == list(range(30))
+
+        # a late file lands in partition dir grp=1
+        time.sleep(0.05)
+        late = spark.createDataFrame([(100, 1), (101, 1)], "id long, grp int")
+        late.select("id", "grp").withColumn(
+            "index", F.lit(999).cast("long")
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(dest, "__edfs_part__=1")
+        )
+        q.processAllAvailable()
+        got2 = spark.table("edfs_tail_t").select("id").collect()
+        assert sorted(r["id"] for r in got2) == list(range(30)) + [100, 101]
+    finally:
+        q.stop()
