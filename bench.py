@@ -112,6 +112,7 @@ HEADLINE = [
     "conversion_latency_histogram",
     "nested_order_items",
     "edfs_datasource_scan",
+    "changepoint_cusum",
 ]
 
 

@@ -6667,6 +6667,59 @@ def nested_order_items(spark, sf_dir):
 
 
 @q(
+    "changepoint_cusum",
+    """
+    WITH d AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS epoch_day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS tot
+          FROM d),
+    s AS (
+      SELECT epoch_day, c, n * c - tot AS dev,
+             CAST(sum(n * c - tot) OVER (ORDER BY epoch_day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s_n
+      FROM d, t)
+    SELECT epoch_day, c, s_n,
+           CAST(CASE WHEN abs(s_n) = (SELECT max(abs(s_n)) FROM s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint
+    FROM s
+    """,
+)
+def changepoint_cusum(spark, sf_dir):
+    """CUSUM change-point detection over the daily event rate, in EXACT
+    integer arithmetic: the classic statistic S_k = Σ_{i≤k}(x_i − x̄)
+    is scaled by n (S·n = Σ n·x_i − k·T) so no division ever happens —
+    the day where |S_n| peaks is the most likely level-shift point
+    (Page 1954 / Taylor's cumulative-sum changepoint recipe). The
+    running sum goes through the two-phase `running_total` (the daily
+    frame is small today, but the same plan holds for a per-key
+    high-cardinality variant — no single-partition window); the oracle's
+    flat OVER is DuckDB-side only."""
+    from .operators.cumulative import running_total
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        (F.col("ts").cast("long") / 86400).cast("long").alias("epoch_day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    t = d.agg(
+        F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("tot")
+    )
+    dev = d.crossJoin(F.broadcast(t)).select(
+        "epoch_day", "c", (F.col("n") * F.col("c") - F.col("tot")).alias("dev")
+    )
+    s = running_total(dev, ["epoch_day"], "dev", out_col="s_n")
+    peak = s.agg(F.max(F.abs("s_n")).alias("_peak"))
+    return s.crossJoin(F.broadcast(peak)).select(
+        "epoch_day",
+        "c",
+        "s_n",
+        (F.abs("s_n") == F.col("_peak")).cast("long").alias("is_changepoint"),
+    )
+
+
+@q(
     "dow_hour_seasonality",
     """
     WITH e AS (
