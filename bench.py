@@ -113,6 +113,7 @@ HEADLINE = [
     "nested_order_items",
     "edfs_datasource_scan",
     "changepoint_cusum",
+    "supplier_concentration_hhi",
 ]
 
 

@@ -6667,6 +6667,61 @@ def nested_order_items(spark, sf_dir):
 
 
 @q(
+    "supplier_concentration_hhi",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    a AS (
+      SELECT l_partkey AS partkey,
+             CAST(sum(q) AS BIGINT) AS tot,
+             CAST(sum(q * q) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM supply GROUP BY l_partkey)
+    SELECT partkey, n_suppliers,
+           CAST(round(1e6 * sq / (CAST(tot AS DOUBLE) * tot)) AS BIGINT)
+             AS hhi_micro
+    FROM a
+    WHERE tot > 0 AND n_suppliers >= 3
+      AND CAST(round(1e6 * sq / (CAST(tot AS DOUBLE) * tot)) AS BIGINT)
+          >= 100000
+    """,
+)
+def supplier_concentration_hhi(spark, sf_dir):
+    """Supply-chain concentration risk: the Herfindahl–Hirschman index of
+    each part's SHIPPED quantity across its suppliers (derived from
+    lineitem — TESTDATA trims partsupp, same derivation as Q2/Q9), integer
+    micro (HHI = Σ shareᵢ² = Σqᵢ²/Q² — exact integer sums, ONE double
+    division). Parts at HHI ≥ 0.1 (few-source risk at this supplier breadth) are flagged. One
+    map-side-combinable groupBy over partsupp; the same two-moment
+    shape every share-concentration metric (traffic by source, revenue
+    by customer) reuses."""
+    li = _t(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"), "l_suppkey"
+    ).agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("q")
+    )
+    a = supply.groupBy("partkey").agg(
+        F.sum("q").cast("long").alias("tot"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    hhi = F.round(
+        F.lit(1e6) * F.col("sq") / (F.col("tot").cast("double") * F.col("tot"))
+    ).cast("long")
+    return (
+        a.filter((F.col("tot") > 0) & (F.col("n_suppliers") >= 3))
+        .select("partkey", "n_suppliers", hhi.alias("hhi_micro"))
+        .filter(F.col("hhi_micro") >= 100_000)
+    )
+
+
+@q(
     "changepoint_cusum",
     """
     WITH d AS (
