@@ -355,3 +355,38 @@ def test_cosine_pairs_fail_loud_beyond_envelope(spark):
     w_df = spark.createDataFrame(rows, "doc_id long, token string, w long")
     with _pt.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|Decimal"):
         DD.cosine_pairs_from_weights(w_df, threshold_milli=500).collect()
+
+
+def test_round6_numeric_ops_partitioning_invariant(spark, sf_dir):
+    """Same exactness pin for the round-6 numeric families: Gram moments
+    (int64 matmul partials), BM25 eval metrics (micro divisions of exact
+    integers), robust MAD z-scores (rank-formula medians), CUSUM
+    (integer deviations through the two-phase running sum), and the MLM
+    corruption (md5 masks + vocab-rank join) must be bit-identical at
+    3 vs 32 shuffle partitions."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    names = [
+        "embedding_gram_matrix",
+        "retrieval_eval_metrics",
+        "event_rate_anomalies_robust",
+        "changepoint_cusum",
+        "mlm_mask_targets",
+        "quantile_histogram_rollup",
+    ]
+
+    def run_all(n_parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            out = {}
+            for n in names:
+                rows = QUERIES[n](spark, sf_dir).collect()
+                out[n] = sorted(tuple(r) for r in rows)
+                DD.release_cached()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    wide, narrow = run_all(32), run_all(3)
+    for n in names:
+        assert wide[n] == narrow[n], f"{n} differs across partitionings"
