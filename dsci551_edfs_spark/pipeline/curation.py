@@ -732,7 +732,6 @@ def mlm_mask(
     index — a vocab-sized broadcast, never a corpus shuffle.
     """
     from ..functions.text import build_vocab
-    from ..plans.hints import broadcast_if_small
 
     vocab = build_vocab(df, text_col, top_n=vocab_top).select(
         F.col("token_id").alias("_rid"), F.col("token").alias("_rtok")
@@ -757,7 +756,10 @@ def mlm_mask(
         sel.alias("sel"),
         action.alias("a"),
         F.when(sel & (action == 8), ridx).alias("_rid"),
-    ).join(broadcast_if_small(vocab), "_rid", "left")
+        # vocab is vocab_top-BOUNDED (≤ a few thousand rows by contract):
+        # unconditional broadcast — the SMJ alternative shuffles the whole
+        # token table on a mostly-NULL key (only sel∧a=8 rows carry one)
+    ).join(F.broadcast(vocab), "_rid", "left")
     out_tok = (
         F.when(~F.col("sel"), F.col("tok"))
         .when(F.col("a") < 8, F.lit("[MASK]"))
