@@ -114,6 +114,7 @@ HEADLINE = [
     "edfs_datasource_scan",
     "changepoint_cusum",
     "supplier_concentration_hhi",
+    "matryoshka_recall",
 ]
 
 

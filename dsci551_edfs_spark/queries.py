@@ -6667,6 +6667,68 @@ def nested_order_items(spark, sf_dir):
 
 
 @q(
+    "matryoshka_recall",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    fulltop AS (
+      SELECT query_id, nid FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+                 / ({_NORM_SQL.format(a="e.embedding")}
+                    * {_NORM_SQL.format(a="q.embedding")}) DESC, e.vec_id)
+                 AS rk
+        FROM embeddings e, q WHERE e.vec_id <> q.vec_id)
+      WHERE rk <= 10),
+    trunctop AS (
+      SELECT query_id, nid FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_DOT_SQL.format(a="e.embedding[1:16]", b="q.embedding[1:16]")}
+                 / ({_NORM_SQL.format(a="e.embedding[1:16]")}
+                    * {_NORM_SQL.format(a="q.embedding[1:16]")}) DESC,
+                 e.vec_id) AS rk
+        FROM embeddings e, q WHERE e.vec_id <> q.vec_id)
+      WHERE rk <= 10)
+    SELECT f.query_id,
+           CAST(count(t.nid) AS BIGINT) AS n_overlap,
+           CAST(round(1e6 * count(t.nid) / 10) AS BIGINT) AS recall_micro
+    FROM fulltop f
+    LEFT JOIN trunctop t ON t.query_id = f.query_id AND t.nid = f.nid
+    GROUP BY f.query_id
+    """,
+)
+def matryoshka_recall(spark, sf_dir):
+    """Matryoshka-style truncation audit (Kusupati et al. 2022): how much
+    of the FULL-dimension exact top-10 survives when the index keys on
+    only the first 16 of 64 dims? Per query: overlap count + recall in
+    integer micro. The decision metric for prefix-truncated embedding
+    storage (4× cheaper index) — run BEFORE committing the corpus to a
+    truncated layout. Both legs are the broadcast-query brute-force scan;
+    the truncation is a pure `slice` projection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = SIM.brute_force_topk(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("nid")
+    )
+    tr = F.slice("embedding", 1, 16).alias("embedding")
+    trunc = SIM.brute_force_topk(
+        emb.select("vec_id", tr), queries.select("vec_id", tr), k=10
+    ).select("query_id", F.col("neighbor_id").alias("t_nid"))
+    joined = full.join(
+        trunc,
+        (full.query_id == trunc.query_id) & (full.nid == trunc.t_nid),
+        "left",
+    )
+    return joined.groupBy(full.query_id.alias("query_id")).agg(
+        F.count("t_nid").cast("long").alias("n_overlap"),
+        F.round(F.lit(1e6) * F.count("t_nid") / 10).cast("long").alias(
+            "recall_micro"
+        ),
+    )
+
+
+@q(
     "supplier_concentration_hhi",
     """
     WITH supply AS (
