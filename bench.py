@@ -115,6 +115,7 @@ HEADLINE = [
     "changepoint_cusum",
     "supplier_concentration_hhi",
     "matryoshka_recall",
+    "embedding_single_linkage",
 ]
 
 

@@ -6667,6 +6667,52 @@ def nested_order_items(spark, sf_dir):
 
 
 @q(
+    "embedding_single_linkage",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+            / ({_NORM_SQL.format(a="a.embedding")}
+               * {_NORM_SQL.format(a="b.embedding")}) >= 0.4
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node)
+    SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def embedding_single_linkage(spark, sf_dir):
+    """Single-linkage clustering of the embedding corpus at a cosine
+    threshold: exact pairs (the O(N²) small-corpus baseline from
+    `dedup.embedding_dup_pairs`; the RP-LSH variant swaps in for the
+    100 TB path with identical downstream CC) chained through HashMin
+    connected components — every vector labeled with its component's min
+    id, singletons labeling themselves. The DENSITY-agnostic clustering
+    that catches chained semantic families a fixed-k method splits; the
+    recursive-CTE oracle verifies the TRANSITIVE closure, not just
+    pairwise hits."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_dup_pairs(emb, threshold=0.4, use_lsh=False).select(
+        "id_a", "id_b"
+    )
+    labels = DD.connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce("label", F.col("vec_id")).cast("long").alias("cluster_id"),
+        )
+    )
+
+
+@q(
     "matryoshka_recall",
     f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
