@@ -50,12 +50,20 @@ def dedup_ingest_stream(
     threshold: float = 0.8,
     max_files: int = 1,
     timeout_sec: int = 300,
+    stream_df: DataFrame | None = None,
 ) -> DataFrame:
     """Replay the parquet document feed at ``feed_dir`` through the
     near-dup gate against ``seed_corpus`` and return the FINAL corpus
     (seed + all surviving feed docs). Blocks until the availableNow
-    stream drains; raises on timeout."""
-    schema = spark.read.parquet(feed_dir).schema
+    stream drains; raises on timeout.
+
+    ``stream_df`` swaps in any other streaming source for the feed —
+    e.g. ``spark.readStream.format("edfs")`` over a put layout
+    (sources/edfs_datasource.py), which is how a crawl landing in EDFS
+    flows straight into the gate; ``feed_dir``/``max_files`` are ignored
+    then."""
+    if stream_df is None:
+        schema = spark.read.parquet(feed_dir).schema
     state = {"v": 0}
 
     def vdir(n: int) -> str:
@@ -78,9 +86,13 @@ def dedup_ingest_stream(
         release_cached()  # the per-batch banded/shingle pins
         state["v"] += 1
 
+    feed = (
+        stream_df
+        if stream_df is not None
+        else stream_from_parquet(spark, feed_dir, schema, max_files=max_files)
+    )
     sq = (
-        stream_from_parquet(spark, feed_dir, schema, max_files=max_files)
-        .writeStream.foreachBatch(apply_batch)
+        feed.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
         .trigger(availableNow=True)
         .start()

@@ -150,3 +150,28 @@ def test_gram_partials_merge_equals_direct(spark):
     direct = {(r["i"], r["j"]): r["sxy_q"] for r in gram_matrix(df).collect()}
     got = {(r["i"], r["j"]): r["sxy_q"] for r in merged.collect()}
     assert got == direct
+
+
+def test_gram_matrix_empty_frame_raises(spark):
+    from dsci551_edfs_spark.pipeline.pca import gram_matrix
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        gram_matrix(empty)
+
+
+def test_quantile_hist_rejects_nonpositive_silently_documented(spark):
+    """Log bins require v > 0: zero/negative values produce NULL bins
+    (one NULL-bin group), never a crash — callers filter or treat the
+    NULL bin as the out-of-domain bucket."""
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.operators.sketches import quantile_hist_partials
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 0.0), ("g", -3.0)], "grp string, v double"
+    )
+    rows = quantile_hist_partials(df, "grp", "v").collect()
+    bins = {r["bin"]: r["cnt"] for r in rows}
+    assert bins.get(None) == 2          # 0 and -3 land in the NULL bin
+    assert sum(v for k, v in bins.items() if k is not None) == 1

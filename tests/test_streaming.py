@@ -896,3 +896,75 @@ def test_tws_stale_timer_does_not_split_session(spark):
     assert len(res) == 1
     assert list(res[0].itertuples(index=False, name=None)) == [(7, 1000, 1050, 2)]
     assert not h.states["open_session"].exists()
+
+
+def test_dedup_ingest_from_edfs_stream_source(spark, sf_dir):
+    """End-to-end crawl shape: shards LAND IN AN EDFS LAYOUT, the
+    format('edfs') streaming source tails them, and the near-dup gate
+    filters each micro-batch against the accumulating corpus — the two
+    round-6 capabilities composed. Same dup/survivor semantics as the
+    parquet-feed test."""
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.pipeline import dedup as DD
+    from dsci551_edfs_spark.sources.edfs_datasource import register_edfs
+    from dsci551_edfs_spark.sources.ingest import put_dataframe
+    from dsci551_edfs_spark.streaming.ingest_dedup import dedup_ingest_stream
+
+    seed = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    base_text = {r["doc_id"]: r["text"] for r in seed.limit(1).collect()}
+    seed_id = next(iter(base_text))
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    layout = tempfile.mkdtemp(dir=SCRATCH)
+    base = tempfile.mkdtemp(dir=SCRATCH)
+
+    b1 = [
+        (9_100_001, "novel essay about stream sources " * 8),
+        (9_100_002, base_text[seed_id] + " appended"),  # dup of seed
+    ]
+    b2 = [
+        (9_100_003, "novel essay about stream sources " * 8 + " tail"),
+        (9_100_004, "fresh second shard body " * 8),
+    ]
+    # shard 1 creates the layout; shard 2 lands later (append, later mtime)
+    put_dataframe(
+        spark.createDataFrame(b1, "doc_id long, text string"), layout, 1
+    )
+    time.sleep(1.1)
+    # append into the existing range partition dir like a later crawl drop
+    import glob
+
+    pdir = glob.glob(os.path.join(layout, "__edfs_part__=*"))[0]
+    spark.createDataFrame(b2, "doc_id long, text string").withColumn(
+        "index", F.lit(999).cast("long")
+    ).select("doc_id", "text", "index").coalesce(1).write.mode(
+        "append"
+    ).parquet(pdir)
+
+    register_edfs(spark)
+    feed = (
+        spark.readStream.format("edfs")
+        .option("path", layout)
+        .load()
+        .select("doc_id", "text")
+    )
+    final = dedup_ingest_stream(
+        spark, seed, feed_dir="", base_dir=base, threshold=0.5, stream_df=feed
+    )
+    got = {r["doc_id"] for r in final.collect()}
+
+    ref = seed
+    for rows in [b1, b2]:
+        shard = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = ref.unionByName(
+            DD.incremental_minhash_dedup(shard, ref, threshold=0.5)
+        )
+    want = {r["doc_id"] for r in ref.collect()}
+    assert got == want
+    assert 9_100_001 in got and 9_100_004 in got
+    assert 9_100_002 not in got
+    assert 9_100_003 not in got
