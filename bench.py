@@ -116,6 +116,7 @@ HEADLINE = [
     "supplier_concentration_hhi",
     "matryoshka_recall",
     "embedding_single_linkage",
+    "budget_select_corpus",
 ]
 
 

@@ -6667,6 +6667,68 @@ def nested_order_items(spark, sf_dir):
 
 
 @q(
+    "budget_select_corpus",
+    rf"""
+    WITH s AS (
+      SELECT doc_id,
+             {_NTOK_SQL} AS n_tokens,
+             round(least({_NTOK_SQL} / 100.0, 1.0)
+                   * (1 - round(len(regexp_extract_all(text, '[^\w\s]'))
+                                / greatest(length(text), 1), 3))
+                   * (1 - round(len(regexp_extract_all(text, '[0-9]'))
+                                / greatest(length(text), 1), 3)), 4)
+               AS quality_score
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, quality_score,
+             CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM s)
+    SELECT doc_id, n_tokens, quality_score, cum_tokens
+    FROM c WHERE cum_tokens <= 15000
+    """,
+)
+def budget_select_corpus(spark, sf_dir):
+    """Data selection under a token budget: rank the corpus by quality
+    score (the same monotone formula as `quality_filter`, computed for
+    EVERY doc), take documents greedily until the cumulative token count
+    reaches the budget — the "best 15k tokens" selection a
+    compute-constrained training run makes. The global cumulative sum is
+    the two-phase `running_total` over the (score desc, doc_id) range
+    partitioning — no single-partition window (the oracle's flat OVER is
+    DuckDB-side only); everything before it is a single-scan projection."""
+    from .operators.cumulative import running_total
+
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = TXT.token_count(F.col("text")).cast("long")
+    n_chars = F.length("text")
+    punct = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0)))
+        / F.greatest(n_chars, F.lit(1)),
+        3,
+    )
+    digit = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]"), F.lit(0)))
+        / F.greatest(n_chars, F.lit(1)),
+        3,
+    )
+    score = F.round(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * (1 - punct) * (1 - digit), 4
+    )
+    s = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        score.alias("quality_score"),
+        (-score).alias("_neg"),
+    )
+    c = running_total(s, ["_neg", "doc_id"], "n_tokens", out_col="cum_tokens")
+    return c.filter(F.col("cum_tokens") <= 15000).select(
+        "doc_id", "n_tokens", "quality_score", "cum_tokens"
+    )
+
+
+@q(
     "embedding_single_linkage",
     f"""
     WITH RECURSIVE pairs AS (
