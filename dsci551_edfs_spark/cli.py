@@ -162,6 +162,30 @@ class EdfsShell:
                 return self._agg("min", args)
             if cmd in AGG.HARDCODED_AVG_COLUMNS:
                 return self._agg("avg", args, bound_col=AGG.HARDCODED_AVG_COLUMNS[cmd])
+            if cmd == "query":
+                # engine extension beyond the Terminal.js grammar: run any
+                # registered catalog query against a testdata sf dir —
+                # `query <name> [sf_dir] [limit]` (bounded emit like cat)
+                from .queries import QUERIES
+
+                if not args:
+                    return self._err("usage: query <name> [sf_dir] [limit]")
+                name = args[0]
+                if name not in QUERIES:
+                    return self._err(f"unknown query: {name}")
+                sf_dir = args[1] if len(args) >= 2 else "/root/testdata/sf0.001"
+                limit = int(args[2]) if len(args) >= 3 else 20
+                df = QUERIES[name](self.spark, sf_dir).limit(limit)
+                return self._ok(self._emit_csv(df))
+            if cmd == "queries":
+                from .queries import ORACLES, QUERIES
+
+                return self._ok(
+                    "\n".join(
+                        f"{n}{'' if n in ORACLES else '  (rows-only)'}"
+                        for n in sorted(QUERIES)
+                    )
+                )
             return self._err(f"unknown command: {cmd}")
         except (
             FileNotFoundError,

@@ -154,3 +154,17 @@ def test_cat_emit_is_streamed_and_capped(shell, nation_csv, monkeypatch):
     part = shell.execute("readPartition /cap/nation.csv 1")
     assert part["status"] == "EDFS200"
     shell.execute("rm /cap/nation.csv")
+
+
+def test_cli_query_dispatch(shell):
+    """`query <name>` runs any registered catalog query (bounded emit);
+    `queries` lists the registry with rows-only markers."""
+    out = shell.execute("query pmr_avg /root/testdata/sf0.001")
+    assert out["status"] == "EDFS200"
+    assert "avg_qty" in out["response"]
+    listing = shell.execute("queries")
+    assert listing["status"] == "EDFS200"
+    assert "pmr_avg" in listing["response"]
+    assert "ann_ivf_topk  (rows-only)" in listing["response"]
+    bad = shell.execute("query no_such_thing")
+    assert bad["status"] != "EDFS200"
