@@ -117,6 +117,8 @@ HEADLINE = [
     "matryoshka_recall",
     "embedding_single_linkage",
     "budget_select_corpus",
+    "video_shot_boundaries",
+    "audio_band_energies",
 ]
 
 

@@ -47,7 +47,7 @@ import hashlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -454,3 +454,84 @@ def chunk_audio(
         F.octet_length(chunk).cast("long").alias("chunk_bytes"),
         F.md5(F.hex(chunk)).alias("chunk_sig"),
     )
+
+
+def shot_boundaries(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Most likely shot boundary per video: every frame is fingerprinted
+    (the `frame_sample` slicing), consecutive fingerprints are compared
+    in a 16-bit signature space (md5-prefix → int, the house hex-nibble
+    trick both engines can state), and the frame with the LARGEST
+    signature jump is returned as the cut —
+    ``(doc_id, cut_frame_idx, delta)``.
+
+    On the FAKE container this is a deterministic signature-space change
+    detector (exactly restatable by the oracle); with a real codec the
+    same plan consumes perceptual hashes (`media_phash`) instead of
+    md5 prefixes — the lag/argmax shape is identical. All windows are
+    video-keyed; frames never cross a shuffle before the per-doc argmax.
+    """
+    frames = frame_sample(df, every=1, media_col=media_col, id_col=id_col)
+    val = F.conv(F.substring("frame_sig", 1, 4), 16, 10).cast("long")
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    deltas = frames.select(
+        F.col(id_col),
+        F.col("frame_idx"),
+        F.abs(val - F.lag(val).over(w)).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    pick = Window.partitionBy(id_col).orderBy(
+        F.col("delta").desc(), F.col("frame_idx")
+    )
+    return (
+        deltas.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            id_col,
+            F.col("frame_idx").cast("long").alias("cut_frame_idx"),
+            F.col("delta").cast("long").alias("delta"),
+        )
+    )
+
+
+def audio_band_energies(
+    df: DataFrame,
+    n_bands: int = 4,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Spectral band energies per audio payload: bytes → int8 PCM samples
+    → rFFT → |X|² summed into ``n_bands`` equal frequency bands, emitted
+    as ``(id, band, energy_milli)`` (round(1e3·log1p(energy)) — the
+    log-energy feature a speech-quality or music/speech classifier
+    consumes).
+
+    Arrow `mapInPandas`, one numpy rfft per payload, media bytes never
+    leave their partition. numpy's FFT is deterministic for a given
+    input, but not ANSI-SQL — registered rows-only with a pytest
+    numpy-parity contract (the same tier as the phash family)."""
+    import numpy as np
+
+    payload = F.expr(f"substring({media_col}, {HEADER_LEN} + 1, octet_length({media_col}))")
+    auds = df.filter(F.col("media_meta.kind") == "aud").select(
+        F.col(id_col).alias("_id"), payload.alias("_p")
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, vals = [], [], []
+            for _id, buf in zip(pdf["_id"], pdf["_p"]):
+                x = np.frombuffer(bytes(buf), dtype=np.int8).astype(np.float64)
+                if len(x) == 0:
+                    continue
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                chunks = np.array_split(spec, n_bands)
+                for b, ch in enumerate(chunks):
+                    ids.append(_id)
+                    bands.append(b)
+                    vals.append(int(round(1e3 * np.log1p(ch.sum()))))
+            yield pd.DataFrame({"doc_id": ids, "band": bands, "energy_milli": vals})
+
+    return auds.mapInPandas(feats, f"{id_col} long, band int, energy_milli long")

@@ -6667,6 +6667,72 @@ def nested_order_items(spark, sf_dir):
 
 
 @q(
+    "video_shot_boundaries",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             2 + doc_id % 7 AS n_frames,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS plen
+      FROM documents WHERE doc_id % 3 = 2
+    ), fr AS (
+      SELECT doc_id, hx,
+             CAST(plen // n_frames AS BIGINT) AS flen,
+             unnest(range(0, n_frames, 1)) AS frame_idx
+      FROM m
+    ), sig AS (
+      SELECT doc_id, frame_idx,
+             ((strpos('0123456789abcdef', substring(
+                 md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)),
+                 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substring(
+                 md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)),
+                 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substring(
+                 md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)),
+                 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substring(
+                 md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)),
+                 4, 1)) - 1)) AS v
+      FROM fr
+    ), d AS (
+      SELECT doc_id, frame_idx,
+             abs(v - lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+               AS delta
+      FROM sig
+    ), r AS (
+      SELECT doc_id, frame_idx, delta,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY delta DESC, frame_idx) AS rk
+      FROM d WHERE delta IS NOT NULL)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS cut_frame_idx,
+           CAST(delta AS BIGINT) AS delta
+    FROM r WHERE rk = 1
+    """,
+)
+def video_shot_boundaries(spark, sf_dir):
+    """Shot-boundary detection (pipeline/multimodal.py:shot_boundaries):
+    per video, the frame whose fingerprint jumps hardest from its
+    predecessor (16-bit md5-prefix signature space — oracle-restatable;
+    a real codec swaps perceptual hashes into the same lag/argmax plan).
+    Video-keyed windows only; frames never cross a shuffle before the
+    per-doc argmax."""
+    return MM.shot_boundaries(MM.attach_media(_t(spark, sf_dir, "documents")))
+
+
+@q("audio_band_energies")  # rows-only: FFT has no ANSI-SQL twin
+def audio_band_energies(spark, sf_dir):
+    """Spectral band energies per audio payload (pipeline/multimodal.py):
+    int8 PCM view → numpy rFFT per payload inside Arrow mapInPandas →
+    4 log-band energies in integer milli-nats. The speech/music feature
+    tier of the multimodal stack; numpy-parity contract in
+    tests/test_multimodal.py."""
+    return MM.audio_band_energies(
+        MM.attach_media(_t(spark, sf_dir, "documents"))
+    ).orderBy("doc_id", "band")
+
+
+@q(
     "budget_select_corpus",
     rf"""
     WITH s AS (

@@ -208,3 +208,66 @@ def test_real_image_codec_through_hook(spark):
             img = Image.open(BytesIO(png_bytes(w, h, s)))
             assert img.size == (w, h)
             assert set(img.getdata()) == {s}
+
+
+def test_audio_band_energies_match_numpy(spark, sf_dir):
+    """The distributed FFT features equal a direct numpy computation on
+    the collected payloads (same int8 view, same rfft, same banding)."""
+    import numpy as np
+
+    from dsci551_edfs_spark.pipeline import multimodal as MM
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_media(docs)
+    got = {
+        (r["doc_id"], r["band"]): r["energy_milli"]
+        for r in MM.audio_band_energies(media).collect()
+    }
+    rows = media.filter("media_meta.kind = 'aud'").select(
+        "doc_id", "media"
+    ).collect()
+    assert rows, "fixture must contain audio docs"
+    n_checked = 0
+    for r in rows:
+        payload = bytes(r["media"])[36:]  # fixed fake-container header
+        x = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+        if len(x) == 0:
+            continue
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        for b, ch in enumerate(np.array_split(spec, 4)):
+            expect = int(round(1e3 * np.log1p(ch.sum())))
+            assert got[(r["doc_id"], b)] == expect
+            n_checked += 1
+    assert n_checked > 0
+
+
+def test_shot_boundary_is_argmax_delta(spark, sf_dir):
+    """The reported cut frame is the true per-video argmax of the
+    signature deltas (earliest frame on ties)."""
+    from dsci551_edfs_spark.pipeline import multimodal as MM
+    from dsci551_edfs_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    media = MM.attach_media(load_table(spark, sf_dir, "documents"))
+    frames = MM.frame_sample(media, every=1)
+    sig = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.conv(F.substring("frame_sig", 1, 4), 16, 10).cast("long").alias("v"),
+    ).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["v"]))
+    cuts = {
+        r["doc_id"]: (r["cut_frame_idx"], r["delta"])
+        for r in MM.shot_boundaries(media).collect()
+    }
+    for did, fr in by_doc.items():
+        fr.sort()
+        deltas = [
+            (abs(v - pv), idx)
+            for (pidx, pv), (idx, v) in zip(fr, fr[1:])
+        ]
+        best = max(deltas, key=lambda t: (t[0], -t[1]))
+        assert cuts[did] == (best[1], best[0])
