@@ -119,6 +119,7 @@ HEADLINE = [
     "budget_select_corpus",
     "video_shot_boundaries",
     "audio_band_energies",
+    "copurchase_bfs_hops",
 ]
 
 

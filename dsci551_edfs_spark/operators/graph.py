@@ -30,6 +30,7 @@ __all__ = [
     "triangle_count",
     "clustering_coefficient",
     "label_propagation",
+    "bfs_hops",
     "SCALE",
 ]
 
@@ -280,3 +281,73 @@ def label_propagation(
         if (it + 1) % 5 == 0 and (it + 1) < iterations:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Unweighted shortest-path hops from ``source`` over an undirected
+    edge list: ``(node, hops)`` for every REACHABLE node (unreachable
+    nodes are absent — the caller left-joins if it wants nulls).
+
+    BSP frontier relaxation, the single-source little sibling of
+    `connected_components`: each round propagates ``min(dist)+1`` to
+    neighbors; distances only decrease, so an unchanged ``sum(dist)`` is
+    the fixpoint (one scalar agg per round). Rounds = source
+    eccentricity; `localCheckpoint` pins edges once and cuts the label
+    lineage per round. Integer-exact → a bounded recursive-CTE oracle
+    states the same hop counts.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+    dist = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.when(F.col("node") == source, F.lit(0))
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    def state(d):
+        # (reached, Σhops): reached grows monotonically, hops only
+        # decrease — the pair is unchanged IFF the relaxation is a
+        # fixpoint. One scalar-agg job per round.
+        r = d.agg(
+            F.count("hops").alias("n"), F.sum("hops").alias("s")
+        ).first()
+        return (r["n"], r["s"])
+
+    prev = state(dist)
+    for _ in range(max_iter):
+        relax = (
+            sym.join(dist, sym.dst == dist.node)
+            .filter(F.col("hops").isNotNull())
+            .groupBy("src")
+            .agg((F.min("hops") + 1).alias("nhops"))
+        )
+        dist = (
+            dist.join(relax, dist.node == relax.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("hops", "nhops"), F.coalesce("nhops", "hops")
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = state(dist)
+        if cur == prev:
+            break
+        prev = cur
+    return dist.filter(F.col("hops").isNotNull()).select("node", "hops")

