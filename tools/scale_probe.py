@@ -451,6 +451,34 @@ def main() -> None:
                 ).alias("p_name")
             )
         ),
+        # round-6 session 2: BFS frontier relaxation with the hot-basket
+        # clique growing as (128·K)² edges — rounds stay at the (tiny)
+        # eccentricity, so runtime must track the EDGE count, never
+        # rounds × corpus
+        "bfs_hops_hot_clique": lambda k: (
+            lambda edges: __import__(
+                "dsci551_edfs_spark.operators.graph", fromlist=["bfs_hops"]
+            ).bfs_hops(
+                edges,
+                edges.agg(F.min("pa")).first()[0],
+                a_col="pa",
+                b_col="pb",
+            )
+        )(
+            (lambda basket: basket.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, (x, i) -> transform("
+                        "slice(ps, i + 2, size(ps) - i - 1), "
+                        "y -> struct(x AS pa, y AS pb))))"
+                    )
+                ).alias("e")
+            ).select("e.pa", "e.pb").distinct())(
+                inflate_items_hot_basket(li, k, hot_parts=128)
+                .groupBy("l_orderkey")
+                .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+            )
+        ),
         # round-6 session 2: star components on a DEEP path (diameter
         # 4096·k): rounds grow O(log d) ⇒ runtime ~log(k) on top of the
         # linear edge pass — the shape HashMin would turn into 4096·k
