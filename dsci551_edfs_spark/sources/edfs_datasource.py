@@ -43,7 +43,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-from .ingest import PARTITION_COL
+from .ingest import BLOCK_SUBSPLIT_SEP, PARTITION_COL
 
 __all__ = ["EdfsDataSource", "register_edfs"]
 
@@ -94,7 +94,9 @@ class _EdfsReader(DataSourceReader):
                 d
                 for d in dirs
                 # exact hash-value dir, or its block-subsplit children
-                if _dir_value(d) == want or _dir_value(d).startswith(want + "_b")
+                # (named f"{value}{BLOCK_SUBSPLIT_SEP}{k}" by ingest)
+                if _dir_value(d) == want
+                or _dir_value(d).startswith(want + BLOCK_SUBSPLIT_SEP)
             ]
         return [_EdfsPartition(os.path.join(self.path, d)) for d in dirs]
 

@@ -43,6 +43,11 @@ from pyspark.sql import types as T
 PARTITION_COL = "__edfs_part__"
 INDEX_COL = "index"
 NULL_STRING_SENTINEL = "NULL"
+# Separator prepended to the block number when a hash group is subsplit
+# into size-capped blocks (`_block_subsplit`): value "7" → dirs "7__b0",
+# "7__b1", ... Shared with the DataSource's pushdown pruning so the two
+# sides can never drift.
+BLOCK_SUBSPLIT_SEP = "__b"
 
 __all__ = ["put", "put_dataframe", "PARTITION_COL", "INDEX_COL"]
 
@@ -108,7 +113,7 @@ def _block_subsplit(out: DataFrame, max_rows_per_block: int) -> DataFrame:
     )
     return out.withColumn(
         PARTITION_COL,
-        F.concat(F.col(PARTITION_COL), F.lit("__b"), block.cast("string")),
+        F.concat(F.col(PARTITION_COL), F.lit(BLOCK_SUBSPLIT_SEP), block.cast("string")),
     )
 
 

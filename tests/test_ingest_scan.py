@@ -178,6 +178,57 @@ def test_edfs_datasource_pushdown_prunes_partitions(spark, sf_dir):
     )
 
 
+def test_edfs_datasource_pushdown_block_subsplit(spark, sf_dir):
+    """Regression (round-7 ADVICE): on a max_rows_per_block layout the
+    partition dirs are '<value>__b<k>' (BLOCK_SUBSPLIT_SEP), and an
+    EqualTo-pushed scan must keep ALL of a value's block dirs — the old
+    '_b' prefix match pruned every block away and returned zero rows."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.sources.edfs_datasource import (
+        _EdfsReader,
+        register_edfs,
+    )
+    from dsci551_edfs_spark.sources.ingest import put_dataframe
+    from pyspark.sql.datasource import EqualTo
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    scratch = "/root/repo/.scratch"
+    os.makedirs(scratch, exist_ok=True)
+    dest = tempfile.mkdtemp(prefix="eds_b_", dir=scratch)
+    rows = [(i, 7) for i in range(10)] + [(100 + i, 70) for i in range(3)]
+    base = spark.createDataFrame(rows, "id long, grp int")
+    # grp=7 → 3 blocks (7__b0..2), grp=70 → 1 block (70__b0)
+    put_dataframe(base, dest, 2, hash_col="grp", max_rows_per_block=4)
+    register_edfs(spark)
+
+    reader = _EdfsReader({"path": dest, "hash_col": "grp"}, ["id", "grp"])
+    assert len(reader.partitions()) == 4
+    list(reader.pushFilters([EqualTo(("grp",), 7)]))
+    # all three of 7's block dirs survive; 70__b0 must NOT (no '70'
+    # false-prefix match against '7')
+    kept = sorted(os.path.basename(p.dir_path) for p in reader.partitions())
+    assert kept == [
+        "__edfs_part__=7__b0",
+        "__edfs_part__=7__b1",
+        "__edfs_part__=7__b2",
+    ]
+
+    df = (
+        spark.read.format("edfs")
+        .option("path", dest)
+        .option("hash_col", "grp")
+        .load()
+    )
+    seven = df.filter(F.col("grp") == 7).select("id").collect()
+    assert sorted(r["id"] for r in seven) == list(range(10))
+    seventy = df.filter(F.col("grp") == 70).select("id").collect()
+    assert sorted(r["id"] for r in seventy) == [100, 101, 102]
+
+
 def test_edfs_stream_tail_exactly_once(spark, sf_dir):
     """readStream.format('edfs') tails the layout: the initial batch
     delivers existing files, later batches ONLY the newly appeared ones
