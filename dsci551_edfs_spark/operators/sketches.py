@@ -73,31 +73,48 @@ def frequent_items(
     )
 
 
+def _cms_bucket(width: int, hash_fn: str):
+    """Bucket expression for (v, row): `xxhash64` (default — one JVM
+    codegen hash, the fast path) or `md5` — the first 16 bits of
+    md5("{row}:{v}") mod width. md5 exists verbatim in DuckDB, so an
+    md5-hashed sketch has a FULL SQL twin (and 65536 % width == 0 for
+    power-of-two widths keeps the bucket distribution exactly uniform)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64("v", "row"), F.lit(width))
+    if hash_fn == "md5":
+        h = F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("v")))
+        return F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(width))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def count_min_build(
-    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Build a count-min sketch as a (row, bucket, cnt) table: each item
-    increments one bucket per hash row (xxhash64 with the row index as an
-    extra hashed column = `depth` independent hash functions).
+    increments one bucket per hash row (the row index folded into the
+    hash = `depth` independent hash functions).
 
     The build IS a groupBy on at most depth×width keys — map-side
     combinable, so a 100 TB stream shuffles O(sketch), not O(items); the
     materialized sketch is a few thousand rows whatever the corpus size.
 
-    The (depth, width) geometry is stamped onto every sketch row so that
-    `count_min_estimate` can recover it from the table itself instead of
-    trusting the caller to repeat the same parameters."""
+    The (depth, width, hashfn) geometry is stamped onto every sketch row
+    so that `count_min_estimate` can recover it from the table itself
+    instead of trusting the caller to repeat the same parameters."""
     ex = df.select(
         F.col(col).alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
     )
     return (
-        ex.groupBy(
-            "row", F.pmod(F.xxhash64("v", "row"), F.lit(width)).alias("bucket")
-        )
+        ex.groupBy("row", _cms_bucket(width, hash_fn).alias("bucket"))
         .agg(F.count("*").cast("long").alias("cnt"))
         .withColumn("depth", F.lit(int(depth)))
         .withColumn("width", F.lit(int(width)))
+        .withColumn("hashfn", F.lit(hash_fn))
     )
 
 
@@ -110,12 +127,22 @@ def count_min_estimate(
     bucket is empty). Guarantees est >= true count; overestimate bounded
     by collisions (~N/width per row) — pinned in tests.
 
-    The hash geometry is read from the sketch's own (depth, width)
-    metadata columns; explicit depth/width arguments are accepted only as
-    a cross-check and raise on mismatch (a silently wrong width would
-    hash probes into the wrong buckets and break the est>=true bound)."""
+    The hash geometry is read from the sketch's own (depth, width,
+    hashfn) metadata columns; explicit depth/width arguments are accepted
+    only as a cross-check and raise on mismatch (a silently wrong width
+    would hash probes into the wrong buckets and break the est>=true
+    bound)."""
+    hash_fn = "xxhash64"
     if "depth" in cms.columns and "width" in cms.columns:
-        meta = cms.select("depth", "width").first()
+        meta = cms.select(
+            "depth",
+            "width",
+            (
+                F.col("hashfn")
+                if "hashfn" in cms.columns
+                else F.lit("xxhash64").alias("hashfn")
+            ),
+        ).first()
         if meta is not None:
             if depth is not None and depth != meta["depth"]:
                 raise ValueError(
@@ -125,8 +152,8 @@ def count_min_estimate(
                 raise ValueError(
                     f"width={width} does not match sketch width={meta['width']}"
                 )
-            depth, width = meta["depth"], meta["width"]
-        cms = cms.drop("depth", "width")
+            depth, width, hash_fn = meta["depth"], meta["width"], meta["hashfn"]
+        cms = cms.drop("depth", "width", "hashfn")
     if depth is None or width is None:
         raise ValueError(
             "cms table carries no depth/width metadata; pass both explicitly"
@@ -134,7 +161,7 @@ def count_min_estimate(
     ex = items.select(
         F.col(col).alias("v"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
-    ).withColumn("bucket", F.pmod(F.xxhash64("v", "row"), F.lit(width)))
+    ).withColumn("bucket", _cms_bucket(width, hash_fn))
     return (
         ex.join(F.broadcast(cms), ["row", "bucket"], "left")
         .groupBy(F.col("v").alias(col))

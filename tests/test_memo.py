@@ -1,0 +1,87 @@
+"""Per-corpus memo store (dsci551_edfs_spark/memo.py): deterministic
+paths, build-once/reload-forever, corpus-version invalidation, and the
+cross-SparkSession survival that DataFrame-valued caches lacked."""
+
+import os
+
+import pytest
+
+from dsci551_edfs_spark import memo as MEMO
+
+
+@pytest.fixture()
+def scratch(tmp_path, monkeypatch):
+    monkeypatch.setattr(MEMO, "SCRATCH", str(tmp_path))
+    MEMO.BUILD_SECONDS.clear()
+    return str(tmp_path)
+
+
+def test_memo_path_deterministic_and_version_sensitive(scratch, sf_dir):
+    p1 = MEMO.memo_path("t", sf_dir, ["region"])
+    assert p1 == MEMO.memo_path("t", sf_dir, ["region"])
+    assert p1 != MEMO.memo_path("t", sf_dir, ["region"], version=2)
+    assert p1 != MEMO.memo_path("t", sf_dir, ["nation"])
+    assert p1.startswith(os.path.join(scratch, "memo"))
+
+
+def test_fingerprint_tracks_source_mtime(scratch, sf_dir, tmp_path):
+    # a copied corpus dir with touched mtimes fingerprints differently
+    import shutil
+
+    alt = tmp_path / "alt_sf"
+    alt.mkdir()
+    src = os.path.join(sf_dir, "region.parquet")
+    dst = str(alt / "region.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    os.utime(dst, (1, 1))
+    assert MEMO.corpus_fingerprint(sf_dir, ["region"]) != MEMO.corpus_fingerprint(
+        str(alt), ["region"]
+    )
+
+
+def test_dataframe_memo_builds_once_then_reloads(scratch, spark, sf_dir):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).withColumnRenamed("id", "node")
+
+    df1 = MEMO.dataframe_memo(spark, "five", sf_dir, ["region"], build)
+    assert MEMO.BUILD_SECONDS["five"] > 0
+    df2 = MEMO.dataframe_memo(spark, "five", sf_dir, ["region"], build)
+    assert calls == [1]  # second call served from disk
+    assert sorted(r["node"] for r in df2.collect()) == [0, 1, 2, 3, 4]
+    assert df1.schema == df2.schema
+
+
+def test_dataframe_memo_served_across_build_failure_cleanup(
+    scratch, spark, sf_dir
+):
+    # a failed build leaves no ready memo; the next build succeeds
+    def bad():
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        MEMO.dataframe_memo(spark, "flaky", sf_dir, ["region"], bad)
+    assert not MEMO.is_ready(MEMO.memo_path("flaky", sf_dir, ["region"]))
+    out = MEMO.dataframe_memo(
+        spark, "flaky", sf_dir, ["region"], lambda: spark.range(2)
+    )
+    assert out.count() == 2
+
+
+def test_layout_memo_markers_gate_readiness(scratch, spark, sf_dir):
+    def build(tmp):
+        spark.range(3).write.parquet(os.path.join(tmp, "a"))
+        spark.range(4).write.parquet(os.path.join(tmp, "b"))
+
+    path = MEMO.layout_memo(
+        "lay", sf_dir, ["region"], build, markers=("a/_SUCCESS", "b/_SUCCESS")
+    )
+    assert MEMO.BUILD_SECONDS["lay"] > 0
+    assert spark.read.parquet(os.path.join(path, "b")).count() == 4
+    MEMO.BUILD_SECONDS.clear()
+    path2 = MEMO.layout_memo(
+        "lay", sf_dir, ["region"], build, markers=("a/_SUCCESS", "b/_SUCCESS")
+    )
+    assert path2 == path and MEMO.BUILD_SECONDS["lay"] == 0.0

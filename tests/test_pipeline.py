@@ -98,6 +98,56 @@ def test_embedding_dup_pairs_lsh_agrees(spark, sf_dir):
         assert len(lsh & exact) / len(exact) >= 0.5
 
 
+def test_single_linkage_lsh_refines_exact(spark, sf_dir):
+    """The 0.4-threshold agreement contract behind the
+    embedding_single_linkage_lsh query: LSH edges are a subset of exact
+    edges (same verifier), so LSH components must REFINE the exact
+    partition — any two nodes the LSH path co-clusters are co-clustered
+    by the exact path — and co-cluster recall stays above the 16-table
+    amplification bound (per-pair P ≈ 1-(1-0.631⁴)¹⁶ ≈ 0.94, and
+    transitivity within components only helps)."""
+    from collections import defaultdict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_lab = {
+        r["node"]: r["label"]
+        for r in DD.connected_components(
+            DD.embedding_dup_pairs(emb, threshold=0.4, use_lsh=False).select(
+                "id_a", "id_b"
+            )
+        ).collect()
+    }
+    lsh_lab = {
+        r["node"]: r["label"]
+        for r in DD.connected_components(
+            DD.embedding_dup_pairs(
+                emb, threshold=0.4, use_lsh=True, n_planes=4, n_tables=16
+            ).select("id_a", "id_b")
+        ).collect()
+    }
+    groups = defaultdict(list)
+    for node, lab in lsh_lab.items():
+        groups[lab].append(node)
+    for members in groups.values():
+        assert len({exact_lab.get(m, m) for m in members}) == 1
+
+    def co_pairs(lab):
+        g = defaultdict(list)
+        for node, l in lab.items():
+            g[l].append(node)
+        return {
+            (a, b)
+            for mem in g.values()
+            for a in mem
+            for b in mem
+            if a < b
+        }
+
+    exact_pairs, lsh_pairs = co_pairs(exact_lab), co_pairs(lsh_lab)
+    if exact_pairs:
+        assert len(lsh_pairs & exact_pairs) / len(exact_pairs) >= 0.6
+
+
 def test_planted_twins_recovered_exactly(spark, sf_dir):
     """The self-certifying recall contract behind the
     embedding_dup_pairs_lsh query: on the twin-inflated corpus the
