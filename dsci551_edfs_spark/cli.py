@@ -123,7 +123,12 @@ class EdfsShell:
             return self._err(str(e))
         if not parts:
             return self._ok("")
-        cmd, args = parts[0], parts[1:]
+        return self.run(parts[0], parts[1:])
+
+    def run(self, cmd: str, args: list[str]) -> dict:
+        """Dispatch one already-tokenized command — the single entry point
+        shared by the REPL grammar (`execute`) and the HTTP facade
+        (http_api.py), so both surfaces serve identical envelopes."""
         try:
             if cmd == "mkdir":
                 return self._ok(self.catalog.mkdir(args[0]))

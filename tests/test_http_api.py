@@ -1,0 +1,131 @@
+"""HTTP facade parity: the reference's Flask GET routes
+(combined_flask.py:85-697) served over stdlib http.server, each
+answering the `{response, status: EDFS<code>}` envelope with HTTP 200
+— end-to-end over localhost against a scratch warehouse."""
+
+import csv
+import io
+import json
+import os
+import tempfile
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from dsci551_edfs_spark.cli import EdfsShell
+from dsci551_edfs_spark.http_api import start_server
+from dsci551_edfs_spark.sources.registry import load_table
+
+SCRATCH = "/root/repo/.scratch/test_http"
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    os.makedirs(SCRATCH, exist_ok=True)
+    shell = EdfsShell(spark, tempfile.mkdtemp(prefix="wh_", dir=SCRATCH))
+    srv, _thread = start_server(shell)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def nation_csv(spark, sf_dir):
+    path = os.path.join(SCRATCH, "nation.csv")
+    os.makedirs(SCRATCH, exist_ok=True)
+    load_table(spark, sf_dir, "nation").toPandas().to_csv(path, index=False)
+    return path
+
+
+def get(base, route, status=200, **params):
+    url = f"{base}/{route}"
+    if params:
+        url += "?" + urllib.parse.urlencode(params)
+    try:
+        with urllib.request.urlopen(url) as resp:
+            assert resp.status == status
+            body = json.load(resp)
+    except urllib.error.HTTPError as e:  # 404 case still carries JSON
+        assert e.code == status
+        body = json.load(e)
+    assert set(body) == {"response", "status"}  # the reference envelope
+    return body
+
+
+def test_full_session_over_http(server, nation_csv):
+    assert get(server, "mkdir", path="/data")["status"] == "EDFS200"
+    assert (
+        get(server, "mkdir", path="/data")["status"] == "EDFS400"
+    )  # File exists
+
+    out = get(
+        server,
+        "put",
+        source=nation_csv,
+        destination="/data/nation.csv",
+        partitions=4,
+        hash="n_regionkey",
+    )
+    assert out["status"] == "EDFS200"
+
+    ls = get(server, "ls", path="/data")
+    assert ls["status"] == "EDFS200" and "nation.csv" in ls["response"]
+
+    cat = get(server, "cat", path="/data/nation.csv")
+    rows = list(csv.DictReader(io.StringIO(cat["response"])))
+    assert len(rows) == 25
+
+    locs = get(server, "getPartitionLocations", path="/data/nation.csv")
+    assert locs["status"] == "EDFS200" and len(locs["response"]) >= 1
+
+    part = get(server, "readPartition", path="/data/nation.csv", partition=1)
+    n_part = len(list(csv.DictReader(io.StringIO(part["response"]))))
+    assert 0 < n_part < 25
+
+    avg = get(server, "getAvg", path="/data/nation.csv", col="n_regionkey")
+    assert avg["status"] == "EDFS200"
+    assert avg["response"]["result"] == "The overall average is 2.000"
+
+    mx = get(
+        server,
+        "getMax",
+        path="/data/nation.csv",
+        col="n_nationkey",
+        debug="true",
+    )
+    assert mx["status"] == "EDFS200" and "partitions" in mx["response"]
+
+    # hash given WITHOUT debug: the positional gap must be defaulted
+    mn = get(
+        server, "getMin", path="/data/nation.csv", col="n_nationkey", hash="1"
+    )
+    assert mn["status"] == "EDFS200"
+
+    assert get(server, "rm", path="/data/nation.csv")["status"] == "EDFS200"
+    assert get(server, "rm", path="/data")["status"] == "EDFS200"
+
+
+def test_firebase_alias_family(server, nation_csv):
+    assert get(server, "firebase_mkdir", path="/fb")["status"] == "EDFS200"
+    out = get(
+        server,
+        "firebase_put",
+        source=nation_csv,
+        destination="/fb/nation.csv",
+        partitions=2,
+    )
+    assert out["status"] == "EDFS200"
+    cat = get(server, "firebase_cat", path="/fb/nation.csv")
+    assert len(list(csv.DictReader(io.StringIO(cat["response"])))) == 25
+    # hardcoded-column endpoint: column bound server-side; nation.csv has
+    # no MGDCGSZ, so the pre-flight validation answers EDFS400
+    hard = get(server, "firebase_getAvgGripStrn", path="/fb/nation.csv")
+    assert hard["status"] == "EDFS400"
+
+
+def test_error_envelopes(server):
+    assert get(server, "cat", path="/nope.csv")["status"] == "EDFS400"
+    missing = get(server, "getAvg", path="/x.csv")  # col absent
+    assert missing["status"] == "EDFS400" and "col" in missing["response"]
+    unknown = get(server, "frobnicate", status=404, path="/x")
+    assert unknown["status"] == "EDFS400"
