@@ -38,9 +38,9 @@ from urllib.parse import unquote
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 from .ingest import BLOCK_SUBSPLIT_SEP, PARTITION_COL
@@ -134,10 +134,8 @@ class EdfsDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _EdfsReader(self.options, [f.name for f in schema.fields])
 
-    def simpleStreamReader(self, schema) -> "SimpleDataSourceStreamReader":
-        return _EdfsSimpleStreamReader(
-            self.options, [f.name for f in schema.fields]
-        )
+    def streamReader(self, schema) -> "DataSourceStreamReader":
+        return _EdfsStreamReader(self.options, [f.name for f in schema.fields])
 
 
 def register_edfs(spark) -> None:
@@ -145,62 +143,76 @@ def register_edfs(spark) -> None:
     spark.dataSource.register(EdfsDataSource)
 
 
-class _EdfsSimpleStreamReader(SimpleDataSourceStreamReader):
-    """Tail an EDFS layout as a stream: each micro-batch delivers the
-    parquet files that appeared since the last offset, exactly once.
+class _EdfsStreamFile(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
 
-    Offset contract: ``{"n": files_consumed}`` over the (mtime, path)
-    sort — tiny and checkpoint-friendly, valid because EDFS writers
-    append files with increasing mtimes (the same assumption Spark's own
-    FileStreamSource makes). `readBetweenOffsets` replays any committed
-    range deterministically from the same sort, which is what makes
-    restart recovery exactly-once.
 
-    This is the SIMPLE reader API (driver-side, Iterator[Tuple]) — the
-    right prototype for low-rate control-plane streams; a data-plane
-    volume source would implement DataSourceStreamReader with
-    InputPartitions + Arrow batches like the batch reader above."""
+class _EdfsStreamReader(DataSourceStreamReader):
+    """Tail an EDFS layout as a PARTITION-PARALLEL stream: each
+    micro-batch maps one InputPartition per newly appeared parquet file,
+    read executor-side as Arrow RecordBatches — the data-plane shape
+    (the previous SimpleDataSourceStreamReader funneled every row through
+    the driver).
+
+    Offset contract: a durable CURSOR ``{"t": mtime_ns, "p": relpath}``
+    — the max (mtime_ns, relpath) consumed — not a file COUNT. A count
+    over the (mtime, path) sort mis-slices when mtimes tie at coarse fs
+    granularity or a file lands with an earlier mtime (rows skipped or
+    replayed after restart); the cursor makes every committed range
+    ``start < (t, p) <= end`` deterministic from the filesystem alone,
+    so restart replay is exactly-once. A writer violating the
+    monotone-mtime append assumption (shared with Spark's own
+    FileStreamSource) now degrades SAFELY: its file sorts below the
+    cursor and is ignored, never spliced into a committed range.
+
+    At 100 TB the same shape holds: `partitions()` is a metadata listing
+    (object-store LIST), each file is one task, and the Arrow batches
+    never touch the driver."""
 
     def __init__(self, options: dict, schema_names: Sequence[str]):
         self.path = options["path"]
         self.schema_names = list(schema_names)
 
-    def _files(self) -> list[str]:
+    @staticmethod
+    def _key(off: dict) -> tuple[int, str]:
+        return (off["t"], off["p"])
+
+    def _files(self) -> list[tuple[int, str]]:
         out = []
         for d in _partition_dirs(self.path):
             dd = os.path.join(self.path, d)
             for f in os.listdir(dd):
                 if f.endswith(".parquet"):
                     p = os.path.join(dd, f)
-                    out.append((os.path.getmtime(p), os.path.relpath(p, self.path)))
-        return [p for _, p in sorted(out)]
+                    out.append(
+                        (os.stat(p).st_mtime_ns, os.path.relpath(p, self.path))
+                    )
+        return sorted(out)
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"t": -1, "p": ""}
 
-    def _rows(self, rel_paths: list[str]) -> Iterator[tuple]:
+    def latestOffset(self) -> dict:
+        files = self._files()
+        if not files:
+            return self.initialOffset()
+        t, p = files[-1]
+        return {"t": t, "p": p}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = self._key(start), self._key(end)
+        return [
+            _EdfsStreamFile(os.path.join(self.path, p))
+            for t, p in self._files()
+            if lo < (t, p) <= hi
+        ]
+
+    def read(self, partition: _EdfsStreamFile) -> Iterator:
         import pyarrow.parquet as pq
 
-        # materialized list (not a generator): the streaming runner caches
-        # and copy.copy()s the batch iterator for prefetch/replay, which a
-        # generator cannot survive; driver-side materialization is the
-        # documented trade of the SIMPLE reader API
-        out: list[tuple] = []
-        for r in rel_paths:
-            t = pq.read_table(
-                os.path.join(self.path, r), columns=self.schema_names
-            )
-            for batch in t.to_batches():
-                cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-                out.extend(zip(*cols))
-        return iter(out)
-
-    def read(self, start: dict):
-        files = self._files()
-        return self._rows(files[start["n"]:]), {"n": len(files)}
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return self._rows(self._files()[start["n"]:end["n"]])
+        table = pq.read_table(partition.file_path, columns=self.schema_names)
+        yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
         pass

@@ -281,3 +281,79 @@ def test_edfs_stream_tail_exactly_once(spark, sf_dir):
         assert sorted(r["id"] for r in got2) == list(range(30)) + [100, 101]
     finally:
         q.stop()
+
+
+def test_edfs_stream_cursor_restart_exactly_once(spark):
+    """The durable (mtime_ns, relpath) cursor: a query restarted from its
+    checkpoint delivers ONLY files that appeared after the committed
+    cursor — nothing replayed, nothing skipped — and a writer violating
+    the monotone-mtime assumption (file back-dated below the cursor)
+    degrades safely to IGNORED instead of splicing into a committed
+    range."""
+    import os
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.sources.edfs_datasource import register_edfs
+    from dsci551_edfs_spark.sources.ingest import put_dataframe
+
+    scratch = "/root/repo/.scratch"
+    os.makedirs(scratch, exist_ok=True)
+    dest = tempfile.mkdtemp(prefix="eds_r_", dir=scratch)
+    ckpt = tempfile.mkdtemp(prefix="eds_r_ck_", dir=scratch)
+    base = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "id long, grp int"
+    )
+    put_dataframe(base, dest, 2, hash_col="grp")
+    register_edfs(spark)
+
+    out = tempfile.mkdtemp(prefix="eds_r_out_", dir=scratch)
+
+    def start():
+        # parquet sink: the one in-box sink that supports checkpoint
+        # recovery (memory sink refuses to restart from a checkpoint)
+        return (
+            spark.readStream.format("edfs")
+            .option("path", dest)
+            .option("hash_col", "grp")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 10
+    finally:
+        q.stop()
+
+    # while the query is DOWN: one legit new file + one back-dated file
+    time.sleep(0.05)
+    pdir = os.path.join(dest, "__edfs_part__=1")
+    spark.createDataFrame([(100, 1)], "id long, grp int").withColumn(
+        "index", F.lit(999).cast("long")
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    before = set(os.listdir(pdir))
+    spark.createDataFrame([(200, 1)], "id long, grp int").withColumn(
+        "index", F.lit(998).cast("long")
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    stale = [f for f in set(os.listdir(pdir)) - before if f.endswith(".parquet")]
+    assert len(stale) == 1
+    os.utime(os.path.join(pdir, stale[0]), ns=(1_000, 1_000))  # below cursor
+
+    # restart from the checkpoint: anything replayed from before the
+    # committed cursor would duplicate rows in the file sink
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        # original 10 exactly once + the new file; back-dated file ignored
+        assert got == list(range(10)) + [100]
+    finally:
+        q2.stop()
