@@ -14,11 +14,19 @@ emitted, and the per-user state is cleared. State is one fixed-width
 tuple per ACTIVE user (not per event), so the state store carries
 |active users| rows regardless of throughput — the 100 TB/day shape.
 
-Semantics: sessions close after ``gap_s`` of inactivity. In-batch closure
-(a gap inside one micro-batch) emits immediately; cross-batch closure
-emits from the timer. Stale timers (superseded by later activity) are
-ignored by re-checking the state's true expiry in the callback — timer
-registration is monotone-append in this API, not replace.
+Semantics: sessions close after ``gap_s`` of inactivity, and EVERY
+emission is gated by the event-time watermark — a session leaves state
+only when ``watermark >= end + gap``, i.e. when no event that could
+still arrive (all are ≥ watermark by the stream's own late-data
+contract) can extend or bridge it. State is therefore a LIST of open
+candidate sessions per user (out-of-order data within the watermark can
+hold several apart-by-more-than-gap islands open at once), and each
+batch folds its events in by interval-merge: any event or session
+within ``gap`` of another merges (starts/ends extend both ways, counts
+sum) — so late-but-within-watermark events re-open and bridge islands
+instead of corrupting them. Stale timers (superseded by later activity)
+degrade to no-ops: the callback emits only what the CURRENT watermark
+has actually sealed.
 
 Batch twin: `sessions_batch` (same gaps-and-islands plan the
 `sessionize_events` oracle verifies, aggregated to session grain);
@@ -53,16 +61,19 @@ OUTPUT_SCHEMA = "user_id long, start_s long, end_s long, n_events long"
 
 
 class SessionAssembler(StatefulProcessor):
-    """Per-user session state machine: fold events into the open session,
-    emit closed ones, keep exactly one (start, end, count) tuple alive."""
+    """Per-user session state machine: interval-merge events into the
+    open candidate sessions, emit a session only once the watermark
+    seals it (``watermark >= end + gap``) — correct for any arrival
+    order within the watermark, since an event the stream can still
+    deliver (ts ≥ watermark) can never touch a sealed session."""
 
     def __init__(self, gap_s: int = 1800):
         self.gap_s = gap_s
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
-        self.state = handle.getValueState(
-            "open_session", "start_s long, end_s long, n_events long"
+        self.state = handle.getListState(
+            "open_sessions", "start_s long, end_s long, n_events long"
         )
 
     def _emit(self, key, sessions) -> pd.DataFrame:
@@ -78,41 +89,48 @@ class SessionAssembler(StatefulProcessor):
     def handleInputRows(
         self, key, rows, timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
-        ts: list[int] = []
+        items: list[list[int]] = (
+            [list(s) for s in self.state.get()] if self.state.exists() else []
+        )
         for pdf in rows:
-            ts.extend(
-                (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+            items.extend(
+                [t, t, 1]
+                for t in (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
             )
-        ts.sort()  # within-batch order is arbitrary; the fold needs time order
-        cur = list(self.state.get()) if self.state.exists() else None
-        closed: list[list[int]] = []
-        for t in ts:
-            if cur is None:
-                cur = [t, t, 1]
-            elif t - cur[1] > self.gap_s:
-                closed.append(cur)
-                cur = [t, t, 1]
+        # interval-merge: anything within `gap` of its predecessor joins
+        # it — one pass over the (sessions + single-event) islands sorted
+        # by start handles in-order, out-of-order, and bridging alike
+        items.sort(key=lambda s: (s[0], s[1]))
+        merged: list[list[int]] = []
+        for s in items:
+            if merged and s[0] - merged[-1][1] <= self.gap_s:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
             else:
-                cur[1] = t
-                cur[2] += 1
-        self.state.update(tuple(cur))
-        # close the open session when the watermark passes end + gap
-        self.handle.registerTimer((cur[1] + self.gap_s) * 1000)
-        if closed:
-            yield self._emit(key, closed)
+                merged.append(s)
+        self.state.put([tuple(s) for s in merged])
+        # one close-time timer per open island; superseded expiries
+        # simply fire as no-ops (registration is append, not replace)
+        for s in merged:
+            self.handle.registerTimer((s[1] + self.gap_s) * 1000)
+        return iter(())  # emission is exclusively watermark-gated
 
     def handleExpiredTimer(
         self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
         if not self.state.exists():
             return
-        cur = list(self.state.get())
-        # stale-timer guard: later activity re-registered a LATER expiry;
-        # only the timer matching the session's true close time fires it
-        if expiredTimerInfo.getExpiryTimeInMs() < (cur[1] + self.gap_s) * 1000:
-            return
-        self.state.clear()
-        yield self._emit(key, [cur])
+        wm = timerValues.getCurrentWatermarkInMs()
+        sealed, still_open = [], []
+        for s in self.state.get():
+            (sealed if (s[1] + self.gap_s) * 1000 <= wm else still_open).append(s)
+        if not sealed:
+            return  # stale timer: every island was extended past it
+        if still_open:
+            self.state.put(still_open)
+        else:
+            self.state.clear()
+        yield self._emit(key, sorted(sealed))
 
     def close(self) -> None:
         pass

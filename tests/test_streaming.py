@@ -775,21 +775,21 @@ def test_tws_sessionization_equals_batch(spark, event_dir):
     assert any(n > 1 for _, _, _, n in bset)
 
 
-class _FakeState:
+class _FakeListState:
     def __init__(self):
-        self.v = None
+        self.v = []
 
     def exists(self):
-        return self.v is not None
+        return bool(self.v)
 
     def get(self):
-        return self.v
+        return iter(self.v)
 
-    def update(self, v):
-        self.v = tuple(v)
+    def put(self, rows):
+        self.v = [tuple(r) for r in rows]
 
     def clear(self):
-        self.v = None
+        self.v = []
 
 
 class _FakeHandle:
@@ -797,8 +797,8 @@ class _FakeHandle:
         self.states = {}
         self.timers = []
 
-    def getValueState(self, name, schema, ttlDurationMs=None):
-        return self.states.setdefault(name, _FakeState())
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeListState())
 
     def registerTimer(self, ms):
         self.timers.append(ms)
@@ -810,6 +810,17 @@ class _FakeTimerInfo:
 
     def getExpiryTimeInMs(self):
         return self.ms
+
+
+class _FakeTimerValues:
+    """The runtime hands the CURRENT watermark to the timer callback;
+    the fake fires a timer exactly when the watermark reaches it."""
+
+    def __init__(self, wm_ms):
+        self.wm_ms = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self.wm_ms
 
 
 def _drive_assembler(events_by_user, batches, gap_s=1800):
@@ -838,10 +849,13 @@ def _drive_assembler(events_by_user, batches, gap_s=1800):
             )
             for df in procs[uid].handleInputRows((uid,), iter([pdf]), None):
                 out.extend(df.itertuples(index=False, name=None))
-    # end of stream: watermark → ∞, fire timers in order (stale ones first)
+    # end of stream: watermark → ∞, fire timers in order (stale ones
+    # first, each seeing the watermark that expired it)
     for uid, p in procs.items():
         for ms in sorted(set(p._h.timers)):
-            for df in p.handleExpiredTimer((uid,), None, _FakeTimerInfo(ms)):
+            for df in p.handleExpiredTimer(
+                (uid,), _FakeTimerValues(2**62), _FakeTimerInfo(ms)
+            ):
                 out.extend(df.itertuples(index=False, name=None))
     return set(out)
 
@@ -888,14 +902,68 @@ def test_tws_stale_timer_does_not_split_session(spark):
     out += list(p.handleInputRows((7,), iter([mk([1050])]), None))
     assert out == []  # still one open session
     assert h.timers == [(1000 + 100) * 1000, (1050 + 100) * 1000]
-    # the FIRST (stale) timer fires: must be a no-op
-    assert list(p.handleExpiredTimer((7,), None, _FakeTimerInfo(h.timers[0]))) == []
-    assert h.states["open_session"].exists()
+    # the FIRST (stale) timer fires — the watermark has only reached its
+    # own expiry, which the extended session outlives: must be a no-op
+    assert (
+        list(
+            p.handleExpiredTimer(
+                (7,), _FakeTimerValues(h.timers[0]), _FakeTimerInfo(h.timers[0])
+            )
+        )
+        == []
+    )
+    assert h.states["open_sessions"].exists()
     # the true close timer fires: one session, both events
-    res = list(p.handleExpiredTimer((7,), None, _FakeTimerInfo(h.timers[1])))
+    res = list(
+        p.handleExpiredTimer(
+            (7,), _FakeTimerValues(h.timers[1]), _FakeTimerInfo(h.timers[1])
+        )
+    )
     assert len(res) == 1
     assert list(res[0].itertuples(index=False, name=None)) == [(7, 1000, 1050, 2)]
-    assert not h.states["open_session"].exists()
+    assert not h.states["open_sessions"].exists()
+
+
+def test_tws_out_of_order_within_watermark(spark):
+    """The ADVICE round-6 scenario: cross-batch out-of-order events that
+    a value-state assembler mangled (premature emission; session end
+    moving backwards). A late-but-within-watermark event must EXTEND the
+    island it falls before, and an event landing between two open
+    islands must BRIDGE them into one session."""
+    import pandas as pd
+
+    from dsci551_edfs_spark.streaming.tws_sessions import SessionAssembler
+
+    mk = lambda ts: pd.DataFrame(  # noqa: E731
+        {"ts": pd.to_datetime(pd.Series(ts), unit="s")}
+    )
+    p = SessionAssembler(gap_s=100)
+    h = _FakeHandle()
+    p.init(h)
+    # batch 1: two islands (watermark lags, so both stay open)
+    assert list(p.handleInputRows((9,), iter([mk([1000, 1280])]), None)) == []
+    assert sorted(h.states["open_sessions"].v) == [
+        (1000, 1000, 1),
+        (1280, 1280, 1),
+    ]
+    # batch 2, out of order: 1090 extends island 1 forward, 950 extends
+    # it backward, 1190 bridges both islands into one session
+    assert (
+        list(p.handleInputRows((9,), iter([mk([1090, 950, 1190])]), None))
+        == []
+    )
+    assert h.states["open_sessions"].v == [(950, 1280, 5)]
+    # watermark finally passes end+gap: exactly one merged session
+    res = list(
+        p.handleExpiredTimer(
+            (9,), _FakeTimerValues((1280 + 100) * 1000), _FakeTimerInfo(0)
+        )
+    )
+    assert len(res) == 1
+    assert list(res[0].itertuples(index=False, name=None)) == [
+        (9, 950, 1280, 5)
+    ]
+    assert not h.states["open_sessions"].exists()
 
 
 def test_dedup_ingest_from_edfs_stream_source(spark, sf_dir):
