@@ -3077,10 +3077,58 @@ def embedding_quantize_error(spark, sf_dir):
     return QZ.quantization_error(_t(spark, sf_dir, "embeddings"))
 
 
-@q("ann_topk_int8")  # rows-only: int8 rounding is implementation-defined
+@q(
+    "ann_topk_int8",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             list_transform(
+               e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))
+             ) AS u
+      FROM v),
+    s AS (
+      SELECT vec_id, u,
+             CASE WHEN list_max(list_transform(u, x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(u, x -> abs(x))) / 127.0
+             END AS scale
+      FROM n),
+    qz AS (
+      SELECT vec_id, scale,
+             list_transform(u, x -> CAST(round(x / scale) AS BIGINT)) AS q
+      FROM s),
+    pairs AS (
+      SELECT qq.vec_id AS query_id, cc.vec_id AS nid,
+             CAST(list_sum(list_transform(
+                    range(1, len(cc.q) + 1), i -> cc.q[i] * qq.q[i]
+                  )) AS BIGINT) * cc.scale * qq.scale AS score
+      FROM qz cc, qz qq
+      WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id),
+    r AS (
+      SELECT query_id, nid, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nid) AS rnk
+      FROM pairs)
+    SELECT query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           round(score, 4) AS score
+    FROM r WHERE rnk <= 5
+    """,
+)
 def ann_topk_int8(spark, sf_dir):
     """Quantized brute-force cosine top-5 for 10 query vectors — the int8
-    scan path whose recall vs the exact scan is pinned in pytest."""
+    scan path whose recall vs the exact scan is pinned in pytest.
+
+    Full oracle (was rows-only): the quantization is deterministic
+    per-vector arithmetic — unit-normalize, scale = max|u|/127,
+    q = round(u/scale) — and the int64 dot products are exact, so DuckDB
+    restates the entire ranking; score ties are exact double equalities
+    (same idot·scale·scale multiplies), broken by neighbor id on both
+    sides. The quantize-agreement precedent is `embedding_quantize_error`,
+    whose hash-matched pico errors already pin round(x/scale) parity."""
     from .pipeline import quantize as QZ
 
     emb = _t(spark, sf_dir, "embeddings")
