@@ -324,3 +324,28 @@ def test_bloom_incremental_shape():
     plan = _plan("incremental_dedup_bloom")
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan, plan
     assert re.search(r"LeftAnti", plan), plan
+
+
+def test_memoized_steady_state_reads_memo_not_corpus():
+    """Once the per-corpus memo exists, the registered query's plan must
+    be a read of the SETTLED artifact — the corpus-sized work (the O(N²)
+    pair scan behind single-linkage, the basket pair expansion behind the
+    graph statistics) must not reappear per call."""
+    # force the memos to exist (first call may build)
+    QUERIES["embedding_single_linkage"](_spark, SF).collect()
+    QUERIES["copurchase_triangles"](_spark, SF).collect()
+
+    plan = _plan("embedding_single_linkage")
+    # steady state: embeddings scanned once (the vec_id spine) + the
+    # memo parquet; the pair generation would show a second embeddings
+    # scan and a non-equi join
+    assert plan.count("embeddings.parquet") == 1, plan
+    assert ".scratch/memo/sl_labels_" in plan, plan
+
+    tri = _plan("copurchase_triangles")
+    # the edge build never re-runs: no lineitem (or any corpus parquet)
+    # scan — the count runs entirely off the checkpointed oriented edges
+    # derived from the memo parquet (the checkpoint cut hides the memo
+    # path itself behind Scan ExistingRDD)
+    assert "lineitem" not in tri, tri
+    assert "Scan parquet" not in tri, tri
