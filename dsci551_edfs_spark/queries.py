@@ -724,10 +724,21 @@ def dedup_clusters_star(spark, sf_dir):
     the variant that survives chain-shaped near-dup graphs (serial
     plagiarism, quote threads) where HashMin's round count equals the
     chain length. Exact algorithm → shares `dedup_clusters`' recursive-CTE
-    oracle verbatim; both must hash-match the same ground truth."""
-    return DD.dedup_clusters(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2, method="star"
-    ).orderBy("doc_id")
+    oracle verbatim; both must hash-match the same ground truth.
+
+    Cluster labels are a per-corpus-version artifact (the same contract
+    as the single-linkage labels): the shingle→pair→star-CC pipeline
+    runs once, the settled (doc, cluster) table serves every caller."""
+    labels = MEMO.dataframe_memo(
+        spark,
+        "dedup_clusters_star",
+        sf_dir,
+        ["documents"],
+        lambda: DD.dedup_clusters(
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.2, method="star"
+        ),
+    )
+    return labels.orderBy("doc_id")
 
 
 @q(
@@ -8080,6 +8091,7 @@ from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 MEMOIZED_QUERIES: dict[str, str] = {
     "copurchase_triangles": "copurchase_strong_edges",
     "copurchase_bfs_hops": "bfs_hops",
+    "dedup_clusters_star": "dedup_clusters_star",
     "embedding_single_linkage": "sl_labels",
     "embedding_single_linkage_lsh": "sl_labels_lsh",
     "ann_ivf_persisted": "ivf_idx",
