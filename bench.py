@@ -134,7 +134,6 @@ HEADLINE = [
     "copurchase_bfs_hops",
     # round-7 additions
     "embedding_single_linkage_lsh",
-    "mixture_temperature_plan",
     "duplicate_reweighting",
 ]
 

@@ -2546,64 +2546,6 @@ def corpus_mixture_weighted(spark, sf_dir):
 
 
 @q(
-    "mixture_temperature_plan",
-    """
-    WITH n AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-      FROM documents GROUP BY source),
-    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM n),
-    w AS (
-      SELECT source, n_docs,
-             CAST(round(1e6 * n_docs / n_total) AS BIGINT) AS share_ppm,
-             CAST(round(1e6 * sqrt(CAST(n_docs AS DOUBLE) / n_total))
-                  AS BIGINT) AS temp_weight_ppm
-      FROM n, t)
-    SELECT source, n_docs, share_ppm, temp_weight_ppm,
-           CAST(temp_weight_ppm * 1000000 // share_ppm AS BIGINT) AS boost_ppm
-    FROM w
-    """,
-)
-def mixture_temperature_plan(spark, sf_dir):
-    """Temperature-based multilingual/multi-source sampling plan (the
-    XLM-R / mT5 recipe at α = 0.5): per source, its corpus share and its
-    α-tempered weight sqrt(share) — small sources get boosted toward
-    parity, big ones damped. boost_ppm = tempered/raw is the epoch
-    multiplier `corpus_mixture_weighted`-style materialization consumes.
-
-    α is fixed at 0.5 because sqrt is CORRECTLY-ROUNDED IEEE on every
-    engine, so the tempered weights are cross-engine exact; a general
-    pow(x, α) differs by ULPs between libm implementations and would
-    poison the ppm rounding. The boost division runs on the two
-    ALREADY-ROUNDED ppm integers — pure integer arithmetic, no double
-    drift. One groupBy on the source key + a 1-row broadcast total:
-    shuffle is |sources| rows at any corpus size."""
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
-    tot = n.agg(F.sum("n_docs").cast("long").alias("n_total"))
-    w = n.join(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        F.round(1e6 * F.col("n_docs") / F.col("n_total"))
-        .cast("long")
-        .alias("share_ppm"),
-        F.round(
-            1e6 * F.sqrt(F.col("n_docs").cast("double") / F.col("n_total"))
-        )
-        .cast("long")
-        .alias("temp_weight_ppm"),
-    )
-    return w.select(
-        "source",
-        "n_docs",
-        "share_ppm",
-        "temp_weight_ppm",
-        F.floor(F.col("temp_weight_ppm") * F.lit(1000000) / F.col("share_ppm"))
-        .cast("long")
-        .alias("boost_ppm"),
-    )
-
-
-@q(
     "duplicate_reweighting",
     _CLUSTERS_ORACLE.replace(
         "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node",
