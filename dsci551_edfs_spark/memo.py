@@ -66,12 +66,16 @@ def corpus_fingerprint(sf_dir: str, tables: Sequence[str]) -> str:
 def memo_path(
     tag: str, sf_dir: str, tables: Sequence[str], version: int = 1
 ) -> str:
-    """Deterministic per-(tag, corpus-version) directory under SCRATCH."""
+    """Deterministic per-(tag, corpus-version) directory under SCRATCH.
+    The corpus NAME is part of the basename (not just the fingerprint
+    hash) so stale-version pruning never crosses corpora — sf0.001
+    (tests), sf0.01 (oracle gate) and sf0.1 (bench) memos coexist."""
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{corpus_fingerprint(sf_dir, tables)}"
         f"|v{version}".encode()
     ).hexdigest()[:12]
-    return os.path.join(SCRATCH, "memo", f"{tag}_{key}")
+    corpus = os.path.basename(os.path.abspath(sf_dir).rstrip("/")) or "corpus"
+    return os.path.join(SCRATCH, "memo", f"{tag}_{corpus}_{key}")
 
 
 def is_ready(path: str, markers: Sequence[str] = ("_SUCCESS",)) -> bool:
@@ -88,6 +92,30 @@ def _promote(tmp: str, path: str) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
         else:
             raise
+    _prune_stale(path)
+
+
+def _prune_stale(keep_path: str) -> None:
+    """Drop sibling memos of the same tag built against OLD corpus
+    fingerprints (testdata regeneration changes the hash, so superseded
+    artifacts would otherwise accumulate forever). Best-effort: a
+    concurrent reader of a stale memo only exists if it is mid-migration
+    across corpus versions, which the fingerprint contract already
+    declares undefined."""
+    parent, base = os.path.split(keep_path)
+    tag = base.rsplit("_", 1)[0]
+    try:
+        siblings = os.listdir(parent)
+    except OSError:
+        return
+    for d in siblings:
+        if (
+            d.startswith(f"{tag}_")
+            and d != base
+            and not d.startswith(f"{base}.tmp")
+            and d.rsplit("_", 1)[0] == tag
+        ):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
 def dataframe_memo(

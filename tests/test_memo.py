@@ -85,3 +85,34 @@ def test_layout_memo_markers_gate_readiness(scratch, spark, sf_dir):
         "lay", sf_dir, ["region"], build, markers=("a/_SUCCESS", "b/_SUCCESS")
     )
     assert path2 == path and MEMO.BUILD_SECONDS["lay"] == 0.0
+
+
+def test_stale_fingerprint_pruned_same_corpus_only(scratch, spark, sf_dir, tmp_path):
+    """Regenerated test data changes the fingerprint → the superseded
+    memo is GC'd on the next build; memos of the SAME tag for OTHER
+    corpora (tests sf0.001 / gate sf0.01 / bench sf0.1 coexist) are
+    never touched."""
+    import shutil as _sh
+
+    # a second corpus with the same table but different mtime
+    alt = tmp_path / "sfalt"
+    alt.mkdir()
+    src = os.path.join(sf_dir, "region.parquet")
+    dst = str(alt / "region.parquet")
+    (_sh.copytree if os.path.isdir(src) else _sh.copy)(src, dst)
+
+    build = lambda: spark.range(3)  # noqa: E731
+    p_main = MEMO.memo_path("gc", sf_dir, ["region"])
+    p_alt = MEMO.memo_path("gc", str(alt), ["region"])
+    MEMO.dataframe_memo(spark, "gc", sf_dir, ["region"], build)
+    MEMO.dataframe_memo(spark, "gc", str(alt), ["region"], build)
+    assert MEMO.is_ready(p_main) and MEMO.is_ready(p_alt)
+
+    # "regenerate" the alt corpus: new mtime → new fingerprint → rebuild
+    os.utime(dst, (2, 2))
+    p_alt2 = MEMO.memo_path("gc", str(alt), ["region"])
+    assert p_alt2 != p_alt
+    MEMO.dataframe_memo(spark, "gc", str(alt), ["region"], build)
+    assert MEMO.is_ready(p_alt2)
+    assert not os.path.exists(p_alt)  # stale version of SAME corpus GC'd
+    assert MEMO.is_ready(p_main)  # other corpus untouched
