@@ -53,6 +53,11 @@ ROUTES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
 for _hard in AGG.HARDCODED_AVG_COLUMNS:
     ROUTES[_hard] = (("path",), ("debug", "hash"))
 
+#: engine extensions beyond the reference surface, mirroring the shell's
+#: extended grammar: run any registered catalog query / list the registry
+ROUTES["query"] = (("name",), ("sf_dir", "limit"))
+ROUTES["queries"] = ((), ())
+
 
 def dispatch(shell: EdfsShell, route: str, params: dict[str, str]) -> dict:
     """Map one GET route + query params onto the shell grammar and run

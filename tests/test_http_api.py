@@ -129,3 +129,18 @@ def test_error_envelopes(server):
     assert missing["status"] == "EDFS400" and "col" in missing["response"]
     unknown = get(server, "frobnicate", status=404, path="/x")
     assert unknown["status"] == "EDFS400"
+
+
+def test_engine_extension_routes(server):
+    """/query and /queries — the shell's engine extensions served over
+    HTTP: list the registry, run one registered query bounded."""
+    listing = get(server, "queries")
+    assert listing["status"] == "EDFS200"
+    assert "pmr_avg" in listing["response"]
+    out = get(
+        server, "query", name="pmr_avg", sf_dir="/root/testdata/sf0.001"
+    )
+    assert out["status"] == "EDFS200"
+    assert out["response"].splitlines()[0] == "avg_qty"
+    bad = get(server, "query", name="no_such_query")
+    assert bad["status"] == "EDFS400"
