@@ -47,6 +47,11 @@ from .operators import aggregates as AGG
 from .sources import ingest as ING
 from .sources import scan as SCN
 
+#: default corpus for the `query` extension when no sf_dir is supplied —
+#: shared by the REPL grammar and the HTTP facade so both surfaces run
+#: the same query against the same data by default
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
 
 class EdfsShell:
     #: cap on rows any single `cat`/`readPartition` emits — the reference
@@ -178,7 +183,7 @@ class EdfsShell:
                 name = args[0]
                 if name not in QUERIES:
                     return self._err(f"unknown query: {name}")
-                sf_dir = args[1] if len(args) >= 2 else "/root/testdata/sf0.001"
+                sf_dir = args[1] if len(args) >= 2 else DEFAULT_SF_DIR
                 limit = int(args[2]) if len(args) >= 3 else 20
                 df = QUERIES[name](self.spark, sf_dir).limit(limit)
                 return self._ok(self._emit_csv(df))

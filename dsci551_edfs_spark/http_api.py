@@ -20,7 +20,16 @@ Intentional divergences, mirroring the CLI module's:
   reference let Flask emit its HTML 404 page — an envelope is strictly
   more consumable);
 - like the reference, every KNOWN route answers HTTP 200 and carries
-  the real status in the envelope's EDFS code.
+  the real status in the envelope's EDFS code. Engine exceptions the
+  shell's whitelist doesn't catch (AnalysisException etc.) become an
+  EDFS500 envelope rather than a dropped connection — the reference's
+  equivalent is Flask's HTML 500 page, which is strictly less
+  consumable;
+- `put` requires `partitions`: the reference DOCSTRING marks it
+  optional but the code does `int(args['partitions'])` unguarded
+  (combined_flask.py:356), so omitting it there yields a Flask HTML
+  500. We keep it required for CLI-grammar parity and answer a clean
+  EDFS400 envelope instead of a 500.
 """
 
 from __future__ import annotations
@@ -30,7 +39,7 @@ import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .cli import EdfsShell
+from .cli import DEFAULT_SF_DIR, EdfsShell
 from .operators import aggregates as AGG
 
 #: route -> (required params, trailing optional params), in the
@@ -81,7 +90,10 @@ def dispatch(shell: EdfsShell, route: str, params: dict[str, str]) -> dict:
     # "false" when only hash is given)
     supplied = [i for i, p in enumerate(optional) if p in params]
     if supplied:
-        defaults = {"debug": "false"}
+        # every leading optional needs a real default here: the shell
+        # grammar is positional, so `/query?name=X&limit=N` must fill
+        # sf_dir with the shell's documented default, not ""
+        defaults = {"debug": "false", "sf_dir": DEFAULT_SF_DIR}
         args += [
             params.get(p, defaults.get(p, ""))
             for p in optional[: supplied[-1] + 1]
@@ -105,6 +117,15 @@ class EdfsHttpHandler(BaseHTTPRequestHandler):
                 "status": "EDFS400",
             }
             code = 404
+        except Exception as e:  # noqa: BLE001 — every known route must
+            # answer an envelope; engine exceptions outside the shell's
+            # whitelist (AnalysisException, Py4JJavaError, ...) would
+            # otherwise drop the connection with no JSON
+            envelope = {
+                "response": f"{type(e).__name__}: {e}",
+                "status": "EDFS500",
+            }
+            code = 200
         body = json.dumps(envelope).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")

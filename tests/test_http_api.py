@@ -144,3 +144,20 @@ def test_engine_extension_routes(server):
     assert out["response"].splitlines()[0] == "avg_qty"
     bad = get(server, "query", name="no_such_query")
     assert bad["status"] == "EDFS400"
+
+
+def test_query_limit_without_sf_dir(server):
+    """limit supplied but sf_dir omitted: the positional fill must inject
+    the shell's documented default sf_dir, not an empty string."""
+    out = get(server, "query", name="pmr_avg", limit="5")
+    assert out["status"] == "EDFS200"
+    assert out["response"].splitlines()[0] == "avg_qty"
+
+
+def test_engine_exception_becomes_edfs500_envelope(server):
+    """An engine exception outside the shell's whitelist (here: an
+    AnalysisException from a nonexistent parquet dir) must still answer
+    a JSON envelope over HTTP 200, never a dropped connection."""
+    out = get(server, "query", name="pmr_avg", sf_dir="/no/such/dir")
+    assert out["status"] in ("EDFS400", "EDFS500")
+    assert out["response"]  # carries the engine error text
