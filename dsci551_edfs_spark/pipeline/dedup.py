@@ -278,11 +278,24 @@ def shingle_df(
     )
 
 
+def _md5_hash48(col, salt: int):
+    """48-bit salted hash from md5 — the ORACLE-RESTATABLE family: DuckDB
+    computes the identical value as CAST('0x' || substring(md5(x ||
+    ':salt'), 1, 12) AS BIGINT). Used by the registered demo queries so
+    the whole LSH pipeline gets a full DuckDB oracle; the default
+    xxhash64 family stays the production path (one JVM hash vs md5's
+    string round-trip)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f":{salt}"))), 1, 12), 16, 10
+    ).cast("long")
+
+
 def minhash_signature(
     shingled: DataFrame,
     num_hashes: int = 64,
     seed: int = 42,
     keep_cols: tuple[str, ...] = (),
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig[, *keep_cols]) with `sig: array<bigint>` of k minhashes.
     ``keep_cols`` ride along as extra grouping keys (callers pass columns
@@ -295,16 +308,34 @@ def minhash_signature(
     the base hash). Shape: explode shingles → one codegen projection →
     groupBy(id) with k min() aggregates → re-pack as an array. The k mins
     partial-aggregate map-side, so the shuffle carries one k-long row per
-    doc per partition."""
+    doc per partition.
+
+    ``hash_family='md5'`` swaps both levels for the md5-derived 48-bit
+    family (`_md5_hash48`): same two-level shape (shingle md5'd once,
+    k salted rehashes of the 32-char hex), but every value has an exact
+    DuckDB restatement, so the registered demo queries carry FULL
+    oracles. xxhash64 stays the default/production family."""
     exploded = shingled.select(
         "id", *keep_cols, F.explode("shingles").alias("sh")
-    ).select("id", *keep_cols, F.xxhash64("sh").alias("h0"))
-    mins = exploded.groupBy("id", *keep_cols).agg(
-        *[
-            F.min(F.xxhash64("h0", F.lit(seed + i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
     )
+    if hash_family == "md5":
+        exploded = exploded.select("id", *keep_cols, F.md5("sh").alias("h0"))
+        mins = exploded.groupBy("id", *keep_cols).agg(
+            *[
+                F.min(_md5_hash48(F.col("h0"), seed + i)).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    else:
+        exploded = exploded.select(
+            "id", *keep_cols, F.xxhash64("sh").alias("h0")
+        )
+        mins = exploded.groupBy("id", *keep_cols).agg(
+            *[
+                F.min(F.xxhash64("h0", F.lit(seed + i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
     return mins.select(
         "id",
         *keep_cols,
@@ -317,11 +348,25 @@ def _banded(
     bands: int,
     num_hashes: int,
     keep_cols: tuple[str, ...] = (),
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id[, *keep_cols], band, bh): hash each of `bands` equal signature
     slices — the LSH bucket keys. Shared by the within-table self-join and
-    the cross-corpus incremental join."""
+    the cross-corpus incremental join.
+
+    md5 family: the band key is md5 over the comma-joined slice values —
+    a string key instead of F.hash's int32, identically computable in
+    DuckDB (`md5(CAST(h0 AS VARCHAR) || ',' || ...)`)."""
     r = max(1, num_hashes // bands)
+
+    def band_key(b: int):
+        sl = F.slice(F.col("sig"), b * r + 1, r)
+        if hash_family == "md5":
+            return F.md5(
+                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            )
+        return F.hash(sl)
+
     return sig_df.select(
         "id",
         *keep_cols,
@@ -329,8 +374,7 @@ def _banded(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+                        F.lit(b).alias("band"), band_key(b).alias("bh")
                     )
                     for b in range(bands)
                 ]
@@ -344,6 +388,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     max_bucket_size: int | None = None,
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` equal slices, hash each
     slice, and self-join docs sharing any (band, band_hash) bucket.
@@ -357,7 +402,7 @@ def minhash_candidate_pairs(
     discover it would trigger a full upstream job on an aggregated frame —
     the caller always knows k statically).
     """
-    banded = _banded(sig_df, bands, num_hashes)
+    banded = _banded(sig_df, bands, num_hashes, hash_family=hash_family)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
         banded = banded.join(
@@ -396,6 +441,7 @@ def minhash_dedup_pairs(
     seed: int = 42,
     exact_verify: bool = True,
     max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → (id_a, id_b, jaccard) pairs with
     jaccard ≥ threshold.
@@ -407,8 +453,10 @@ def minhash_dedup_pairs(
     is ever shuffled, the right trade at 100 TB.
     """
     shingled = shingle_df(df, text_col, id_col, n).cache()
-    sigs = minhash_signature(shingled, num_hashes, seed)
-    cands = minhash_candidate_pairs(sigs, bands, max_bucket_size, num_hashes)
+    sigs = minhash_signature(shingled, num_hashes, seed, hash_family=hash_family)
+    cands = minhash_candidate_pairs(
+        sigs, bands, max_bucket_size, num_hashes, hash_family=hash_family
+    )
     if exact_verify:
         a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -856,14 +856,83 @@ def dedup_cluster_keep_best(spark, sf_dir):
     )
 
 
-@q("minhash_dedup_pairs")  # LSH candidate set — not SQL-expressible; rows-only
+def _minhash_oracle_sql(estimate: bool = False) -> str:
+    """Full DuckDB restatement of the md5-family MinHash+LSH pipeline
+    (64 hashes, 16 bands of 4): shingle → salted 48-bit minima →
+    band-bucket self-join → verify. The 48-bit salted family is
+    `dedup._md5_hash48`: CAST('0x' || substring(md5(x || ':salt'), 1, 12)
+    AS BIGINT) — bit-identical on both engines, the same hex→int trick
+    that minted the `ann_topk_int8` and `cms_token_counts` oracles."""
+    k, bands, seed = 64, 16, 42
+    r = k // bands
+    mins = ",\n             ".join(
+        f"min(CAST('0x' || substring(md5(h0 || ':{seed + i}'), 1, 12) "
+        f"AS BIGINT)) AS h{i}"
+        for i in range(k)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({key}) AS bh FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    if estimate:
+        matches = " + ".join(
+            f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(k)
+        )
+        verify = f"""
+    SELECT id_a, id_b, round(({matches}) / {k}, 3) AS jaccard_est
+    FROM cands
+    JOIN sig sa ON sa.id = cands.id_a
+    JOIN sig sb ON sb.id = cands.id_b
+    WHERE ({matches}) / {k} >= 0.5"""
+    else:
+        verify = """
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles))
+             / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+    FROM cands
+    JOIN sh sa ON sa.id = cands.id_a
+    JOIN sh sb ON sb.id = cands.id_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles))
+            / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5"""
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    ex AS (SELECT id, md5(unnest(shingles)) AS h0 FROM sh),
+    sig AS (
+      SELECT id, {mins}
+      FROM ex GROUP BY id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    )
+    {verify}
+    """
+
+
+@q("minhash_dedup_pairs", _minhash_oracle_sql())
 def minhash_dedup_pairs(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) near-dup pairs, exact-verified at
-    jaccard ≥ 0.5. Oracle omitted: the xxhash64 hash family has no DuckDB
-    equivalent; correctness is pinned by tests against
-    `ngram_jaccard_pairs` ground truth (recall at 0.5 ≈ 1)."""
+    jaccard ≥ 0.5. Full oracle (was rows-only): the registered demo runs
+    the md5-derived 48-bit hash family (`dedup._md5_hash48`), which
+    DuckDB restates exactly — banding, bucket self-join and the exact
+    Jaccard verify are all replayed in SQL. The production default stays
+    xxhash64 (JVM-side, no string round-trip); recall vs
+    `ngram_jaccard_pairs` ground truth is pinned in pytest for BOTH
+    families."""
     return DD.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"), threshold=0.5, hash_family="md5"
     ).orderBy("id_a", "id_b")
 
 
@@ -2579,13 +2648,17 @@ def duplicate_reweighting(spark, sf_dir):
     )
 
 
-@q("minhash_dedup_pairs_estimate")  # no oracle: LSH recall is probabilistic
+@q("minhash_dedup_pairs_estimate", _minhash_oracle_sql(estimate=True))
 def minhash_dedup_pairs_estimate(spark, sf_dir):
     """The 100 TB mode of MinHash dedup: Jaccard estimated from signature
     agreement — nothing larger than the 8*k-byte signatures is ever
-    shuffled (exact_verify re-joins shingle arrays; this doesn't)."""
+    shuffled (exact_verify re-joins shingle arrays; this doesn't). Full
+    oracle via the md5 hash family: DuckDB recomputes the signatures and
+    the per-position agreement count exactly."""
     d = _t(spark, sf_dir, "documents")
-    out = DD.minhash_dedup_pairs(d, threshold=0.5, exact_verify=False)
+    out = DD.minhash_dedup_pairs(
+        d, threshold=0.5, exact_verify=False, hash_family="md5"
+    )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 3).alias("jaccard_est")
     )

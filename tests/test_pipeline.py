@@ -54,6 +54,26 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert got <= truth  # exact verification ⇒ no false positives
 
 
+def test_minhash_md5_family_recall(spark, sf_dir):
+    """The oracle-restatable md5 hash family must meet the same recall
+    contract as the production xxhash64 family — the registered demo
+    queries run it, so its LSH quality is load-bearing."""
+    d = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_dedup_pairs(
+            d, threshold=0.5, hash_family="md5"
+        ).collect()
+    }
+    assert truth
+    assert len(truth & got) / len(truth) >= 0.95
+    assert got <= truth
+
+
 def test_minhash_estimate_mode(docs):
     pairs = DD.minhash_dedup_pairs(
         docs.filter("doc_id <= 4"), threshold=0.5, exact_verify=False
