@@ -599,10 +599,21 @@ def incremental_minhash_dedup(
 # ---------------------------------------------------------------- simhash
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash: each token votes ±1 on every bit of its xxhash64;
     signature bit = sign of the vote sum.
+
+    ``hash_family='md5'`` swaps the token hash for the 60-bit md5-hex
+    value (15 nibbles → always positive, bits 60-63 identically zero):
+    the SWAR vote aggregation and the pigeonhole banding run UNCHANGED
+    (zero bits vote zero and land in an all-equal top chunk), but every
+    signature is exactly restatable in DuckDB — the registered demo
+    query's full-oracle path.
 
     Shape: explode tokens → one codegen'd projection hashing each token →
     groupBy(id) with SWAR-packed bit-count sums → unpack sign bits into one
@@ -619,10 +630,15 @@ def simhash(
     if bits != 64:
         raise ValueError("SWAR simhash is specialized to 64-bit signatures")
     lane_mask = 0x0001000100010001
+    tok_hash = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        if hash_family == "md5"
+        else F.xxhash64("tok")
+    )
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", tok_hash.alias("h"))
     packed = exploded.groupBy("id").agg(
         F.count("*").alias("n_tok"),
         *[

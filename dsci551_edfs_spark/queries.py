@@ -936,10 +936,68 @@ def minhash_dedup_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@q("simhash_pairs")  # rows-only: xxhash64 bit votes not expressible in DuckDB
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB restatement of the md5-family SimHash: 60-bit token hash
+    (15 md5 nibbles), per-bit majority vote (positive iff 2*count > n,
+    ties → 0 — dedup.simhash's SWAR semantics exactly), pigeonhole
+    16-bit chunks, bit_count(xor) verify."""
+    chunks = max_hamming + 1
+    cnts = ",\n             ".join(
+        f"sum((h >> {b}) & 1) AS c{b}" for b in range(60)
+    )
+    sig_bits = "\n           + ".join(
+        f"CASE WHEN 2 * c{b} > n THEN (CAST(1 AS BIGINT) << {b}) "
+        f"ELSE 0 END"
+        for b in range(60)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT id, {c} AS chunk, (sig >> {c * 16}) & 65535 AS cv FROM s"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_TOKENS_SQL}) AS t FROM documents
+    ),
+    th AS (
+      SELECT id,
+             CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT id, count(*) AS n,
+             {cnts}
+      FROM th GROUP BY id
+    ),
+    s AS (
+      SELECT id,
+             {sig_bits} AS sig
+      FROM votes
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           bit_count(xor(sa.sig, sb.sig)) AS hamming
+    FROM pairs
+    JOIN s sa ON sa.id = pairs.id_a
+    JOIN s sb ON sb.id = pairs.id_b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
+    """
+
+
+@q("simhash_pairs", _simhash_oracle_sql(max_hamming=3))
 def simhash_pairs(spark, sf_dir):
-    """SimHash-64 near-dup pairs at Hamming ≤ 3 via pigeonhole banding."""
-    sims = DD.simhash(_t(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole banding.
+    Full oracle (was rows-only): the demo runs the md5 hash family — a
+    60-bit token hash DuckDB computes bit-identically — so the vote,
+    banding and verify all replay in SQL; the SWAR aggregation and the
+    chunk join are the production (xxhash64) code paths, unchanged."""
+    sims = DD.simhash(_t(spark, sf_dir, "documents"), hash_family="md5")
     return DD.simhash_pairs(sims, max_hamming=3).orderBy("id_a", "id_b")
 
 

@@ -90,6 +90,17 @@ def test_simhash_near_dups(docs):
     assert (1, 3) in {(r["id_a"], r["id_b"]) for r in pairs}
 
 
+def test_simhash_md5_family(docs):
+    """md5 family: identical docs still collide, 60-bit sigs keep the top
+    4 bits zero (so the unchanged 16-bit pigeonhole chunks stay valid)."""
+    sims = DD.simhash(docs.filter("doc_id <= 4"), hash_family="md5")
+    vals = {r["id"]: r["simhash"] for r in sims.collect()}
+    assert vals[1] == vals[3]
+    assert all(0 <= v < (1 << 60) for v in vals.values())
+    pairs = DD.simhash_pairs(sims, max_hamming=3).collect()
+    assert (1, 3) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
 def test_ngram_jaccard_exact_values(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
