@@ -1215,10 +1215,74 @@ def hard_negatives(spark, sf_dir):
     )
 
 
-@q("ann_ivf_topk")  # rows-only: centroid assignment not SQL-expressible
+def _ivf_cents_sql(n_centroids: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """The IVF coarse centroids as SQL literals: build_ivf_index's exact
+    init (seeded standard normal, unit-normalized) rendered with repr()
+    — the shortest round-trip decimal, so DuckDB parses the identical
+    float64 bits. The centroids are algorithm PARAMETERS (a pure function
+    of the seed, independent of the data); the oracle still independently
+    verifies assignment, probing, scoring and ranking."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return ",\n        ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(c)
+    )
+
+
+def _ivf_oracle_sql(query_pred: str, k: int = 5, n_probe: int = 4) -> str:
+    """DuckDB restatement of the full IVF search: nearest-centroid
+    assignment (argmax dot — scale-invariant, so the raw vectors serve),
+    top-n_probe probes per query, exact cosine inside probed buckets,
+    per-query rank. Shared by the in-memory and persisted-layout demos:
+    both produce the same top-k by construction (the layout is storage,
+    not semantics)."""
+    return f"""
+    WITH cents(c, cv) AS (VALUES
+        {_ivf_cents_sql()}),
+    asn AS (
+      SELECT vec_id, c,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, c) AS rn
+      FROM (
+        SELECT e.vec_id, cents.c,
+               {_DOT_SQL.format(a="e.embedding", b="cents.cv")} AS sim
+        FROM embeddings e, cents)
+    ),
+    buckets AS (SELECT vec_id, c FROM asn WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c FROM asn
+      WHERE rn <= {n_probe} AND {query_pred}
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id AS id,
+             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+               / ({_NORM_SQL.format(a="e.embedding")}
+                  * {_NORM_SQL.format(a="q.embedding")}) AS score
+      FROM buckets b
+      JOIN probes p ON b.c = p.c AND b.vec_id <> p.query_id
+      JOIN embeddings e ON e.vec_id = b.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
+      SELECT query_id, id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id) AS rnk,
+             score
+      FROM scored) WHERE rnk <= {k}
+    """
+
+
+@q("ann_ivf_topk", _ivf_oracle_sql("vec_id < 10"))
 def ann_ivf_topk(spark, sf_dir):
     """IVF-pruned ANN: corpus bucketed by nearest of 8 centroids, queries
-    probe 4 buckets. Tested for recall against the brute-force truth."""
+    probe 4 buckets. Tested for recall against the brute-force truth.
+    Full oracle (was rows-only): the seeded centroid init is embedded as
+    SQL literals and DuckDB independently replays assignment, probing,
+    in-bucket scoring and ranking."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
@@ -7746,7 +7810,7 @@ def aqp_sampled_revenue(spark, sf_dir):
     )
 
 
-@q("ann_ivf_persisted")  # rows-only: IVF assignment not SQL-expressible
+@q("ann_ivf_persisted", _ivf_oracle_sql("vec_id < 5"))
 def ann_ivf_persisted(spark, sf_dir):
     """Disk-backed IVF search (pipeline/similarity.py save/load/
     ivf_topk_pruned): the index is a hive LAYOUT — corpus partitioned by
