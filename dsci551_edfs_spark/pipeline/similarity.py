@@ -454,6 +454,7 @@ def ivf_pq_topk(
     seed: int = 42,
     exclude_self: bool = True,
     rerank_k: int | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ (the FAISS IVFPQ architecture, DataFrame-native): a coarse
     quantizer prunes the corpus to ``n_probe`` of ``n_centroids`` buckets
@@ -480,7 +481,13 @@ def ivf_pq_topk(
         )
     )
     bucketed, cents = build_ivf_index(unit, n_centroids, "v", "id", seed)
-    books = train_pq_codebooks(unit, n_subspaces, n_codes, iters, "v", "id", seed)
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(
+            unit, n_subspaces, n_codes, iters, "v", "id", seed
+        )
+    )
     enc = pq_encode(bucketed, books, "v", "id", extra_cols=("centroid",))
 
     qrows = (

@@ -3381,12 +3381,156 @@ def ann_topk_int8(spark, sf_dir):
     )
 
 
-@q("ann_topk_pq")  # rows-only: PQ quantization is approximate by design
+def _sample_codebooks(emb, n_codes: int = 64, n_subspaces: int = 16):
+    """Sample-as-codebook PQ 'training' (Lloyd with iters=0 and first-id
+    init): codebook[j][c] = subspace-j slice of the c-th lowest-id UNIT
+    vector. A legitimate degenerate PQ recipe — and, unlike the seeded
+    Lloyd default, every codebook value is a pure Spark-expression
+    product (normalize = sequential double fold), so DuckDB re-derives
+    the identical codebooks FROM THE DATA and the registered demos carry
+    full oracles. Bounded driver collect: n_codes rows."""
+    import numpy as np
+
+    from .functions.vectors import as_double, normalize
+
+    rows = (
+        emb.filter(F.col("vec_id") < n_codes)
+        .select("vec_id", normalize(as_double("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    n, dim = mat.shape
+    dsub = dim // n_subspaces
+    return mat.reshape(n, n_subspaces, dsub).transpose(1, 0, 2).copy()
+
+
+def _pq_oracle_sql(ivf: bool = False) -> str:
+    """DuckDB replay of the PQ demo pipeline (16 subspaces × 64
+    sample-codebook codes over 64-dim vectors, dsub=4): re-derive the
+    codebooks from the first 64 unit vectors, encode the (re-normalized,
+    mirroring pq_encode's second normalize) corpus by per-subspace L2
+    argmin using the identical ||c||² − 2x·c expansion, ADC-score via the
+    query×code LUT, shortlist top-50, exact-cosine re-rank to top-5.
+    ``ivf=True`` additionally restricts candidates to the 4 probed coarse
+    buckets (seeded centroid literals, same as `_ivf_oracle_sql`)."""
+    ivf_cte = f"""
+    cents(cc, cv) AS (VALUES
+        {_ivf_cents_sql()}),
+    asn AS (
+      SELECT vec_id, cc,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cc) AS rn
+      FROM (
+        SELECT e.vec_id, cents.cc,
+               {_DOT_SQL.format(a="e.embedding", b="cents.cv")} AS sim
+        FROM embeddings e, cents)
+    ),
+    buckets AS (SELECT vec_id, cc FROM asn WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cc FROM asn
+      WHERE rn <= 4 AND vec_id < 10
+    ),"""
+    if ivf:
+        adc = """
+    adc AS (
+      SELECT l.query_id, codes.vec_id AS id, sum(l.l) AS score
+      FROM codes
+      JOIN buckets b ON b.vec_id = codes.vec_id
+      JOIN probes p ON p.cc = b.cc
+      JOIN lut l ON l.query_id = p.query_id
+                AND l.j = codes.j AND l.c = codes.code
+      WHERE codes.vec_id <> p.query_id
+      GROUP BY 1, 2
+    )"""
+    else:
+        adc = """
+    adc AS (
+      SELECT l.query_id, codes.vec_id AS id, sum(l.l) AS score
+      FROM codes
+      JOIN lut l ON l.j = codes.j AND l.c = codes.code
+      WHERE codes.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )"""
+    return f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / {_NORM_SQL.format(a="embedding")})
+               AS v
+      FROM embeddings
+    ),
+    w AS (
+      SELECT vec_id,
+             list_transform(v,
+               x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+               AS wv
+      FROM u
+    ),
+    js AS (SELECT unnest(range(0, 16)) AS j),
+    cb AS (
+      SELECT u.vec_id AS c, js.j,
+             u.v[js.j * 4 + 1 : js.j * 4 + 4] AS cs
+      FROM u, js WHERE u.vec_id < 64
+    ),{ivf_cte if ivf else ""}
+    encd AS (
+      SELECT w.vec_id, cb.j, cb.c,
+             list_sum(list_transform(cb.cs, x -> x * x))
+               - 2 * list_sum(list_transform(
+                       list_zip(w.wv[cb.j * 4 + 1 : cb.j * 4 + 4], cb.cs),
+                       z -> z[1] * z[2])) AS d2
+      FROM w, cb
+    ),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, c) AS rn
+        FROM encd) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.j, cb.c,
+             list_sum(list_transform(
+               list_zip(q.v[cb.j * 4 + 1 : cb.j * 4 + 4], cb.cs),
+               z -> z[1] * z[2])) AS l
+      FROM u q, cb WHERE q.vec_id < 10
+    ),
+    {adc},
+    short AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS rnk
+        FROM adc) WHERE rnk <= 50
+    ),
+    rer AS (
+      SELECT s.query_id, s.id,
+             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+               / ({_NORM_SQL.format(a="e.embedding")}
+                  * {_NORM_SQL.format(a="q.embedding")}) AS score
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
+      SELECT query_id, id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id) AS rnk,
+             score
+      FROM rer) WHERE rnk <= 5
+    """
+
+
+@q("ann_topk_pq", _pq_oracle_sql())
 def ann_topk_pq(spark, sf_dir):
     """Product-quantization two-stage top-5 for 10 query vectors: ADC
     shortlist over 16-subspace × 64-code codes (12 bytes/vector vs 512
     for float64), exact re-rank of the top-50 shortlist. Recall vs the
-    exact scan is pinned in pytest (pipeline/similarity.py:pq_topk)."""
+    exact scan is pinned in pytest (pipeline/similarity.py:pq_topk).
+    Full oracle (was rows-only): the demo uses sample codebooks
+    (`_sample_codebooks` — k-means iters=0, first-id init), which DuckDB
+    re-derives from the data, then replays encode, ADC, shortlist and
+    re-rank end to end."""
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.pq_topk(
         emb,
@@ -3395,6 +3539,7 @@ def ann_topk_pq(spark, sf_dir):
         n_subspaces=16,
         n_codes=64,
         rerank_k=50,
+        codebooks=_sample_codebooks(emb),
     )
     return out.select(
         "query_id",
@@ -3810,11 +3955,14 @@ def group_sample_per_lang(spark, sf_dir):
     return group_sample_topk(d, ["lang"], 20)
 
 
-@q("ann_topk_ivf_pq")  # rows-only: coarse+fine quantization, approximate
+@q("ann_topk_ivf_pq", _pq_oracle_sql(ivf=True))
 def ann_topk_ivf_pq(spark, sf_dir):
     """FAISS-style IVF-PQ: probe 4 of 8 coarse buckets, ADC-score PQ
     codes inside them, exact-rerank the top-50 shortlist
-    (pipeline/similarity.py:ivf_pq_topk). Recall pinned in pytest."""
+    (pipeline/similarity.py:ivf_pq_topk). Recall pinned in pytest.
+    Full oracle (was rows-only): seeded coarse-centroid literals +
+    data-derived sample codebooks let DuckDB replay the entire
+    coarse-prune → ADC → re-rank cascade."""
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.ivf_pq_topk(
         emb,
@@ -3825,6 +3973,7 @@ def ann_topk_ivf_pq(spark, sf_dir):
         n_subspaces=16,
         n_codes=64,
         rerank_k=50,
+        codebooks=_sample_codebooks(emb),
     )
     return out.select(
         "query_id",

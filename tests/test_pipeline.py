@@ -579,6 +579,27 @@ def test_pq_topk_recall_and_rerank(spark, sf_dir):
     assert t == t2
 
 
+def test_pq_sample_codebooks_recall(spark, sf_dir):
+    """The oracle-restatable demo codebooks (k-means iters=0, first-64
+    init — queries._sample_codebooks) must still deliver near-exact
+    recall through the two-stage shortlist+rerank, since the registered
+    full-oracle queries run them."""
+    from dsci551_edfs_spark.queries import _sample_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    books = _sample_codebooks(emb)
+    assert books.shape == (16, 64, 4)
+    got = SIM.pq_topk(
+        emb, queries, k=5, n_subspaces=16, n_codes=64,
+        rerank_k=50, codebooks=books,
+    )
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    assert len(e & g) / len(e) >= 0.9
+
+
 def test_pq_encode_shape_and_range(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books = SIM.train_pq_codebooks(emb, n_subspaces=8, n_codes=16)
