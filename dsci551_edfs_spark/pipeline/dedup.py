@@ -1072,6 +1072,36 @@ def plant_embedding_twins(
     )
 
 
+def plant_embedding_twins_cyclic(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 0.0125,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """`plant_embedding_twins` with a PURE-EXPRESSION perturbation: twin
+    vector = unit(v + eps · rot(v)) where rot is the one-step cyclic
+    shift of the unit vector. cos(v, twin) = (1 + eps·s) /
+    √(1 + 2·eps·s + eps²) with s = v·rot(v) ∈ [-1, 1], ≥ 0.9999 at
+    eps=0.0125 — the same ≫ 0.95 planted-pair contract as the RNG
+    variant, but every twin coordinate is a Spark column expression a
+    DuckDB oracle restates exactly. The RNG variant stays for the
+    statistical recall tests; this one backs the full-oracle demos."""
+    unit = df.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+    )
+    rot = F.expr("concat(slice(v, 2, size(v) - 1), slice(v, 1, 1))")
+    twins = unit.select(
+        (F.col("id") + F.lit(id_offset)).alias("id"),
+        normalize(
+            F.zip_with("v", rot, lambda a, b: a + F.lit(eps) * b)
+        ).alias("v"),
+    )
+    return unit.unionByName(twins).select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col)
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -3244,19 +3244,126 @@ def semantic_dedup(spark, sf_dir):
     )
 
 
-@q("semantic_dedup_kmeans")  # rows-only: k-means centroids not SQL-expressible
+def _semantic_kmeans_oracle_sql(iters: int = 2) -> str:
+    """Unrolled spherical k-means in SQL (the PageRank precedent applied
+    to Lloyd): seeded init centroids as literals, then per iteration —
+    argmax-cosine assignment, per-(cluster, dim) mean, renormalize,
+    empty clusters keep their previous direction — exactly
+    `similarity.kmeans_centroids`. The final assignment feeds the same
+    greedy min-id SemDeDup rule the label-clustered variant already
+    oracles. Twins come from the cyclic-perturbation planter
+    (`dedup.plant_embedding_twins_cyclic`), a pure column expression."""
+    ldot = (
+        "list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+    )
+    lnorm = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    iter_ctes = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+    a{i} AS (
+      SELECT vec_id, c FROM (
+        SELECT w.vec_id, {prev}.c,
+               row_number() OVER (PARTITION BY w.vec_id
+                                  ORDER BY {ldot.format(a="w.wv", b=prev + ".cv")} DESC,
+                                           {prev}.c) AS rn
+        FROM w, {prev}) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT a{i}.c, j.j, avg(w.wv[j.j]) AS m
+      FROM a{i} JOIN w USING (vec_id),
+           (SELECT unnest(range(1, 65)) AS j) j
+      GROUP BY 1, 2
+    ),
+    mv{i} AS (SELECT c, list(m ORDER BY j) AS mv FROM m{i} GROUP BY c),
+    c{i} AS (
+      SELECT {prev}.c,
+             CASE WHEN mv{i}.c IS NOT NULL
+                       AND {lnorm.format(a=f"mv{i}.mv")} > 0
+                  THEN list_transform(mv{i}.mv,
+                         x -> x / {lnorm.format(a=f"mv{i}.mv")})
+                  ELSE {prev}.cv END AS cv
+      FROM {prev} LEFT JOIN mv{i} ON mv{i}.c = {prev}.c
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH raw AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / {_NORM_SQL.format(a="embedding")})
+               AS v
+      FROM embeddings
+    ),
+    inflated AS (
+      SELECT vec_id, v FROM raw
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(pv,
+               x -> x / sqrt(list_sum(list_transform(pv, y -> y * y))))
+      FROM (
+        SELECT vec_id,
+               list_transform(list_zip(v, v[2:64] || v[1:1]),
+                              z -> z[1] + 0.0125 * z[2]) AS pv
+        FROM raw)
+    ),
+    w AS (
+      SELECT vec_id,
+             list_transform(v,
+               x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+               AS wv
+      FROM inflated
+    ),
+    c0(c, cv) AS (VALUES
+        {_ivf_cents_sql(n_centroids=16, dim=64, seed=42)}),
+    {",".join(iter_ctes)},
+    final AS (
+      SELECT vec_id, c FROM (
+        SELECT w.vec_id, {prev}.c,
+               row_number() OVER (PARTITION BY w.vec_id
+                                  ORDER BY {ldot.format(a="w.wv", b=prev + ".cv")} DESC,
+                                           {prev}.c) AS rn
+        FROM w, {prev}) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM final a JOIN final b
+        ON a.c = b.c AND a.vec_id < b.vec_id
+    ),
+    dups AS (
+      SELECT id_b AS id, min(id_a) AS rep FROM (
+        SELECT cand.id_a, cand.id_b,
+               round({ldot.format(a="wa.wv", b="wb.wv")}, 4) AS cr
+        FROM cand
+        JOIN w wa ON wa.vec_id = cand.id_a
+        JOIN w wb ON wb.vec_id = cand.id_b)
+      WHERE cr >= 0.95 GROUP BY 1
+    )
+    SELECT f.vec_id, f.c AS cluster_id, TRUE AS is_dup, d.rep AS rep_id
+    FROM final f JOIN dups d ON d.id = f.vec_id
+    ORDER BY f.vec_id
+    """
+
+
+@q("semantic_dedup_kmeans", _semantic_kmeans_oracle_sql())
 def semantic_dedup_kmeans(spark, sf_dir):
     """The self-clustering path: spherical k-means (16 centroids, 2 Lloyd
     iterations, seeded) + within-cluster cosine prune at 0.95 over the
-    twin-planted corpus (`plant_embedding_twins`, cos ≈ 0.995 pairs).
-    Recall contract pinned in tests/test_pipeline.py: every planted twin
-    whose pair lands in the same cluster is marked is_dup with rep_id =
-    its original — misses are bounded by cluster-boundary splits, the
-    documented SemDeDup trade-off."""
-    inflated = DD.plant_embedding_twins(_t(spark, sf_dir, "embeddings"))
+    twin-planted corpus (cyclic-perturbation planter, cos ≈ 0.9999
+    pairs). Recall contract pinned in tests/test_pipeline.py: every
+    planted twin whose pair lands in the same cluster is marked is_dup
+    with rep_id = its original — misses are bounded by cluster-boundary
+    splits, the documented SemDeDup trade-off. Full oracle (was
+    rows-only): fixed-seed fixed-iteration Lloyd unrolls in SQL — init
+    literals, two assignment/mean/renormalize rounds, then the greedy
+    min-id rule, all replayed by DuckDB."""
+    inflated = DD.plant_embedding_twins_cyclic(_t(spark, sf_dir, "embeddings"))
     return (
         DD.semantic_dedup(
-            inflated, n_clusters=16, kmeans_iters=2, threshold=0.95
+            inflated,
+            n_clusters=16,
+            kmeans_iters=2,
+            threshold=0.95,
+            cosine_round=4,
         )
         .filter(F.col("is_dup"))
         .orderBy("vec_id")

@@ -491,6 +491,22 @@ def test_semantic_dedup_kmeans_twin_recall(spark, sf_dir):
     assert len(dups) / n >= 0.95  # recall across cluster splits
 
 
+def test_semantic_dedup_kmeans_cyclic_twin_recall(spark, sf_dir):
+    """Same contract for the oracle-restatable cyclic planter the
+    registered full-oracle query runs (cos(v, twin) ≥ 0.9999)."""
+    d = load_table(spark, sf_dir, "embeddings")
+    n = d.count()
+    inflated = DD.plant_embedding_twins_cyclic(d)
+    out = DD.semantic_dedup(
+        inflated, n_clusters=16, kmeans_iters=2, threshold=0.95,
+        cosine_round=4,
+    )
+    dups = out.filter("is_dup").collect()
+    assert all(r["vec_id"] >= 1_000_000 for r in dups)
+    assert all(r["rep_id"] == r["vec_id"] - 1_000_000 for r in dups)
+    assert len(dups) / n >= 0.95
+
+
 def test_quality_score_model(spark):
     d = spark.createDataFrame(
         [
