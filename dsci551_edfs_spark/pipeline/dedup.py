@@ -506,6 +506,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.8,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """NEAR-duplicate incremental dedup — the LSH counterpart of
     `incremental_exact_dedup`: an incoming shard survives iff it is not
@@ -536,10 +537,14 @@ def incremental_minhash_dedup(
     )
     sh_all = _persist(shingle_df(tagged, text_col, id_col, n, keep_cols=("_new",)))
     banded_all = _banded(
-        minhash_signature(sh_all, num_hashes, seed, keep_cols=("_new",)),
+        minhash_signature(
+            sh_all, num_hashes, seed, keep_cols=("_new",),
+            hash_family=hash_family,
+        ),
         bands,
         num_hashes,
         keep_cols=("_new",),
+        hash_family=hash_family,
     )
     if max_bucket_size is not None:
         # degenerate-bucket guard across BOTH sides at once: a boilerplate

@@ -856,13 +856,13 @@ def dedup_cluster_keep_best(spark, sf_dir):
     )
 
 
-def _minhash_oracle_sql(estimate: bool = False) -> str:
-    """Full DuckDB restatement of the md5-family MinHash+LSH pipeline
-    (64 hashes, 16 bands of 4): shingle → salted 48-bit minima →
-    band-bucket self-join → verify. The 48-bit salted family is
-    `dedup._md5_hash48`: CAST('0x' || substring(md5(x || ':salt'), 1, 12)
-    AS BIGINT) — bit-identical on both engines, the same hex→int trick
-    that minted the `ann_topk_int8` and `cms_token_counts` oracles."""
+def _minhash_base_ctes() -> str:
+    """The shared md5-family MinHash CTE chain (shingle → salted 48-bit
+    minima → 16 band keys), reused by every LSH oracle. The 48-bit
+    salted family is `dedup._md5_hash48`: CAST('0x' || substring(md5(x
+    || ':salt'), 1, 12) AS BIGINT) — bit-identical on both engines, the
+    same hex→int trick that minted the `ann_topk_int8` and
+    `cms_token_counts` oracles."""
     k, bands, seed = 64, 16, 42
     r = k // bands
     mins = ",\n             ".join(
@@ -879,6 +879,27 @@ def _minhash_oracle_sql(estimate: bool = False) -> str:
         )
         for b in range(bands)
     )
+    return f"""
+    sh AS (
+      SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    ),
+    ex AS (SELECT id, md5(unnest(shingles)) AS h0 FROM sh),
+    sig AS (
+      SELECT id, {mins}
+      FROM ex GROUP BY id
+    ),
+    bands AS (
+      {band_rows}
+    )"""
+
+
+def _minhash_oracle_sql(estimate: bool = False) -> str:
+    """Full DuckDB restatement of the md5-family MinHash+LSH pipeline
+    (64 hashes, 16 bands of 4): `_minhash_base_ctes` → band-bucket
+    self-join → verify (exact shingle Jaccard, or signature agreement
+    for the estimate mode)."""
+    k = 64
     if estimate:
         matches = " + ".join(
             f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(k)
@@ -900,18 +921,7 @@ def _minhash_oracle_sql(estimate: bool = False) -> str:
     WHERE len(list_intersect(sa.shingles, sb.shingles))
             / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5"""
     return f"""
-    WITH sh AS (
-      SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
-    ),
-    ex AS (SELECT id, md5(unnest(shingles)) AS h0 FROM sh),
-    sig AS (
-      SELECT id, {mins}
-      FROM ex GROUP BY id
-    ),
-    bands AS (
-      {band_rows}
-    ),
+    WITH {_minhash_base_ctes()},
     cands AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
@@ -2007,19 +2017,52 @@ def orc_roundtrip(spark, sf_dir):
     return read_orc(spark, dest)
 
 
-@q("incremental_dedup_near")  # rows-only: LSH banding (recall contract
-def incremental_dedup_near(spark, sf_dir):  # pinned in pytest)
+def _incremental_near_oracle_sql() -> str:
+    """DuckDB replay of the incremental LSH gate: a %5==0 shard doc dies
+    iff some band bucket pairs it with (a) any corpus doc or (b) a
+    lower-id shard doc, AND the exact shingle Jaccard of that pair is
+    ≥ 0.5. Reuses the shared md5-family MinHash CTE chain."""
+    return f"""
+    WITH {_minhash_base_ctes()},
+    cands AS (
+      SELECT DISTINCT n.id AS drop_id, o.id AS keep_id
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bh = o.bh
+      WHERE n.id % 5 = 0
+        AND (o.id % 5 <> 0 OR o.id < n.id)
+    ),
+    dropped AS (
+      SELECT DISTINCT drop_id
+      FROM cands
+      JOIN sh sa ON sa.id = cands.drop_id
+      JOIN sh sb ON sb.id = cands.keep_id
+      WHERE len(list_intersect(sa.shingles, sb.shingles))
+              / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 5 = 0
+      AND doc_id NOT IN (SELECT drop_id FROM dropped)
+    ORDER BY doc_id
+    """
+
+
+@q("incremental_dedup_near", _incremental_near_oracle_sql())
+def incremental_dedup_near(spark, sf_dir):
     """NEAR-duplicate incremental gate: the %5==0 shard is deduped
     against the rest of the corpus by MinHash-LSH — the corpus side
     contributes only its banded signature index to the join, candidates
     are exact-Jaccard verified before dropping
     (pipeline/dedup.py:incremental_minhash_dedup). The LSH counterpart
-    of `incremental_dedup` (exact fingerprints)."""
+    of `incremental_dedup` (exact fingerprints). Full oracle (was
+    rows-only) via the md5 hash family: DuckDB replays the banded
+    signature index, both candidate families and the exact verify."""
     docs = _t(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 5 == 0)
     existing = docs.filter(F.col("doc_id") % 5 != 0)
     return (
-        DD.incremental_minhash_dedup(incoming, existing, threshold=0.5)
+        DD.incremental_minhash_dedup(
+            incoming, existing, threshold=0.5, hash_family="md5"
+        )
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
