@@ -856,13 +856,14 @@ def dedup_cluster_keep_best(spark, sf_dir):
     )
 
 
-def _minhash_base_ctes() -> str:
+def _minhash_base_ctes(src: str = "documents") -> str:
     """The shared md5-family MinHash CTE chain (shingle → salted 48-bit
-    minima → 16 band keys), reused by every LSH oracle. The 48-bit
-    salted family is `dedup._md5_hash48`: CAST('0x' || substring(md5(x
-    || ':salt'), 1, 12) AS BIGINT) — bit-identical on both engines, the
-    same hex→int trick that minted the `ann_topk_int8` and
-    `cms_token_counts` oracles."""
+    minima → 16 band keys) over any (doc_id, text) relation ``src``,
+    reused by every LSH oracle. The 48-bit salted family is
+    `dedup._md5_hash48`: CAST('0x' || substring(md5(x || ':salt'), 1,
+    12) AS BIGINT) — bit-identical on both engines, the same hex→int
+    trick that minted the `ann_topk_int8` and `cms_token_counts`
+    oracles."""
     k, bands, seed = 64, 16, 42
     r = k // bands
     mins = ",\n             ".join(
@@ -882,7 +883,7 @@ def _minhash_base_ctes() -> str:
     return f"""
     sh AS (
       SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM {src})
     ),
     ex AS (SELECT id, md5(unnest(shingles)) AS h0 FROM sh),
     sig AS (
@@ -2311,13 +2312,115 @@ def stream_interval_join_outer(spark, sf_dir):
     return interval_join(p, v, how="leftOuter").select("purchase_id", "view_id")
 
 
-@q("corpus_prep_pipeline")  # rows-only: minhash stage has no SQL twin
+_MD5_BUCKET_SQL = """
+    ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
+"""
+
+
+_BP_FOOTER = "subscribe to our newsletter for daily updates"
+_BP_HEADER = "copyright 2024 example corp all rights reserved"
+
+_BP_DOC2_SQL = f"""
+    doc2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN t1 || chr(10) || '{_BP_FOOTER}' ELSE t1 END AS text
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN '{_BP_HEADER}' || chr(10) || text
+                        ELSE text END AS t1
+            FROM documents)
+    )
+"""
+
+
+def _corpus_prep_pipeline_oracle_sql() -> str:
+    """End-to-end replay of the corpus-prep composition: the quality
+    gate (min_tokens=5 variant of the `quality_filter` oracle), the
+    `lang_id` oracle's keep-list, exact dedup by normalized-md5
+    fingerprint, and the md5-family MinHash near-dedup (shared CTE
+    chain) restricted to the exact-dedup survivors — each fragment is
+    the same SQL its standalone oracle already hash-matches."""
+    lang_scores = ", ".join(
+        f"{_lang_score_sql(lang, sw)} AS s_{lang}"
+        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
+    )
+    lang_best = ", ".join(
+        f"{_lang_score_sql(lang, sw)}"
+        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
+    )
+    return rf"""
+    WITH q AS (
+      SELECT doc_id, quality_score FROM (
+        SELECT doc_id, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+               round(least(n_tokens / 100.0, 1.0) * (1 - punct_ratio)
+                     * (1 - digit_ratio), 4) AS quality_score
+        FROM (
+          SELECT doc_id,
+                 {_NTOK_SQL} AS n_tokens,
+                 round(length(text) / greatest({_NTOK_SQL}, 1), 3)
+                   AS avg_token_len,
+                 round(len(regexp_extract_all(text, '[^\w\s]'))
+                       / greatest(length(text), 1), 3) AS punct_ratio,
+                 round(len(regexp_extract_all(text, '[0-9]'))
+                       / greatest(length(text), 1), 3) AS digit_ratio
+          FROM documents))
+      WHERE n_tokens >= 5 AND punct_ratio <= 0.20 AND digit_ratio <= 0.30
+        AND avg_token_len BETWEEN 2.0 AND 12.0
+    ),
+    lg AS (
+      SELECT doc_id, lang_pred FROM (
+        SELECT doc_id,
+               CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
+        FROM (
+          SELECT doc_id, {lang_scores},
+                 greatest({lang_best}) AS best
+          FROM documents))
+      WHERE lang_pred <> 'und'
+    ),
+    fp AS (
+      SELECT d.doc_id, {_FP_SQL} AS fp
+      FROM documents d JOIN q USING (doc_id) JOIN lg USING (doc_id)
+    ),
+    exact_kept AS (
+      SELECT doc_id FROM fp
+      WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fp)
+    ),
+    {_minhash_base_ctes()},
+    near AS (
+      SELECT DISTINCT b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+      JOIN exact_kept ka ON ka.doc_id = a.id
+      JOIN exact_kept kb ON kb.doc_id = b.id
+      JOIN sh sa ON sa.id = a.id
+      JOIN sh sb ON sb.id = b.id
+      WHERE len(list_intersect(sa.shingles, sb.shingles))
+              / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+    )
+    SELECT k.doc_id, lg.lang_pred, q.quality_score,
+           CAST(length(d.text) AS INT) AS n_chars
+    FROM exact_kept k
+    JOIN documents d USING (doc_id)
+    JOIN q USING (doc_id)
+    JOIN lg USING (doc_id)
+    WHERE k.doc_id NOT IN (SELECT id_b FROM near)
+    ORDER BY k.doc_id
+    """
+
+
+@q("corpus_prep_pipeline", _corpus_prep_pipeline_oracle_sql())
 def corpus_prep_pipeline(spark, sf_dir):
     """The full training-data recipe end-to-end: quality gate -> language
     keep-list -> exact dedup -> MinHash near-dedup -> surviving corpus
     with quality + lang metadata. Each stage is the tested operator; this
     entry proves they compose (ids flow, no schema drift, one pipeline
-    plan). Rows-only: the MinHash stage is not SQL-expressible."""
+    plan). Full oracle (was rows-only): with the MinHash stage on the md5
+    hash family, every stage has a SQL twin and the whole composition
+    replays in DuckDB."""
     docs = _t(spark, sf_dir, "documents")
     quality = TXT.quality_filter(docs, min_tokens=5)
     langs = TXT.lang_id(docs)
@@ -2326,7 +2429,9 @@ def corpus_prep_pipeline(spark, sf_dir):
         .join(langs.filter(F.col("lang_pred") != "und").select("doc_id", "lang_pred"), "doc_id")
     )
     exact_kept = DD.exact_dedup(kept)
-    near_pairs = DD.minhash_dedup_pairs(exact_kept, threshold=0.5)
+    near_pairs = DD.minhash_dedup_pairs(
+        exact_kept, threshold=0.5, hash_family="md5"
+    )
     drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = exact_kept.join(drop_ids, "doc_id", "left_anti")
     return final.select(
@@ -2334,14 +2439,151 @@ def corpus_prep_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@q("corpus_prep_full")  # rows-only: minhash + curation bucketing compose
+def _corpus_prep_full_oracle_sql() -> str:
+    """The COMPLETE pipeline replayed in one DuckDB statement, each CTE
+    block the same SQL its standalone oracle hash-matches: boilerplate
+    strip (doc2/lines), quality gate (min_tokens=5), repetition filter,
+    exact dedup, md5-family MinHash near-dedup, 3-gram benchmark
+    decontamination at min_overlap=8, md5-bucket split, and the ordered
+    prefix-sum sequence packing of the train split."""
+    ntok_cl = _NTOK_SQL  # operates on a column literally named `text`
+    return rf"""
+    WITH {_BP_DOC2_SQL},
+    lists AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc2),
+    segs AS (
+      SELECT doc_id, unnest(l) AS seg,
+             unnest(range(1, len(l) + 1)) AS pos
+      FROM lists
+    ),
+    hs AS (
+      SELECT doc_id, pos, seg,
+             md5(regexp_replace(trim(lower(seg)), '\s+', ' ', 'g')) AS h
+      FROM segs
+    ),
+    freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM hs GROUP BY h),
+    keptl AS (SELECT doc_id, pos, seg
+              FROM hs JOIN freq USING (h) WHERE ndocs < 3),
+    cl AS (
+      SELECT d.doc_id, coalesce(k.txt, '') AS text
+      FROM doc2 d LEFT JOIN (
+        SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS txt
+        FROM keptl GROUP BY doc_id) k USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               {ntok_cl} AS n_tokens,
+               round(length(text) / greatest({ntok_cl}, 1), 3)
+                 AS avg_token_len,
+               round(len(regexp_extract_all(text, '[^\w\s]'))
+                     / greatest(length(text), 1), 3) AS punct_ratio,
+               round(len(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1), 3) AS digit_ratio
+        FROM cl)
+      WHERE n_tokens >= 5 AND punct_ratio <= 0.20 AND digit_ratio <= 0.30
+        AND avg_token_len BETWEEN 2.0 AND 12.0
+    ),
+    rtok AS (
+      SELECT doc_id, unnest(toks) AS w,
+             unnest(generate_series(1, len(toks))) AS i
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM cl)
+    ),
+    rbst AS (
+      SELECT doc_id, max(c) AS maxc, sum(c) AS nbg FROM (
+        SELECT a.doc_id, a.w || ' ' || b.w AS bg, count(*) AS c
+        FROM rtok a JOIN rtok b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2) GROUP BY doc_id
+    ),
+    rtst AS (
+      SELECT doc_id, count(*) AS ntg, count(DISTINCT tg) AS ndtg FROM (
+        SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS tg
+        FROM rtok a
+        JOIN rtok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN rtok c ON a.doc_id = c.doc_id AND c.i = a.i + 2)
+      GROUP BY doc_id
+    ),
+    rep AS (
+      SELECT cl.doc_id FROM cl
+      LEFT JOIN rbst b USING (doc_id)
+      LEFT JOIN rtst t USING (doc_id)
+      WHERE round(COALESCE(b.maxc / b.nbg, 0), 3) < 0.9
+        AND round(COALESCE(1 - t.ndtg / CAST(t.ntg AS DOUBLE), 0), 3) < 0.9
+    ),
+    kept AS (
+      SELECT cl.doc_id, cl.text FROM cl
+      JOIN q USING (doc_id) JOIN rep USING (doc_id)
+    ),
+    fp AS (SELECT doc_id, {_FP_SQL} AS fp FROM kept),
+    exact_kept AS (
+      SELECT doc_id FROM fp
+      WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fp)
+    ),
+    {_minhash_base_ctes(src="kept")},
+    near AS (
+      SELECT DISTINCT b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+      JOIN exact_kept ka ON ka.doc_id = a.id
+      JOIN exact_kept kb ON kb.doc_id = b.id
+      JOIN sh sa ON sa.id = a.id
+      JOIN sh sb ON sb.id = b.id
+      WHERE len(list_intersect(sa.shingles, sb.shingles))
+              / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+    ),
+    deduped AS (
+      SELECT doc_id FROM exact_kept
+      WHERE doc_id NOT IN (SELECT id_b FROM near)
+    ),
+    tsh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh3
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM cl)
+      WHERE doc_id IN (SELECT doc_id FROM deduped)
+        AND {_MD5_BUCKET_SQL} >= 5
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest({_SHINGLES_SQL}) AS g
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM doc2)
+      WHERE {_MD5_BUCKET_SQL} < 5
+    ),
+    hits AS (
+      SELECT doc_id FROM (
+        SELECT tg.doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(sh3) AS g FROM tsh) tg
+        JOIN bsh USING (g) GROUP BY 1)
+      WHERE c >= 8
+    ),
+    final AS (
+      SELECT doc_id FROM tsh
+      WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    ),
+    tr AS (SELECT doc_id FROM final WHERE {_MD5_BUCKET_SQL} < 80),
+    pk AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 512)
+                  AS BIGINT) AS pack_id
+      FROM (SELECT cl.doc_id, {ntok_cl} AS n_tokens
+            FROM cl JOIN tr USING (doc_id))
+    )
+    SELECT doc_id, 'train' AS split, n_tokens, pack_id
+    FROM pk ORDER BY doc_id
+    """
+
+
+@q("corpus_prep_full", _corpus_prep_full_oracle_sql())
 def corpus_prep_full(spark, sf_dir):
     """The COMPLETE pretraining-data recipe: boilerplate line removal ->
     quality gate -> repetition filter -> exact dedup -> MinHash near-dedup
     -> benchmark decontamination -> deterministic train/val/test split ->
     sequence packing of the train split. Proves the curation, dedup and
     decontamination operators compose in one flow (ids thread through;
-    every stage is individually oracle-checked)."""
+    every stage is individually oracle-checked). Full oracle (was
+    rows-only): the MinHash stage now runs the md5 hash family, so the
+    WHOLE recipe — eight stages — replays as one DuckDB statement."""
     from .pipeline import curation as CUR
     from .pipeline import decontam as DC
     from .pipeline.curation import md5_bucket
@@ -2356,7 +2598,9 @@ def corpus_prep_full(spark, sf_dir):
     ).select("doc_id")
     kept = cleaned.join(quality, "doc_id").join(rep, "doc_id")
     exact_kept = DD.exact_dedup(kept)
-    near_pairs = DD.minhash_dedup_pairs(exact_kept, threshold=0.5)
+    near_pairs = DD.minhash_dedup_pairs(
+        exact_kept, threshold=0.5, hash_family="md5"
+    )
     drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     deduped = exact_kept.join(drop_ids, "doc_id", "left_anti")
     # held-out benchmark = the md5-bucket 0-4 docs (same subset the
@@ -2491,12 +2735,6 @@ def _md5_bucket_sql(col: str) -> str:
 """
 
 
-_MD5_BUCKET_SQL = """
-    ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
-"""
 
 
 @q(
@@ -3104,21 +3342,6 @@ def semantic_decontam_report(spark, sf_dir):
 # on every doc_id % 7 == 0 and a header on every doc_id % 11 == 0 —
 # deterministic, restated identically in the oracle. The operator then has
 # real multi-line docs with genuinely corpus-frequent lines to find.
-_BP_FOOTER = "subscribe to our newsletter for daily updates"
-_BP_HEADER = "copyright 2024 example corp all rights reserved"
-
-_BP_DOC2_SQL = f"""
-    doc2 AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0
-                  THEN t1 || chr(10) || '{_BP_FOOTER}' ELSE t1 END AS text
-      FROM (SELECT doc_id,
-                   CASE WHEN doc_id % 11 = 0
-                        THEN '{_BP_HEADER}' || chr(10) || text
-                        ELSE text END AS t1
-            FROM documents)
-    )
-"""
 
 
 def _bp_corpus(spark, sf_dir):
