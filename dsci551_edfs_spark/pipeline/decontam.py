@@ -29,10 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _persist, shingle_df
+from .dedup import _persist, shingle_df, shingle_expr
+from ..functions.text import tokens
 
 __all__ = [
     "ngram_overlap_contamination",
+    "multi_n_overlap",
     "decontaminate",
     "decontam_gate",
     "semantic_decontam",
@@ -73,6 +75,79 @@ def _overlap_hits(
         posting.join(bench_grams, "gh")
         .groupBy("id")
         .agg(F.count("*").alias("overlap_ngrams"))
+    )
+
+
+def _multi_n_posting(
+    df: DataFrame, ns: tuple[int, ...], text_col: str, id_col: str
+) -> DataFrame:
+    """(id, n, gh): every requested gram family from ONE tokenize pass —
+    the token array is materialized once per row and each family's
+    zip_with chain reads it in the same projection, so the corpus is
+    scanned once however many n's are requested (vs one full
+    tokenize+explode scan per n when calling `_posting` repeatedly)."""
+    toks = tokens(F.col(text_col))
+
+    def fam(n: int):
+        # NOTE: the lambda must take exactly ONE parameter — F.transform
+        # treats a second parameter as the element INDEX, which would
+        # silently shadow a `n=n` default-capture
+        return F.transform(
+            shingle_expr(toks, n),
+            lambda s: F.struct(F.lit(n).alias("n"), F.xxhash64(s).alias("gh")),
+        )
+
+    fams = [fam(n) for n in ns]
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.concat(*fams)).alias("e")
+    ).select("id", "e.n", "e.gh")
+
+
+def multi_n_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    ns: tuple[int, ...] = (3, 5),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-training-doc benchmark overlap for SEVERAL n-gram sizes in one
+    pass per side (the GPT-3 appendix-C recipe runs multiple n's): one
+    tagged posting scan of train, one of bench, one (n, gh) join. Returns
+    one row per train doc with an ``overlap_{n}`` column per family
+    (0-filled). At 100 TB this halves (for two n's) the dominant cost —
+    the corpus tokenize scan — vs calling `ngram_overlap_contamination`
+    per n."""
+    # single-consumer posting: no persist needed (and none wanted — the
+    # exploded gram frame is the biggest thing in this plan; caching it
+    # costs more than the column-pruned id re-scan below)
+    posting = _multi_n_posting(train, ns, text_col, id_col)
+    bench_grams = _multi_n_posting(bench, ns, text_col, id_col).select(
+        "n", "gh"
+    ).distinct()
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    wide = (
+        posting.join(bench_grams, ["n", "gh"])
+        .groupBy("id")
+        .agg(
+            *[
+                F.count(F.when(F.col("n") == n, F.lit(1))).alias(
+                    f"overlap_{n}"
+                )
+                for n in ns
+            ]
+        )
+    )
+    # every train doc reports, 0-filled: ids come from a column-pruned
+    # scan of the raw table (cheap at any scale), not the gram frame
+    ids = train.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(wide, "id", "left").select(
+        F.col("id").alias(id_col),
+        *[
+            F.coalesce(F.col(f"overlap_{n}"), F.lit(0)).alias(f"overlap_{n}")
+            for n in ns
+        ],
     )
 
 

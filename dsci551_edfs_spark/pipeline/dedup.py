@@ -263,6 +263,18 @@ def shingle_df(
     is O(tokens²) — every lambda call copies an n-slice — and measured
     ~7.5x slower on the documents table."""
     toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        shingle_expr(toks, n).alias("shingles"),
+        *keep_cols,
+    )
+
+
+def shingle_expr(toks, n: int):
+    """The distinct-word-n-gram expression over an already-tokenized
+    array column — factored out of `shingle_df` so multi-n consumers
+    (decontam.multi_n_overlap) emit several gram families from ONE
+    tokenize pass instead of re-scanning the corpus per n."""
     grams = toks
     for i in range(1, n):
         shift = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
@@ -273,9 +285,7 @@ def shingle_df(
     sh = F.when(F.size(toks) >= n, ngrams).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.array_distinct(sh).alias("shingles"), *keep_cols
-    )
+    return F.array_distinct(sh)
 
 
 def _md5_hash48(col, salt: int):
