@@ -558,6 +558,7 @@ def knn_classify(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    topk: DataFrame | None = None,
 ) -> DataFrame:
     """k-NN majority-vote classification over the embedding column — the
     label-audit / auto-label workflow: each query vector takes the most
@@ -568,8 +569,17 @@ def knn_classify(
     Composition: `brute_force_topk` (broadcast queries, one corpus scan)
     → broadcast-size join back to neighbor labels → query-KEYED argmax
     window. Returns (query_id, pred_label, votes). The scale path swaps
-    the exact top-k for `ivf_topk`/`pq_topk` without touching the vote."""
-    top = brute_force_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    the exact top-k for `ivf_topk`/`pq_topk` without touching the vote —
+    pass the precomputed (query_id, neighbor_id, rank, score) frame as
+    ``topk`` (the `knn_label_vote_ivf` demo does exactly this over the
+    persisted IVF layout)."""
+    top = (
+        topk
+        if topk is not None
+        else brute_force_topk(
+            corpus, queries, k=k, vec_col=vec_col, id_col=id_col
+        )
+    )
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lbl")
     )

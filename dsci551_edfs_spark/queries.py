@@ -1122,6 +1122,109 @@ def knn_label_vote(spark, sf_dir):
     return SIM.knn_classify(corpus, queries, k=5).orderBy("query_id")
 
 
+def _ivf_cents_sql(n_centroids: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """The IVF coarse centroids as SQL literals: build_ivf_index's exact
+    init (seeded standard normal, unit-normalized) rendered with repr()
+    — the shortest round-trip decimal, so DuckDB parses the identical
+    float64 bits. The centroids are algorithm PARAMETERS (a pure function
+    of the seed, independent of the data); the oracle still independently
+    verifies assignment, probing, scoring and ranking."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return ",\n        ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(c)
+    )
+
+
+
+def _knn_ivf_oracle_sql() -> str:
+    """The IVF variant of the `knn_label_vote` oracle: same seeded
+    coarse-centroid literals and assignment/probe CTEs as
+    `_ivf_oracle_sql`, candidates restricted to labeled (non-query)
+    vectors in the probed buckets, then the identical vote argmax."""
+    return f"""
+    WITH cents(c, cv) AS (VALUES
+        {_ivf_cents_sql()}),
+    asn AS (
+      SELECT vec_id, c,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, c) AS rn
+      FROM (
+        SELECT e.vec_id, cents.c,
+               {_DOT_SQL.format(a="e.embedding", b="cents.cv")} AS sim
+        FROM embeddings e, cents)
+    ),
+    buckets AS (SELECT vec_id, c FROM asn WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c FROM asn
+      WHERE rn <= 4 AND vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id AS id, e.label,
+             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+               / ({_NORM_SQL.format(a="e.embedding")}
+                  * {_NORM_SQL.format(a="q.embedding")}) AS score
+      FROM buckets b
+      JOIN probes p ON b.c = p.c AND b.vec_id <> p.query_id
+      JOIN embeddings e ON e.vec_id = b.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE b.vec_id % 50 <> 0
+    ),
+    top AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS rnk
+        FROM scored) WHERE rnk <= 5),
+    v AS (SELECT query_id, label, count(*) AS votes
+          FROM top GROUP BY 1, 2)
+    SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+           CAST(votes AS BIGINT) AS votes FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS rn
+      FROM v) WHERE rn = 1
+    """
+
+
+@q("knn_label_vote_ivf", _knn_ivf_oracle_sql())
+def knn_label_vote_ivf(spark, sf_dir):
+    """The documented 100 TB swap, demonstrated at the registered-query
+    level: the SAME majority vote as `knn_label_vote`, but the neighbor
+    top-k comes from the PERSISTED IVF layout (memoized `ivf_idx`, the
+    one `ann_ivf_persisted` builds) probed with an explicit partition
+    filter — the scan touches only the 4 probed bucket directories per
+    query, never the full corpus. The vote composes over any top-k
+    backend (similarity.knn_classify's `topk` injection point). Full
+    oracle: seeded centroid literals + assignment/probe/score/vote all
+    replayed in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def _build(tmp: str) -> None:
+        bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
+        SIM.save_ivf_index(bucketed, cents, tmp)
+
+    path = MEMO.layout_memo(
+        "ivf_idx",
+        sf_dir,
+        ["embeddings"],
+        _build,
+        markers=("buckets/_SUCCESS", "centroids/_SUCCESS"),
+    )
+    loaded, cents = SIM.load_ivf_index(spark, path)
+    labeled = loaded.filter(F.col("id") % 50 != 0)
+    top = SIM.ivf_topk_pruned(labeled, cents, queries, k=5, n_probe=4)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return SIM.knn_classify(corpus, queries, k=5, topk=top).orderBy(
+        "query_id"
+    )
+
+
 @q(
     "label_outlier_report",
     """
@@ -1223,24 +1326,6 @@ def hard_negatives(spark, sf_dir):
         "neighbor_id",
         F.col("rank").cast("long").alias("rnk"),
         F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-def _ivf_cents_sql(n_centroids: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """The IVF coarse centroids as SQL literals: build_ivf_index's exact
-    init (seeded standard normal, unit-normalized) rendered with repr()
-    — the shortest round-trip decimal, so DuckDB parses the identical
-    float64 bits. The centroids are algorithm PARAMETERS (a pure function
-    of the seed, independent of the data); the oracle still independently
-    verifies assignment, probing, scoring and ranking."""
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    c = rng.standard_normal((n_centroids, dim))
-    c /= np.linalg.norm(c, axis=1, keepdims=True)
-    return ",\n        ".join(
-        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in row))
-        for i, row in enumerate(c)
     )
 
 
