@@ -857,19 +857,20 @@ def dedup_cluster_keep_best(spark, sf_dir):
 
 
 def _minhash_base_ctes(src: str = "documents") -> str:
-    """The shared md5-family MinHash CTE chain (shingle → salted 48-bit
+    """The shared md5-family MinHash CTE chain (shingle → affine 48-bit
     minima → 16 band keys) over any (doc_id, text) relation ``src``,
-    reused by every LSH oracle. The 48-bit salted family is
-    `dedup._md5_hash48`: CAST('0x' || substring(md5(x || ':salt'), 1,
-    12) AS BIGINT) — bit-identical on both engines, the same hex→int
-    trick that minted the `ann_topk_int8` and `cms_token_counts`
-    oracles."""
+    reused by every LSH oracle. The family is
+    `dedup.minhash_affine_params`: h0 = CAST('0x' || substring(md5(sh),
+    1, 12) AS BIGINT) — the same hex→int trick that minted the
+    `ann_topk_int8` and `cms_token_counts` oracles — then h_i = (a_i·h0
+    + b_i) mod MINHASH_PRIME, exact int64 arithmetic on both engines."""
     k, bands, seed = 64, 16, 42
     r = k // bands
+    params = DD.minhash_affine_params(k, seed)
+    prime = DD.MINHASH_PRIME
     mins = ",\n             ".join(
-        f"min(CAST('0x' || substring(md5(h0 || ':{seed + i}'), 1, 12) "
-        f"AS BIGINT)) AS h{i}"
-        for i in range(k)
+        f"min((h0 * {a} + {b}) % {prime}) AS h{i}"
+        for i, (a, b) in enumerate(params)
     )
     band_rows = "\n      UNION ALL ".join(
         "SELECT id, {b} AS band, md5({key}) AS bh FROM sig".format(
@@ -885,7 +886,10 @@ def _minhash_base_ctes(src: str = "documents") -> str:
       SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
       FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM {src})
     ),
-    ex AS (SELECT id, md5(unnest(shingles)) AS h0 FROM sh),
+    ex AS (SELECT id,
+                  CAST('0x' || substring(md5(unnest(shingles)), 1, 8)
+                       AS BIGINT) AS h0
+           FROM sh),
     sig AS (
       SELECT id, {mins}
       FROM ex GROUP BY id
