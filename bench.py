@@ -135,6 +135,9 @@ HEADLINE = [
     # round-7 additions
     "embedding_single_linkage_lsh",
     "duplicate_reweighting",
+    # round-8 additions
+    "knn_label_vote_ivf",
+    "corpus_prep_pipeline",
 ]
 
 

@@ -154,6 +154,36 @@ def test_query_limit_without_sf_dir(server):
     assert out["response"].splitlines()[0] == "avg_qty"
 
 
+def test_every_row_emitting_route_is_bounded(server):
+    """Facade lint: no route may materialize unbounded results on the
+    driver — /query defaults to limit=20, and the CSV emitters
+    (cat/readPartition) stream through EdfsShell.max_csv_rows. Guards
+    the 100 TB posture of the facade: a client cannot make the driver
+    buffer a full table."""
+    from dsci551_edfs_spark.cli import EdfsShell
+
+    out = get(server, "query", name="edfs_cat_roundtrip")
+    assert out["status"] == "EDFS200"
+    # header + at most 20 data rows (default limit)
+    assert len(out["response"].splitlines()) <= 21
+    assert EdfsShell.max_csv_rows <= 100_000  # cat/readPartition cap
+
+
+def test_concurrent_query_dispatch(server):
+    """8 parallel /query clients: all answer EDFS200 envelopes — the
+    stdlib ThreadingHTTPServer serializes nothing at the HTTP layer
+    (each request runs in its own thread; Spark's scheduler handles the
+    query parallelism). Wall-clock probe recorded in SCALE.md."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(_):
+        return get(server, "query", name="pmr_avg", limit="5")["status"]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        statuses = list(ex.map(one, range(8)))
+    assert statuses == ["EDFS200"] * 8
+
+
 def test_engine_exception_becomes_edfs500_envelope(server):
     """An engine exception outside the shell's whitelist (here: an
     AnalysisException from a nonexistent parquet dir) must still answer
