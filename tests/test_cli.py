@@ -165,6 +165,9 @@ def test_cli_query_dispatch(shell):
     listing = shell.execute("queries")
     assert listing["status"] == "EDFS200"
     assert "pmr_avg" in listing["response"]
-    assert "ann_ivf_topk  (rows-only)" in listing["response"]
+    # a genuinely non-SQL query carries the marker; an oracle-backed one
+    # must NOT (ann_ivf_topk gained its full oracle in round 8)
+    assert "bpe_train_merges  (rows-only)" in listing["response"]
+    assert "ann_ivf_topk  (rows-only)" not in listing["response"]
     bad = shell.execute("query no_such_thing")
     assert bad["status"] != "EDFS200"
