@@ -179,6 +179,77 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
 
 
+def corpus_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.20,
+    max_digit_ratio: float = 0.30,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """The fused corpus gate: quality features + score, language ID, and
+    the exact-dedup fingerprint in ONE projection over ONE scan — the
+    pipeline-composition shape. `corpus_prep_pipeline` previously joined
+    `quality_filter` ⋈ `lang_id` ⋈ fingerprint, three tokenize scans of
+    the corpus; at 100 TB the corpus scan IS the cost, so the gates fuse.
+    Semantics are identical to the standalone operators (same thresholds,
+    same argmax, same fingerprint), which is what keeps the composed
+    oracle unchanged. Returns the GATED rows (quality thresholds passed,
+    lang_pred != 'und') as (id, text, quality_score, lang_pred, fp)."""
+    c = F.col(text_col)
+    n_tokens = token_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0))
+    avg_token_len = F.round(
+        F.length(c) / F.greatest(n_tokens, F.lit(1)), 3
+    )
+    punct_ratio = F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 3)
+    digit_ratio = F.round(n_digit / F.greatest(F.length(c), F.lit(1)), 3)
+    quality_score = F.round(
+        F.least(n_tokens / 100, F.lit(1.0)) * (1 - punct_ratio) * (1 - digit_ratio),
+        4,
+    )
+    toks = tokens(c)
+    langs = sorted(LANG_STOPWORDS)
+
+    def _hit(sw: list[str]):
+        sw_lit = F.array(*[F.lit(w) for w in sw])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw_lit, t)))
+
+    scores = {lang: _hit(LANG_STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*scores.values())
+    lang_pred = F.coalesce(
+        *[
+            F.when((scores[lang] == best) & (best > 0), F.lit(lang))
+            for lang in langs
+        ],
+        F.lit("und"),
+    )
+    gated = df.select(
+        F.col(id_col),
+        c.alias(text_col),
+        F.struct(
+            n_tokens.alias("n_tokens"),
+            avg_token_len.alias("avg_token_len"),
+            punct_ratio.alias("punct_ratio"),
+            digit_ratio.alias("digit_ratio"),
+        ).alias("_q"),
+        quality_score.alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )
+    return gated.filter(
+        (F.col("_q.n_tokens") >= min_tokens)
+        & (F.col("_q.punct_ratio") <= max_punct_ratio)
+        & (F.col("_q.digit_ratio") <= max_digit_ratio)
+        & (F.col("_q.avg_token_len") >= min_avg_token_len)
+        & (F.col("_q.avg_token_len") <= max_avg_token_len)
+        & (F.col("lang_pred") != "und")
+    ).drop("_q")
+
+
 def lang_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

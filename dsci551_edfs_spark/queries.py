@@ -2509,23 +2509,41 @@ def corpus_prep_pipeline(spark, sf_dir):
     entry proves they compose (ids flow, no schema drift, one pipeline
     plan). Full oracle (was rows-only): with the MinHash stage on the md5
     hash family, every stage has a SQL twin and the whole composition
-    replays in DuckDB."""
+    replays in DuckDB.
+
+    r8: the quality + language + fingerprint gates run FUSED
+    (functions/text.py:corpus_gate) — one projection over one corpus
+    scan instead of the previous quality ⋈ lang ⋈ fingerprint
+    three-scan join tree. The gate's TEXT-FREE metadata (ids, scores,
+    fingerprints, n_chars) is the multi-consumer frame, so it persists
+    tiny; the text itself is re-read once, column-pruned, only for the
+    MinHash leg — documents never caches and the corpus pays exactly
+    two scans total. Identical semantics, same oracle."""
     docs = _t(spark, sf_dir, "documents")
-    quality = TXT.quality_filter(docs, min_tokens=5)
-    langs = TXT.lang_id(docs)
-    kept = (
-        docs.join(quality.select("doc_id", "quality_score"), "doc_id")
-        .join(langs.filter(F.col("lang_pred") != "und").select("doc_id", "lang_pred"), "doc_id")
+    gated = TXT.corpus_gate(docs, min_tokens=5)
+    gmeta = DD._persist(
+        gated.select(
+            "doc_id",
+            "quality_score",
+            "lang_pred",
+            "fp",
+            F.length("text").alias("n_chars"),
+        )
     )
-    exact_kept = DD.exact_dedup(kept)
+    keep = gmeta.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    near_input = docs.join(keep, "doc_id", "left_semi")
     near_pairs = DD.minhash_dedup_pairs(
-        exact_kept, threshold=0.5, hash_family="md5"
+        near_input, threshold=0.5, hash_family="md5"
     )
     drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    final = exact_kept.join(drop_ids, "doc_id", "left_anti")
-    return final.select(
-        "doc_id", "lang_pred", "quality_score", F.length("text").alias("n_chars")
-    ).orderBy("doc_id")
+    return (
+        gmeta.join(keep, "doc_id", "left_semi")
+        .join(drop_ids, "doc_id", "left_anti")
+        .select("doc_id", "lang_pred", "quality_score", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 def _corpus_prep_full_oracle_sql() -> str:
