@@ -507,6 +507,27 @@ def test_semantic_dedup_kmeans_cyclic_twin_recall(spark, sf_dir):
     assert len(dups) / n >= 0.95
 
 
+def test_corpus_gate_equals_composed_operators(spark, sf_dir):
+    """The fused one-scan gate must return exactly the docs (and scores /
+    lang predictions / fingerprints) that the composed quality_filter ∩
+    lang_id(≠und) ∩ fingerprint path returns — fusion is a plan shape,
+    not a semantics change."""
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    g = {
+        r["doc_id"]: (r["quality_score"], r["lang_pred"], r["fp"])
+        for r in TXT.corpus_gate(docs, min_tokens=5).collect()
+    }
+    q = {r["doc_id"]: r["quality_score"]
+         for r in TXT.quality_filter(docs, min_tokens=5).collect()}
+    l = {r["doc_id"]: r["lang_pred"]
+         for r in TXT.lang_id(docs).collect() if r["lang_pred"] != "und"}
+    fp = {r["doc_id"]: r["fp"]
+          for r in docs.select("doc_id", TXT.fingerprint("text").alias("fp")).collect()}
+    assert set(g) == set(q) & set(l)
+    for i, (qs, lp, f) in g.items():
+        assert qs == q[i] and lp == l[i] and f == fp[i]
+
+
 def test_quality_score_model(spark):
     d = spark.createDataFrame(
         [
