@@ -28,9 +28,74 @@ __all__ = [
     "count_min_estimate",
     "ndv_partials",
     "ndv_rollup",
+    "hll_own_registers",
+    "hll_own_estimate",
     "quantile_hist_partials",
     "quantile_hist_rollup",
 ]
+
+#: md5-prefix hash width shared by the oracle-restatable sketch family
+HLL_HASH_BITS = 48
+
+
+def hll_own_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = 9,
+) -> DataFrame:
+    """Classic HyperLogLog register table (Flajolet et al. 2007) built
+    from deterministic arithmetic DuckDB restates exactly — the
+    ORACLE-CHECKED twin of the Datasketches-backed `ndv_partials` (whose
+    opaque binary sketches stay rows-only by nature).
+
+    h = first 12 md5 nibbles of the value as int (48 bits); bucket =
+    low p bits; rho = leading-zero rank of the remaining W = 48-p bits
+    (W+1 when zero). Registers are max(rho) per (group, bucket) —
+    map-side combinable, shuffle is O(groups · 2^p) rows of two small
+    ints, and a COARSER grain's registers are just max-merges of finer
+    ones (lossless, same property the Datasketches union has)."""
+    m = 1 << p
+    w_bits = HLL_HASH_BITS - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    rho = F.lit(w_bits + 1)
+    # descending bit-length chain: first match wins, all-integer exact
+    for b in range(1, w_bits + 1):
+        rho = F.when(w >= F.lit(1 << (b - 1)), F.lit(w_bits - b + 1)).otherwise(rho)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("reg"))
+    )
+
+
+def hll_own_estimate(
+    registers: DataFrame, group_cols: Sequence[str] = (), p: int = 9
+) -> DataFrame:
+    """Estimate NDV per group from a `hll_own_registers` table: raw
+    harmonic mean alpha·m²/Σ2^-M (absent buckets contribute 2^0), with
+    the standard linear-counting correction below 2.5m. Every term is a
+    dyadic rational, so the double sum is exact on any engine; the final
+    estimate is rounded to 3 decimals to absorb ln() last-ulp
+    differences in the correction branch."""
+    m = 1 << p
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_s"),
+        F.count("*").alias("_c"),
+    )
+    sum_inv = F.col("_s") + (F.lit(m) - F.col("_c"))
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) / sum_inv
+    zeros = F.lit(m) - F.col("_c")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 3).alias("ndv_est"))
 
 
 def approx_ndv(df: DataFrame, cols: Sequence[str], rsd: float = 0.05) -> DataFrame:

@@ -1929,6 +1929,105 @@ def approx_ndv_orders(spark, sf_dir):
     )
 
 
+def _hll_own_sql(src: str, group: str, value: str, p: int = 9) -> str:
+    """DuckDB replay of the md5-derived HLL (operators/sketches.py:
+    hll_own_registers/_estimate): 48-bit hash, low-p-bit bucket,
+    descending bit-length CASE for rho, max-register table, harmonic
+    estimate with linear-counting correction — every arithmetic step the
+    same expression text as the Spark plan, so the doubles agree
+    bit-for-bit (dyadic-rational register sum; the one ln() is absorbed
+    by round-3 on both sides)."""
+    m = 1 << p
+    w_bits = 48 - p
+    rho = (
+        "CASE "
+        + " ".join(
+            f"WHEN w >= {1 << (b - 1)} THEN {w_bits - b + 1}"
+            for b in range(w_bits, 0, -1)
+        )
+        + f" ELSE {w_bits + 1} END"
+    )
+    raw = f"0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0 / (s + ({m} - c))"
+    return f"""
+    WITH hx AS (
+      SELECT {group} AS g,
+             CAST('0x' || substring(md5(CAST({value} AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM {src}
+    ),
+    wx AS (SELECT g, h & {m - 1} AS bucket, h >> {p} AS w FROM hx),
+    r AS (SELECT g, bucket, max({rho}) AS reg FROM wx GROUP BY 1, 2),
+    a AS (SELECT g, sum(pow(2.0, -reg)) AS s, count(*) AS c
+          FROM r GROUP BY 1)
+    SELECT g, round(CASE WHEN {raw} <= {2.5 * m} AND ({m} - c) > 0
+                         THEN {m}.0 * ln({m}.0 / ({m} - c))
+                         ELSE {raw} END, 3) AS ndv_est
+    FROM a
+    """
+
+
+@q(
+    "hll_own_ndv",
+    f"""
+    WITH est AS ({_hll_own_sql("orders", "o_orderpriority", "o_custkey")}),
+    ex AS (SELECT o_orderpriority AS g,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact
+           FROM orders GROUP BY 1)
+    SELECT est.g AS o_orderpriority, est.ndv_est, ex.ndv_exact
+    FROM est JOIN ex USING (g) ORDER BY 1
+    """,
+)
+def hll_own_ndv(spark, sf_dir):
+    """Oracle-checked HyperLogLog: per-priority distinct-customer
+    estimates from the md5-derived register table
+    (operators/sketches.py:hll_own_registers — the fully-verifiable twin
+    of the Datasketches `approx_ndv_orders`, whose opaque binary
+    sketches stay rows-only by nature), reported next to the exact NDV
+    so the error is visible in the result itself."""
+    from .operators import sketches as SK
+
+    orders = _t(spark, sf_dir, "orders")
+    regs = SK.hll_own_registers(orders, "o_custkey", ["o_orderpriority"])
+    est = SK.hll_own_estimate(regs, ["o_orderpriority"])
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("ndv_exact")
+    )
+    return est.join(exact, "o_orderpriority").orderBy("o_orderpriority")
+
+
+@q(
+    "hll_own_rollup",
+    f"""
+    WITH wk AS (
+      SELECT (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week, user_id
+      FROM events),
+    est AS ({_hll_own_sql("wk", "week", "user_id")})
+    SELECT g AS week, ndv_est FROM est ORDER BY week
+    """,
+)
+def hll_own_rollup(spark, sf_dir):
+    """Lossless sketch mergeability, PROVED by the oracle: Spark builds
+    per-DAY register tables and max-merges them to weeks; DuckDB builds
+    the week registers directly from the raw events. Registers agree
+    exactly iff max-merge is lossless (max over day partitions == max
+    over the week), so the hash match IS the mergeability proof — the
+    property `ndv_daily_to_weekly` (Datasketches union) can only pin in
+    pytest."""
+    from .operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+        "user_id",
+    )
+    day_regs = SK.hll_own_registers(ev, "user_id", ["day_num"])
+    week_regs = (
+        day_regs.withColumn("week", F.expr("day_num div 7"))
+        .groupBy("week", "bucket")
+        .agg(F.max("reg").cast("int").alias("reg"))
+    )
+    return SK.hll_own_estimate(week_regs, ["week"]).orderBy("week")
+
+
 @q(
     "frequent_event_types",
     """

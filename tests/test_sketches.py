@@ -22,6 +22,35 @@ def test_approx_ndv_within_rsd(orders):
     assert approx["ndv_o_custkey"] == pytest.approx(exact["c"], rel=0.05)
 
 
+def test_hll_own_error_and_merge_losslessness(orders, spark, sf_dir):
+    """The oracle-checked own-HLL: estimate within the ~1.04/√m band
+    (p=9 → m=512 → rsd ≈ 4.6%; allow 3σ), and max-merging per-priority
+    registers reproduces the global register table EXACTLY."""
+    regs = SK.hll_own_registers(orders, "o_custkey", ["o_orderpriority"])
+    est = {
+        r["o_orderpriority"]: r["ndv_est"]
+        for r in SK.hll_own_estimate(regs, ["o_orderpriority"]).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["c"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("c"))
+        .collect()
+    }
+    for k, c in exact.items():
+        assert est[k] == pytest.approx(c, rel=0.14)
+    # lossless merge: max over the priority partition == global build
+    merged = {
+        r["bucket"]: r["reg"]
+        for r in regs.groupBy("bucket").agg(F.max("reg").alias("reg")).collect()
+    }
+    direct = {
+        r["bucket"]: r["reg"]
+        for r in SK.hll_own_registers(orders, "o_custkey").collect()
+    }
+    assert merged == direct
+
+
 def test_approx_quantiles_bracket_exact(orders):
     rows = SK.approx_quantiles(orders, "o_totalprice", (0.5,), 0.01).collect()
     got = rows[0]["value"]
