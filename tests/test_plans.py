@@ -349,3 +349,25 @@ def test_memoized_steady_state_reads_memo_not_corpus():
     # path itself behind Scan ExistingRDD)
     assert "lineitem" not in tri, tri
     assert "Scan parquet" not in tri, tri
+
+
+def test_decontam_multi_n_single_tokenize_scan_per_side():
+    """Round-8 contract: BOTH gram families (3- and 5-gram) come out of
+    ONE tagged tokenize scan per side — exactly two TEXT-bearing
+    documents scans (train posting + bench gram set; the per-n
+    formulation held four), plus the deliberate id-only spine scan for
+    the 0-filled report."""
+    plan = _plan("decontam_multi_n")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    text_scans = [s for s in schemas if "text" in s]
+    assert len(text_scans) == 2, plan
+    assert "doc_id:bigint" in schemas, plan  # the pruned id spine
+
+
+def test_corpus_prep_pipeline_two_scans_no_text_shuffle():
+    """Round-8 contract: the fused gate means the corpus pays exactly
+    two scans (gate metadata + the MinHash text read) — the old
+    quality ⋈ lang join tree paid three and shuffled document TEXT
+    through the joins."""
+    plan = _plan("corpus_prep_pipeline")
+    assert plan.count("documents.parquet") == 2, plan
