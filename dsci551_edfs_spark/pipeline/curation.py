@@ -398,6 +398,94 @@ def _bucketed_global_prefix(
     return out.withColumn("_rn", F.col("_off") + F.row_number().over(w))
 
 
+def batch_padding_report(
+    df: DataFrame,
+    batch_size: int = 16,
+    bucket_width: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dynamic-padding batch efficiency, quantified: batches of
+    ``batch_size`` docs pad every member to the batch max length, so
+    waste = Σ_batches (count·max − Σ n_tokens). Two loader strategies
+    are laid out and measured side by side:
+
+    - ``shuffled``: the deterministic (md5(id), id) pretraining order —
+      long docs land next to short ones, every batch pads to its
+      longest member;
+    - ``length_bucketed``: docs sort by (⌊n_tokens/bucket_width⌋,
+      md5(id), id) first — batch members share a length band, padding
+      collapses (the standard bucketed-batching trick).
+
+    Both rankings are the two-phase bucketed prefix (256 md5 ranges ×
+    length band): per-group totals to the driver, offsets broadcast
+    back, windows fully parallel — never a single-partition sort, the
+    same discipline as `global_shuffle_order`. Output is 2 rows of
+    exact integers (strategy, n_batches, padded_tokens, waste_tokens,
+    waste_ppm), SQL-restatable end to end."""
+    tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(tokens(F.col(text_col)))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+        tok.cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    spark = base.sparkSession
+
+    def ranked(with_len_bucket: bool) -> DataFrame:
+        lb = (
+            F.floor(F.col("n_tokens") / bucket_width).cast("int")
+            if with_len_bucket
+            else F.lit(0)
+        )
+        g = base.withColumn("_lb", lb).withColumn(
+            "_b", F.conv(F.substring("_k", 1, 2), 16, 10).cast("int")
+        )
+        totals = {
+            (r["_lb"], r["_b"]): r["t"]
+            for r in g.groupBy("_lb", "_b").agg(F.count("*").alias("t")).collect()
+        }
+        acc = 0
+        offs = []
+        for key in sorted(totals):
+            offs.append((key[0], key[1], acc))
+            acc += int(totals[key])
+        off_df = spark.createDataFrame(offs, "_lb int, _b int, _off long")
+        w = Window.partitionBy("_lb", "_b").orderBy("_k", id_col)
+        return (
+            g.join(F.broadcast(off_df), ["_lb", "_b"])
+            .withColumn("_rn", F.col("_off") + F.row_number().over(w))
+        )
+
+    reports = []
+    for name, with_lb in (("length_bucketed", True), ("shuffled", False)):
+        r = ranked(with_lb).withColumn(
+            "_batch", F.floor((F.col("_rn") - 1) / batch_size)
+        )
+        per_batch = r.groupBy("_batch").agg(
+            F.count("*").alias("c"),
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("sm"),
+        )
+        rep = per_batch.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum(F.col("c") * F.col("mx")).cast("long").alias("padded_tokens"),
+            (F.sum(F.col("c") * F.col("mx")) - F.sum("sm"))
+            .cast("long")
+            .alias("waste_tokens"),
+            F.expr(
+                "(sum(c * mx) - sum(sm)) * 1000000 div sum(c * mx)"
+            ).cast("long").alias("waste_ppm"),
+        )
+        reports.append(rep)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
 def upsample_repeat(
     df: DataFrame, factor: float, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3166,6 +3166,59 @@ def sequence_packing(spark, sf_dir):
 
 
 @q(
+    "batch_padding_report",
+    r"""
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents),
+    rb AS (SELECT n_tokens,
+                  row_number() OVER (ORDER BY n_tokens // 64, k, doc_id)
+                    AS rn
+           FROM t),
+    rs AS (SELECT n_tokens,
+                  row_number() OVER (ORDER BY k, doc_id) AS rn
+           FROM t),
+    bb AS (SELECT (rn - 1) // 16 AS b, count(*) AS c,
+                  max(n_tokens) AS mx, sum(n_tokens) AS sm
+           FROM rb GROUP BY 1),
+    bs AS (SELECT (rn - 1) // 16 AS b, count(*) AS c,
+                  max(n_tokens) AS mx, sum(n_tokens) AS sm
+           FROM rs GROUP BY 1)
+    SELECT 'length_bucketed' AS strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(c * mx) AS BIGINT) AS padded_tokens,
+           CAST(sum(c * mx) - sum(sm) AS BIGINT) AS waste_tokens,
+           CAST((sum(c * mx) - sum(sm)) * 1000000 // sum(c * mx)
+                AS BIGINT) AS waste_ppm
+    FROM bb
+    UNION ALL
+    SELECT 'shuffled',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(c * mx) AS BIGINT),
+           CAST(sum(c * mx) - sum(sm) AS BIGINT),
+           CAST((sum(c * mx) - sum(sm)) * 1000000 // sum(c * mx)
+                AS BIGINT)
+    FROM bs
+    """,
+)
+def batch_padding_report(spark, sf_dir):
+    """Dynamic-padding batch waste, shuffled vs length-bucketed loader
+    order (pipeline/curation.py:batch_padding_report): batches of 16 pad
+    to their max member, and bucketing by ⌊n_tokens/64⌋ collapses the
+    padding — the report quantifies by how much, in exact integers. Both
+    global ranks are the 256-way two-phase prefix, never a
+    single-partition sort."""
+    from .pipeline import curation as CUR
+
+    return CUR.batch_padding_report(
+        _t(spark, sf_dir, "documents"), batch_size=16, bucket_width=64
+    )
+
+
+@q(
     "pii_redact",
     r"""
     SELECT doc_id,

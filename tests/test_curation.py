@@ -50,6 +50,18 @@ def test_stratified_sample_subset_and_rates(docs):
     assert out.count() == out.intersect(out).count()
 
 
+def test_batch_padding_bucketing_reduces_waste(docs):
+    """Length-bucketed loader order must strictly cut dynamic-padding
+    waste vs the shuffled order on the fixture, batches fully account
+    for every doc, and padded = waste + real tokens."""
+    rep = {r["strategy"]: r for r in CUR.batch_padding_report(docs).collect()}
+    lb, sh = rep["length_bucketed"], rep["shuffled"]
+    assert lb["waste_tokens"] < sh["waste_tokens"]
+    assert lb["n_batches"] == sh["n_batches"]
+    total_tokens = sh["padded_tokens"] - sh["waste_tokens"]
+    assert lb["padded_tokens"] - lb["waste_tokens"] == total_tokens
+
+
 def test_global_shuffle_is_permutation_matching_md5_order(docs):
     out = CUR.global_shuffle_order(docs).collect()
     n = len(out)
