@@ -201,6 +201,30 @@ def build_ivf_index(
     return bucketed, cents
 
 
+def append_to_ivf_index(
+    bucketed: DataFrame,
+    centroids: np.ndarray,
+    new_corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index MAINTENANCE without a rebuild: assign only the incoming
+    shard to the EXISTING centroids (one broadcast-matmul pass over the
+    shard) and union with the standing bucket table. Because assignment
+    is a pure per-row function of (vector, centroids), the appended
+    index is EXACTLY the table a full rebuild with the same centroids
+    would produce — pinned in pytest. At 100 TB this is the only viable
+    ingest shape: appending a shard costs O(|shard|), and on a persisted
+    layout (`save_ivf_index`) it is an appending write into the shard's
+    bucket directories; periodic re-training of the centroids themselves
+    is a separate, rarer event (it changes the layout version)."""
+    unit = new_corpus.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
+    )
+    assigned = _nearest_centroids(unit, centroids, "v")
+    return bucketed.unionByName(assigned)
+
+
 def ivf_topk(
     bucketed: DataFrame,
     centroids: np.ndarray,

@@ -1376,6 +1376,31 @@ def _ivf_oracle_sql(query_pred: str, k: int = 5, n_probe: int = 4) -> str:
     """
 
 
+@q("ann_ivf_incremental", _ivf_oracle_sql("vec_id < 10"))
+def ann_ivf_incremental(spark, sf_dir):
+    """Index maintenance demo: the IVF index is built on the vec_id<400
+    base corpus, then the remaining shard is APPENDED via
+    `similarity.append_to_ivf_index` — one assignment pass over the
+    shard, no rebuild. Probing the appended index returns EXACTLY what
+    probing a full build returns (same centroids ⇒ same per-row
+    assignment), so this query shares `ann_ivf_topk`'s full oracle: the
+    hash match is the maintenance-is-exact proof, and pytest pins
+    bucket-table equality directly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.filter(F.col("vec_id") < 10)
+    bucketed, cents = SIM.build_ivf_index(base, n_centroids=8)
+    appended = SIM.append_to_ivf_index(bucketed, cents, delta)
+    out = SIM.ivf_topk(appended, cents, queries, k=5, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 @q("ann_ivf_topk", _ivf_oracle_sql("vec_id < 10"))
 def ann_ivf_topk(spark, sf_dir):
     """IVF-pruned ANN: corpus bucketed by nearest of 8 centroids, queries

@@ -866,6 +866,29 @@ def test_ivf_index_persist_roundtrip_and_pruning(spark, sf_dir):
     assert "centroid" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_ivf_incremental_append_equals_rebuild(spark, sf_dir):
+    """Appending a shard to an existing IVF index (assign-only pass)
+    must produce EXACTLY the bucket table of a full rebuild with the
+    same centroids — index maintenance is exact, not approximate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    b_base, cents = SIM.build_ivf_index(base, n_centroids=8)
+    appended = {
+        r["id"]: r["centroid"]
+        for r in SIM.append_to_ivf_index(b_base, cents, delta)
+        .select("id", "centroid")
+        .collect()
+    }
+    full, cents2 = SIM.build_ivf_index(emb, n_centroids=8)
+    assert (cents2 == cents).all()
+    rebuilt = {
+        r["id"]: r["centroid"]
+        for r in full.select("id", "centroid").collect()
+    }
+    assert appended == rebuilt
+
+
 def test_knn_label_vote_ivf_plan_and_agreement(spark, sf_dir):
     """The registered IVF-backed vote: its scan must carry the centroid
     PartitionFilters (only probed bucket directories are read), and its
