@@ -138,6 +138,9 @@ HEADLINE = [
     # round-8 additions
     "knn_label_vote_ivf",
     "corpus_prep_pipeline",
+    "hll_own_rollup",
+    "batch_padding_report",
+    "ann_ivf_incremental",
 ]
 
 
