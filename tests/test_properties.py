@@ -390,3 +390,75 @@ def test_round6_numeric_ops_partitioning_invariant(spark, sf_dir):
     wide, narrow = run_all(32), run_all(3)
     for n in names:
         assert wide[n] == narrow[n], f"{n} differs across partitionings"
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh ", min_size=1, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_minhash_affine_family_matches_python(spark, ts):
+    """Round-8 oracle family: Spark's md5-prefix + affine (a·h+b mod
+    2^31−1) minhash signatures must equal a pure-Python recomputation
+    per row — the same parity the DuckDB oracles rely on, pinned at the
+    single-document level on randomized text."""
+    import hashlib
+
+    rows = [(i, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = DD.shingle_df(df, "text", "doc_id", n=3)
+    got = {
+        r["id"]: list(r["sig"])
+        for r in DD.minhash_signature(sh, 8, 42, hash_family="md5").collect()
+    }
+    params = DD.minhash_affine_params(8, 42)
+    p = DD.MINHASH_PRIME
+    ref_sh = {r["id"]: r["shingles"] for r in sh.collect()}
+    for i, shingles in ref_sh.items():
+        mins = [None] * 8
+        for s in shingles:
+            h0 = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            for j, (a, b) in enumerate(params):
+                v = (a * h0 + b) % p
+                if mins[j] is None or v < mins[j]:
+                    mins[j] = v
+        assert got[i] == mins, (i, shingles)
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=200))
+def test_hll_own_matches_python_reference(spark, vals):
+    """Round-8 oracle-checked HLL: register table and rounded estimate
+    must equal a pure-Python recomputation (same md5-prefix hash, same
+    bucket/rho arithmetic, same harmonic + linear-counting estimate) on
+    randomized value lists."""
+    import hashlib
+    import math
+
+    from dsci551_edfs_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    regs = {
+        r["bucket"]: r["reg"]
+        for r in SK.hll_own_registers(df, "v", p=9).collect()
+    }
+    est = SK.hll_own_estimate(
+        SK.hll_own_registers(df, "v", p=9), p=9
+    ).first()["ndv_est"]
+
+    m, w_bits = 512, 39
+    ref: dict = {}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+        bucket, w = h & (m - 1), h >> 9
+        rho = (w_bits - w.bit_length() + 1) if w else (w_bits + 1)
+        ref[bucket] = max(ref.get(bucket, 0), rho)
+    assert regs == ref
+    s = sum(2.0 ** -r for r in ref.values()) + (m - len(ref))
+    raw = 0.7213 / (1.0 + 1.079 / float(m)) * float(m) * float(m) / s
+    zeros = m - len(ref)
+    e = float(m) * math.log(float(m) / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+    assert est == pytest.approx(round(e, 3), abs=2e-3)
