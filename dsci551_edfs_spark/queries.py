@@ -2625,6 +2625,148 @@ def _corpus_prep_pipeline_oracle_sql() -> str:
     """
 
 
+@q(
+    "corpus_datacard",
+    rf"""
+    WITH base AS (
+      SELECT source, doc_id, {_NTOK_SQL} AS n_tokens, {_FP_SQL} AS fp
+      FROM documents),
+    winners AS (SELECT min(doc_id) AS w FROM base GROUP BY fp),
+    stats AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             count(*) FILTER (WHERE doc_id NOT IN (SELECT w FROM winners))
+               AS losers
+      FROM base GROUP BY source),
+    q AS (
+      SELECT doc_id, quality_score FROM (
+        SELECT doc_id, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+               round(least(n_tokens / 100.0, 1.0) * (1 - punct_ratio)
+                     * (1 - digit_ratio), 4) AS quality_score
+        FROM (
+          SELECT doc_id,
+                 {_NTOK_SQL} AS n_tokens,
+                 round(length(text) / greatest({_NTOK_SQL}, 1), 3)
+                   AS avg_token_len,
+                 round(len(regexp_extract_all(text, '[^\w\s]'))
+                       / greatest(length(text), 1), 3) AS punct_ratio,
+                 round(len(regexp_extract_all(text, '[0-9]'))
+                       / greatest(length(text), 1), 3) AS digit_ratio
+          FROM documents))
+      WHERE n_tokens >= 5 AND punct_ratio <= 0.20 AND digit_ratio <= 0.30
+        AND avg_token_len BETWEEN 2.0 AND 12.0),
+    lg AS (
+      SELECT doc_id, lang_pred FROM (
+        SELECT doc_id, CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
+        FROM (
+          SELECT doc_id,
+                 {", ".join(f"{_lang_score_sql(lang, sw)} AS s_{lang}" for lang, sw in sorted(TXT.LANG_STOPWORDS.items()))},
+                 greatest({", ".join(f"{_lang_score_sql(lang, sw)}" for lang, sw in sorted(TXT.LANG_STOPWORDS.items()))}) AS best
+          FROM documents))
+      WHERE lang_pred <> 'und'),
+    gated AS (
+      SELECT d.source, q.quality_score, lg.lang_pred
+      FROM documents d JOIN q USING (doc_id) JOIN lg USING (doc_id)),
+    topl AS (
+      SELECT source, lang_pred AS top_lang FROM (
+        SELECT source, lang_pred,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang_pred) AS rn
+        FROM gated GROUP BY source, lang_pred) WHERE rn = 1),
+    gq AS (
+      SELECT source, count(*) AS gate_cnt,
+             CAST(sum(CAST(round(quality_score * 10000) AS BIGINT))
+                  AS BIGINT) AS micro
+      FROM gated GROUP BY source)
+    SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs, s.total_tokens,
+           CAST(s.losers * 1000000 // s.n_docs AS BIGINT)
+             AS dup_loser_ppm,
+           CAST(gq.gate_cnt * 1000000 // s.n_docs AS BIGINT)
+             AS gate_pass_ppm,
+           CAST(gq.micro // gq.gate_cnt AS BIGINT)
+             AS avg_quality_micro,
+           topl.top_lang
+    FROM stats s JOIN gq USING (source) JOIN topl USING (source)
+    ORDER BY s.source
+    """,
+)
+def corpus_datacard(spark, sf_dir):
+    """The per-source corpus datasheet — the governance artifact a
+    100 TB ingest publishes alongside the data: volume (docs, tokens),
+    exact-duplicate loser rate, quality-gate pass rate, mean quality of
+    survivors (integer micro — exact on any engine), and the dominant
+    predicted language. Pure composition of the fused gate and the
+    fingerprint dedup rule; integer ppm/micro throughout, so the whole
+    card is hash-exact against the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TXT.fingerprint("text").alias("fp"),
+    )
+    base = DD._persist(base)
+    winners = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    losers = base.join(winners, ["doc_id"], "left_anti").groupBy(
+        "source"
+    ).agg(F.count("*").alias("losers"))
+    stats = (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .join(losers, "source", "left")
+        .na.fill({"losers": 0})
+    )
+    gated = TXT.corpus_gate(docs, min_tokens=5).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    gated = DD._persist(
+        gated.select("source", "quality_score", "lang_pred")
+    )
+    topl = (
+        gated.groupBy("source", "lang_pred")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("_c").desc(), "lang_pred"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang_pred").alias("top_lang"))
+    )
+    gq = gated.groupBy("source").agg(
+        F.count("*").alias("gate_cnt"),
+        F.sum(F.round(F.col("quality_score") * 10000).cast("long")).alias(
+            "micro"
+        ),
+    )
+    return (
+        stats.join(gq, "source")
+        .join(topl, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "total_tokens",
+            F.expr("losers * 1000000 div n_docs").cast("long").alias(
+                "dup_loser_ppm"
+            ),
+            F.expr("gate_cnt * 1000000 div n_docs").cast("long").alias(
+                "gate_pass_ppm"
+            ),
+            F.expr("micro div gate_cnt").cast("long").alias(
+                "avg_quality_micro"
+            ),
+            "top_lang",
+        )
+        .orderBy("source")
+    )
+
+
 @q("corpus_prep_pipeline", _corpus_prep_pipeline_oracle_sql())
 def corpus_prep_pipeline(spark, sf_dir):
     """The full training-data recipe end-to-end: quality gate -> language
