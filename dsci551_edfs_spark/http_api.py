@@ -120,9 +120,14 @@ class EdfsHttpHandler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — every known route must
             # answer an envelope; engine exceptions outside the shell's
             # whitelist (AnalysisException, Py4JJavaError, ...) would
-            # otherwise drop the connection with no JSON
+            # otherwise drop the connection with no JSON. Only the class
+            # name plus the first line, truncated, goes over the wire:
+            # Py4J/AnalysisException messages embed filesystem paths and
+            # plan trees — internals a network client has no business
+            # seeing (full text still reaches the server log via stderr).
+            first_line = str(e).splitlines()[0] if str(e) else ""
             envelope = {
-                "response": f"{type(e).__name__}: {e}",
+                "response": f"{type(e).__name__}: {first_line[:200]}",
                 "status": "EDFS500",
             }
             code = 200

@@ -348,7 +348,8 @@ def minhash_signature(
     doc per partition.
 
     ``hash_family='md5'`` swaps the family for the oracle-restatable
-    affine one: h0 = 48-bit md5-prefix int (ONE md5 per shingle), then
+    affine one: h0 = 32-bit md5-prefix int (8 nibbles; ONE md5 per
+    shingle — the 48-bit/12-nibble prefix is the HLL family's), then
     h_i = (a_i·h0 + b_i) mod MINHASH_PRIME — k codegen multiply-add-mods
     with seeded constants (`minhash_affine_params`). Every value has an
     exact DuckDB restatement, so the registered demo queries carry FULL

@@ -512,7 +512,7 @@ def test_corpus_gate_equals_composed_operators(spark, sf_dir):
     lang predictions / fingerprints) that the composed quality_filter ∩
     lang_id(≠und) ∩ fingerprint path returns — fusion is a plan shape,
     not a semantics change."""
-    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    docs = load_table(spark, sf_dir, "documents")
     g = {
         r["doc_id"]: (r["quality_score"], r["lang_pred"], r["fp"])
         for r in TXT.corpus_gate(docs, min_tokens=5).collect()
