@@ -71,6 +71,25 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a too-few-partitions input up to the session's default
+    parallelism before CPU-heavy per-row work (token/shingle hashing).
+
+    A small single-file corpus arrives as ONE input partition (a ~1.5 MB
+    parquet is a single row group — unsplittable below file granularity),
+    which would serialize the whole signature stage on one core: measured
+    2.1 s single-threaded for the 5k-doc bench fixture's md5 token fold,
+    ~90% of the demo query's cost. The shuffled payload is the raw text
+    itself, which is tiny exactly when the guard triggers; a large corpus
+    already has >= parallelism input splits and passes through untouched
+    (no extra shuffle at 100 TB)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
 def release_cached(blocking: bool = False) -> int:
     """Unpersist every intermediate this module has pinned and return how
     many were released. Safe to call any time: results not yet
@@ -327,6 +346,73 @@ def _md5_base_hash(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def minhash_sig_expr(
+    shingles_sql: str,
+    num_hashes: int = 64,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+):
+    """`array<bigint>` of k minhashes as ONE map-side expression over a
+    shingle array — no explode, no groupBy, no shuffle. A single
+    `aggregate` walks the shingles; each step folds the current
+    shingle's k family values into a running elementwise-min array via
+    `zip_with(acc, family, least)`. The base hash (xxhash64 or md5) sits
+    in one `transform` over the shingle array, so it is computed ONCE
+    per shingle regardless of k.
+
+    Values are bit-identical to the exploded
+    `groupBy(id).agg(k x min())` formulation this replaces (pinned by
+    tests/test_properties.py against a pure-Python reference). The
+    DuckDB oracles still state the explode/min form — unchanged,
+    because the VALUES are.
+
+    Built as a SQL STRING parsed by one `F.expr` call, not as a Column
+    tree: r9 profiling showed ~85% of the registered LSH demos' bench
+    time was the DRIVER building the k-term expression DAG through
+    hundreds of py4j round-trips (2.0 s plan-build vs 0.49 s of actual
+    JVM job time per run). One parse call makes plan construction
+    O(string length). `shingles_sql` is a SQL expression for the
+    shingle array (usually a column name).
+
+    Hash family = xxhash64(xxhash64(shingle), seed_i): the ~20-byte
+    shingle string is hashed ONCE and the k salted members rehash the
+    8-byte long (full avalanche each). The salt stays an int32 literal —
+    xxhash64 hashes int and long inputs differently, and the original
+    formulation salted with `F.lit(seed + i)`.
+
+    ``hash_family='md5'``: the oracle-restatable affine family — h0 =
+    32-bit md5-prefix int (8 nibbles; the 48-bit/12-nibble prefix is
+    the HLL family's), then h_i = (a_i*h0 + b_i) mod MINHASH_PRIME with
+    seeded constants (`minhash_affine_params`), exact int64 on both
+    engines. The (a_i, b_i) pairs ride one packed-long array literal
+    ((a << 32) | b — measured faster than an array of structs) and are
+    unpacked with shiftright/& inside the fold."""
+    if hash_family == "md5":
+        params = minhash_affine_params(num_hashes, seed)
+        fam = ", ".join(f"{(a << 32) | b}L" for a, b in params)
+        return F.expr(
+            f"""aggregate(
+              transform({shingles_sql},
+                        sh -> cast(conv(substring(md5(sh), 1, 8), 16, 10)
+                                   as bigint)),
+              array_repeat(cast({MINHASH_PRIME} as bigint), {num_hashes}),
+              (acc, h) -> zip_with(acc, array({fam}),
+                (m, pk) -> least(m, (h * shiftright(pk, 32)
+                                     + (pk & 4294967295L))
+                                    % {MINHASH_PRIME}L)),
+              acc -> acc)"""
+        )
+    salts = ", ".join(str(seed + i) for i in range(num_hashes))
+    return F.expr(
+        f"""aggregate(
+          transform({shingles_sql}, sh -> xxhash64(sh)),
+          array_repeat(cast({(1 << 63) - 1} as bigint), {num_hashes}),
+          (acc, h) -> zip_with(acc, array({salts}),
+                               (m, s) -> least(m, xxhash64(h, s))),
+          acc -> acc)"""
+    )
+
+
 def minhash_signature(
     shingled: DataFrame,
     num_hashes: int = 64,
@@ -334,56 +420,16 @@ def minhash_signature(
     keep_cols: tuple[str, ...] = (),
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig[, *keep_cols]) with `sig: array<bigint>` of k minhashes.
-    ``keep_cols`` ride along as extra grouping keys (callers pass columns
-    functionally determined by the id, e.g. a side tag).
-
-    Hash family = xxhash64(xxhash64(shingle), seed_i): the ~20-byte shingle
-    string is hashed ONCE, and the k salted family members rehash the
-    resulting 8-byte long — measured 2.5x faster than k string hashes,
-    with the same independence (each family member is a full avalanche of
-    the base hash). Shape: explode shingles → one codegen projection →
-    groupBy(id) with k min() aggregates → re-pack as an array. The k mins
-    partial-aggregate map-side, so the shuffle carries one k-long row per
-    doc per partition.
-
-    ``hash_family='md5'`` swaps the family for the oracle-restatable
-    affine one: h0 = 32-bit md5-prefix int (8 nibbles; ONE md5 per
-    shingle — the 48-bit/12-nibble prefix is the HLL family's), then
-    h_i = (a_i·h0 + b_i) mod MINHASH_PRIME — k codegen multiply-add-mods
-    with seeded constants (`minhash_affine_params`). Every value has an
-    exact DuckDB restatement, so the registered demo queries carry FULL
-    oracles; xxhash64 stays the default/production family."""
-    exploded = shingled.select(
-        "id", *keep_cols, F.explode("shingles").alias("sh")
-    )
-    if hash_family == "md5":
-        params = minhash_affine_params(num_hashes, seed)
-        exploded = exploded.select(
-            "id", *keep_cols, _md5_base_hash(F.col("sh")).alias("h0")
-        )
-        mins = exploded.groupBy("id", *keep_cols).agg(
-            *[
-                F.min(
-                    (F.col("h0") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
-                ).alias(f"h{i}")
-                for i, (a, b) in enumerate(params)
-            ]
-        )
-    else:
-        exploded = exploded.select(
-            "id", *keep_cols, F.xxhash64("sh").alias("h0")
-        )
-        mins = exploded.groupBy("id", *keep_cols).agg(
-            *[
-                F.min(F.xxhash64("h0", F.lit(seed + i))).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-    return mins.select(
+    """(id, sig[, *keep_cols]) with `sig: array<bigint>` of k minhashes —
+    one narrow projection per row (`minhash_sig_expr`), so the signature
+    stage is shuffle-free at any corpus size; ``keep_cols`` simply ride
+    along (no longer grouping keys — nothing groups)."""
+    return shingled.select(
         "id",
         *keep_cols,
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        minhash_sig_expr(
+            "shingles", num_hashes, seed, hash_family
+        ).alias("sig"),
     )
 
 
@@ -400,30 +446,28 @@ def _banded(
 
     md5 family: the band key is md5 over the comma-joined slice values —
     a string key instead of F.hash's int32, identically computable in
-    DuckDB (`md5(CAST(h0 AS VARCHAR) || ',' || ...)`)."""
+    DuckDB (`md5(CAST(h0 AS VARCHAR) || ',' || ...)`).
+
+    The bands-wide struct array is one parsed SQL string (see
+    `minhash_sig_expr` — plan-build py4j cost), exploded once."""
     r = max(1, num_hashes // bands)
 
-    def band_key(b: int):
-        sl = F.slice(F.col("sig"), b * r + 1, r)
+    def band_key(b: int) -> str:
         if hash_family == "md5":
-            return F.md5(
-                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            cols = " || ',' || ".join(
+                f"cast(sig[{b * r + j}] as string)" for j in range(r)
             )
-        return F.hash(sl)
+            return f"md5({cols})"
+        return f"hash(slice(sig, {b * r + 1}, {r}))"
 
+    entries = ", ".join(
+        f"named_struct('band', {b}, 'bh', {band_key(b)})"
+        for b in range(bands)
+    )
     return sig_df.select(
         "id",
         *keep_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_key(b).alias("bh")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
+        F.explode(F.expr(f"array({entries})")).alias("e"),
     ).select("id", *keep_cols, "e.band", "e.bh")
 
 
@@ -496,8 +540,15 @@ def minhash_dedup_pairs(
     signature agreement rate — nothing bigger than the 8·k-byte signatures
     is ever shuffled, the right trade at 100 TB.
     """
-    shingled = shingle_df(df, text_col, id_col, n).cache()
-    sigs = minhash_signature(shingled, num_hashes, seed, hash_family=hash_family)
+    shingled = shingle_df(_spread(df), text_col, id_col, n).cache()
+    # persist the signatures BEFORE banding: _banded slices `sig` once per
+    # band, and with the map-side fold signature (minhash_sig_expr) an
+    # unpinned projection would be CollapseProject-inlined into every
+    # slice — k re-folds per doc. 8k bytes/doc, the standard "signature
+    # index" materialization a production dedup keeps anyway.
+    sigs = _persist(
+        minhash_signature(shingled, num_hashes, seed, hash_family=hash_family)
+    )
     cands = minhash_candidate_pairs(
         sigs, bands, max_bucket_size, num_hashes, hash_family=hash_family
     )
@@ -579,11 +630,17 @@ def incremental_minhash_dedup(
     ).unionByName(
         existing.select(F.col(id_col), F.col(text_col), F.lit(False).alias("_new"))
     )
-    sh_all = _persist(shingle_df(tagged, text_col, id_col, n, keep_cols=("_new",)))
+    sh_all = _persist(
+        shingle_df(_spread(tagged), text_col, id_col, n, keep_cols=("_new",))
+    )
     banded_all = _banded(
-        minhash_signature(
-            sh_all, num_hashes, seed, keep_cols=("_new",),
-            hash_family=hash_family,
+        # pinned for the same reason as in minhash_dedup_pairs: _banded's
+        # per-band slices must read the settled signature, not re-fold it
+        _persist(
+            minhash_signature(
+                sh_all, num_hashes, seed, keep_cols=("_new",),
+                hash_family=hash_family,
+            )
         ),
         bands,
         num_hashes,
@@ -664,47 +721,59 @@ def simhash(
     signature is exactly restatable in DuckDB — the registered demo
     query's full-oracle path.
 
-    Shape: explode tokens → one codegen'd projection hashing each token →
-    groupBy(id) with SWAR-packed bit-count sums → unpack sign bits into one
-    long.
+    Shape (r9): one map-side expression per doc — `transform` hashes the
+    token array once, a single `F.aggregate` folds the SWAR lane sums
+    into a 17-field struct, and the sign-unpack lives in the aggregate's
+    *finish* lambda, where the settled accumulator is a bound variable.
+    No explode, no groupBy, no shuffle: the signature stage is
+    embarrassingly parallel at any corpus size. The finish placement is
+    load-bearing, not style: unpacking in a later projection lets
+    CollapseProject inline the whole fold into each of the 17 field
+    extractions — measured 3x SLOWER than the groupBy it replaced.
+    Values are bit-identical to the exploded groupBy formulation
+    (the DuckDB oracle still states that form — unchanged, because the
+    VALUES are).
 
     SWAR packing: `(h >> w) & 0x0001000100010001` isolates hash bits
-    {w, w+16, w+32, w+48} into four 16-bit lanes of one long, so 16 plain
-    `sum()`s (w = 0..15) accumulate all 64 bit-counts — no per-bit CASE
-    WHEN, 4x fewer aggregate buffers, everything whole-stage-codegen.
-    Lanes cannot carry as long as a doc has < 65,536 tokens. A bit's vote
-    sum over n tokens is positive iff 2*count(bit) > n, which recovers the
-    ±1-vote semantics exactly (ties → bit 0).
+    {w, w+16, w+32, w+48} into four 16-bit lanes of one long, so 16
+    lane sums (w = 0..15) accumulate all 64 bit-counts — no per-bit CASE
+    WHEN, 4x fewer accumulators. Lanes cannot carry as long as a doc has
+    < 65,536 tokens. A bit's vote sum over n tokens is positive iff
+    2*count(bit) > n, which recovers the ±1-vote semantics exactly
+    (ties → bit 0).
     """
     if bits != 64:
         raise ValueError("SWAR simhash is specialized to 64-bit signatures")
     lane_mask = 0x0001000100010001
+    df = _spread(df)
     tok_hash = (
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
         if hash_family == "md5"
-        else F.xxhash64("tok")
+        else "xxhash64(tok)"
     )
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).select("id", tok_hash.alias("h"))
-    packed = exploded.groupBy("id").agg(
-        F.count("*").alias("n_tok"),
-        *[
-            F.sum(F.shiftright("h", w).bitwiseAND(F.lit(lane_mask))).alias(f"w{w}")
+    toks = r"split(trim(lower(" + text_col + r")), '\\s+')"
+    init = ", ".join(["'n', 0L"] + [f"'w{w}', 0L" for w in range(16)])
+    merge = ", ".join(
+        ["'n', acc.n + 1L"]
+        + [
+            f"'w{w}', acc.w{w} + (shiftright(h, {w}) & {lane_mask}L)"
             for w in range(16)
-        ],
+        ]
     )
-    sig = None
-    for w in range(16):
-        for lane in range(4):
-            i = w + 16 * lane
-            count = F.shiftright(F.col(f"w{w}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
-            contrib = F.when(
-                count * 2 > F.col("n_tok"), F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-            sig = contrib if sig is None else sig.bitwiseOR(contrib)
-    return packed.select("id", sig.alias("simhash"))
+    unpack = " | ".join(
+        f"(case when (shiftright(acc.w{w}, {16 * lane}) & 65535L) * 2 > acc.n"
+        f" then shiftleft(1L, {w + 16 * lane}) else 0L end)"
+        for w in range(16)
+        for lane in range(4)
+    )
+    sig_expr = F.expr(
+        f"""aggregate(
+          transform({toks}, tok -> {tok_hash}),
+          named_struct({init}),
+          (acc, h) -> named_struct({merge}),
+          acc -> {unpack})"""
+    )
+    return df.select(F.col(id_col).alias("id"), sig_expr.alias("simhash"))
 
 
 def simhash_pairs(
@@ -725,6 +794,11 @@ def simhash_pairs(
     exact-group pass) anyway."""
     chunks = max_hamming + 1
     width = 64 // chunks
+    # pin the (id, simhash) frame BEFORE fanning out: the chunk explode
+    # references simhash chunks+1 times, and when sim_df is the map-side
+    # fold projection, CollapseProject would inline the whole token fold
+    # into every reference. 16 bytes/row — the cheapest possible pin.
+    sim_df = _persist(sim_df)
     banded = sim_df.select(
         "id",
         "simhash",
