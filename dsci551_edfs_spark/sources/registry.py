@@ -29,6 +29,18 @@ TABLES = (
 
 __all__ = ["TABLES", "load_table", "register_all"]
 
+# (session id, sf_dir, table) -> DataFrame. A DataFrame is an immutable
+# logical plan: rebuilding it per call re-reads parquet footers and pays
+# a py4j analysis round-trip (~0.1 s), which r9 profiling showed was a
+# large share of the per-query driver overhead across the 102-query
+# bench (42 s of plan construction suite-wide). Keyed by id(session):
+# a cached DataFrame keeps its session object alive (df.sparkSession),
+# so the id cannot be recycled onto a different live session; a
+# replaced/restarted session is a new object and misses cleanly. This
+# is what a real catalog does: resolve a table to ONE plan per session,
+# not one per mention.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain `spark.read.parquet` so Catalyst sees a
@@ -38,6 +50,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; we read it via the nanosAsLong legacy mode and convert
     to TimestampType (microsecond floor) — a zero-copy long→timestamp cast
     inside codegen, applied only for that table."""
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Timestamp semantics must not depend on who built the SparkSession
     # (the verification driver may hand us a vanilla one): pin UTC so
