@@ -7335,24 +7335,153 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
 
 
-@q("bpe_train_merges")  # iterative argmax loop — not SQL-expressible;
-def bpe_train_merges_q(spark, sf_dir):  # exact vs naive-recount in pytest
+def _bpe_train_oracle_sql(n_merges: int = 40, max_vocab: int = 50000) -> str:
+    """The 40-iteration BPE merge loop UNROLLED as one DuckDB statement
+    (r9 — was rows-only): each round recomputes adjacent-pair counts
+    from the current symbolization state, takes the argmax with the
+    (count desc, pair asc) tie-break, and applies the merge. Two tricks
+    make it SQL-expressible:
+
+    - each word's symbol sequence is encoded as a SENTINEL STRING
+      (chr(1)||sym||chr(2) concatenated), so the greedy left-to-right
+      non-overlapping merge is exactly SQL `replace()` — boundary-safe
+      because a pair key chr(1)a chr(2)chr(1)b chr(2) can never match
+      inside a longer symbol;
+    - every CTE is MATERIALIZED: state{k} is referenced ~4x per round
+      (pair scan + 3 scalar best{k} lookups), and DuckDB's default
+      inlining makes that 4^k plan growth — materialization keeps it
+      linear (40 rounds run in ~1 s at sf0.01).
+
+    The incremental posting-list updates the Spark-side driver loop does
+    (functions/text.py bpe_train_merges) are an optimization of exactly
+    this recompute-from-state semantics, so the outputs are identical
+    row-for-row."""
+    sy = (
+        "list_transform(list_filter(string_split(enc, chr(2)), "
+        "s -> s <> ''), s -> s[2:])"
+    )
+    parts = [
+        f"""WITH words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w
+      ORDER BY cnt DESC, w LIMIT {max_vocab}
+    ), state0 AS MATERIALIZED (
+      SELECT w, cnt,
+             array_to_string(list_transform(string_split(w, ''),
+                             c -> chr(1) || c || chr(2)), '') AS enc
+      FROM words
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", best{k} AS MATERIALIZED (
+      SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
+      FROM (SELECT cnt, unnest(list_zip(sy, sy[2:])) AS pr
+            FROM (SELECT cnt, {sy} AS sy FROM state{k}))
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+      ORDER BY c DESC, a, b LIMIT 1
+    )"""
+        )
+        if k < n_merges - 1:
+            parts.append(
+                f""", state{k + 1} AS MATERIALIZED (
+      SELECT w, cnt,
+             replace(enc,
+                     chr(1) || (SELECT a FROM best{k}) || chr(2)
+                       || chr(1) || (SELECT b FROM best{k}) || chr(2),
+                     chr(1) || (SELECT a || b FROM best{k}) || chr(2))
+               AS enc
+      FROM state{k}
+    )"""
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT {k} AS rank, a AS left, b AS right, a || b AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM best{k}"
+        for k in range(n_merges)
+    )
+    return "".join(parts) + "\n" + union + "\nORDER BY rank"
+
+
+@q("bpe_train_merges", _bpe_train_oracle_sql())
+def bpe_train_merges_q(spark, sf_dir):
     """FULL BPE tokenizer TRAINING (Sennrich 2016) — completes the
     train→apply loop whose apply half is `bpe_segment_docs`: one
     distributed corpus pass builds the word-frequency table, then the
     merge loop runs over the vocab-sized dict with an inverted
     pair→words index (each merge touches its posting list, not the whole
     vocab). Deterministic tie-break (count desc, pair asc), so the merge
-    table is engine- and partitioning-independent — pinned in pytest
-    against a naive full-recount reference (functions/text.py
-    bpe_train_merges)."""
+    table is engine- and partitioning-independent. Full oracle since r9:
+    the 40-round loop unrolls into materialized DuckDB CTEs
+    (`_bpe_train_oracle_sql`); also pinned in pytest against a naive
+    full-recount reference (functions/text.py bpe_train_merges)."""
     return TXT.bpe_train_merges(
         _t(spark, sf_dir, "documents"), num_merges=40
     ).orderBy("rank")
 
 
-@q("bpe_segment_docs")  # greedy BPE apply — not SQL-expressible; exact
-def bpe_segment_docs(spark, sf_dir):  # segmentation pinned in pytest
+def _bpe_segment_oracle_sql(top_n: int = 20) -> str:
+    """Greedy BPE APPLY restated in DuckDB (r9 — was rows-only): the
+    one-occurrence-at-a-time lowest-rank-first loop in
+    `bpe_segment_vocab` is EXACTLY equivalent to applying the merges in
+    rank order with left-to-right replace-all — because every merge here
+    is a SINGLE-CHARACTER pair (first-iteration candidates), applying a
+    later merge can only create 2-char units, never a new single-char
+    adjacency, so earlier merges stay exhausted. Same sentinel-string
+    encoding as `_bpe_train_oracle_sql`; each merge is a data-driven
+    scalar subquery (coalesce to a never-matching chr(3) needle if the
+    corpus has fewer than top_n pairs). n_pieces = count of chr(1)
+    sentinels in the final encoding."""
+    parts = [
+        f"""WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    ), tf AS MATERIALIZED (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), mranked AS MATERIALIZED (
+      SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) - 1 AS rk
+      FROM (
+        SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_transform(range(1, length(token)),
+                            i -> token[i:i+1])) AS pair
+              FROM toks WHERE length(token) >= 2)
+        GROUP BY pair)
+      ORDER BY cnt DESC, pair LIMIT {top_n}
+    ), seg0 AS MATERIALIZED (
+      SELECT token,
+             array_to_string(list_transform(string_split(token, ''),
+                             c -> chr(1) || c || chr(2)), '') AS enc
+      FROM (SELECT DISTINCT token FROM tf)
+    )"""
+    ]
+    for k in range(top_n):
+        m = f"(SELECT pair FROM mranked WHERE rk = {k})"
+        parts.append(
+            f""", seg{k + 1} AS MATERIALIZED (
+      SELECT token,
+             replace(enc,
+                     chr(1) || substring(coalesce({m}, chr(3) || chr(3)),
+                                         1, 1) || chr(2)
+                       || chr(1) || substring(coalesce({m},
+                                              chr(3) || chr(3)),
+                                              2, 1) || chr(2),
+                     chr(1) || coalesce({m}, chr(3)) || chr(2)) AS enc
+      FROM seg{k})"""
+        )
+    parts.append(
+        f"""
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf.tf * (length(s.enc)
+                             - length(replace(s.enc, chr(1), ''))))
+                AS BIGINT) AS n_pieces
+    FROM tf JOIN seg{top_n} s USING (token)
+    GROUP BY tf.doc_id"""
+    )
+    return "".join(parts)
+
+
+@q("bpe_segment_docs", _bpe_segment_oracle_sql())
+def bpe_segment_docs(spark, sf_dir):
     """End-to-end BPE tokenizer application: learn the first-iteration
     merge table from the corpus (`bpe_merge_candidates`, top 20), apply
     it greedily to the DISTINCT-token vocabulary
@@ -7361,7 +7490,9 @@ def bpe_segment_docs(spark, sf_dir):  # segmentation pinned in pytest
     join onto the (doc, token, tf) stream. Output: per-doc whitespace
     token count vs post-BPE piece count — the fertility input a
     tokenizer-budget planner needs. The corpus is scanned twice (merge
-    count + tf count) and never leaves the JVM."""
+    count + tf count) and never leaves the JVM. Full oracle since r9
+    (`_bpe_segment_oracle_sql` — rank-ordered replace-all equals the
+    greedy loop for single-char merge tables)."""
     d = _t(spark, sf_dir, "documents")
     merges = [
         r["pair"]
