@@ -283,6 +283,55 @@ def main() -> None:
             pc.join(l_m, "w1").join(r_m, "w2").filter(F.col("c12") >= 5)
         )
 
+    def _corpus_prep(corpus):
+        # mirrors queries.corpus_prep_pipeline minus the output orderBy
+        # (probe measures pipeline compute, not the demo's presentation
+        # sort); xxhash64 family — the hash swap is measured cost-neutral
+        gated = TXT.corpus_gate(corpus, min_tokens=5)
+        gmeta = DD._persist(
+            gated.select(
+                "doc_id", "quality_score", "lang_pred", "fp",
+                F.length("text").alias("n_chars"),
+            )
+        )
+        keep = gmeta.groupBy("fp").agg(
+            F.min("doc_id").alias("doc_id")
+        ).select("doc_id")
+        near_input = corpus.join(keep, "doc_id", "left_semi")
+        near_pairs = DD.minhash_dedup_pairs(near_input, threshold=0.5)
+        drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        return (
+            gmeta.join(keep, "doc_id", "left_semi")
+            .join(drop_ids, "doc_id", "left_anti")
+            .select("doc_id", "lang_pred", "quality_score", "n_chars")
+        )
+
+    import numpy as _np
+
+    _dim_cache: dict[str, int] = {}
+
+    def _emb_dim() -> int:
+        if "d" not in _dim_cache:
+            _dim_cache["d"] = emb.select(
+                F.size("embedding").alias("d")
+            ).first()["d"]
+        return _dim_cache["d"]
+
+    def _ivf_cents(c: int) -> "_np.ndarray":
+        rng = _np.random.RandomState(42)
+        cents = rng.standard_normal((c, _emb_dim()))
+        return cents / _np.linalg.norm(cents, axis=1, keepdims=True)
+
+    _ivf_probe_state: dict = {}
+
+    def _ivf_probe_setup(k: int) -> None:
+        bucketed, cents = SIM.build_ivf_index(
+            inflate_emb(emb, k), centroids=_ivf_cents(16)
+        )
+        bucketed = DD._persist(bucketed)
+        bucketed.count()
+        _ivf_probe_state["b"], _ivf_probe_state["c"] = bucketed, cents
+
     ops = {
         "minhash_dedup_pairs": lambda k: DD.minhash_dedup_pairs(
             inflate_docs(docs, k), threshold=0.5
@@ -487,6 +536,58 @@ def main() -> None:
             ev.sparkSession.range(4096 * k - 1).select(
                 F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
             )
+        ),
+        # round-9 (r8-operator curves). corpus_gate: the fused one-scan
+        # quality+lang+fingerprint projection — the clean linear yardstick
+        # for the pipeline's gate stage (no joins, no shuffle)
+        "corpus_gate_fused": lambda k: TXT.corpus_gate(
+            inflate_docs(docs, k), min_tokens=5
+        ),
+        # full 8-stage pipeline. CAVEAT (same as every near-dup probe):
+        # inflation makes all k copies true near-dups, so the MinHash
+        # stage's OUTPUT pairs grow ~k²·N by semantics — judge the fused
+        # gate + dedup scans against corpus_gate_fused / exact_dedup
+        "corpus_prep_pipeline": lambda k: _corpus_prep(inflate_docs(docs, k)),
+        # batch padding: both global ranks are two-phase bucketed prefix
+        # sums (256 md5 ranges × length band) — must grow ~linearly,
+        # never like a single-partition sort
+        "batch_padding_report": lambda k: CUR.batch_padding_report(
+            inflate_docs(docs, k)
+        ),
+        # IVF maintenance pair: REBUILDING the index over the K×-grown
+        # corpus costs O(K·N); APPENDING the fixed 5% shard costs
+        # O(|shard|) — flat at every K because assignment is a pure
+        # per-row function of (vector, centroids). The pair of curves IS
+        # the index-maintenance claim (r8's 1.46 s append vs 6.61 s
+        # rebuild on the persisted layout, now as a growth law).
+        "ivf_rebuild": lambda k: SIM.build_ivf_index(
+            inflate_emb(emb, k), centroids=_ivf_cents(16)
+        )[0],
+        "ivf_append_fixed_shard": lambda k: SIM.append_to_ivf_index(
+            spark.range(0)
+            .select(
+                F.col("id"),
+                F.array(*[F.lit(0.0)] * _emb_dim()).alias("v"),
+            )
+            .withColumn("centroid", F.lit(0)),
+            _ivf_cents(16),
+            emb.filter(F.col("vec_id") % 20 == 0),
+        ),
+        # IVF probe growth: queries FIXED (the base table's %31==0 rows),
+        # corpus K×. n_probe/C of the corpus is scanned per query, so the
+        # probe grows ~(n_probe/C)·K — linear with a 4/16 slope, vs brute
+        # force's full-constant K. The persisted-layout variant
+        # additionally prunes directories (plan-pinned); this measures
+        # the candidate-volume law itself.
+        "knn_vote_ivf_probe": (
+            lambda k: _ivf_probe_setup(k),
+            lambda k: SIM.ivf_topk(
+                _ivf_probe_state["b"],
+                _ivf_probe_state["c"],
+                emb.filter(F.col("vec_id") % 31 == 0),
+                k=10,
+                n_probe=4,
+            ),
         ),
     }
     wanted = sys.argv[1:] or list(ops)
