@@ -326,6 +326,20 @@ def build_vocab(
     if top_n is not None:
         # TakeOrdered top-n (scale-safe), not a global sort
         counts = counts.orderBy(F.col("cnt").desc(), "token").limit(top_n)
+    if top_n is not None and top_n <= 100_000:
+        # BOUNDED vocab: the frame is <= top_n rows by construction, so a
+        # single-partition window ranks it directly — fully lazy, same
+        # (cnt desc, token) order, identical ids. The two-phase path
+        # below exists for UNBOUNDED vocabularies; using it here cost a
+        # localCheckpoint + collect at DataFrame-CONSTRUCTION time, a
+        # full tokenize job inside every caller's plan build (r9: ~2 s
+        # of mlm_mask_targets' bench median was this hidden job).
+        w = Window.orderBy(F.col("cnt").desc(), "token")
+        return counts.select(
+            "token",
+            F.row_number().over(w).cast("long").alias("token_id"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
     ranked = counts.repartitionByRange(
         rank_partitions, F.col("cnt").desc(), F.col("token").asc()
     ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _persist, shingle_df, shingle_expr
+from .dedup import _persist, _spread, shingle_df, shingle_expr
 from ..functions.text import tokens
 
 __all__ = [
@@ -121,8 +121,10 @@ def multi_n_overlap(
     # single-consumer posting: no persist needed (and none wanted — the
     # exploded gram frame is the biggest thing in this plan; caching it
     # costs more than the column-pruned id re-scan below)
-    posting = _multi_n_posting(train, ns, text_col, id_col)
-    bench_grams = _multi_n_posting(bench, ns, text_col, id_col).select(
+    # parallelize single-row-group inputs before the per-token work
+    # (see plans.hints.spread_small; no-op at scale)
+    posting = _multi_n_posting(_spread(train), ns, text_col, id_col)
+    bench_grams = _multi_n_posting(_spread(bench), ns, text_col, id_col).select(
         "n", "gh"
     ).distinct()
     if broadcast_bench:
@@ -173,7 +175,7 @@ def ngram_overlap_contamination(
     # map-side-combinable count == size(shingles)) and the overlap join —
     # without it, sizes and hits would each re-run tokenize+ngram+explode
     # over the full corpus. Registered for dedup.release_cached().
-    posting = _persist(_posting(train, text_col, id_col, n))
+    posting = _persist(_posting(_spread(train), text_col, id_col, n))
     sizes = posting.groupBy("id").agg(F.count("*").alias("n_ngrams"))
     hits = _overlap_hits(posting, bench, text_col, id_col, n, broadcast_bench)
     return (

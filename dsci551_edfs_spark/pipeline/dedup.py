@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, tokens
+from ..plans.hints import spread_small
 from ..functions.vectors import as_double, dot, normalize
 
 __all__ = [
@@ -72,22 +73,9 @@ def _persist(df: DataFrame) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a too-few-partitions input up to the session's default
-    parallelism before CPU-heavy per-row work (token/shingle hashing).
-
-    A small single-file corpus arrives as ONE input partition (a ~1.5 MB
-    parquet is a single row group — unsplittable below file granularity),
-    which would serialize the whole signature stage on one core: measured
-    2.1 s single-threaded for the 5k-doc bench fixture's md5 token fold,
-    ~90% of the demo query's cost. The shuffled payload is the raw text
-    itself, which is tiny exactly when the guard triggers; a large corpus
-    already has >= parallelism input splits and passes through untouched
-    (no extra shuffle at 100 TB)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 4 <= target:
-        return df.repartition(target)
-    return df
+    """See plans.hints.spread_small — parallelize tiny single-row-group
+    inputs before the per-token hashing stages; no-op at scale."""
+    return spread_small(df)
 
 
 def release_cached(blocking: bool = False) -> int:

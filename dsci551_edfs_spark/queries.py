@@ -1529,9 +1529,11 @@ _VOCAB_SQL = rf"""
     f"WITH {_VOCAB_SQL} SELECT token, token_id, cnt FROM vocab",
 )
 def vocab_top200(spark, sf_dir):
-    """Dense-id vocabulary (top 200 by count desc, token asc). The global
-    rank uses the two-phase range-partition + offset shape
-    (functions/text.py:build_vocab) — never a single-partition window."""
+    """Dense-id vocabulary (top 200 by count desc, token asc). A bounded
+    top_n ranks lazily over the TakeOrdered result (<= top_n rows by
+    construction); unbounded vocabularies take the two-phase
+    range-partition + offset shape (functions/text.py:build_vocab) —
+    never a single-partition window over corpus-sized data."""
     return TXT.build_vocab(_t(spark, sf_dir, "documents"), top_n=200)
 
 
