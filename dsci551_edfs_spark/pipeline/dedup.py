@@ -1238,7 +1238,7 @@ def embedding_dup_pairs(
     key is (table, bucket) — small ints — and candidate volume is
     Σ|bucket|², not N².
     """
-    unit = df.select(
+    unit = _spread(df).select(
         F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
     )
     if use_lsh:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, dot, normalize
+from ..plans.hints import spread_small
 
 __all__ = [
     "brute_force_topk",
@@ -60,7 +61,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the normalized queries, one corpus
     scan, per-query top-k. Returns (query_id, neighbor_id, rank, score)."""
-    c = corpus.select(
+    # single-row-group corpora arrive as ONE partition, serializing the
+    # scoring scan on one core (plans.hints.spread_small; no-op at scale)
+    c = spread_small(corpus).select(
         F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
     )
     q = queries.select(
@@ -194,7 +197,7 @@ def build_ivf_index(
         rng = np.random.RandomState(seed)
         cents = rng.standard_normal((n_centroids, dim))
         cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    unit = corpus.select(
+    unit = spread_small(corpus).select(
         F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
     )
     bucketed = _nearest_centroids(unit, cents, "v")
@@ -325,7 +328,7 @@ def pq_encode(
     bc = corpus.sparkSession.sparkContext.broadcast(
         np.ascontiguousarray(codebooks)
     )
-    unit = corpus.select(
+    unit = spread_small(corpus).select(
         F.col(id_col).alias("id"),
         normalize(as_double(vec_col)).alias("v"),
         *extra_cols,
