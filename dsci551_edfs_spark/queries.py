@@ -6878,14 +6878,90 @@ def csv_roundtrip(spark, sf_dir):
     )
 
 
-@q("media_phash_pairs")  # rows-only: python pooling is not SQL-expressible;
-# the identical/near/far contract is pinned in tests/test_round5.py
+def _phash_pairs_oracle_sql(max_hamming: int = 6) -> str:
+    """media_phash_pairs restated exactly (r9 — was rows-only): the
+    payload is attach_media's utf-8 text bytes (uint8 view via the
+    hex-nibble trick), np.array_split's 72-segment pooling is the
+    first-(L%72)-segments-get-one-extra rule, and the segment MEANS
+    compare exactly across engines — integer byte sums are exact in
+    float64 and the division is correctly rounded IEEE on both sides,
+    so the dHash bit pattern is bit-identical, not approximately so.
+    Bit 63 lands as the signed min-long addend (two's complement);
+    banding/verify mirror `_simhash_oracle_sql` at 64//7 = 9-bit
+    chunks."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT id, {c} AS chunk, (sig >> {c * width}) & {mask} AS cv FROM s"
+        for c in range(chunks)
+    )
+    bits_sql = "\n         + ".join(
+        f"(CASE WHEN c{r * 9 + c} > c{r * 9 + c + 1} THEN "
+        + (
+            "CAST(-9223372036854775808 AS BIGINT)"
+            if r * 8 + c == 63
+            else f"(CAST(1 AS BIGINT) << {r * 8 + c})"
+        )
+        + " ELSE 0 END)"
+        for r in range(8)
+        for c in range(8)
+    )
+    cell_cols = ", ".join(
+        f"coalesce(max(CASE WHEN seg = {i} THEN m END), 0.0) AS c{i}"
+        for i in range(72)
+    )
+    return f"""
+    WITH pay AS MATERIALIZED (
+      SELECT doc_id AS id, hex(encode(text)) AS hx,
+             greatest(octet_length(encode(text)), 1) AS n
+      FROM documents
+    ), bytes AS MATERIALIZED (
+      SELECT id, n, pos - 1 AS p,
+             CASE WHEN length(hx) >= 2*pos THEN
+               (strpos('0123456789ABCDEF', substring(hx, 2*pos - 1, 1)) - 1)
+                 * 16
+             + (strpos('0123456789ABCDEF', substring(hx, 2*pos, 1)) - 1)
+             ELSE 0 END AS v
+      FROM pay, unnest(range(1, n + 1)) AS t(pos)
+    ), seg AS (
+      SELECT id,
+             CASE WHEN p < (n % 72) * (n // 72 + 1)
+                  THEN p // (n // 72 + 1)
+                  ELSE (n % 72) + (p - (n % 72) * (n // 72 + 1)) // (n // 72)
+             END AS seg, v
+      FROM bytes WHERE n // 72 > 0 OR p < (n % 72)
+    ), means AS (
+      SELECT id, seg, avg(CAST(v AS DOUBLE)) AS m FROM seg GROUP BY id, seg
+    ), cells AS (
+      SELECT id, {cell_cols} FROM means GROUP BY id
+    ), s AS (
+      SELECT id, {bits_sql} AS sig FROM cells
+    ), bands AS (
+      {band_rows}
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+    FROM pairs p JOIN s sa ON p.id_a = sa.id JOIN s sb ON p.id_b = sb.id
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@q("media_phash_pairs", _phash_pairs_oracle_sql())
+# the identical/near/far contract is additionally pinned in tests/test_round5.py
 def media_phash_pairs(spark, sf_dir):
     """Near-duplicate MEDIA detection: perceptual dHash over the decoded
     payload (Arrow-batched mapInPandas, pipeline/multimodal.py
     media_phash), then the SAME pigeonhole Hamming-banding pair generator
     the text SimHash path uses — one banding engine, two modalities.
-    Returns (id_a, id_b, hamming) pairs with Hamming <= 6."""
+    Returns (id_a, id_b, hamming) pairs with Hamming <= 6. Full oracle
+    since r9 (`_phash_pairs_oracle_sql` — exact segment means, exact
+    dHash bits)."""
     docs = _t(spark, sf_dir, "documents")
     media = MM.attach_media(docs)
     sigs = MM.media_phash(media).select(
@@ -8218,13 +8294,60 @@ def video_shot_boundaries(spark, sf_dir):
     return MM.shot_boundaries(MM.attach_media(_t(spark, sf_dir, "documents")))
 
 
-@q("audio_band_energies")  # rows-only: FFT has no ANSI-SQL twin
+_AUDIO_BANDS_SQL = r"""
+WITH auds AS MATERIALIZED (
+  -- attach_media payload = utf-8 text bytes after the fixed 36-byte
+  -- header; 'aud' kind = doc_id % 3 = 1 (multimodal.py _KIND)
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0
+), samples AS MATERIALIZED (
+  SELECT doc_id, n, pos - 1 AS p,
+         CASE WHEN v > 127 THEN v - 256 ELSE v END AS x  -- int8 view
+  FROM (
+    SELECT doc_id, n, pos,
+           (strpos('0123456789ABCDEF', substring(hx, 2*pos - 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substring(hx, 2*pos, 1)) - 1) AS v
+    FROM auds, unnest(range(1, n + 1)) AS t(pos))
+), bins AS MATERIALIZED (
+  SELECT a.doc_id, a.n, k
+  FROM auds a, unnest(range(0, a.n // 2 + 1)) AS t(k)
+), spec AS MATERIALIZED (
+  -- rFFT bin k stated directly as the DFT double sum:
+  -- |X_k|^2 = (sum x_p cos(2*pi*k*p/N))^2 + (sum x_p sin(...))^2
+  SELECT b.doc_id, b.n, b.k,
+         power(sum(s.x * cos(2 * pi() * b.k * s.p / b.n)), 2)
+       + power(sum(s.x * sin(2 * pi() * b.k * s.p / b.n)), 2) AS pw
+  FROM bins b JOIN samples s USING (doc_id)
+  GROUP BY b.doc_id, b.n, b.k
+), banded AS (
+  -- np.array_split(spec, 4): first (L % 4) bands get L//4 + 1 bins
+  SELECT doc_id,
+         CASE WHEN k < ((n // 2 + 1) % 4) * ((n // 2 + 1) // 4 + 1)
+              THEN k // ((n // 2 + 1) // 4 + 1)
+              ELSE ((n // 2 + 1) % 4)
+                   + (k - ((n // 2 + 1) % 4) * ((n // 2 + 1) // 4 + 1))
+                     // ((n // 2 + 1) // 4)
+         END AS band,
+         pw
+  FROM spec
+)
+SELECT doc_id, CAST(band AS INT) AS band,
+       CAST(round(1000 * ln(1 + sum(pw))) AS BIGINT) AS energy_milli
+FROM banded GROUP BY doc_id, band ORDER BY doc_id, band
+"""
+
+
+@q("audio_band_energies", _AUDIO_BANDS_SQL)
 def audio_band_energies(spark, sf_dir):
     """Spectral band energies per audio payload (pipeline/multimodal.py):
     int8 PCM view → numpy rFFT per payload inside Arrow mapInPandas →
     4 log-band energies in integer milli-nats. The speech/music feature
     tier of the multimodal stack; numpy-parity contract in
-    tests/test_multimodal.py."""
+    tests/test_multimodal.py. Full oracle since r9: each rFFT bin is
+    restated as the O(N²) DFT double sum (cos/sin aggregates per
+    (doc, bin)) — numerically free because the output quantizes to
+    integer milli-nats of log1p(energy), ~13 orders of magnitude above
+    the FFT-vs-naive-summation error."""
     return MM.audio_band_energies(
         MM.attach_media(_t(spark, sf_dir, "documents"))
     ).orderBy("doc_id", "band")
