@@ -166,8 +166,10 @@ def test_cli_query_dispatch(shell):
     assert listing["status"] == "EDFS200"
     assert "pmr_avg" in listing["response"]
     # a genuinely non-SQL query carries the marker; an oracle-backed one
-    # must NOT (ann_ivf_topk gained its full oracle in round 8)
-    assert "bpe_train_merges  (rows-only)" in listing["response"]
+    # must NOT (ann_ivf_topk gained its full oracle in round 8,
+    # bpe_train_merges in round 9)
+    assert "embedding_pca_project  (rows-only)" in listing["response"]
     assert "ann_ivf_topk  (rows-only)" not in listing["response"]
+    assert "bpe_train_merges  (rows-only)" not in listing["response"]
     bad = shell.execute("query no_such_thing")
     assert bad["status"] != "EDFS200"
