@@ -190,4 +190,9 @@ def test_engine_exception_becomes_edfs500_envelope(server):
     a JSON envelope over HTTP 200, never a dropped connection."""
     out = get(server, "query", name="pmr_avg", sf_dir="/no/such/dir")
     assert out["status"] in ("EDFS400", "EDFS500")
-    assert out["response"]  # carries the engine error text
+    assert out["response"]  # carries the engine error class + summary
+    # sanitized envelope (r9): class name + truncated FIRST line only —
+    # Py4J/AnalysisException texts embed paths and plan trees that have
+    # no business crossing a network boundary
+    assert "\n" not in out["response"]
+    assert len(out["response"]) <= 250

@@ -116,3 +116,37 @@ def test_stale_fingerprint_pruned_same_corpus_only(scratch, spark, sf_dir, tmp_p
     assert MEMO.is_ready(p_alt2)
     assert not os.path.exists(p_alt)  # stale version of SAME corpus GC'd
     assert MEMO.is_ready(p_main)  # other corpus untouched
+
+
+def test_load_table_plan_cache_identity(spark, sf_dir):
+    """load_table resolves a table to ONE DataFrame per (session,
+    sf_dir, table) — the r9 plan cache that removed ~0.1 s of py4j
+    re-resolution per mention across the bench suite."""
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    a = load_table(spark, sf_dir, "nation")
+    b = load_table(spark, sf_dir, "nation")
+    assert a is b
+    c = load_table(spark, sf_dir, "region")
+    assert c is not a
+    # a different sf_dir spelling of the same path still hits (abspath
+    # normalization)
+    d = load_table(spark, sf_dir.rstrip("/") + "/", "nation")
+    assert d is a
+
+
+def test_spread_small_parallelizes_single_partition(spark, sf_dir):
+    """spread_small fans a one-partition frame out to default
+    parallelism and leaves well-partitioned frames untouched (no extra
+    shuffle at scale)."""
+    from dsci551_edfs_spark.plans.hints import spread_small
+
+    one = spark.range(100).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    sp = spread_small(one)
+    assert sp.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sp.count() == 100
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assert spread_small(wide) is wide
