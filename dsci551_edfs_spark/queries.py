@@ -3054,8 +3054,21 @@ def embedding_dup_pairs_lsh(spark, sf_dir):
     probability at (1-0.968¹²)²⁰ ≈ 1e-10 — recall failures would surface
     as an oracle hash mismatch, not a silent statistic — while random
     pairs (cosine ≈ 0) collide at only 2⁻¹² per table, keeping the
-    candidate volume ~Σ|bucket|² linear-ish in N."""
-    inflated = DD.plant_embedding_twins(_t(spark, sf_dir, "embeddings"))
+    candidate volume ~Σ|bucket|² linear-ish in N.
+
+    The twin-inflated FIXTURE is memoized per corpus (tag ``emb_twins``):
+    planting is test scaffolding, not the operator under measurement,
+    and its mapInPandas plan can never cache-match across calls (fresh
+    UDF/broadcast identities), so un-memoized it re-ran every bench
+    repeat. Parquet round-trips float64 losslessly — same vectors, same
+    pairs."""
+    inflated = MEMO.dataframe_memo(
+        spark,
+        "emb_twins",
+        sf_dir,
+        ["embeddings"],
+        lambda: DD.plant_embedding_twins(_t(spark, sf_dir, "embeddings")),
+    )
     return (
         DD.embedding_dup_pairs(
             inflated, threshold=0.95, use_lsh=True, n_planes=12, n_tables=20
@@ -9570,6 +9583,7 @@ MEMOIZED_QUERIES: dict[str, str] = {
     "edfs_datasource_scan": "edfs_layout",
     "hypertable_rollup_day": "rollup_hour",
     "sessionize_events_bucketed": "sess_bucket",
+    "embedding_dup_pairs_lsh": "emb_twins",
 }
 
 
