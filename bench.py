@@ -141,6 +141,7 @@ HEADLINE = [
     "hll_own_rollup",
     "batch_padding_report",
     "ann_ivf_incremental",
+    "ann_topk_binary",
 ]
 
 

@@ -78,6 +78,78 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def _sign_word_sql(col: str, dim: int = 64) -> str:
+    """SQL expression packing the SIGNS of a <=64-dim vector into one
+    BIGINT word: bit i set iff component i > 0. Bit 63 lands as the
+    signed min-long addend (two's complement; DuckDB refuses 1<<63, so
+    the oracle uses the identical literal). A SQL string, not a Column
+    tree — 64 terms would be ~300 py4j calls (see minhash_sig_expr)."""
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i}] > 0 THEN "
+        + (
+            "CAST(-9223372036854775808 AS BIGINT)"
+            if i == 63
+            else f"CAST({1 << i} AS BIGINT)"
+        )
+        + " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(dim)
+    )
+    return terms
+
+
+def binary_sign_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """1-bit sign-quantized ANN — the extreme point of the int8 → PQ →
+    binary quantization ladder: each <=64-dim vector compresses to ONE
+    int64 word (64x smaller than float64), candidates rank by Hamming
+    distance = bit_count(xor), ties broken by neighbor id. Returns
+    (query_id, neighbor_id, rank, hamming).
+
+    Scale shape: the packed corpus is 16 bytes/row — the representation
+    a trillion-vector coarse filter actually scans; the word scan is one
+    codegen projection + broadcast of the packed queries, and a real
+    deployment reranks the top-k' survivors with exact cosine (compose
+    with `brute_force_topk` over the candidate ids). Signs are taken on
+    the RAW components (normalization never flips a sign), so the
+    packing is exact integer arithmetic and the whole ranking is
+    SQL-oracle-able."""
+    c = spread_small(corpus).select(
+        F.col(id_col).alias("id"),
+        F.expr(_sign_word_sql(vec_col)).alias("w"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_sign_word_sql(vec_col)).alias("qw"),
+    )
+    joined = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "id",
+        F.bit_count(F.col("w").bitwiseXOR(F.col("qw"))).alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            "hamming",
+        )
+    )
+
+
 def _nearest_centroids(
     df: DataFrame, cents: np.ndarray, vec_col: str, n_top: int = 1
 ) -> DataFrame:

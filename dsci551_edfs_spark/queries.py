@@ -4206,6 +4206,59 @@ def ann_topk_int8(spark, sf_dir):
     )
 
 
+_BINARY_PACK_DUCK = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN "
+    + (
+        "CAST(-9223372036854775808 AS BIGINT)"
+        if i == 63
+        else f"CAST({1 << i} AS BIGINT)"
+    )
+    + " ELSE CAST(0 AS BIGINT) END)"
+    for i in range(64)
+)
+
+
+@q(
+    "ann_topk_binary",
+    f"""
+    WITH s AS (
+      SELECT vec_id, {_BINARY_PACK_DUCK} AS w
+      FROM embeddings),
+    pairs AS (
+      SELECT qq.vec_id AS query_id, cc.vec_id AS nid,
+             bit_count(xor(cc.w, qq.w)) AS hamming
+      FROM s cc, s qq
+      WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id),
+    r AS (
+      SELECT query_id, nid, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, nid) AS rnk
+      FROM pairs)
+    SELECT query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM r WHERE rnk <= 5
+    """,
+)
+def ann_topk_binary(spark, sf_dir):
+    """1-bit sign-quantized Hamming top-5 for 10 query vectors — the
+    extreme point of the quantization ladder (float64 scan →
+    `ann_topk_int8` → PQ codes → ONE int64 word per vector, 64x
+    compression). bit_count(xor) ranking with neighbor-id ties; exact
+    integer arithmetic end to end, so the oracle restates the entire
+    ranking. Twin-recall contract (binary top-1 finds the planted
+    cosine-0.995 twin) pinned in tests/test_pipeline.py; a production
+    deployment scans these words as the coarse filter and reranks the
+    survivors with exact cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.binary_sign_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def _sample_codebooks(emb, n_codes: int = 64, n_subspaces: int = 16):
     """Sample-as-codebook PQ 'training' (Lloyd with iters=0 and first-id
     init): codebook[j][c] = subspace-j slice of the c-th lowest-id UNIT

@@ -911,3 +911,22 @@ def test_knn_label_vote_ivf_plan_and_agreement(spark, sf_dir):
     # on shortlist misses — EXACT correctness of this query is pinned by
     # its full DuckDB oracle, not by agreement with the brute-force vote
     assert len(got & exact) / len(exact) >= 0.5
+
+
+def test_binary_sign_topk_finds_planted_twins(spark, sf_dir):
+    """1-bit quantization keeps enough signal for coarse recall: on the
+    twin-planted corpus (cosine ~0.995 pairs, nothing native above
+    ~0.52), the binary Hamming top-1 must be the planted twin for at
+    least 90% of queries — a 64-bit sign word flips only where the
+    perturbation crosses zero."""
+    from dsci551_edfs_spark.pipeline import dedup as DD
+    from dsci551_edfs_spark.pipeline import similarity as SIM
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inflated = DD.plant_embedding_twins_cyclic(emb)
+    queries = inflated.filter(F.col("vec_id") < 50)
+    top1 = SIM.binary_sign_topk(inflated, queries, k=1).collect()
+    hits = sum(1 for r in top1 if r["neighbor_id"] == r["query_id"] + 1_000_000)
+    assert len(top1) == 50
+    assert hits >= 45, f"binary top-1 twin recall {hits}/50"
