@@ -142,6 +142,8 @@ HEADLINE = [
     "batch_padding_report",
     "ann_ivf_incremental",
     "ann_topk_binary",
+    "ann_topk_binary_rerank",
+    "containment_dup_pairs",
 ]
 
 

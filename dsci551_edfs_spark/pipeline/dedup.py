@@ -837,43 +837,39 @@ def simhash_pairs(
 
 # ---------------------------------------------------------------- jaccard
 
-def ngram_jaccard_pairs(
+def _pair_intersections(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
+    text_col: str,
+    id_col: str,
+    n: int,
     prune_df1: bool = True,
     max_df: int | None = None,
 ) -> DataFrame:
-    """EXACT pairwise n-gram Jaccard via an inverted-index join (not a cross
-    join): explode shingles → self-join on shingle → count shared shingles
-    per pair → |∩| known, |∪| = |A|+|B|−|∩|.
+    """(id_a, id_b, na, nb, inter): shared shingle counts per candidate
+    pair via the inverted-index join — the machinery behind BOTH
+    `ngram_jaccard_pairs` and `containment_dup_pairs` (they differ only
+    in the final score: |∩|/|∪| vs |∩|/min(|A|,|B|)).
 
     Scale: the join key is the 8-byte shingle hash, not the string — the
     shuffle carries (hash, id, n_sh) only. Shingles with document
     frequency 1 are pruned first (they cannot contribute to any
-    intersection; |∪| uses the precomputed per-doc sizes, so dropping them
-    is lossless) — on real corpora that is the long tail of the posting
-    table. Frequency-skewed boilerplate shingles are the quadratic hazard:
-    `max_df` drops posting lists longer than the cap (each contributes
-    |list|² candidate rows). Unlike DF-1 pruning this is lossy — a dropped
-    shingle no longer counts toward |∩| (|∪| is unaffected: per-doc sizes
-    are precomputed) — so computed Jaccard is a LOWER bound and max_df
+    intersection; sizes are precomputed per doc, so dropping them is
+    lossless) — on real corpora that is the long tail of the posting
+    table. Frequency-skewed boilerplate shingles are the quadratic
+    hazard: `max_df` drops posting lists longer than the cap (each
+    contributes |list|² candidate rows). Unlike DF-1 pruning this is
+    lossy — a dropped shingle no longer counts toward |∩| (sizes are
+    unaffected) — so downstream scores are LOWER bounds and max_df
     trades bounded recall loss on boilerplate-heavy pairs for a hard
-    candidate-volume cap. Quadratic only within a (capped) posting list —
-    the standard exact-verification shape."""
-    sh = shingle_df(df, text_col, id_col, n)
+    candidate-volume cap."""
+    sh = shingle_df(_spread(df), text_col, id_col, n)
     sized = sh.select("id", F.size("shingles").alias("n_sh"), "shingles")
     posting = sized.select(
         "id", "n_sh", F.explode("shingles").alias("shingle")
     ).select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
     if prune_df1 or max_df is not None:
-        # DF-1 pruning is lossless on real corpora where the singleton tail
-        # dominates; the max_df upper cap is the boilerplate guard. One agg
-        # pass serves both bounds. Persist the RAW posting (two consumers:
-        # the DF-count agg and the semi-join left side) — without it the
-        # shingle explode+hash re-runs per consumer.
+        # one agg pass serves both DF bounds; persist the RAW posting
+        # (two consumers: the DF-count agg and the semi-join left side)
         posting = _persist(posting)
         lo = 2 if prune_df1 else 1
         hi = max_df if max_df is not None else None
@@ -883,12 +879,12 @@ def ngram_jaccard_pairs(
             keep = keep.filter(F.col("_df") <= hi)
         posting = posting.join(keep.select("shash"), "shash", "left_semi")
     # Persist the FILTERED posting pre-partitioned on the join key: both
-    # self-join aliases read the same cache (previously each side re-ran
-    # the DF agg + semi-join), and hashpartitioning(shash) from the cache
-    # satisfies the pair join's distribution so it adds no exchange.
+    # self-join aliases read the same cache, and hashpartitioning(shash)
+    # from the cache satisfies the pair join's distribution so it adds
+    # no exchange.
     posting = _persist(posting.repartition("shash"))
     a, b = posting.alias("a"), posting.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.shash") == F.col("b.shash"))
@@ -902,6 +898,21 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    prune_df1: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT pairwise n-gram Jaccard via the inverted-index join
+    (`_pair_intersections` — not a cross join): |∩| counted per pair,
+    |∪| = |A|+|B|−|∩| from the precomputed per-doc sizes."""
+    inter = _pair_intersections(df, text_col, id_col, n, prune_df1, max_df)
     return inter.select(
         "id_a",
         "id_b",
@@ -909,6 +920,34 @@ def ngram_jaccard_pairs(
             "jaccard"
         ),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def containment_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    prune_df1: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """CONTAINMENT near-dup pairs: |∩| / min(|A|, |B|) ≥ threshold — the
+    doc-inside-doc detector Jaccard misses by construction. A short doc
+    fully quoted inside a long one has Jaccard |A|/|B| (arbitrarily
+    small) but containment 1.0; web corpora are full of exactly this
+    (articles embedded in aggregator pages, quoted posts, boilerplate-
+    wrapped reprints), and containment-dedup is the standard
+    complement to Jaccard-dedup in crawl processing (Broder's original
+    resemblance/containment pair). Same inverted-index join, same DF
+    pruning/caps, different denominator. Returns
+    (id_a, id_b, containment) with id_a < id_b; the CONTAINED side is
+    whichever of the pair has fewer shingles."""
+    inter = _pair_intersections(df, text_col, id_col, n, prune_df1, max_df)
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("inter") / F.least("na", "nb")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
 
 
 def tfidf_cosine_pairs(

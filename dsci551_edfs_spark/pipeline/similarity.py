@@ -150,6 +150,48 @@ def binary_sign_topk(
     )
 
 
+def binary_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The two-stage shape a production binary index actually runs:
+    `binary_sign_topk`'s Hamming scan keeps the top ``coarse_k``
+    candidates per query (16 bytes/vector — the only thing the full
+    corpus scan touches), then ONLY those candidates are re-scored with
+    exact cosine and re-ranked to the final ``k``. Returns
+    (query_id, neighbor_id, rank, score).
+
+    Scale: the float vectors are fetched for |queries|·coarse_k rows —
+    an id-keyed join against the corpus, never a second full scan; the
+    re-rank window is per-query over coarse_k rows. Recall vs the exact
+    scan is pinned in pytest (`test_binary_rerank_recall`)."""
+    cand = binary_sign_topk(
+        corpus, queries, k=coarse_k, vec_col=vec_col, id_col=id_col
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        normalize(as_double(vec_col)).alias("v"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        normalize(as_double(vec_col)).alias("qv"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("id"),
+            dot(F.col("v"), F.col("qv")).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
 def _nearest_centroids(
     df: DataFrame, cents: np.ndarray, vec_col: str, n_top: int = 1
 ) -> DataFrame:

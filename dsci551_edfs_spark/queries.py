@@ -676,6 +676,33 @@ def ngram_jaccard_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@q(
+    "containment_dup_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
+    )
+    SELECT id_a, id_b, containment FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / least(len(a.sh), len(b.sh)) AS containment
+      FROM s a, s b WHERE a.doc_id < b.doc_id)
+    WHERE containment >= 0.5
+    """,
+)
+def containment_dup_pairs(spark, sf_dir):
+    """Doc-inside-doc detection: |∩| / min(|A|,|B|) ≥ 0.5 — Broder's
+    CONTAINMENT measure, the crawl-processing complement to Jaccard
+    dedup (a short article quoted inside a long aggregator page has
+    near-zero Jaccard but containment ~1). Same inverted-index join and
+    DF-cap machinery as `ngram_jaccard_pairs`
+    (dedup._pair_intersections), different denominator."""
+    return DD.containment_dup_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
 # recursive-CTE ground truth shared by BOTH cluster queries: recomputes
 # the same 3-gram Jaccard components from scratch, so transitive chains
 # (A~B~C with A≁C) are verified, not just pairwise hits
@@ -4256,6 +4283,58 @@ def ann_topk_binary(spark, sf_dir):
         "neighbor_id",
         F.col("rank").cast("long").alias("rnk"),
         F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+@q(
+    "ann_topk_binary_rerank",
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_BINARY_PACK_DUCK} AS w
+      FROM embeddings),
+    cand AS (
+      SELECT query_id, nid FROM (
+        SELECT qq.vec_id AS query_id, cc.vec_id AS nid,
+               row_number() OVER (
+                 PARTITION BY qq.vec_id
+                 ORDER BY bit_count(xor(cc.w, qq.w)) ASC, cc.vec_id
+               ) AS crnk
+        FROM s cc, s qq
+        WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id)
+      WHERE crnk <= 20),
+    scored AS (
+      SELECT c.query_id, c.nid,
+             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+               / ({_NORM_SQL.format(a="e.embedding")}
+                  * {_NORM_SQL.format(a="q.embedding")}) AS score
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.nid
+      JOIN embeddings q ON q.vec_id = c.query_id)
+    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
+      SELECT query_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nid) AS rnk,
+             score
+      FROM scored) WHERE rnk <= 5
+    """,
+)
+def ann_topk_binary_rerank(spark, sf_dir):
+    """Two-stage binary ANN, the deployment shape: 64x-compressed
+    Hamming scan keeps the top-20 candidates per query, exact cosine
+    reranks ONLY those to the final top-5. The coarse stage touches 16
+    bytes/vector; the float vectors are fetched for |queries|*20 rows by
+    id — never a second full scan. Full oracle end to end (exact-integer
+    coarse ranking + the proven dot/norm cosine restatement); recall vs
+    the exact scan pinned in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.binary_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, coarse_k=20
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
     )
 
 
