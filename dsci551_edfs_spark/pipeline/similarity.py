@@ -491,6 +491,7 @@ def pq_topk(
     exclude_self: bool = True,
     codebooks: np.ndarray | None = None,
     rerank_k: int | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over the PQ-encoded
     corpus: per query, precompute the (n_subspaces × n_codes) table of
@@ -508,7 +509,12 @@ def pq_topk(
     `rerank_k`: the standard two-stage shape — ADC shortlists the top
     `rerank_k` per query, then ONLY those Q·rerank_k rows pay an exact
     float re-score (one semi-join back to the vectors). Near-exact recall
-    for a scan that never touches floats outside the shortlist."""
+    for a scan that never touches floats outside the shortlist.
+
+    `codes`: pass the PRE-ENCODED (id, codes) table to skip the encode
+    pass — the code table IS the PQ index, built once per corpus version
+    (the registered demo serves it from the memo store, like the IVF
+    layout); `codebooks` must be the ones that produced it."""
     from .dedup import _persist
 
     # normalize ONCE into a managed-persisted (id, v) frame: the codebook
@@ -524,7 +530,8 @@ def pq_topk(
         codebooks = train_pq_codebooks(
             unit, n_subspaces, n_codes, iters, "v", "id", seed
         )
-    codes = pq_encode(unit, codebooks, "v", "id")
+    if codes is None:
+        codes = pq_encode(unit, codebooks, "v", "id")
     qrows = (
         queries.select(
             F.col(id_col).alias("qid"), normalize(as_double(vec_col)).alias("qv")
