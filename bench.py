@@ -160,6 +160,34 @@ def _round_number() -> int:
     return max(rounds, default=0) + 1
 
 
+# the paths whose last-touching commit defines `code_sha` — everything
+# that changes measured behavior; artifact/doc commits don't move it
+_CODE_PATHS = ("dsci551_edfs_spark", "bench.py", "tools", "tests", "__spark_entry__.py")
+
+
+def _shas() -> tuple[str | None, str | None]:
+    """(HEAD sha, last code-touching commit sha). The second binds a
+    bench artifact to the code it measured even after artifact-refresh
+    commits move HEAD."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def run(args: list[str]) -> str | None:
+        try:
+            out = subprocess.run(
+                args, cwd=here, capture_output=True, text=True, check=True
+            ).stdout.strip()
+            return out or None
+        except Exception:
+            return None
+
+    return (
+        run(["git", "rev-parse", "HEAD"]),
+        run(["git", "log", "-1", "--format=%H", "--", *_CODE_PATHS]),
+    )
+
+
 def main() -> None:
     from dsci551_edfs_spark import get_spark
     from dsci551_edfs_spark.queries import QUERIES, warm_memos
@@ -215,22 +243,16 @@ def main() -> None:
     }
     # stamp the artifact with the git SHA it was produced at (same field
     # tools/check_correctness.py --json writes), so a judge can bind
-    # BENCH_local_r{N}*.json to a commit without forensics
-    try:
-        import subprocess
-
-        git_sha = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout.strip()
-    except Exception:
-        git_sha = None
+    # BENCH_local_r{N}*.json to a commit without forensics. `code_sha`
+    # is the last commit that touched CODE (package/bench/tools/tests):
+    # committing a bench artifact necessarily creates a new HEAD, so
+    # git_sha of a committed artifact can never equal the sha it was run
+    # at — code_sha is the stable binding to the measured tree.
+    git_sha, code_sha = _shas()
     full = dict(
         totals,
         git_sha=git_sha,
+        code_sha=code_sha,
         queries=timings,
         spread_max_minus_min=spreads,
         memo_warm=memo_warm,

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "tokens_sql",
     "token_count",
     "bpe_ish_token_count",
     "text_stats",
@@ -54,6 +55,17 @@ def tokens(text: Column | str) -> Column:
     """Whitespace tokenization of lowercased text."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def tokens_sql(col_name: str) -> str:
+    """SQL-string twin of :func:`tokens` for hot paths that build their
+    whole projection as ONE `F.expr` string (the r9 py4j-overhead fix —
+    e.g. the SWAR simhash fold). One definition site: a test pins that
+    this string and the Column form produce identical arrays, so the
+    tokenizer can never silently fork. The column name is backtick-quoted
+    (it is a name, not an expression)."""
+    quoted = "`" + col_name.replace("`", "``") + "`"
+    return rf"split(trim(lower({quoted})), '\\s+')"
 
 
 def token_count(text: Column | str) -> Column:

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, tokens
+from ..functions.text import fingerprint, tokens, tokens_sql
 from ..plans.hints import spread_small
 from ..functions.vectors import as_double, dot, normalize
 
@@ -733,13 +733,17 @@ def simhash(
     if bits != 64:
         raise ValueError("SWAR simhash is specialized to 64-bit signatures")
     lane_mask = 0x0001000100010001
-    df = _spread(df)
+    # NULL text would fold to a NULL signature row (aggregate over a null
+    # array); the exploded-groupBy formulation this is bit-identical to
+    # drops such docs entirely — keep that contract (pinned in
+    # test_dedup.py::test_simhash_null_text_dropped)
+    df = _spread(df).filter(F.col(text_col).isNotNull())
     tok_hash = (
         "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
         if hash_family == "md5"
         else "xxhash64(tok)"
     )
-    toks = r"split(trim(lower(" + text_col + r")), '\\s+')"
+    toks = tokens_sql(text_col)
     init = ", ".join(["'n', 0L"] + [f"'w{w}', 0L" for w in range(16)])
     merge = ", ".join(
         ["'n', acc.n + 1L"]

@@ -83,7 +83,12 @@ def _sign_word_sql(col: str, dim: int = 64) -> str:
     BIGINT word: bit i set iff component i > 0. Bit 63 lands as the
     signed min-long addend (two's complement; DuckDB refuses 1<<63, so
     the oracle uses the identical literal). A SQL string, not a Column
-    tree — 64 terms would be ~300 py4j calls (see minhash_sig_expr)."""
+    tree — 64 terms would be ~300 py4j calls (see minhash_sig_expr).
+
+    Vectors LONGER than ``dim`` raise at scan time (`raise_error` branch)
+    instead of silently quantizing only the first ``dim`` components — a
+    degradation both engines would agree on, so no oracle could catch it.
+    The guard is a per-row codegen comparison, not an extra job."""
     terms = " + ".join(
         f"(CASE WHEN {col}[{i}] > 0 THEN "
         + (
@@ -94,7 +99,11 @@ def _sign_word_sql(col: str, dim: int = 64) -> str:
         + " ELSE CAST(0 AS BIGINT) END)"
         for i in range(dim)
     )
-    return terms
+    return (
+        f"CASE WHEN size({col}) > {dim} THEN CAST(raise_error("
+        f"concat('binary sign-pack supports <= {dim} dims; got ', "
+        f"cast(size({col}) as string))) AS BIGINT) ELSE ({terms}) END"
+    )
 
 
 def binary_sign_topk(

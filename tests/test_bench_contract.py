@@ -99,26 +99,73 @@ _WRITE_MARKERS = (
 _MEMO_MARKERS = ("layout_memo(", "dataframe_memo(")
 
 
+def _package_callees(fn, depth=3, seen=None):
+    """fn plus the package-defined functions it references, transitively
+    to `depth` levels — PRUNED at memo-store boundaries: a frame whose
+    source routes through dataframe_memo/layout_memo is exempt and its
+    callees are not descended into (whatever they write runs
+    once-per-corpus, warmed outside the timed region; memo.py's own
+    writers are beneath that boundary by construction). Resolution is
+    static: names that look like calls in the source are looked up in
+    fn's globals (following one `module.attr` hop), keeping only
+    functions defined under dsci551_edfs_spark. This closes the r9
+    one-level gap where a write inside a helper with an unlisted name
+    passed the lint silently."""
+    import inspect
+    import re
+    import types
+
+    if seen is None:
+        seen = set()
+    if fn in seen or depth < 0:
+        return []
+    seen.add(fn)
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return []
+    if any(m in src for m in _MEMO_MARKERS):
+        return []  # memo boundary: frame and its subtree are untimed
+    out = [(fn, src)]
+    g = getattr(fn, "__globals__", {})
+    targets = []
+    for name in re.findall(r"\b([A-Za-z_]\w*)\s*\(", src):
+        obj = g.get(name)
+        if obj is not None:
+            targets.append(obj)
+    for mod, attr in re.findall(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*\(", src):
+        holder = g.get(mod)
+        if isinstance(holder, types.ModuleType):
+            obj = getattr(holder, attr, None)
+            if obj is not None:
+                targets.append(obj)
+    for obj in targets:
+        if (
+            isinstance(obj, types.FunctionType)
+            and getattr(obj, "__module__", "").startswith("dsci551_edfs_spark")
+        ):
+            out.extend(_package_callees(obj, depth - 1, seen))
+    return out
+
+
 def test_headline_timed_regions_do_not_ingest():
     """Every HEADLINE query's timed call must not ingest/build layouts
-    per call: a write marker in its source requires either the memo
-    store (once-per-corpus, warmed untimed) or an explicit whitelist
-    entry saying the write is the thing being measured. Static
-    one-level check — helpers that write are matched by name above."""
-    import inspect
-
+    per call: a write marker in its source (or in any package helper it
+    transitively calls, depth 3, memo-boundary-pruned) requires either
+    the memo store (once-per-corpus, warmed untimed) or an explicit
+    whitelist entry saying the write is the thing being measured."""
     bench = _bench()
     from dsci551_edfs_spark.queries import QUERIES
 
     offenders = {}
     for name in bench.HEADLINE:
-        src = inspect.getsource(QUERIES[name])
-        hits = [m for m in _WRITE_MARKERS if m in src]
-        if not hits or name in TIMED_WRITE_WHITELIST:
+        if name in TIMED_WRITE_WHITELIST:
             continue
-        if any(m in src for m in _MEMO_MARKERS):
-            continue  # routed through the memo store
-        offenders[name] = hits
+        for fn, src in _package_callees(QUERIES[name]):
+            hits = [m for m in _WRITE_MARKERS if m in src]
+            if hits:
+                offenders[name] = (fn.__qualname__, hits)
+                break
     assert not offenders, (
         "timed-region writes outside memo store / whitelist: "
         f"{offenders}"

@@ -982,3 +982,40 @@ def test_binary_rerank_recall(spark, sf_dir):
     rec50 = len(exact & r50) / len(exact)
     assert rec50 >= 0.6, f"recall@5 at coarse_k=50: {rec50}"
     assert rec50 >= rec20  # widening the coarse stage never hurts
+
+
+def test_simhash_null_text_dropped(spark):
+    """NULL text is dropped from simhash output (the exploded-groupBy
+    formulation the SWAR fold is bit-identical to never emits such docs;
+    a NULL-signature row would silently poison direct consumers)."""
+    rows = [(1, "alpha beta"), (2, None), (3, "alpha beta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == got[3] and got[1] is not None
+
+
+def test_tokens_sql_matches_column_form(spark):
+    """tokens_sql() is the SQL-string twin of tokens() used by the
+    one-big-expr hot paths (simhash); the two forms must produce
+    identical arrays, including on empty/NULL text and names that need
+    backtick quoting."""
+    rows = [("  The  QUICK brown\tFox ",), ("",), (None,), ("a b  c",)]
+    df = spark.createDataFrame(rows, ["weird col"])
+    out = df.select(
+        TXT.tokens(F.col("weird col")).alias("a"),
+        F.expr(TXT.tokens_sql("weird col")).alias("b"),
+    ).collect()
+    for r in out:
+        assert r["a"] == r["b"]
+
+
+def test_sign_word_rejects_oversized_vectors(spark):
+    """>64-dim vectors must raise at scan time, not silently quantize
+    only the first 64 components (a degradation both engines would agree
+    on, invisible to the oracle)."""
+    schema = "vec_id long, embedding array<double>"
+    big = spark.createDataFrame([(1, [1.0] * 65)], schema)
+    q = spark.createDataFrame([(2, [-1.0] * 65)], schema)
+    with pytest.raises(Exception, match="sign-pack"):
+        SIM.binary_sign_topk(big, q, k=1).collect()

@@ -144,17 +144,41 @@ def main() -> int:
         # stamp the artifact with the git SHA it was produced at, so a
         # judge can tie the sweep claim to a specific tree without
         # re-running every query
-        try:
-            sha = subprocess.run(
-                ["git", "rev-parse", "HEAD"],
-                cwd="/root/repo",
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout.strip()
-        except Exception:
-            sha = None
-        payload = {"git_sha": sha, "sf_dir": SF_DIR, "results": results}
+        def _git(args):
+            try:
+                out = subprocess.run(
+                    ["git", *args],
+                    cwd="/root/repo",
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout.strip()
+                return out or None
+            except Exception:
+                return None
+
+        sha = _git(["rev-parse", "HEAD"])
+        # code_sha: last commit touching code paths — survives
+        # artifact-refresh commits (same field bench.py stamps)
+        code_sha = _git(
+            [
+                "log",
+                "-1",
+                "--format=%H",
+                "--",
+                "dsci551_edfs_spark",
+                "bench.py",
+                "tools",
+                "tests",
+                "__spark_entry__.py",
+            ]
+        )
+        payload = {
+            "git_sha": sha,
+            "code_sha": code_sha,
+            "sf_dir": SF_DIR,
+            "results": results,
+        }
         with open(json_path, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
         print(f"wrote {json_path} @ {sha}")
