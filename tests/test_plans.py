@@ -371,3 +371,28 @@ def test_corpus_prep_pipeline_two_scans_no_text_shuffle():
     through the joins."""
     plan = _plan("corpus_prep_pipeline")
     assert plan.count("documents.parquet") == 2, plan
+
+
+def test_binary_ann_pushes_partial_window_group_limit():
+    """ann_topk_binary's `row_number() <= k` over Q·N Hamming rows must
+    run as a two-phase WindowGroupLimit — a PARTIAL group-limit before
+    the query_id Exchange (each map task forwards only its own top-k per
+    query, so the shuffle carries Q·k·tasks rows, never Q·N) and a FINAL
+    one after. Without the partial phase, a 100 TB corpus scan would
+    shuffle every scored row."""
+    plan = _plan("ann_topk_binary")
+    assert "Partial" in plan and "Final" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    # the Partial limit must sit BELOW the exchange (map-side): in the
+    # formatted detail section, Partial's node id < Exchange's < Final's
+    import re as _re
+
+    ids = {}
+    for node_id, name in _re.findall(r"\((\d+)\) (WindowGroupLimit|Exchange)\b", plan):
+        mode = "wgl" if name == "WindowGroupLimit" else "ex"
+        ids.setdefault(mode, []).append(int(node_id))
+    assert len(ids.get("wgl", [])) == 2, plan
+    lo_wgl, hi_wgl = sorted(ids["wgl"])
+    # some Exchange between the two group-limits = the partial one is
+    # upstream of the shuffle
+    assert any(lo_wgl < e < hi_wgl for e in ids.get("ex", [])), plan

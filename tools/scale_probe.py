@@ -589,6 +589,34 @@ def main() -> None:
                 n_probe=4,
             ),
         ),
+        # round-10 (r9-operator curves). containment shares ngram_jaccard's
+        # inverted-index join, so it inherits the same quadratic hazard
+        # (inflation makes all k copies true near-dups of each other —
+        # OUTPUT pairs grow ~k²·N by semantics); the max_df-capped variant
+        # is the documented 100 TB defense and must stay ~output-bound
+        "containment_pairs": lambda k: DD.containment_dup_pairs(
+            inflate_docs(docs, k), threshold=0.5
+        ),
+        "containment_pairs_maxdf": lambda k: DD.containment_dup_pairs(
+            inflate_docs(docs, k), threshold=0.5, max_df=16
+        ),
+        # binary ANN: queries FIXED (base %31==0 rows), corpus K×. The
+        # Hamming scan is Q·N codegen rows over 16-byte packed words —
+        # must grow ~K (one corpus pass), with row_number ≤ k pushed
+        # map-side as a partial WindowGroupLimit (plan-pinned in
+        # tests/test_plans.py); the rerank adds an id-keyed join over
+        # Q·coarse_k rows, a K-independent constant
+        "ann_binary_fixed_queries": lambda k: SIM.binary_sign_topk(
+            inflate_emb(emb, k),
+            emb.filter(F.col("vec_id") % 31 == 0),
+            k=10,
+        ),
+        "ann_binary_rerank_fixed_queries": lambda k: SIM.binary_rerank_topk(
+            inflate_emb(emb, k),
+            emb.filter(F.col("vec_id") % 31 == 0),
+            k=5,
+            coarse_k=20,
+        ),
     }
     wanted = sys.argv[1:] or list(ops)
     for name in wanted:
