@@ -462,3 +462,125 @@ def test_hll_own_matches_python_reference(spark, vals):
     zeros = m - len(ref)
     e = float(m) * math.log(float(m) / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
     assert est == pytest.approx(round(e, 3), abs=2e-3)
+
+
+# ------------------------------------------------- r10: containment
+
+
+def _ref_shingles(text: str, n: int = 3) -> set:
+    """Pure-Python restatement of shingle_df's contract: lowercase, trim
+    ASCII spaces, split on ASCII \\s+ (Java semantics: a leading \\t
+    survives trim and yields a leading '' token), distinct word n-grams
+    joined by single spaces; docs with < n tokens contribute their full
+    token string as one shingle."""
+    import re
+
+    t = text.lower().strip(" ")
+    toks = re.split(r"\s+", t, flags=re.ASCII)
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _ref_containment(docs, n, threshold, max_df=None):
+    """Brute-force containment pairs: |∩|/min(|A|,|B|) over distinct
+    shingle SETS, with the engine's cap semantics — DF-1 pruning is
+    lossless (an intersecting shingle has df >= 2); max_df excludes
+    over-frequent shingles from |∩| but never from the sizes."""
+    from collections import Counter
+
+    sh = {i: _ref_shingles(t, n) for i, t in docs}
+    dfc = Counter(g for s in sh.values() for g in s)
+    out = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sh[ids[x]], sh[ids[y]]
+            inter = sum(
+                1 for g in a & b if max_df is None or dfc[g] <= max_df
+            )
+            c = inter / min(len(a), len(b))
+            if c >= threshold:
+                out[(ids[x], ids[y])] = c
+    return out
+
+
+cont_texts = st.lists(
+    st.text(alphabet="ab cd\tef", min_size=1, max_size=40),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SLOW
+@given(cont_texts, st.sampled_from([None, 2, 4]))
+def test_containment_matches_python_reference(spark, ts, max_df):
+    # plant the doc-inside-doc case Jaccard misses: the last doc embeds
+    # the first verbatim inside filler, so containment(first, last) is
+    # high while their Jaccard is small
+    corpus = list(enumerate(ts))
+    corpus.append((len(ts), "filler one two three " + ts[0] + " four five"))
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in DD.containment_dup_pairs(
+            df, threshold=0.2, max_df=max_df
+        ).collect()
+    }
+    want = _ref_containment(corpus, n=3, threshold=0.2, max_df=max_df)
+    assert set(got) == set(want), (got, want)
+    for pair, c in want.items():
+        assert got[pair] == pytest.approx(c)
+
+
+# ------------------------------------------- r10: binary sign-pack
+
+
+def _ref_sign_word(vec) -> int:
+    """numpy restatement of _sign_word_sql: bit i set iff component
+    i > 0, packed little-bit-endian into one SIGNED int64."""
+    import numpy as np
+
+    bits = (np.asarray(vec, dtype=np.float64) > 0).astype(np.uint8)
+    padded = np.zeros(64, dtype=np.uint8)
+    padded[: len(bits)] = bits
+    word = int.from_bytes(
+        np.packbits(padded, bitorder="little").tobytes(), "little"
+    )
+    return word - (1 << 64) if word >= (1 << 63) else word
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, width=32
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_sign_pack_and_hamming_match_numpy(spark, vecs):
+    from dsci551_edfs_spark.pipeline.similarity import _sign_word_sql
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["w"]
+        for r in df.select(
+            "vec_id", F.expr(_sign_word_sql("embedding")).alias("w")
+        ).collect()
+    }
+    want = {i: _ref_sign_word(v) for i, v in rows}
+    assert got == want
+    # Hamming via bit_count(xor) == popcount of the numpy packed words
+    a, b = got[0], got[1]
+    spark_h = df.sparkSession.sql(
+        f"SELECT bit_count({a}L ^ {b}L) AS h"
+    ).first()["h"]
+    ref_h = bin((want[0] ^ want[1]) & ((1 << 64) - 1)).count("1")
+    assert spark_h == ref_h
