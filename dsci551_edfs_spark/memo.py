@@ -44,6 +44,9 @@ SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
 # once-per-corpus build cost separately from steady-state probe medians.
 BUILD_SECONDS: dict[str, float] = {}
 
+# (session id, memo path) -> served DataFrame plan (see dataframe_memo)
+_READ_PLAN_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def corpus_fingerprint(sf_dir: str, tables: Sequence[str]) -> str:
     """Identity of the source tables: name + size + mtime_ns per file
@@ -141,7 +144,18 @@ def dataframe_memo(
         BUILD_SECONDS[tag] = round(time.perf_counter() - t0, 3)
     else:
         BUILD_SECONDS.setdefault(tag, 0.0)
-    return spark.read.parquet(path)
+    # plan cache, same rationale as sources.registry._PLAN_CACHE: the
+    # read plan costs a parquet-footer pass + a py4j analysis round-trip
+    # per call. No staleness hazard here — the memo PATH embeds the
+    # source-corpus fingerprint, so a regenerated corpus is a different
+    # path (and the memo dir is immutable once promoted).
+    key = (id(spark), path)
+    cached = _READ_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
+    _READ_PLAN_CACHE[key] = df
+    return df
 
 
 def layout_memo(

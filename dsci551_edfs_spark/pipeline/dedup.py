@@ -1281,7 +1281,7 @@ def embedding_dup_pairs(
     key is (table, bucket) — small ints — and candidate volume is
     Σ|bucket|², not N².
     """
-    unit = _spread(df).select(
+    unit = df.select(
         F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
     )
     if use_lsh:
@@ -1290,24 +1290,35 @@ def embedding_dup_pairs(
         # — at worst a whole ingest pipeline — re-executes per consumer.
         # (id, v) is the smallest thing worth pinning: N×(8+8·dim) bytes,
         # spillable, and exactly what a 1000-executor run would persist.
+        # No `_spread` here (unlike the token-hash text stages): the
+        # banding matmul is ~240 fused multiply-adds per vector — even a
+        # full 128 MB row group single-partitioned is sub-second — and
+        # r10 measured the spread's exchange + 32-task scheduling at
+        # ~0.45 s per call on the demo corpus, pure overhead.
         unit = _persist(unit)
-        if dim is None:  # probe only when the caller can't tell us
-            dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-        rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((n_tables * n_planes, dim))
         # MSB-first bit weights: plane 0 of a table is its bucket's top bit
         bit_weights = 1 << np.arange(n_planes - 1, -1, -1)
+        plane_dim = dim  # closure cell; None → derive from the batch
 
         def assign(batches):
             # all T*P hyperplane dots in ONE matmul per Arrow batch —
             # the per-plane interpreted `aggregate` fold this replaces was
-            # ~2x the whole pipeline's runtime at 64 plane dots per vector
+            # ~2x the whole pipeline's runtime at 64 plane dots per vector.
+            # Planes are regenerated per task from the seed (deterministic;
+            # T·P·dim doubles, microseconds) — deriving dim from the first
+            # batch instead of a driver-side size() probe saves one Spark
+            # job per call (r10: the probe was ~0.1 s of a 2 s op).
             import pandas as pd
 
+            rng = np.random.RandomState(seed)
+            planes = None
             for pdf in batches:
                 if pdf.empty:
                     continue
                 m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                if planes is None:
+                    d = plane_dim if plane_dim is not None else m.shape[1]
+                    planes = rng.standard_normal((n_tables * n_planes, d))
                 signs = (m @ planes.T > 0).reshape(len(pdf), n_tables, n_planes)
                 bucket = (signs * bit_weights).sum(axis=2)  # (B, T)
                 yield pd.DataFrame(
@@ -1340,7 +1351,10 @@ def embedding_dup_pairs(
         vb = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = cands.join(va, "id_a").join(vb, "id_b")
     else:
-        return _pairwise_cosine_broadcast(unit, threshold)
+        # the exact O(N·N) einsum DOES want the spread: per-partition work
+        # is a (rows × N) matmul, real CPU even on a tiny single-row-group
+        # corpus
+        return _pairwise_cosine_broadcast(_spread(unit), threshold)
     return _verify_pairs_cosine(pairs, threshold)
 
 

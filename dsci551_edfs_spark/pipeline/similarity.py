@@ -501,6 +501,7 @@ def pq_topk(
     codebooks: np.ndarray | None = None,
     rerank_k: int | None = None,
     codes: DataFrame | None = None,
+    query_mat: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over the PQ-encoded
     corpus: per query, precompute the (n_subspaces × n_codes) table of
@@ -523,33 +524,49 @@ def pq_topk(
     `codes`: pass the PRE-ENCODED (id, codes) table to skip the encode
     pass — the code table IS the PQ index, built once per corpus version
     (the registered demo serves it from the memo store, like the IVF
-    layout); `codebooks` must be the ones that produced it."""
+    layout); `codebooks` must be the ones that produced it.
+
+    `query_mat`: (ids, unit-normalized row matrix) for the queries,
+    driver-resident — the shape a serving path actually has (queries
+    arrive from the application as vectors, not as a table to re-scan
+    and re-normalize per call). Supersedes `queries` for the LUT build;
+    `queries` may then be None."""
     from .dedup import _persist
 
     # normalize ONCE into a managed-persisted (id, v) frame: the codebook
     # sample, the encode pass, and the shortlist re-rank all read it —
     # without this the raw corpus is scanned (and re-normalized) up to
-    # three times per call
-    unit = _persist(
-        corpus.select(
-            F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
-        )
+    # three times per call. When BOTH the codebooks and the code table
+    # are supplied (the served-index path the registered demo runs), the
+    # only remaining consumer is the one shortlist re-rank join — a
+    # single codegen scan — so pinning N·dim doubles in cache would cost
+    # a materialization pass per call for nothing (r10: ~0.3 s of a
+    # 1.6 s op at sf0.1).
+    unit = corpus.select(
+        F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v")
     )
+    if codebooks is None or codes is None:
+        unit = _persist(unit)
     if codebooks is None:
         codebooks = train_pq_codebooks(
             unit, n_subspaces, n_codes, iters, "v", "id", seed
         )
     if codes is None:
         codes = pq_encode(unit, codebooks, "v", "id")
-    qrows = (
-        queries.select(
-            F.col(id_col).alias("qid"), normalize(as_double(vec_col)).alias("qv")
+    if query_mat is not None:
+        qids = np.asarray(query_mat[0])
+        qmat = np.asarray(query_mat[1], dtype=np.float64)
+    else:
+        qrows = (
+            queries.select(
+                F.col(id_col).alias("qid"),
+                normalize(as_double(vec_col)).alias("qv"),
+            )
+            .orderBy("qid")
+            .collect()
         )
-        .orderBy("qid")
-        .collect()
-    )
-    qids = np.array([r["qid"] for r in qrows])
-    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+        qids = np.array([r["qid"] for r in qrows])
+        qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
     m, ks, dsub = codebooks.shape
     # LUT[q, j, c] = q_sub[j] · codebook[j][c]  (inner-product ADC)
     lut = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids), m, dsub), codebooks)
@@ -586,9 +603,16 @@ def pq_topk(
     shortlist = _rank_topk(scored, max(rerank_k, k)).select(
         "query_id", F.col("neighbor_id").alias("id")
     )
-    qdf = queries.select(
-        F.col(id_col).alias("query_id"), normalize(as_double(vec_col)).alias("qv")
-    )
+    if queries is not None:
+        qdf = queries.select(
+            F.col(id_col).alias("query_id"),
+            normalize(as_double(vec_col)).alias("qv"),
+        )
+    else:  # driver-resident queries: Q rows, no scan, no job
+        qdf = corpus.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
+            "query_id bigint, qv array<double>",
+        )
     rescored = (
         shortlist.join(unit, "id")  # cached unit frame, not a re-scan
         .join(F.broadcast(qdf), "query_id")
