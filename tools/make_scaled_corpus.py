@@ -44,6 +44,9 @@ def main() -> None:
 
     copies = spark.range(k).select(F.col("id").alias("_c"))
 
+    from dsci551_edfs_spark.functions.text import LANG_STOPWORDS
+
+    stopwords = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     docs = load_table(spark, BASE, "documents")
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
     scaled_docs = (
@@ -51,16 +54,22 @@ def main() -> None:
         .select(
             (F.col("doc_id") + F.col("_c") * n_docs).alias("doc_id"),
             # copy 0 keeps the base text verbatim; copies > 0 suffix every
-            # token with the copy number, so no shingle is shared across
-            # copies (dedup structure grows linearly, not quadratically)
+            # NON-STOPWORD token with an alphanumeric copy tag: content
+            # trigrams break (near-dup structure grows ~linearly, not as
+            # the all-copies-are-twins probe shape), while the stopwords
+            # the lang-id/quality gate keys on survive, so the scaled
+            # corpus flows through the full pipeline instead of being
+            # dropped at the gate
             F.when(F.col("_c") == 0, F.col("text"))
             .otherwise(
                 F.concat_ws(
                     " ",
                     F.transform(
                         F.split(F.col("text"), " "),
-                        lambda t: F.concat(
-                            t, F.lit("·"), F.col("_c").cast("string")
+                        lambda t: F.when(
+                            F.lower(t).isin(*stopwords), t
+                        ).otherwise(
+                            F.concat(t, F.lit("x"), F.col("_c").cast("string"))
                         ),
                     ),
                 )
