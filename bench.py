@@ -144,6 +144,9 @@ HEADLINE = [
     "ann_topk_binary",
     "ann_topk_binary_rerank",
     "containment_dup_pairs",
+    # round-10 additions
+    "ann_mutual_knn_binary",
+    "margin_knn_pairs",
 ]
 
 

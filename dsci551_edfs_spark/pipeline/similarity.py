@@ -36,6 +36,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivf_pq_topk",
+    "mutual_knn_hamming",
+    "margin_knn_filter",
 ]
 
 
@@ -199,6 +201,140 @@ def binary_rerank_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+def mutual_knn_hamming(
+    a_side: DataFrame,
+    b_side: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mutual (reciprocal) k-NN pairs between two corpora in 1-bit
+    Hamming space — the candidate stage of bitext / parallel-pair mining
+    (Artetxe & Schwenk 2019 mine translation pairs as mutual neighbors
+    between the two languages' embedding sets): keep (a, b) only if b is
+    in a's forward top-k AND a is in b's backward top-k. Mutuality kills
+    hubs — a vector that is everyone's neighbor survives only toward the
+    few it reciprocates. Returns
+    (id_a, id_b, rank_ab, rank_ba, hamming).
+
+    Built as two `binary_sign_topk` passes (each scans 16 bytes/vector)
+    joined on the reversed pair — exact integer arithmetic end to end,
+    so the full ranking is SQL-oracle-able. Each direction broadcasts
+    its QUERY side; when both corpora are too big to broadcast, swap the
+    coarse stage for the banded signature join (`simhash_pairs`' chunk
+    pigeonhole over the same packed words) — the ranking/mutuality tail
+    is unchanged."""
+    fwd = binary_sign_topk(
+        b_side, a_side, k=k, vec_col=vec_col, id_col=id_col, exclude_self=False
+    )
+    bwd = binary_sign_topk(
+        a_side, b_side, k=k, vec_col=vec_col, id_col=id_col, exclude_self=False
+    )
+    return (
+        fwd.alias("f")
+        .join(
+            bwd.alias("b"),
+            (F.col("f.query_id") == F.col("b.neighbor_id"))
+            & (F.col("f.neighbor_id") == F.col("b.query_id")),
+        )
+        .select(
+            F.col("f.query_id").alias("id_a"),
+            F.col("f.neighbor_id").alias("id_b"),
+            F.col("f.rank").alias("rank_ab"),
+            F.col("b.rank").alias("rank_ba"),
+            F.col("f.hamming").alias("hamming"),
+        )
+    )
+
+
+def margin_knn_filter(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    threshold_milli: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Ratio-margin scoring of each query's best match (Artetxe &
+    Schwenk 2019): margin(x, y) = cos(x, y) / ((avgNNk(x) + avgNNk(y)) / 2)
+    — "how much closer is y than x's and y's OTHER neighbors". The
+    standard mined-pair filter: absolute cosine thresholds fail under
+    hubness (dense regions score everything high); the margin
+    renormalizes by local density. Returns
+    (query_id, neighbor_id, margin_milli) for best matches with
+    margin >= threshold_milli / 1000.
+
+    Arithmetic contract: cosines quantize to integer MICRO units
+    (floor(1e6·c + 0.5) — double accumulation error is ~1e-15 relative,
+    nine orders below the quantum), the k-sums are exact int64, and the
+    margin is one bigint division — so the whole score is restatable in
+    SQL and hash-matches, like the retrieval metrics.
+
+    Scale shape: two corpus scans, each broadcasting a small side — the
+    queries, then their distinct best matches (≤ |queries| rows). The
+    per-query rank is the same partial-WindowGroupLimit tail as the ANN
+    scans."""
+    cm_micro = F.floor(
+        F.lit(1e6)
+        * (
+            dot(F.col("cv"), F.col("qv"))
+            / (F.col("cn") * F.col("qn"))
+        )
+        + F.lit(0.5)
+    ).cast("long")
+
+    def side(df, prefix):
+        from ..functions.vectors import norm
+
+        return df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            as_double(vec_col).alias(f"{prefix}v"),
+            norm(as_double(vec_col)).alias(f"{prefix}n"),
+        )
+
+    c = side(corpus, "c")
+
+    def knn(qdf):
+        scored = (
+            c.join(F.broadcast(side(qdf, "q")), F.lit(True))
+            .filter(F.col("cid") != F.col("qid"))
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("cid").alias("id"),
+                cm_micro.alias("cm"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cm").desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    qn = knn(queries)
+    ax = qn.groupBy("query_id").agg(F.sum("cm").alias("ax"))
+    top1 = qn.filter(F.col("rank") == 1).select("query_id", "id", "cm")
+    nbr_ids = top1.select(F.col("id").alias(id_col)).distinct()
+    nbrs = corpus.join(F.broadcast(nbr_ids), id_col, "left_semi")
+    ay = (
+        knn(nbrs)
+        .groupBy("query_id")
+        .agg(F.sum("cm").alias("ay"))
+        .select(F.col("query_id").alias("id"), "ay")
+    )
+    margin = (
+        top1.join(ax, "query_id")
+        .join(F.broadcast(ay), "id")
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.expr(f"(2000 * {k} * cm) div (ax + ay)").alias("margin_milli"),
+        )
+    )
+    return margin.filter(F.col("margin_milli") >= threshold_milli)
 
 
 def _nearest_centroids(

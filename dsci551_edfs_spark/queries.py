@@ -4338,6 +4338,121 @@ def ann_topk_binary_rerank(spark, sf_dir):
     )
 
 
+@q(
+    "ann_mutual_knn_binary",
+    f"""
+    WITH s AS (
+      SELECT vec_id, {_BINARY_PACK_DUCK} AS w FROM embeddings),
+    fwd AS (
+      SELECT qq.vec_id AS qa, cc.vec_id AS nb,
+             bit_count(xor(cc.w, qq.w)) AS hamming,
+             row_number() OVER (
+               PARTITION BY qq.vec_id
+               ORDER BY bit_count(xor(cc.w, qq.w)) ASC, cc.vec_id
+             ) AS rnk
+      FROM s cc, s qq
+      WHERE qq.vec_id % 2 = 0 AND cc.vec_id % 2 = 1),
+    bwd AS (
+      SELECT qq.vec_id AS qb, cc.vec_id AS na,
+             row_number() OVER (
+               PARTITION BY qq.vec_id
+               ORDER BY bit_count(xor(cc.w, qq.w)) ASC, cc.vec_id
+             ) AS rnk
+      FROM s cc, s qq
+      WHERE qq.vec_id % 2 = 1 AND cc.vec_id % 2 = 0)
+    SELECT f.qa AS id_a, f.nb AS id_b,
+           CAST(f.rnk AS BIGINT) AS rank_ab,
+           CAST(b.rnk AS BIGINT) AS rank_ba,
+           CAST(f.hamming AS BIGINT) AS hamming
+    FROM fwd f
+    JOIN bwd b ON b.qb = f.nb AND b.na = f.qa
+    WHERE f.rnk <= 5 AND b.rnk <= 5
+    """,
+)
+def ann_mutual_knn_binary(spark, sf_dir):
+    """Mutual k-NN pair mining between two corpora (the even / odd
+    vec_id halves stand in for the two languages' embedding sets) in
+    1-bit Hamming space: (a, b) survives only if each is in the other's
+    top-5 — the reciprocity filter that kills hub vectors in
+    bitext/parallel-pair mining (Artetxe & Schwenk 2019). Two 16-byte
+    Hamming scans + one join on the reversed pair; exact integer
+    arithmetic end to end, full oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.mutual_knn_hamming(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=5,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("rank_ab").cast("long").alias("rank_ab"),
+        F.col("rank_ba").cast("long").alias("rank_ba"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+_CM_MICRO_DUCK = (
+    "CAST(floor(1000000 * ("
+    + _DOT_SQL.format(a="cc.embedding", b="qq.embedding")
+    + " / ("
+    + _NORM_SQL.format(a="cc.embedding")
+    + " * "
+    + _NORM_SQL.format(a="qq.embedding")
+    + ")) + 0.5) AS BIGINT)"
+)
+
+
+@q(
+    "margin_knn_pairs",
+    f"""
+    WITH pairs AS (
+      SELECT qq.vec_id AS qid, cc.vec_id AS nid, {_CM_MICRO_DUCK} AS cm
+      FROM embeddings cc, embeddings qq
+      WHERE qq.vec_id < 20 AND cc.vec_id <> qq.vec_id),
+    qn AS (
+      SELECT qid, nid, cm,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cm DESC, nid) AS rnk
+      FROM pairs),
+    ax AS (SELECT qid, CAST(SUM(cm) AS BIGINT) AS ax
+           FROM qn WHERE rnk <= 4 GROUP BY qid),
+    t1 AS (SELECT qid, nid, cm FROM qn WHERE rnk = 1),
+    yset AS (SELECT DISTINCT e.vec_id, e.embedding
+             FROM embeddings e JOIN t1 ON t1.nid = e.vec_id),
+    np AS (
+      SELECT qq.vec_id AS yid, cc.vec_id AS nid, {_CM_MICRO_DUCK} AS cm
+      FROM embeddings cc, yset qq
+      WHERE cc.vec_id <> qq.vec_id),
+    yn AS (
+      SELECT yid, cm,
+             row_number() OVER (PARTITION BY yid
+                                ORDER BY cm DESC, nid) AS rnk
+      FROM np),
+    ay AS (SELECT yid, CAST(SUM(cm) AS BIGINT) AS ay
+           FROM yn WHERE rnk <= 4 GROUP BY yid)
+    SELECT t1.qid AS query_id, t1.nid AS neighbor_id,
+           (2000 * 4 * t1.cm) // (ax.ax + ay.ay) AS margin_milli
+    FROM t1
+    JOIN ax ON ax.qid = t1.qid
+    JOIN ay ON ay.yid = t1.nid
+    WHERE (2000 * 4 * t1.cm) // (ax.ax + ay.ay) >= 1050
+    """,
+)
+def margin_knn_pairs(spark, sf_dir):
+    """Ratio-margin filtering of each query's best match (Artetxe &
+    Schwenk 2019): margin = cos(x,y) / ((avgNN4(x) + avgNN4(y)) / 2),
+    kept when >= 1.05 — the standard mined-pair filter (absolute cosine
+    thresholds fail under hubness; the margin renormalizes by local
+    density). Cosines quantize to integer micro units, the 4-sums are
+    exact int64, the margin is one bigint division — full oracle, same
+    arithmetic contract as the retrieval metrics."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.margin_knn_filter(
+        emb, emb.filter(F.col("vec_id") < 20), k=4, threshold_milli=1050
+    )
+
+
 # (session id, table fingerprint, n_codes) -> (ids, unit row matrix).
 # The normalized low-id sample rows are PART OF THE PQ INDEX (they are
 # the codebooks that produced the memoized code table), so they are as

@@ -1019,3 +1019,54 @@ def test_sign_word_rejects_oversized_vectors(spark):
     q = spark.createDataFrame([(2, [-1.0] * 65)], schema)
     with pytest.raises(Exception, match="sign-pack"):
         SIM.binary_sign_topk(big, q, k=1).collect()
+
+
+def test_mutual_knn_reciprocity_and_twin_recovery(spark, sf_dir):
+    """Every mutual pair must appear in BOTH directions' binary top-k
+    (reciprocity is the operator's definition), and on the twin-planted
+    corpus the planted (v, v+1e6) pairs — mutual best matches by
+    construction — must dominate the rank-1/rank-1 output."""
+    from dsci551_edfs_spark.pipeline import dedup as DD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inflated = DD.plant_embedding_twins_cyclic(emb)
+    a = inflated.filter(F.col("vec_id") < 1_000_000)      # originals
+    b = inflated.filter(F.col("vec_id") >= 1_000_000)     # planted twins
+    out = SIM.mutual_knn_hamming(a, b, k=3)
+    pairs = out.collect()
+    fwd = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.binary_sign_topk(b, a, k=3, exclude_self=False).collect()
+    }
+    bwd = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.binary_sign_topk(a, b, k=3, exclude_self=False).collect()
+    }
+    for r in pairs:
+        assert (r["id_a"], r["id_b"]) in fwd
+        assert (r["id_b"], r["id_a"]) in bwd
+    best = [r for r in pairs if r["rank_ab"] == 1 and r["rank_ba"] == 1]
+    twin_hits = sum(1 for r in best if r["id_b"] == r["id_a"] + 1_000_000)
+    assert twin_hits / max(len(best), 1) >= 0.9, (twin_hits, len(best))
+
+
+def test_margin_scores_twin_above_ambient(spark, sf_dir):
+    """The margin filter's point: a planted cosine-0.995 twin scores a
+    much higher ratio-margin than any native best match (ambient best
+    cosines sit near the local-neighborhood average, margin ~1; the twin
+    towers over it)."""
+    from dsci551_edfs_spark.pipeline import dedup as DD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inflated = DD.plant_embedding_twins_cyclic(emb)
+    queries = inflated.filter(F.col("vec_id") < 10)
+    out = {
+        r["query_id"]: (r["neighbor_id"], r["margin_milli"])
+        for r in SIM.margin_knn_filter(
+            inflated, queries, k=4, threshold_milli=0
+        ).collect()
+    }
+    assert len(out) == 10
+    for qid, (nid, margin) in out.items():
+        assert nid == qid + 1_000_000          # best match IS the twin
+        assert margin >= 1200, (qid, margin)   # far above the ~1.0-1.16 ambient band
