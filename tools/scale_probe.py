@@ -617,6 +617,26 @@ def main() -> None:
             k=5,
             coarse_k=20,
         ),
+        # round-10: mutual k-NN with BOTH sides K× (the bitext-mining
+        # shape — both languages' corpora grow together), so the
+        # broadcast Hamming scan is (K·N/2)² by construction: the probe
+        # measures that quadratic candidate law; the 100 TB mitigation
+        # is swapping the broadcast scan for the banded signature join
+        # (pigeonhole chunks over the same packed words), not a faster
+        # scan
+        "mutual_knn_both_sides": lambda k: SIM.mutual_knn_hamming(
+            inflate_emb(emb, k).filter(F.col("vec_id") % 2 == 0),
+            inflate_emb(emb, k).filter(F.col("vec_id") % 2 == 1),
+            k=5,
+        ),
+        # margin filter: queries FIXED, corpus K× — the two broadcast-
+        # small scans must grow ~K like every fixed-Q ANN probe
+        "margin_fixed_queries": lambda k: SIM.margin_knn_filter(
+            inflate_emb(emb, k),
+            emb.filter(F.col("vec_id") % 31 == 0),
+            k=4,
+            threshold_milli=0,
+        ),
     }
     wanted = sys.argv[1:] or list(ops)
     for name in wanted:
