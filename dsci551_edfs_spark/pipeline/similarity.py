@@ -129,10 +129,21 @@ def binary_sign_topk(
     with `brute_force_topk` over the candidate ids). Signs are taken on
     the RAW components (normalization never flips a sign), so the
     packing is exact integer arithmetic and the whole ranking is
-    SQL-oracle-able."""
-    c = spread_small(corpus).select(
-        F.col(id_col).alias("id"),
-        F.expr(_sign_word_sql(vec_col)).alias("w"),
+    SQL-oracle-able.
+
+    The packed corpus is PINNED (16 bytes/row): without the barrier,
+    CollapseProject inlines the 64-term sign CASE into the per-pair
+    bit_count projection and the pack re-evaluates once per (row, query)
+    instead of once per row — the r9 map-side-fold lesson. A production
+    deployment stores the packed words as the index; the pin is the
+    demo-scale stand-in for that."""
+    from .dedup import _persist
+
+    c = _persist(
+        spread_small(corpus).select(
+            F.col(id_col).alias("id"),
+            F.expr(_sign_word_sql(vec_col)).alias("w"),
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -219,33 +230,50 @@ def mutual_knn_hamming(
     few it reciprocates. Returns
     (id_a, id_b, rank_ab, rank_ba, hamming).
 
-    Built as two `binary_sign_topk` passes (each scans 16 bytes/vector)
-    joined on the reversed pair — exact integer arithmetic end to end,
-    so the full ranking is SQL-oracle-able. Each direction broadcasts
-    its QUERY side; when both corpora are too big to broadcast, swap the
-    coarse stage for the banded signature join (`simhash_pairs`' chunk
-    pigeonhole over the same packed words) — the ranking/mutuality tail
-    is unchanged."""
-    fwd = binary_sign_topk(
-        b_side, a_side, k=k, vec_col=vec_col, id_col=id_col, exclude_self=False
+    Hamming distance is SYMMETRIC, so both directions' rankings come
+    from ONE pair scan: score every (a, b) pair once (16 bytes/vector,
+    codegen bit_count), then rank the same frame twice — partitioned by
+    the a-side for the forward rank and by the b-side for the backward
+    rank — and keep rows inside both top-k's. No reversed-pair join, no
+    second scan. The PACKED sides are pinned before the join: without
+    the barrier, CollapseProject inlines the 64-term sign CASE into the
+    per-PAIR bit_count projection — measured 15.7 s vs 1.2 s on the
+    demo (the r9 map-side-fold lesson again); pinned, each side is
+    16 bytes/row — pack-once IS the representation a binary index
+    stores. The scan broadcasts the a-side; when both corpora are too
+    big to broadcast, swap it for the banded signature join
+    (`simhash_pairs`' chunk pigeonhole over the same packed words) —
+    the ranking/mutuality tail is unchanged."""
+    from .dedup import _persist
+
+    a = _persist(
+        a_side.select(
+            F.col(id_col).alias("id_a"),
+            F.expr(_sign_word_sql(vec_col)).alias("wa"),
+        )
     )
-    bwd = binary_sign_topk(
-        a_side, b_side, k=k, vec_col=vec_col, id_col=id_col, exclude_self=False
+    b = _persist(
+        b_side.select(
+            F.col(id_col).alias("id_b"),
+            F.expr(_sign_word_sql(vec_col)).alias("wb"),
+        )
+    )
+    pairs = b.join(F.broadcast(a), F.lit(True)).select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("wa").bitwiseXOR(F.col("wb"))).alias("hamming"),
+    )
+    w_ab = Window.partitionBy("id_a").orderBy(
+        F.col("hamming").asc(), F.col("id_b").asc()
+    )
+    w_ba = Window.partitionBy("id_b").orderBy(
+        F.col("hamming").asc(), F.col("id_a").asc()
     )
     return (
-        fwd.alias("f")
-        .join(
-            bwd.alias("b"),
-            (F.col("f.query_id") == F.col("b.neighbor_id"))
-            & (F.col("f.neighbor_id") == F.col("b.query_id")),
-        )
-        .select(
-            F.col("f.query_id").alias("id_a"),
-            F.col("f.neighbor_id").alias("id_b"),
-            F.col("f.rank").alias("rank_ab"),
-            F.col("b.rank").alias("rank_ba"),
-            F.col("f.hamming").alias("hamming"),
-        )
+        pairs.withColumn("rank_ab", F.row_number().over(w_ab))
+        .withColumn("rank_ba", F.row_number().over(w_ba))
+        .filter((F.col("rank_ab") <= k) & (F.col("rank_ba") <= k))
+        .select("id_a", "id_b", "rank_ab", "rank_ba", "hamming")
     )
 
 
