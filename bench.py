@@ -147,6 +147,10 @@ HEADLINE = [
     # round-10 additions
     "ann_mutual_knn_binary",
     "margin_knn_pairs",
+    "exact_substring_dedup",
+    "lsh_tuning_report",
+    "semdedup_eps_curve",
+    "ann_recall_vs_nprobe",
 ]
 
 

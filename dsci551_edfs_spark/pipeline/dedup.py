@@ -1176,6 +1176,106 @@ def shared_span_pairs(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_span: int = 6,
+    max_occ: int = 1000,
+) -> DataFrame:
+    """Exact-substring REMOVAL — the deliverable of the Lee et al. 2021
+    pipeline, where `shared_span_pairs` is the report: every verbatim
+    run of >= ``min_span`` tokens that also occurs earlier in the corpus
+    is cut from the document, keeping the globally-first occurrence.
+    Returns ``(doc_id, n_tokens, n_removed, clean_text)`` — clean_text
+    is the surviving token stream (whitespace-normalized, lowercased:
+    the tokenizer's canonical form; exact-substring dedup operates on
+    the token stream by construction).
+
+    Deterministic gram-level keep-first contract, identical in both
+    engines:
+
+    1. every (doc, position) emits its n-gram; grams with a single
+       occurrence are pruned, grams above ``max_occ`` occurrences are
+       exempted from removal (the boilerplate cap: hot grams would
+       otherwise gut every doc — route them to `boilerplate_removal`);
+    2. within each surviving gram, the (id, pos)-least occurrence WINS;
+       every other occurrence is a duplicate gram position;
+    3. per doc, consecutive duplicate positions stitch into runs
+       (gaps-and-islands, window PARTITIONED by doc — never global); a
+       run of grams [p0, p1] covers tokens [p0, p1 + n - 1]; runs
+       covering >= ``min_span`` tokens are deleted;
+    4. the doc is re-assembled from its undeleted tokens.
+
+    Scale shape: the shuffle carries (id, pos, 8-byte gram hash) — never
+    token strings; the winner/occurrence pass is ONE window over the
+    gram-hash partitioning (same shuffle a groupBy would pay); stitching
+    and re-assembly are doc-partitioned. Suffix arrays do this in
+    O(corpus) on one machine; this is the shuffle-native restatement."""
+    if min_span < n:
+        raise ValueError(f"min_span={min_span} must be >= n={n}")
+    from pyspark.sql import Window
+
+    # tokenize ONCE and persist: posting, re-assembly and the per-doc
+    # token counts all read this frame — one text scan, not three
+    tokd = _persist(
+        df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+        )
+    )
+    toks = F.col("t")
+    grams = toks
+    for i in range(1, n):
+        shift = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        grams = F.zip_with(grams, shift, lambda a, b: F.concat(a, F.lit(" "), b))
+    ngrams = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    posting = tokd.select(
+        "id", F.posexplode(ngrams).alias("pos", "ng")
+    ).select("id", "pos", F.xxhash64("ng").alias("gh"))
+    # occurrence count + global keep-first winner in ONE gram-keyed
+    # window pass (the oracle states the identical window)
+    wg = Window.partitionBy("gh")
+    wr = Window.partitionBy("gh").orderBy("id", "pos")
+    dup = posting.withColumn("occ", F.count("*").over(wg)).withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    losers = dup.filter(
+        (F.col("occ") >= 2) & (F.col("occ") <= max_occ) & (F.col("rn") > 1)
+    ).select("id", "pos")
+    wd = Window.partitionBy("id").orderBy("pos")
+    isl = losers.withColumn("k", F.col("pos") - F.row_number().over(wd))
+    runs = (
+        isl.groupBy("id", "k")
+        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
+        .filter(F.col("p1") - F.col("p0") + n >= min_span)
+    )
+    cov = runs.select(
+        "id", F.explode(F.sequence("p0", F.col("p1") + (n - 1))).alias("pos")
+    ).distinct()
+    tokpos = tokd.select("id", F.posexplode(toks).alias("pos", "tok"))
+    kept = tokpos.join(cov, ["id", "pos"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = tokd.select("id", F.size(toks).cast("long").alias("n_tokens"))
+    return base.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast(
+            "long"
+        ).alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 # ------------------------------------------------------- embedding cosine
 
 def plant_embedding_twins(

@@ -366,10 +366,16 @@ def margin_knn_filter(
 
 
 def _nearest_centroids(
-    df: DataFrame, cents: np.ndarray, vec_col: str, n_top: int = 1
+    df: DataFrame,
+    cents: np.ndarray,
+    vec_col: str,
+    n_top: int = 1,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Append a `centroid` column = nearest of C centroids (n_top=1), or
-    explode into the n_top nearest (similarity-descending) per row.
+    explode into the n_top nearest (similarity-descending) per row;
+    ``with_rank`` additionally emits the 1-based `probe_rank` of each
+    exploded centroid (nearest = 1) for probe-budget sweeps.
 
     The centroid matrix travels as ONE Spark broadcast and every Arrow
     batch is assigned with a single BLAS matmul — same pattern as the
@@ -383,6 +389,7 @@ def _nearest_centroids(
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
         + ", centroid int"
+        + (", probe_rank int" if with_rank else "")
     )
     n_c = cents.shape[0]
     k = min(n_top, n_c)
@@ -404,9 +411,99 @@ def _nearest_centroids(
                 idx = np.take_along_axis(part, order, axis=1)
             out = pdf.loc[pdf.index.repeat(k)].reset_index(drop=True)
             out["centroid"] = idx.reshape(-1).astype(np.int32)
+            if with_rank:
+                out["probe_rank"] = np.tile(
+                    np.arange(1, k + 1, dtype=np.int32), len(pdf)
+                )
             yield out
 
     return df.mapInPandas(assign, out_schema)
+
+
+def ivf_recall_curve(
+    bucketed: DataFrame,
+    centroids: np.ndarray,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The nprobe-tuning sweep every IVF deployment runs before serving:
+    recall@k and candidate cost per probe budget, against the exact
+    brute-force ground truth — from ONE candidate scan.
+
+    Each query's buckets are ranked once up to max(probes); every
+    candidate row carries the probe_rank of its bucket, so the whole
+    grid is a broadcast-grid join + filter over the SAME scored frame —
+    sweeping 4 budgets costs one corpus pass plus the (tiny) per-budget
+    rank/aggregate tail, not 4 index probes. The ground truth is one
+    brute-force pass (already the recall harness elsewhere). Returns
+    ``(n_probe, n_candidates, avg_candidates, n_hits, recall_at_k)``.
+
+    At 100 TB this is how the nprobe knob is actually chosen: run the
+    sweep on a bounded query sample against a corpus slice, read the
+    recall/cost elbow, ship the budget."""
+    max_p = max(probes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        normalize(as_double(vec_col)).alias("qv"),
+    )
+    pr = _nearest_centroids(q, centroids, "qv", n_top=max_p, with_rank=True)
+    cand = (
+        bucketed.join(F.broadcast(pr), on="centroid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "id",
+            "probe_rank",
+            dot(F.col("v"), F.col("qv")).alias("score"),
+        )
+    )
+    cand = cand.persist()
+    spark = bucketed.sparkSession
+    grid = spark.createDataFrame([(p,) for p in probes], "n_probe int")
+    swept = cand.join(
+        F.broadcast(grid), F.col("probe_rank") <= F.col("n_probe")
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    topk = (
+        swept.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("n_probe", "query_id", "id")
+    )
+    truth = brute_force_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
+    truth = truth.select("query_id", "neighbor_id").persist()
+    hits = (
+        topk.join(
+            truth,
+            (topk["query_id"] == truth["query_id"])
+            & (topk["id"] == truth["neighbor_id"]),
+            "left_semi",
+        )
+        .groupBy("n_probe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    counts = swept.groupBy("n_probe").agg(F.count("*").alias("n_candidates"))
+    qn = truth.agg(F.countDistinct("query_id").alias("n_q"))
+    return (
+        counts.join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.round(F.col("n_candidates") / F.col("n_q"), 2).alias(
+                "avg_candidates"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / (F.col("n_q") * k), 4
+            ).alias("recall_at_k"),
+        )
+    )
 
 
 def kmeans_centroids(
