@@ -637,6 +637,18 @@ def main() -> None:
             k=4,
             threshold_milli=0,
         ),
+        # round-10: exact-substring REMOVAL — posting-list family like
+        # ngram_jaccard/containment but with NO pair join: the heavy
+        # stage is the gram-keyed occurrence window, which grows with
+        # Σ posting sizes (~K·N), never posting² — removal should stay
+        # ~linear even on the pathological all-copies-near-dup corpus
+        # where the pair ops legitimately blow up. Inflation makes every
+        # copy share most grams with its K-1 siblings, so the REMOVED
+        # token mass grows superlinearly (semantics), while runtime
+        # tracks the scan.
+        "substring_removal": lambda k: DD.exact_substring_dedup(
+            inflate_docs(docs, k), n=4, min_span=6, max_occ=1000
+        ),
     }
     wanted = sys.argv[1:] or list(ops)
     for name in wanted:
