@@ -461,7 +461,9 @@ def ivf_recall_curve(
             dot(F.col("v"), F.col("qv")).alias("score"),
         )
     )
-    cand = cand.persist()
+    from .dedup import _persist
+
+    cand = _persist(cand)  # consumed by the sweep join AND the count agg
     spark = bucketed.sparkSession
     grid = spark.createDataFrame([(p,) for p in probes], "n_probe int")
     swept = cand.join(
@@ -476,7 +478,8 @@ def ivf_recall_curve(
         .select("n_probe", "query_id", "id")
     )
     truth = brute_force_topk(corpus, queries, k=k, vec_col=vec_col, id_col=id_col)
-    truth = truth.select("query_id", "neighbor_id").persist()
+    # consumed by hits AND the query-count agg
+    truth = _persist(truth.select("query_id", "neighbor_id"))
     hits = (
         topk.join(
             truth,

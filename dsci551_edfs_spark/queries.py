@@ -10039,7 +10039,7 @@ def lsh_tuning_report(spark, sf_dir):
             " 0, (acc, v) -> acc + v)"
         ).alias("m")
     )
-    pm = pm.persist()
+    pm = DD._persist(pm)  # all four config aggregates read one pair pass
     parts = []
     for b, r in _LSH_CONFIGS:
         p = _lsh_detect_p_sql(b, r)
