@@ -10208,7 +10208,7 @@ def _ivf_recall_oracle_sql(
 def ann_recall_vs_nprobe(spark, sf_dir):
     """The nprobe sweep every IVF deployment runs before picking its
     serving budget: recall@5 and candidate cost per probe budget
-    {{1,2,4,8}} against the exact brute-force truth — ONE candidate
+    (1, 2, 4, 8) against the exact brute-force truth — ONE candidate
     scan at max nprobe, every budget read off the same scored frame
     (the probe_rank tag + a broadcast grid join). At 8 of 8 buckets
     probed, recall is 1.0 by construction — the curve's built-in sanity
