@@ -584,3 +584,65 @@ def test_sign_pack_and_hamming_match_numpy(spark, vecs):
     ).first()["h"]
     ref_h = bin((want[0] ^ want[1]) & ((1 << 64) - 1)).count("1")
     assert spark_h == ref_h
+
+
+# ------------------------------------------------- exact-substring removal
+
+def _ref_substring_dedup(docs, n=4, min_span=6, max_occ=1000):
+    """Pure-Python restatement of dedup.exact_substring_dedup's contract:
+    positional n-grams, single-occurrence grams pruned, >max_occ grams
+    exempt, per-gram (id, pos)-least occurrence wins, per-doc consecutive
+    loser positions stitch into runs, runs covering >= min_span tokens
+    are cut, docs re-assembled from the survivors."""
+    import re
+    from collections import Counter
+
+    toks = {}
+    for i, t in docs:
+        tr = t.lower().strip(" ")
+        toks[i] = re.split(r"\s+", tr, flags=re.ASCII) if tr else [""]
+    posting = {}  # gram -> [(id, pos), ...]
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - n + 1):
+            posting.setdefault(tuple(ts[p : p + n]), []).append((i, p))
+    losers = {}  # id -> set of duplicate gram positions
+    for occs in posting.values():
+        if not (2 <= len(occs) <= max_occ):
+            continue
+        for i, p in sorted(occs)[1:]:
+            losers.setdefault(i, set()).add(p)
+    out = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        covered = set()
+        run = []
+        for p in sorted(losers.get(i, ())) + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if run[-1] - run[0] + n >= min_span:
+                    covered.update(range(run[0], run[-1] + n))
+                run = []
+            if p is not None:
+                run.append(p)
+        kept = [t for q, t in enumerate(ts) if q not in covered]
+        out[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+span_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=30).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@SLOW
+@given(span_docs)
+def test_exact_substring_dedup_matches_python_reference(spark, ts):
+    docs = list(enumerate(ts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in DD.exact_substring_dedup(df, n=4, min_span=6).collect()
+    }
+    assert got == _ref_substring_dedup(docs, n=4, min_span=6)
