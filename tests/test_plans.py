@@ -396,3 +396,25 @@ def test_binary_ann_pushes_partial_window_group_limit():
     # some Exchange between the two group-limits = the partial one is
     # upstream of the shuffle
     assert any(lo_wgl < e < hi_wgl for e in ids.get("ex", [])), plan
+
+
+def test_exact_substring_dedup_scans_text_once():
+    """The removal op tokenizes ONCE into a persisted frame read by all
+    three consumers (posting, re-assembly, counts) — the documents scan
+    must appear exactly once; the two gram-keyed windows (occurrence +
+    winner) must share one gram Exchange."""
+    plan = _plan("exact_substring_dedup")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "InMemoryRelation" in plan, plan
+
+
+def test_ivf_recall_curve_single_candidate_scan():
+    """The nprobe sweep reads ONE persisted candidate frame: the
+    embeddings table is scanned to BUILD candidates and truth (corpus +
+    pruned-query scan each = 4 scan nodes), but the per-budget sweep
+    must join against InMemory candidates — adding budgets to the grid
+    adds ZERO scans (not once per n_probe: 4 scans for a 4-point grid
+    means the grid rides the cache)."""
+    plan = _plan("ann_recall_vs_nprobe")
+    assert plan.count("embeddings.parquet") <= 4, plan
+    assert "InMemoryRelation" in plan, plan
