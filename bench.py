@@ -151,6 +151,8 @@ HEADLINE = [
     "lsh_tuning_report",
     "semdedup_eps_curve",
     "ann_recall_vs_nprobe",
+    "unpivot_lineitem_measures",
+    "event_reachability_rcte",
 ]
 
 

@@ -10222,6 +10222,93 @@ def ann_recall_vs_nprobe(spark, sf_dir):
     )
 
 
+@q(
+    "unpivot_lineitem_measures",
+    """
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS measure,
+             CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_extendedprice',
+             CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_discount',
+             CAST(l_discount AS DOUBLE) FROM lineitem
+      UNION ALL SELECT l_returnflag, 'l_tax',
+             CAST(l_tax AS DOUBLE) FROM lineitem)
+    SELECT l_returnflag, measure,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(val), 3) AS sum_val,
+           min(val) AS min_val,
+           max(val) AS max_val
+    FROM long GROUP BY l_returnflag, measure
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT (melt): four measure columns to long format + per-measure
+    stats. Spark compiles `DataFrame.unpivot` to ONE scan with an Expand
+    node (each input row emits 4 output rows in the same pass) — the
+    oracle restates it as the 4-scan UNION ALL it replaces; at 100 TB
+    that is a 4x I/O difference, which is the point of the operator."""
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.select(
+        "l_returnflag", *[F.col(c).cast("double").alias(c) for c in measures]
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=measures,
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("val"), 3).alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def _reachability_rcte_sql(src_table: str, max_hops: int = 3) -> str:
+    """ONE recursive-CTE text both engines run verbatim (Spark 4 ships
+    WITH RECURSIVE; every prior recursive oracle in this file was
+    DuckDB-only with an iterative Spark twin — this one exercises
+    Spark's own recursion): edge set = distinct consecutive
+    event-type transitions per user, reachability = all <=max_hops
+    walks from the lexicographically-first event type."""
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT event_type AS src, nxt AS dst FROM (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM {src_table})
+      WHERE nxt IS NOT NULL
+    ),
+    reach(t, hops) AS (
+      SELECT min(src), 0 FROM edges
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.t
+      WHERE r.hops < {max_hops}
+    )
+    SELECT t AS event_type,
+           CAST(min(hops) AS BIGINT) AS min_hops,
+           CAST(count(*) AS BIGINT) AS n_walks
+    FROM reach GROUP BY t
+    """
+
+
+@q("event_reachability_rcte", _reachability_rcte_sql("events"))
+def event_reachability_rcte(spark, sf_dir):
+    """Spark 4 WITH RECURSIVE, first-class: min-hop distance and
+    <=3-step walk counts over the event-type transition graph, the SAME
+    recursive SQL text running on both engines (the graph operators'
+    iterative loops remain the 100 TB path — a recursive CTE re-scans
+    per iteration — but engine parity for the SQL surface is its own
+    coverage item). The transition edge set is type-count-sized, so the
+    recursion is bounded and tiny at any corpus scale."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_rcte_events")
+    return spark.sql(_reachability_rcte_sql("_rcte_events"))
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 

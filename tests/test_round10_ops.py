@@ -178,3 +178,27 @@ def test_nearest_centroids_rank_order(spark):
         sims = vecs[i] @ cents.T
         want = list(np.argsort(-sims)[:3])
         assert [c for _, c in pairs] == want
+
+
+# ------------------------------------------------ relational surface adds
+
+def test_unpivot_single_scan_expand(spark, sf_dir):
+    """DataFrame.unpivot must compile to ONE lineitem scan with an
+    Expand node — not the oracle's 4-scan UNION ALL."""
+    from dsci551_edfs_spark.plans.debug import explain_str
+
+    plan = explain_str(QUERIES["unpivot_lineitem_measures"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_event_reachability_rcte_contract(spark, sf_dir):
+    rows = QUERIES["event_reachability_rcte"](spark, sf_dir).collect()
+    by_t = {r["event_type"]: r for r in rows}
+    # the start node reaches itself in 0 hops
+    start = min(by_t)  # min(src) anchors the recursion; every src is a type
+    assert by_t[start]["min_hops"] == 0
+    # hops bounded by the cap
+    assert all(0 <= r["min_hops"] <= 3 for r in rows)
+    # walk counts are positive and >= 1 per reached type
+    assert all(r["n_walks"] >= 1 for r in rows)
