@@ -277,19 +277,26 @@ def shingle_df(
     )
 
 
+def positional_ngrams(toks, n: int):
+    """Array of the word n-grams of `toks` in POSITION order (element i =
+    the gram starting at token i); empty for docs shorter than n tokens.
+    The ONE definition of the zip_with gram chain — shingles, span
+    reporting and substring removal all derive from it, so the chain's
+    subtleties (O(tokens) vs the O(tokens·n) transform+slice spelling;
+    zip_with null-padding cut by the final slice) live in one place."""
+    grams = toks
+    for i in range(1, n):
+        shift = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
+        grams = F.zip_with(grams, shift, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
 def shingle_expr(toks, n: int):
     """The distinct-word-n-gram expression over an already-tokenized
     array column — factored out of `shingle_df` so multi-n consumers
     (decontam.multi_n_overlap) emit several gram families from ONE
     tokenize pass instead of re-scanning the corpus per n."""
-    grams = toks
-    for i in range(1, n):
-        shift = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
-        # zip_with pads the shorter side with null; trailing null-grams are
-        # cut by the final slice to size-n+1
-        grams = F.zip_with(grams, shift, lambda a, b: F.concat(a, F.lit(" "), b))
-    ngrams = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    sh = F.when(F.size(toks) >= n, ngrams).otherwise(
+    sh = F.when(F.size(toks) >= n, positional_ngrams(toks, n)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
     return F.array_distinct(sh)
@@ -1130,15 +1137,9 @@ def shared_span_pairs(
     if min_span < n:
         raise ValueError(f"min_span={min_span} must be >= n={n}")
     toks = tokens(F.col(text_col))
-    # zip_with chain = O(tokens) per doc (the transform+slice spelling is
-    # O(tokens·n) — same rationale as shingle_df above), positions kept
-    grams = toks
-    for i in range(1, n):
-        shift = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
-        grams = F.zip_with(grams, shift, lambda a, b: F.concat(a, F.lit(" "), b))
-    ngrams = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     posting = df.select(
-        F.col(id_col).alias("id"), F.posexplode(ngrams).alias("pos", "ng")
+        F.col(id_col).alias("id"),
+        F.posexplode(positional_ngrams(toks, n)).alias("pos", "ng"),
     ).select("id", "pos", F.xxhash64("ng").alias("gh"))
     posting = _persist(posting)  # 2 consumers: occ agg + semi-join left
     occ = (
@@ -1225,13 +1226,8 @@ def exact_substring_dedup(
         )
     )
     toks = F.col("t")
-    grams = toks
-    for i in range(1, n):
-        shift = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0)))
-        grams = F.zip_with(grams, shift, lambda a, b: F.concat(a, F.lit(" "), b))
-    ngrams = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     posting = tokd.select(
-        "id", F.posexplode(ngrams).alias("pos", "ng")
+        "id", F.posexplode(positional_ngrams(toks, n)).alias("pos", "ng")
     ).select("id", "pos", F.xxhash64("ng").alias("gh"))
     # occurrence count + global keep-first winner in ONE gram-keyed
     # window pass (the oracle states the identical window)

@@ -406,9 +406,11 @@ def _nearest_centroids(
             if k == 1:
                 idx = sims.argmax(axis=1)[:, None]
             else:
-                part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-                order = np.take_along_axis(-sims, part, axis=1).argsort(axis=1)
-                idx = np.take_along_axis(part, order, axis=1)
+                # STABLE sort of -sims = (sim desc, centroid-id asc):
+                # exactly the oracle's ORDER BY sim DESC, c — equal-sim
+                # centroids must rank identically in both engines, which
+                # argpartition + unstable argsort did not guarantee
+                idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
             out = pdf.loc[pdf.index.repeat(k)].reset_index(drop=True)
             out["centroid"] = idx.reshape(-1).astype(np.int32)
             if with_rank:

@@ -10003,7 +10003,10 @@ def _lsh_tuning_oracle_sql() -> str:
     FROM pm""")
         # noqa: E501
     body = "\n    UNION ALL\n".join(per_cfg)
-    src = "(SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0)"
+    src = (
+        "(SELECT doc_id, text FROM documents"
+        f" WHERE doc_id % 17 = 0 AND doc_id < {17 * 256})"
+    )
     return f"""
     WITH {_minhash_base_ctes(src=src)},
     pm AS (
@@ -10022,15 +10025,21 @@ def lsh_tuning_report(spark, sf_dir):
     outcomes — detected pairs, misses above the Jaccard-0.5 target,
     false candidates below it — integrated against the corpus's OWN
     estimated-similarity distribution (signature agreement over a
-    deterministic doc_id % 17 sample; the sample is bounded, so the
-    sweep's cost is corpus-size-independent while the signatures come
-    from the production family). One signature pass serves all four
-    configs. Full oracle: md5 affine family + explicit squaring-chain
-    probability formula, bit-identical in both engines."""
+    deterministic stride sample HARD-CAPPED at 256 docs — doc_id % 17
+    under 17·256 — so the all-pairs agreement join is ≤32,640 pairs at
+    ANY corpus size while the signatures come from the production
+    family). One signature pass serves all four configs (the signature
+    frame is persisted; both self-join sides read the cache). Full
+    oracle: md5 affine family + explicit squaring-chain probability
+    formula, bit-identical in both engines."""
     from functools import reduce
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
-    sig = DD.minhash_signature(DD.shingle_df(docs), hash_family="md5")
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 17 * 256)
+    )
+    sig = DD._persist(
+        DD.minhash_signature(DD.shingle_df(docs), hash_family="md5")
+    )
     a, b_ = sig.alias("a"), sig.alias("b")
     pm = a.join(b_, F.col("a.id") < F.col("b.id")).select(
         F.expr(
