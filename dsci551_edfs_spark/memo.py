@@ -136,26 +136,44 @@ def dataframe_memo(
     later caller, in any process or SparkSession, pays only the read.
     """
     path = memo_path(tag, sf_dir, tables, version=version)
+    key = (id(spark), path)
     if not is_ready(path):
         t0 = time.perf_counter()
         tmp = f"{path}.tmp.{os.getpid()}"
         build().write.mode("overwrite").parquet(tmp)
         _promote(tmp, path)
         BUILD_SECONDS[tag] = round(time.perf_counter() - t0, 3)
+        # a rebuild means the dir was wiped mid-session: any plan cached
+        # BEFORE the wipe lists the deleted part files — evict it
+        _READ_PLAN_CACHE.pop(key, None)
     else:
         BUILD_SECONDS.setdefault(tag, 0.0)
     # plan cache, same rationale as sources.registry._PLAN_CACHE: the
     # read plan costs a parquet-footer pass + a py4j analysis round-trip
-    # per call. No staleness hazard here — the memo PATH embeds the
-    # source-corpus fingerprint, so a regenerated corpus is a different
-    # path (and the memo dir is immutable once promoted).
-    key = (id(spark), path)
+    # per call. No staleness hazard in the steady state — the memo PATH
+    # embeds the source-corpus fingerprint, so a regenerated corpus is a
+    # different path, and a wiped-and-rebuilt dir evicts above.
     cached = _READ_PLAN_CACHE.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(path)
     _READ_PLAN_CACHE[key] = df
     return df
+
+
+def clear_plan_cache(spark: SparkSession | None = None) -> int:
+    """Drop memo read-plan cache entries — all of them, or one session's
+    (same hook `sources.registry.clear_plan_cache` provides for the
+    table-plan cache; without it, entries pin stopped SparkSessions).
+    Returns the number of entries dropped."""
+    if spark is None:
+        n = len(_READ_PLAN_CACHE)
+        _READ_PLAN_CACHE.clear()
+        return n
+    keys = [k for k in _READ_PLAN_CACHE if k[0] == id(spark)]
+    for k in keys:
+        del _READ_PLAN_CACHE[k]
+    return len(keys)
 
 
 def layout_memo(

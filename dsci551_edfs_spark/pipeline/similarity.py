@@ -342,7 +342,11 @@ def margin_knn_filter(
             .filter(F.col("rank") <= k)
         )
 
-    qn = knn(queries)
+    from .dedup import _persist
+
+    # qn has THREE consumers (ax, top1, and top1-derived nbr_ids inside
+    # ay's broadcast) — unpinned, each re-runs the Q·N scan + window
+    qn = _persist(knn(queries))
     ax = qn.groupBy("query_id").agg(F.sum("cm").alias("ax"))
     top1 = qn.filter(F.col("rank") == 1).select("query_id", "id", "cm")
     nbr_ids = top1.select(F.col("id").alias(id_col)).distinct()
@@ -875,12 +879,23 @@ def pq_topk(
             normalize(as_double(vec_col)).alias("qv"),
         )
     else:  # driver-resident queries: Q rows, no scan, no job
+        # query_id typed from the code table like the ADC scan schema —
+        # a string-id corpus must not hit a hardcoded bigint/int() path
+        py = (
+            (lambda x: str(x))
+            if id_type == "string"
+            else (lambda x: int(x))
+        )
         qdf = corpus.sparkSession.createDataFrame(
-            [(int(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
-            "query_id bigint, qv array<double>",
+            [(py(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
+            f"query_id {id_type}, qv array<double>",
         )
     rescored = (
-        shortlist.join(unit, "id")  # cached unit frame, not a re-scan
+        # `unit` is cache-served on the build paths; on the served-index
+        # path (codebooks+codes supplied) it is deliberately unpersisted,
+        # so this join IS the path's single corpus scan (see the pinning
+        # note above)
+        shortlist.join(unit, "id")
         .join(F.broadcast(qdf), "query_id")
         .select("query_id", "id", dot(F.col("v"), F.col("qv")).alias("score"))
     )

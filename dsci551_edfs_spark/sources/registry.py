@@ -65,7 +65,11 @@ def clear_plan_cache(spark: SparkSession | None = None) -> None:
     """Drop cached table plans — all of them, or one session's. The
     cache otherwise retains entries for stopped sessions (pinning their
     SparkSession objects); long-lived multi-session hosts should clear
-    on session teardown."""
+    on session teardown. Also clears the memo read-plan cache (its twin;
+    one teardown hook covers both)."""
+    from .. import memo as _memo
+
+    _memo.clear_plan_cache(spark)
     if spark is None:
         _PLAN_CACHE.clear()
         return

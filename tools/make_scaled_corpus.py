@@ -77,8 +77,12 @@ def main() -> None:
             .alias("text"),
             "lang",
             "source",
-            "n_chars",
         )
+        # n_chars must describe the REWRITTEN text (suffixed copies are
+        # longer; concat_ws collapses whitespace runs) — carrying the
+        # base row's value would hand chars-per-token heuristics a
+        # corpus whose metadata contradicts its content
+        .withColumn("n_chars", F.length("text").cast("long"))
         .repartition(4 * k)
     )
     scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
