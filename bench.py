@@ -153,6 +153,7 @@ HEADLINE = [
     "ann_recall_vs_nprobe",
     "unpivot_lineitem_measures",
     "event_reachability_rcte",
+    "ivm_segment_revenue",
 ]
 
 

@@ -220,3 +220,55 @@ def test_event_reachability_rcte_contract(spark, sf_dir):
     assert all(0 <= r["min_hops"] <= 3 for r in rows)
     # walk counts are positive and >= 1 per reached type
     assert all(r["n_walks"] >= 1 for r in rows)
+
+
+def test_ivm_equals_full_recompute(spark, sf_dir):
+    """The maintained view must equal a full recompute over the merged
+    table — computed here in Spark directly, independent of the DuckDB
+    oracle."""
+    from dsci551_edfs_spark.sources.registry import load_table
+
+    got = {
+        r["segment"]: (r["n_orders"], r["revenue"])
+        for r in QUERIES["ivm_segment_revenue"](spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    merged = o.select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.round(F.col("o_totalprice") * 2, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+    )
+    cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+    want = {
+        r["segment"]: (r["n_orders"], r["revenue"])
+        for r in merged.join(
+            c, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_ivm_steady_state_reads_memo_not_base_join(spark, sf_dir):
+    """Steady state: the base partials come from the memo parquet — the
+    plan's base side must be a memo read, not an orders-customer
+    re-aggregation (orders appears only in the delta subtree)."""
+    from dsci551_edfs_spark.plans.debug import explain_str
+
+    QUERIES["ivm_segment_revenue"](spark, sf_dir).count()  # ensure built
+    plan = explain_str(QUERIES["ivm_segment_revenue"](spark, sf_dir))
+    assert "ivm_seg_rev_base" in plan, plan
