@@ -31,6 +31,7 @@ __all__ = [
     "clustering_coefficient",
     "label_propagation",
     "bfs_hops",
+    "neighbor_jaccard",
     "SCALE",
 ]
 
@@ -351,3 +352,68 @@ def bfs_hops(
             break
         prev = cur
     return dist.filter(F.col("hops").isNotNull()).select("node", "hops")
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    min_common: int = 2,
+    min_jaccard_thirds: int = 1,
+    max_hub_degree: int = 256,
+) -> DataFrame:
+    """Structural node similarity: Jaccard overlap of neighborhoods,
+    |N(a)∩N(b)| / |N(a)∪N(b)| — the classic link-prediction / entity-
+    resolution signal ("two parts are substitutes if they co-occur with
+    the same other parts"). Entirely integer arithmetic: emits
+    ``(ua, ub, common, uni)`` with the threshold ``common/uni ≥
+    min_jaccard_thirds/3`` evaluated as ``3·common ≥ thirds·uni`` — no
+    FP anywhere, engine- and partitioning-independent.
+
+    Scale shape — the inverted-index family (same discipline as
+    `minhash_candidate_pairs` / `tfidf_cosine_pairs`): node pairs meet
+    ONLY through a shared neighbor. Each neighbor's posting list is its
+    adjacency set; pair expansion runs in pure codegen off a sorted
+    ``collect_set`` (one shuffle on the shared-neighbor key), and the
+    quadratic hazard is capped by dropping hub neighbors with degree >
+    ``max_hub_degree`` — a hub connected to everything certifies no
+    similarity, exactly the ``max_df`` argument from the text side.
+    `common` is therefore "common neighbors among non-hub neighbors";
+    degrees stay exact full-graph degrees.
+    """
+    adj = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    post = (
+        adj.groupBy("v")
+        .agg(F.sort_array(F.collect_set("u")).alias("us"))
+        .filter(F.size("us") <= max_hub_degree)
+    )
+    pairs = post.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(us, (x, i) -> transform("
+                "slice(us, i + 2, size(us) - i - 1), "
+                "y -> struct(x AS ua, y AS ub))))"
+            )
+        ).alias("p")
+    )
+    common = (
+        pairs.groupBy(F.col("p.ua").alias("ua"), F.col("p.ub").alias("ub"))
+        .agg(F.count("*").cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        common.join(
+            deg.select(F.col("u").alias("ua"), F.col("deg").alias("deg_a")), "ua"
+        )
+        .join(deg.select(F.col("u").alias("ub"), F.col("deg").alias("deg_b")), "ub")
+        .withColumn(
+            "uni", (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast("long")
+        )
+        .filter(3 * F.col("common") >= min_jaccard_thirds * F.col("uni"))
+        .select("ua", "ub", "common", "uni")
+    )

@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_point_interval", "gap_fill_locf", "sessionize"]
+__all__ = [
+    "asof_join",
+    "range_join_point_interval",
+    "gap_fill_locf",
+    "sessionize",
+    "ewma_daily_counts",
+]
 
 _UNIT_SECONDS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
@@ -242,4 +248,61 @@ def sessionize(
         user_col,
         id_col,
         F.sum(new_sess).over(run).cast("long").alias("session_no"),
+    )
+
+
+def ewma_daily_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 30,
+) -> DataFrame:
+    """Exponentially-weighted moving average of daily event counts per
+    key (half-life 1 day, window-truncated), computed EXACTLY in
+    dyadic-rational integer arithmetic — no floating point anywhere, so
+    the result is partitioning-, summation-order- and engine-independent.
+
+    ewma_num(t) = Σ_{j=0..W-1} cnt(t-j) · 2^(W-1-j); the real EWMA is
+    ewma_num / 2^(W-1) (one driver-side shift away). Truncation at W days
+    discards weight < 2^-W of the tail — below double precision already
+    at W=30, so this IS the practically-exact EWMA.
+
+    Scale shape: the raw-event scan collapses FIRST via a map-side-
+    combinable groupBy(key, day) — at 100 TB that is the only pass over
+    the data, and its output is calendar-sized (keys × days, ~10^5 rows
+    for years of data). The W-term weighted window then runs as an
+    equi-join on key + day-range filter over that tiny aggregate, a
+    ~W× fanout of a calendar-sized frame: driver-negligible at any SF.
+    Exactness headroom: ewma_num ≤ 2·2^(W-1)·max(cnt) — with W=30 the
+    sum stays under 2^63 while any single key-day count < 2^33 (≈8.6B
+    events/key/day); past that, shrink W or widen to decimal(38,0).
+    """
+    span = window_days - 1
+    daily = (
+        events.groupBy(
+            F.col(key_col).alias("k"),
+            F.datediff(F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-01")))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    weight = F.expr(
+        f"shiftleft(cast(1 as bigint), {span} - cast(a.day_num - b.day_num as int))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("b.day_num") >= F.col("a.day_num") - span)
+            & (F.col("b.day_num") <= F.col("a.day_num")),
+            "inner",
+        )
+        .groupBy(
+            F.col("a.k").alias(key_col),
+            F.col("a.day_num").alias("day_num"),
+            F.col("a.cnt").alias("cnt"),
+        )
+        .agg(F.sum(F.col("b.cnt") * weight).alias("ewma_num"))
     )

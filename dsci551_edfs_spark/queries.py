@@ -10435,6 +10435,130 @@ def ivm_segment_revenue(spark, sf_dir):
     return merged
 
 
+# =====================================================================
+# round-10 session-3: time-decay analytics, graph similarity, frontier
+# queries, normalization-aware dedup, hashed-feature retrieval, MMR
+# =====================================================================
+
+@q(
+    "ewma_event_rate",
+    """
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT a.event_type,
+           CAST(a.day_num AS BIGINT) AS day_num,
+           CAST(a.cnt AS BIGINT) AS cnt,
+           CAST(sum(b.cnt * (CAST(1 AS BIGINT)
+                             << (29 - CAST(a.day_num - b.day_num AS INT))))
+                AS BIGINT) AS ewma_num
+    FROM d a JOIN d b ON a.event_type = b.event_type
+         AND b.day_num BETWEEN a.day_num - 29 AND a.day_num
+    GROUP BY 1, 2, 3
+    """,
+)
+def ewma_event_rate(spark, sf_dir):
+    """Per-type EWMA of daily event rates (half-life 1 day, 30-day
+    truncation) in EXACT dyadic-rational integer arithmetic — zero FP,
+    so the hash is engine/partitioning-independent; the real EWMA is
+    ewma_num/2^29, one driver-side shift away. The raw scan collapses
+    first through a map-side-combinable groupBy(type, day); the 30-term
+    weighted window is an equi-join + range filter over that
+    calendar-sized aggregate (operators/temporal.py:ewma_daily_counts —
+    see its docstring for the 2^33-events/key/day exactness headroom)."""
+    from .operators.temporal import ewma_daily_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_daily_counts(ev, key_col="event_type", ts_col="ts")
+
+
+def _neighbor_jaccard_oracle_sql() -> str:
+    """DuckDB restatement of `graph.neighbor_jaccard` over the strong
+    co-purchase graph: full-graph degrees, hub-capped postings (deg ≤
+    256), pair counts through the shared-neighbor self-join, integer
+    Jaccard threshold 3·common ≥ uni."""
+    return f"""
+    WITH {_STRONG_EDGES_SQL},
+    adj AS (SELECT DISTINCT u, v FROM (
+              SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e)),
+    deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+    p AS (SELECT a.v, a.u FROM adj a
+          JOIN deg d ON d.u = a.v WHERE d.deg <= 256),
+    c AS (SELECT p1.u AS ua, p2.u AS ub, count(*) AS common
+          FROM p p1 JOIN p p2 ON p1.v = p2.v AND p1.u < p2.u
+          GROUP BY 1, 2
+          HAVING count(*) >= 2)
+    SELECT c.ua, c.ub, CAST(c.common AS BIGINT) AS common,
+           CAST(da.deg + db.deg - c.common AS BIGINT) AS uni
+    FROM c JOIN deg da ON da.u = c.ua JOIN deg db ON db.u = c.ub
+    WHERE 3 * c.common >= (da.deg + db.deg - c.common)
+    """
+
+
+@q("neighbor_jaccard_pairs", _neighbor_jaccard_oracle_sql())
+def neighbor_jaccard_pairs(spark, sf_dir):
+    """Structural substitutes in the strong co-purchase graph: part
+    pairs whose neighborhoods overlap with Jaccard ≥ 1/3 (and ≥2 shared
+    neighbors) — the link-prediction / "customers who bought X also
+    bought Y" signal, computed without the parts ever meeting unless
+    they share a neighbor (operators/graph.py:neighbor_jaccard —
+    inverted-index pair expansion in codegen, hub neighbors with degree
+    > 256 dropped from postings as the quadratic-hazard cap, exact
+    integer (common, uni) output so the hash is FP-free). Edge input is
+    the shared per-corpus memo `_strong_copurchase_edges`."""
+    from .operators.graph import neighbor_jaccard
+
+    return neighbor_jaccard(
+        _strong_copurchase_edges(spark, sf_dir), "pa", "pb"
+    )
+
+
+@q(
+    "skyline_orders",
+    """
+    WITH g AS (
+      SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kbucket,
+             max(o_orderdate) AS max_date, count(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT price_kbucket, max_date, CAST(n_orders AS BIGINT) AS n_orders
+    FROM g a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM g b
+      WHERE b.price_kbucket > a.price_kbucket AND b.max_date >= a.max_date)
+    """,
+)
+def skyline_orders(spark, sf_dir):
+    """Pareto frontier (skyline) of orders on (price, recency): the
+    price-kilobucket/date points not dominated by any strictly-pricier
+    bucket with an equal-or-later max date — the classic multi-criteria
+    "best trade-offs" operator. Scale shape: the 100 TB fact scan
+    collapses FIRST through a map-side-combinable groupBy(price bucket)
+    — the only pass over the data — and the dominance test then runs as
+    ONE exclusive-preceding running-max window over the bucket-sized
+    aggregate (≤ distinct-bucket rows, driver-negligible), instead of
+    the oracle's O(B²) NOT EXISTS self-join. The two formulations are
+    provably equivalent for a 2-D skyline: sorted by price desc, a point
+    survives iff its date strictly exceeds every higher-price date seen
+    so far."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_kbucket")
+    ).agg(
+        F.max("o_orderdate").alias("max_date"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("price_kbucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        g.withColumn("_hi", F.max("max_date").over(w))
+        .filter(F.col("_hi").isNull() | (F.col("max_date") > F.col("_hi")))
+        .drop("_hi")
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 
