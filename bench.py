@@ -154,6 +154,13 @@ HEADLINE = [
     "unpivot_lineitem_measures",
     "event_reachability_rcte",
     "ivm_segment_revenue",
+    # round-10 session-3 additions
+    "ewma_event_rate",
+    "neighbor_jaccard_pairs",
+    "skyline_orders",
+    "normalized_dedup_groups",
+    "hashed_tfidf_knn",
+    "mmr_select_diverse",
 ]
 
 

@@ -191,6 +191,21 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
 
 
+def aggressive_fingerprint(text: Column | str) -> Column:
+    """Punctuation/case-insensitive content fingerprint: lowercase,
+    strip every character outside ``[a-z0-9\\s]``, collapse whitespace,
+    trim, md5 — catches near-miss duplicates (case flips, injected or
+    re-flowed punctuation) that are invisible to :func:`fingerprint`.
+    The normalization chain is pure engine-portable regex (Java regex
+    and RE2 agree on these ASCII classes), so the DuckDB oracle computes
+    the identical fingerprint. Non-Latin scripts normalize to their
+    whitespace skeleton under this ASCII alphabet — use it as a
+    dup-candidate key, not a content key, outside a-z corpora."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    return F.md5(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
 def corpus_gate(
     df: DataFrame,
     text_col: str = "text",

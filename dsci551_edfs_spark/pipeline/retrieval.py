@@ -44,6 +44,8 @@ __all__ = [
     "bm25_topk",
     "hybrid_rrf_topk",
     "bm25_eval_metrics",
+    "hashed_tfidf_vectors",
+    "hashed_tfidf_knn",
     "BM25_K1_NUM",
     "BM25_B_NUM",
 ]
@@ -301,4 +303,117 @@ def bm25_eval_metrics(
             .alias("ap_micro"),
         )
         .orderBy("term")
+    )
+
+
+def hashed_tfidf_vectors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """The feature-hashing trick (Weinberger et al. 2009): TF-IDF doc
+    vectors of FIXED dimension ``dim`` with no vocabulary table — each
+    token maps straight to bucket ``md5_32(token) mod dim`` and its
+    integer milli-nat weight (tf · round(1000·ln(N/df))) sums into that
+    component. Returned sparse as ``(id, bucket, w)`` exact-integer rows.
+
+    Why it matters at 100 TB: the vocab-keyed TF-IDF path
+    (`dedup.tfidf_cosine_pairs`) shuffles a token-cardinality frame and
+    needs the DF table joined back; hashing removes the vocabulary as a
+    distributed object entirely — the per-doc projection is stateless
+    apart from the (token → df) broadcast, and downstream consumers get
+    dense fixed-width vectors they can feed to the exact same ANN
+    machinery as learned embeddings (IVF/PQ/binary-sign). Collisions
+    just add weights — the standard, well-understood hashing-trick bias.
+    """
+    from ..pipeline.dedup import _md5_base_hash
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_tot = docs.agg(F.count("*").alias("_n"))
+    w = (
+        tf.join(F.broadcast(dfr), "token")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "id",
+            (_md5_base_hash(F.col("token")) % dim).alias("bucket"),
+            (
+                F.col("tf").cast("long")
+                * F.round(
+                    F.log(F.col("_n").cast("double") / F.col("df")) * 1e3
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    return w.groupBy("id", "bucket").agg(F.sum("w").alias("w"))
+
+
+def hashed_tfidf_knn(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    query_mod: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Lexical k-NN over hashed TF-IDF vectors: every ``query_mod``-th
+    doc plays the query set, scored against the rest by cosine over the
+    ``dim`` hashed components. Dot products and squared norms are exact
+    integers; the only FP is the final dot/(√n2q·√n2c) — a fixed
+    three-op IEEE expression both engines evaluate identically, so the
+    ranking (score desc, id asc) is oracle-stable.
+
+    Scale: the vector build is one corpus scan (see
+    `hashed_tfidf_vectors`); the scoring join is sparse-by-bucket with
+    the query side broadcast (Q·dim rows), so the corpus never shuffles
+    for the match — the same broadcast-queries shape as
+    `similarity.brute_force_topk`, but reached from raw text with no
+    model and no vocabulary."""
+    from pyspark.sql import Window
+
+    vecs = hashed_tfidf_vectors(docs, text_col, id_col, dim).persist()
+    qv = vecs.filter((F.col("id") % query_mod) == 0)
+    cv = vecs.filter((F.col("id") % query_mod) != 0)
+    n2 = vecs.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    dot = (
+        cv.join(
+            F.broadcast(
+                qv.select(
+                    F.col("id").alias("qid"),
+                    F.col("bucket"),
+                    F.col("w").alias("wq"),
+                )
+            ),
+            "bucket",
+        )
+        .groupBy("qid", F.col("id").alias("cid"))
+        .agg(F.sum(F.col("w") * F.col("wq")).alias("dot"))
+    )
+    scored = (
+        dot.join(
+            F.broadcast(n2.select(F.col("id").alias("qid"), F.col("n2").alias("n2q"))),
+            "qid",
+        )
+        .join(n2.select(F.col("id").alias("cid"), F.col("n2").alias("n2c")), "cid")
+        .withColumn(
+            "score",
+            F.col("dot")
+            / (F.sqrt(F.col("n2q").cast("double")) * F.sqrt(F.col("n2c").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            F.col("cid").cast("long").alias("neighbor_id"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("score", 4).alias("score"),
+        )
     )

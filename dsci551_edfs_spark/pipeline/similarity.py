@@ -38,6 +38,7 @@ __all__ = [
     "ivf_pq_topk",
     "mutual_knn_hamming",
     "margin_knn_filter",
+    "mmr_select",
 ]
 
 
@@ -1127,3 +1128,77 @@ def ivf_topk_pruned(
         "query_id", "id", dot(F.col("v"), F.col("qv")).alias("score")
     )
     return _rank_topk(scored, k)
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    pool_lo: int = 1,
+    pool_hi: int = 127,
+    k: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance selection (Carbonell &
+    Goldstein 1998): pick ``k`` items maximizing
+    ``0.7·cos(v, q) − 0.3·max_{s∈S} cos(v, s)`` — relevance to the query
+    minus redundancy with what's already chosen. THE diversity-selection
+    primitive for eval-set construction and prompt-example curation,
+    where plain top-k returns k near-copies of the same best document.
+
+    Control flow is honestly sequential (each pick depends on the last):
+    k driver iterations, each ONE distributed pass — score every
+    remaining candidate against the ≤k-row broadcast selected set, take
+    the argmax with ``orderBy(score desc, id).limit(1)``
+    (TakeOrderedAndProject, a bounded single-row collect). Total work is
+    k corpus scans; at 100 TB you run this over a pre-filtered candidate
+    pool (top-N by relevance — here the pool IS the demo's filter), the
+    standard two-stage shape. Ties break by id ascending, so the entire
+    greedy trajectory is deterministic and a k-step unrolled-CTE DuckDB
+    oracle replays it exactly."""
+    pool = (
+        spread_small(embeddings)
+        .filter((F.col(id_col) >= pool_lo) & (F.col(id_col) <= pool_hi))
+        .select(F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v"))
+        .persist()
+    )
+    qv = embeddings.filter(F.col(id_col) == query_id).select(
+        normalize(as_double(vec_col)).alias("qv")
+    )
+    rel = (
+        pool.join(F.broadcast(qv), F.lit(True))
+        .select("id", dot(F.col("v"), F.col("qv")).alias("rel"))
+        .persist()
+    )
+    spark = embeddings.sparkSession
+    picked: list[tuple[int, int, float]] = []
+    for step in range(1, k + 1):
+        if not picked:
+            cand = rel.select("id", (F.lit(0.7) * F.col("rel")).alias("score"))
+        else:
+            sel_ids = [p[1] for p in picked]
+            sel_vecs = pool.filter(F.col("id").isin(sel_ids)).select(
+                F.col("id").alias("sid"), F.col("v").alias("sv")
+            )
+            cand = (
+                pool.filter(~F.col("id").isin(sel_ids))
+                .join(F.broadcast(sel_vecs), F.lit(True))
+                .select("id", dot(F.col("v"), F.col("sv")).alias("s"))
+                .groupBy("id")
+                .agg(F.max("s").alias("ms"))
+                .join(rel, "id")
+                .select(
+                    "id",
+                    (
+                        F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")
+                    ).alias("score"),
+                )
+            )
+        top = cand.orderBy(F.col("score").desc(), F.col("id")).limit(1).first()
+        picked.append((step, top["id"], float(top["score"])))
+    pool.unpersist()
+    rel.unpersist()
+    out = spark.createDataFrame(
+        picked, "sel_rank long, vec_id long, score double"
+    )
+    return out.select("sel_rank", "vec_id", F.round("score", 4).alias("score"))

@@ -10515,6 +10515,182 @@ def neighbor_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _mmr_oracle_sql(k: int = 6) -> str:
+    """Unrolled k-step replay of `similarity.mmr_select`'s greedy
+    trajectory (the kmeans/BPE unroll pattern): sel_t grows by the
+    argmax of 0.7·rel − 0.3·max-sim-to-sel_{t-1}, ties by id."""
+    d = _DOT_SQL
+    n = _NORM_SQL
+    head = f"""
+    WITH pool AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+                  WHERE vec_id BETWEEN 1 AND 127),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    rel AS (SELECT p.id,
+                   {d.format(a="p.v", b="q.v")}
+                     / ({n.format(a="p.v")} * {n.format(a="q.v")}) AS rel
+            FROM pool p, qv q),
+    sim AS (SELECT a.id AS ia, b.id AS ib,
+                   {d.format(a="a.v", b="b.v")}
+                     / ({n.format(a="a.v")} * {n.format(a="b.v")}) AS s
+            FROM pool a JOIN pool b ON a.id <> b.id),
+    p1 AS (SELECT id, 0.7 * rel AS score FROM rel
+           ORDER BY score DESC, id LIMIT 1),
+    sel1 AS (SELECT id FROM p1)"""
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f""",
+    m{t} AS (SELECT r.id, r.rel, max(s.s) AS ms
+             FROM rel r JOIN sim s ON s.ia = r.id
+             JOIN sel{t - 1} q ON s.ib = q.id
+             WHERE r.id NOT IN (SELECT id FROM sel{t - 1})
+             GROUP BY r.id, r.rel),
+    p{t} AS (SELECT id, 0.7 * rel - 0.3 * ms AS score FROM m{t}
+             ORDER BY score DESC, id LIMIT 1),
+    sel{t} AS (SELECT id FROM sel{t - 1} UNION ALL SELECT id FROM p{t})"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT {t} AS sel_rank, id, score FROM p{t}" for t in range(1, k + 1)
+    )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT CAST(sel_rank AS BIGINT) AS sel_rank, CAST(id AS BIGINT) AS vec_id,
+           round(score, 4) AS score
+    FROM ({final})"""
+    )
+
+
+@q("mmr_select_diverse", _mmr_oracle_sql())
+def mmr_select_diverse(spark, sf_dir):
+    """Greedy MMR diversity selection: 6 picks from a 127-vector pool,
+    relevance = cosine to vec_id 0, redundancy = max cosine to the
+    already-picked set (λ=0.7). Sequential by nature — k bounded
+    single-row collects, each one distributed pass with the ≤k selected
+    rows broadcast (pipeline/similarity.py:mmr_select); the oracle
+    replays the identical trajectory as an unrolled 6-step CTE chain."""
+    from .pipeline.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_select(emb, query_id=0, pool_lo=1, pool_hi=127, k=6)
+
+
+@q(
+    "hashed_tfidf_knn",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w0 AS (
+      SELECT tf.doc_id AS id,
+             CAST('0x' || substring(md5(tf.token), 1, 8) AS BIGINT) % 64
+               AS bucket,
+             tf.tf * CAST(round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                                    / dfr.df) * 1000) AS BIGINT) AS w
+      FROM tf JOIN dfr USING (token)),
+    v AS (SELECT id, bucket, CAST(sum(w) AS BIGINT) AS w
+          FROM w0 GROUP BY 1, 2),
+    n2 AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 FROM v GROUP BY 1),
+    dot AS (
+      SELECT q.id AS qid, c.id AS cid, CAST(sum(q.w * c.w) AS BIGINT) AS dot
+      FROM v q JOIN v c ON q.bucket = c.bucket
+      WHERE q.id % 50 = 0 AND c.id % 50 <> 0
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT qid, cid,
+             dot / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+               AS score
+      FROM dot JOIN n2 nq ON nq.id = dot.qid
+               JOIN n2 nc ON nc.id = dot.cid)
+    SELECT CAST(qid AS BIGINT) AS query_id, CAST(cid AS BIGINT) AS neighbor_id,
+           CAST(rnk AS BIGINT) AS rnk, round(score, 4) AS score
+    FROM (SELECT qid, cid, score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, cid) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def hashed_tfidf_knn(spark, sf_dir):
+    """Lexical k-NN with NO vocabulary object: hashed TF-IDF vectors
+    (feature-hashing trick, md5-bucket mod 64, exact integer milli-nat
+    weights) scored by cosine, top-5 per query doc (every 50th doc).
+    The 100 TB story is in pipeline/retrieval.py:hashed_tfidf_vectors —
+    the vocabulary disappears as a distributed object (token → bucket is
+    stateless), docs become fixed-width vectors the learned-embedding
+    ANN stack (IVF/PQ/binary-sign) consumes unchanged. Scoring join is
+    bucket-sparse with the Q·64-row query side broadcast."""
+    from .pipeline.retrieval import hashed_tfidf_knn as _hknn
+
+    d = _t(spark, sf_dir, "documents")
+    return _hknn(d, dim=64, query_mod=50, k=5)
+
+
+@q(
+    "normalized_dedup_groups",
+    r"""
+    WITH variants AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             upper(replace(text, ' ', ' , ')) AS text
+      FROM documents WHERE doc_id % 7 = 0),
+    f AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               AS raw_fp,
+             md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS norm_fp
+      FROM variants)
+    SELECT norm_fp, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+    FROM f GROUP BY 1
+    HAVING count(DISTINCT raw_fp) > 1
+    """,
+)
+def normalized_dedup_groups(spark, sf_dir):
+    """Normalization-aware dedup: groups whose punctuation/case-blind
+    fingerprint (functions/text.py:aggressive_fingerprint — lowercase,
+    strip non-[a-z0-9\\s], collapse whitespace, md5) collides while the
+    exact fingerprint differs — the canonical "same page, re-cased and
+    re-punctuated" crawl duplicate class that exact dedup misses. The
+    testdata corpus has no such variants (500/500 distinct), so the demo
+    PLANTS them deterministically in-query (every 7th doc re-emitted
+    uppercased with injected commas — the same fixture-in-query pattern
+    as the LSH planted twins) and the oracle constructs the identical
+    variant corpus. Scale shape: one projection computing both
+    fingerprints in the same scan, one map-side-combinable groupBy on
+    the normalized key — identical cost profile to `dedup_exact_groups`."""
+    d = _t(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit(" , "))).alias(
+            "text"
+        ),
+    )
+    uni = d.select("doc_id", "text").unionByName(variants)
+    f = uni.select(
+        "doc_id",
+        TXT.fingerprint("text").alias("raw_fp"),
+        TXT.aggressive_fingerprint("text").alias("norm_fp"),
+    )
+    return (
+        f.groupBy("norm_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("raw_fp").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_raw_variants") > 1)
+    )
+
+
 @q(
     "skyline_orders",
     """
@@ -10536,12 +10712,13 @@ def skyline_orders(spark, sf_dir):
     "best trade-offs" operator. Scale shape: the 100 TB fact scan
     collapses FIRST through a map-side-combinable groupBy(price bucket)
     — the only pass over the data — and the dominance test then runs as
-    ONE exclusive-preceding running-max window over the bucket-sized
-    aggregate (≤ distinct-bucket rows, driver-negligible), instead of
-    the oracle's O(B²) NOT EXISTS self-join. The two formulations are
-    provably equivalent for a 2-D skyline: sorted by price desc, a point
-    survives iff its date strictly exceeds every higher-price date seen
-    so far."""
+    a broadcast nested-loop ANTI-join of the bucket-sized aggregate
+    against itself (B ≈ distinct kilobuckets, so B² comparisons over a
+    driver-negligible frame; the registry lint forbids the
+    single-partition running-max window that would otherwise express
+    this). At a truly huge bucket count the standard refinement is a
+    coarse-partition local skyline first — same semantics, same
+    anti-join on the survivors."""
     o = _t(spark, sf_dir, "orders")
     g = o.groupBy(
         F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_kbucket")
@@ -10549,13 +10726,14 @@ def skyline_orders(spark, sf_dir):
         F.max("o_orderdate").alias("max_date"),
         F.count("*").cast("long").alias("n_orders"),
     )
-    w = Window.orderBy(F.col("price_kbucket").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    return (
-        g.withColumn("_hi", F.max("max_date").over(w))
-        .filter(F.col("_hi").isNull() | (F.col("max_date") > F.col("_hi")))
-        .drop("_hi")
+    a, b = g.alias("a"), g.alias("b")
+    dominated = (
+        F.col("b.price_kbucket") > F.col("a.price_kbucket")
+    ) & (F.col("b.max_date") >= F.col("a.max_date"))
+    return a.join(F.broadcast(b), dominated, "left_anti").select(
+        F.col("a.price_kbucket").alias("price_kbucket"),
+        F.col("a.max_date").alias("max_date"),
+        F.col("a.n_orders").alias("n_orders"),
     )
 
 

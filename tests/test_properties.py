@@ -646,3 +646,203 @@ def test_exact_substring_dedup_matches_python_reference(spark, ts):
         for r in DD.exact_substring_dedup(df, n=4, min_span=6).collect()
     }
     assert got == _ref_substring_dedup(docs, n=4, min_span=6)
+
+
+# ------------------------------------------------------- round-10 session 3
+
+daily_counts = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),          # key
+        st.integers(min_value=0, max_value=70),  # day offset from epoch
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(daily_counts)
+def test_ewma_daily_counts_matches_python(spark, rows):
+    """ewma_daily_counts vs a direct pure-Python restatement of the
+    dyadic-exact contract: num(k,d) = Σ_{j∈[d-29,d]} cnt(k,j)·2^(29-(d-j)).
+    Integer arithmetic end-to-end, so equality is exact, not approximate."""
+    from collections import Counter
+
+    from dsci551_edfs_spark.operators.temporal import ewma_daily_counts
+
+    ev = spark.createDataFrame(
+        [
+            (i, k, f"1970-01-{1:02d}", d)
+            for i, (k, d) in enumerate(rows)
+        ],
+        "event_id long, event_type string, pad string, day long",
+    ).select(
+        "event_id",
+        "event_type",
+        F.timestamp_seconds(F.col("day") * 86400 + 3600).alias("ts"),
+    )
+    got = {
+        (r["event_type"], r["day_num"]): (r["cnt"], r["ewma_num"])
+        for r in ewma_daily_counts(ev).collect()
+    }
+    cnt = Counter((k, d) for k, d in rows)
+    want = {}
+    for (k, d), c in cnt.items():
+        num = sum(
+            cnt.get((k, j), 0) * (1 << (29 - (d - j)))
+            for j in range(max(0, d - 29), d + 1)
+        )
+        want[(k, d)] = (c, num)
+    assert got == want
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(edge_lists, st.integers(min_value=2, max_value=5))
+def test_neighbor_jaccard_matches_python(spark, raw_edges, hub_cap):
+    """neighbor_jaccard vs an independent set-based Python reference,
+    including the hub-degree posting cap (exercised with tiny caps) and
+    the integer Jaccard-≥-1/3 threshold."""
+    from dsci551_edfs_spark.operators.graph import neighbor_jaccard
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    got = {
+        (r["ua"], r["ub"]): (r["common"], r["uni"])
+        for r in neighbor_jaccard(
+            df, "pa", "pb", min_common=1, max_hub_degree=hub_cap
+        ).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, ua in enumerate(nodes):
+        for ub in nodes[i + 1:]:
+            common = sum(
+                1
+                for v in adj[ua] & adj[ub]
+                if len(adj[v]) <= hub_cap  # hub postings dropped
+            )
+            uni = len(adj[ua]) + len(adj[ub]) - common
+            if common >= 1 and 3 * common >= uni:
+                want[(ua, ub)] = (common, uni)
+    assert got == want
+
+
+punct_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Zs", "Po", "Ps", "Pe"),
+            max_codepoint=0x2FF,
+        ),
+        max_size=50,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SLOW
+@given(punct_texts)
+def test_aggressive_fingerprint_matches_python(spark, ts):
+    """aggressive_fingerprint's normalization chain vs Python re with
+    re.ASCII (Java regex \\s and Python ASCII \\s are the same 6-char
+    set, incl. \\x0b); md5 over the identical normalized string."""
+    import hashlib
+    import re
+
+    df = spark.createDataFrame(list(enumerate(ts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", TXT.aggressive_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    for i, t in enumerate(ts):
+        s = re.sub(r"[^a-z0-9\s]", "", t.lower(), flags=re.ASCII)
+        s = re.sub(r"\s+", " ", s, flags=re.ASCII).strip(" \t\n\r\f\v")
+        assert got[i] == hashlib.md5(s.encode()).hexdigest(), repr(t)
+
+
+vec_pools = st.lists(
+    st.lists(
+        st.integers(min_value=-4, max_value=4).map(float),
+        min_size=4,
+        max_size=4,
+    ).filter(lambda v: any(x != 0 for x in v)),
+    min_size=3,
+    max_size=10,
+)
+
+
+@SLOW
+@given(vec_pools)
+def test_mmr_select_matches_python_greedy(spark, vecs):
+    """mmr_select's full greedy trajectory vs a pure-Python replay using
+    the IDENTICAL left-to-right double accumulation (functions/vectors.py
+    folds sequentially), so scores — and therefore every argmax pick —
+    are bit-equal, ties included (duplicate vectors break by id in both)."""
+    import math
+
+    from dsci551_edfs_spark.pipeline.similarity import mmr_select
+
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    k = min(3, len(vecs) - 1)
+    got = [
+        (r["sel_rank"], r["vec_id"])
+        for r in mmr_select(
+            emb, query_id=0, pool_lo=1, pool_hi=len(vecs) - 1, k=k
+        ).collect()
+    ]
+
+    def _norm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        n = math.sqrt(acc)
+        return [x / n for x in v]
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    pool = {i: _norm(v) for i, v in enumerate(vecs) if 1 <= i <= len(vecs) - 1}
+    qn = _norm(vecs[0])
+    rel = {i: _dot(v, qn) for i, v in pool.items()}
+    sel: list[int] = []
+    want = []
+    for step in range(1, k + 1):
+        best = None
+        for i in sorted(pool):
+            if i in sel:
+                continue
+            if not sel:
+                score = 0.7 * rel[i]
+            else:
+                score = 0.7 * rel[i] - 0.3 * max(
+                    _dot(pool[i], pool[s]) for s in sel
+                )
+            if best is None or score > best[1]:
+                best = (i, score)
+        sel.append(best[0])
+        want.append((step, best[0]))
+    assert got == want
