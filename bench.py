@@ -161,6 +161,10 @@ HEADLINE = [
     "normalized_dedup_groups",
     "hashed_tfidf_knn",
     "mmr_select_diverse",
+    "prefix_filter_jaccard_pairs",
+    "rendezvous_shard_movement",
+    "fd_discovery_part",
+    "inclusion_dependency_audit",
 ]
 
 

@@ -54,6 +54,7 @@ __all__ = [
     "dedup_paragraphs",
     "span_corruption",
     "mlm_mask",
+    "rendezvous_shard",
 ]
 
 
@@ -887,4 +888,49 @@ def mlm_mask(
         F.sum(F.when(F.col("sel") & (F.col("a") == 9), 1).otherwise(0))
         .cast("long")
         .alias("n_kept"),
+    )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    shard assignment: shard(id) = argmax_s w(id, s) with
+    w = md5₆₀("{id}#{s}") — the consistent-placement scheme where
+    growing the shard set from S to S+1 moves EXACTLY the ~1/(S+1) of
+    keys that now win on the new shard, and nothing else (mod-hashing
+    reshuffles (S−1)/S of all keys). This is how a 100 TB corpus gets
+    re-sharded incrementally: only moved keys rewrite.
+
+    Implementation is one codegen projection — explode the S candidate
+    shard ids per row, md5 the "{id}#{s}" string, keep the max
+    (weight, s) struct per id via a map-side-combinable groupBy. No
+    coordinator state, no lookup table; ties (2⁻⁶⁰ probability) break
+    toward the larger s in both engines (max-struct here, row_number
+    w DESC, s DESC in the oracle)."""
+    s = F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("s")
+    w = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("#"),
+                    F.col("s").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(F.col(id_col), s)
+        .select(id_col, F.struct(w.alias("w"), F.col("s")).alias("ws"))
+        .groupBy(id_col)
+        .agg(F.max("ws").alias("m"))
+        .select(id_col, F.col("m.s").cast("long").alias(out_col))
     )

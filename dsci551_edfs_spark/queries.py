@@ -10515,6 +10515,211 @@ def neighbor_jaccard_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "prefix_filter_jaccard_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
+    tokset AS (SELECT doc_id, unnest(sh) AS token FROM s),
+    sz AS (SELECT doc_id, count(*) AS sz FROM tokset GROUP BY 1),
+    c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+          FROM tokset a JOIN tokset b
+            ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+    FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+    WHERE 3 * inter >= sa.sz + sb.sz
+    """,
+)
+def prefix_filter_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard ≥ 1/2 pairs via PREFIX FILTERING —
+    candidates from each doc's rarest-⌊|A|/2⌋+1 shingles only, lossless
+    (pipeline/dedup.py:prefix_filter_jaccard_pairs). The oracle is a
+    FULL inverted-index join that never mentions prefixes, so the two
+    independent algorithms must agree pair-for-pair — a real correctness
+    proof of the candidate rule, not a restatement."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.prefix_filter_jaccard_pairs(d)
+
+
+@q(
+    "rendezvous_shard_movement",
+    """
+    WITH w AS (
+      SELECT doc_id, s,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                                        || CAST(s AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS w
+      FROM documents, generate_series(0, 8) t(s)),
+    a8 AS (SELECT doc_id, s AS shard8 FROM (
+             SELECT doc_id, s, row_number() OVER (
+               PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
+             FROM w WHERE s < 8) WHERE rn = 1),
+    a9 AS (SELECT doc_id, s AS shard9 FROM (
+             SELECT doc_id, s, row_number() OVER (
+               PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
+             FROM w) WHERE rn = 1)
+    SELECT CAST(shard8 AS BIGINT) AS shard8,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(sum(CASE WHEN shard9 <> shard8 AND shard9 <> 8
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_wrong
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def rendezvous_shard_movement(spark, sf_dir):
+    """The consistent-placement audit: assign every doc a rendezvous
+    (HRW) shard at S=8 and S=9 (pipeline/curation.py:rendezvous_shard)
+    and count, per old shard, how many docs moved — and how many moved
+    ANYWHERE BUT the new shard (`n_moved_wrong`, provably 0 for HRW:
+    the old argmax stays the argmax unless the new candidate beats it).
+    Mod-hashing would move ~8/9 of every shard; HRW moves ~1/9 spread
+    evenly. Two codegen projections + one id-keyed groupBy join, no
+    state anywhere — the incremental-reshard plan for a 100 TB corpus."""
+    from .pipeline.curation import rendezvous_shard
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a8 = rendezvous_shard(d, 8, out_col="shard8")
+    a9 = rendezvous_shard(d, 9, out_col="shard9")
+    return (
+        a8.join(a9, "doc_id")
+        .groupBy("shard8")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("shard9") != F.col("shard8")).cast("long"))
+            .cast("long")
+            .alias("n_moved"),
+            F.sum(
+                (
+                    (F.col("shard9") != F.col("shard8"))
+                    & (F.col("shard9") != 8)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_moved_wrong"),
+        )
+    )
+
+
+_FD_COLS = ["p_name", "p_brand", "p_type", "p_size"]
+_FD_PAIRS = [(a, b) for a in _FD_COLS for b in _FD_COLS if a != b]
+
+
+def _fd_oracle_sql() -> str:
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS lhs, '{b}' AS rhs, CAST({a} AS VARCHAR) AS lv,"
+        f" CAST({b} AS VARCHAR) AS rv FROM part"
+        for a, b in _FD_PAIRS
+    )
+    return f"""
+    WITH m AS ({arms}),
+    g AS (SELECT lhs, rhs, lv, count(DISTINCT rv) AS nrv
+          FROM m GROUP BY 1, 2, 3)
+    SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(CASE WHEN nrv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           sum(CASE WHEN nrv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM g GROUP BY 1, 2
+    """
+
+
+@q("fd_discovery_part", _fd_oracle_sql())
+def fd_discovery_part(spark, sf_dir):
+    """Functional-dependency discovery (one lattice level of TANE-style
+    profiling): for every ordered column pair (A, B) over the part
+    table's descriptive columns, does A → B hold, and on how many A
+    values does it break? The schema-profiling primitive behind key
+    detection, normalization advice and data-quality rules. Scale
+    shape: ONE scan — the 12 candidate pairs melt through a codegen
+    `stack` into (lhs, rhs, lv, rv) rows, then one map-side-combinable
+    two-level aggregate; never 12 per-pair scans, and the shuffle key
+    (pair, lhs-value) spreads hot lattice nodes across the cluster."""
+    p = _t(spark, sf_dir, "part")
+    stack_args = ", ".join(
+        f"'{a}', '{b}', cast({a} as string), cast({b} as string)"
+        for a, b in _FD_PAIRS
+    )
+    m = p.select(
+        F.expr(f"stack({len(_FD_PAIRS)}, {stack_args}) as (lhs, rhs, lv, rv)")
+    )
+    per_lhs = m.groupBy("lhs", "rhs", "lv").agg(
+        F.count_distinct("rv").alias("nrv")
+    )
+    return per_lhs.groupBy("lhs", "rhs").agg(
+        F.count("*").cast("long").alias("n_lhs_values"),
+        F.sum((F.col("nrv") > 1).cast("long"))
+        .cast("long")
+        .alias("n_violating_lhs"),
+        (F.sum((F.col("nrv") > 1).cast("long")) == 0).alias("holds"),
+    )
+
+
+_IND_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _ind_oracle_sql() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"""SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           CAST((SELECT count(DISTINCT {cc}) FROM {ct}) AS BIGINT)
+             AS n_child_distinct,
+           CAST((SELECT count(*) FROM (SELECT DISTINCT {cc} AS v FROM {ct}) d
+                 WHERE NOT EXISTS (SELECT 1 FROM {pt} WHERE {pc} = d.v))
+                AS BIGINT) AS n_missing"""
+        for ct, cc, pt, pc in _IND_CANDIDATES
+    )
+    return f"""
+    SELECT child, parent, n_child_distinct, n_missing,
+           n_missing = 0 AS holds
+    FROM ({arms})
+    """
+
+
+@q("inclusion_dependency_audit", _ind_oracle_sql())
+def inclusion_dependency_audit(spark, sf_dir):
+    """Inclusion-dependency (foreign-key) discovery: for each candidate
+    child⊆parent column pair across the schema, count distinct child
+    values missing from the parent — the referential-integrity audit
+    that finds real FKs (orders→customer holds) and rejects reversed
+    ones (customer→orders fails on order-less customers). Each
+    candidate is distinct(child) LEFT ANTI parent — two map-side-
+    combinable distincts and one key-shuffled anti-join per pair, the
+    exact shape a 100 TB FK-miner runs per lattice edge; results are
+    six 1-row aggregates unioned."""
+    rows = []
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        child = _t(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
+        parent = _t(spark, sf_dir, pt).select(F.col(pc).alias("v"))
+        n_child = child.agg(F.count("*").cast("long").alias("n_child_distinct"))
+        n_miss = (
+            child.join(parent, "v", "left_anti")
+            .agg(F.count("*").cast("long").alias("n_missing"))
+        )
+        rows.append(
+            n_child.crossJoin(n_miss).select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                "n_child_distinct",
+                "n_missing",
+                (F.col("n_missing") == 0).alias("holds"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def _mmr_oracle_sql(k: int = 6) -> str:
     """Unrolled k-step replay of `similarity.mmr_select`'s greedy
     trajectory (the kmeans/BPE unroll pattern): sel_t grows by the

@@ -846,3 +846,90 @@ def test_mmr_select_matches_python_greedy(spark, vecs):
         sel.append(best[0])
         want.append((step, best[0]))
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_rendezvous_shard_matches_python_and_moves_minimally(spark, ids, s):
+    """HRW assignment vs pure-Python md5 argmax, plus the defining
+    property: growing S → S+1 only ever moves keys ONTO the new shard."""
+    import hashlib
+
+    from dsci551_edfs_spark.pipeline.curation import rendezvous_shard
+
+    def _py(i, n):
+        return max(
+            (int(hashlib.md5(f"{i}#{sh}".encode()).hexdigest()[:15], 16), sh)
+            for sh in range(n)
+        )[1]
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got_s = {
+        r["doc_id"]: r["shard"] for r in rendezvous_shard(df, s).collect()
+    }
+    got_s1 = {
+        r["doc_id"]: r["shard"] for r in rendezvous_shard(df, s + 1).collect()
+    }
+    for i in ids:
+        assert got_s[i] == _py(i, s)
+        assert got_s1[i] == _py(i, s + 1)
+        if got_s1[i] != got_s[i]:
+            assert got_s1[i] == s  # moved keys land on the NEW shard only
+
+
+salad_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@SLOW
+@given(salad_texts)
+def test_prefix_filter_jaccard_matches_python_all_pairs(spark, ts):
+    """prefix_filter_jaccard_pairs (n=2 shingles) vs a pure-Python
+    ALL-PAIRS Jaccard that never prunes — any candidate the prefix rule
+    wrongly skipped would be a missing pair here. Tiny vocabulary makes
+    near-identical docs (and exact ties in the rarity order) common, so
+    the lossless claim is exercised where it's hardest."""
+    from dsci551_edfs_spark.pipeline.dedup import (
+        prefix_filter_jaccard_pairs,
+        release_cached,
+    )
+
+    df = spark.createDataFrame(list(enumerate(ts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in prefix_filter_jaccard_pairs(df, n=2).collect()
+    }
+    release_cached()
+
+    def _shingles(t):
+        toks = t.strip().lower().split()
+        if len(toks) >= 2:
+            return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+        return {" ".join(toks)}
+
+    sets = {i: _shingles(t) for i, t in enumerate(ts)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if 3 * inter >= len(sets[a]) + len(sets[b]):
+                want[(a, b)] = (inter, uni)
+    assert got == want

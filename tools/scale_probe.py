@@ -151,6 +151,8 @@ def main() -> None:
     from dsci551_edfs_spark.pipeline import pca as PCA
     from dsci551_edfs_spark.pipeline import retrieval as RET
     from dsci551_edfs_spark.pipeline import similarity as SIM
+    from dsci551_edfs_spark.operators import graph as GR
+    from dsci551_edfs_spark.operators import temporal as TMPO
     from dsci551_edfs_spark.pipeline.curation import md5_bucket
     from dsci551_edfs_spark.sources.registry import load_table
 
@@ -648,6 +650,45 @@ def main() -> None:
         # tracks the scan.
         "substring_removal": lambda k: DD.exact_substring_dedup(
             inflate_docs(docs, k), n=4, min_span=6, max_occ=1000
+        ),
+        # round-10 session-3. EWMA: inflation replays the SAME calendar
+        # days (hot-skewed), so the daily aggregate stays calendar-sized
+        # while the raw scan grows K — growth must track the scan (~K),
+        # proving the collapse-first shape; the 30× range join is over
+        # the calendar-sized frame and must not move.
+        "ewma_daily": lambda k: TMPO.ewma_daily_counts(
+            inflate_events_hot(ev, k)
+        ),
+        # neighbor-Jaccard: posting-capped pair family — edges grow ~K
+        # (distinct (order,part) remap), postings are degree-capped, so
+        # pair volume is bounded per shared neighbor; watch for the
+        # hot-basket parts blowing past the cap (they should be DROPPED
+        # by it, keeping growth ~edge-linear)
+        "neighbor_jaccard_growth": lambda k: GR.neighbor_jaccard(
+            _copurchase(inflate_items_hot_basket(li, k)).select(
+                F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
+            ),
+            "pa",
+            "pb",
+        ),
+        # hashed TF-IDF build: one scan + fixed-dim groupBy — the whole
+        # point of the hashing trick is that NOTHING here is
+        # vocab-keyed; must grow ~K
+        "hashed_tfidf_vectors_growth": lambda k: RET.hashed_tfidf_vectors(
+            inflate_docs(docs, k)
+        ),
+        # normalization-aware fingerprint groups: identical cost profile
+        # claim to exact dedup (one scan, one map-side-combinable
+        # groupBy) — ~K or the claim is wrong
+        "normalized_fp_groups": lambda k: inflate_docs(docs, k)
+        .select(TXT.aggressive_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .count(),
+        # MMR with the pool = the whole (inflated) corpus: k_sel driver
+        # steps × one corpus pass each — ~K per the sequential-scan
+        # contract (k_sel fixed at 4)
+        "mmr_full_pool": lambda k: SIM.mmr_select(
+            inflate_emb(emb, k), query_id=0, pool_lo=1, pool_hi=1 << 40, k=4
         ),
     }
     wanted = sys.argv[1:] or list(ops)
