@@ -10545,6 +10545,65 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "quality_calibration_bins",
+    "WITH "
+    + _QM_FEATURES_SQL
+    + """
+    , m AS (
+      SELECT doc_id, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+             round(1.0 / (1.0 + exp(-round(-1.0
+                   + 2.5 * least(n_tokens / 100.0, 1.0)
+                   + 0.15 * avg_token_len - 4.0 * punct_ratio
+                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
+               AS quality_prob
+      FROM feats),
+    b AS (
+      SELECT least(CAST(floor(quality_prob * 10) AS BIGINT), 9) AS bin,
+             CAST(round(quality_prob * 10000) AS BIGINT) AS p4,
+             CASE WHEN n_tokens >= 10 AND punct_ratio <= 0.20
+                       AND digit_ratio <= 0.30
+                       AND avg_token_len BETWEEN 2.0 AND 12.0
+                  THEN 1 ELSE 0 END AS pass
+      FROM m)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p4) AS BIGINT) AS sum_prob_x1e4,
+           CAST(sum(pass) AS BIGINT) AS n_pass
+    FROM b GROUP BY 1
+    """,
+)
+def quality_calibration_bins(spark, sf_dir):
+    """Reliability diagram for the fastText-style quality model: decile
+    bins of predicted quality_prob vs the observed pass rate of the
+    independent rule-based corpus gate — the standard "is my classifier
+    calibrated before I threshold 100 TB on it" audit. Accumulations
+    are exact integers (prob frozen to its already-rounded ×10⁴ value,
+    pass as 0/1), so no FP summation order anywhere; the mean predicted
+    prob per bin is one driver-side division away. One scan, one
+    map-side-combinable 10-key groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    m = TXT.quality_score_model(d).select("doc_id", "quality_prob")
+    passed = TXT.quality_filter(d).select("doc_id", F.lit(1).alias("p"))
+    return (
+        m.join(passed, "doc_id", "left")
+        .select(
+            F.least(
+                F.floor(F.col("quality_prob") * 10).cast("long"), F.lit(9)
+            ).alias("bin"),
+            F.round(F.col("quality_prob") * 10000)
+            .cast("long")
+            .alias("p4"),
+            F.coalesce(F.col("p"), F.lit(0)).alias("pass"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("p4").cast("long").alias("sum_prob_x1e4"),
+            F.sum("pass").cast("long").alias("n_pass"),
+        )
+    )
+
+
+@q(
     "rendezvous_shard_movement",
     """
     WITH w AS (

@@ -684,6 +684,14 @@ def main() -> None:
         .select(TXT.aggressive_fingerprint("text").alias("fp"))
         .groupBy("fp")
         .count(),
+        # prefix-filter join: pair family WITHOUT a df cap — the rarity
+        # order is the defense. Inflation makes every copy a true
+        # near-dup of its k-1 siblings, so OUTPUT pairs grow ~k²·N by
+        # semantics (same caveat as minhash/containment); what must NOT
+        # blow up is candidate volume beyond the true-pair growth
+        "prefix_filter_growth": lambda k: DD.prefix_filter_jaccard_pairs(
+            inflate_docs(docs, k)
+        ),
         # MMR with the pool = the whole (inflated) corpus: k_sel driver
         # steps × one corpus pass each — ~K per the sequential-scan
         # contract (k_sel fixed at 4)
