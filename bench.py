@@ -165,6 +165,8 @@ HEADLINE = [
     "rendezvous_shard_movement",
     "fd_discovery_part",
     "inclusion_dependency_audit",
+    "quality_calibration_bins",
+    "unigram_lm_top_pieces",
 ]
 
 

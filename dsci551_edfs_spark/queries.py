@@ -10544,6 +10544,31 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
     return DD.prefix_filter_jaccard_pairs(d)
 
 
+def _unigram_lm_oracle() -> str:
+    from .pipeline.unigram_lm import unigram_lm_oracle_sql
+
+    return unigram_lm_oracle_sql()
+
+
+@q("unigram_lm_top_pieces", _unigram_lm_oracle())
+def unigram_lm_top_pieces(spark, sf_dir):
+    """One unigram-LM (SentencePiece-style) tokenizer round: candidate
+    piece inventory from substring statistics, integer milli-nat costs,
+    RELATIONAL Viterbi over the frequency-weighted distinct-word
+    vocabulary (12 vocab-sized join levels — never an exponential
+    expression tree), backtrace, and the top-50 pieces by usage count.
+    The corpus is scanned ONCE (tokenize + groupBy word); everything
+    downstream is vocabulary-sized — the design that makes tokenizer
+    induction a rounding error next to the 100 TB scan
+    (pipeline/unigram_lm.py). Oracle: the identical lattice as
+    MATERIALIZED per-level DuckDB CTEs, bit-for-bit (integer objective
+    carries the tie-break)."""
+    from .pipeline.unigram_lm import unigram_lm_piece_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_lm_piece_counts(d, top_k=50)
+
+
 @q(
     "quality_calibration_bins",
     "WITH "

@@ -933,3 +933,74 @@ def test_prefix_filter_jaccard_matches_python_all_pairs(spark, ts):
             if 3 * inter >= len(sets[a]) + len(sets[b]):
                 want[(a, b)] = (inter, uni)
     assert got == want
+
+
+ulm_texts = st.lists(
+    st.lists(
+        st.sampled_from(["ab", "aba", "abab", "ba", "bbb", "a", "cabc"]),
+        min_size=1,
+        max_size=6,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SLOW
+@given(ulm_texts)
+def test_unigram_lm_matches_python_viterbi(spark, ts):
+    """unigram_lm_piece_counts vs a pure-Python replay of the whole
+    round — substring stats, milli-nat costs, Viterbi with the integer
+    c16 objective (longer-piece then smaller-start tie-break), backtrace,
+    usage counts. Repetitive tiny alphabet = many exact DP ties, the
+    hardest case for the determinism claim."""
+    import math
+    from collections import Counter
+
+    from dsci551_edfs_spark.pipeline.unigram_lm import (
+        MAX_PIECE,
+        MAX_WORD,
+        MIN_COUNT,
+        unigram_lm_piece_counts,
+    )
+
+    df = spark.createDataFrame(list(enumerate(ts)), "doc_id long, text string")
+    got = [
+        (r["piece"], r["n_uses"], r["cost_milli"])
+        for r in unigram_lm_piece_counts(df, top_k=50).collect()
+    ]
+
+    words = Counter()
+    for t in ts:
+        for w in t.strip().lower().split():
+            if 1 <= len(w) <= MAX_WORD:
+                words[w] += 1
+    cnt = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(MAX_PIECE, len(w) - i) + 1):
+                cnt[w[i : i + ln]] += f
+    kept = {p: c for p, c in cnt.items() if c >= MIN_COUNT or len(p) == 1}
+    total = sum(kept.values())
+    cost = {p: round(1000 * math.log(total / c)) for p, c in kept.items()}
+    uses = Counter()
+    for w, f in words.items():
+        best = {0: (0, None)}
+        for j in range(1, len(w) + 1):
+            cands = []
+            for i in range(max(0, j - MAX_PIECE), j):
+                p = w[i:j]
+                if i in best and p in cost:
+                    c16 = cost[p] * 16 + (MAX_PIECE - (j - i))
+                    cands.append((best[i][0] + c16, i))
+            best[j] = min(cands)
+        pos = len(w)
+        while pos > 0:
+            arg = best[pos][1]
+            uses[w[arg:pos]] += f
+            pos = arg
+    want = sorted(
+        ((p, n, cost[p]) for p, n in uses.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:50]
+    assert got == want
