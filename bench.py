@@ -167,6 +167,8 @@ HEADLINE = [
     "inclusion_dependency_audit",
     "quality_calibration_bins",
     "unigram_lm_top_pieces",
+    "weighted_median_price",
+    "xml_roundtrip_orders",
 ]
 
 

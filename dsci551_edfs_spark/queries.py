@@ -10544,6 +10544,90 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
     return DD.prefix_filter_jaccard_pairs(d)
 
 
+@q(
+    "xml_roundtrip_orders",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def xml_roundtrip_orders(spark, sf_dir):
+    """XML as an interchange surface (the one row format the repo's
+    csv/jsonl/avro/orc roundtrips didn't cover): serialize each order
+    row with `to_xml`, parse it back with `from_xml` (Spark 4 built-ins
+    — JVM-side, no Python in the row path), and return the parsed
+    fields. The oracle reads the SAME fields straight off parquet — a
+    strict roundtrip-identity check, which is exactly what it claims:
+    doubles survive because Java's shortest-roundtrip double printing
+    is parse-exact by construction. Both directions are per-row codegen
+    projections; at 100 TB this is scan-bound like any format shim."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    xml = o.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("x")
+    )
+    return xml.select(
+        F.from_xml(
+            "x", "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        ).alias("r")
+    ).select("r.*")
+
+
+@q(
+    "weighted_median_price",
+    """
+    WITH g AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             sum(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2),
+    t AS (SELECT l_returnflag, sum(w) AS tw FROM g GROUP BY 1),
+    c AS (
+      SELECT l_returnflag, price,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw
+      FROM g)
+    SELECT c.l_returnflag, min(c.price) AS weighted_median,
+           CAST(min(t.tw) AS BIGINT) AS total_qty
+    FROM c JOIN t USING (l_returnflag)
+    WHERE 2 * c.cw >= t.tw
+    GROUP BY 1
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    """Exact QUANTITY-WEIGHTED median price per return flag — the
+    robust-statistics sibling of `price_percentile_by_status` (plain
+    percentile ignores that a 50-unit line should weigh 50× a 1-unit
+    line). Two-phase exact shape for 100 TB: the raw scan collapses
+    FIRST through a map-side-combinable groupBy(flag, price) — weight
+    consolidation — so the per-flag cumulative-weight window sorts only
+    DISTINCT prices per flag, not raw rows; the median is the first
+    price whose cumulative weight reaches half the total (integer
+    comparison 2·cw ≥ total, no FP). The window is partitioned (flag),
+    lint-clean."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
+        F.sum("l_quantity").alias("w")
+    )
+    t = g.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.withColumn("cw", F.sum("w").over(wspec))
+    return (
+        c.join(t, "l_returnflag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("tw").cast("long").alias("total_qty"),
+        )
+    )
+
+
 def _unigram_lm_oracle() -> str:
     from .pipeline.unigram_lm import unigram_lm_oracle_sql
 

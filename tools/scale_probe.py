@@ -152,6 +152,7 @@ def main() -> None:
     from dsci551_edfs_spark.pipeline import retrieval as RET
     from dsci551_edfs_spark.pipeline import similarity as SIM
     from dsci551_edfs_spark.operators import graph as GR
+    from dsci551_edfs_spark.pipeline import unigram_lm as ULM
     from dsci551_edfs_spark.operators import temporal as TMPO
     from dsci551_edfs_spark.pipeline.curation import md5_bucket
     from dsci551_edfs_spark.sources.registry import load_table
@@ -690,6 +691,14 @@ def main() -> None:
         # semantics (same caveat as minhash/containment); what must NOT
         # blow up is candidate volume beyond the true-pair growth
         "prefix_filter_growth": lambda k: DD.prefix_filter_jaccard_pairs(
+            inflate_docs(docs, k)
+        ),
+        # unigram-LM round: corpus pass grows K but collapses into the
+        # frequency-weighted vocabulary, which inflation barely grows
+        # (perturbed copies add few new types) — the whole DP is
+        # vocab-sized, so growth must track the ONE corpus scan (~K at
+        # most, flat while scan cost is sub-ambient)
+        "unigram_lm_growth": lambda k: ULM.unigram_lm_piece_counts(
             inflate_docs(docs, k)
         ),
         # MMR with the pool = the whole (inflated) corpus: k_sel driver
