@@ -169,6 +169,9 @@ HEADLINE = [
     "unigram_lm_top_pieces",
     "weighted_median_price",
     "xml_roundtrip_orders",
+    "hll_own_set_ops",
+    "l_diversity_report",
+    "preference_pairs",
 ]
 
 

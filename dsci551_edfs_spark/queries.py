@@ -10545,6 +10545,195 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "hll_own_set_ops",
+    f"""
+    WITH pe AS (
+      SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2)
+               AS g, user_id
+      FROM events),
+    e2 AS ({_hll_own_sql("pe", "g", "user_id")}),
+    eu AS ({_hll_own_sql("pe", "1", "user_id")}),
+    ex AS (SELECT g, CAST(count(DISTINCT user_id) AS BIGINT) AS x
+           FROM pe GROUP BY 1),
+    exu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS xu FROM pe)
+    SELECT a.ndv_est AS est_a, b.ndv_est AS est_b, u.ndv_est AS est_union,
+           round(a.ndv_est + b.ndv_est - u.ndv_est, 3) AS est_intersection,
+           xa.x AS exact_a, xb.x AS exact_b, exu.xu AS exact_union,
+           CAST(xa.x + xb.x - exu.xu AS BIGINT) AS exact_intersection
+    FROM (SELECT ndv_est FROM e2 WHERE g = 0) a,
+         (SELECT ndv_est FROM e2 WHERE g = 1) b,
+         eu u,
+         (SELECT x FROM ex WHERE g = 0) xa,
+         (SELECT x FROM ex WHERE g = 1) xb,
+         exu
+    """,
+)
+def hll_own_set_ops(spark, sf_dir):
+    """Sketch SET ALGEBRA on the oracle-checked own-HLL: users active on
+    even days (A) vs odd days (B) — union estimated from the MAX-MERGE
+    of the two register tables (lossless, the mergeability property
+    `hll_own_rollup` proves), intersection by inclusion-exclusion
+    (estA + estB − estU, the standard HLL trick: intersections aren't
+    directly sketchable). Exact values sit in the same row so the
+    estimator error is visible in the result. At 100 TB each register
+    table is O(2^p) rows regardless of input — set algebra over
+    billions of users costs two tiny aggregates."""
+    from .operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) % 2)
+        .alias("g"),
+        "user_id",
+    )
+    regs = SK.hll_own_registers(ev, "user_id", ["g"])
+    est2 = SK.hll_own_estimate(regs, ["g"])
+    regs_u = regs.groupBy("bucket").agg(F.max("reg").cast("int").alias("reg"))
+    est_u = SK.hll_own_estimate(regs_u, []).select(
+        F.col("ndv_est").alias("est_union")
+    )
+    exact = ev.groupBy("g").agg(
+        F.countDistinct("user_id").cast("long").alias("x")
+    )
+    exact_u = ev.agg(F.countDistinct("user_id").cast("long").alias("xu"))
+    a = est2.filter(F.col("g") == 0).select(F.col("ndv_est").alias("est_a"))
+    b = est2.filter(F.col("g") == 1).select(F.col("ndv_est").alias("est_b"))
+    xa = exact.filter(F.col("g") == 0).select(F.col("x").alias("exact_a"))
+    xb = exact.filter(F.col("g") == 1).select(F.col("x").alias("exact_b"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(est_u)
+        .withColumn(
+            "est_intersection",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 3
+            ),
+        )
+        .crossJoin(xa)
+        .crossJoin(xb)
+        .crossJoin(exact_u.select(F.col("xu").alias("exact_union")))
+        .withColumn(
+            "exact_intersection",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).cast(
+                "long"
+            ),
+        )
+    )
+
+
+@q(
+    "l_diversity_report",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS cnt,
+             count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_3,
+           CAST(sum(CASE WHEN l < 3 THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM g
+    """,
+)
+def l_diversity_report(spark, sf_dir):
+    """l-diversity audit — k-anonymity's stronger sibling
+    (`k_anonymity_report`): a QI group that is large enough (k-anon
+    passes) still leaks the sensitive attribute if everyone in it shares
+    the same value. Per (nation, segment) group: l = distinct sensitive
+    bands (account-balance kilobuckets); report the minimum l, groups
+    below l=3 and the rows they expose. One scan, one two-level
+    map-side-combinable aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l"),
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum((F.col("l") < 3).cast("long")).cast("long").alias(
+            "n_groups_below_3"
+        ),
+        F.sum(F.when(F.col("l") < 3, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
+@q(
+    "preference_pairs",
+    "WITH "
+    + _QM_FEATURES_SQL
+    + """
+    , m AS (
+      SELECT doc_id,
+             CAST(round(round(1.0 / (1.0 + exp(-round(-1.0
+                   + 2.5 * least(n_tokens / 100.0, 1.0)
+                   + 0.15 * avg_token_len - 4.0 * punct_ratio
+                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
+                   * 10000) AS BIGINT) AS p4,
+             n_tokens
+      FROM feats),
+    j AS (SELECT m.doc_id, m.p4, d.lang,
+                 CAST(m.n_tokens // 10 AS BIGINT) AS len_bucket
+          FROM m JOIN documents d USING (doc_id)),
+    g AS (
+      SELECT lang, len_bucket,
+             max(struct_pack(p := p4, ni := -doc_id)) AS ch,
+             min(struct_pack(p := p4, i := doc_id)) AS rj,
+             count(*) AS n
+      FROM j GROUP BY 1, 2)
+    SELECT lang, len_bucket,
+           CAST(-(ch).ni AS BIGINT) AS chosen_id,
+           CAST((rj).i AS BIGINT) AS rejected_id,
+           CAST((ch).p - (rj).p AS BIGINT) AS gap_x1e4,
+           CAST(n AS BIGINT) AS group_size
+    FROM g
+    WHERE n >= 2 AND (ch).p - (rj).p >= 500
+    """,
+)
+def preference_pairs(spark, sf_dir):
+    """DPO/RLHF-style preference-pair construction: within each
+    comparable stratum (language × length decile — same-topic proxy),
+    pair the highest-quality doc (chosen) with the lowest (rejected),
+    keeping pairs whose quality gap ≥ 0.05. Quality is the calibrated
+    classifier prob frozen to ×10⁴ integers, argmax/argmin via
+    min/max(struct) with id tie-breaks — fully deterministic, one scan
+    + one map-side-combinable groupBy, which is the whole cost at
+    100 TB (the strata are bounded; pair selection never joins docs to
+    docs)."""
+    d = _t(spark, sf_dir, "documents")
+    m = TXT.quality_score_model(d).select(
+        "doc_id",
+        F.round(F.col("quality_prob") * 10000).cast("long").alias("p4"),
+        F.col("n_tokens"),
+    )
+    j = m.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "p4", "lang", F.expr("n_tokens div 10").alias("len_bucket")
+    )
+    g = j.groupBy("lang", "len_bucket").agg(
+        F.max(F.struct(F.col("p4").alias("p"), (-F.col("doc_id")).alias("ni"))).alias("ch"),
+        F.min(F.struct(F.col("p4").alias("p"), F.col("doc_id").alias("i"))).alias("rj"),
+        F.count("*").alias("n"),
+    )
+    return (
+        g.filter((F.col("n") >= 2) & (F.col("ch.p") - F.col("rj.p") >= 500))
+        .select(
+            "lang",
+            "len_bucket",
+            (-F.col("ch.ni")).cast("long").alias("chosen_id"),
+            F.col("rj.i").cast("long").alias("rejected_id"),
+            (F.col("ch.p") - F.col("rj.p")).cast("long").alias("gap_x1e4"),
+            F.col("n").cast("long").alias("group_size"),
+        )
+    )
+
+
+@q(
     "xml_roundtrip_orders",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice
