@@ -172,6 +172,9 @@ HEADLINE = [
     "hll_own_set_ops",
     "l_diversity_report",
     "preference_pairs",
+    "hbos_outlier_scores",
+    "psi_drift_sources",
+    "kcore_copurchase",
 ]
 
 

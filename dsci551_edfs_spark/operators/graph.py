@@ -32,6 +32,7 @@ __all__ = [
     "label_propagation",
     "bfs_hops",
     "neighbor_jaccard",
+    "kcore_peel",
     "SCALE",
 ]
 
@@ -416,4 +417,54 @@ def neighbor_jaccard(
         )
         .filter(3 * F.col("common") >= min_jaccard_thirds * F.col("uni"))
         .select("ua", "ub", "common", "uni")
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    k: int = 3,
+    rounds: int = 12,
+) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes with degree
+    < k (and their edges) for a FIXED number of rounds — the standard
+    dense-backbone extractor (Seidman 1983). Bounded iteration is the
+    contract (like `pagerank_micro`): rounds past the fixpoint are
+    no-ops, so the bound only truncates pathologically deep peel chains,
+    and both engines run the identical trajectory. Returns
+    ``(node, degree)`` over the surviving edge set.
+
+    Scale shape: each round = one map-side-combinable degree aggregate +
+    two key-shuffled semi-joins over a SHRINKING edge set; lineage is
+    cut per round (lazy localCheckpoint) so Catalyst replans each round
+    from a leaf instead of an unrolled 12-round tree."""
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("x").alias("node"))
+            .unionByName(e.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("x")), "x", "left_semi")
+            .join(keep.select(F.col("node").alias("y")), "y", "left_semi")
+            .select("x", "y")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("x").alias("node"))
+        .unionByName(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
     )

@@ -39,6 +39,7 @@ __all__ = [
     "mutual_knn_hamming",
     "margin_knn_filter",
     "mmr_select",
+    "hbos_outlier_scores",
 ]
 
 
@@ -1202,3 +1203,62 @@ def mmr_select(
         picked, "sel_rank long, vec_id long, score double"
     )
     return out.select("sel_rank", "vec_id", F.round("score", 4).alias("score"))
+
+
+def hbos_outlier_scores(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bins: int = 8,
+) -> DataFrame:
+    """HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
+    per-dimension equi-width histograms, score(x) = Σ_d −log density of
+    x's bin in dimension d. The unsupervised anomaly detector that needs
+    NO pairwise distances — two corpus passes (min/max, then bin counts)
+    and a broadcast histogram, so it runs where kNN-based outlier
+    methods (`label_outlier_report`'s pairwise scan) can't.
+
+    Exactness: bin ids come from one fixed IEEE expression
+    (floor((x−min)/(max−min)·B), capped), counts are integers, and the
+    score is Σ round(1000·ln(N/cnt)) integer milli-nats — the DuckDB
+    oracle reproduces every step bit-for-bit. Returns (id, score_milli).
+    """
+    el = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(as_double(vec_col)).alias("dim", "x"),
+    )
+    rng = el.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    n_tot = embeddings.agg(F.count("*").alias("_n"))
+    binned = el.join(F.broadcast(rng), "dim").select(
+        "id",
+        "dim",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * n_bins
+                ).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        )
+        .alias("bin"),
+    )
+    hist = binned.groupBy("dim", "bin").agg(F.count("*").alias("cnt"))
+    return (
+        binned.join(F.broadcast(hist), ["dim", "bin"])
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "id",
+            F.round(
+                F.log(F.col("_n").cast("double") / F.col("cnt")) * 1e3
+            )
+            .cast("long")
+            .alias("term"),
+        )
+        .groupBy("id")
+        .agg(F.sum("term").cast("long").alias("score_milli"))
+    )

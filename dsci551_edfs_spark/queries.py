@@ -10545,6 +10545,170 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "hbos_outlier_scores",
+    """
+    WITH el AS (
+      SELECT vec_id AS id, CAST(i - 1 AS INT) AS dim,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) t(i)),
+    rng AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM el GROUP BY 1),
+    n AS (SELECT count(*) AS nt FROM embeddings),
+    b AS (
+      SELECT id, el.dim,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((x - lo) / (hi - lo) * 8) AS INT), 7)
+             END AS bin
+      FROM el JOIN rng USING (dim)),
+    h AS (SELECT dim, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
+    SELECT id AS vec_id,
+           CAST(sum(CAST(round(ln(CAST((SELECT nt FROM n) AS DOUBLE) / cnt)
+                               * 1000) AS BIGINT)) AS BIGINT) AS score_milli
+    FROM b JOIN h USING (dim, bin) GROUP BY 1
+    """,
+)
+def hbos_outlier_scores(spark, sf_dir):
+    """Histogram-Based Outlier Score over the embedding corpus — the
+    distance-free unsupervised anomaly detector: per-dimension equi-width
+    histograms, score = Σ_d milli-nats of the bin's rarity
+    (pipeline/similarity.py:hbos_outlier_scores). Two corpus passes +
+    one broadcast histogram — runs at sizes where any pairwise method
+    is off the table; integer scores, bit-exact oracle."""
+    from .pipeline.similarity import hbos_outlier_scores as _hbos
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _hbos(emb).select(F.col("id").alias("vec_id"), "score_milli")
+
+
+@q(
+    "psi_drift_sources",
+    "WITH "
+    + _QM_FEATURES_SQL
+    + r"""
+    , m AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-round(-1.0
+                   + 2.5 * least(n_tokens / 100.0, 1.0)
+                   + 0.15 * avg_token_len - 4.0 * punct_ratio
+                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
+               AS quality_prob
+      FROM feats),
+    j AS (SELECT least(CAST(floor(m.quality_prob * 10) AS BIGINT), 9) AS bin,
+                 CAST(regexp_extract(d.source, '(\d+)', 1) AS BIGINT) % 2
+                   AS grp
+          FROM m JOIN documents d USING (doc_id)),
+    c AS (SELECT grp, bin, count(*) AS cnt FROM j GROUP BY 1, 2),
+    grid AS (SELECT g.grp, b.bin
+             FROM (SELECT unnest([0, 1]) AS grp) g,
+                  (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS bin) b),
+    s AS (SELECT grid.grp, grid.bin, coalesce(c.cnt, 0) + 1 AS cnt1
+          FROM grid LEFT JOIN c ON c.grp = grid.grp AND c.bin = grid.bin),
+    t AS (SELECT grp, sum(cnt1) AS tot FROM s GROUP BY 1),
+    p AS (SELECT s.bin, s.grp, s.cnt1,
+                 CAST(s.cnt1 AS DOUBLE) / t.tot AS pr
+          FROM s JOIN t USING (grp))
+    SELECT a.bin,
+           CAST(a.cnt1 - 1 AS BIGINT) AS cnt_a,
+           CAST(b.cnt1 - 1 AS BIGINT) AS cnt_b,
+           CAST(round((a.pr - b.pr) * ln(a.pr / b.pr) * 1000000) AS BIGINT)
+             AS psi_term_micro
+    FROM (SELECT * FROM p WHERE grp = 0) a
+    JOIN (SELECT * FROM p WHERE grp = 1) b USING (bin)
+    """,
+)
+def psi_drift_sources(spark, sf_dir):
+    """Population Stability Index between the even- and odd-numbered
+    document sources over quality-score deciles — the standard MLOps
+    drift gate before retraining on a new crawl slice. Laplace-smoothed
+    (+1 per bin, grid-completed so empty deciles still report), PSI
+    terms frozen to integer micro-nats; total PSI = Σ terms / 1e6, one
+    driver-side sum away. One scan + a 20-key aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    m = TXT.quality_score_model(d).select("doc_id", "quality_prob")
+    j = m.join(d.select("doc_id", "source"), "doc_id").select(
+        F.least(
+            F.floor(F.col("quality_prob") * 10).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (
+            F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long") % 2
+        ).alias("grp"),
+    )
+    c = j.groupBy("grp", "bin").agg(F.count("*").alias("cnt"))
+    grid = spark.range(2).select(F.col("id").alias("grp")).crossJoin(
+        spark.range(10).select(F.col("id").alias("bin"))
+    )
+    s = grid.join(c, ["grp", "bin"], "left").select(
+        "grp", "bin", (F.coalesce(F.col("cnt"), F.lit(0)) + 1).alias("cnt1")
+    )
+    t = s.groupBy("grp").agg(F.sum("cnt1").alias("tot"))
+    p = s.join(t, "grp").select(
+        "bin",
+        "grp",
+        "cnt1",
+        (F.col("cnt1").cast("double") / F.col("tot")).alias("pr"),
+    )
+    a = p.filter(F.col("grp") == 0).select(
+        "bin", F.col("cnt1").alias("c1a"), F.col("pr").alias("pa")
+    )
+    b = p.filter(F.col("grp") == 1).select(
+        "bin", F.col("cnt1").alias("c1b"), F.col("pr").alias("pb")
+    )
+    return a.join(b, "bin").select(
+        "bin",
+        (F.col("c1a") - 1).cast("long").alias("cnt_a"),
+        (F.col("c1b") - 1).cast("long").alias("cnt_b"),
+        F.round(
+            (F.col("pa") - F.col("pb"))
+            * F.log(F.col("pa") / F.col("pb"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("psi_term_micro"),
+    )
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled bounded-round k-core peel over the strong co-purchase
+    graph: round r removes nodes whose degree in e_{r-1} is < k."""
+    parts = [f"WITH {_STRONG_EDGES_SQL}", ",\n    g0 AS MATERIALIZED (SELECT x, y FROM e)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    deg{r} AS (SELECT node, count(*) AS deg FROM (
+               SELECT x AS node FROM g{r - 1}
+               UNION ALL SELECT y FROM g{r - 1}) GROUP BY 1),
+    keep{r} AS (SELECT node FROM deg{r} WHERE deg >= {k}),
+    g{r} AS MATERIALIZED (SELECT x, y FROM g{r - 1}
+             WHERE x IN (SELECT node FROM keep{r})
+               AND y IN (SELECT node FROM keep{r}))"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT x AS node FROM g{rounds} UNION ALL SELECT y FROM g{rounds})
+    GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@q("kcore_copurchase", _kcore_oracle_sql())
+def kcore_copurchase(spark, sf_dir):
+    """Bounded-round k-core decomposition (k=3, 12 peel rounds) of the
+    strong co-purchase graph — the graph-density backbone extractor
+    (community cores, spam-cluster mining). Each round is one degree
+    aggregate + two key-shuffled semi-joins over the shrinking edge set,
+    lineage-cut per round (operators/graph.py:kcore_peel); 12 rounds is
+    the FIXED contract both engines run (extra rounds past the fixpoint
+    are no-ops, so the bound only matters for truly deep peel chains —
+    the same bounded-iteration semantics as `pagerank_user_events`).
+    Edges ride the shared per-corpus memo."""
+    from .operators.graph import kcore_peel
+
+    return kcore_peel(
+        _strong_copurchase_edges(spark, sf_dir), "pa", "pb", k=3, rounds=12
+    )
+
+
+@q(
     "hll_own_set_ops",
     f"""
     WITH pe AS (
