@@ -175,6 +175,9 @@ HEADLINE = [
     "hbos_outlier_scores",
     "psi_drift_sources",
     "kcore_copurchase",
+    "doremi_reweight_round",
+    "minhash_pr_eval",
+    "hll_own_sliding_7d",
 ]
 
 

@@ -10545,6 +10545,256 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "hll_own_sliding_7d",
+    f"""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM d),
+    pe AS (SELECT days.day AS g, d.user_id
+           FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day),
+    est AS ({_hll_own_sql("pe", "g", "user_id")}),
+    ex AS (SELECT g, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact
+           FROM pe GROUP BY 1)
+    SELECT CAST(est.g AS BIGINT) AS day_num, est.ndv_est, ex.ndv_exact
+    FROM est JOIN ex USING (g)
+    """,
+)
+def hll_own_sliding_7d(spark, sf_dir):
+    """Trailing-7-day distinct users per day from the own-HLL register
+    tables: per-DAY registers max-merge into each day's trailing window
+    — the sliding-distinct query that is infeasible exactly at 100 TB
+    (distinct doesn't decompose over windows) but costs 7·2^p register
+    rows per day with a mergeable sketch. The ORACLE computes the same
+    registers the brute way (raw rows replicated into each window), so
+    the hash match proves window-merge == direct-build — the sliding
+    twin of `hll_own_rollup`'s proof. Exact counts ride along so the
+    estimator error is visible."""
+    from .operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("day_num"),
+        "user_id",
+    )
+    day_regs = SK.hll_own_registers(ev, "user_id", ["day_num"])
+    days = day_regs.select("day_num").distinct()
+    win_regs = (
+        days.alias("a")
+        .join(
+            day_regs.alias("b"),
+            (F.col("b.day_num") >= F.col("a.day_num") - 6)
+            & (F.col("b.day_num") <= F.col("a.day_num")),
+        )
+        .groupBy(F.col("a.day_num").alias("day_num"), F.col("b.bucket"))
+        .agg(F.max("b.reg").cast("int").alias("reg"))
+    )
+    est = SK.hll_own_estimate(win_regs, ["day_num"])
+    dd = ev.distinct()
+    exact = (
+        days.alias("a")
+        .join(
+            dd.alias("b"),
+            (F.col("b.day_num") >= F.col("a.day_num") - 6)
+            & (F.col("b.day_num") <= F.col("a.day_num")),
+        )
+        .groupBy(F.col("a.day_num").alias("day_num"))
+        .agg(F.countDistinct("b.user_id").cast("long").alias("ndv_exact"))
+    )
+    return est.join(exact, "day_num")
+
+
+def _minhash_pr_oracle_sql() -> str:
+    """Candidate-stage PR oracle: the shared minhash CTE chain for the
+    LSH candidates + an ALL-PAIRS exact-Jaccard truth set (independent
+    of the Spark side's inverted-index truth) joined into TP/FP/FN."""
+    return f"""
+    WITH {_minhash_base_ctes()},
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+    truth AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sh a JOIN sh b ON a.id < b.id
+      WHERE len(list_intersect(a.shingles, b.shingles))
+              / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
+    m AS (SELECT
+            (SELECT count(*) FROM cands) AS n_candidates,
+            (SELECT count(*) FROM truth) AS n_truth,
+            (SELECT count(*) FROM cands JOIN truth USING (id_a, id_b))
+              AS tp)
+    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(n_candidates - tp AS BIGINT) AS fp,
+           CAST(n_truth - tp AS BIGINT) AS fn,
+           CAST(round(1000.0 * tp / greatest(n_candidates, 1)) AS BIGINT)
+             AS precision_milli,
+           CAST(round(1000.0 * tp / greatest(n_truth, 1)) AS BIGINT)
+             AS recall_milli
+    FROM m
+    """
+
+
+@q("minhash_pr_eval", _minhash_pr_oracle_sql())
+def minhash_pr_eval(spark, sf_dir):
+    """Dedup-quality evaluation harness: precision/recall of the
+    MinHash-LSH CANDIDATE stage (16 bands of 4, pre-verification)
+    against exact 3-gram-Jaccard-≥-0.5 ground truth — the measurement a
+    pipeline owner runs before trusting an LSH configuration on 100 TB
+    (and the per-config twin of `lsh_tuning_report`'s sweep). Truth
+    comes from the inverted-index exact join; candidates from the band
+    self-join; TP/FP/FN are two key-joins of pair lists. The oracle's
+    truth set is an ALL-PAIRS restatement — independent of the engine's
+    candidate generation on both legs."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions.text import tokens as _tok  # noqa: F401  (doc pointer)
+
+    shingled = DD.shingle_df(d)
+    sigs = DD.minhash_signature(shingled, 64, 42, hash_family="md5")
+    cand = DD.minhash_candidate_pairs(sigs, 16, num_hashes=64, hash_family="md5")
+    truth = DD.ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    tp_df = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    n_c = cand.agg(F.count("*").alias("n_candidates"))
+    n_t = truth.agg(F.count("*").alias("n_truth"))
+    n_tp = tp_df.agg(F.count("*").alias("tp"))
+    return (
+        n_c.crossJoin(n_t)
+        .crossJoin(n_tp)
+        .select(
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("tp").cast("long").alias("tp"),
+            (F.col("n_candidates") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+            F.round(
+                1000.0 * F.col("tp") / F.greatest(F.col("n_candidates"), F.lit(1))
+            )
+            .cast("long")
+            .alias("precision_milli"),
+            F.round(
+                1000.0 * F.col("tp") / F.greatest(F.col("n_truth"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_milli"),
+        )
+    )
+
+
+@q(
+    "doremi_reweight_round",
+    f"""
+    WITH {{bg}},
+    pc AS (SELECT w1, w2, count(*) AS cnt FROM bg
+           WHERE doc_id % 5 != 0 GROUP BY w1, w2),
+    cc AS (SELECT w1, count(*) AS ctx_cnt FROM bg
+           WHERE doc_id % 5 != 0 GROUP BY w1),
+    lm AS (SELECT p.w1, p.w2,
+                  CAST(round(ln(p.cnt / c.ctx_cnt) * 1000000) AS BIGINT) AS lp
+           FROM pc p JOIN cc c USING (w1)),
+    scd AS (SELECT b.doc_id, coalesce(l.lp, -13815511) AS lp
+            FROM bg b LEFT JOIN lm l USING (w1, w2)
+            WHERE b.doc_id % 5 = 0),
+    a AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS micro
+          FROM scd GROUP BY doc_id),
+    d2 AS (SELECT doc_id,
+                  CAST(round(round(-micro / 1000000.0 / n_bigrams, 6)
+                             * 1000000) AS BIGINT) AS d_micro
+           FROM a),
+    s AS (SELECT d.source, count(*) AS n_docs, sum(d2.d_micro) AS num
+          FROM d2 JOIN documents d USING (doc_id) GROUP BY 1),
+    gm AS (SELECT CAST(sum(num) AS DOUBLE) / sum(n_docs) AS gavg FROM s),
+    w AS (SELECT source, n_docs,
+                 CAST(round(num / CAST(n_docs AS DOUBLE)) AS BIGINT)
+                   AS avg_nll_micro,
+                 CAST(round(exp((num / CAST(n_docs AS DOUBLE)
+                                 - (SELECT gavg FROM gm)) / 1000000.0)
+                            * 1000000) AS BIGINT) AS w_micro
+          FROM s),
+    sw AS (SELECT sum(w_micro) AS d FROM w),
+    b AS (SELECT source, n_docs, avg_nll_micro, w_micro,
+                 (w_micro * 1000000) // (SELECT d FROM sw) AS base,
+                 (w_micro * 1000000) % (SELECT d FROM sw) AS rem
+          FROM w),
+    tot AS (SELECT sum(base) AS sb FROM b),
+    r AS (SELECT x.source, count(y.source) AS ahead
+          FROM b x LEFT JOIN b y
+            ON (y.rem > x.rem) OR (y.rem = x.rem AND y.source < x.source)
+          GROUP BY x.source)
+    SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+           b.avg_nll_micro, b.w_micro,
+           CAST(b.base + CASE WHEN r.ahead < (1000000 - tot.sb)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM b JOIN r USING (source), tot
+    """.format(bg=_BG_SQL),
+)
+def doremi_reweight_round(spark, sf_dir):
+    """One DoReMi-style domain-reweighting round (Xie et al. 2023,
+    simplified to a bigram reference model): score the held-out shard
+    with the corpus-trained LM, compute each source's EXCESS loss vs
+    the global average, exponentiate to mixture weights (η=1, micro-
+    frozen), and allocate a 1M-token budget by largest remainder
+    (Σ alloc == budget exactly). The modern data-mixture optimization
+    loop, end-to-end on-engine: LM train + score are the
+    `doc_perplexity_lm` machinery (integer micro-nats), the allocation
+    is `largest_remainder_allocation(normalize=True)` — window-free,
+    join-based remainder ranks. Sources with above-average loss get
+    upweighted, which is precisely DoReMi's excess-loss signal."""
+    from .pipeline import lm as LM
+    from .pipeline.curation import largest_remainder_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = LM.bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
+    per_doc = LM.doc_perplexity(docs.filter(F.col("doc_id") % 5 == 0), lm)
+    d2 = per_doc.select(
+        "doc_id",
+        F.round(F.col("avg_neg_logp") * 1e6).cast("long").alias("d_micro"),
+    )
+    s = (
+        d2.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("d_micro").alias("num"))
+    )
+    gm = s.agg(
+        (F.sum("num").cast("double") / F.sum("n_docs")).alias("gavg")
+    )
+    w = s.crossJoin(F.broadcast(gm)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("num") / F.col("n_docs").cast("double"))
+        .cast("long")
+        .alias("avg_nll_micro"),
+        F.round(
+            F.exp(
+                (
+                    F.col("num") / F.col("n_docs").cast("double")
+                    - F.col("gavg")
+                )
+                / 1e6
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    alloc = largest_remainder_allocation(
+        w.select("source", "w_micro"), budget=1_000_000, normalize=True
+    )
+    return w.select("source", "n_docs", "avg_nll_micro").join(
+        alloc, "source"
+    ).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "avg_nll_micro",
+        F.col("w_micro").cast("long").alias("w_micro"),
+        "alloc",
+    )
+
+
+@q(
     "hbos_outlier_scores",
     """
     WITH el AS (
