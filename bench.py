@@ -178,6 +178,9 @@ HEADLINE = [
     "doremi_reweight_round",
     "minhash_pr_eval",
     "hll_own_sliding_7d",
+    "km_time_to_purchase",
+    "ab_test_conversion",
+    "benford_price_audit",
 ]
 
 

@@ -10545,6 +10545,235 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "km_time_to_purchase",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      FROM events),
+    u AS (SELECT user_id, min(day) AS f, max(day) AS l,
+                 min(CASE WHEN event_type = 'purchase' THEN day END) AS p
+          FROM ev GROUP BY 1),
+    lif AS (SELECT user_id,
+                   CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS dur,
+                   CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS churn
+            FROM u),
+    t AS (SELECT dur AS td, sum(churn) AS d FROM lif GROUP BY 1
+          HAVING sum(churn) > 0),
+    r AS (SELECT t.td, t.d,
+                 (SELECT count(*) FROM lif WHERE dur >= t.td) AS n,
+                 CASE WHEN t2.n2 = t.d THEN CAST(-13815511 AS BIGINT)
+                      ELSE CAST(round(ln((t2.n2 - t.d) * 1.0 / t2.n2)
+                                      * 1000000) AS BIGINT)
+                 END AS term_micro
+          FROM t JOIN (SELECT td2.td, count(*) AS n2
+                       FROM (SELECT DISTINCT td FROM t) td2
+                       JOIN lif ON lif.dur >= td2.td GROUP BY 1) t2
+            ON t2.td = t.td)
+    SELECT a.td AS duration_days, CAST(min(a.n) AS BIGINT) AS n_risk,
+           CAST(min(a.d) AS BIGINT) AS n_events,
+           CAST(round(exp(sum(b.term_micro) / 1000000.0) * 1000)
+                AS BIGINT) AS survival_milli
+    FROM r a JOIN r b ON b.td <= a.td
+    GROUP BY a.td
+    """,
+)
+def km_time_to_purchase(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-first-purchase
+    (censoring-aware): the event is a user's first purchase, measured
+    in days from their first activity; users who never purchase are
+    censored at their last activity. At each churn duration t: n_risk = users
+    surviving ≥ t, d = churn events at t, S(t) = Π(1 − d/n). The
+    product is FP-order-proof: each factor freezes to an integer
+    micro-nat log term, the cumulative step sums INTEGERS over a
+    bounded self-join (distinct durations ≤ observation days — never a
+    global window), and one exp at the end. The raw scan collapses
+    per-user first (min/max day, map-side combinable) — at 100 TB
+    that's the only corpus pass."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("day"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("f"),
+        F.max("day").alias("l"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("p"),
+    )
+    lif = u.select(
+        F.when(F.col("p").isNotNull(), F.col("p") - F.col("f"))
+        .otherwise(F.col("l") - F.col("f"))
+        .alias("dur"),
+        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("churn"),
+    )
+    t = (
+        lif.groupBy(F.col("dur").alias("td"))
+        .agg(F.sum("churn").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    n = (
+        t.select("td")
+        .join(lif, lif["dur"] >= F.col("td"))
+        .groupBy("td")
+        .agg(F.count("*").alias("n"))
+    )
+    r = t.join(n, "td").select(
+        "td",
+        "d",
+        "n",
+        F.when(F.col("n") == F.col("d"), F.lit(-13815511))
+        .otherwise(
+            F.round(
+                F.log((F.col("n") - F.col("d")) * 1.0 / F.col("n")) * 1e6
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("term_micro"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.join(b, F.col("b.td") <= F.col("a.td"))
+        .groupBy(F.col("a.td").alias("duration_days"))
+        .agg(
+            F.min("a.n").cast("long").alias("n_risk"),
+            F.min("a.d").cast("long").alias("n_events"),
+            F.round(F.exp(F.sum("b.term_micro") / 1e6) * 1000)
+            .cast("long")
+            .alias("survival_milli"),
+        )
+    )
+
+
+@q(
+    "ab_test_conversion",
+    """
+    WITH pc AS (
+      SELECT user_id,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
+      FROM events GROUP BY 1),
+    avgp AS (SELECT sum(np) * 1.0 / count(*) AS ap FROM pc),
+    c AS (SELECT user_id % 2 AS grp,
+                 CASE WHEN np > (SELECT ap FROM avgp) THEN 1 ELSE 0 END
+                   AS conv
+          FROM pc),
+    s AS (SELECT grp, count(*) AS n, sum(conv) AS k FROM c GROUP BY 1),
+    m AS (SELECT
+            (SELECT n FROM s WHERE grp = 0) AS n_a,
+            (SELECT k FROM s WHERE grp = 0) AS k_a,
+            (SELECT n FROM s WHERE grp = 1) AS n_b,
+            (SELECT k FROM s WHERE grp = 1) AS k_b)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(k_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(k_b AS BIGINT) AS conv_b,
+           CAST(round((k_a * 1.0 / n_a - k_b * 1.0 / n_b)
+                 / sqrt(((k_a + k_b) * 1.0 / (n_a + n_b))
+                        * (1 - (k_a + k_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) * 1000) AS BIGINT)
+             AS z_milli
+    FROM m
+    """,
+)
+def ab_test_conversion(spark, sf_dir):
+    """Two-proportion z-test between user cohorts (id parity as the
+    assignment) on the above-average-purchaser rate (a scale-free
+    conversion definition — an absolute flag saturates at 100% as
+    per-user event volume grows with SF) — the experimentation
+    primitive:
+    per-user conversion flags collapse map-side, the test statistic is
+    one fixed IEEE expression over four integers (frozen to milli), so
+    the whole analysis is two tiny aggregates at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    pc = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np")
+    )
+    avgp = pc.agg((F.sum("np") * 1.0 / F.count("*")).alias("ap"))
+    c = pc.crossJoin(F.broadcast(avgp)).select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(F.col("np") > F.col("ap"), 1).otherwise(0).alias("conv"),
+    )
+    s = c.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    a = s.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("k").alias("k_a")
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("k").alias("k_b")
+    )
+    pa = F.col("k_a") * 1.0 / F.col("n_a")
+    pb = F.col("k_b") * 1.0 / F.col("n_b")
+    pp = (F.col("k_a") + F.col("k_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    return a.crossJoin(b).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("k_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("k_b").cast("long").alias("conv_b"),
+        F.round(
+            (pa - pb)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+            * 1000
+        )
+        .cast("long")
+        .alias("z_milli"),
+    )
+
+
+@q(
+    "benford_price_audit",
+    """
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice
+                        / pow(10, floor(log10(o_totalprice)))) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0),
+    n AS (SELECT count(*) AS tot FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(count(*) * 1000.0 / (SELECT tot FROM n)) AS BIGINT)
+             AS observed_milli,
+           CAST(round(ln(1 + 1.0 / digit) / ln(10) * 1000) AS BIGINT)
+             AS benford_milli
+    FROM d GROUP BY 1
+    """,
+)
+def benford_price_audit(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals — the classic
+    forensic data-quality screen (synthetic or fabricated monetary data
+    betrays itself here; TPC-H prices are sums of uniform parts, so
+    expect visible deviation — that deviation IS the finding). Digits
+    extracted NUMERICALLY (floor(p/10^floor(log10 p)) — never via
+    double→string formatting, which engines disagree on); observed vs
+    Benford shares frozen to milli. One scan, 9-key aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count("*").alias("tot"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "cnt",
+            F.round(F.col("cnt") * 1000.0 / F.col("tot"))
+            .cast("long")
+            .alias("observed_milli"),
+            F.round(F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)) * 1000)
+            .cast("long")
+            .alias("benford_milli"),
+        )
+    )
+
+
+@q(
     "hll_own_sliding_7d",
     f"""
     WITH d AS (
