@@ -181,6 +181,8 @@ HEADLINE = [
     "km_time_to_purchase",
     "ab_test_conversion",
     "benford_price_audit",
+    "interval_union_minutes",
+    "theil_sen_trend",
 ]
 
 

@@ -10545,6 +10545,131 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "interval_union_minutes",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(round(value * 60) AS BIGINT) AS e
+      FROM events WHERE value > 0),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv)
+    SELECT user_id,
+           CAST(sum(e - greatest(s, coalesce(prev_max, s)))
+                FILTER (WHERE prev_max IS NULL OR e > prev_max)
+                AS BIGINT) AS covered_seconds,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM m GROUP BY 1
+    """,
+)
+def interval_union_minutes(spark, sf_dir):
+    """Interval-union coverage per user (the sweep-line classic): each
+    event opens a [ts, ts + value·60s) activity interval; overlaps must
+    not double-count, so per user we sort by start and clip each
+    interval at the running max of prior ends — one PARTITIONED window
+    over a user-keyed shuffle (exactly the sessionize shape; a bucketed
+    layout satisfies the partitioning write-side at 100 TB). All
+    arithmetic on epoch-second integers — engine-exact."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (
+            F.col("ts").cast("long")
+            + F.round(F.col("value") * 60).cast("long")
+        ).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max", F.max("e").over(w))
+    contrib = F.when(
+        F.col("prev_max").isNull() | (F.col("e") > F.col("prev_max")),
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.col("prev_max"), F.col("s"))),
+    )
+    return m.groupBy("user_id").agg(
+        F.sum(contrib).cast("long").alias("covered_seconds"),
+        F.count("*").cast("long").alias("n_intervals"),
+    )
+
+
+@q(
+    "theil_sen_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    sl AS (
+      SELECT a.event_type,
+             CAST(round((b.cnt - a.cnt) * 1000.0 / (b.day - a.day))
+                  AS BIGINT) AS slope_milli
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND b.day > a.day),
+    r AS (
+      SELECT event_type, slope_milli,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_milli, event_type) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM sl)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           slope_milli AS theil_sen_slope_milli
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    day-to-day slopes of the daily count series — the estimator that
+    shrugs off the outlier days that wreck least squares. The raw scan
+    collapses to the calendar-sized daily aggregate FIRST (the EWMA
+    discipline), so the O(days²) pairwise-slope join is over ~30-row
+    groups — bounded at any corpus size (a decade of days is 6.7M pairs
+    per key, still nothing). Slopes frozen to integer milli; the median
+    is the lower of the two middles (rank (n+1)÷2) under a partitioned,
+    deterministic order."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").alias("cnt"))
+    a, b = d.alias("a"), d.alias("b")
+    sl = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.cnt") - F.col("a.cnt"))
+            * 1000.0
+            / (F.col("b.day") - F.col("a.day"))
+        )
+        .cast("long")
+        .alias("slope_milli"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_milli", "event_type")
+    wn = Window.partitionBy("event_type")
+    r = sl.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("slope_milli").alias("theil_sen_slope_milli"),
+    )
+
+
+@q(
     "km_time_to_purchase",
     """
     WITH ev AS (

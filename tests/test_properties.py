@@ -1004,3 +1004,144 @@ def test_unigram_lm_matches_python_viterbi(spark, ts):
         key=lambda x: (-x[1], x[0]),
     )[:50]
     assert got == want
+
+
+@SLOW
+@given(edge_lists, st.integers(min_value=2, max_value=4))
+def test_kcore_peel_matches_python_fixpoint(spark, raw_edges, k):
+    """12-round kcore_peel vs a pure-Python peel run to FIXPOINT — on
+    ≤10-node graphs peeling converges in < 12 rounds, so the bounded
+    contract must land exactly on the fixpoint core."""
+    from dsci551_edfs_spark.operators.graph import kcore_peel
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    got = {
+        (r["node"], r["degree"])
+        for r in kcore_peel(df, "pa", "pb", k=k, rounds=12).collect()
+    }
+    e = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e2 = {(a, b) for a, b in e if a in keep and b in keep}
+        if e2 == e:
+            break
+        e = e2
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert got == set(deg.items())
+
+
+small_vec_sets = st.lists(
+    st.lists(
+        st.integers(min_value=-8, max_value=8).map(float),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@SLOW
+@given(small_vec_sets)
+def test_hbos_matches_python(spark, vecs):
+    """hbos_outlier_scores vs a pure-Python replay: same bin expression
+    (IEEE double ops on identical inputs), integer counts, milli-nat
+    terms. Integer-valued components make exact bin-edge collisions
+    common — the hard case for the determinism claim."""
+    import math
+
+    from dsci551_edfs_spark.pipeline.similarity import hbos_outlier_scores
+
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    got = {
+        r["id"]: r["score_milli"]
+        for r in hbos_outlier_scores(emb, n_bins=4).collect()
+    }
+    n = len(vecs)
+    dims = len(vecs[0])
+    bins = {}
+    for d in range(dims):
+        xs = [v[d] for v in vecs]
+        lo, hi = min(xs), max(xs)
+        for i, v in enumerate(vecs):
+            b = 0 if hi == lo else min(int((v[d] - lo) / (hi - lo) * 4), 3)
+            bins[(i, d)] = b
+    cnt = {}
+    for (i, d), b in bins.items():
+        cnt[(d, b)] = cnt.get((d, b), 0) + 1
+    want = {
+        i: sum(
+            round(1000 * math.log(n / cnt[(d, bins[(i, d)])]))
+            for d in range(dims)
+        )
+        for i in range(n)
+    }
+    assert got == want
+
+
+interval_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),      # user
+        st.integers(min_value=0, max_value=100),    # start
+        st.integers(min_value=1, max_value=40),     # length
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SLOW
+@given(interval_sets)
+def test_interval_union_matches_python(spark, ivs):
+    """The sweep-line clip (running-max window) vs a pure-Python union
+    of merged intervals — heavy overlap and duplicate starts included."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(u, s, s + ln) for u, s, ln in ivs], "user_id long, s long, e long"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = df.withColumn("prev_max", F.max("e").over(w))
+    contrib = F.when(
+        F.col("prev_max").isNull() | (F.col("e") > F.col("prev_max")),
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.col("prev_max"), F.col("s"))),
+    )
+    got = {
+        r["user_id"]: r["cov"]
+        for r in m.groupBy("user_id")
+        .agg(F.sum(contrib).alias("cov"))
+        .collect()
+    }
+    want = {}
+    for u in {x[0] for x in ivs}:
+        spans = sorted((s, s + ln) for uu, s, ln in ivs if uu == u)
+        total, cur_s, cur_e = 0, None, None
+        for s, e in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        total += cur_e - cur_s
+        want[u] = total
+    assert got == want
