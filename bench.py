@@ -183,6 +183,8 @@ HEADLINE = [
     "benford_price_audit",
     "interval_union_minutes",
     "theil_sen_trend",
+    "join_size_estimate_cms",
+    "column_entropy_profile",
 ]
 
 

@@ -10544,6 +10544,129 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
     return DD.prefix_filter_jaccard_pairs(d)
 
 
+_CMS_BUCKET_1024_SQL = """
+    ((strpos('0123456789abcdef', substring({m}, 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substring({m}, 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substring({m}, 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substring({m}, 4, 1)) - 1)) % 1024
+"""
+
+
+@q(
+    "join_size_estimate_cms",
+    f"""
+    WITH ex AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS v, r
+      FROM lineitem, generate_series(0, 3) t(r)),
+    c AS (SELECT r,
+                 {_CMS_BUCKET_1024_SQL.format(
+                     m="md5(CAST(r AS VARCHAR) || ':' || v)")} AS b,
+                 count(*) AS cnt
+          FROM ex GROUP BY 1, 2),
+    ip AS (SELECT r, sum(cnt * cnt) AS est FROM c GROUP BY 1),
+    exact AS (SELECT sum(cnt * cnt) AS x FROM (
+                SELECT count(*) AS cnt FROM lineitem GROUP BY l_partkey))
+    SELECT CAST(r AS BIGINT) AS sketch_row,
+           CAST(est AS BIGINT) AS est_join_size,
+           CAST(x AS BIGINT) AS exact_join_size
+    FROM ip, exact
+    """,
+)
+def join_size_estimate_cms(spark, sf_dir):
+    """Join-cardinality estimation from count-min sketches (the
+    AGMS/CMS inner-product estimator every cost-based optimizer variant
+    uses): |lineitem ⋈ lineitem on partkey| ≈ min over sketch rows of
+    Σ_b cms[r][b]² — computed from the O(depth·width) sketch alone,
+    never from the data twice. The sketch build is the md5-family
+    `count_min_build` (map-side combinable, O(sketch) shuffle at any
+    corpus size); exact truth rides along per row so the
+    collision-driven overestimate is visible. min(est) over the 4 rows
+    is the estimator; one driver-side min away."""
+    from .operators.sketches import count_min_build
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("v")
+    )
+    cms = count_min_build(li, "v", depth=4, width=1024, hash_fn="md5")
+    ip = cms.groupBy("row").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("est_join_size")
+    )
+    exact = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return ip.crossJoin(F.broadcast(exact)).select(
+        F.col("row").cast("long").alias("sketch_row"),
+        "est_join_size",
+        "exact_join_size",
+    )
+
+
+_ENTROPY_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def _entropy_oracle_sql() -> str:
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM orders"
+        for c in _ENTROPY_COLS
+    )
+    return f"""
+    WITH m AS ({arms}),
+    vc AS (SELECT col, val, count(*) AS cnt FROM m GROUP BY 1, 2),
+    n AS (SELECT count(*) AS nt FROM orders),
+    s AS (SELECT col, count(*) AS n_distinct,
+                 sum(CAST(round(cnt * ln(cnt) * 1000) AS BIGINT)) AS sterm
+          FROM vc GROUP BY 1)
+    SELECT col, CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(round(1000 * ln(CAST((SELECT nt FROM n) AS DOUBLE))
+                      - sterm * 1.0 / (SELECT nt FROM n)) AS BIGINT)
+             AS entropy_milli
+    FROM s
+    """
+
+
+@q("column_entropy_profile", _entropy_oracle_sql())
+def column_entropy_profile(spark, sf_dir):
+    """Shannon-entropy column profiling (key detection / compressibility
+    / information-content audit): H = ln N − (Σ cnt·ln cnt)/N per
+    column, with the Σ frozen to per-value integer milli-terms so the
+    accumulation is order-free. All candidate columns melt through ONE
+    codegen `stack` into a single two-level aggregate — the
+    FD-discovery single-scan discipline. High entropy ≈ key-like
+    (o_custkey), low ≈ categorical (o_orderstatus)."""
+    o = _t(spark, sf_dir, "orders")
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in _ENTROPY_COLS
+    )
+    m = o.select(
+        F.expr(f"stack({len(_ENTROPY_COLS)}, {stack_args}) as (col, val)")
+    )
+    n = o.agg(F.count("*").alias("nt"))
+    vc = m.groupBy("col", "val").agg(F.count("*").alias("cnt"))
+    s = vc.groupBy("col").agg(
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(
+            F.round(F.col("cnt") * F.log("cnt") * 1000).cast("long")
+        ).alias("sterm"),
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        "col",
+        "n_distinct",
+        F.round(
+            1000 * F.log(F.col("nt").cast("double"))
+            - F.col("sterm") * 1.0 / F.col("nt")
+        )
+        .cast("long")
+        .alias("entropy_milli"),
+    )
+
+
 @q(
     "interval_union_minutes",
     """

@@ -701,6 +701,22 @@ def main() -> None:
         "unigram_lm_growth": lambda k: ULM.unigram_lm_piece_counts(
             inflate_docs(docs, k)
         ),
+        # HBOS: two corpus passes (min/max, bin counts) + broadcast
+        # histogram — must grow ~K, nothing pairwise anywhere
+        "hbos_growth": lambda k: SIM.hbos_outlier_scores(inflate_emb(emb, k)),
+        # k-core peel: 12 rounds of degree-agg + semi-joins over a
+        # SHRINKING edge set — grows with the edge volume (~K); the hot
+        # basket's K²-pair core survives peeling by construction, so
+        # some super-linearity is semantic output, not plan failure
+        "kcore_growth": lambda k: GR.kcore_peel(
+            _copurchase(inflate_items_hot_basket(li, k)).select(
+                F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
+            ),
+            "pa",
+            "pb",
+            k=3,
+            rounds=12,
+        ),
         # MMR with the pool = the whole (inflated) corpus: k_sel driver
         # steps × one corpus pass each — ~K per the sequential-scan
         # contract (k_sel fixed at 4)
