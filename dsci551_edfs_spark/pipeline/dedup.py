@@ -1861,8 +1861,11 @@ def prefix_filter_jaccard_pairs(
     """
     from ..plans.hints import broadcast_if_small
 
-    toks = shingle_df(df, text_col, id_col, n=n).select(
-        "id", F.explode("shingles").alias("token")
+    # two consumers (df table + the rank join): pin the exploded shingles
+    toks = _persist(
+        shingle_df(_spread(df), text_col, id_col, n=n).select(
+            "id", F.explode("shingles").alias("token")
+        )
     )
     dfr = toks.groupBy("token").agg(F.count("*").alias("df"))
     per_doc = _persist(
@@ -1898,9 +1901,12 @@ def prefix_filter_jaccard_pairs(
     fb = per_doc.select(
         F.col("id").alias("id_b"), F.col("toks").alias("tb"), F.col("sz").alias("sb")
     )
+    # the verify joins fetch doc arrays for CANDIDATE ids only; the doc
+    # side broadcasts at demo scale (size-guarded — at 100 TB these flip
+    # to shuffled hash joins keyed on id, still candidate-bounded)
     return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
+        cand.join(broadcast_if_small(fa), "id_a")
+        .join(broadcast_if_small(fb), "id_b")
         .select(
             "id_a",
             "id_b",
