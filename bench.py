@@ -185,6 +185,7 @@ HEADLINE = [
     "theil_sen_trend",
     "join_size_estimate_cms",
     "column_entropy_profile",
+    "deloop_docs",
 ]
 
 

@@ -10544,6 +10544,67 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
     return DD.prefix_filter_jaccard_pairs(d)
 
 
+@q(
+    "deloop_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, toks[CAST(i AS INT)] AS token, CAST(i AS INT) AS pos
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents),
+           generate_series(1, 4096) s(i)
+      WHERE i <= len(toks)),
+    m AS (
+      SELECT doc_id, token, pos,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN token = prev THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           md5(string_agg(CASE WHEN prev IS NULL OR token <> prev
+                               THEN token END, ' ' ORDER BY pos))
+             AS deloop_md5
+    FROM m GROUP BY 1
+    """,
+)
+def deloop_docs(spark, sf_dir):
+    """De-looping: drop immediately-repeated tokens ("the the", stutter
+    loops — the classic crawl/OCR artifact and a standard quality
+    transform before training). Pure codegen: one filtered array fold
+    per doc (no per-token shuffle — the doc's token array never leaves
+    its row), emitting the de-looped text fingerprint plus drop counts.
+    The oracle takes the WINDOW formulation (lag over position) —
+    an independent restatement of the same contract."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.col("text"))
+    # keep token i iff i == 0 or toks[i] != toks[i-1]: zip the token
+    # array against its 1-shifted self (null-padded head), keep where
+    # different — all inside the row, pure codegen
+    kept = (
+        "transform(filter(zip_with(t, concat(array(cast(null as string)), "
+        "slice(t, 1, size(t) - 1)), (cur, prev) -> "
+        "struct(cur, (prev is null or cur != prev) as keep)), "
+        "s -> s.keep), s -> s.cur)"
+    )
+    return (
+        d.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.expr(kept).alias("kept_toks"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("kept_toks"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.md5(F.concat_ws(" ", "kept_toks")).alias("deloop_md5"),
+        )
+    )
+
+
 _CMS_BUCKET_1024_SQL = """
     ((strpos('0123456789abcdef', substring({m}, 1, 1)) - 1) * 4096
    + (strpos('0123456789abcdef', substring({m}, 2, 1)) - 1) * 256

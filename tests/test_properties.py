@@ -1145,3 +1145,47 @@ def test_interval_union_matches_python(spark, ivs):
         total += cur_e - cur_s
         want[u] = total
     assert got == want
+
+
+@SLOW
+@given(salad_texts)
+def test_deloop_matches_python(spark, ts):
+    """The de-loop zip_with/filter chain vs a pure-Python consecutive
+    dedupe — tiny vocabulary makes runs of repeated tokens common."""
+    import hashlib
+
+    from dsci551_edfs_spark.queries import QUERIES  # noqa: F401
+
+    from dsci551_edfs_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(enumerate(ts)), "doc_id long, text string")
+    kept = (
+        "transform(filter(zip_with(t, concat(array(cast(null as string)), "
+        "slice(t, 1, size(t) - 1)), (cur, prev) -> "
+        "struct(cur, (prev is null or cur != prev) as keep)), "
+        "s -> s.keep), s -> s.cur)"
+    )
+    got = {
+        r["doc_id"]: (r["n_dropped"], r["h"])
+        for r in df.select(
+            "doc_id", T.tokens(F.col("text")).alias("t")
+        )
+        .select(
+            "doc_id",
+            (F.size("t") - F.size(F.expr(kept))).cast("long").alias(
+                "n_dropped"
+            ),
+            F.md5(F.concat_ws(" ", F.expr(kept))).alias("h"),
+        )
+        .collect()
+    }
+    for i, t in enumerate(ts):
+        toks = t.strip().lower().split()
+        if not toks:
+            toks = [""]  # split('', '\\s+') semantics: one empty token
+        out = [toks[0]] + [
+            b for a, b in zip(toks, toks[1:]) if b != a
+        ]
+        want_h = hashlib.md5(" ".join(out).encode()).hexdigest()
+        assert got[i] == (len(toks) - len(out), want_h), repr(t)
