@@ -186,6 +186,8 @@ HEADLINE = [
     "join_size_estimate_cms",
     "column_entropy_profile",
     "deloop_docs",
+    "wordpiece_train_merges",
+    "doc_perplexity_sb3",
 ]
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "encode_docs",
     "bpe_merge_candidates",
     "bpe_train_merges",
+    "wordpiece_train_merges",
     "bpe_segment_vocab",
 ]
 
@@ -603,4 +604,92 @@ def bpe_train_merges(
     spark = df.sparkSession
     return spark.createDataFrame(
         out_rows, "rank long, left string, right string, merged string, pair_count long"
+    )
+
+
+def wordpiece_train_merges(
+    df: DataFrame,
+    num_merges: int = 30,
+    text_col: str = "text",
+    max_vocab_words: int = 50_000,
+) -> DataFrame:
+    """WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
+    tokenizer's trainer) — the third subword family next to BPE
+    (`bpe_train_merges`, count argmax) and unigram-LM
+    (`pipeline/unigram_lm.py`, Viterbi likelihood): each round merges
+    the adjacent pair maximizing the LIKELIHOOD RATIO
+    cnt(ab) / (cnt(a)·cnt(b)) instead of the raw count — rare-but-
+    coherent pairs win over frequent-but-independent ones.
+
+    Same two-phase scale shape as BPE: ONE distributed corpus pass
+    builds the word-frequency table (the only corpus-sized stage), the
+    merge loop runs on the driver over the vocab-sized dict. Scores are
+    compared as IEEE doubles of integer ratios — equal rationals yield
+    identical doubles, and ties break (pair asc), so training is
+    deterministic and the unrolled DuckDB oracle replays it exactly.
+    Returns (rank, left, right, merged, pair_count, ua_count, ub_count)
+    — all integers, the score is pair_count/(ua·ub) one division away.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(int(max_vocab_words))
+    )
+    freqs = {r["w"]: int(r["cnt"]) for r in words.collect()}  # vocab-sized
+
+    syms = {w: list(w) for w in freqs}
+    out_rows = []
+    for rank in range(int(num_merges)):
+        pair_counts: dict[tuple[str, str], int] = {}
+        unit_counts: dict[str, int] = {}
+        for w, units in syms.items():
+            c = freqs[w]
+            for u in units:
+                unit_counts[u] = unit_counts.get(u, 0) + c
+            for a, b in zip(units, units[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        best = None
+        for p, c in pair_counts.items():
+            score = c / (unit_counts[p[0]] * unit_counts[p[1]])
+            if (
+                best is None
+                or score > best[1]
+                or (score == best[1] and p < best[0])
+            ):
+                best = (p, score, c)
+        if best is None:
+            break
+        (la, lb), _, cnt = best
+        out_rows.append(
+            (
+                rank,
+                la,
+                lb,
+                la + lb,
+                cnt,
+                unit_counts[la],
+                unit_counts[lb],
+            )
+        )
+        for w, units in syms.items():
+            new, i = [], 0
+            while i < len(units):
+                if (
+                    i + 1 < len(units)
+                    and units[i] == la
+                    and units[i + 1] == lb
+                ):
+                    new.append(la + lb)
+                    i += 2
+                else:
+                    new.append(units[i])
+                    i += 1
+            syms[w] = new
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "rank long, left string, right string, merged string, "
+        "pair_count long, ua_count long, ub_count long",
     )

@@ -10545,6 +10545,167 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "doc_perplexity_sb3",
+    rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    tg0 AS (SELECT doc_id,
+                   unnest(toks[1 : len(toks) - 2]) AS w1,
+                   unnest(toks[2 : len(toks) - 1]) AS w2,
+                   unnest(toks[3 : len(toks)]) AS w3
+            FROM t WHERE len(toks) >= 3),
+    bg0 AS (SELECT doc_id,
+                   unnest(toks[1 : len(toks) - 1]) AS w1,
+                   unnest(toks[2 : len(toks)]) AS w2
+            FROM t WHERE len(toks) >= 2),
+    un0 AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg0
+           WHERE doc_id % 5 <> 0 GROUP BY 1, 2, 3),
+    c2x AS (SELECT w1, w2, count(*) AS c2ctx FROM tg0
+            WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+    lm3 AS (SELECT w1, w2, w3,
+                   CAST(round(ln(c3.c3 * 1.0 / c2x.c2ctx) * 1000000)
+                        AS BIGINT) AS lp3
+            FROM c3 JOIN c2x USING (w1, w2)),
+    b2 AS (SELECT w1, w2, count(*) AS c2 FROM bg0
+           WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+    b1 AS (SELECT w1, count(*) AS c1ctx FROM bg0
+           WHERE doc_id % 5 <> 0 GROUP BY 1),
+    lm2 AS (SELECT b2.w1 AS w2, b2.w2 AS w3,
+                   CAST(round(ln(c2 * 1.0 / c1ctx) * 1000000) AS BIGINT)
+                     + (-916291) AS lp2
+            FROM b2 JOIN b1 USING (w1)),
+    u1 AS (SELECT w, count(*) AS c1 FROM un0
+           WHERE doc_id % 5 <> 0 GROUP BY 1),
+    tt AS (SELECT count(*) AS t FROM un0 WHERE doc_id % 5 <> 0),
+    lm1 AS (SELECT w AS w3,
+                   CAST(round(ln(c1 * 1.0 / (SELECT t FROM tt)) * 1000000)
+                        AS BIGINT) + (-1832582) AS lp1
+            FROM u1),
+    sc AS (SELECT g.doc_id,
+                  coalesce(l3.lp3, l2.lp2, l1.lp1, -13815511) AS lp,
+                  CASE WHEN l3.lp3 IS NOT NULL THEN 'tri'
+                       WHEN l2.lp2 IS NOT NULL THEN 'bi'
+                       WHEN l1.lp1 IS NOT NULL THEN 'uni'
+                       ELSE 'oov' END AS br
+           FROM (SELECT * FROM tg0 WHERE doc_id % 5 = 0) g
+           LEFT JOIN lm3 l3 ON l3.w1 = g.w1 AND l3.w2 = g.w2
+                           AND l3.w3 = g.w3
+           LEFT JOIN lm2 l2 ON l2.w2 = g.w2 AND l2.w3 = g.w3
+           LEFT JOIN lm1 l1 ON l1.w3 = g.w3),
+    a AS (SELECT doc_id, count(*) AS n_trigrams,
+                 sum(CASE WHEN br = 'tri' THEN 1 ELSE 0 END) AS n_tri,
+                 sum(CASE WHEN br = 'bi' THEN 1 ELSE 0 END) AS n_bi,
+                 sum(CASE WHEN br = 'uni' THEN 1 ELSE 0 END) AS n_uni,
+                 sum(CASE WHEN br = 'oov' THEN 1 ELSE 0 END) AS n_oov,
+                 sum(lp) AS micro
+          FROM sc GROUP BY 1)
+    SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+           CAST(n_tri AS BIGINT) AS n_tri_hits,
+           CAST(n_bi AS BIGINT) AS n_bi_backoffs,
+           CAST(n_uni AS BIGINT) AS n_uni_backoffs,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           round(-micro / 1000000.0 / n_trigrams, 6) AS avg_neg_logp,
+           round(exp(round(-micro / 1000000.0 / n_trigrams, 6)), 3) AS ppl
+    FROM a
+    """,
+)
+def doc_perplexity_sb3(spark, sf_dir):
+    """Stupid Backoff TRIGRAM perplexity (Brants et al. 2007 — the
+    web-scale recipe: fixed 0.4 backoff, no normalization, which is why
+    it trains where Kneser-Ney can't): trigram → bigram → unigram →
+    OOV-floor cascade, every branch an integer micro-nat
+    (pipeline/lm.py:trigram_sb_perplexity). Strictly more signal than
+    `doc_perplexity_lm`'s bigram MLE — the branch-usage counters in the
+    output show exactly how often each backoff fires, the diagnostic a
+    corpus-quality pipeline watches. Three tiny count tables broadcast;
+    the corpus side is one trigram explode."""
+    from .pipeline import lm as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    return LM.trigram_sb_perplexity(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+def _wordpiece_train_oracle_sql(
+    n_merges: int = 30, max_vocab: int = 50000
+) -> str:
+    """The WordPiece merge loop UNROLLED (the `_bpe_train_oracle_sql`
+    sentinel-string machinery with the likelihood-ratio argmax): each
+    round also aggregates UNIT counts and ranks pairs by
+    c/(uc_a·uc_b) — equal rationals yield identical IEEE doubles, so
+    the ORDER BY is engine-stable; ties break (a, b) asc."""
+    sy = (
+        "list_transform(list_filter(string_split(enc, chr(2)), "
+        "s -> s <> ''), s -> s[2:])"
+    )
+    parts = [
+        f"""WITH words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w
+      ORDER BY cnt DESC, w LIMIT {max_vocab}
+    ), state0 AS MATERIALIZED (
+      SELECT w, cnt,
+             array_to_string(list_transform(string_split(w, ''),
+                             c -> chr(1) || c || chr(2)), '') AS enc
+      FROM words
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""", sy{k} AS MATERIALIZED (
+      SELECT cnt, {sy} AS sy FROM state{k}
+    ), units{k} AS MATERIALIZED (
+      SELECT u, sum(cnt) AS uc FROM (
+        SELECT cnt, unnest(sy) AS u FROM sy{k}) GROUP BY 1
+    ), best{k} AS MATERIALIZED (
+      SELECT p.a, p.b, p.c, ua.uc AS ua, ub.uc AS ub
+      FROM (SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
+            FROM (SELECT cnt, unnest(list_zip(sy, sy[2:])) AS pr
+                  FROM sy{k})
+            WHERE pr[2] IS NOT NULL GROUP BY 1, 2) p
+      JOIN units{k} ua ON ua.u = p.a
+      JOIN units{k} ub ON ub.u = p.b
+      ORDER BY p.c * 1.0 / (ua.uc * ub.uc) DESC, p.a, p.b LIMIT 1
+    )"""
+        )
+        if k < n_merges - 1:
+            parts.append(
+                f""", state{k + 1} AS MATERIALIZED (
+      SELECT w, cnt,
+             replace(enc,
+                     chr(1) || (SELECT a FROM best{k}) || chr(2)
+                       || chr(1) || (SELECT b FROM best{k}) || chr(2),
+                     chr(1) || (SELECT a || b FROM best{k}) || chr(2))
+               AS enc
+      FROM state{k}
+    )"""
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT {k} AS rank, a AS left, b AS right, a || b AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count, CAST(ua AS BIGINT) AS ua_count, "
+        f"CAST(ub AS BIGINT) AS ub_count FROM best{k}"
+        for k in range(n_merges)
+    )
+    return "".join(parts) + "\n" + union + "\nORDER BY rank"
+
+
+@q("wordpiece_train_merges", _wordpiece_train_oracle_sql())
+def wordpiece_train_merges_q(spark, sf_dir):
+    """WordPiece tokenizer training (the BERT trainer) — completes the
+    subword-family triad: BPE (count argmax, `bpe_train_merges`),
+    unigram-LM (Viterbi likelihood, `unigram_lm_top_pieces`), WordPiece
+    (likelihood-ratio argmax, this). One distributed corpus pass builds
+    the word table; the 30-round merge loop is vocab-sized driver work
+    (functions/text.py:wordpiece_train_merges). All-integer output rows
+    (pair + unit counts); the oracle unrolls the identical loop with
+    materialized per-round CTEs."""
+    return TXT.wordpiece_train_merges(_t(spark, sf_dir, "documents"))
+
+
+@q(
     "deloop_docs",
     r"""
     WITH tok AS (
