@@ -1189,3 +1189,129 @@ def test_deloop_matches_python(spark, ts):
         ]
         want_h = hashlib.md5(" ".join(out).encode()).hexdigest()
         assert got[i] == (len(toks) - len(out), want_h), repr(t)
+
+
+@SLOW
+@given(salad_texts)
+def test_trigram_sb_matches_python(spark, ts):
+    """trigram_sb_perplexity vs a pure-Python Stupid Backoff replay —
+    counts, frozen micro-nat logs, branch cascade, per-doc integer sums.
+    Train = even ids, score = odd ids."""
+    import math
+    from collections import Counter
+
+    from dsci551_edfs_spark.pipeline.lm import (
+        OOV_LOGP_MICRO,
+        SB_BACKOFF_MICRO,
+        trigram_sb_perplexity,
+    )
+
+    rows = list(enumerate(ts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = df.filter("doc_id % 2 = 0")
+    score = df.filter("doc_id % 2 = 1")
+    got = {
+        r["doc_id"]: (
+            r["n_trigrams"],
+            r["n_tri_hits"],
+            r["n_bi_backoffs"],
+            r["n_uni_backoffs"],
+            r["n_oov"],
+            r["avg_neg_logp"],
+        )
+        for r in trigram_sb_perplexity(train, score).collect()
+    }
+
+    def toks(t):
+        s = t.strip().lower()
+        return s.split() if s else [""]
+
+    tri, big, uni = Counter(), Counter(), Counter()
+    c2x, b1x = Counter(), Counter()
+    for i, t in rows:
+        if i % 2 != 0:
+            continue
+        w = toks(t)
+        for a, b, c in zip(w, w[1:], w[2:]):
+            tri[(a, b, c)] += 1
+            c2x[(a, b)] += 1
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] += 1
+            b1x[a] += 1
+        uni.update(w)
+    tot = sum(uni.values())
+    want = {}
+    for i, t in rows:
+        if i % 2 != 1:
+            continue
+        w = toks(t)
+        tgs = list(zip(w, w[1:], w[2:]))
+        if not tgs:
+            continue
+        n = [0, 0, 0, 0]
+        micro = 0
+        for g in tgs:
+            if g in tri:
+                lp = round(1e6 * math.log(tri[g] / c2x[g[:2]]))
+                n[0] += 1
+            elif g[1:] in big:
+                lp = (
+                    round(1e6 * math.log(big[g[1:]] / b1x[g[1]]))
+                    + SB_BACKOFF_MICRO
+                )
+                n[1] += 1
+            elif g[2] in uni:
+                lp = (
+                    round(1e6 * math.log(uni[g[2]] / tot))
+                    + 2 * SB_BACKOFF_MICRO
+                )
+                n[2] += 1
+            else:
+                lp = OOV_LOGP_MICRO
+                n[3] += 1
+            micro += lp
+        want[i] = (
+            len(tgs),
+            n[0],
+            n[1],
+            n[2],
+            n[3],
+            round(-micro / 1e6 / len(tgs), 6),
+        )
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60)
+)
+def test_cms_join_size_estimate_matches_python(spark, keys):
+    """The md5_nibbles CMS build + self-inner-product vs a pure-Python
+    sketch over the same keys — and the estimator's one-sided guarantee:
+    every per-row estimate >= the exact self-join size."""
+    import hashlib
+    from collections import Counter
+
+    from dsci551_edfs_spark.operators.sketches import count_min_build
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(str(k),) for k in keys], "v string")
+    cms = count_min_build(df, "v", depth=4, width=64, hash_fn="md5_nibbles")
+    got = {
+        r["row"]: r["est"]
+        for r in cms.groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("est"))
+        .collect()
+    }
+    freq = Counter(str(k) for k in keys)
+    exact = sum(c * c for c in freq.values())
+    want = {}
+    for r in range(4):
+        buckets = Counter()
+        for v, c in freq.items():
+            h = hashlib.md5(v.encode()).hexdigest()
+            b = int(h[4 * r : 4 * r + 4], 16) % 64
+            buckets[b] += c
+        want[r] = sum(c * c for c in buckets.values())
+    assert got == want
+    assert all(est >= exact for est in got.values())
