@@ -286,6 +286,11 @@ def ewma_daily_counts(
             .alias("day_num"),
         )
         .agg(F.count("*").alias("cnt"))
+        # both self-join sides consume the daily aggregate: cut lineage
+        # so the RAW scan runs ONCE (plan-pinned in tests/test_plans.py)
+        # — at 100 TB the second scan is the whole cost of getting
+        # this wrong
+        .localCheckpoint(eager=False)
     )
     a, b = daily.alias("a"), daily.alias("b")
     weight = F.expr(

@@ -418,3 +418,37 @@ def test_ivf_recall_curve_single_candidate_scan():
     plan = _plan("ann_recall_vs_nprobe")
     assert plan.count("embeddings.parquet") <= 4, plan
     assert "InMemoryRelation" in plan, plan
+
+
+def _n_scans(plan: str) -> int:
+    """Physical scans in a formatted plan. explain("formatted") prints
+    each scan TWICE (tree node + details section), so halve the count."""
+    return len(re.findall(r"Scan parquet|FileScan parquet", plan)) // 2
+
+
+def test_fd_discovery_is_single_scan():
+    """The 12 FD candidate pairs must melt through ONE scan of part —
+    never 12 per-pair scans (the claim in the docstring, pinned)."""
+    assert _n_scans(_plan("fd_discovery_part")) == 1
+
+
+def test_column_entropy_is_single_scan():
+    # one scan feeds the stack melt; the scalar N total may rescan —
+    # allow 2, never one per column
+    assert _n_scans(_plan("column_entropy_profile")) <= 2
+
+
+def test_hashed_tfidf_knn_broadcasts_query_side():
+    """The Q·64-row query side must broadcast — the corpus never
+    shuffles for the match (docstring claim, pinned)."""
+    plan = _plan("hashed_tfidf_knn")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ewma_scans_events_once():
+    """Collapse-first: the 30-term weighted window must run on the
+    calendar-sized aggregate of ONE events scan — before the daily
+    aggregate was lineage-cut, BOTH self-join sides re-scanned raw
+    events (the checkpointed frame shows as a leaf RDD scan, so no
+    parquet scan at all once cached)."""
+    assert _n_scans(_plan("ewma_event_rate")) <= 1

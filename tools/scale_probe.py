@@ -196,6 +196,30 @@ def main() -> None:
             tempfile.mkdtemp(prefix="probe_bucket_", dir=scratch),
         )
 
+    def _interval_union(events):
+        iv = events.filter(F.col("value") > 0).select(
+            "user_id",
+            F.col("ts").cast("long").alias("s"),
+            (
+                F.col("ts").cast("long")
+                + F.round(F.col("value") * 60).cast("long")
+            ).alias("e"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        m = iv.withColumn("prev_max", F.max("e").over(w))
+        contrib = F.when(
+            F.col("prev_max").isNull() | (F.col("e") > F.col("prev_max")),
+            F.col("e")
+            - F.greatest(F.col("s"), F.coalesce(F.col("prev_max"), F.col("s"))),
+        )
+        return m.groupBy("user_id").agg(
+            F.sum(contrib).alias("covered"), F.count("*").alias("n")
+        )
+
     def _sessionize(events):
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
@@ -716,6 +740,19 @@ def main() -> None:
             "pb",
             k=3,
             rounds=12,
+        ),
+        # interval union under HOT-KEY skew: half the added copies
+        # funnel onto ONE user, so the per-user window gets a straggler
+        # partition — the probe measures how hard that hits (the
+        # mitigation at 100 TB is the bucketed layout, like sessionize)
+        "interval_union_hot": lambda k: _interval_union(
+            inflate_events_hot(ev, k)
+        ),
+        # Stupid Backoff trigram: three count tables + one trigram
+        # explode over the score shard — all scan-bound, ~K
+        "sb3_growth": lambda k: LM.trigram_sb_perplexity(
+            inflate_docs(docs, k).filter(F.col("doc_id") % 5 != 0),
+            inflate_docs(docs, k).filter(F.col("doc_id") % 5 == 0),
         ),
         # MMR with the pool = the whole (inflated) corpus: k_sel driver
         # steps × one corpus pass each — ~K per the sequential-scan
