@@ -188,6 +188,9 @@ HEADLINE = [
     "deloop_docs",
     "wordpiece_train_merges",
     "doc_perplexity_sb3",
+    "exact_median_two_pass",
+    "weak_label_matrix",
+    "dp_noisy_counts",
 ]
 
 

@@ -10545,6 +10545,261 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "dp_noisy_counts",
+    """
+    WITH g AS (SELECT c_nationkey, count(*) AS true_count
+               FROM customer GROUP BY 1),
+    u AS (SELECT c_nationkey, true_count,
+                 (CAST('0x' || substring(md5('dp1:' ||
+                        CAST(c_nationkey AS VARCHAR)), 1, 13) AS BIGINT)
+                  + 1) / 4503599627370497.0 AS u1,
+                 (CAST('0x' || substring(md5('dp2:' ||
+                        CAST(c_nationkey AS VARCHAR)), 1, 13) AS BIGINT)
+                  + 1) / 4503599627370497.0 AS u2
+          FROM g)
+    SELECT c_nationkey, CAST(true_count AS BIGINT) AS true_count,
+           CAST(floor(-ln(u1)) - floor(-ln(u2)) AS BIGINT) AS noise,
+           CAST(true_count + floor(-ln(u1)) - floor(-ln(u2)) AS BIGINT)
+             AS dp_count
+    FROM u
+    """,
+)
+def dp_noisy_counts(spark, sf_dir):
+    """ε=1 differentially-private group counts via the two-sided
+    geometric (discrete Laplace) mechanism: noise = G₁ − G₂ with
+    Gᵢ = ⌊−ln(uᵢ)⌋, the exact inverse-CDF construction for
+    Geometric(1−e^(−ε)). The uniforms are md5-SEEDED per group key —
+    the reproducible-test harness every DP pipeline runs its
+    distribution checks with; a production release swaps the seeded
+    generator for secure per-release randomness and NOTHING else
+    changes (same mechanism, same post-processing). True counts ride
+    along so the calibration is visible. One map-side-combinable
+    groupBy + a codegen noise projection at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    den = float((1 << 52) + 1)
+
+    def _u(salt: str):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.col("c_nationkey").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h + 1) / F.lit(den)
+
+    noise = F.floor(-F.log(_u("dp1:"))) - F.floor(-F.log(_u("dp2:")))
+    return g.select(
+        "c_nationkey",
+        "true_count",
+        noise.cast("long").alias("noise"),
+        (F.col("true_count") + noise).cast("long").alias("dp_count"),
+    )
+
+
+def _weak_label_oracle_sql() -> str:
+    lang_scores = ", ".join(
+        f"{_lang_score_sql(lang, sw)} AS s_{lang}"
+        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
+    )
+    best = "greatest(" + ", ".join(
+        f"s_{lang}" for lang in sorted(TXT.LANG_STOPWORDS)
+    ) + ")"
+    return f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+                  AS BIGINT) AS n_tokens,
+             round(length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END,
+                   1), 3) AS avg_token_len,
+             round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                   / greatest(length(text), 1), 3) AS punct_ratio,
+             round(len(regexp_extract_all(text, '[0-9]'))
+                   / greatest(length(text), 1), 3) AS digit_ratio,
+             {lang_scores}
+      FROM documents),
+    v AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens >= 10 AND punct_ratio <= 0.20
+                       AND digit_ratio <= 0.30
+                       AND avg_token_len BETWEEN 2.0 AND 12.0 THEN 1
+                  WHEN n_tokens < 5 OR punct_ratio > 0.30 THEN -1
+                  ELSE 0 END AS v_q,
+             CASE WHEN {best} = 0 THEN 0
+                  WHEN (CASE {_LANG_CASE} ELSE 'und' END) = lang THEN 1
+                  ELSE -1 END AS v_lang,
+             CASE WHEN n_tokens BETWEEN 10 AND 100 THEN 1
+                  WHEN n_tokens < 3 THEN -1 ELSE 0 END AS v_len
+      FROM (SELECT f.*, {best} AS best FROM f)),
+    m AS (
+      SELECT 'q|lang' AS pair, v_q AS va, v_lang AS vb FROM v
+      UNION ALL SELECT 'q|len', v_q, v_len FROM v
+      UNION ALL SELECT 'lang|len', v_lang, v_len FROM v)
+    SELECT pair,
+           CAST(sum(CASE WHEN va <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cov_a,
+           CAST(sum(CASE WHEN vb <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cov_b,
+           CAST(sum(CASE WHEN va <> 0 AND vb <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN va <> 0 AND va = vb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(sum(CASE WHEN va * vb = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conflict
+    FROM m GROUP BY 1
+    """
+
+
+@q("weak_label_matrix", _weak_label_oracle_sql())
+def weak_label_matrix(spark, sf_dir):
+    """Weak-supervision diagnostics (the Snorkel labeling-function
+    matrix): three heuristic LFs vote {+1, −1, abstain} per doc —
+    rule-gate quality, stopword-evidence language agreement, length
+    band — and the output is the pairwise coverage/overlap/agreement/
+    conflict table a label-model developer reads before trusting the
+    denoised labels. One projection computes all votes, the 3 LF pairs
+    melt through a stack, one 3-key aggregate — a single corpus scan
+    whatever the LF count."""
+    d = _t(spark, sf_dir, "documents")
+    stats = TXT.text_stats(d)
+    pred = TXT.lang_id(d)
+    base = (
+        stats.join(pred, "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    v_q = (
+        F.when(
+            (F.col("n_tokens") >= 10)
+            & (F.col("punct_ratio") <= 0.20)
+            & (F.col("digit_ratio") <= 0.30)
+            & (F.col("avg_token_len") >= 2.0)
+            & (F.col("avg_token_len") <= 12.0),
+            1,
+        )
+        .when((F.col("n_tokens") < 5) | (F.col("punct_ratio") > 0.30), -1)
+        .otherwise(0)
+    )
+    v_lang = (
+        F.when(F.col("lang_pred") == "und", 0)
+        .when(F.col("lang_pred") == F.col("lang"), 1)
+        .otherwise(-1)
+    )
+    v_len = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100), 1)
+        .when(F.col("n_tokens") < 3, -1)
+        .otherwise(0)
+    )
+    votes = base.select(
+        v_q.alias("v_q"), v_lang.alias("v_lang"), v_len.alias("v_len")
+    )
+    m = votes.select(
+        F.expr(
+            "stack(3, 'q|lang', v_q, v_lang, 'q|len', v_q, v_len, "
+            "'lang|len', v_lang, v_len) as (pair, va, vb)"
+        )
+    )
+    return m.groupBy("pair").agg(
+        F.sum((F.col("va") != 0).cast("long")).cast("long").alias("cov_a"),
+        F.sum((F.col("vb") != 0).cast("long")).cast("long").alias("cov_b"),
+        F.sum(((F.col("va") != 0) & (F.col("vb") != 0)).cast("long"))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(((F.col("va") != 0) & (F.col("va") == F.col("vb"))).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+        F.sum((F.col("va") * F.col("vb") == -1).cast("long"))
+        .cast("long")
+        .alias("n_conflict"),
+    )
+
+
+@q(
+    "exact_median_two_pass",
+    """
+    WITH n AS (SELECT count(*) AS nt FROM orders),
+    r AS (SELECT o_totalprice,
+                 row_number() OVER (ORDER BY o_totalprice) AS rn
+          FROM orders)
+    SELECT o_totalprice AS median_price,
+           (SELECT CAST(nt AS BIGINT) FROM n) AS n_rows
+    FROM r WHERE rn = ((SELECT nt FROM n) + 1) // 2
+    """,
+)
+def exact_median_two_pass(spark, sf_dir):
+    """EXACT global median WITHOUT a global sort — the two-pass
+    histogram-refinement algorithm a 100 TB median actually needs
+    (a naive exact median = one global sort; approx_percentile gives
+    up exactness):
+
+    pass 1: map-side-combinable 1024-bin histogram + total count → the
+    driver locates the single bin containing rank ⌈n/2⌉ from ≤1024
+    integers (a bounded collect);
+    pass 2: scan again FILTERED to that bin (predicate-pushed), and
+    TakeOrderedAndProject the within-bin rank — per-partition heaps of
+    at most the in-bin offset, never a global sort.
+
+    The oracle computes the same order statistic the lazy way
+    (row_number over a full sort) — algorithm-independent. Median
+    contract: the rank-⌈n/2⌉ element ascending (lower middle)."""
+    o = _t(spark, sf_dir, "orders")
+    lohi = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).first()
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) / 1024 or 1.0
+    hist = (
+        o.groupBy(
+            F.least(
+                F.floor((F.col("o_totalprice") - lo) / width).cast("int"),
+                F.lit(1023),
+            ).alias("bin")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()  # <= 1024 rows: bounded by construction
+    )
+    counts = {r["bin"]: r["cnt"] for r in hist}
+    n = sum(counts.values())
+    target = (n + 1) // 2
+    cum = 0
+    for b in range(1024):
+        c = counts.get(b, 0)
+        if cum + c >= target:
+            tbin, below = b, cum
+            break
+        cum += c
+    blo = lo + tbin * width
+    bhi = hi if tbin == 1023 else lo + (tbin + 1) * width
+    k = target - below
+    in_bin = o.filter(
+        (F.col("o_totalprice") >= blo)
+        & (
+            F.col("o_totalprice") <= bhi
+            if tbin == 1023
+            else F.col("o_totalprice") < bhi
+        )
+    )
+    # TakeOrdered k rows within the bin; the k-th IS the median
+    med = (
+        in_bin.select("o_totalprice")
+        .orderBy("o_totalprice")
+        .limit(int(k))
+        .agg(F.max("o_totalprice").alias("median_price"))
+    )
+    return med.select(
+        "median_price", F.lit(int(n)).cast("long").alias("n_rows")
+    )
+
+
+@q(
     "doc_perplexity_sb3",
     rf"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
