@@ -376,7 +376,10 @@ def hashed_tfidf_knn(
     model and no vocabulary."""
     from pyspark.sql import Window
 
-    vecs = hashed_tfidf_vectors(docs, text_col, id_col, dim).persist()
+    from .dedup import _persist
+
+    # registered with release_cached like every pinned intermediate
+    vecs = _persist(hashed_tfidf_vectors(docs, text_col, id_col, dim))
     qv = vecs.filter((F.col("id") % query_mod) == 0)
     cv = vecs.filter((F.col("id") % query_mod) != 0)
     n2 = vecs.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))

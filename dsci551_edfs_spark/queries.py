@@ -11605,8 +11605,6 @@ def minhash_pr_eval(spark, sf_dir):
     truth set is an ALL-PAIRS restatement — independent of the engine's
     candidate generation on both legs."""
     d = _t(spark, sf_dir, "documents")
-    from .functions.text import tokens as _tok  # noqa: F401  (doc pointer)
-
     shingled = DD.shingle_df(d)
     sigs = DD.minhash_signature(shingled, 64, 42, hash_family="md5")
     cand = DD.minhash_candidate_pairs(sigs, 16, num_hashes=64, hash_family="md5")
