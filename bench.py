@@ -191,6 +191,9 @@ HEADLINE = [
     "exact_median_two_pass",
     "weak_label_matrix",
     "dp_noisy_counts",
+    "ohlc_hourly",
+    "session_entry_exit",
+    "subword_fertility_report",
 ]
 
 

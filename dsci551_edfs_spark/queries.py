@@ -10544,6 +10544,289 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
     return DD.prefix_filter_jaccard_pairs(d)
 
 
+def _merge_chain_ctes(
+    pfx: str, n_merges: int, criterion: str, max_vocab: int = 50000
+) -> str:
+    """Prefixed merge-loop CTE chain (shared by the fertility oracle):
+    the `_bpe_train_oracle_sql` sentinel-string machinery, ending at
+    state{n_merges} (the trainer's FINAL symbolization), with the merge
+    argmax chosen by ``criterion`` ('count' = BPE, 'ratio' = WordPiece).
+    All CTE names carry ``pfx`` so two chains coexist in one statement."""
+    sy = (
+        "list_transform(list_filter(string_split(enc, chr(2)), "
+        "s -> s <> ''), s -> s[2:])"
+    )
+    parts = [
+        f"""{pfx}words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w
+      ORDER BY cnt DESC, w LIMIT {max_vocab}
+    ), {pfx}state0 AS MATERIALIZED (
+      SELECT w, cnt,
+             array_to_string(list_transform(string_split(w, ''),
+                             c -> chr(1) || c || chr(2)), '') AS enc
+      FROM {pfx}words
+    )"""
+    ]
+    for k in range(n_merges):
+        if criterion == "count":
+            best = f"""{pfx}best{k} AS MATERIALIZED (
+      SELECT pr[1] AS a, pr[2] AS b
+      FROM (SELECT cnt, unnest(list_zip(sy, sy[2:])) AS pr
+            FROM (SELECT cnt, {sy} AS sy FROM {pfx}state{k}))
+      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+      ORDER BY sum(cnt) DESC, a, b LIMIT 1
+    )"""
+        else:
+            best = f"""{pfx}sy{k} AS MATERIALIZED (
+      SELECT cnt, {sy} AS sy FROM {pfx}state{k}
+    ), {pfx}units{k} AS MATERIALIZED (
+      SELECT u, sum(cnt) AS uc FROM (
+        SELECT cnt, unnest(sy) AS u FROM {pfx}sy{k}) GROUP BY 1
+    ), {pfx}best{k} AS MATERIALIZED (
+      SELECT p.a, p.b
+      FROM (SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
+            FROM (SELECT cnt, unnest(list_zip(sy, sy[2:])) AS pr
+                  FROM {pfx}sy{k})
+            WHERE pr[2] IS NOT NULL GROUP BY 1, 2) p
+      JOIN {pfx}units{k} ua ON ua.u = p.a
+      JOIN {pfx}units{k} ub ON ub.u = p.b
+      ORDER BY p.c * 1.0 / (ua.uc * ub.uc) DESC, p.a, p.b LIMIT 1
+    )"""
+        parts.append(", " + best)
+        parts.append(
+            f""", {pfx}state{k + 1} AS MATERIALIZED (
+      SELECT w, cnt,
+             replace(enc,
+                     chr(1) || (SELECT a FROM {pfx}best{k}) || chr(2)
+                       || chr(1) || (SELECT b FROM {pfx}best{k}) || chr(2),
+                     chr(1) || (SELECT a || b FROM {pfx}best{k}) || chr(2))
+               AS enc
+      FROM {pfx}state{k}
+    )"""
+        )
+    parts.append(
+        f""", {pfx}total AS (
+      SELECT CAST(sum(cnt * len({sy})) AS BIGINT) AS pieces,
+             CAST(sum(cnt) AS BIGINT) AS words_w
+      FROM {pfx}state{n_merges} WHERE length(w) <= 12
+    )"""
+    )
+    return "".join(parts)
+
+
+@q(
+    "subword_fertility_report",
+    "WITH "
+    + _merge_chain_ctes("b_", 40, "count")
+    + ", "
+    + _merge_chain_ctes("w_", 30, "ratio")
+    + """
+    SELECT 'bpe40' AS family, pieces, words_w,
+           CAST((1000 * pieces) // words_w AS BIGINT) AS pieces_per_kword
+    FROM b_total
+    UNION ALL
+    SELECT 'wordpiece30', pieces, words_w,
+           CAST((1000 * pieces) // words_w AS BIGINT)
+    FROM w_total
+    """,
+)
+def subword_fertility_report(spark, sf_dir):
+    """Head-to-head tokenizer fertility: train BPE (40 count-argmax
+    merges) and WordPiece (30 likelihood-ratio merges) on the corpus,
+    segment the SAME 2-12-char vocabulary with each trainer's final
+    state, and report frequency-weighted pieces-per-kiloword — the
+    metric tokenizer teams actually compare families with. Spark
+    segments via the greedy-by-rank encoder (`bpe_segment_vocab` —
+    provably equivalent to sequential merge replay: a merge never
+    creates adjacency between two pre-existing symbols, so lower-rank
+    opportunities cannot reappear); the oracle replays both merge
+    chains as prefixed materialized-CTE states in ONE statement. Both
+    trainings are one corpus pass + vocab-sized driver loops."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = [r["merged"] for r in TXT.bpe_train_merges(d, 40).collect()]
+    wp = [
+        r["merged"] for r in TXT.wordpiece_train_merges(d, 30).collect()
+    ]
+    # the SAME top-50k-by-frequency domain the trainers (and the
+    # oracle's state chains) operate on, then the 2-12-char report band
+    words = (
+        d.select(F.explode(TXT.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(50_000)
+        .filter(F.length("w") <= 12)
+    ).localCheckpoint(eager=False)
+    rows = []
+    for fam, merges in (("bpe40", bpe), ("wordpiece30", wp)):
+        seg = TXT.bpe_segment_vocab(words, merges, token_col="w")
+        tot = (
+            seg.join(words.select(F.col("w").alias("token"), "freq"), "token")
+            .agg(
+                F.sum(F.col("freq") * F.col("n_pieces"))
+                .cast("long")
+                .alias("pieces"),
+                F.sum("freq").cast("long").alias("words_w"),
+            )
+            .select(
+                F.lit(fam).alias("family"),
+                "pieces",
+                "words_w",
+                F.expr("(1000 * pieces) div words_w")
+                .cast("long")
+                .alias("pieces_per_kword"),
+            )
+        )
+        rows.append(tot)
+    return rows[0].unionByName(rows[1])
+
+
+@q(
+    "ohlc_hourly",
+    """
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type, hour,
+             min(struct_pack(t := ts_s, i := event_id, c := cents)) AS o,
+             max(struct_pack(t := ts_s, i := event_id, c := cents)) AS c,
+             max(cents) AS high, min(cents) AS low,
+             count(*) AS n, sum(cents) AS vsum
+      FROM e GROUP BY 1, 2)
+    SELECT event_type, hour,
+           CAST((o).c AS BIGINT) AS open_cents,
+           CAST(high AS BIGINT) AS high_cents,
+           CAST(low AS BIGINT) AS low_cents,
+           CAST((c).c AS BIGINT) AS close_cents,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(vsum AS BIGINT) AS sum_cents
+    FROM g
+    """,
+)
+def ohlc_hourly(spark, sf_dir):
+    """OHLC candlestick bars per (event type, hour) — the time-series
+    downsampling shape every metrics/finance store serves. Open/close
+    are the first/last value by (ts, event_id) — computed as ONE
+    min/max over (ts, id, value) structs inside the same
+    map-side-combinable aggregate as high/low/volume, so there is NO
+    window, NO sort, and ties are deterministic. Values frozen to
+    exact cents."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("ts").cast("long").alias("ts_s"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    key = F.struct(
+        F.col("ts_s").alias("t"), F.col("event_id").alias("i"),
+        F.col("cents").alias("c"),
+    )
+    g = e.groupBy("event_type", "hour").agg(
+        F.min(key).alias("o"),
+        F.max(key).alias("cl"),
+        F.max("cents").alias("high"),
+        F.min("cents").alias("low"),
+        F.count("*").alias("n"),
+        F.sum("cents").alias("vsum"),
+    )
+    return g.select(
+        "event_type",
+        "hour",
+        F.col("o.c").cast("long").alias("open_cents"),
+        F.col("high").cast("long").alias("high_cents"),
+        F.col("low").cast("long").alias("low_cents"),
+        F.col("cl.c").cast("long").alias("close_cents"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("vsum").cast("long").alias("sum_cents"),
+    )
+
+
+@q(
+    "session_entry_exit",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, event_type, ts_s,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                       OR ts_s - lag(ts_s) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+    s AS (
+      SELECT user_id, event_id, event_type, ts_s,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_no
+      FROM m),
+    g AS (
+      SELECT user_id, session_no,
+             min(struct_pack(t := ts_s, i := event_id, e := event_type))
+               AS fe,
+             max(struct_pack(t := ts_s, i := event_id, e := event_type))
+               AS le,
+             count(*) AS n
+      FROM s GROUP BY 1, 2),
+    x AS (SELECT (fe).e AS entry_type, (le).e AS exit_type,
+                 CASE WHEN n = 1 THEN 1 ELSE 0 END AS bounce
+          FROM g)
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(bounce) AS BIGINT) AS n_bounces
+    FROM x GROUP BY 1, 2
+    """,
+)
+def session_entry_exit(spark, sf_dir):
+    """Entry/exit-page analytics over 30-minute sessions: which event
+    type opens and closes each session, and the single-event bounce
+    count per (entry, exit) pair — the web-analytics staple. Rides the
+    house sessionize shape (two stacked windows on ONE user-keyed
+    shuffle), then first/last via min/max over (ts, id, type) structs
+    in a map-side-combinable aggregate — no per-session sort."""
+    from .operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    sess = sessionize(
+        e.withColumn("ts", F.col("ts_s")), gap_s=1800, ts_col="ts"
+    )
+    s = e.join(sess.select("event_id", "session_no"), "event_id")
+    key = F.struct(
+        F.col("ts_s").alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("event_type").alias("e"),
+    )
+    g = s.groupBy("user_id", "session_no").agg(
+        F.min(key).alias("fe"), F.max(key).alias("le"), F.count("*").alias("n")
+    )
+    return (
+        g.select(
+            F.col("fe.e").alias("entry_type"),
+            F.col("le.e").alias("exit_type"),
+            F.when(F.col("n") == 1, 1).otherwise(0).alias("bounce"),
+        )
+        .groupBy("entry_type", "exit_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("bounce").cast("long").alias("n_bounces"),
+        )
+    )
+
+
 @q(
     "dp_noisy_counts",
     """
