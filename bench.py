@@ -194,6 +194,7 @@ HEADLINE = [
     "ohlc_hourly",
     "session_entry_exit",
     "subword_fertility_report",
+    "unigram_lm_fertility",
 ]
 
 

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["unigram_lm_piece_counts", "unigram_lm_oracle_sql"]
+__all__ = ["unigram_lm_piece_counts", "unigram_lm_fertility", "unigram_lm_oracle_sql"]
 
 MAX_PIECE = 4
 MAX_WORD = 12
@@ -50,6 +50,7 @@ def unigram_lm_piece_counts(
     docs: DataFrame,
     text_col: str = "text",
     top_k: int = 50,
+    _emissions_only: bool = False,
 ) -> DataFrame:
     """One unigram-LM round over the corpus: returns the ``top_k``
     pieces by Viterbi usage count ``(piece, n_uses, cost_milli)``,
@@ -203,6 +204,7 @@ def unigram_lm_piece_counts(
         F.array().cast("array<string>").alias("ps"),
     )
     pieces = dp.select(
+        "w",
         "freq",
         F.explode(
             F.aggregate(
@@ -214,6 +216,9 @@ def unigram_lm_piece_counts(
         ).alias("p"),
     )
 
+    if _emissions_only:
+        return pieces, costs
+
     return (
         pieces.groupBy("p")
         .agg(F.sum("freq").cast("long").alias("n_uses"))
@@ -224,7 +229,7 @@ def unigram_lm_piece_counts(
     )
 
 
-def unigram_lm_oracle_sql(top_k: int = 50) -> str:
+def unigram_lm_oracle_sql(top_k: int = 50, totals: bool = False) -> str:
     """DuckDB restatement: the identical lattice as MATERIALIZED
     per-level CTEs (the BPE-unroll precedent) — min(struct_pack(v, i))
     argmin, same integer c16 objective, same backtrace walk."""
@@ -287,10 +292,24 @@ def unigram_lm_oracle_sql(top_k: int = 50) -> str:
               WHERE b.arg > 0)"""
         )
     em_union = " UNION ALL ".join(
-        f"SELECT freq, substring(w, arg + 1, pos - arg) AS p FROM bt{t} "
+        f"SELECT w, freq, substring(w, arg + 1, pos - arg) AS p FROM bt{t} "
         "WHERE arg IS NOT NULL"
         for t in range(W)
     )
+    if totals:
+        parts.append(
+            f""",
+    em AS ({em_union})
+    SELECT 'unigram_lm' AS family,
+           CAST(sum(freq) AS BIGINT) AS pieces,
+           (SELECT CAST(sum(freq) AS BIGINT) FROM words
+            WHERE length(w) >= 2) AS words_w,
+           CAST((1000 * sum(freq))
+                // (SELECT sum(freq) FROM words WHERE length(w) >= 2)
+                AS BIGINT) AS pieces_per_kword
+    FROM em WHERE length(w) >= 2"""
+        )
+        return "".join(parts)
     parts.append(
         f""",
     em AS ({em_union})
@@ -302,3 +321,35 @@ def unigram_lm_oracle_sql(top_k: int = 50) -> str:
     LIMIT {top_k}"""
     )
     return "".join(parts)
+
+
+def unigram_lm_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-weighted Viterbi fertility of the unigram-LM round:
+    total pieces / total word occurrences over the 2-12-char band —
+    the third row of the subword-family comparison
+    (`subword_fertility_report` covers BPE/WordPiece; unigram segments
+    by likelihood, so its fertility comes from the SAME Viterbi
+    trajectory `unigram_lm_top_pieces` verifies). One scan + the
+    vocab-sized folds."""
+    pieces, _costs = unigram_lm_piece_counts(
+        docs, text_col, _emissions_only=True
+    )
+    band = pieces.filter(F.length("w") >= 2)
+    return band.agg(
+        F.sum("freq").cast("long").alias("pieces"),
+    ).crossJoin(
+        band.select("w", "freq")
+        .groupBy("w")
+        .agg(F.first("freq").alias("f"))
+        .agg(F.sum("f").cast("long").alias("words_w"))
+    ).select(
+        F.lit("unigram_lm").alias("family"),
+        "pieces",
+        "words_w",
+        F.expr("(1000 * pieces) div words_w").cast("long").alias(
+            "pieces_per_kword"
+        ),
+    )

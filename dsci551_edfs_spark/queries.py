@@ -10684,6 +10684,24 @@ def subword_fertility_report(spark, sf_dir):
     return rows[0].unionByName(rows[1])
 
 
+def _ulm_fertility_oracle() -> str:
+    from .pipeline.unigram_lm import unigram_lm_oracle_sql
+
+    return unigram_lm_oracle_sql(totals=True)
+
+
+@q("unigram_lm_fertility", _ulm_fertility_oracle())
+def unigram_lm_fertility(spark, sf_dir):
+    """The unigram-LM row of the subword-family fertility comparison
+    (`subword_fertility_report` carries BPE/WordPiece): corpus-weighted
+    Viterbi pieces-per-kiloword over the 2-12-char band, derived from
+    the same verified lattice as `unigram_lm_top_pieces`
+    (pipeline/unigram_lm.py:unigram_lm_fertility)."""
+    from .pipeline.unigram_lm import unigram_lm_fertility as _f
+
+    return _f(_t(spark, sf_dir, "documents"))
+
+
 @q(
     "ohlc_hourly",
     """
