@@ -1270,15 +1270,15 @@ def test_trigram_sb_matches_python(spark, ts):
                 lp = OOV_LOGP_MICRO
                 n[3] += 1
             micro += lp
-        want[i] = (
-            len(tgs),
-            n[0],
-            n[1],
-            n[2],
-            n[3],
-            round(-micro / 1e6 / len(tgs), 6),
-        )
-    assert got == want
+        want[i] = (len(tgs), n[0], n[1], n[2], n[3], -micro / 1e6 / len(tgs))
+    assert set(got) == set(want)
+    for i, w in want.items():
+        g = got[i]
+        assert g[:5] == w[:5], (i, g, w)
+        # engine rounds HALF_UP at 6 decimals; python round() is
+        # half-even, so exact .5 boundaries (e.g. ln2/2) differ in the
+        # last digit — compare against the UNROUNDED value instead
+        assert abs(g[5] - w[5]) <= 5.1e-7, (i, g, w)
 
 
 @SLOW
