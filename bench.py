@@ -195,6 +195,8 @@ HEADLINE = [
     "session_entry_exit",
     "subword_fertility_report",
     "unigram_lm_fertility",
+    "sequence_pattern_match",
+    "clamped_balance",
 ]
 
 

@@ -10684,6 +10684,156 @@ def subword_fertility_report(spark, sf_dir):
     return rows[0].unionByName(rows[1])
 
 
+@q(
+    "sequence_pattern_match",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+                             WHEN 'purchase' THEN 'p' WHEN 'view' THEN 'v'
+                             ELSE 'x' END AS sym
+      FROM events),
+    seq AS (
+      SELECT user_id,
+             string_agg(sym, '' ORDER BY ts_s, event_id) AS s
+      FROM e GROUP BY 1)
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(s, 'sc*p')) AS BIGINT)
+             AS n_funnel_matches,
+           CAST(len(regexp_extract_all(s, 'pp')) AS BIGINT)
+             AS n_repeat_purchases,
+           CAST(CASE WHEN regexp_matches(s, 'sc{3,}p') THEN 1 ELSE 0 END
+                AS BIGINT) AS has_long_consideration
+    FROM seq
+    """,
+)
+def sequence_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern analytics without the SQL
+    extension: each user's event history collapses to an ordered symbol
+    string (one char per event type), and the patterns — signup→
+    clicks*→purchase funnels, back-to-back purchases, long-
+    consideration paths — run as plain regexes over that string. One
+    user-keyed aggregate (sort_array of (ts, id, sym) structs, concat —
+    never a window), regex in codegen; per-user strings are bounded by
+    per-user history, the same per-key bound sessionize lives with.
+    Non-overlapping match counts: Java and RE2 agree on these
+    possessive-free patterns."""
+    ev = _t(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "view", "v")
+        .otherwise("x")
+    )
+    e = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts").cast("long").alias("t"),
+            F.col("event_id").alias("i"),
+            sym.alias("y"),
+        ).alias("k"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.expr("transform(sort_array(collect_list(k)), x -> x.y)")
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.size(F.expr("regexp_extract_all(s, 'sc*p', 0)"))
+        .cast("long")
+        .alias("n_funnel_matches"),
+        F.size(F.expr("regexp_extract_all(s, 'pp', 0)"))
+        .cast("long")
+        .alias("n_repeat_purchases"),
+        F.expr("case when s rlike 'sc{3,}p' then 1 else 0 end")
+        .cast("long")
+        .alias("has_long_consideration"),
+    )
+
+
+@q(
+    "clamped_balance",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  WHEN event_type = 'click'
+                  THEN -CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END AS delta
+      FROM events),
+    c0 AS (
+      SELECT user_id, ts_s, event_id,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM d),
+    c AS (
+      SELECT user_id, s,
+             min(s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_s DESC, event_id DESC) AS rn
+      FROM c0)
+    SELECT user_id,
+           CAST(s AS BIGINT) AS raw_sum_cents,
+           CAST(s - least(CAST(0 AS BIGINT), mn) AS BIGINT)
+             AS clamped_balance_cents,
+           CAST(-least(CAST(0 AS BIGINT), mn) AS BIGINT)
+             AS total_clamped_cents
+    FROM c WHERE rn = 1
+    """,
+)
+def clamped_balance(spark, sf_dir):
+    """Running balance CLAMPED at zero (credits on purchases, debits on
+    clicks; an account can't go negative) — the classic non-associative
+    fold SQL "can't" do... except via the reflected-walk closed form:
+    clamped(t) = S(t) − min(0, min_{k≤t} S(k)), which is exact for a
+    single lower clamp at 0 and turns the sequential dependency into
+    two stacked windows on ONE user-keyed shuffle (same exchange-reuse
+    shape as sessionize). Exact cents; last row per user reported."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .when(F.col("event_type") == "click", -cents)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_s").desc(), F.col("event_id").desc())
+    )
+    c = (
+        d.withColumn("s", F.sum("delta").over(w))
+        .withColumn("mn", F.min("s").over(w))
+        .withColumn("rn", F.row_number().over(wd))
+    )
+    z = F.lit(0).cast("long")
+    return c.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("s").cast("long").alias("raw_sum_cents"),
+        (F.col("s") - F.least(z, F.col("mn")))
+        .cast("long")
+        .alias("clamped_balance_cents"),
+        (-F.least(z, F.col("mn")))
+        .cast("long")
+        .alias("total_clamped_cents"),
+    )
+
+
 def _ulm_fertility_oracle() -> str:
     from .pipeline.unigram_lm import unigram_lm_oracle_sql
 

@@ -1315,3 +1315,52 @@ def test_cms_join_size_estimate_matches_python(spark, keys):
         want[r] = sum(c * c for c in buckets.values())
     assert got == want
     assert all(est >= exact for est in got.values())
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_clamped_balance_closed_form_matches_sequential(spark, deltas):
+    """The reflected-walk closed form (S − min(0, running-min S)) vs the
+    literal sequential clamp loop — the identity the whole operator
+    stands on, checked on adversarial sign patterns."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rows = [(u, i, d) for i, (u, d) in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "user_id long, seq long, delta long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wd = Window.partitionBy("user_id").orderBy(F.col("seq").desc())
+    c = (
+        df.withColumn("s", F.sum("delta").over(w))
+        .withColumn("mn", F.min("s").over(w))
+        .withColumn("rn", F.row_number().over(wd))
+    )
+    z = F.lit(0).cast("long")
+    got = {
+        r["user_id"]: r["b"]
+        for r in c.filter("rn = 1")
+        .select("user_id", (F.col("s") - F.least(z, F.col("mn"))).alias("b"))
+        .collect()
+    }
+    want = {}
+    for u in {r[0] for r in rows}:
+        bal = 0
+        for uu, _i, d in rows:
+            if uu != u:
+                continue
+            bal = max(0, bal + d)
+        want[u] = bal
+    assert got == want
