@@ -1364,3 +1364,83 @@ def test_clamped_balance_closed_form_matches_sequential(spark, deltas):
             bal = max(0, bal + d)
         want[u] = bal
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "R"]),
+            st.integers(min_value=1, max_value=50),   # price (int-valued)
+            st.integers(min_value=1, max_value=9),    # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_matches_python(spark, rows):
+    """The consolidate-then-cumulate weighted median vs a pure-Python
+    expansion (repeat each price `weight` times, take the lower-middle
+    element) — duplicate prices and tie-heavy weights included."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        rows, "flag string, price long, w long"
+    )
+    g = df.groupBy("flag", "price").agg(F.sum("w").alias("w"))
+    t = g.groupBy("flag").agg(F.sum("w").alias("tw"))
+    wspec = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.withColumn("cw", F.sum("w").over(wspec))
+    got = {
+        r["flag"]: r["m"]
+        for r in c.join(t, "flag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("price").alias("m"))
+        .collect()
+    }
+    want = {}
+    for flag in {r[0] for r in rows}:
+        expanded = sorted(
+            p for f, p, w in rows for _ in range(w) if f == flag
+        )
+        want[flag] = expanded[(len(expanded) + 1) // 2 - 1]
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # ts within one hour
+            st.integers(min_value=-50, max_value=50), # cents
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_ohlc_struct_minmax_matches_python(spark, ticks):
+    """OHLC via min/max over (ts, id, value) structs vs a Python replay
+    sorting by (ts, id) — duplicate timestamps break by id in both."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, t, c) for i, (t, c) in enumerate(ticks)]
+    df = spark.createDataFrame(rows, "event_id long, ts_s long, cents long")
+    key = F.struct(
+        F.col("ts_s").alias("t"), F.col("event_id").alias("i"),
+        F.col("cents").alias("c"),
+    )
+    r = df.agg(
+        F.min(key).alias("o"), F.max(key).alias("cl"),
+        F.max("cents").alias("h"), F.min("cents").alias("l"),
+    ).first()
+    ordered = sorted(rows, key=lambda x: (x[1], x[0]))
+    assert r["o"]["c"] == ordered[0][2]
+    assert r["cl"]["c"] == ordered[-1][2]
+    assert r["h"] == max(c for _, _, c in rows)
+    assert r["l"] == min(c for _, _, c in rows)
