@@ -147,8 +147,11 @@ def trigram_sb_perplexity(
     Every branch's log-score is an INTEGER micro-nat (model logs frozen
     at build time, backoff discounts are integer addends), so per-doc
     sums are exact and order-free. Three model tables (trigram, bigram,
-    unigram), all count aggregates on tiny keys, all broadcast at
-    scoring; the corpus side is one trigram explode. Returns
+    unigram) join the corpus at scoring via size-guarded broadcasts —
+    they are corpus-n-gram-cardinality frames, so the hint applies only
+    while Catalyst's size estimate fits and otherwise falls back to
+    key-shuffled hash joins; the corpus side is one trigram explode.
+    Returns
     ``(id, n_trigrams, n_tri_hits, n_bi_backoffs, n_uni_backoffs,
     n_oov, avg_neg_logp, ppl)``."""
     tri = _doc_trigrams(train_df, text_col, id_col)
@@ -190,11 +193,17 @@ def trigram_sb_perplexity(
             + F.lit(2 * SB_BACKOFF_MICRO)
         ).alias("lp1"),
     )
+    from ..plans.hints import broadcast_if_small
+
+    # lm3/lm2/lm1 are corpus-n-gram-cardinality tables, NOT tiny keys:
+    # broadcast only while Catalyst's own size estimate says they fit
+    # (size-guarded, same policy as prefix_filter_jaccard_pairs); at
+    # web scale these degrade to key-shuffled hash joins.
     sc = (
         _doc_trigrams(score_df, text_col, id_col)
-        .join(F.broadcast(lm3), ["w1", "w2", "w3"], "left")
-        .join(F.broadcast(lm2), ["w2", "w3"], "left")
-        .join(F.broadcast(lm1), ["w3"], "left")
+        .join(broadcast_if_small(lm3), ["w1", "w2", "w3"], "left")
+        .join(broadcast_if_small(lm2), ["w2", "w3"], "left")
+        .join(broadcast_if_small(lm1), ["w3"], "left")
         .select(
             id_col,
             F.coalesce("lp3", "lp2", "lp1", F.lit(OOV_LOGP_MICRO)).alias(

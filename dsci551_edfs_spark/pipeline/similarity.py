@@ -1196,6 +1196,8 @@ def mmr_select(
                 )
             )
         top = cand.orderBy(F.col("score").desc(), F.col("id")).limit(1).first()
+        if top is None:  # pool exhausted: k > |pool| degrades gracefully
+            break
         picked.append((step, top["id"], float(top["score"])))
     pool.unpersist()
     rel.unpersist()

@@ -11205,15 +11205,25 @@ def exact_median_two_pass(spark, sf_dir):
     lohi = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     ).first()
+    if lohi["lo"] is None:  # empty table: no median, keep the schema
+        return spark.range(0).select(
+            F.lit(None).cast("double").alias("median_price"),
+            F.lit(None).cast("long").alias("n_rows"),
+        )
     lo, hi = float(lohi["lo"]), float(lohi["hi"])
     width = (hi - lo) / 1024 or 1.0
+    # ONE bin expression shared by both passes — a reconstructed
+    # [lo + b*width, lo + (b+1)*width) range can disagree with
+    # floor((p - lo)/width) at FP bin boundaries, silently shifting the
+    # in-bin rank offset. Filtering pass 2 with the identical expression
+    # makes the histogram and the membership predicate agree by
+    # construction.
+    bin_expr = F.least(
+        F.floor((F.col("o_totalprice") - lo) / width).cast("int"),
+        F.lit(1023),
+    )
     hist = (
-        o.groupBy(
-            F.least(
-                F.floor((F.col("o_totalprice") - lo) / width).cast("int"),
-                F.lit(1023),
-            ).alias("bin")
-        )
+        o.groupBy(bin_expr.alias("bin"))
         .agg(F.count("*").alias("cnt"))
         .collect()  # <= 1024 rows: bounded by construction
     )
@@ -11221,22 +11231,21 @@ def exact_median_two_pass(spark, sf_dir):
     n = sum(counts.values())
     target = (n + 1) // 2
     cum = 0
+    tbin, below = 1023, cum
     for b in range(1024):
         c = counts.get(b, 0)
         if cum + c >= target:
             tbin, below = b, cum
             break
         cum += c
-    blo = lo + tbin * width
-    bhi = hi if tbin == 1023 else lo + (tbin + 1) * width
     k = target - below
+    # The exactness predicate is bin_expr == tbin; the widened plain
+    # range (one bin of slack each side) is redundant with it but IS
+    # parquet-pushable, so row-group pruning still fires at scale.
     in_bin = o.filter(
-        (F.col("o_totalprice") >= blo)
-        & (
-            F.col("o_totalprice") <= bhi
-            if tbin == 1023
-            else F.col("o_totalprice") < bhi
-        )
+        (F.col("o_totalprice") >= lo + (tbin - 1) * width)
+        & (F.col("o_totalprice") <= lo + (tbin + 2) * width)
+        & (bin_expr == tbin)
     )
     # TakeOrdered k rows within the bin; the k-th IS the median
     med = (
@@ -12246,8 +12255,8 @@ def hbos_outlier_scores(spark, sf_dir):
                AS quality_prob
       FROM feats),
     j AS (SELECT least(CAST(floor(m.quality_prob * 10) AS BIGINT), 9) AS bin,
-                 CAST(regexp_extract(d.source, '(\d+)', 1) AS BIGINT) % 2
-                   AS grp
+                 coalesce(TRY_CAST(regexp_extract(d.source, '(\d+)', 1)
+                                   AS BIGINT), 0) % 2 AS grp
           FROM m JOIN documents d USING (doc_id)),
     c AS (SELECT grp, bin, count(*) AS cnt FROM j GROUP BY 1, 2),
     grid AS (SELECT g.grp, b.bin
@@ -12282,7 +12291,16 @@ def psi_drift_sources(spark, sf_dir):
             F.floor(F.col("quality_prob") * 10).cast("long"), F.lit(9)
         ).alias("bin"),
         (
-            F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long") % 2
+            # digit-less sources default to group 0 on BOTH engines —
+            # a bare cast would null-drop rows here while the oracle's
+            # CAST('' AS BIGINT) raises (engine divergence, ADVICE r10)
+            F.coalesce(
+                F.regexp_extract(F.col("source"), r"(\d+)", 1).try_cast(
+                    "long"
+                ),
+                F.lit(0),
+            )
+            % 2
         ).alias("grp"),
     )
     c = j.groupBy("grp", "bin").agg(F.count("*").alias("cnt"))

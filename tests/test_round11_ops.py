@@ -1,0 +1,78 @@
+"""Round-11 operator tests: ADVICE-fix edge cases first, then the new
+quality-classifier / stress additions as they land."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dsci551_edfs_spark.queries import QUERIES
+
+
+def test_mmr_select_pool_smaller_than_k(spark):
+    """k larger than the candidate pool must degrade gracefully to
+    |pool| picks (the pre-fix code crashed with TypeError on the None
+    returned by .first() once the pool was exhausted)."""
+    from dsci551_edfs_spark.pipeline.similarity import mmr_select
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = mmr_select(emb, query_id=0, pool_lo=1, pool_hi=2, k=10).collect()
+    assert [r["sel_rank"] for r in rows] == [1, 2]
+    assert sorted(r["vec_id"] for r in rows) == [1, 2]
+
+
+def test_exact_median_empty_table_schema_stable(spark, tmp_path):
+    """An empty orders table must return zero rows with the contract
+    schema, not raise NameError on unbound tbin/below (pre-fix bug)."""
+    src = "/root/testdata/sf0.001"
+    empty_dir = str(tmp_path)
+    (
+        spark.read.parquet(f"{src}/orders.parquet")
+        .filter(F.lit(False))
+        .write.mode("overwrite")
+        .parquet(f"{empty_dir}/orders.parquet")
+    )
+    out = QUERIES["exact_median_two_pass"](spark, empty_dir)
+    assert out.columns == ["median_price", "n_rows"]
+    assert out.count() == 0
+
+
+def test_exact_median_fp_boundary_bin_agreement(spark, tmp_path):
+    """Values engineered to sit exactly ON bin edges: pass-2 membership
+    now uses the identical floor-division bin expression as pass 1, so
+    the in-bin rank offset k can never disagree with the histogram.
+    Median of 2049 values = the rank-1025 ascending element."""
+    n = 2049
+    vals = [(i, float(i)) for i in range(n)]  # lo=0, hi=2048, width=2.0
+    df = spark.createDataFrame(vals, "o_orderkey long, o_totalprice double")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    row = QUERIES["exact_median_two_pass"](spark, d).first()
+    assert row["n_rows"] == n
+    assert row["median_price"] == float((n + 1) // 2 - 1)  # 1024.0
+
+
+def test_psi_drift_digitless_source_goes_to_group0(spark, tmp_path):
+    """Documents whose source has no digits must land in group 0 (not
+    be silently dropped), matching the oracle's coalesce(TRY_CAST)."""
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path)
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("crawl-nodigits")).otherwise(
+            F.col("source")
+        ),
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = QUERIES["psi_drift_sources"](spark, d).collect()
+    assert len(out) == 10  # full decile grid survives
+    # group-0 (cnt_a) totals include the redirected docs: with testdata
+    # sources all digit-suffixed, redirecting ~1/7 of docs into group 0
+    # must strictly raise the group-0 count sum vs the unmodified table.
+    base = QUERIES["psi_drift_sources"](spark, src).collect()
+    assert sum(r["cnt_a"] for r in out) > sum(r["cnt_a"] for r in base)
