@@ -241,6 +241,103 @@ def _shas() -> tuple[str | None, str | None]:
     )
 
 
+def _proc_stat_jiffies() -> tuple[int, int]:
+    """(busy, total) jiffies from the aggregate /proc/stat cpu line."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals) - idle, sum(vals)
+
+
+def _own_tree_jiffies() -> int:
+    """utime+stime summed over this process and all live descendants
+    (the Spark JVM is a child of this Python process). Dead children's
+    time is folded in via cutime/cstime of the survivors."""
+    me = os.getpid()
+    ppid_of: dict[int, int] = {}
+    stat_of: dict[int, int] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as fh:
+                raw = fh.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: split after the LAST ')'
+        rest = raw.rsplit(")", 1)[1].split()
+        pid = int(pid_s)
+        ppid_of[pid] = int(rest[1])  # field 4 overall
+        # fields 14-17 overall: utime stime cutime cstime
+        stat_of[pid] = sum(int(x) for x in rest[11:15])
+    tree = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, ppid in ppid_of.items():
+            if ppid in tree and pid not in tree:
+                tree.add(pid)
+                grew = True
+    return sum(stat_of.get(p, 0) for p in tree)
+
+
+def _ambient_snapshot() -> dict:
+    busy, total = _proc_stat_jiffies()
+    return {
+        "loadavg": list(os.getloadavg()),
+        "busy_jiffies": busy,
+        "total_jiffies": total,
+        "own_jiffies": _own_tree_jiffies(),
+    }
+
+
+def _ambient_load(start: dict, end: dict) -> dict:
+    """Machine-readable ambient-load metric spanning the timed window:
+    ambient_cpu_frac = (system busy − this bench's own process tree)
+    as a fraction of wall capacity. ~0 in a quiet window; the r10
+    canonical/quiet pair would have read ~0.2 vs ~0.0 — the number a
+    future session needs to rank per-query timings without narration."""
+    total = max(end["total_jiffies"] - start["total_jiffies"], 1)
+    busy = end["busy_jiffies"] - start["busy_jiffies"]
+    own = max(end["own_jiffies"] - start["own_jiffies"], 0)
+    return {
+        "ambient_cpu_frac": round(max(busy - own, 0) / total, 4),
+        "own_cpu_frac": round(own / total, 4),
+        "loadavg_start": [round(x, 2) for x in start["loadavg"]],
+        "loadavg_end": [round(x, 2) for x in end["loadavg"]],
+    }
+
+
+def _place_artifact(full: dict, here: str, rnd: int) -> str:
+    """Selection rule AS CODE (round-10 verdict): the canonical
+    BENCH_local_r{N}.json name belongs to the LOWER-ambient-load window
+    of the round; a higher-load sibling is kept as *_highload.json.
+    Re-runs at the same load (±0.02) keep the newest as canonical."""
+    canon = os.path.join(here, f"BENCH_local_r{rnd:02d}.json")
+    high = os.path.join(here, f"BENCH_local_r{rnd:02d}_highload.json")
+    mine = full["ambient_load"]["ambient_cpu_frac"]
+    if os.path.exists(canon):
+        try:
+            with open(canon) as fh:
+                prev = json.load(fh)
+            prev_amb = prev.get("ambient_load", {}).get(
+                "ambient_cpu_frac", float("inf")
+            )
+        except Exception:
+            prev_amb = float("inf")
+        if mine > prev_amb + 0.02:  # this run is the noisier window
+            with open(high, "w") as fh:
+                json.dump(full, fh, indent=1)
+                fh.write("\n")
+            return high
+        os.replace(canon, high)  # demote the noisier previous window
+    with open(canon, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    return canon
+
+
 def main() -> None:
     from dsci551_edfs_spark import get_spark
     from dsci551_edfs_spark.queries import QUERIES, warm_memos
@@ -256,6 +353,7 @@ def main() -> None:
     memo_warm = warm_memos(spark, SF_DIR)
     release_cached()  # drop any persisted build intermediates (LSH unit vecs)
 
+    amb_start = _ambient_snapshot()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
@@ -306,21 +404,26 @@ def main() -> None:
         totals,
         git_sha=git_sha,
         code_sha=code_sha,
+        ambient_load=_ambient_load(amb_start, _ambient_snapshot()),
         queries=timings,
         spread_max_minus_min=spreads,
         memo_warm=memo_warm,
     )
-    artifact = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_local_r{_round_number():02d}.json",
+    artifact = _place_artifact(
+        full, os.path.dirname(os.path.abspath(__file__)), _round_number()
     )
-    with open(artifact, "w") as fh:
-        json.dump(full, fh, indent=1)
-        fh.write("\n")
     # full object first (humans / full-stdout consumers), SHORT totals
     # line LAST so it lands complete inside the driver's tail capture
     print(json.dumps(full))
-    print(json.dumps(dict(totals, full_artifact=os.path.basename(artifact))))
+    print(
+        json.dumps(
+            dict(
+                totals,
+                full_artifact=os.path.basename(artifact),
+                ambient_cpu_frac=full["ambient_load"]["ambient_cpu_frac"],
+            )
+        )
+    )
 
 
 if __name__ == "__main__":
