@@ -856,6 +856,7 @@ def _pair_intersections(
     n: int,
     prune_df1: bool = True,
     max_df: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, na, nb, inter): shared shingle counts per candidate
     pair via the inverted-index join — the machinery behind BOTH
@@ -873,8 +874,19 @@ def _pair_intersections(
     lossy — a dropped shingle no longer counts toward |∩| (sizes are
     unaffected) — so downstream scores are LOWER bounds and max_df
     trades bounded recall loss on boilerplate-heavy pairs for a hard
-    candidate-volume cap."""
-    sh = shingle_df(_spread(df), text_col, id_col, n)
+    candidate-volume cap.
+
+    ``shingled`` injects an already-built (id, shingles) frame — built
+    with the SAME n — so a caller that also feeds a signature stage
+    (minhash_pr_eval's candidate leg) tokenizes the corpus ONCE instead
+    of re-scanning raw text here (round-10 verdict: at 100 TB the
+    second text scan dominates an op whose point is auditing the
+    first)."""
+    sh = (
+        shingled
+        if shingled is not None
+        else shingle_df(_spread(df), text_col, id_col, n)
+    )
     sized = sh.select("id", F.size("shingles").alias("n_sh"), "shingles")
     posting = sized.select(
         "id", "n_sh", F.explode("shingles").alias("shingle")
@@ -920,11 +932,15 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     prune_df1: bool = True,
     max_df: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT pairwise n-gram Jaccard via the inverted-index join
     (`_pair_intersections` — not a cross join): |∩| counted per pair,
-    |∪| = |A|+|B|−|∩| from the precomputed per-doc sizes."""
-    inter = _pair_intersections(df, text_col, id_col, n, prune_df1, max_df)
+    |∪| = |A|+|B|−|∩| from the precomputed per-doc sizes. ``shingled``
+    (same n!) skips the tokenize scan — see `_pair_intersections`."""
+    inter = _pair_intersections(
+        df, text_col, id_col, n, prune_df1, max_df, shingled=shingled
+    )
     return inter.select(
         "id_a",
         "id_b",

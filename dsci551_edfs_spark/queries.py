@@ -12063,12 +12063,19 @@ def minhash_pr_eval(spark, sf_dir):
     comes from the inverted-index exact join; candidates from the band
     self-join; TP/FP/FN are two key-joins of pair lists. The oracle's
     truth set is an ALL-PAIRS restatement — independent of the engine's
-    candidate generation on both legs."""
+    candidate generation on both legs.
+
+    Both legs ride ONE persisted 3-gram shingle pass: the candidate
+    leg's signatures and the truth leg's inverted index consume the
+    same (id, shingles) frame (`shingled=` injection point), so the
+    corpus text is tokenized exactly once."""
     d = _t(spark, sf_dir, "documents")
-    shingled = DD.shingle_df(d)
+    shingled = DD._persist(DD.shingle_df(DD._spread(d)))
     sigs = DD.minhash_signature(shingled, 64, 42, hash_family="md5")
     cand = DD.minhash_candidate_pairs(sigs, 16, num_hashes=64, hash_family="md5")
-    truth = DD.ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    truth = DD.ngram_jaccard_pairs(
+        d, threshold=0.5, shingled=shingled
+    ).select("id_a", "id_b")
     tp_df = cand.join(truth, ["id_a", "id_b"], "left_semi")
     n_c = cand.agg(F.count("*").alias("n_candidates"))
     n_t = truth.agg(F.count("*").alias("n_truth"))

@@ -452,3 +452,26 @@ def test_ewma_scans_events_once():
     events (the checkpointed frame shows as a leaf RDD scan, so no
     parquet scan at all once cached)."""
     assert _n_scans(_plan("ewma_event_rate")) <= 1
+
+
+def test_minhash_pr_eval_single_text_scan():
+    """Round-11 contract: the candidate leg (signatures) and the truth
+    leg (inverted index) share ONE persisted shingle pass — the plan
+    must show no direct documents parquet scan (both legs read the
+    cached (id, shingles) frame), where the pre-fix shape re-tokenized
+    raw text inside the truth leg's _pair_intersections."""
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+
+    release_cached()
+    plan = _plan("minhash_pr_eval")
+    # formatted output reprints the same cached subtree under every
+    # consumer, so count DISTINCT scan nodes via their details blocks:
+    # each physical scan prints exactly one Location: line
+    doc_scan_nodes = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith("Location:") and "documents.parquet" in ln
+    ]
+    assert len(doc_scan_nodes) == 1, plan
+    assert "InMemoryRelation" in plan, plan
+    release_cached()
