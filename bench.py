@@ -197,6 +197,9 @@ HEADLINE = [
     "unigram_lm_fertility",
     "sequence_pattern_match",
     "clamped_balance",
+    # round-11 additions
+    "quality_lr_train",
+    "quality_lr_calibration",
 ]
 
 

@@ -1,0 +1,225 @@
+"""In-engine quality classifier: full-batch logistic regression over
+hashed TF-IDF features (the fastText/GPT-3-style binary quality model,
+CCNet's classifier stage) trained by a bounded number of exact gradient
+rounds — the one standard training-data-pipeline component the engine
+previously audited only through a rule-based stand-in.
+
+Exactness discipline (house style — pagerank/kcore precedent): every
+model state is an INTEGER (micro-nat weights, per-mille-of-1e6 L1
+features, ×1e4 probabilities), every round's update is one fixed IEEE
+expression (`floor(lr·g / (1e4·n))`) both engines evaluate identically,
+so a DuckDB unrolled-CTE oracle replays the full training trajectory
+bit-for-bit and a numpy property test replays it in pure Python.
+
+Scale posture (100 TB): the model is 64+1 integers. The corpus is
+pre-aggregated ONCE into a persisted (id, y, features-array) frame —
+the bias rides as a synthetic (bucket −1, x=100) element — and each
+round is then ONE job: logits fold map-side over the array against a
+LITERAL weight map (no join, no shuffle for the model), the gradient
+is one 65-key map-side-combinable aggregate, and a ≤65-row bounded
+collect updates the weights on the driver. T rounds = T such passes,
+the honest cost of full-batch GD.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import _persist
+from .retrieval import hashed_tfidf_vectors
+
+__all__ = [
+    "l1_unit_features",
+    "doc_feature_frame",
+    "lr_train_from_features",
+    "lr_score",
+    "quality_lr_features_and_labels",
+]
+
+#: logit scale: weights are micro-nats, features per-mille-of-1e6, so
+#: the integer dot product is pico-nats.
+_PICO = 1_000_000_000_000.0
+_LR_NUM = 64  # learning rate numerator (lr = _LR_NUM, frozen)
+#: bias rides the feature array as bucket −1 with x = _BIAS_X; its map
+#: entry is bias·1e4 so the fold contributes bias·1e6 pico exactly, and
+#: its gradient key needs no special-casing (g₋₁ = 100·Σ err).
+_BIAS_BUCKET = -1
+_BIAS_X = 100
+
+
+def l1_unit_features(vecs: DataFrame) -> DataFrame:
+    """(id, bucket, x): integer features in [0, 1e6], the L1-normalized
+    hashed TF-IDF vector frozen as floor(1e6·w / Σw). Normalization
+    bounds every doc's total feature mass at 1e6 regardless of length —
+    without it raw milli-nat magnitudes (~1e5 per bucket) blow the
+    logits out of sigmoid's dynamic range in one step."""
+    n1 = vecs.groupBy("id").agg(F.sum("w").alias("n1"))
+    return vecs.join(n1, "id").select(
+        "id",
+        "bucket",
+        F.floor(F.col("w") * 1e6 / F.greatest(F.col("n1"), F.lit(1)))
+        .cast("long")
+        .alias("x"),
+    )
+
+
+def quality_lr_features_and_labels(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    target_lang: str = "en",
+) -> tuple[DataFrame, DataFrame]:
+    """(features, labels) for the quality classifier: L1-unit hashed
+    TF-IDF integer features; label 1 = the doc belongs to the target
+    (curated) slice, here the `target_lang` partition of the corpus.
+    This is the GPT-3/CCNet training shape verbatim — positive class =
+    the trusted corpus (WebText / Wikipedia), negative = the rest of
+    the crawl, and the classifier learns to recognize 'looks like the
+    curated slice' from text features alone. (The engine's rule-based
+    gate is NOT the label: on this corpus it passes every document, a
+    degenerate target no classifier can learn from.)"""
+    from ..plans.hints import spread_small
+
+    # spread before the per-token hashing stages: a single-row-group
+    # parquet would otherwise tokenize+md5 the whole corpus on one core
+    feats = l1_unit_features(
+        hashed_tfidf_vectors(spread_small(docs), text_col, id_col, dim)
+    )
+    labels = docs.select(
+        F.col(id_col).alias("id"),
+        (F.col("lang") == target_lang).cast("long").alias("y"),
+    )
+    return feats, labels
+
+
+def doc_feature_frame(feats: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE row per doc: (id, y, fs: array<struct<bucket,x>>) with the
+    synthetic bias element appended — the frame every training round
+    and the final scoring pass fold over map-side. Built once,
+    persisted by the caller."""
+    arr = feats.groupBy("id").agg(
+        F.collect_list(F.struct("bucket", "x")).alias("fs0")
+    )
+    bias_el = F.array(
+        F.struct(
+            F.lit(_BIAS_BUCKET).cast("long").alias("bucket"),
+            F.lit(_BIAS_X).cast("long").alias("x"),
+        )
+    )
+    return labels.join(arr, "id", "left").select(
+        "id",
+        "y",
+        F.concat(
+            F.coalesce(F.col("fs0"), F.array().cast(arr.schema["fs0"].dataType)),
+            bias_el,
+        ).alias("fs"),
+    )
+
+
+def _wmap_lit(w: dict[int, int], bias: int):
+    """The model as a LITERAL map expression: real buckets in micro-nats
+    plus the bias entry scaled to ×1e4 (so bias·1e4 · x=100 = bias·1e6
+    pico in the fold). Zero entries are dropped — try_element_at misses
+    coalesce to 0."""
+    entries = {b: v for b, v in w.items() if v != 0}
+    if bias != 0:
+        entries[_BIAS_BUCKET] = bias * 10_000
+    if not entries:
+        return None
+    pairs: list = []
+    for b, v in sorted(entries.items()):
+        pairs.extend([F.lit(int(b)), F.lit(int(v))])
+    return F.create_map(*pairs)
+
+
+def _score_p4(docfeats: DataFrame, w: dict[int, int], bias: int) -> DataFrame:
+    """(id, y, fs, p4): one map-side scoring fold — no join, no shuffle.
+    try_element_at, not map[key]: ANSI mode (the vanilla driver session
+    default) throws on a missing map key."""
+    wmap = _wmap_lit(w, bias)
+    if wmap is None:  # round 1: all-zero model, logit 0 everywhere
+        zp = F.lit(0).cast("long")
+    else:
+        zp = F.aggregate(
+            "fs",
+            F.lit(0).cast("long"),
+            lambda acc, f: acc
+            + F.coalesce(F.try_element_at(wmap, f["bucket"]), F.lit(0))
+            * f["x"],
+        )
+    z6 = F.round(zp / F.lit(_PICO), 6)
+    p4 = F.round(F.lit(1e4) / (F.lit(1.0) + F.exp(-z6))).cast("long")
+    return docfeats.select("id", "y", "fs", p4.alias("p4"))
+
+
+def lr_train_from_features(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int = 64,
+    rounds: int = 3,
+    lr_num: int = _LR_NUM,
+) -> tuple[list[tuple[int, int, int]], dict[int, int], int]:
+    """Run ``rounds`` full-batch GD rounds; returns (trajectory rows
+    [(step, bucket, w_micro)] with bucket −1 = bias, final weight map,
+    final bias). All updates are exact integer arithmetic on the
+    driver; per round the cluster does ONE job — a map-side scoring
+    fold feeding a 65-key gradient aggregate (g_b = Σ (p4 − 1e4·y)·x,
+    exact integers since p4 froze the sigmoid) — then a ≤ dim+1-row
+    bounded collect."""
+    docfeats = _persist(doc_feature_frame(feats, labels))
+    n = 0  # read off round 1's gradient collect — saves a whole job
+    w = {b: 0 for b in range(dim)}
+    bias = 0
+    traj: list[tuple[int, int, int]] = []
+    for step in range(1, rounds + 1):
+        scored = _score_p4(docfeats, w, bias)
+        g_rows = (
+            scored.select(
+                (F.col("p4") - 10_000 * F.col("y")).alias("err"),
+                F.explode("fs").alias("f"),
+            )
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg(
+                F.sum(F.col("err") * F.col("f.x")).alias("g"),
+                F.count("*").alias("cnt"),
+            )
+            .collect()  # <= dim+1 rows: bounded by construction
+        )
+        if step == 1:
+            # every doc carries exactly one bias element, so the bias
+            # key's group count IS the corpus row count
+            n = next(
+                (r["cnt"] for r in g_rows if r["bucket"] == _BIAS_BUCKET), 0
+            )
+            if n == 0:
+                return [], w, 0
+        for r in g_rows:
+            # floor((lr·g)/(1e4·n)) — identical IEEE expression in the
+            # DuckDB oracle and the numpy property-test replica (for
+            # the bias key, lr·g₋₁ = lr·100·Σerr: both products are
+            # exact sub-2^53 integers, so the doubles are equal)
+            delta = math.floor(
+                (float(lr_num) * float(r["g"])) / (10_000.0 * float(n))
+            )
+            if r["bucket"] == _BIAS_BUCKET:
+                bias -= delta
+            else:
+                w[r["bucket"]] -= delta
+        traj.extend((step, b, w[b]) for b in range(dim))
+        traj.append((step, _BIAS_BUCKET, bias))
+    return traj, w, bias
+
+
+def lr_score(
+    feats: DataFrame, labels: DataFrame, w: dict[int, int], bias: int
+) -> DataFrame:
+    """(id, y, p4) under a trained model — the corpus-wide scoring pass
+    (same frozen expression training used, so calibration bins read off
+    it are exactly restatable)."""
+    return _score_p4(doc_feature_frame(feats, labels), w, bias).select(
+        "id", "y", "p4"
+    )

@@ -13141,6 +13141,183 @@ def skyline_orders(spark, sf_dir):
     )
 
 
+def _lr_oracle_prefix(rounds: int = 3) -> str:
+    """Shared CTE chain for the logistic-regression quality classifier
+    oracle: hashed-TF-IDF integer features (the proven hashed_tfidf_knn
+    fragment), L1-unit freeze, rule-gate labels, then ``rounds``
+    UNROLLED full-batch GD rounds — wt{t}/bw{t} hold the micro-nat
+    weights/bias AFTER round t. Every update is the identical IEEE
+    expression the Spark driver evaluates (floor((64.0·g)/(1e4·n)))."""
+    parts = [
+        r"""WITH lab AS (
+      SELECT doc_id AS id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS token
+      FROM documents),
+    tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfr AS (SELECT token, count(*) AS df FROM tfq GROUP BY 1),
+    hw AS (
+      SELECT tfq.doc_id AS id,
+             CAST('0x' || substring(md5(tfq.token), 1, 8) AS BIGINT) % 64
+               AS bucket,
+             tfq.tf * CAST(round(ln(CAST((SELECT n FROM nn) AS DOUBLE)
+                                    / dfr.df) * 1000) AS BIGINT) AS w
+      FROM tfq JOIN dfr USING (token)),
+    v AS (SELECT id, bucket, CAST(sum(w) AS BIGINT) AS w
+          FROM hw GROUP BY 1, 2),
+    n1 AS (SELECT id, CAST(sum(w) AS BIGINT) AS n1 FROM v GROUP BY 1),
+    x AS (SELECT v.id, v.bucket,
+                 CAST(floor(v.w * 1000000.0 / greatest(n1.n1, 1))
+                      AS BIGINT) AS x
+          FROM v JOIN n1 USING (id)),
+    wt0 AS (SELECT t.b AS bucket, CAST(0 AS BIGINT) AS wm
+            FROM generate_series(0, 63) t(b)),
+    bw0 AS (SELECT CAST(0 AS BIGINT) AS b)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    z{t} AS (
+      SELECT l.id, l.y,
+             coalesce(s.zp, 0) + (SELECT b FROM bw{t - 1}) * 1000000 AS zp
+      FROM lab l LEFT JOIN (
+        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
+        FROM x JOIN wt{t - 1} w USING (bucket) GROUP BY 1) s USING (id)),
+    p{t} AS (
+      SELECT id, y,
+             CAST(round(10000.0 / (1.0 + exp(-round(
+                    zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
+      FROM z{t}),
+    g{t} AS (SELECT x.bucket,
+                    CAST(sum((p.p4 - 10000 * p.y) * x.x) AS BIGINT) AS g
+             FROM p{t} p JOIN x USING (id) GROUP BY 1),
+    gb{t} AS (SELECT CAST(coalesce(sum(p4 - 10000 * y), 0) AS BIGINT) AS g
+              FROM p{t}),
+    wt{t} AS (SELECT w.bucket,
+                     CAST(w.wm - floor((64.0 * coalesce(g.g, 0))
+                          / (10000.0 * (SELECT n FROM nn)))
+                          AS BIGINT) AS wm
+              FROM wt{t - 1} w LEFT JOIN g{t} g USING (bucket)),
+    bw{t} AS (SELECT CAST((SELECT b FROM bw{t - 1})
+                     - floor((64.0 * 100.0 * (SELECT g FROM gb{t}))
+                             / (10000.0 * (SELECT n FROM nn)))
+                     AS BIGINT) AS b)"""
+        )
+    return "".join(parts)
+
+
+def _lr_train_oracle_sql(rounds: int = 3) -> str:
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"SELECT CAST({t} AS BIGINT) AS step,"
+            f" CAST(bucket AS BIGINT) AS bucket, wm AS w_micro FROM wt{t}"
+        )
+        steps.append(
+            f"SELECT CAST({t} AS BIGINT), CAST(-1 AS BIGINT),"
+            f" (SELECT b FROM bw{t}) FROM bw{t}"
+        )
+    return (
+        _lr_oracle_prefix(rounds)
+        + "\n    "
+        + "\n    UNION ALL ".join(steps)
+    )
+
+
+def _lr_calibration_oracle_sql(rounds: int = 3) -> str:
+    r = rounds
+    return (
+        _lr_oracle_prefix(rounds)
+        + f""",
+    zf AS (
+      SELECT l.id, l.y,
+             coalesce(s.zp, 0) + (SELECT b FROM bw{r}) * 1000000 AS zp
+      FROM lab l LEFT JOIN (
+        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
+        FROM x JOIN wt{r} w USING (bucket) GROUP BY 1) s USING (id)),
+    pf AS (
+      SELECT id, y,
+             CAST(round(10000.0 / (1.0 + exp(-round(
+                    zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
+      FROM zf)
+    SELECT least(CAST(floor(p4 / 1000.0) AS BIGINT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p4) AS BIGINT) AS sum_p4,
+           CAST(sum(y) AS BIGINT) AS n_pass
+    FROM pf GROUP BY 1"""
+    )
+
+
+@q("quality_lr_train", _lr_train_oracle_sql(3))
+def quality_lr_train(spark, sf_dir):
+    """TRAIN the quality classifier in-engine: 3 full-batch logistic-
+    regression rounds over L1-unit hashed-TF-IDF features (64 buckets,
+    `pipeline/classifier.py`), positive label = the curated/target
+    slice (the corpus's `lang='en'` partition) — the GPT-3/CCNet
+    recipe: teach a cheap linear model to recognize 'looks like the
+    trusted corpus' and score the whole crawl with it. Output is the
+    full training TRAJECTORY: (step, bucket, w_micro) micro-nat weights
+    after each round, bucket −1 = bias — every integer exactly replayed
+    by the unrolled-CTE oracle and a numpy property test.
+
+    Scale: per round ONE corpus scoring pass (literal 64-entry weight
+    map in the projection — the model never joins or shuffles) + ONE
+    64-key gradient aggregate + a ≤65-row bounded collect; the feature
+    frame builds once and persists across rounds.
+
+    Honesty note: this synthetic corpus has NO text↔label signal (all
+    five langs draw from one 31-token vocabulary; a fully-converged
+    float LR scores ≈ chance), so the registered contract is trajectory
+    exactness and the distributed shape — on a real corpus the same
+    code learns whatever signal exists."""
+    from .pipeline import classifier as CL
+
+    d = _t(spark, sf_dir, "documents")
+    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+    traj, _, _ = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+    return spark.createDataFrame(
+        traj, "step long, bucket long, w_micro long"
+    )
+
+
+@q("quality_lr_calibration", _lr_calibration_oracle_sql(3))
+def quality_lr_calibration(spark, sf_dir):
+    """Close the loop `quality_calibration_bins` opened with a rule-based
+    stand-in: score the WHOLE corpus with the in-engine-TRAINED
+    classifier (`quality_lr_train`'s 3-round model) and bin predicted
+    probability deciles against the observed positive rate of the true
+    label — the reliability audit a pipeline owner runs before
+    thresholding 100 TB on a freshly trained model. Accumulations are
+    exact integers (p4 = frozen ×1e4 sigmoid, y as 0/1); one extra
+    corpus pass after training, one ≤10-key map-side-combinable
+    groupBy."""
+    from .pipeline import classifier as CL
+
+    d = _t(spark, sf_dir, "documents")
+    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+    _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+    scored = CL.lr_score(feats, labels, w, bias)
+    return (
+        scored.select(
+            F.least(
+                F.floor(F.col("p4") / F.lit(1000.0)).cast("long"), F.lit(9)
+            ).alias("bin"),
+            "p4",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("p4").cast("long").alias("sum_p4"),
+            F.sum("y").cast("long").alias("n_pass"),
+        )
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 

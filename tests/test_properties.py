@@ -1444,3 +1444,86 @@ def test_ohlc_struct_minmax_matches_python(spark, ticks):
     assert r["cl"]["c"] == ordered[-1][2]
     assert r["h"] == max(c for _, _, c in rows)
     assert r["l"] == min(c for _, _, c in rows)
+
+
+# --------------------------------------------------------- LR classifier
+
+lr_cases = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),        # bucket (dim 8)
+        st.integers(min_value=0, max_value=1_000_000),  # x feature
+    ),
+    min_size=1,
+    max_size=6,
+).flatmap(
+    lambda feats: st.tuples(
+        st.just(feats),
+        st.integers(min_value=0, max_value=1),  # label per doc
+    )
+)
+
+
+@SLOW
+@given(st.lists(lr_cases, min_size=2, max_size=6))
+def test_lr_train_matches_numpy_replica(spark, docs):
+    """lr_train_from_features' full integer trajectory vs a pure-numpy
+    replica running the IDENTICAL frozen ops: pico-nat dot, round-6
+    logit, x1e4 sigmoid freeze, exact integer gradients, and the
+    floor((lr*g)/(1e4*n)) update. Every (step, bucket) weight must be
+    bit-equal, bias included."""
+    import math
+
+    import numpy as np
+
+    from dsci551_edfs_spark.pipeline.classifier import (
+        lr_train_from_features,
+    )
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+
+    DIM, ROUNDS, LR = 8, 3, 64
+    rows = []
+    X = np.zeros((len(docs), DIM), dtype=np.int64)
+    y = np.zeros(len(docs), dtype=np.int64)
+    for i, (feats, label) in enumerate(docs):
+        y[i] = label
+        dedup = {}
+        for b, x in feats:
+            dedup[b] = x  # last write wins; keep (id,bucket) unique
+        for b, x in dedup.items():
+            rows.append((i, b, x))
+            X[i, b] = x
+    feats_df = spark.createDataFrame(rows, "id long, bucket long, x long")
+    lab_df = spark.createDataFrame(
+        list(enumerate(int(v) for v in y)), "id long, y long"
+    )
+    traj, w_fin, bias_fin = lr_train_from_features(
+        feats_df, lab_df, DIM, rounds=ROUNDS, lr_num=LR
+    )
+    release_cached()
+
+    # --- numpy replica of the identical frozen arithmetic
+    n = len(docs)
+    w = np.zeros(DIM, dtype=np.int64)
+    bias = 0
+    expect = []
+    def half_up(v, scale):
+        # Spark/DuckDB round is HALF_UP (away from zero), numpy's is
+        # banker's — ties (dyadic halves ARE exact doubles) would fork
+        a = np.floor(np.abs(v) * scale + 0.5) / scale
+        return np.sign(v) * a
+
+    for step in range(1, ROUNDS + 1):
+        zp = X @ w + bias * 1_000_000
+        z6 = half_up(zp / 1e12, 1e6)
+        p4 = half_up(1e4 / (1.0 + np.exp(-z6)), 1.0).astype(np.int64)
+        err = p4 - 10_000 * y
+        g = X.T @ err
+        gb = int(err.sum())
+        for b in range(DIM):
+            w[b] -= math.floor((float(LR) * float(g[b])) / (10_000.0 * n))
+        bias -= math.floor((float(LR) * 100.0 * float(gb)) / (10_000.0 * n))
+        expect.extend((step, b, int(w[b])) for b in range(DIM))
+        expect.append((step, -1, bias))
+    assert traj == expect
+    assert bias_fin == bias
+    assert w_fin == {b: int(w[b]) for b in range(DIM)}

@@ -76,3 +76,29 @@ def test_psi_drift_digitless_source_goes_to_group0(spark, tmp_path):
     # must strictly raise the group-0 count sum vs the unmodified table.
     base = QUERIES["psi_drift_sources"](spark, src).collect()
     assert sum(r["cnt_a"] for r in out) > sum(r["cnt_a"] for r in base)
+
+
+def test_quality_lr_train_trajectory_contract(spark, sf_dir):
+    """3 rounds x (64 buckets + bias) rows, integer weights; bias must
+    MOVE (the gradient is nonzero on any non-degenerate label split)."""
+    out = QUERIES["quality_lr_train"](spark, sf_dir).collect()
+    assert len(out) == 3 * 65
+    biases = {r["step"]: r["w_micro"] for r in out if r["bucket"] == -1}
+    assert sorted(biases) == [1, 2, 3]
+    assert biases[3] != 0
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+
+    release_cached()
+
+
+def test_quality_lr_calibration_counts_whole_corpus(spark, sf_dir):
+    """Every document lands in exactly one decile bin."""
+    import pyspark.sql.functions as F2
+
+    out = QUERIES["quality_lr_calibration"](spark, sf_dir)
+    total = out.agg(F2.sum("n_docs")).first()[0]
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+
+    release_cached()
