@@ -1527,3 +1527,115 @@ def test_lr_train_matches_numpy_replica(spark, docs):
     assert traj == expect
     assert bias_fin == bias
     assert w_fin == {b: int(w[b]) for b in range(DIM)}
+
+
+# --------------------------------------- sequence patterns & sessions
+
+seq_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # ts (heavy ties)
+        st.sampled_from("scpv"),                # symbol
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@SLOW
+@given(seq_events)
+def test_sequence_pattern_match_matches_python_re(spark, evs):
+    """The sequence_pattern_match expression core (sort_array struct
+    fold -> symbol string -> regex counts) vs a pure-Python re replay
+    over the (ts, id)-sorted stream. Non-overlapping leftmost-match
+    semantics agree between Java regex and Python re for these
+    possessive-free patterns; duplicate timestamps break by id in
+    both."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, t, s) for i, (t, s) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "event_id long, t long, y string")
+    seq = df.agg(
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(sort_array(collect_list(struct(t, event_id as i,"
+                " y))), x -> x.y)"
+            ),
+        ).alias("s")
+    ).select(
+        "s",
+        F.size(F.expr("regexp_extract_all(s, 'sc*p', 0)"))
+        .cast("long")
+        .alias("funnel"),
+        F.size(F.expr("regexp_extract_all(s, 'pp', 0)"))
+        .cast("long")
+        .alias("repeat"),
+        F.expr("case when s rlike 'sc{3,}p' then 1 else 0 end")
+        .cast("long")
+        .alias("long_consideration"),
+    )
+    got = seq.first()
+    s = "".join(y for _, _, y in sorted(rows, key=lambda r: (r[1], r[0])))
+    assert got["s"] == s
+    assert got["funnel"] == len(re.findall(r"sc*p", s))
+    assert got["repeat"] == len(re.findall(r"pp", s))
+    assert got["long_consideration"] == (
+        1 if re.search(r"sc{3,}p", s) else 0
+    )
+
+
+sess_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9000),  # ts_s, gaps straddle 1800
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@SLOW
+@given(sess_events)
+def test_session_entry_exit_matches_sorted_replay(spark, evs):
+    """session_entry_exit's core — sessionize (> 1800 s gap) + struct
+    min/max entry/exit + bounce flag — vs a pure-Python sorted replay.
+    Struct min/max is lexicographic on (t, i, e) exactly like Python
+    tuple comparison (ASCII event types)."""
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.operators.temporal import sessionize
+
+    rows = [(1, i, t, e) for i, (t, e) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    sess = sessionize(df, gap_s=1800)
+    s = df.join(sess.select("event_id", "session_no"), "event_id")
+    key = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("event_type").alias("e"),
+    )
+    g = s.groupBy("user_id", "session_no").agg(
+        F.min(key).alias("fe"), F.max(key).alias("le"),
+        F.count("*").alias("n"),
+    )
+    got = sorted(
+        (r["session_no"], r["fe"]["e"], r["le"]["e"], r["n"])
+        for r in g.collect()
+    )
+    ordered = sorted(rows, key=lambda r: (r[2], r[1]))
+    sessions = []
+    prev_t = None
+    for _, i, t, e in ordered:
+        if prev_t is None or t - prev_t > 1800:
+            sessions.append([])
+        sessions[-1].append((t, i, e))
+        prev_t = t
+    want = sorted(
+        (sn, min(ev)[2], max(ev)[2], len(ev))
+        for sn, ev in enumerate(sessions, start=1)
+    )
+    assert got == want
