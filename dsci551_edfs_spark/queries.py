@@ -9314,8 +9314,11 @@ def k_anonymity_report(spark, sf_dir):
                AS n_sample,
              CAST(sum(CASE WHEN b < 5 THEN cents ELSE 0 END) AS BIGINT)
                AS s1,
+             -- Σcents² exceeds int64 headroom at ~5x sf0.1 (found by
+             -- the round-11 real-5x suite): sum exact-wide (HUGEINT
+             -- here, DECIMAL(38,0) in Spark), hand variance a DOUBLE
              CAST(sum(CASE WHEN b < 5 THEN cents * cents ELSE 0 END)
-               AS BIGINT) AS s2,
+               AS DOUBLE) AS s2,
              CAST(sum(cents) AS BIGINT) AS true_cents
       FROM s)
     SELECT n_total, n_sample,
@@ -9353,8 +9356,15 @@ def aqp_sampled_revenue(spark, sf_dir):
         F.sum(F.when(F.col("b"), F.col("cents")).otherwise(0))
         .cast("long")
         .alias("s1"),
-        F.sum(F.when(F.col("b"), F.col("cents") * F.col("cents")).otherwise(0))
-        .cast("long")
+        # DECIMAL(38,0)-guarded: Σcents² overflows int64 at ~5x sf0.1
+        # (real-5x suite, round 11); decimal sum is exact, the one
+        # double conversion matches the oracle's HUGEINT→DOUBLE
+        F.sum(
+            F.when(F.col("b"), F.col("cents") * F.col("cents"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+        .cast("double")
         .alias("s2"),
         F.sum("cents").cast("long").alias("true_cents"),
     )

@@ -180,3 +180,38 @@ def test_timed_write_whitelist_entries_resolve():
         assert qname in QUERIES, qname
         # a whitelist entry for a non-HEADLINE query is dead config, but
         # harmless; only flag unknown query names
+
+
+def test_ambient_load_metric_shape():
+    """The round-11 ambient-load stamp: snapshot/delta helpers return
+    the machine-readable fields VERDICT r10 asked for, and the
+    canonical-name selection rule prefers the lower-load window."""
+    import json
+    import os
+    import tempfile
+
+    bench = _bench()
+    s = bench._ambient_snapshot()
+    for k in ("loadavg", "busy_jiffies", "total_jiffies", "own_jiffies"):
+        assert k in s
+    amb = bench._ambient_load(s, bench._ambient_snapshot())
+    assert set(amb) == {
+        "ambient_cpu_frac",
+        "own_cpu_frac",
+        "loadavg_start",
+        "loadavg_end",
+    }
+    assert 0.0 <= amb["ambient_cpu_frac"] <= 1.0
+
+    with tempfile.TemporaryDirectory() as d:
+        mk = lambda a: {"ambient_load": {"ambient_cpu_frac": a}}  # noqa: E731
+        p1 = bench._place_artifact(mk(0.25), d, 99)
+        assert p1.endswith("BENCH_local_r99.json")
+        p2 = bench._place_artifact(mk(0.01), d, 99)  # quieter: takes canon
+        assert p2.endswith("BENCH_local_r99.json")
+        p3 = bench._place_artifact(mk(0.30), d, 99)  # noisier: highload
+        assert p3.endswith("BENCH_local_r99_highload.json")
+        with open(os.path.join(d, "BENCH_local_r99.json")) as fh:
+            assert (
+                json.load(fh)["ambient_load"]["ambient_cpu_frac"] == 0.01
+            )

@@ -1,5 +1,6 @@
-"""Build a REAL scale bump of the three pipeline tables (documents,
-embeddings, events) at K x sf0.1 under the gitignored scratch dir —
+"""Build a REAL scale bump of ALL ten tables (documents, embeddings,
+events + the seven TPC-H-shaped relational tables) at K x sf0.1 under
+the gitignored scratch dir —
 unlike tools/scale_probe.py's in-plan K-inflation (which replicates rows
 inside one query), this grows the THINGS a real sf bump grows:
 
@@ -132,7 +133,75 @@ def main() -> None:
     )
     scaled_ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    for t in ("documents", "embeddings", "events"):
+    # ---- TPC-H-shaped relational tables: key-consistent K x growth.
+    # region/nation are FIXED dimensions (real TPC-H keeps them constant
+    # with SF) — copied verbatim. The growing tables get per-copy key
+    # offsets that PRESERVE referential integrity: copy c's orders point
+    # at copy c's customers, its lineitems at its orders/parts/suppliers,
+    # so join selectivities per unit of data match the base corpus.
+    for t in ("region", "nation"):
+        load_table(spark, BASE, t).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+
+    def _max1(df, col):
+        return df.agg(F.max(col)).first()[0] + 1
+
+    cust = load_table(spark, BASE, "customer")
+    supp = load_table(spark, BASE, "supplier")
+    part = load_table(spark, BASE, "part")
+    orders = load_table(spark, BASE, "orders")
+    li = load_table(spark, BASE, "lineitem")
+    n_cust = _max1(cust, "c_custkey")
+    n_supp = _max1(supp, "s_suppkey")
+    n_part = _max1(part, "p_partkey")
+    n_ord = _max1(orders, "o_orderkey")
+
+    def _scale(df, shifts: dict[str, int], nfiles: int):
+        cols = [
+            (F.col(c) + F.col("_c") * n).alias(c) if n else F.col(c)
+            for c, n in ((c, shifts.get(c, 0)) for c in df.columns)
+        ]
+        return (
+            df.crossJoin(F.broadcast(copies))
+            .select(*cols)
+            .repartition(nfiles)
+        )
+
+    _scale(cust, {"c_custkey": n_cust}, 2 * k).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/customer.parquet")
+    _scale(supp, {"s_suppkey": n_supp}, k).write.mode("overwrite").parquet(
+        f"{out}/supplier.parquet"
+    )
+    _scale(part, {"p_partkey": n_part}, k).write.mode("overwrite").parquet(
+        f"{out}/part.parquet"
+    )
+    _scale(
+        orders, {"o_orderkey": n_ord, "o_custkey": n_cust}, 3 * k
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    _scale(
+        li,
+        {
+            "l_orderkey": n_ord,
+            "l_partkey": n_part,
+            "l_suppkey": n_supp,
+        },
+        4 * k,
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    for t in (
+        "documents",
+        "embeddings",
+        "events",
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
         path = f"{out}/{t}.parquet"
         n = spark.read.parquet(path).count()
         files = len(

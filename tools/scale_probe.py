@@ -196,6 +196,130 @@ def main() -> None:
             tempfile.mkdtemp(prefix="probe_bucket_", dir=scratch),
         )
 
+    def _attribution(events):
+        # attribution_last_click core (queries.py): one user-keyed
+        # ordered window, last(click, ignorenulls)
+        ev2 = events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("long").alias("ts_s"),
+        )
+        uw = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        is_click = F.col("event_type") == "click"
+        w = ev2.select(
+            "event_id",
+            "event_type",
+            "ts_s",
+            F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+            .over(uw)
+            .alias("last_click_id"),
+            F.last(F.when(is_click, F.col("ts_s")), ignorenulls=True)
+            .over(uw)
+            .alias("last_click_ts"),
+        )
+        return w.filter(F.col("event_type") == "purchase").select(
+            "event_id",
+            "last_click_id",
+            (F.col("ts_s") - F.col("last_click_ts")).alias("gap_s"),
+        )
+
+    def _clamped_balance(events):
+        # clamped_balance core: two stacked windows + reverse rank
+        cents = F.round(F.col("value") * 100).cast("long")
+        d = events.select(
+            "user_id",
+            F.col("ts").cast("long").alias("ts_s"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", cents)
+            .when(F.col("event_type") == "click", -cents)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("delta"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wd = Window.partitionBy("user_id").orderBy(
+            F.col("ts_s").desc(), F.col("event_id").desc()
+        )
+        c = (
+            d.withColumn("s", F.sum("delta").over(w))
+            .withColumn("mn", F.min("s").over(w))
+            .withColumn("rn", F.row_number().over(wd))
+        )
+        z = F.lit(0).cast("long")
+        return c.filter(F.col("rn") == 1).select(
+            "user_id",
+            (F.col("s") - F.least(z, F.col("mn"))).alias("clamped"),
+        )
+
+    def _sequence_pattern(events):
+        # sequence_pattern_match core: sorted-struct symbol fold + regex
+        sym = (
+            F.when(F.col("event_type") == "signup", "s")
+            .when(F.col("event_type") == "click", "c")
+            .when(F.col("event_type") == "purchase", "p")
+            .when(F.col("event_type") == "view", "v")
+            .otherwise("x")
+        )
+        e2 = events.select(
+            "user_id",
+            F.struct(
+                F.col("ts").cast("long").alias("t"),
+                F.col("event_id").alias("i"),
+                sym.alias("y"),
+            ).alias("k"),
+        )
+        seq = e2.groupBy("user_id").agg(
+            F.concat_ws(
+                "",
+                F.expr("transform(sort_array(collect_list(k)), x -> x.y)"),
+            ).alias("s")
+        )
+        return seq.select(
+            "user_id",
+            F.size(F.expr("regexp_extract_all(s, 'sc*p', 0)")).alias("f"),
+            F.size(F.expr("regexp_extract_all(s, 'pp', 0)")).alias("r"),
+        )
+
+    def _session_entry_exit(events):
+        # session_entry_exit core: sessionize + struct min/max per session
+        e2 = events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("ts").cast("long").alias("ts_s"),
+        )
+        sess = TMPO.sessionize(
+            e2.withColumn("ts", F.col("ts_s")), gap_s=1800, ts_col="ts"
+        )
+        s = e2.join(sess.select("event_id", "session_no"), "event_id")
+        key = F.struct(
+            F.col("ts_s").alias("t"),
+            F.col("event_id").alias("i"),
+            F.col("event_type").alias("e"),
+        )
+        g = s.groupBy("user_id", "session_no").agg(
+            F.min(key).alias("fe"),
+            F.max(key).alias("le"),
+            F.count("*").alias("n"),
+        )
+        return (
+            g.select(
+                F.col("fe.e").alias("entry_type"),
+                F.col("le.e").alias("exit_type"),
+                F.when(F.col("n") == 1, 1).otherwise(0).alias("bounce"),
+            )
+            .groupBy("entry_type", "exit_type")
+            .agg(F.count("*").alias("n_sessions"), F.sum("bounce").alias("nb"))
+        )
+
     def _interval_union(events):
         iv = events.filter(F.col("value") > 0).select(
             "user_id",
@@ -759,6 +883,24 @@ def main() -> None:
         # contract (k_sel fixed at 4)
         "mmr_full_pool": lambda k: SIM.mmr_select(
             inflate_emb(emb, k), query_id=0, pool_lo=1, pool_hi=1 << 40, k=4
+        ),
+        # ---- round-11 hot-key stress family (VERDICT #4): the other
+        # per-user keyed-window ops beyond interval_union_hot, each with
+        # HALF the added events funneled onto ONE user — the straggler
+        # bound is sort(hot-user rows); the measured mitigation is the
+        # bucketed layout (sessionize_events_bucketed precedent)
+        "sessionize_hot": lambda k: TMPO.sessionize(
+            inflate_events_hot(ev, k)
+        ),
+        "attribution_hot": lambda k: _attribution(inflate_events_hot(ev, k)),
+        "clamped_balance_hot": lambda k: _clamped_balance(
+            inflate_events_hot(ev, k)
+        ),
+        "sequence_pattern_hot": lambda k: _sequence_pattern(
+            inflate_events_hot(ev, k)
+        ),
+        "session_entry_exit_hot": lambda k: _session_entry_exit(
+            inflate_events_hot(ev, k)
         ),
     }
     wanted = sys.argv[1:] or list(ops)
