@@ -985,6 +985,7 @@ def tfidf_cosine_pairs(
     min_df: int = 2,
     max_df_floor: int = 100,
     max_df_den: int = 5,
+    max_df_cap: int = 1000,
     threshold_milli: int = 500,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity pairs via an inverted index — the
@@ -998,10 +999,17 @@ def tfidf_cosine_pairs(
     a DuckDB oracle can restate it bit-for-bit.
 
     Scale: posting lists are bounded by the DF prune — hapaxes
-    (df < min_df) can't pair, boilerplate (df > max(max_df_floor,
-    N div max_df_den)) is capped exactly like `ngram_jaccard_pairs`'
-    max_df (integer division so the oracle states the same bound); the
-    pair join is quadratic only within a capped posting list. Returns
+    (df < min_df) can't pair; the boilerplate bound is
+    min(max(max_df_floor, N div max_df_den), max_df_cap). The RELATIVE
+    term alone is a quadratic trap: a posting at the N/den bound costs
+    (N/den)² pairs, so total work grows ~N² — the round-11 real-5×
+    suite measured exactly that (338 s at sf0.5 vs ~1 s at sf0.1, the
+    scaled corpus's per-copy token variants landing right at the
+    relative bound). The ABSOLUTE ``max_df_cap`` ceiling restores
+    linear total work (≤ cap² pairs per token, token count ~N); like
+    `ngram_jaccard_pairs`' max_df it is lossy above the ceiling —
+    dropped tokens no longer contribute to dots (norms keep only kept
+    tokens too), the documented bounded-recall trade. Returns
     (doc_a, doc_b, dot_w, na2, nb2) — exact integers; cosine is one
     driver-side sqrt away."""
     from ..functions import text as TXT
@@ -1023,9 +1031,12 @@ def tfidf_cosine_pairs(
             (F.col("df") >= min_df)
             & (
                 F.col("df")
-                <= F.greatest(
-                    F.lit(int(max_df_floor)).cast("long"),
-                    F.expr(f"_n div {int(max_df_den)}"),
+                <= F.least(
+                    F.greatest(
+                        F.lit(int(max_df_floor)).cast("long"),
+                        F.expr(f"_n div {int(max_df_den)}"),
+                    ),
+                    F.lit(int(max_df_cap)).cast("long"),
                 )
             )
         )

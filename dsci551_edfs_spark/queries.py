@@ -7662,7 +7662,8 @@ def copurchase_triangles(spark, sf_dir):
                                     / dfr.df) * 1000) AS BIGINT) AS w
       FROM tf JOIN dfr USING (token)
       WHERE dfr.df >= 2
-        AND dfr.df <= greatest(100, (SELECT n_docs FROM n) // 5)),
+        AND dfr.df <= least(greatest(100, (SELECT n_docs FROM n) // 5),
+                            1000)),
     nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
     dot AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -7681,10 +7682,13 @@ def tfidf_doc_pairs(spark, sf_dir):
     """Sparse TF-IDF cosine similarity pairs (cos ≥ 0.5) via an inverted
     index — the lexical complement to `embedding_dup_pairs`: documents
     never meet unless they share an informative token. Weights are
-    exact integers (tf · milli-nat idf); the DF prune (2 ≤ df ≤ 100)
-    drops both pair-less hapaxes and boilerplate tokens, which is what
-    bounds each posting list — the same skew cap discipline as
-    `ngram_jaccard_pairs`. The cosine threshold is evaluated EXACTLY in
+    exact integers (tf · milli-nat idf); the DF prune
+    (2 ≤ df ≤ min(max(100, N div 5), 1000)) drops both pair-less
+    hapaxes and boilerplate tokens — the ABSOLUTE 1000 ceiling (added
+    after the round-11 real-5× run caught the relative N/5 bound going
+    quadratic) keeps total pair work linear in corpus size, the same
+    skew cap discipline as `ngram_jaccard_pairs`. The cosine threshold
+    is evaluated EXACTLY in
     integer arithmetic (4·dot² ≥ ‖a‖²·‖b‖², valid since weights are
     non-negative) — no FP division anywhere, so the result is
     engine- and partitioning-independent. Output carries the exact
@@ -13012,7 +13016,8 @@ def mmr_select_diverse(spark, sf_dir):
     dot AS (
       SELECT q.id AS qid, c.id AS cid, CAST(sum(q.w * c.w) AS BIGINT) AS dot
       FROM v q JOIN v c ON q.bucket = c.bucket
-      WHERE q.id % 50 = 0 AND c.id % 50 <> 0
+      WHERE q.id % 50 = 0 AND q.id < 5000
+        AND NOT (c.id % 50 = 0 AND c.id < 5000)
       GROUP BY 1, 2),
     scored AS (
       SELECT qid, cid,
