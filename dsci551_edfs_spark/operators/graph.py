@@ -93,7 +93,13 @@ def pagerank_micro(
     return pr.select("node", F.col("pr").alias("pr_micro"))
 
 
-def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    pin: bool = True,
+    assume_packable: bool | None = None,
+) -> DataFrame:
     """Exact triangle count of the undirected graph given as an edge
     list — degree-ordered edge orientation (the MapReduce-era
     Suri–Vassilvitskii / Cohen recipe, DataFrame-native).
@@ -107,19 +113,25 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     of skew. Three shuffles total (degree count, wedge join, closing-edge
     semi join) — each on edge keys, never collected.
 
+    ``pin=True`` cuts lineage with an EAGER localCheckpoint so an
+    expensive upstream edge generation (often a self-join) runs once
+    across the two consumers — but the eager job runs at PLAN
+    CONSTRUCTION time, which the round-11 memo first-call probe
+    measured at ~3 s of `copurchase_triangles`' fresh-session cost.
+    Pass ``pin=False`` when the edge list is already a settled cheap
+    source (the per-corpus memo parquet): re-reading it twice costs
+    less than checkpointing it once.
+
     Returns a single row ``(n_triangles long)``.
     """
-    e = (
-        edges.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("x"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
-        )
-        .filter(F.col("x") != F.col("y"))
-        .distinct()
+    e = edges.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("x"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+    ).filter(F.col("x") != F.col("y")).distinct()
+    if pin:
         # two consumers (degree count + orientation join): pin so the
-        # upstream edge generation (often an expensive self-join) runs once
-        .localCheckpoint(eager=True)
-    )
+        # upstream edge generation runs once
+        e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("x").alias("node"))
         .unionByName(e.select(F.col("y").alias("node")))
@@ -139,7 +151,16 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
         F.when(fwd, F.col("degy")).otherwise(F.col("degx")).alias("degv"),
-    ).localCheckpoint(eager=True)  # three consumers: f1, f2, closing edges
+    )
+    if pin:
+        # three consumers (f1, f2, closing edges): cut lineage so an
+        # expensive upstream runs once. Skipped with pin=False — the
+        # round-11 memo first-call probe traced ~3 s of a fresh
+        # session's construction time to localCheckpoint's plan→RDD
+        # conversion (driver-side Catalyst work, before any job); over
+        # a settled memo parquet, recomputing f per consumer is cheaper
+        # than that fixed planning cost
+        f = f.localCheckpoint(eager=True)
     f1 = f.select(F.col("u"), F.col("v").alias("v1"), F.col("degv").alias("d1"))
     f2 = f.select(F.col("u"), F.col("v").alias("v2"), F.col("degv").alias("d2"))
     wedges = f1.join(f2, "u").filter(
@@ -162,7 +183,11 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         "bigint",
     )
     packable = False
-    if integral:
+    if integral and assume_packable is not None:
+        # caller vouches for the id domain (e.g. TPC-H part keys are
+        # < 2^31 by construction) — skips the bounds job at plan time
+        packable = assume_packable
+    elif integral:
         bounds = e.agg(
             F.min(F.least("x", "y")).cast("long").alias("lo"),
             F.max(F.greatest("x", "y")).cast("long").alias("hi"),

