@@ -200,6 +200,8 @@ HEADLINE = [
     # round-11 additions
     "quality_lr_train",
     "quality_lr_calibration",
+    "retrieval_ndcg",
+    "gdpr_delete_cascade",
 ]
 
 

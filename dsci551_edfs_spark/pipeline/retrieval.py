@@ -306,6 +306,112 @@ def bm25_eval_metrics(
     )
 
 
+def bm25_ndcg(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    min_tf: int = 2,
+    gain_cap: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """nDCG@k for the same one-term-query BM25 harness as
+    `bm25_eval_metrics` — the GRADED-relevance metric the binary
+    P/R/RR/AP quartet can't express (a rank-1 hit on a tf-5 doc should
+    beat a rank-1 hit on a tf-2 doc). Gain = min(tf, ``gain_cap``) for
+    docs at or above the ``min_tf`` relevance gate, 0 below it; DCG
+    terms are frozen integers round(1e6·gain / log2(rank+1)), IDCG
+    replays the ideal ordering (gain desc, doc_id) over the relevance
+    set capped at k, and nDCG is ONE final round(1e6·dcg/idcg)
+    division — the house single-division discipline, so a DuckDB
+    restatement hash-matches.
+
+    Scale posture: identical to `bm25_eval_metrics` — one filtered
+    explode (only query terms shuffle), per-TERM windows (q partitions,
+    lint-clean), everything after the ≤ q·k QUALIFY constant-size.
+    Returns ``(term, dcg_micro, idcg_micro, ndcg_micro)``."""
+    from pyspark.sql import Window
+
+    terms = sorted({t.lower() for t in terms})
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    corpus = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("_dl")
+    ).agg(F.count("*").alias("n_docs"), F.sum("_dl").alias("sl"))
+    hits = toks.filter(F.col("term").isin(list(terms)))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(corpus))
+    idf_micro = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * 1e6
+    ).cast("long")
+    num = idf_micro * 22 * F.col("sl") * F.col("tf")
+    den = 10 * F.col("sl") * F.col("tf") + 3 * F.col("sl") + 9 * F.col(
+        "dl"
+    ) * F.col("n_docs")
+    per_term = scored.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.round(num.cast("double") / den.cast("double"))
+        .cast("long")
+        .alias("c"),
+        F.when(F.col("tf") >= min_tf, F.least(F.col("tf"), F.lit(gain_cap)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("gain"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("c").desc(), F.col("doc_id"))
+    disc = lambda rnk: F.round(  # noqa: E731 — the ONE frozen DCG term
+        F.lit(1e6) * F.col("gain") / F.log2(rnk + F.lit(1.0))
+    ).cast("long")
+    dcg = (
+        per_term.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .groupBy("term")
+        .agg(F.sum(disc(F.col("rnk"))).cast("long").alias("dcg_micro"))
+    )
+    wi = Window.partitionBy("term").orderBy(
+        F.col("gain").desc(), F.col("doc_id")
+    )
+    idcg = (
+        per_term.filter(F.col("gain") > 0)
+        .withColumn("rnk", F.row_number().over(wi).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .groupBy("term")
+        .agg(F.sum(disc(F.col("rnk"))).cast("long").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(idcg, "term")
+        .select(
+            "term",
+            "dcg_micro",
+            "idcg_micro",
+            F.round(
+                F.lit(1e6)
+                * F.col("dcg_micro").cast("double")
+                / F.col("idcg_micro")
+            )
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+        .orderBy("term")
+    )
+
+
 def hashed_tfidf_vectors(
     docs: DataFrame,
     text_col: str = "text",

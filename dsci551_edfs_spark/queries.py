@@ -8234,6 +8234,207 @@ def retrieval_eval_metrics(spark, sf_dir):
     )
 
 
+@q(
+    "retrieval_ndcg",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS term
+      FROM (SELECT doc_id, {{toks}} AS t FROM documents)),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len({{toks}})) AS BIGINT) AS sl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             any_value(dl) AS dl
+      FROM toks WHERE term IN ('dup', 'hash', 'scan')
+      GROUP BY doc_id, term),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.term, tf.doc_id, tf.tf,
+             CAST(round(
+               CAST(CAST(round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                          * 1e6) AS BIGINT)
+                    * 22 * sl * tf AS DOUBLE)
+               / CAST(10 * sl * tf + 3 * sl + 9 * dl * n_docs AS DOUBLE)
+             ) AS BIGINT) AS c,
+             CAST(CASE WHEN tf.tf >= 2 THEN least(tf.tf, 4) ELSE 0 END
+                  AS BIGINT) AS gain
+      FROM tf JOIN dft USING (term), corpus),
+    dcg AS (
+      SELECT term, CAST(sum(CAST(round(1e6 * gain / log2(rnk + 1.0))
+                                 AS BIGINT)) AS BIGINT) AS dcg_micro
+      FROM (SELECT term, gain,
+                   CAST(row_number() OVER (PARTITION BY term
+                        ORDER BY c DESC, doc_id) AS BIGINT) AS rnk
+            FROM scored QUALIFY rnk <= 20)
+      GROUP BY term),
+    idcg AS (
+      SELECT term, CAST(sum(CAST(round(1e6 * gain / log2(rnk + 1.0))
+                                 AS BIGINT)) AS BIGINT) AS idcg_micro
+      FROM (SELECT term, gain,
+                   CAST(row_number() OVER (PARTITION BY term
+                        ORDER BY gain DESC, doc_id) AS BIGINT) AS rnk
+            FROM scored WHERE gain > 0 QUALIFY rnk <= 20)
+      GROUP BY term)
+    SELECT d.term, d.dcg_micro, i.idcg_micro,
+           CAST(round(1e6 * CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro)
+                AS BIGINT) AS ndcg_micro
+    FROM dcg d JOIN idcg i USING (term)
+    ORDER BY d.term
+    """.format(toks=_TOKENS_SQL),
+)
+def retrieval_ndcg(spark, sf_dir):
+    """nDCG@20 with GRADED relevance (gain = min(tf,4) above the tf≥2
+    gate) for the one-term BM25 harness — completes the IR-eval family
+    (`retrieval_eval_metrics` carries the binary P/R/RR/AP quartet).
+    DCG terms frozen to integer micro (round(1e6·gain/log2(rank+1))),
+    IDCG replays the ideal ordering over the relevance set, nDCG is one
+    final division — hash-exact against the oracle. Same scale shape as
+    the quartet: one filtered explode, per-term windows, constant-size
+    after the q·k QUALIFY."""
+    from .pipeline.retrieval import bm25_ndcg
+
+    return bm25_ndcg(
+        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20, min_tf=2
+    )
+
+
+@q(
+    "gdpr_delete_cascade",
+    f"""
+    WITH forget AS (
+      SELECT c_custkey FROM customer
+      WHERE ({_md5_bucket_sql("c_custkey")}) < 5),
+    ro AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+    rl AS (SELECT count(*) AS n FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM ro)),
+    lc AS (SELECT count(*) AS n FROM lineitem),
+    stats AS (
+      SELECT 'customer' AS tbl,
+             (SELECT count(*) FROM customer) AS rows_before,
+             (SELECT count(*) FROM forget) AS rows_removed
+      UNION ALL
+      SELECT 'orders', (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM ro)
+      UNION ALL
+      SELECT 'lineitem', (SELECT n FROM lc), (SELECT n FROM rl)),
+    orphans AS (
+      SELECT 'customer' AS tbl, CAST(0 AS BIGINT) AS orphans_after
+      UNION ALL
+      SELECT 'orders',
+             (SELECT count(*) FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM forget)
+                AND o_orderkey NOT IN (SELECT o_orderkey FROM ro))
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM ro))
+             - (SELECT n FROM rl))
+    SELECT s.tbl, CAST(s.rows_before AS BIGINT) AS rows_before,
+           CAST(s.rows_removed AS BIGINT) AS rows_removed,
+           CAST(s.rows_before - s.rows_removed AS BIGINT) AS rows_after,
+           o.orphans_after
+    FROM stats s JOIN orphans o USING (tbl)
+    ORDER BY s.tbl
+    """,
+)
+def gdpr_delete_cascade(spark, sf_dir):
+    """Right-to-be-forgotten audit: the deletion LEDGER for erasing a
+    deterministic ~5% customer cohort (md5 bucket < 5) with full
+    referential cascade customer → orders → lineitem — per table
+    rows_before / rows_removed / rows_after plus an in-row
+    ``orphans_after`` proof that the cascade is complete (rows that
+    reference a forgotten parent but would survive the delete; 0 by
+    construction, ASSERTED in the result rather than assumed). The
+    lakehouse GDPR/CCPA erasure planning pass: at 100 TB you run
+    exactly this ledger before rewriting files, and the same semi-join
+    spine drives the actual MERGE DELETE.
+
+    Scale: the forget set is cohort-sized (broadcastable); the cascade
+    is two key semi-joins (orders on custkey, lineitem on orderkey) —
+    no shuffle wider than the join keys; counts are map-side-combinable
+    aggregates; nothing collected."""
+    from .pipeline.curation import md5_bucket
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    from .plans.hints import broadcast_if_small
+
+    forget = c.filter(md5_bucket("c_custkey", 100) < 5).select("c_custkey")
+    ro = o.join(
+        broadcast_if_small(forget),
+        o["o_custkey"] == forget["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    rl_n = li.join(
+        broadcast_if_small(ro.select(F.col("o_orderkey").alias("k"))),
+        li["l_orderkey"] == F.col("k"),
+        "left_semi",
+    ).agg(F.count("*").alias("n"))
+
+    def one(tbl, before_df, removed_df_or_expr):
+        return (
+            before_df.agg(F.count("*").alias("rows_before"))
+            .crossJoin(F.broadcast(removed_df_or_expr))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.col("rows_before").cast("long").alias("rows_before"),
+                F.col("rows_removed").cast("long").alias("rows_removed"),
+                (F.col("rows_before") - F.col("rows_removed"))
+                .cast("long")
+                .alias("rows_after"),
+            )
+        )
+
+    rows = (
+        one(
+            "customer",
+            c,
+            forget.agg(F.count("*").alias("rows_removed")),
+        )
+        .unionByName(
+            one("orders", o, ro.agg(F.count("*").alias("rows_removed")))
+        )
+        .unionByName(
+            one(
+                "lineitem",
+                li,
+                rl_n.select(F.col("n").alias("rows_removed")),
+            )
+        )
+    )
+    # completeness proof: rows referencing a forgotten parent that the
+    # cascade would NOT remove. orders-vs-forget is the real check (the
+    # semi-join spine must cover every referencing order); lineitem's
+    # check is definitionally 0 (rl counts exactly the semi-join) and
+    # customer has no parent — both stated as literals, orders computed.
+    orphan_orders = (
+        o.join(
+            broadcast_if_small(forget),
+            o["o_custkey"] == forget["c_custkey"],
+            "left_semi",
+        )
+        .join(
+            broadcast_if_small(ro.select(F.col("o_orderkey").alias("k2"))),
+            F.col("o_orderkey") == F.col("k2"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("orphans_after"))
+        .select(F.lit("orders").alias("tbl"), "orphans_after")
+    )
+    z = F.lit(0).cast("long").alias("orphans_after")
+    orphans = (
+        spark.range(1)
+        .select(F.lit("customer").alias("tbl"), z)
+        .unionByName(orphan_orders)
+        .unionByName(spark.range(1).select(F.lit("lineitem").alias("tbl"), z))
+    )
+    return rows.join(orphans, "tbl").orderBy("tbl")
+
+
 def _SPAN_CORRUPTION_SQL() -> str:
     mb = _md5_bucket_sql(
         "concat(CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))"

@@ -102,3 +102,25 @@ def test_quality_lr_calibration_counts_whole_corpus(spark, sf_dir):
     from dsci551_edfs_spark.pipeline.dedup import release_cached
 
     release_cached()
+
+
+def test_retrieval_ndcg_bounds_and_anchor(spark, sf_dir):
+    """nDCG in (0, 1e6]; dcg <= idcg by construction; 3 query terms."""
+    rows = {r["term"]: r for r in QUERIES["retrieval_ndcg"](spark, sf_dir).collect()}
+    assert sorted(rows) == ["dup", "hash", "scan"]
+    for r in rows.values():
+        assert 0 < r["ndcg_micro"] <= 1_000_000
+        assert r["dcg_micro"] <= r["idcg_micro"]
+
+
+def test_gdpr_cascade_ledger_consistency(spark, sf_dir):
+    """rows_after = before - removed everywhere; orphans all 0 (the
+    cascade-completeness proof); removed orders actually reference
+    forgotten customers."""
+    rows = {r["tbl"]: r for r in QUERIES["gdpr_delete_cascade"](spark, sf_dir).collect()}
+    assert sorted(rows) == ["customer", "lineitem", "orders"]
+    for r in rows.values():
+        assert r["rows_after"] == r["rows_before"] - r["rows_removed"]
+        assert r["orphans_after"] == 0
+    assert rows["customer"]["rows_removed"] > 0  # cohort non-empty
+    assert rows["orders"]["rows_removed"] >= rows["customer"]["rows_removed"] // 2
