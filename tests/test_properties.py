@@ -1639,3 +1639,75 @@ def test_session_entry_exit_matches_sorted_replay(spark, evs):
         for sn, ev in enumerate(sessions, start=1)
     )
     assert got == want
+
+
+ndcg_docs = st.lists(
+    st.integers(min_value=0, max_value=6),  # tf per doc for one term
+    min_size=1,
+    max_size=15,
+)
+
+
+@SLOW
+@given(ndcg_docs)
+def test_bm25_ndcg_matches_python_replica(spark, tfs):
+    """bm25_ndcg's frozen-integer DCG/IDCG/nDCG vs a pure-Python replay
+    (half-up rounding, same gain gate/cap, same (score desc, id) and
+    (gain desc, id) orderings)."""
+    import math
+
+    from dsci551_edfs_spark.pipeline.retrieval import bm25_ndcg
+
+    # one-term corpus: doc i repeats the term tf_i times padded with
+    # unique filler so doc lengths differ
+    rows = [
+        (i, ("term " * tf) + " ".join(f"f{i}x{j}" for j in range(i + 1)))
+        for i, tf in enumerate(tfs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["term"]: (r["dcg_micro"], r["idcg_micro"], r["ndcg_micro"])
+        for r in bm25_ndcg(df, ["term"], k=5, min_tf=2).collect()
+    }
+
+    def half_up(x):
+        return math.floor(x + 0.5)
+
+    # python replica of the scoring + gain pipeline
+    docs = [(i, tf, tf + i + 1) for i, tf in enumerate(tfs)]  # (id, tf, dl)
+    matches = [(i, tf, dl) for i, tf, dl in docs if tf > 0]
+    if not matches:
+        assert got == {}
+        return
+    n_docs = len(docs)
+    sl = sum(dl for _, _, dl in docs)
+    df_t = len(matches)
+    idf_micro = half_up(
+        math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) * 1e6
+    )
+    scored = [
+        (
+            i,
+            half_up(
+                (idf_micro * 22 * sl * tf)
+                / (10 * sl * tf + 3 * sl + 9 * dl * n_docs)
+            ),
+            min(tf, 4) if tf >= 2 else 0,
+        )
+        for i, tf, dl in matches
+    ]
+    by_score = sorted(scored, key=lambda r: (-r[1], r[0]))[:5]
+    dcg = sum(
+        half_up(1e6 * g / math.log2(rnk + 1.0))
+        for rnk, (_, _, g) in enumerate(by_score, start=1)
+    )
+    rel = [r for r in scored if r[2] > 0]
+    if not rel:
+        assert got == {}  # idcg leg empty -> inner join drops the term
+        return
+    by_gain = sorted(rel, key=lambda r: (-r[2], r[0]))[:5]
+    idcg = sum(
+        half_up(1e6 * g / math.log2(rnk + 1.0))
+        for rnk, (_, _, g) in enumerate(by_gain, start=1)
+    )
+    assert got["term"] == (dcg, idcg, half_up(1e6 * dcg / idcg))
