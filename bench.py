@@ -202,6 +202,7 @@ HEADLINE = [
     "quality_lr_calibration",
     "retrieval_ndcg",
     "gdpr_delete_cascade",
+    "quality_lr_cv",
 ]
 
 

@@ -35,6 +35,8 @@ __all__ = [
     "l1_unit_features",
     "doc_feature_frame",
     "lr_train_from_features",
+    "lr_train_on_docfeats",
+    "lr_cv_report",
     "lr_score",
     "quality_lr_features_and_labels",
 ]
@@ -96,11 +98,14 @@ def quality_lr_features_and_labels(
     return feats, labels
 
 
-def doc_feature_frame(feats: DataFrame, labels: DataFrame) -> DataFrame:
-    """ONE row per doc: (id, y, fs: array<struct<bucket,x>>) with the
-    synthetic bias element appended — the frame every training round
-    and the final scoring pass fold over map-side. Built once,
-    persisted by the caller."""
+def doc_feature_frame(
+    feats: DataFrame, labels: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """ONE row per doc: (id, y[, *keep_cols], fs: array<struct<bucket,
+    x>>) with the synthetic bias element appended — the frame every
+    training round and the final scoring pass fold over map-side.
+    Built once, persisted by the caller. ``keep_cols`` (extra label
+    columns, e.g. a CV fold id) ride along."""
     arr = feats.groupBy("id").agg(
         F.collect_list(F.struct("bucket", "x")).alias("fs0")
     )
@@ -113,6 +118,7 @@ def doc_feature_frame(feats: DataFrame, labels: DataFrame) -> DataFrame:
     return labels.join(arr, "id", "left").select(
         "id",
         "y",
+        *keep_cols,
         F.concat(
             F.coalesce(F.col("fs0"), F.array().cast(arr.schema["fs0"].dataType)),
             bias_el,
@@ -170,7 +176,20 @@ def lr_train_from_features(
     fold feeding a 65-key gradient aggregate (g_b = Σ (p4 − 1e4·y)·x,
     exact integers since p4 froze the sigmoid) — then a ≤ dim+1-row
     bounded collect."""
-    docfeats = _persist(doc_feature_frame(feats, labels))
+    return lr_train_on_docfeats(
+        _persist(doc_feature_frame(feats, labels)), dim, rounds, lr_num
+    )
+
+
+def lr_train_on_docfeats(
+    docfeats: DataFrame,
+    dim: int = 64,
+    rounds: int = 3,
+    lr_num: int = _LR_NUM,
+) -> tuple[list[tuple[int, int, int]], dict[int, int], int]:
+    """The GD loop over a PREBUILT (and ideally persisted) doc-feature
+    frame — exposed so k-fold cross-validation trains each fold off
+    one shared cached frame instead of rebuilding features per fold."""
     n = 0  # read off round 1's gradient collect — saves a whole job
     w = {b: 0 for b in range(dim)}
     bias = 0
@@ -222,4 +241,54 @@ def lr_score(
     it are exactly restatable)."""
     return _score_p4(doc_feature_frame(feats, labels), w, bias).select(
         "id", "y", "p4"
+    )
+
+
+def lr_cv_report(
+    docfeats: DataFrame,
+    dim: int = 64,
+    folds: int = 3,
+    rounds: int = 2,
+    lr_num: int = _LR_NUM,
+) -> DataFrame:
+    """K-fold cross-validation of the quality classifier — the "does it
+    GENERALIZE" audit a pipeline owner runs before trusting the model on
+    unseen crawl (per-fold holdout accuracy vs the training-set fit).
+    ``docfeats`` must carry a ``fold`` column (deterministic md5-bucket
+    assignment, so both engines and the oracle agree on the split) and
+    should be PERSISTED by the caller: every fold's train rounds and its
+    holdout scoring pass filter the one cached frame.
+
+    Per fold: ``rounds`` full-batch GD rounds on the other folds
+    (lr_train_on_docfeats — one job + one <=65-row collect per round),
+    then ONE map-side scoring pass over the held-out fold. Returns
+    (fold, n_train, n_test, n_correct, acc_micro) with
+    acc_micro = round(1e6·correct/n_test) — exact integers end to end,
+    so an unrolled-CTE oracle replays every fold's trajectory AND its
+    holdout confusion exactly."""
+    spark = docfeats.sparkSession
+    out_rows: list[tuple[int, int, int, int, int]] = []
+    for f in range(folds):
+        train = docfeats.filter(F.col("fold") != f)
+        _, w, bias = lr_train_on_docfeats(train, dim, rounds, lr_num)
+        test = docfeats.filter(F.col("fold") == f)
+        scored = _score_p4(test, w, bias)
+        agg = scored.agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                (
+                    (F.col("p4") >= 5_000).cast("long") == F.col("y")
+                ).cast("long")
+            ).alias("n_correct"),
+        ).first()
+        n_train = train.count()
+        n_test = int(agg["n_test"] or 0)
+        n_correct = int(agg["n_correct"] or 0)
+        acc = (
+            math.floor((1e6 * n_correct) / n_test + 0.5) if n_test else 0
+        )
+        out_rows.append((f, n_train, n_test, n_correct, acc))
+    return spark.createDataFrame(
+        out_rows,
+        "fold long, n_train long, n_test long, n_correct long, acc_micro long",
     )

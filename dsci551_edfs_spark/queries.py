@@ -13370,17 +13370,13 @@ def skyline_orders(spark, sf_dir):
     )
 
 
-def _lr_oracle_prefix(rounds: int = 3) -> str:
-    """Shared CTE chain for the logistic-regression quality classifier
-    oracle: hashed-TF-IDF integer features (the proven hashed_tfidf_knn
-    fragment), L1-unit freeze, rule-gate labels, then ``rounds``
-    UNROLLED full-batch GD rounds — wt{t}/bw{t} hold the micro-nat
-    weights/bias AFTER round t. Every update is the identical IEEE
-    expression the Spark driver evaluates (floor((64.0·g)/(1e4·n)))."""
-    parts = [
-        r"""WITH lab AS (
+_LR_BASE_SQL = (
+    r"""WITH lab AS (
       SELECT doc_id AS id,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             ("""
+    + _md5_bucket_sql("doc_id")
+    + r""") % 3 AS fold
       FROM documents),
     nn AS (SELECT count(*) AS n FROM documents),
     tok AS (
@@ -13402,41 +13398,64 @@ def _lr_oracle_prefix(rounds: int = 3) -> str:
     x AS (SELECT v.id, v.bucket,
                  CAST(floor(v.w * 1000000.0 / greatest(n1.n1, 1))
                       AS BIGINT) AS x
-          FROM v JOIN n1 USING (id)),
-    wt0 AS (SELECT t.b AS bucket, CAST(0 AS BIGINT) AS wm
+          FROM v JOIN n1 USING (id))"""
+)
+
+
+def _lr_round_chain(sfx: str, lab_pred: str, rounds: int) -> str:
+    """``rounds`` UNROLLED full-batch GD rounds over the lab subset
+    selected by ``lab_pred`` — wt{sfx}{t}/bw{sfx}{t} hold the micro-nat
+    weights/bias AFTER round t; every update is the identical IEEE
+    expression the Spark driver evaluates (floor((64.0·g)/(1e4·n))).
+    ``sfx`` namespaces the CTEs so k-fold CV can emit one chain per
+    fold in a single statement."""
+    parts = [
+        f""",
+    labt{sfx} AS (SELECT id, y FROM lab WHERE {lab_pred}),
+    nnt{sfx} AS (SELECT count(*) AS n FROM labt{sfx}),
+    wt{sfx}0 AS (SELECT t.b AS bucket, CAST(0 AS BIGINT) AS wm
             FROM generate_series(0, 63) t(b)),
-    bw0 AS (SELECT CAST(0 AS BIGINT) AS b)""",
+    bw{sfx}0 AS (SELECT CAST(0 AS BIGINT) AS b)"""
     ]
     for t in range(1, rounds + 1):
         parts.append(
             f""",
-    z{t} AS (
+    z{sfx}{t} AS (
       SELECT l.id, l.y,
-             coalesce(s.zp, 0) + (SELECT b FROM bw{t - 1}) * 1000000 AS zp
-      FROM lab l LEFT JOIN (
+             coalesce(s.zp, 0) + (SELECT b FROM bw{sfx}{t - 1}) * 1000000
+               AS zp
+      FROM labt{sfx} l LEFT JOIN (
         SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
-        FROM x JOIN wt{t - 1} w USING (bucket) GROUP BY 1) s USING (id)),
-    p{t} AS (
+        FROM x JOIN wt{sfx}{t - 1} w USING (bucket) GROUP BY 1) s
+      USING (id)),
+    p{sfx}{t} AS (
       SELECT id, y,
              CAST(round(10000.0 / (1.0 + exp(-round(
                     zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
-      FROM z{t}),
-    g{t} AS (SELECT x.bucket,
+      FROM z{sfx}{t}),
+    g{sfx}{t} AS (SELECT x.bucket,
                     CAST(sum((p.p4 - 10000 * p.y) * x.x) AS BIGINT) AS g
-             FROM p{t} p JOIN x USING (id) GROUP BY 1),
-    gb{t} AS (SELECT CAST(coalesce(sum(p4 - 10000 * y), 0) AS BIGINT) AS g
-              FROM p{t}),
-    wt{t} AS (SELECT w.bucket,
+             FROM p{sfx}{t} p JOIN x USING (id) GROUP BY 1),
+    gb{sfx}{t} AS (SELECT CAST(coalesce(sum(p4 - 10000 * y), 0) AS BIGINT)
+                     AS g
+              FROM p{sfx}{t}),
+    wt{sfx}{t} AS (SELECT w.bucket,
                      CAST(w.wm - floor((64.0 * coalesce(g.g, 0))
-                          / (10000.0 * (SELECT n FROM nn)))
+                          / (10000.0 * (SELECT n FROM nnt{sfx})))
                           AS BIGINT) AS wm
-              FROM wt{t - 1} w LEFT JOIN g{t} g USING (bucket)),
-    bw{t} AS (SELECT CAST((SELECT b FROM bw{t - 1})
-                     - floor((64.0 * 100.0 * (SELECT g FROM gb{t}))
-                             / (10000.0 * (SELECT n FROM nn)))
+              FROM wt{sfx}{t - 1} w LEFT JOIN g{sfx}{t} g USING (bucket)),
+    bw{sfx}{t} AS (SELECT CAST((SELECT b FROM bw{sfx}{t - 1})
+                     - floor((64.0 * 100.0 * (SELECT g FROM gb{sfx}{t}))
+                             / (10000.0 * (SELECT n FROM nnt{sfx})))
                      AS BIGINT) AS b)"""
         )
     return "".join(parts)
+
+
+def _lr_oracle_prefix(rounds: int = 3) -> str:
+    """Base features + one full-corpus GD chain (empty suffix keeps the
+    wt{t}/bw{t} names the train/calibration oracles reference)."""
+    return _LR_BASE_SQL + _lr_round_chain("", "TRUE", rounds)
 
 
 def _lr_train_oracle_sql(rounds: int = 3) -> str:
@@ -13545,6 +13564,74 @@ def quality_lr_calibration(spark, sf_dir):
             F.sum("y").cast("long").alias("n_pass"),
         )
     )
+
+
+def _lr_cv_oracle_sql(folds: int = 3, rounds: int = 2) -> str:
+    parts = [_LR_BASE_SQL]
+    for f in range(folds):
+        parts.append(_lr_round_chain(f"f{f}_", f"fold <> {f}", rounds))
+        parts.append(
+            f""",
+    sc{f} AS (
+      SELECT l.id, l.y,
+             coalesce(s.zp, 0)
+               + (SELECT b FROM bwf{f}_{rounds}) * 1000000 AS zp
+      FROM (SELECT id, y FROM lab WHERE fold = {f}) l
+      LEFT JOIN (
+        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
+        FROM x JOIN wtf{f}_{rounds} w USING (bucket) GROUP BY 1) s
+      USING (id)),
+    pc{f} AS (
+      SELECT y, CAST(round(10000.0 / (1.0 + exp(-round(
+               zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
+      FROM sc{f}),
+    row{f} AS (
+      SELECT CAST({f} AS BIGINT) AS fold,
+             (SELECT CAST(n AS BIGINT) FROM nntf{f}_) AS n_train,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(coalesce(sum(CASE WHEN (CASE WHEN p4 >= 5000 THEN 1
+                                          ELSE 0 END) = y
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_correct
+      FROM pc{f})"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT fold, n_train, n_test, n_correct,"
+        f" CAST(CASE WHEN n_test = 0 THEN 0"
+        f" ELSE floor(1e6 * n_correct / n_test + 0.5) END AS BIGINT)"
+        f" AS acc_micro FROM row{f}"
+        for f in range(folds)
+    )
+    return "".join(parts) + "\n    " + sel + "\n    ORDER BY fold"
+
+
+@q("quality_lr_cv", _lr_cv_oracle_sql(3, 2))
+def quality_lr_cv(spark, sf_dir):
+    """3-fold cross-validation of the quality classifier — the "does it
+    GENERALIZE" audit before trusting the model on unseen crawl. Folds
+    are deterministic md5 buckets (both engines and the oracle agree on
+    the split); each fold trains 2 full-batch GD rounds on the other
+    folds (pipeline/classifier.py:lr_cv_report — one job + one ≤65-row
+    collect per round off ONE shared persisted feature frame) and
+    scores its holdout in one map-side pass. Output per fold:
+    (fold, n_train, n_test, n_correct, acc_micro) — exact integers, the
+    oracle replays all three training trajectories AND the holdout
+    confusions in one unrolled statement."""
+    from .pipeline import classifier as CL
+    from .pipeline.curation import md5_bucket
+    from .pipeline.dedup import _persist
+
+    d = _t(spark, sf_dir, "documents")
+    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+    labels_f = d.select(
+        F.col("doc_id").alias("id"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (md5_bucket("doc_id", 100) % 3).cast("long").alias("fold"),
+    )
+    docfeats = _persist(
+        CL.doc_feature_frame(feats, labels_f, keep_cols=("fold",))
+    )
+    return CL.lr_cv_report(docfeats, dim=64, folds=3, rounds=2)
 
 
 # Extended TPC-H-shape relational coverage registers itself via @q on import.

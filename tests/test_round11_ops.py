@@ -124,3 +124,19 @@ def test_gdpr_cascade_ledger_consistency(spark, sf_dir):
         assert r["orphans_after"] == 0
     assert rows["customer"]["rows_removed"] > 0  # cohort non-empty
     assert rows["orders"]["rows_removed"] >= rows["customer"]["rows_removed"] // 2
+
+
+def test_quality_lr_cv_fold_partition(spark, sf_dir):
+    """Folds partition the corpus: sum(n_test) == corpus rows and each
+    fold's n_train == corpus - its n_test; accuracy in [0, 1e6]."""
+    rows = QUERIES["quality_lr_cv"](spark, sf_dir).collect()
+    assert sorted(r["fold"] for r in rows) == [0, 1, 2]
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_test"] for r in rows) == n
+    for r in rows:
+        assert r["n_train"] == n - r["n_test"]
+        assert 0 <= r["n_correct"] <= r["n_test"]
+        assert 0 <= r["acc_micro"] <= 1_000_000
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+
+    release_cached()
