@@ -203,6 +203,7 @@ HEADLINE = [
     "retrieval_ndcg",
     "gdpr_delete_cascade",
     "quality_lr_cv",
+    "streaming_quality_gate",
 ]
 
 

@@ -13605,6 +13605,106 @@ def _lr_cv_oracle_sql(folds: int = 3, rounds: int = 2) -> str:
     return "".join(parts) + "\n    " + sel + "\n    ORDER BY fold"
 
 
+def _lr_gate_oracle_sql(rounds: int = 3, threshold_p4: int = 4500) -> str:
+    """Batch restatement of the WHOLE streaming quality gate: seed-frozen
+    featurizer, ``rounds`` GD rounds on the seed, feed scored under the
+    frozen (token→df, N) state, thresholded. The gate is stateless so
+    the stream provably equals this batch statement — the hash match IS
+    the batch==stream proof."""
+    return (
+        r"""WITH seed AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    nn AS (SELECT count(*) AS n FROM seed),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS token
+      FROM seed),
+    tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfr AS (SELECT token, count(*) AS df FROM tfq GROUP BY 1),
+    hw AS (
+      SELECT tfq.doc_id AS id,
+             CAST('0x' || substring(md5(tfq.token), 1, 8) AS BIGINT) % 64
+               AS bucket,
+             tfq.tf * CAST(round(ln(CAST((SELECT n FROM nn) AS DOUBLE)
+                                    / dfr.df) * 1000) AS BIGINT) AS w
+      FROM tfq JOIN dfr USING (token)),
+    v AS (SELECT id, bucket, CAST(sum(w) AS BIGINT) AS w
+          FROM hw GROUP BY 1, 2),
+    n1 AS (SELECT id, CAST(sum(w) AS BIGINT) AS n1 FROM v GROUP BY 1),
+    x AS (SELECT v.id, v.bucket,
+                 CAST(floor(v.w * 1000000.0 / greatest(n1.n1, 1))
+                      AS BIGINT) AS x
+          FROM v JOIN n1 USING (id)),
+    lab AS (SELECT doc_id AS id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM seed)"""
+        + _lr_round_chain("", "TRUE", rounds)
+        + f""",
+    tok_f AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+               AS token
+      FROM documents WHERE doc_id % 5 = 0),
+    tfq_f AS (SELECT doc_id, token, count(*) AS tf FROM tok_f GROUP BY 1, 2),
+    hw_f AS (
+      SELECT tfq_f.doc_id AS id,
+             CAST('0x' || substring(md5(tfq_f.token), 1, 8) AS BIGINT) % 64
+               AS bucket,
+             tfq_f.tf * CAST(round(ln(CAST((SELECT n FROM nn) AS DOUBLE)
+                                      / dfr.df) * 1000) AS BIGINT) AS w
+      FROM tfq_f JOIN dfr USING (token)),
+    v_f AS (SELECT id, bucket, CAST(sum(w) AS BIGINT) AS w
+            FROM hw_f GROUP BY 1, 2),
+    n1_f AS (SELECT id, CAST(sum(w) AS BIGINT) AS n1 FROM v_f GROUP BY 1),
+    x_f AS (SELECT v_f.id, v_f.bucket,
+                   CAST(floor(v_f.w * 1000000.0 / greatest(n1_f.n1, 1))
+                        AS BIGINT) AS x
+            FROM v_f JOIN n1_f USING (id)),
+    lab_f AS (SELECT doc_id AS id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents WHERE doc_id % 5 = 0),
+    zf AS (
+      SELECT l.id, l.y,
+             coalesce(s.zp, 0) + (SELECT b FROM bw{rounds}) * 1000000 AS zp
+      FROM lab_f l LEFT JOIN (
+        SELECT x_f.id, CAST(sum(w.wm * x_f.x) AS BIGINT) AS zp
+        FROM x_f JOIN wt{rounds} w USING (bucket) GROUP BY 1) s USING (id)),
+    pf AS (
+      SELECT id, y, CAST(round(10000.0 / (1.0 + exp(-round(
+               zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
+      FROM zf)
+    SELECT id AS doc_id, y, p4,
+           CAST(CASE WHEN p4 >= {threshold_p4} THEN 1 ELSE 0 END AS BIGINT)
+             AS passed
+    FROM pf
+    """
+    )
+
+
+@q("streaming_quality_gate", _lr_gate_oracle_sql(3, 4500))
+def streaming_quality_gate(spark, sf_dir):
+    """DEPLOY the trained quality classifier over a document STREAM —
+    the missing half of `quality_lr_train`, and a real Structured
+    Streaming run (availableNow, checkpointed, idempotent batch sink),
+    not a batch stand-in: train 3 GD rounds on the seed (doc_id%5≠0),
+    freeze the featurizer (the seed's token→df table + N — feed tokens
+    unseen in the seed carry no weight, the honest deployed-OOV
+    behavior), then gate the doc_id%5=0 feed through a stateless
+    stream-static scoring pass at p4 ≥ 4500. The gate is stateless, so
+    the DuckDB oracle restates the WHOLE pipeline — featurizer,
+    training trajectory, feed scoring, threshold — and the hash match
+    doubles as the batch==stream proof (streaming/quality_gate.py)."""
+    from .streaming.quality_gate import quality_gate_stream
+
+    d = _t(spark, sf_dir, "documents")
+    seed = d.filter(F.col("doc_id") % 5 != 0)
+    feed = d.filter(F.col("doc_id") % 5 == 0)
+    base = _scratch_dir("quality_gate")
+    feed_dir = os.path.join(base, "feed")
+    feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    return quality_gate_stream(
+        spark, seed, feed_dir, base, dim=64, rounds=3, threshold_p4=4500
+    )
+
+
 @q("quality_lr_cv", _lr_cv_oracle_sql(3, 2))
 def quality_lr_cv(spark, sf_dir):
     """3-fold cross-validation of the quality classifier — the "does it

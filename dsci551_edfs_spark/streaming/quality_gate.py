@@ -1,0 +1,164 @@
+"""Streaming quality gate: the TRAINED classifier deployed over a
+document stream — the missing deploy half of pipeline/classifier.py's
+train half, and the way a crawl pipeline actually consumes the model
+(GPT-3/CCNet shape: train once on the curated-vs-crawl label, then gate
+every incoming shard).
+
+The gate is STATELESS by construction, which is why it streams clean:
+- the featurizer is FROZEN at train time — the seed corpus's
+  (token → df) table and its N are the model's vocabulary state; feed
+  tokens unseen in the seed simply carry no weight (the honest OOV
+  behavior of a deployed hashed-TF-IDF featurizer);
+- the model is 64+1 integer literals inside the projection;
+- each micro-batch therefore needs only a broadcast stream-static join
+  against the df table — no watermark, no state store — and lands
+  through the idempotent batch sink (replay-safe, sinks.py).
+
+Exactness: training and scoring are the classifier's frozen-integer
+expressions, so a DuckDB oracle restates the ENTIRE thing — seed
+featurizer, 3 GD rounds, feed scoring, threshold — and hash-matches,
+which is rare for a streaming op (most are pinned batch==stream in
+pytest only; here the stream IS the registered, oracle-checked path).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import tokens
+from ..pipeline.classifier import (
+    _score_p4,
+    doc_feature_frame,
+    l1_unit_features,
+    lr_train_on_docfeats,
+)
+from ..pipeline.dedup import _md5_base_hash, _persist
+from .sinks import write_batch_idempotent
+from .windows import stream_from_parquet
+
+__all__ = ["frozen_featurizer", "featurize_with", "quality_gate_stream"]
+
+
+def frozen_featurizer(
+    seed_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, int]:
+    """(df_table, n_seed): the featurizer state frozen at train time —
+    the seed corpus's (token → document frequency) table and its doc
+    count. THIS is what ships with the model; scoring any later shard
+    reuses it unchanged (new tokens score 0, df never drifts)."""
+    tf = (
+        seed_docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_seed = seed_docs.count()
+    return dfr, n_seed
+
+
+def featurize_with(
+    docs: DataFrame,
+    dfr: DataFrame,
+    n_seed: int,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """L1-unit integer features for ANY document frame under the frozen
+    featurizer — one tokenize pass + a broadcast join against the
+    (vocab-sized) df table; n_seed rides as a literal so the idf is
+    bit-identical to train time."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = tf.join(F.broadcast(dfr), "token").select(
+        "id",
+        (_md5_base_hash(F.col("token")) % dim).alias("bucket"),
+        (
+            F.col("tf").cast("long")
+            * F.round(
+                F.log(F.lit(float(n_seed)) / F.col("df")) * 1e3
+            ).cast("long")
+        ).alias("w"),
+    )
+    return l1_unit_features(w.groupBy("id", "bucket").agg(F.sum("w").alias("w")))
+
+
+def quality_gate_stream(
+    spark: SparkSession,
+    seed_docs: DataFrame,
+    feed_dir: str,
+    base_dir: str,
+    dim: int = 64,
+    rounds: int = 3,
+    threshold_p4: int = 4500,
+    target_lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files: int = 2,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Train on ``seed_docs``, then stream the parquet feed at
+    ``feed_dir`` through the gate (availableNow, checkpointed,
+    idempotent sink under ``base_dir``) and return the landed
+    ``(doc_id, y, p4, passed)`` audit frame. Blocks until the stream
+    drains; raises on timeout."""
+    dfr, n_seed = frozen_featurizer(seed_docs, text_col, id_col)
+    dfr = _persist(dfr)
+    labels = seed_docs.select(
+        F.col(id_col).alias("id"),
+        (F.col("lang") == target_lang).cast("long").alias("y"),
+    )
+    docfeats = _persist(
+        doc_feature_frame(
+            featurize_with(seed_docs, dfr, n_seed, dim, text_col, id_col),
+            labels,
+        )
+    )
+    _, w, bias = lr_train_on_docfeats(docfeats, dim, rounds)
+
+    out_dir = os.path.join(base_dir, "out")
+    ckpt = os.path.join(base_dir, "ckpt")
+    schema = spark.read.parquet(feed_dir).schema
+    src = stream_from_parquet(spark, feed_dir, schema, max_files=max_files)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        fb = featurize_with(batch_df, dfr, n_seed, dim, text_col, id_col)
+        lab_b = batch_df.select(
+            F.col(id_col).alias("id"),
+            (F.col("lang") == target_lang).cast("long").alias("y"),
+        )
+        scored = _score_p4(doc_feature_frame(fb, lab_b), w, bias)
+        write_batch_idempotent(
+            scored.select(
+                F.col("id").alias("doc_id"),
+                "y",
+                "p4",
+                (F.col("p4") >= threshold_p4).cast("long").alias("passed"),
+            ),
+            batch_id,
+            out_dir,
+        )
+
+    sq = (
+        src.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .queryName("quality_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(timeout_sec):
+        sq.stop()
+        raise TimeoutError("quality gate stream did not finish in time")
+    return spark.read.parquet(out_dir).drop("_batch_id")

@@ -140,3 +140,28 @@ def test_quality_lr_cv_fold_partition(spark, sf_dir):
     from dsci551_edfs_spark.pipeline.dedup import release_cached
 
     release_cached()
+
+
+def test_streaming_quality_gate_replay_idempotent(spark, sf_dir):
+    """Running the gate query twice (same scratch checkpoint + sink)
+    must land identical audit rows — the replay-safety contract of the
+    idempotent batch sink; and every feed doc appears exactly once."""
+    import pyspark.sql.functions as F2
+
+    a = sorted(
+        tuple(r) for r in QUERIES["streaming_quality_gate"](spark, sf_dir).collect()
+    )
+    b = sorted(
+        tuple(r) for r in QUERIES["streaming_quality_gate"](spark, sf_dir).collect()
+    )
+    assert a == b
+    n_feed = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F2.col("doc_id") % 5 == 0)
+        .count()
+    )
+    assert len(a) == n_feed
+    assert len({r[0] for r in a}) == n_feed  # one row per doc
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+
+    release_cached()
