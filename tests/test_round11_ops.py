@@ -165,3 +165,33 @@ def test_streaming_quality_gate_replay_idempotent(spark, sf_dir):
     from dsci551_edfs_spark.pipeline.dedup import release_cached
 
     release_cached()
+
+
+def test_frozen_featurizer_oov_tokens_score_zero(spark):
+    """Deployment contract of the frozen featurizer: feed tokens unseen
+    in the seed carry NO weight (df join drops them) — an all-OOV feed
+    doc has no feature rows at all, and a mixed doc only weighs its
+    seed-known tokens."""
+    from dsci551_edfs_spark.streaming.quality_gate import (
+        featurize_with,
+        frozen_featurizer,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    dfr, n = frozen_featurizer(seed)
+    assert n == 2
+    feed = spark.createDataFrame(
+        [(10, "zzz qqq"), (11, "alpha zzz")],
+        "doc_id long, text string",
+    )
+    feats = featurize_with(feed, dfr, n)
+    by_id = {}
+    for r in feats.collect():
+        by_id.setdefault(r["id"], []).append(r)
+    assert 10 not in by_id          # all-OOV doc: zero feature rows
+    assert len(by_id[11]) == 1      # only 'alpha' survives
+    # alpha df=2, n=2 -> idf ln(1)=0 -> weight 0 -> x floor(0/..)=0
+    assert by_id[11][0]["x"] == 0
