@@ -176,9 +176,10 @@ def lr_train_from_features(
     fold feeding a 65-key gradient aggregate (g_b = Σ (p4 − 1e4·y)·x,
     exact integers since p4 froze the sigmoid) — then a ≤ dim+1-row
     bounded collect."""
-    return lr_train_on_docfeats(
+    traj, w, bias, _n = lr_train_on_docfeats(
         _persist(doc_feature_frame(feats, labels)), dim, rounds, lr_num
     )
+    return traj, w, bias
 
 
 def lr_train_on_docfeats(
@@ -186,10 +187,13 @@ def lr_train_on_docfeats(
     dim: int = 64,
     rounds: int = 3,
     lr_num: int = _LR_NUM,
-) -> tuple[list[tuple[int, int, int]], dict[int, int], int]:
+) -> tuple[list[tuple[int, int, int]], dict[int, int], int, int]:
     """The GD loop over a PREBUILT (and ideally persisted) doc-feature
     frame — exposed so k-fold cross-validation trains each fold off
-    one shared cached frame instead of rebuilding features per fold."""
+    one shared cached frame instead of rebuilding features per fold.
+    Also returns ``n`` (the exact training row count, read off round
+    1's bias-gradient group count) so callers never need a separate
+    count() job."""
     n = 0  # read off round 1's gradient collect — saves a whole job
     w = {b: 0 for b in range(dim)}
     bias = 0
@@ -215,7 +219,7 @@ def lr_train_on_docfeats(
                 (r["cnt"] for r in g_rows if r["bucket"] == _BIAS_BUCKET), 0
             )
             if n == 0:
-                return [], w, 0
+                return [], w, 0, 0
         for r in g_rows:
             # floor((lr·g)/(1e4·n)) — identical IEEE expression in the
             # DuckDB oracle and the numpy property-test replica (for
@@ -230,7 +234,7 @@ def lr_train_on_docfeats(
                 w[r["bucket"]] -= delta
         traj.extend((step, b, w[b]) for b in range(dim))
         traj.append((step, _BIAS_BUCKET, bias))
-    return traj, w, bias
+    return traj, w, bias, n
 
 
 def lr_score(
@@ -270,7 +274,7 @@ def lr_cv_report(
     out_rows: list[tuple[int, int, int, int, int]] = []
     for f in range(folds):
         train = docfeats.filter(F.col("fold") != f)
-        _, w, bias = lr_train_on_docfeats(train, dim, rounds, lr_num)
+        _, w, bias, n_train = lr_train_on_docfeats(train, dim, rounds, lr_num)
         test = docfeats.filter(F.col("fold") == f)
         scored = _score_p4(test, w, bias)
         agg = scored.agg(
@@ -281,7 +285,6 @@ def lr_cv_report(
                 ).cast("long")
             ).alias("n_correct"),
         ).first()
-        n_train = train.count()
         n_test = int(agg["n_test"] or 0)
         n_correct = int(agg["n_correct"] or 0)
         acc = (

@@ -36,6 +36,7 @@ from ..pipeline.classifier import (
     lr_train_on_docfeats,
 )
 from ..pipeline.dedup import _md5_base_hash, _persist
+from ..plans.hints import broadcast_if_small
 from .sinks import write_batch_idempotent
 from .windows import stream_from_parquet
 
@@ -82,7 +83,10 @@ def featurize_with(
         .groupBy("id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    w = tf.join(F.broadcast(dfr), "token").select(
+    # size-guarded hint: the df table is vocabulary-sized, which on a
+    # web-scale seed corpus can exceed broadcast memory — degrade to a
+    # key-shuffled hash join rather than OOM the driver
+    w = tf.join(broadcast_if_small(dfr), "token").select(
         "id",
         (_md5_base_hash(F.col("token")) % dim).alias("bucket"),
         (
@@ -126,7 +130,7 @@ def quality_gate_stream(
             labels,
         )
     )
-    _, w, bias = lr_train_on_docfeats(docfeats, dim, rounds)
+    _, w, bias, _n = lr_train_on_docfeats(docfeats, dim, rounds)
 
     out_dir = os.path.join(base_dir, "out")
     ckpt = os.path.join(base_dir, "ckpt")

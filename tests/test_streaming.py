@@ -696,9 +696,10 @@ def _protobuf_available():
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithState wiring needs google.protobuf (state-server "
-    "protocol); the SessionAssembler state machine is covered "
-    "dependency-free below",
+    reason="PERMANENT in this container: transformWithState wiring needs "
+    "google.protobuf (state-server protocol); no module on disk and no "
+    "pypi route (verified round 12 — see .claude/skills/verify/SKILL.md). "
+    "The SessionAssembler state machine is covered dependency-free below",
 )
 def test_tws_sessionization_equals_batch(spark, event_dir):
     """transformWithStateInPandas session assembler == batch

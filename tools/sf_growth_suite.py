@@ -73,7 +73,9 @@ def main() -> None:
             "timings": t,
             "spread_max_minus_min": s,
             "memo_warm": memo,
-            "total_s": round(sum(t.values()), 3),
+            "total_s": round(
+                sum(v for v in t.values() if v is not None), 3
+            ),
             "ambient_load": bench._ambient_load(
                 amb0, bench._ambient_snapshot()
             ),
