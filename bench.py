@@ -204,7 +204,94 @@ HEADLINE = [
     "gdpr_delete_cascade",
     "quality_lr_cv",
     "streaming_quality_gate",
+    # round-12 additions
+    "quality_lr_auc",
+    "ann_mutual_knn_binary_bucketed",
 ]
+
+
+# queries with a fixed multi-job/stream-machinery cost that belongs in
+# its own column: (module, attr) of a LAST-run timing dict the query
+# populates, plus which of its keys is the "fixed startup" part. bench
+# subtracts that per run so the STEADY median/spread is reported clean
+# (verdict r11: both queries carried in-window spreads 10x the suite
+# norm because checkpoint startup / cache build landed in one median).
+_SPLIT_PROVIDERS: dict[str, tuple[str, str, str]] = {
+    "streaming_quality_gate": (
+        "dsci551_edfs_spark.streaming.quality_gate",
+        "LAST_TIMINGS",
+        "stream_startup_s",
+    ),
+    "quality_lr_cv": (
+        "dsci551_edfs_spark.pipeline.classifier",
+        "LAST_CV_TIMINGS",
+        "feature_build_s",
+    ),
+}
+
+
+def _split_startup(name: str) -> float | None:
+    """The fixed-startup seconds of the JUST-FINISHED run of a split
+    query, read off its module's last-run timing dict."""
+    import importlib
+
+    prov = _SPLIT_PROVIDERS.get(name)
+    if prov is None:
+        return None
+    mod, attr, key = prov
+    val = getattr(importlib.import_module(mod), attr, {}).get(key)
+    return float(val) if val is not None else None
+
+
+def _drift_flags(
+    prev: dict, timings: dict, spreads: dict, floor_s: float = 0.05
+) -> list[dict]:
+    """Cross-round drift detection AS CODE (verdict r11 #5): flag any
+    query whose median moved more than the COMBINED 3-run spreads of
+    the two windows (plus a small absolute floor so 10 ms queries with
+    1 ms spreads don't flag on scheduler noise). ``prev`` is the prior
+    round's canonical artifact dict; returns one row per flagged query
+    — every row must have a SCALE.md line or a fix."""
+    flags = []
+    prev_t = prev.get("queries", {})
+    prev_s = prev.get("spread_max_minus_min", {})
+    for q, new in timings.items():
+        old = prev_t.get(q)
+        if old is None or new is None:
+            continue
+        band = (spreads.get(q) or 0.0) + (prev_s.get(q) or 0.0) + floor_s
+        if abs(new - old) > band:
+            flags.append(
+                {
+                    "query": q,
+                    "prev_s": old,
+                    "new_s": new,
+                    "band_s": round(band, 3),
+                    "ratio": round(new / old, 2) if old else None,
+                }
+            )
+    flags.sort(key=lambda r: -abs(r["new_s"] - r["prev_s"]))
+    return flags
+
+
+def _prev_canonical(here: str, rnd: int) -> dict:
+    """The most recent prior round's canonical BENCH_local artifact
+    (for drift comparison); {} if none exists."""
+    import re
+
+    best = None
+    for f in os.listdir(here):
+        m = re.match(r"BENCH_local_r(\d+)\.json$", f)
+        if m and int(m.group(1)) < rnd:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), f)
+    if best is None:
+        return {}
+    try:
+        with open(os.path.join(here, best[1])) as fh:
+            return json.load(fh)
+    except Exception:
+        return {}
 
 
 def _round_number() -> int:
@@ -363,6 +450,7 @@ def main() -> None:
     amb_start = _ambient_snapshot()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    splits: dict[str, dict] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         # median-of-3: the ±30% ambient band around best-of-2 mis-flagged
@@ -373,12 +461,28 @@ def main() -> None:
         # cares about warm steady state, and release between runs would
         # change the methodology mid-history)
         runs = []
+        startups = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
+            su = _split_startup(name)
+            if su is not None:
+                startups.append(su)
         release_cached()  # between queries only
+        if len(startups) == len(runs):
+            # steady medians/spreads with the fixed startup removed;
+            # timings[name] stays the FULL median for cross-round
+            # comparability
+            steady = sorted(r - s for r, s in zip(runs, startups))
+            startups.sort()
+            splits[name] = {
+                "startup_key": _SPLIT_PROVIDERS[name][2],
+                "startup_s": round(startups[len(startups) // 2], 3),
+                "steady_s": round(steady[1], 3),
+                "steady_spread": round(steady[2] - steady[0], 3),
+            }
         runs.sort()
         timings[name] = round(runs[1], 3)
         spreads[name] = round(runs[2] - runs[0], 3)
@@ -407,6 +511,8 @@ def main() -> None:
     # git_sha of a committed artifact can never equal the sha it was run
     # at — code_sha is the stable binding to the measured tree.
     git_sha, code_sha = _shas()
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = _round_number()
     full = dict(
         totals,
         git_sha=git_sha,
@@ -414,11 +520,13 @@ def main() -> None:
         ambient_load=_ambient_load(amb_start, _ambient_snapshot()),
         queries=timings,
         spread_max_minus_min=spreads,
+        multi_job_split=splits,
+        drift_flags=_drift_flags(
+            _prev_canonical(here, rnd), timings, spreads
+        ),
         memo_warm=memo_warm,
     )
-    artifact = _place_artifact(
-        full, os.path.dirname(os.path.abspath(__file__)), _round_number()
-    )
+    artifact = _place_artifact(full, here, rnd)
     # full object first (humans / full-stdout consumers), SHORT totals
     # line LAST so it lands complete inside the driver's tail capture
     print(json.dumps(full))

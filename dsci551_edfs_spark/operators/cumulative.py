@@ -26,7 +26,69 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["running_total", "running_max"]
+__all__ = ["running_total", "running_totals", "running_max"]
+
+
+def running_totals(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    value_cols: Sequence[tuple[str, str]],
+    rank_partitions: int = 32,
+) -> DataFrame:
+    """Append one running-sum column per ``(value_col, out_col)`` pair,
+    all in global ``order_cols`` order, sharing ONE two-phase pass
+    (range partition + broadcast per-partition offsets) — so e.g. a
+    tie-corrected AUC's cumulative count AND cumulative positives cost
+    a single range shuffle, and the plan contains no single-partition
+    window at any input size."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(rank_partitions, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["_pid"]: r
+        for r in ranged.groupBy("_pid")
+        .agg(
+            *(
+                F.sum(v).cast("long").alias(f"_t_{i}")
+                for i, (v, _) in enumerate(value_cols)
+            )
+        )
+        .collect()
+    }
+    accs = [0] * len(value_cols)
+    offs = []
+    for pid in range(rank_partitions):
+        offs.append((pid, *accs))
+        row = totals.get(pid)
+        if row is not None:
+            accs = [
+                acc + int(row[f"_t_{i}"] or 0) for i, acc in enumerate(accs)
+            ]
+    off_schema = "_pid int, " + ", ".join(
+        f"_off_{i} long" for i in range(len(value_cols))
+    )
+    off_df = ranged.sparkSession.createDataFrame(offs, off_schema)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = list(df.columns)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            *keep,
+            *(
+                (F.col(f"_off_{i}") + F.sum(v).over(w))
+                .cast("long")
+                .alias(out)
+                for i, (v, out) in enumerate(value_cols)
+            ),
+        )
+    )
 
 
 def running_total(
@@ -40,35 +102,8 @@ def running_total(
     ``order_cols`` order, computed two-phase (range partition +
     broadcast per-partition offsets) so the plan contains no
     single-partition window at any input size."""
-    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(rank_partitions, *order)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    totals = {
-        r["_pid"]: r["t"]
-        for r in ranged.groupBy("_pid")
-        .agg(F.sum(value_col).cast("long").alias("t"))
-        .collect()
-    }
-    acc, offs = 0, []
-    for pid in range(rank_partitions):
-        offs.append((pid, acc))
-        acc += int(totals.get(pid, 0) or 0)
-    off_df = ranged.sparkSession.createDataFrame(offs, "_pid int, _off long")
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    keep = list(df.columns)
-    return (
-        ranged.join(F.broadcast(off_df), "_pid")
-        .select(
-            *keep,
-            (F.col("_off") + F.sum(value_col).over(w)).cast("long").alias(out_col),
-        )
+    return running_totals(
+        df, order_cols, [(value_col, out_col)], rank_partitions
     )
 
 

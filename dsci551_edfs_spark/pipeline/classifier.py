@@ -51,6 +51,14 @@ _LR_NUM = 64  # learning rate numerator (lr = _LR_NUM, frozen)
 _BIAS_BUCKET = -1
 _BIAS_X = 100
 
+#: wall-clock split of the LAST lr_cv_report run — bench.py reads this
+#: to separate the once-per-corpus feature-frame materialization (one
+#: full corpus pass into the cache) from the 9 bounded fold jobs, whose
+#: steady cost is otherwise hidden inside one noisy median:
+#:   feature_build_s   docfeats cache materialization (count-forced)
+#:   cv_folds_s        all folds' train rounds + holdout passes
+LAST_CV_TIMINGS: dict[str, float] = {}
+
 
 def l1_unit_features(vecs: DataFrame) -> DataFrame:
     """(id, bucket, x): integer features in [0, 1e6], the L1-normalized
@@ -270,7 +278,17 @@ def lr_cv_report(
     acc_micro = round(1e6·correct/n_test) — exact integers end to end,
     so an unrolled-CTE oracle replays every fold's trajectory AND its
     holdout confusion exactly."""
+    import time
+
     spark = docfeats.sparkSession
+    LAST_CV_TIMINGS.clear()
+    t0 = time.perf_counter()
+    # force the shared cache ONCE, timed separately: the corpus pass
+    # otherwise lands inside fold 0's first GD round and makes the
+    # whole query's bench median spread 10x the suite norm
+    docfeats.count()
+    LAST_CV_TIMINGS["feature_build_s"] = round(time.perf_counter() - t0, 3)
+    t1 = time.perf_counter()
     out_rows: list[tuple[int, int, int, int, int]] = []
     for f in range(folds):
         train = docfeats.filter(F.col("fold") != f)
@@ -291,6 +309,7 @@ def lr_cv_report(
             math.floor((1e6 * n_correct) / n_test + 0.5) if n_test else 0
         )
         out_rows.append((f, n_train, n_test, n_correct, acc))
+    LAST_CV_TIMINGS["cv_folds_s"] = round(time.perf_counter() - t1, 3)
     return spark.createDataFrame(
         out_rows,
         "fold long, n_train long, n_test long, n_correct long, acc_micro long",

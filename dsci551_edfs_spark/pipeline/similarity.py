@@ -37,6 +37,7 @@ __all__ = [
     "pq_topk",
     "ivf_pq_topk",
     "mutual_knn_hamming",
+    "mutual_knn_hamming_bucketed",
     "margin_knn_filter",
     "mmr_select",
     "hbos_outlier_scores",
@@ -265,6 +266,14 @@ def mutual_knn_hamming(
         "id_b",
         F.bit_count(F.col("wa").bitwiseXOR(F.col("wb"))).alias("hamming"),
     )
+    return _mutual_rank_filter(pairs, k)
+
+
+def _mutual_rank_filter(pairs: DataFrame, k: int) -> DataFrame:
+    """The reciprocity tail shared by the exact and bucketed mutual-kNN
+    paths: rank the (id_a, id_b, hamming) pair frame twice — forward by
+    a-side, backward by b-side, deterministic (hamming, id) tiebreak —
+    and keep rows inside both top-k's."""
     w_ab = Window.partitionBy("id_a").orderBy(
         F.col("hamming").asc(), F.col("id_b").asc()
     )
@@ -277,6 +286,83 @@ def mutual_knn_hamming(
         .filter((F.col("rank_ab") <= k) & (F.col("rank_ba") <= k))
         .select("id_a", "id_b", "rank_ab", "rank_ba", "hamming")
     )
+
+
+def mutual_knn_hamming_bucketed(
+    a_side: DataFrame,
+    b_side: DataFrame,
+    k: int = 5,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The sub-quadratic scale twin of `mutual_knn_hamming`: Hamming-
+    prefix (banded-signature) blocking replaces the all-pairs scan, the
+    reciprocity tail is unchanged. The 64-bit sign word splits into
+    ``bands`` equal bit-bands; a pair becomes a CANDIDATE only if some
+    band matches exactly — the pigeonhole guarantee that every pair at
+    Hamming distance < ``bands`` survives blocking, and anything
+    farther survives only by band collision. Ranks are computed WITHIN
+    the candidate set (the honest ANN semantics — same contract as
+    `knn_label_vote_ivf` vs `knn_label_vote`); the planted-twin recall
+    contract pins that true near-pairs are never lost
+    (tests/test_round12_ops.py).
+
+    Scale: each side explodes to ``bands`` (band, key) rows and the
+    candidate stage is a KEY-SHUFFLED equi-join on (band, key) — no
+    broadcast of either corpus, no |A|x|B| pair frame; expected
+    candidates ~ |A||B|·bands/2^(64/bands) for uncorrelated bits, and a
+    skewed band key degrades to AQE skew-join, not a crossJoin. Band
+    extraction is (w >> 16i) & 0xFFFF — arithmetic shift + mask is
+    bit-identical in Spark and DuckDB (both two's complement), so the
+    WHOLE path is oracle-restatable, bands included."""
+    from .dedup import _persist
+
+    width = 64 // bands
+    mask = (1 << width) - 1
+    a = _persist(
+        a_side.select(
+            F.col(id_col).alias("id_a"),
+            F.expr(_sign_word_sql(vec_col)).alias("wa"),
+        )
+    )
+    b = _persist(
+        b_side.select(
+            F.col(id_col).alias("id_b"),
+            F.expr(_sign_word_sql(vec_col)).alias("wb"),
+        )
+    )
+
+    def banded(df: DataFrame, idc: str, wc: str) -> DataFrame:
+        bk = F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(i).cast("long").alias("band"),
+                        F.shiftright(F.col(wc), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                )
+            )
+        ).alias("bk")
+        return df.select(idc, wc, bk).select(
+            idc, wc, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+
+    cand = (
+        banded(a, "id_a", "wa")
+        .join(banded(b, "id_b", "wb"), ["band", "key"])
+        .select("id_a", "id_b", "wa", "wb")
+        .distinct()
+    )
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("wa").bitwiseXOR(F.col("wb"))).alias("hamming"),
+    )
+    return _mutual_rank_filter(pairs, k)
 
 
 def margin_knn_filter(

@@ -4392,6 +4392,65 @@ def ann_mutual_knn_binary(spark, sf_dir):
     )
 
 
+@q(
+    "ann_mutual_knn_binary_bucketed",
+    f"""
+    WITH s AS (
+      SELECT vec_id, {_BINARY_PACK_DUCK} AS w FROM embeddings),
+    a AS (SELECT vec_id AS id_a, w AS wa FROM s WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS id_b, w AS wb FROM s WHERE vec_id % 2 = 1),
+    ab AS (SELECT id_a, wa, t.band,
+                  (wa >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
+           FROM a, generate_series(0, 3) t(band)),
+    bb AS (SELECT id_b, wb, t.band,
+                  (wb >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
+           FROM b, generate_series(0, 3) t(band)),
+    cand AS (SELECT DISTINCT id_a, id_b, wa, wb
+             FROM ab JOIN bb USING (band, key)),
+    pairs AS (SELECT id_a, id_b, bit_count(xor(wa, wb)) AS hamming
+              FROM cand),
+    r AS (SELECT id_a, id_b, hamming,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY hamming, id_b) AS rank_ab,
+                 row_number() OVER (PARTITION BY id_b
+                                    ORDER BY hamming, id_a) AS rank_ba
+          FROM pairs)
+    SELECT id_a, id_b,
+           CAST(rank_ab AS BIGINT) AS rank_ab,
+           CAST(rank_ba AS BIGINT) AS rank_ba,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM r WHERE rank_ab <= 5 AND rank_ba <= 5
+    """,
+)
+def ann_mutual_knn_binary_bucketed(spark, sf_dir):
+    """The sub-quadratic scale twin of `ann_mutual_knn_binary`:
+    Hamming-prefix (banded-signature) blocking on the 64-bit sign word
+    — 4 bands x 16 bits, a pair is a candidate only if some band
+    matches exactly (pigeonhole: every pair at Hamming < 4 survives) —
+    then the SAME reciprocal top-5 filter, ranked within the candidate
+    set (the honest ANN semantics; `knn_label_vote_ivf` precedent).
+    The candidate stage is a key-shuffled equi-join on (band, key): no
+    corpus broadcast, no |A|x|B| pair frame. Band extraction
+    (w >> 16i) & 0xFFFF is bit-identical two's-complement arithmetic in
+    both engines, so the whole path — blocking included — carries a
+    full oracle; the planted-twin recall contract lives in
+    tests/test_round12_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.mutual_knn_hamming_bucketed(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=5,
+        bands=4,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("rank_ab").cast("long").alias("rank_ab"),
+        F.col("rank_ba").cast("long").alias("rank_ba"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 _CM_MICRO_DUCK = (
     "CAST(floor(1000000 * ("
     + _DOT_SQL.format(a="cc.embedding", b="qq.embedding")
@@ -13732,6 +13791,135 @@ def quality_lr_cv(spark, sf_dir):
         CL.doc_feature_frame(feats, labels_f, keep_cols=("fold",))
     )
     return CL.lr_cv_report(docfeats, dim=64, folds=3, rounds=2)
+
+
+def _auc_leg_sql(src: str, sfx: str) -> str:
+    """Tie-corrected rank-sum ROC-AUC + step PR-AUC over a (y, s) CTE
+    ``src`` — grouped scores, doubled integer midranks, micro-frozen
+    block precisions, everything in HUGEINT (the oracle mirror of
+    pipeline/evalmetrics.py). r_{sfx} ends with one row of exact
+    integer sums; the final divisions live in the SELECT the caller
+    assembles."""
+    return f""",
+    aug{sfx} AS (SELECT s, CAST(count(*) AS HUGEINT) AS cnt,
+                        CAST(sum(y) AS HUGEINT) AS pos
+                 FROM {src} GROUP BY 1),
+    aut{sfx} AS (SELECT s, cnt, pos,
+                        sum(cnt) OVER (ORDER BY s) AS cum_cnt,
+                        sum(pos) OVER (ORDER BY s) AS cum_pos
+                 FROM aug{sfx}),
+    aua{sfx} AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS n,
+                        CAST(coalesce(sum(pos), 0) AS HUGEINT) AS np
+                 FROM aug{sfx}),
+    aur{sfx} AS (
+      SELECT a.np AS np, a.n - a.np AS nn,
+             CAST(coalesce(sum(t.pos * (2 * (t.cum_cnt - t.cnt) + t.cnt
+                   + 1)), 0) AS HUGEINT) AS r2,
+             CAST(coalesce(sum(t.pos * ((2000000 * (a.np - t.cum_pos
+                   + t.pos) + (a.n - t.cum_cnt + t.cnt))
+                   // (2 * (a.n - t.cum_cnt + t.cnt)))), 0) AS HUGEINT)
+               AS psum
+      FROM aut{sfx} t, aua{sfx} a GROUP BY 1, 2)"""
+
+
+def _auc_final_select(sfx: str, label: str) -> str:
+    return f"""SELECT '{label}' AS scorer,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CAST(CASE WHEN np = 0 OR nn = 0 THEN 0
+                ELSE (1000000 * (r2 - np * (np + 1)) + np * nn)
+                     // (2 * np * nn) END AS BIGINT) AS roc_auc_micro,
+           CAST(CASE WHEN np = 0 THEN 0
+                ELSE (2 * psum + np) // (2 * np) END AS BIGINT)
+             AS pr_auc_micro
+    FROM aur{sfx}"""
+
+
+def _lr_auc_oracle_sql(rounds: int = 3) -> str:
+    r = rounds
+    return (
+        _lr_oracle_prefix(rounds)
+        + f""",
+    zf AS (
+      SELECT l.id, l.y,
+             coalesce(s.zp, 0) + (SELECT b FROM bw{r}) * 1000000 AS zp
+      FROM lab l LEFT JOIN (
+        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
+        FROM x JOIN wt{r} w USING (bucket) GROUP BY 1) s USING (id)),
+    lr_sc AS (
+      SELECT y, CAST(round(10000.0 / (1.0 + exp(-round(
+               zp / 1000000000000.0, 6)))) AS BIGINT) AS s
+      FROM zf),
+    """
+        + _QM_FEATURES_SQL.strip().lstrip()
+        + r""",
+    rule_sc AS (
+      SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(round(round(1.0 / (1.0 + exp(-round(-1.0
+                  + 2.5 * least(f.n_tokens / 100.0, 1.0)
+                  + 0.15 * f.avg_token_len - 4.0 * f.punct_ratio
+                  - 2.0 * f.upper_ratio - 3.0 * f.digit_ratio, 6))), 4)
+                  * 10000) AS BIGINT) AS s
+      FROM feats f JOIN documents d USING (doc_id))"""
+        + _auc_leg_sql("lr_sc", "_lr")
+        + _auc_leg_sql("rule_sc", "_ru")
+        + "\n    "
+        + _auc_final_select("_lr", "lr")
+        + "\n    UNION ALL "
+        + _auc_final_select("_ru", "rule")
+    )
+
+
+@q("quality_lr_auc", _lr_auc_oracle_sql(3))
+def quality_lr_auc(spark, sf_dir):
+    """Close the classifier evaluation loop with exact ROC-AUC and
+    PR-AUC — the one number a 100 TB quality-gate decision is made on —
+    for BOTH the in-engine-TRAINED logistic model (`quality_lr_train`'s
+    3-round weights) and the rule-based gate (`quality_score_model`'s
+    frozen linear logit), side by side. ROC-AUC is the Mann-Whitney
+    rank-sum with integer midranks (ties exact by construction — the
+    ×1e4-frozen scores collide constantly); PR-AUC is step average
+    precision with micro-frozen block precisions
+    (pipeline/evalmetrics.py).
+
+    Scale shape: per scorer ONE map-side-combinable groupBy(score)
+    bounds the frame at the score domain (≤10001 rows), both cumulative
+    legs share ONE two-phase range-partitioned running-totals pass
+    (operators/cumulative.py — no single-partition window), all in-plan
+    products are DECIMAL(38,0)-guarded, and the final division is exact
+    Python bigint over a 1-row collect. The DuckDB oracle replays
+    training, both scorers, midranks, and the round-half-up divisions
+    in HUGEINT and hash-matches.
+
+    Honesty note (same as `quality_lr_train`): this synthetic corpus
+    has no text↔label signal, so BOTH scorers sit near 0.5 ROC-AUC —
+    the registered contract is metric exactness, not model skill."""
+    from .pipeline import classifier as CL
+    from .pipeline.evalmetrics import rank_auc_report
+
+    d = _t(spark, sf_dir, "documents")
+    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+    _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+    lr_scored = CL.lr_score(feats, labels, w, bias).select(
+        "y", F.col("p4").alias("s")
+    )
+    rule_scored = (
+        TXT.quality_score_model(d)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.round(F.col("quality_prob") * 10000).cast("long").alias("s"),
+        )
+        .join(labels, "id")
+        .select("y", "s")
+    )
+    rows = []
+    for name, sc in (("lr", lr_scored), ("rule", rule_scored)):
+        np_, nn, roc, pr = rank_auc_report(sc, "s", "y")
+        rows.append((name, np_, nn, roc, pr))
+    return spark.createDataFrame(
+        rows,
+        "scorer string, n_pos long, n_neg long,"
+        " roc_auc_micro long, pr_auc_micro long",
+    )
 
 
 # Extended TPC-H-shape relational coverage registers itself via @q on import.

@@ -42,6 +42,15 @@ from .windows import stream_from_parquet
 
 __all__ = ["frozen_featurizer", "featurize_with", "quality_gate_stream"]
 
+#: wall-clock split of the LAST quality_gate_stream run — bench.py reads
+#: this to report the fixed stream-machinery cost separately from the
+#: steady gate cost (the ~1 s checkpoint/startup otherwise lands in one
+#: median and blows the in-window spread to 10x the suite norm):
+#:   train_s            featurizer freeze + GD rounds (batch, pre-stream)
+#:   stream_startup_s   .start() -> first foreachBatch invocation
+#:   stream_drain_s     first batch -> stream termination
+LAST_TIMINGS: dict[str, float] = {}
+
 
 def frozen_featurizer(
     seed_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -118,6 +127,9 @@ def quality_gate_stream(
     idempotent sink under ``base_dir``) and return the landed
     ``(doc_id, y, p4, passed)`` audit frame. Blocks until the stream
     drains; raises on timeout."""
+    import time
+
+    t_train0 = time.perf_counter()
     dfr, n_seed = frozen_featurizer(seed_docs, text_col, id_col)
     dfr = _persist(dfr)
     labels = seed_docs.select(
@@ -137,7 +149,14 @@ def quality_gate_stream(
     schema = spark.read.parquet(feed_dir).schema
     src = stream_from_parquet(spark, feed_dir, schema, max_files=max_files)
 
+    LAST_TIMINGS.clear()
+    LAST_TIMINGS["train_s"] = round(time.perf_counter() - t_train0, 3)
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if "stream_startup_s" not in LAST_TIMINGS:
+            LAST_TIMINGS["stream_startup_s"] = round(
+                time.perf_counter() - t_stream0, 3
+            )
         fb = featurize_with(batch_df, dfr, n_seed, dim, text_col, id_col)
         lab_b = batch_df.select(
             F.col(id_col).alias("id"),
@@ -155,6 +174,7 @@ def quality_gate_stream(
             out_dir,
         )
 
+    t_stream0 = time.perf_counter()
     sq = (
         src.writeStream.foreachBatch(gate)
         .option("checkpointLocation", ckpt)
@@ -165,4 +185,8 @@ def quality_gate_stream(
     if not sq.awaitTermination(timeout_sec):
         sq.stop()
         raise TimeoutError("quality gate stream did not finish in time")
+    stream_s = time.perf_counter() - t_stream0
+    LAST_TIMINGS["stream_drain_s"] = round(
+        stream_s - LAST_TIMINGS.get("stream_startup_s", 0.0), 3
+    )
     return spark.read.parquet(out_dir).drop("_batch_id")

@@ -1711,3 +1711,49 @@ def test_bm25_ndcg_matches_python_replica(spark, tfs):
         for rnk, (_, _, g) in enumerate(by_gain, start=1)
     )
     assert got["term"] == (dcg, idcg, half_up(1e6 * dcg / idcg))
+
+
+# ------------------------------------------------ rank-sum ROC/PR-AUC
+
+auc_cases = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),  # tiny domain -> many ties
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(auc_cases)
+def test_rank_auc_matches_python_replica(spark, data):
+    """rank_auc_report (grouped scores -> shared two-phase cumulative
+    pass -> exact bigint division) == the pure-Python replica on random
+    tie-heavy score vectors, and the replica's ROC == the O(n^2)
+    pairwise Mann-Whitney count."""
+    from dsci551_edfs_spark.pipeline.evalmetrics import (
+        auc_from_grouped_counts,
+        rank_auc_report,
+    )
+
+    df = spark.createDataFrame(data, "s long, y long")
+    got = rank_auc_report(df, "s", "y")
+
+    groups: dict = {}
+    for s, y in data:
+        c, p = groups.get(s, (0, 0))
+        groups[s] = (c + 1, p + y)
+    want = auc_from_grouped_counts(
+        [(s, c, p) for s, (c, p) in groups.items()]
+    )
+    assert got == want
+
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    if pos and neg:
+        wins2 = sum(
+            2 if p > q else 1 if p == q else 0 for p in pos for q in neg
+        )
+        np_, nn = len(pos), len(neg)
+        assert got[2] == (10**6 * wins2 + np_ * nn) // (2 * np_ * nn)

@@ -1,0 +1,154 @@
+"""Round-12 additions: exact rank-sum ROC/PR-AUC (pipeline/evalmetrics),
+the shared multi-column running-totals primitive, and the bucketed
+mutual-kNN scale twin's contracts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_running_totals_two_columns_match_naive(spark):
+    """Multi-column two-phase running totals == naive prefix sums for
+    BOTH columns, sharing one pass, with more range partitions than
+    rows (offset bookkeeping holds across empty partitions)."""
+    from dsci551_edfs_spark.operators.cumulative import running_totals
+
+    rows = [(i, (i * 7) % 13 + 1, (i * 3) % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    got = {
+        r["k"]: (r["cum_a"], r["cum_b"])
+        for r in running_totals(
+            df, ["k"], [("a", "cum_a"), ("b", "cum_b")], rank_partitions=64
+        ).collect()
+    }
+    acc_a = acc_b = 0
+    want = {}
+    for k, a, b in sorted(rows):
+        acc_a += a
+        acc_b += b
+        want[k] = (acc_a, acc_b)
+    assert got == want
+
+
+def test_rank_auc_pairwise_reference(spark):
+    """ROC-AUC from midranks == the O(n^2) pairwise definition
+    (wins + half-ties over pos*neg pairs), on a tie-heavy vector; PR-AUC
+    within 2 micro of the float step-AP."""
+    from dsci551_edfs_spark.pipeline.evalmetrics import rank_auc_report
+
+    data = [
+        (3, 1), (3, 0), (3, 1), (2, 0), (2, 0), (2, 1),
+        (1, 0), (1, 0), (5, 1), (5, 0), (0, 0), (0, 1),
+    ]
+    df = spark.createDataFrame(data, "s long, y long")
+    np_, nn, roc, pr = rank_auc_report(df, "s", "y")
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    assert (np_, nn) == (len(pos), len(neg))
+    wins = sum(1.0 if p > q else 0.5 if p == q else 0.0
+               for p in pos for q in neg)
+    want_roc = (2 * 10**6 * int(2 * wins) + 2 * np_ * nn) // (4 * np_ * nn)
+    assert roc == want_roc
+    # float step-AP reference
+    from collections import Counter
+
+    cnt, posc = Counter(s for s, _ in data), Counter(
+        s for s, y in data if y == 1
+    )
+    n, ap = len(data), 0.0
+    scores = sorted(cnt, reverse=True)
+    ge_c = ge_p = 0
+    for s in scores:
+        ge_c += cnt[s]
+        ge_p += posc[s]
+        ap += (posc[s] / np_) * (ge_p / ge_c)
+    assert abs(pr - round(ap * 1e6)) <= 2
+
+
+def test_rank_auc_edge_cases(spark):
+    """Constant scores -> ROC exactly 0.5 (midrank correction);
+    all-positive -> ROC 0 / PR 1e6; all-negative -> (0, 0); a perfect
+    separator -> ROC and PR exactly 1e6."""
+    from dsci551_edfs_spark.pipeline.evalmetrics import rank_auc_report
+
+    const = spark.createDataFrame(
+        [(7, 1), (7, 0), (7, 1), (7, 0)], "s long, y long"
+    )
+    assert rank_auc_report(const, "s", "y") == (2, 2, 500000, 500000)
+    allpos = spark.createDataFrame([(1, 1), (2, 1)], "s long, y long")
+    assert rank_auc_report(allpos, "s", "y") == (2, 0, 0, 1000000)
+    allneg = spark.createDataFrame([(1, 0), (2, 0)], "s long, y long")
+    assert rank_auc_report(allneg, "s", "y") == (0, 2, 0, 0)
+    perfect = spark.createDataFrame(
+        [(9, 1), (8, 1), (2, 0), (1, 0)], "s long, y long"
+    )
+    assert rank_auc_report(perfect, "s", "y") == (2, 2, 1000000, 1000000)
+
+
+def test_quality_lr_auc_query_shape(spark, sf_dir):
+    """The registered query reports both scorers with sane bounds and
+    consistent class counts between legs (same corpus, same label)."""
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = {r["scorer"]: r for r in QUERIES["quality_lr_auc"](
+        spark, sf_dir
+    ).collect()}
+    release_cached()
+    assert set(rows) == {"lr", "rule"}
+    for r in rows.values():
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
+        assert 0 <= r["roc_auc_micro"] <= 10**6
+        assert 0 <= r["pr_auc_micro"] <= 10**6
+    assert (rows["lr"]["n_pos"], rows["lr"]["n_neg"]) == (
+        rows["rule"]["n_pos"],
+        rows["rule"]["n_neg"],
+    )
+
+
+def test_mutual_knn_bucketed_planted_recall(spark):
+    """Planted-twin recall: pairs at Hamming < bands are GUARANTEED to
+    survive banded blocking (pigeonhole), so every planted near-pair
+    must come back mutually ranked 1 with its exact distance — and the
+    exact all-pairs twin must agree on those rows."""
+    import random
+
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.pipeline.similarity import (
+        mutual_knn_hamming,
+        mutual_knn_hamming_bucketed,
+    )
+
+    rng = random.Random(12)
+    rows = []
+    planted = []
+    for i in range(40):
+        a = [rng.choice((-1.0, 1.0)) for _ in range(64)]
+        rows.append((2 * i, a))  # a-side: even ids
+        if i < 8:  # plant twins at Hamming 2 (< bands=4 -> guaranteed)
+            b = list(a)
+            for j in rng.sample(range(64), 2):
+                b[j] = -b[j]
+            planted.append((2 * i, 2 * i + 1))
+        else:  # independent b-side vector
+            b = [rng.choice((-1.0, 1.0)) for _ in range(64)]
+        rows.append((2 * i + 1, b))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a_side = emb.filter("vec_id % 2 = 0")
+    b_side = emb.filter("vec_id % 2 = 1")
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in mutual_knn_hamming_bucketed(
+            a_side, b_side, k=5, bands=4
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r
+        for r in mutual_knn_hamming(a_side, b_side, k=5).collect()
+    }
+    release_cached()
+    for pair in planted:
+        assert pair in got, f"planted pair {pair} lost by blocking"
+        assert got[pair]["hamming"] == 2
+        assert got[pair]["rank_ab"] == 1 and got[pair]["rank_ba"] == 1
+        assert pair in exact
+        assert exact[pair]["hamming"] == 2

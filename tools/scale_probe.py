@@ -138,6 +138,39 @@ def inflate_items_hot_basket(li, k, hot_parts=512):
     return copies.unionByName(hot)
 
 
+def _featurize_frozen(d):
+    """The deployed featurizer path end to end: freeze (token -> df, N)
+    on the corpus, then score the SAME corpus under the frozen state —
+    one tf shuffle, one df join (size-guarded broadcast hint), one
+    per-id L1 normalization join (classifier.l1_unit_features)."""
+    from dsci551_edfs_spark.pipeline.dedup import _persist
+    from dsci551_edfs_spark.streaming.quality_gate import (
+        featurize_with,
+        frozen_featurizer,
+    )
+
+    dfr, n = frozen_featurizer(d)
+    return featurize_with(d, _persist(dfr), n)
+
+
+def _giant_doc(spark):
+    """One 1M-token document with a fully DISTINCT vocabulary — the
+    single-hot-id axis for the (id, token) aggregate, and a df-table
+    vocabulary explosion (1M singleton tokens)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(
+        F.lit(-999).cast("long").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(1_000_000)),
+                lambda i: F.concat(F.lit("g"), i.cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -901,6 +934,22 @@ def main() -> None:
         ),
         "session_entry_exit_hot": lambda k: _session_entry_exit(
             inflate_events_hot(ev, k)
+        ),
+        # ---- round-12 hot-key stress (VERDICT r11 #6): the trained-
+        # classifier featurizer path — frozen_featurizer's token->df
+        # shuffle and l1_unit_features' per-id normalization join —
+        # under (a) one token planted in ~half the corpus (hot df key)
+        # and (b) one 1M-token doc with a fully distinct vocabulary
+        # (hot id in the (id, token) agg + a vocab-exploded df table,
+        # which must also push featurize_with's broadcast_if_small hint
+        # past naive unconditional-broadcast territory)
+        "featurizer_hot_token": lambda k: _featurize_frozen(
+            inflate_docs_hot_token(docs, k)
+        ),
+        "featurizer_giant_doc": lambda k: _featurize_frozen(
+            inflate_docs(docs, k)
+            .select("doc_id", "text")
+            .unionByName(_giant_doc(spark))
         ),
     }
     wanted = sys.argv[1:] or list(ops)
