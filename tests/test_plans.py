@@ -476,3 +476,22 @@ def test_minhash_pr_eval_single_text_scan():
     assert len(doc_scan_nodes) == 1, plan
     assert "InMemoryRelation" in plan, plan
     release_cached()
+
+
+def test_cms_join_size_one_digest_nibble_windows():
+    """Round-12 contract (verdict r11 #2): join_size_estimate_cms keeps
+    the ONE-digest nibble-window hash — each sketch row reads its own
+    16-bit substring of a single md5(v) digest. The regression shape is
+    the salted per-row digest md5(concat(row, ':', v)) (4x the md5
+    calls; measured 2.3 s -> ~1 s when the nibble form landed in r10).
+    The r11->r11 2.51 s scare re-measured at 1.69 s median-of-5 in a
+    quiet window (SCALE.md round-12) — the plan, not the session, is
+    what this pin holds constant."""
+    import re
+
+    plan = _plan("join_size_estimate_cms")
+    md5_lines = [ln for ln in plan.splitlines() if "md5(" in ln]
+    assert md5_lines, plan  # the sketch must hash via md5 (oracle twin)
+    for ln in md5_lines:
+        assert "substring(md5(" in ln, ln  # nibble-window form only
+        assert "md5(concat(" not in ln, ln  # not the salted-digest form
