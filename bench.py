@@ -207,40 +207,49 @@ HEADLINE = [
     # round-12 additions
     "quality_lr_auc",
     "ann_mutual_knn_binary_bucketed",
+    "quality_lr_threshold_sweep",
+    "ann_mutual_knn_blocking_recall",
 ]
 
 
 # queries with a fixed multi-job/stream-machinery cost that belongs in
 # its own column: (module, attr) of a LAST-run timing dict the query
-# populates, plus which of its keys is the "fixed startup" part. bench
-# subtracts that per run so the STEADY median/spread is reported clean
-# (verdict r11: both queries carried in-window spreads 10x the suite
-# norm because checkpoint startup / cache build landed in one median).
-_SPLIT_PROVIDERS: dict[str, tuple[str, str, str]] = {
+# populates, plus which key is the fixed "startup" part and which is
+# the steady operator cost. bench reports medians of BOTH components
+# directly (verdict r11: these queries carried in-window spreads 10x
+# the suite norm because checkpoint startup / cache build landed in
+# one median; measuring the named components shows each is stable —
+# gate drain spread <0.1 s, cv folds ~0.5 s — while the full-run
+# median keeps cross-round comparability).
+_SPLIT_PROVIDERS: dict[str, tuple[str, str, str, str]] = {
     "streaming_quality_gate": (
         "dsci551_edfs_spark.streaming.quality_gate",
         "LAST_TIMINGS",
         "stream_startup_s",
+        "stream_drain_s",
     ),
     "quality_lr_cv": (
         "dsci551_edfs_spark.pipeline.classifier",
         "LAST_CV_TIMINGS",
         "feature_build_s",
+        "cv_folds_s",
     ),
 }
 
 
-def _split_startup(name: str) -> float | None:
-    """The fixed-startup seconds of the JUST-FINISHED run of a split
-    query, read off its module's last-run timing dict."""
+def _split_components(name: str) -> tuple[float, float] | None:
+    """(startup_s, steady_s) of the JUST-FINISHED run of a split query,
+    read off its module's last-run timing dict."""
     import importlib
 
     prov = _SPLIT_PROVIDERS.get(name)
     if prov is None:
         return None
-    mod, attr, key = prov
-    val = getattr(importlib.import_module(mod), attr, {}).get(key)
-    return float(val) if val is not None else None
+    mod, attr, k_start, k_steady = prov
+    d = getattr(importlib.import_module(mod), attr, {})
+    if k_start not in d or k_steady not in d:
+        return None
+    return float(d[k_start]), float(d[k_steady])
 
 
 def _drift_flags(
@@ -461,25 +470,25 @@ def main() -> None:
         # cares about warm steady state, and release between runs would
         # change the methodology mid-history)
         runs = []
-        startups = []
+        comps = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
-            su = _split_startup(name)
-            if su is not None:
-                startups.append(su)
+            c = _split_components(name)
+            if c is not None:
+                comps.append(c)
         release_cached()  # between queries only
-        if len(startups) == len(runs):
-            # steady medians/spreads with the fixed startup removed;
-            # timings[name] stays the FULL median for cross-round
-            # comparability
-            steady = sorted(r - s for r, s in zip(runs, startups))
-            startups.sort()
+        if len(comps) == len(runs):
+            # component medians reported directly; timings[name] stays
+            # the FULL median for cross-round comparability
+            startups = sorted(c[0] for c in comps)
+            steady = sorted(c[1] for c in comps)
             splits[name] = {
                 "startup_key": _SPLIT_PROVIDERS[name][2],
-                "startup_s": round(startups[len(startups) // 2], 3),
+                "startup_s": round(startups[1], 3),
+                "steady_key": _SPLIT_PROVIDERS[name][3],
                 "steady_s": round(steady[1], 3),
                 "steady_spread": round(steady[2] - steady[0], 3),
             }

@@ -13922,6 +13922,214 @@ def quality_lr_auc(spark, sf_dir):
     )
 
 
+def _lr_threshold_oracle_sql(rounds: int = 3, step: int = 500) -> str:
+    r = rounds
+    return (
+        _lr_oracle_prefix(rounds)
+        + f""",
+    zf AS (
+      SELECT l.id, l.y,
+             coalesce(s.zp, 0) + (SELECT b FROM bw{r}) * 1000000 AS zp
+      FROM lab l LEFT JOIN (
+        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
+        FROM x JOIN wt{r} w USING (bucket) GROUP BY 1) s USING (id)),
+    pf AS (
+      SELECT y, CAST(round(10000.0 / (1.0 + exp(-round(
+               zp / 1000000000000.0, 6)))) AS BIGINT) AS s
+      FROM zf),
+    sg AS (SELECT s, CAST(count(*) AS HUGEINT) AS cnt,
+                  CAST(sum(y) AS HUGEINT) AS pos
+           FROM pf GROUP BY 1),
+    tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS n,
+                   CAST(coalesce(sum(pos), 0) AS HUGEINT) AS np
+            FROM sg),
+    th AS (SELECT CAST(t.t AS BIGINT) AS threshold
+           FROM generate_series(0, 10000, {step}) t(t)),
+    pt AS (SELECT th.threshold,
+                  CAST(coalesce(sum(sg.pos), 0) AS HUGEINT) AS tp,
+                  CAST(coalesce(sum(sg.cnt), 0) AS HUGEINT) AS pp
+           FROM th LEFT JOIN sg ON sg.s >= th.threshold GROUP BY 1)
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(pp - tp AS BIGINT) AS fp,
+           CAST(np - tp AS BIGINT) AS fn,
+           CAST((n - np) - (pp - tp) AS BIGINT) AS tn,
+           CAST(CASE WHEN pp = 0 THEN 0
+                ELSE (2000000 * tp + pp) // (2 * pp) END AS BIGINT)
+             AS prec_micro,
+           CAST(CASE WHEN np = 0 THEN 0
+                ELSE (2000000 * tp + np) // (2 * np) END AS BIGINT)
+             AS rec_micro,
+           CAST(CASE WHEN (2 * tp + (pp - tp) + (np - tp)) = 0 THEN 0
+                ELSE (4000000 * tp + (2 * tp + (pp - tp) + (np - tp)))
+                     // (2 * (2 * tp + (pp - tp) + (np - tp))) END
+                AS BIGINT) AS f1_micro
+    FROM pt, tot"""
+    )
+
+
+@q("quality_lr_threshold_sweep", _lr_threshold_oracle_sql(3, 500))
+def quality_lr_threshold_sweep(spark, sf_dir):
+    """Pick the OPERATING POINT: confusion counts and exact-integer
+    precision/recall/F1 for the trained quality classifier at every
+    gate threshold (0..10000 step 500) — the table a pipeline owner
+    reads after `quality_lr_auc` says the ranking is usable, to choose
+    where to cut 100 TB. Scale shape: ONE map-side groupBy(score)
+    bounds the corpus at the score domain (≤10001 rows); the sweep is
+    then a broadcast range join of 21 threshold rows against that
+    bounded frame — per-threshold counts NEVER rescan the corpus. All
+    ratios are round-half-up bigint divisions (DECIMAL(38,0)-guarded),
+    so the DuckDB oracle replays training + sweep and hash-matches."""
+    from .pipeline import classifier as CL
+
+    d = _t(spark, sf_dir, "documents")
+    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+    _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+    scored = CL.lr_score(feats, labels, w, bias)
+    g = scored.groupBy(F.col("p4").alias("s")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    th = spark.range(0, 10001, 500).select(F.col("id").alias("threshold"))
+    pt = (
+        th.join(F.broadcast(g), F.col("s") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("pp"),
+        )
+    )
+    # decimal-FIRST products: CAST(lit AS DECIMAL(38,0)) * col — never
+    # multiply in int64 and cast after (the aqp_sampled_revenue lesson)
+    d2m = "CAST(2000000 AS DECIMAL(38,0))"
+    d2 = "CAST(2 AS DECIMAL(38,0))"
+    d4m = "CAST(4000000 AS DECIMAL(38,0))"
+    return pt.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        F.col("tp"),
+        (F.col("pp") - F.col("tp")).alias("fp"),
+        (F.col("np") - F.col("tp")).alias("fn"),
+        ((F.col("n") - F.col("np")) - (F.col("pp") - F.col("tp"))).alias(
+            "tn"
+        ),
+        F.expr(
+            f"CASE WHEN pp = 0 THEN 0 ELSE ({d2m} * tp + pp)"
+            f" div ({d2} * pp) END"
+        ).alias("prec_micro"),
+        F.expr(
+            f"CASE WHEN np = 0 THEN 0 ELSE ({d2m} * tp + np)"
+            f" div ({d2} * np) END"
+        ).alias("rec_micro"),
+        F.expr(
+            "CASE WHEN (2 * tp + (pp - tp) + (np - tp)) = 0 THEN 0 ELSE"
+            f" ({d4m} * tp + (2 * tp + (pp - tp) + (np - tp)))"
+            f" div ({d2} * (2 * tp + (pp - tp) + (np - tp))) END"
+        ).alias("f1_micro"),
+    )
+
+
+@q(
+    "ann_mutual_knn_blocking_recall",
+    f"""
+    WITH s AS (
+      SELECT vec_id, {_BINARY_PACK_DUCK} AS w FROM embeddings),
+    a AS (SELECT vec_id AS id_a, w AS wa FROM s WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS id_b, w AS wb FROM s WHERE vec_id % 2 = 1),
+    fwd AS (
+      SELECT a.id_a, b.id_b, bit_count(xor(a.wa, b.wb)) AS hamming,
+             row_number() OVER (
+               PARTITION BY a.id_a
+               ORDER BY bit_count(xor(a.wa, b.wb)) ASC, b.id_b) AS rank_ab,
+             row_number() OVER (
+               PARTITION BY b.id_b
+               ORDER BY bit_count(xor(a.wa, b.wb)) ASC, a.id_a) AS rank_ba
+      FROM a, b),
+    exact AS (SELECT id_a, id_b FROM fwd
+              WHERE rank_ab <= 5 AND rank_ba <= 5),
+    ab AS (SELECT id_a, wa, t.band,
+                  (wa >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
+           FROM a, generate_series(0, 3) t(band)),
+    bb AS (SELECT id_b, wb, t.band,
+                  (wb >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
+           FROM b, generate_series(0, 3) t(band)),
+    cand AS (SELECT DISTINCT id_a, id_b, wa, wb
+             FROM ab JOIN bb USING (band, key)),
+    cr AS (SELECT id_a, id_b,
+                  row_number() OVER (
+                    PARTITION BY id_a
+                    ORDER BY bit_count(xor(wa, wb)) ASC, id_b) AS rank_ab,
+                  row_number() OVER (
+                    PARTITION BY id_b
+                    ORDER BY bit_count(xor(wa, wb)) ASC, id_a) AS rank_ba
+           FROM cand),
+    bucketed AS (SELECT id_a, id_b FROM cr
+                 WHERE rank_ab <= 5 AND rank_ba <= 5),
+    agg AS (SELECT
+        (SELECT CAST(count(*) AS HUGEINT) FROM exact) AS n_exact,
+        (SELECT CAST(count(*) AS HUGEINT) FROM bucketed) AS n_bucketed,
+        (SELECT CAST(count(*) AS HUGEINT)
+         FROM exact JOIN bucketed USING (id_a, id_b)) AS n_common)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_bucketed AS BIGINT) AS n_bucketed,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(CASE WHEN n_exact = 0 THEN 0
+                ELSE (2000000 * n_common + n_exact) // (2 * n_exact) END
+                AS BIGINT) AS recall_micro,
+           CAST(CASE WHEN n_bucketed = 0 THEN 0
+                ELSE (2000000 * n_common + n_bucketed) // (2 * n_bucketed)
+                END AS BIGINT) AS precision_micro
+    FROM agg
+    """,
+)
+def ann_mutual_knn_blocking_recall(spark, sf_dir):
+    """Blocking-quality audit ON THE REAL CORPUS: the banded-blocking
+    scale twin's mutual-pair set measured against the exact all-pairs
+    truth — pair recall and precision as round-half-up micro integers.
+    This is `minhash_pr_eval`'s pattern applied to the Hamming-space
+    miner: the truth leg is DELIBERATELY quadratic (it exists to audit
+    the scale path; at 100 TB you run it on a sampled slice), the
+    bucketed leg is the production shape. Both legs and the division
+    are deterministic, so the audit itself carries a full oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a_side = emb.filter(F.col("vec_id") % 2 == 0)
+    b_side = emb.filter(F.col("vec_id") % 2 == 1)
+    exact = SIM.mutual_knn_hamming(a_side, b_side, k=5).select(
+        "id_a", "id_b", F.lit(1).alias("in_e")
+    )
+    buck = SIM.mutual_knn_hamming_bucketed(
+        a_side, b_side, k=5, bands=4
+    ).select("id_a", "id_b", F.lit(1).alias("in_b"))
+    j = exact.join(buck, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.coalesce(F.sum("in_e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_bucketed"),
+        F.coalesce(F.sum(F.col("in_e") * F.col("in_b")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
+    )
+    d2m = "CAST(2000000 AS DECIMAL(38,0))"
+    d2 = "CAST(2 AS DECIMAL(38,0))"
+    return agg.select(
+        "n_exact",
+        "n_bucketed",
+        "n_common",
+        F.expr(
+            "CASE WHEN n_exact = 0 THEN 0 ELSE"
+            f" ({d2m} * n_common + n_exact)"
+            f" div ({d2} * n_exact) END"
+        ).alias("recall_micro"),
+        F.expr(
+            "CASE WHEN n_bucketed = 0 THEN 0 ELSE"
+            f" ({d2m} * n_common + n_bucketed)"
+            f" div ({d2} * n_bucketed) END"
+        ).alias("precision_micro"),
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 

@@ -230,12 +230,13 @@ def test_split_providers_resolve():
         "streaming_quality_gate",
         "quality_lr_cv",
     }
-    for qname, (mod, attr, key) in bench._SPLIT_PROVIDERS.items():
+    for qname, (mod, attr, k_start, k_steady) in bench._SPLIT_PROVIDERS.items():
         assert qname in QUERIES, qname
         assert qname in bench.HEADLINE, qname
         d = getattr(importlib.import_module(mod), attr)
         assert isinstance(d, dict)
-        assert key.endswith("_s")
+        assert k_start.endswith("_s") and k_steady.endswith("_s")
+        assert k_start != k_steady
 
 
 def test_drift_flags_rule():

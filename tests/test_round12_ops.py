@@ -152,3 +152,57 @@ def test_mutual_knn_bucketed_planted_recall(spark):
         assert got[pair]["rank_ab"] == 1 and got[pair]["rank_ba"] == 1
         assert pair in exact
         assert exact[pair]["hamming"] == 2
+
+
+def test_quality_lr_threshold_sweep_invariants(spark, sf_dir):
+    """21 threshold rows; confusion counts tie out to one (n, np) pair;
+    recall is monotone non-increasing in the threshold; the t=0 row
+    passes everything (tp=np, fp=all negatives)."""
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["quality_lr_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    release_cached()
+    assert [r["threshold"] for r in rows] == list(range(0, 10001, 500))
+    n = rows[0]["tp"] + rows[0]["fp"] + rows[0]["fn"] + rows[0]["tn"]
+    np_ = rows[0]["tp"] + rows[0]["fn"]
+    for r in rows:
+        assert r["tp"] + r["fn"] == np_
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+        assert 0 <= r["prec_micro"] <= 10**6
+        assert 0 <= r["rec_micro"] <= 10**6
+        assert 0 <= r["f1_micro"] <= 10**6
+    assert rows[0]["tp"] == np_ and rows[0]["fn"] == 0
+    assert rows[0]["rec_micro"] == 10**6
+    recalls = [r["rec_micro"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+
+
+def test_mutual_knn_blocking_recall_bounds(spark, sf_dir):
+    """The audit's counts are internally consistent: common <= both leg
+    sizes, micro ratios in range, and the same numbers reproduce from
+    the two registered twin queries directly."""
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES
+
+    row = QUERIES["ann_mutual_knn_blocking_recall"](spark, sf_dir).first()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["ann_mutual_knn_binary"](spark, sf_dir).collect()
+    }
+    buck = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["ann_mutual_knn_binary_bucketed"](
+            spark, sf_dir
+        ).collect()
+    }
+    release_cached()
+    assert row["n_exact"] == len(exact)
+    assert row["n_bucketed"] == len(buck)
+    assert row["n_common"] == len(exact & buck)
+    assert row["n_common"] <= min(row["n_exact"], row["n_bucketed"])
+    assert 0 <= row["recall_micro"] <= 10**6
+    assert 0 <= row["precision_micro"] <= 10**6
