@@ -209,6 +209,8 @@ HEADLINE = [
     "ann_mutual_knn_binary_bucketed",
     "quality_lr_threshold_sweep",
     "ann_mutual_knn_blocking_recall",
+    "quality_lr_ece",
+    "lang_id_eval",
 ]
 
 

@@ -14130,6 +14130,239 @@ def ann_mutual_knn_blocking_recall(spark, sf_dir):
     )
 
 
+def _lr_final_scores_cte(rounds: int) -> str:
+    """zf/pf CTE block: (id, y, p4) under the trained round-``rounds``
+    model — shared by the ECE oracle (calibration/AUC oracles predate
+    the helper and keep their inline copies)."""
+    r = rounds
+    return f""",
+    zf AS (
+      SELECT l.id, l.y,
+             coalesce(s.zp, 0) + (SELECT b FROM bw{r}) * 1000000 AS zp
+      FROM lab l LEFT JOIN (
+        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
+        FROM x JOIN wt{r} w USING (bucket) GROUP BY 1) s USING (id)),
+    pf AS (
+      SELECT id, y, CAST(round(10000.0 / (1.0 + exp(-round(
+               zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
+      FROM zf)"""
+
+
+def _lr_ece_oracle_sql(rounds: int = 3) -> str:
+    return (
+        _lr_oracle_prefix(rounds)
+        + _lr_final_scores_cte(rounds)
+        + """,
+    bins AS (
+      SELECT least(CAST(floor(p4 / 1000.0) AS BIGINT), 9) AS bin,
+             CAST(count(*) AS HUGEINT) AS n_b,
+             CAST(sum(p4) AS HUGEINT) AS sum_p4,
+             CAST(sum(y) AS HUGEINT) AS pos_b
+      FROM pf GROUP BY 1),
+    tot AS (SELECT CAST(coalesce(sum(n_b), 0) AS HUGEINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_bins
+            FROM bins),
+    terms AS (
+      SELECT abs(100 * sum_p4 - 1000000 * pos_b) AS gap_num, n_b
+      FROM bins)
+    SELECT CAST(n AS BIGINT) AS n_docs, n_bins,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE
+                (2 * (SELECT CAST(coalesce(sum(gap_num), 0) AS HUGEINT)
+                      FROM terms) + n) // (2 * n) END AS BIGINT)
+             AS ece_micro,
+           CAST(coalesce((SELECT max((2 * gap_num + n_b) // (2 * n_b))
+                          FROM terms), 0) AS BIGINT) AS mce_micro
+    FROM tot"""
+    )
+
+
+@q("quality_lr_ece", _lr_ece_oracle_sql(3))
+def quality_lr_ece(spark, sf_dir):
+    """Expected Calibration Error — the ONE number read off the decile
+    reliability table (`quality_lr_calibration`): ECE = Σ_b (n_b/n) ·
+    |confidence_b − accuracy_b| plus MCE (the worst bin), both exact
+    round-half-up micro integers. The per-bin divisions cancel
+    algebraically — each bin's weighted gap is |100·Σp4 − 1e6·pos| / n,
+    so the whole statistic is ONE integer numerator sum and ONE final
+    bigint division (no per-bin FP). Scale shape: one corpus scoring
+    pass into a ≤10-key map-side-combinable groupBy; everything after
+    is bin-sized. The oracle replays training + binning + both
+    divisions in HUGEINT and hash-matches."""
+    from .pipeline import classifier as CL
+
+    d = _t(spark, sf_dir, "documents")
+    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+    _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+    scored = CL.lr_score(feats, labels, w, bias)
+    bins = (
+        scored.select(
+            F.least(
+                F.floor(F.col("p4") / F.lit(1000.0)).cast("long"), F.lit(9)
+            ).alias("bin"),
+            "p4",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_b"),
+            F.sum("p4").cast("long").alias("sum_p4"),
+            F.sum("y").cast("long").alias("pos_b"),
+        )
+    )
+    d100 = "CAST(100 AS DECIMAL(38,0))"
+    d1m = "CAST(1000000 AS DECIMAL(38,0))"
+    d2 = "CAST(2 AS DECIMAL(38,0))"
+    terms = bins.select(
+        F.expr(f"abs({d100} * sum_p4 - {d1m} * pos_b)").alias("gap_num"),
+        "n_b",
+    )
+    agg = terms.agg(
+        F.sum(F.col("n_b")).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("gap_num").cast("decimal(38,0)").alias("gap_sum"),
+        F.max(
+            F.expr(f"({d2} * gap_num + n_b) div ({d2} * n_b)")
+        ).alias("mce_micro"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_bins",
+        F.expr(
+            f"CASE WHEN n_docs = 0 THEN 0 ELSE ({d2} * gap_sum + n_docs)"
+            f" div ({d2} * n_docs) END"
+        ).alias("ece_micro"),
+        F.coalesce(F.col("mce_micro"), F.lit(0))
+        .cast("long")
+        .alias("mce_micro"),
+    )
+
+
+def _lang_eval_oracle_sql() -> str:
+    scores = ", ".join(
+        f"{_lang_score_sql(lang, sw)} AS s_{lang}"
+        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
+    )
+    best = ", ".join(
+        f"{_lang_score_sql(lang, sw)}"
+        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_true, {scores},
+             greatest({best}) AS best
+      FROM documents),
+    pred AS (
+      SELECT doc_id, lang_true,
+             CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
+      FROM scored),
+    cm AS (SELECT lang_true, lang_pred,
+                  CAST(count(*) AS HUGEINT) AS n
+           FROM pred GROUP BY 1, 2),
+    classes AS (SELECT DISTINCT lang_true AS lang FROM cm
+                UNION SELECT DISTINCT lang_pred FROM cm),
+    stats AS (
+      SELECT c.lang,
+             CAST(coalesce((SELECT sum(n) FROM cm
+                            WHERE lang_true = c.lang), 0) AS HUGEINT)
+               AS n_true,
+             CAST(coalesce((SELECT sum(n) FROM cm
+                            WHERE lang_pred = c.lang), 0) AS HUGEINT)
+               AS n_pred,
+             CAST(coalesce((SELECT sum(n) FROM cm
+                            WHERE lang_true = c.lang
+                              AND lang_pred = c.lang), 0) AS HUGEINT)
+               AS tp
+      FROM classes c)
+    SELECT lang, CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(CASE WHEN n_pred = 0 THEN 0
+                ELSE (2000000 * tp + n_pred) // (2 * n_pred) END AS BIGINT)
+             AS prec_micro,
+           CAST(CASE WHEN n_true = 0 THEN 0
+                ELSE (2000000 * tp + n_true) // (2 * n_true) END AS BIGINT)
+             AS rec_micro,
+           CAST(CASE WHEN (n_pred + n_true) = 0 THEN 0
+                ELSE (4000000 * tp + (n_pred + n_true))
+                     // (2 * (n_pred + n_true)) END AS BIGINT) AS f1_micro
+    FROM stats"""
+
+
+@q("lang_id_eval", _lang_eval_oracle_sql())
+def lang_id_eval(spark, sf_dir):
+    """Close the evaluation loop for the OTHER classifier in the engine:
+    per-class precision/recall/F1 of the stopword-overlap language-ID
+    heuristic against the corpus's true `lang` column (the 'und'
+    rejection class included — its recall is 0 by construction since no
+    document is truly unidentifiable). Same exact-integer discipline as
+    `quality_lr_threshold_sweep`: the corpus collapses through ONE
+    (true, pred) groupBy (≤ L² rows for L languages), per-class counts
+    come from that bounded confusion frame, and every ratio is a
+    round-half-up bigint division — full oracle, hash-match.
+
+    Scale note: pred and truth ride one documents scan each side of a
+    doc_id-keyed join; at 100 TB fold the truth column into the scoring
+    projection to make it one scan (the join is kept here so the
+    registered query composes the UNMODIFIED `lang_id` operator)."""
+    d = _t(spark, sf_dir, "documents")
+    pred = TXT.lang_id(d).select("doc_id", "lang_pred")
+    truth = d.select("doc_id", F.col("lang").alias("lang_true"))
+    cm = (
+        pred.join(truth, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cm = DD._persist(cm)
+    classes = (
+        cm.select(F.col("lang_true").alias("lang"))
+        .union(cm.select("lang_pred"))
+        .distinct()
+    )
+    n_true = cm.groupBy(F.col("lang_true").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    n_pred = cm.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    tp = (
+        cm.filter(F.col("lang_true") == F.col("lang_pred"))
+        .select(F.col("lang_true").alias("lang"), F.col("n").alias("tp"))
+    )
+    d2m = "CAST(2000000 AS DECIMAL(38,0))"
+    d4m = "CAST(4000000 AS DECIMAL(38,0))"
+    d2 = "CAST(2 AS DECIMAL(38,0))"
+    out = (
+        classes.join(n_true, "lang", "left")
+        .join(n_pred, "lang", "left")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return out.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.expr(
+            f"CASE WHEN n_pred = 0 THEN 0 ELSE ({d2m} * tp + n_pred)"
+            f" div ({d2} * n_pred) END"
+        ).alias("prec_micro"),
+        F.expr(
+            f"CASE WHEN n_true = 0 THEN 0 ELSE ({d2m} * tp + n_true)"
+            f" div ({d2} * n_true) END"
+        ).alias("rec_micro"),
+        F.expr(
+            f"CASE WHEN (n_pred + n_true) = 0 THEN 0 ELSE"
+            f" ({d4m} * tp + (n_pred + n_true))"
+            f" div ({d2} * (n_pred + n_true)) END"
+        ).alias("f1_micro"),
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 

@@ -206,3 +206,49 @@ def test_mutual_knn_blocking_recall_bounds(spark, sf_dir):
     assert row["n_common"] <= min(row["n_exact"], row["n_bucketed"])
     assert 0 <= row["recall_micro"] <= 10**6
     assert 0 <= row["precision_micro"] <= 10**6
+
+
+def test_quality_lr_ece_matches_bins(spark, sf_dir):
+    """ECE recomputed in Python from the registered calibration bins
+    equals the registered one-number query (same trained model)."""
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES
+
+    bins = QUERIES["quality_lr_calibration"](spark, sf_dir).collect()
+    row = QUERIES["quality_lr_ece"](spark, sf_dir).first()
+    release_cached()
+    n = sum(b["n_docs"] for b in bins)
+    gap_sum = sum(
+        abs(100 * b["sum_p4"] - 10**6 * b["n_pass"]) for b in bins
+    )
+    assert row["n_docs"] == n
+    assert row["n_bins"] == len(bins)
+    assert row["ece_micro"] == (2 * gap_sum + n) // (2 * n)
+    mce = max(
+        (2 * abs(100 * b["sum_p4"] - 10**6 * b["n_pass"]) + b["n_docs"])
+        // (2 * b["n_docs"])
+        for b in bins
+    )
+    assert row["mce_micro"] == mce
+    assert row["mce_micro"] >= row["ece_micro"]
+
+
+def test_lang_id_eval_consistency(spark, sf_dir):
+    """Per-class counts tie out: sum(n_true) == sum(n_pred) == corpus
+    size; tp <= min(n_true, n_pred); 'und' has recall 0 (no doc is
+    truly unidentifiable); micro metrics in range."""
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["lang_id_eval"](spark, sf_dir).collect()
+    n_docs = QUERIES["text_stats"](spark, sf_dir).count()
+    release_cached()
+    assert sum(r["n_true"] for r in rows) == n_docs
+    assert sum(r["n_pred"] for r in rows) == n_docs
+    for r in rows:
+        assert r["tp"] <= min(r["n_true"], r["n_pred"])
+        for k in ("prec_micro", "rec_micro", "f1_micro"):
+            assert 0 <= r[k] <= 10**6
+    und = [r for r in rows if r["lang"] == "und"]
+    if und:
+        assert und[0]["n_true"] == 0 and und[0]["rec_micro"] == 0
