@@ -13591,6 +13591,36 @@ def quality_lr_train(spark, sf_dir):
     )
 
 
+def _lr_trained_model(spark, sf_dir) -> tuple[dict[int, int], int]:
+    """The trained 3-round quality-LR model (64 micro-nat weights +
+    bias) served from the per-corpus memo store — the "train once,
+    deploy everywhere" shape: calibration, AUC, the threshold sweep and
+    ECE all consume the SAME fit-once artifact instead of re-running
+    the 3 GD rounds each (training is deterministic, so the memoized
+    integers are bit-identical to an in-query train and every oracle —
+    which replays training in SQL — still hash-matches). The model is
+    65 integers: corpus-size-flat, a bounded collect by construction.
+    `quality_lr_train`/`quality_lr_cv`/`streaming_quality_gate` keep
+    training in-query — there the trajectory/fold-loop/deploy IS the
+    registered operator."""
+    from .pipeline import classifier as CL
+
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+        _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+        rows = [(int(b), int(v)) for b, v in sorted(w.items())]
+        rows.append((-1, int(bias)))
+        return spark.createDataFrame(rows, "bucket long, w_micro long")
+
+    mrows = MEMO.dataframe_memo(
+        spark, "lr_model_r3", sf_dir, ["documents"], build
+    ).collect()  # <= 65 rows: bounded by construction
+    w = {int(r["bucket"]): int(r["w_micro"]) for r in mrows if r["bucket"] >= 0}
+    bias = next((int(r["w_micro"]) for r in mrows if r["bucket"] == -1), 0)
+    return {b: w.get(b, 0) for b in range(64)}, bias
+
+
 @q("quality_lr_calibration", _lr_calibration_oracle_sql(3))
 def quality_lr_calibration(spark, sf_dir):
     """Close the loop `quality_calibration_bins` opened with a rule-based
@@ -13599,14 +13629,14 @@ def quality_lr_calibration(spark, sf_dir):
     probability deciles against the observed positive rate of the true
     label — the reliability audit a pipeline owner runs before
     thresholding 100 TB on a freshly trained model. Accumulations are
-    exact integers (p4 = frozen ×1e4 sigmoid, y as 0/1); one extra
-    corpus pass after training, one ≤10-key map-side-combinable
-    groupBy."""
+    exact integers (p4 = frozen ×1e4 sigmoid, y as 0/1); ONE corpus
+    scoring pass against the memoized fit-once model
+    (`_lr_trained_model`), one ≤10-key map-side-combinable groupBy."""
     from .pipeline import classifier as CL
 
     d = _t(spark, sf_dir, "documents")
     feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+    w, bias = _lr_trained_model(spark, sf_dir)
     scored = CL.lr_score(feats, labels, w, bias)
     return (
         scored.select(
@@ -13898,7 +13928,7 @@ def quality_lr_auc(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+    w, bias = _lr_trained_model(spark, sf_dir)
     lr_scored = CL.lr_score(feats, labels, w, bias).select(
         "y", F.col("p4").alias("s")
     )
@@ -13984,7 +14014,7 @@ def quality_lr_threshold_sweep(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+    w, bias = _lr_trained_model(spark, sf_dir)
     scored = CL.lr_score(feats, labels, w, bias)
     g = scored.groupBy(F.col("p4").alias("s")).agg(
         F.count("*").cast("long").alias("cnt"),
@@ -14192,7 +14222,7 @@ def quality_lr_ece(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+    w, bias = _lr_trained_model(spark, sf_dir)
     scored = CL.lr_score(feats, labels, w, bias)
     bins = (
         scored.select(
@@ -14387,6 +14417,7 @@ MEMOIZED_QUERIES: dict[str, str] = {
     "embedding_dup_pairs_lsh": "emb_twins",
     "ann_topk_pq": "pq_codes_s16x64",
     "ivm_segment_revenue": "ivm_seg_rev_base",
+    "quality_lr_calibration": "lr_model_r3",
 }
 
 
