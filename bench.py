@@ -211,6 +211,7 @@ HEADLINE = [
     "ann_mutual_knn_blocking_recall",
     "quality_lr_ece",
     "lang_id_eval",
+    "streaming_drift_psi",
 ]
 
 

@@ -250,10 +250,13 @@ def lr_score(
 ) -> DataFrame:
     """(id, y, p4) under a trained model — the corpus-wide scoring pass
     (same frozen expression training used, so calibration bins read off
-    it are exactly restatable)."""
-    return _score_p4(doc_feature_frame(feats, labels), w, bias).select(
-        "id", "y", "p4"
-    )
+    it are exactly restatable). The doc-feature frame is persisted: the
+    memo-served model path no longer trains in-query (training used to
+    persist this exact frame as a side effect), and without the pin
+    every consumer/rerun would re-tokenize the corpus."""
+    return _score_p4(
+        _persist(doc_feature_frame(feats, labels)), w, bias
+    ).select("id", "y", "p4")
 
 
 def lr_cv_report(

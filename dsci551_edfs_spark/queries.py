@@ -14393,6 +14393,70 @@ def lang_id_eval(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_drift_psi",
+    "WITH "
+    + _QM_FEATURES_SQL
+    + r"""
+    , m AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-round(-1.0
+                   + 2.5 * least(n_tokens / 100.0, 1.0)
+                   + 0.15 * avg_token_len - 4.0 * punct_ratio
+                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
+               AS quality_prob
+      FROM feats),
+    binned AS (
+      SELECT doc_id,
+             least(CAST(floor(quality_prob * 10) AS BIGINT), 9) AS bin
+      FROM m),
+    cr AS (SELECT bin, count(*) AS cnt FROM binned
+           WHERE doc_id % 5 <> 0 GROUP BY 1),
+    cf AS (SELECT bin, count(*) AS cnt FROM binned
+           WHERE doc_id % 5 = 0 GROUP BY 1),
+    grid AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS bin),
+    s AS (SELECT grid.bin,
+                 coalesce(cr.cnt, 0) + 1 AS c1r,
+                 coalesce(cf.cnt, 0) + 1 AS c1f
+          FROM grid LEFT JOIN cr USING (bin) LEFT JOIN cf USING (bin)),
+    t AS (SELECT sum(c1r) AS tr, sum(c1f) AS tf FROM s),
+    p AS (SELECT bin, c1r, c1f,
+                 CAST(c1r AS DOUBLE) / t.tr AS pr,
+                 CAST(c1f AS DOUBLE) / t.tf AS pf
+          FROM s, t)
+    SELECT bin,
+           CAST(c1r - 1 AS BIGINT) AS cnt_ref,
+           CAST(c1f - 1 AS BIGINT) AS cnt_feed,
+           CAST(round((pr - pf) * ln(pr / pf) * 1000000) AS BIGINT)
+             AS psi_term_micro
+    FROM p
+    """,
+)
+def streaming_drift_psi(spark, sf_dir):
+    """Deploy-time DRIFT MONITOR as a real Structured Streaming run —
+    the retrain trigger next to the quality gate: freeze the training
+    slice's (doc_id%5≠0) quality-score decile histogram, stream the
+    feed (doc_id%5=0, availableNow, checkpointed) through a per-batch
+    ≤10-key decile count landed via the idempotent sink, then finalize
+    PSI over the summed partials against the frozen reference. The
+    per-batch partials make the REGISTERED result independent of
+    micro-batch boundaries, so the DuckDB oracle restates the whole
+    thing in batch SQL and hash-matches — the second fully
+    oracle-checked streaming op (`streaming_quality_gate` precedent);
+    PSI terms use `psi_drift_sources`' frozen integer-micro
+    discipline. Sink state is O(batches × 10) rows at ANY feed size
+    (streaming/drift_monitor.py)."""
+    from .streaming.drift_monitor import drift_psi_stream
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 5 != 0)
+    feed = d.filter(F.col("doc_id") % 5 == 0)
+    base = _scratch_dir("drift_psi")
+    feed_dir = os.path.join(base, "feed")
+    feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    return drift_psi_stream(spark, ref, feed_dir, base)
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 

@@ -80,6 +80,7 @@ TIMED_WRITE_WHITELIST = {
     "stream_exactly_once_sink": "the idempotent sink WRITE is the op",
     "streaming_merge_upsert": "CDC feed write + replay is the operator",
     "streaming_quality_gate": "feed write + gated stream run IS the op",
+    "streaming_drift_psi": "feed write + monitored stream run IS the op",
     "jsonl_roundtrip": "write+read roundtrip",
     "orc_roundtrip": "write+read roundtrip",
     "csv_roundtrip": "write+read roundtrip",

@@ -252,3 +252,35 @@ def test_lang_id_eval_consistency(spark, sf_dir):
     und = [r for r in rows if r["lang"] == "und"]
     if und:
         assert und[0]["n_true"] == 0 and und[0]["rec_micro"] == 0
+
+
+def test_streaming_drift_psi_equals_batch(spark, sf_dir):
+    """The streamed PSI table (per-batch partials summed after drain)
+    equals the pure-batch restatement on the same slices — the
+    batch==stream proof — and the grid is complete with exact counts."""
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES, _t
+    from dsci551_edfs_spark.streaming.drift_monitor import (
+        decile_counts,
+        psi_from_counts,
+    )
+
+    got = {
+        r["bin"]: (r["cnt_ref"], r["cnt_feed"], r["psi_term_micro"])
+        for r in QUERIES["streaming_drift_psi"](spark, sf_dir).collect()
+    }
+    d = _t(spark, sf_dir, "documents")
+    want = {
+        r["bin"]: (r["cnt_ref"], r["cnt_feed"], r["psi_term_micro"])
+        for r in psi_from_counts(
+            decile_counts(d.filter(F.col("doc_id") % 5 != 0)),
+            decile_counts(d.filter(F.col("doc_id") % 5 == 0)),
+        ).collect()
+    }
+    release_cached()
+    assert set(got) == set(range(10))
+    assert got == want
+    n_feed = sum(v[1] for v in got.values())
+    assert n_feed == d.filter(F.col("doc_id") % 5 == 0).count()
