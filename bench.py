@@ -212,6 +212,8 @@ HEADLINE = [
     "quality_lr_ece",
     "lang_id_eval",
     "streaming_drift_psi",
+    "weighted_sample_tokens",
+    "curriculum_schedule",
 ]
 
 

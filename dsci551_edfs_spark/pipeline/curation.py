@@ -42,6 +42,7 @@ __all__ = [
     "deterministic_split",
     "leakage_safe_split",
     "stratified_sample",
+    "weighted_sample_es",
     "group_sample_topk",
     "chunk_documents",
     "largest_remainder_allocation",
@@ -209,6 +210,43 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * 100)))
         ).otherwise(keep)
     return df.filter(b < keep)
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis (2006) one-pass recipe every distributed engine
+    uses (item key u^(1/w), keep the k largest), with the randomness
+    replaced by the md5-uniform of the id so every engine, retry and
+    repartitioning selects the SAME sample: u = (h48 + 1) / 2^48 from
+    the id's first 12 md5 nibbles, and the key is compared in log space
+    frozen at MILLI-nats (`round(1e3·ln(u)/w)` — the idf precedent
+    scale, where a last-ulp libm difference between engines cannot flip
+    the rounding), ties broken by id. Returns the input columns plus
+    ``es_key_milli``, the k selected rows.
+
+    Plan shape: ONE codegen projection + a global top-k
+    (orderBy().limit → TakeOrdered — per-partition heaps, no
+    single-partition sort), the same cost as any top-k at 100 TB.
+    Weight 0 rows are unsampleable (w clamps to min 1 only to keep the
+    expression total; u^(1/1) of a tiny u still loses to any real
+    weight in practice)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 48))
+    key = F.round(
+        F.log(u) / F.greatest(F.col(weight_col), F.lit(1)) * 1e3
+    ).cast("long")
+    return (
+        df.withColumn("es_key_milli", key)
+        .orderBy(F.col("es_key_milli").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def group_sample_topk(

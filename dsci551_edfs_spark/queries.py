@@ -14457,6 +14457,99 @@ def streaming_drift_psi(spark, sf_dir):
     return drift_psi_stream(spark, ref, feed_dir, base)
 
 
+@q(
+    "weighted_sample_tokens",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                  END AS BIGINT) AS n_tokens,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(round(ln((h + 1.0) / 281474976710656.0)
+                      / greatest(n_tokens, 1) * 1000) AS BIGINT)
+             AS es_key_milli
+    FROM w ORDER BY es_key_milli DESC, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_tokens(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): 100 documents drawn proportional to token
+    count — the "sample big docs more" pull every mixture/debug
+    workflow needs, reproducible across engines, retries and
+    repartitionings because the randomness is the md5-uniform of the
+    id and the u^(1/w) key is compared in milli-nat log space
+    (pipeline/curation.py:weighted_sample_es). ONE codegen projection
+    + a global top-k (TakeOrdered: per-partition heaps) — the same
+    cost as any top-k at 100 TB; full oracle restates key and
+    selection."""
+    from .pipeline.curation import weighted_sample_es
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", TXT.token_count(F.col("text")).cast("long").alias("n_tokens"))
+    return weighted_sample_es(w, "n_tokens", k=100).select(
+        "doc_id", "n_tokens", "es_key_milli"
+    )
+
+
+@q(
+    "curriculum_schedule",
+    "WITH "
+    + _QM_FEATURES_SQL
+    + r"""
+    , m AS (
+      SELECT doc_id,
+             CAST(round(round(1.0 / (1.0 + exp(-round(-1.0
+                   + 2.5 * least(n_tokens / 100.0, 1.0)
+                   + 0.15 * avg_token_len - 4.0 * punct_ratio
+                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
+                   * 10000) AS BIGINT) AS q4
+      FROM feats),
+    r AS (SELECT doc_id, q4,
+                 row_number() OVER (ORDER BY q4 DESC, doc_id) AS pos,
+                 count(*) OVER () AS n
+          FROM m)
+    SELECT doc_id, q4, CAST(pos AS BIGINT) AS pos,
+           CAST((4 * (pos - 1)) // n AS BIGINT) AS phase
+    FROM r
+    """,
+)
+def curriculum_schedule(spark, sf_dir):
+    """Curriculum ordering of the WHOLE corpus: every document gets its
+    global training position by quality score (best first, id
+    tiebreak) plus a 4-phase bucket — the easy-to-hard schedule a
+    curriculum-trained run consumes. The global rank is the
+    two-phase range-partition primitive at DOC granularity
+    (`operators/cumulative.py:running_totals` — range buckets, ONE
+    constant-size offset exchange, per-partition window; the registry
+    lint forbids the single-partition row_number this would otherwise
+    be), so the plan sorts 100 TB the way a distributed sort should.
+    Exact integers end to end (×1e4-frozen score, bigint phase
+    division); the oracle restates scoring, rank and phase."""
+    from .operators.cumulative import running_totals
+
+    d = _t(spark, sf_dir, "documents")
+    m = TXT.quality_score_model(d).select(
+        "doc_id",
+        F.round(F.col("quality_prob") * 10000).cast("long").alias("q4"),
+    )
+    ranked = running_totals(
+        m.withColumn("_one", F.lit(1).cast("long")),
+        [F.col("q4").desc(), F.col("doc_id")],
+        [("_one", "pos")],
+    )
+    tot = m.agg(F.count("*").cast("long").alias("n"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "q4",
+        "pos",
+        F.expr("(4 * (pos - 1)) div n").alias("phase"),
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 

@@ -284,3 +284,53 @@ def test_streaming_drift_psi_equals_batch(spark, sf_dir):
     assert got == want
     n_feed = sum(v[1] for v in got.values())
     assert n_feed == d.filter(F.col("doc_id") % 5 == 0).count()
+
+
+def test_weighted_sample_es_matches_python_replica(spark):
+    """The ES selection (md5-uniform, milli-nat log key, id tiebreak)
+    equals a pure-Python replica, and a giant-weight item is always
+    selected before k tiny-weight competitors run out."""
+    import hashlib
+    import math
+
+    rows = [(i, (i * 13) % 7 + 1) for i in range(60)]
+    rows.append((999, 100000))  # dominant weight
+    from dsci551_edfs_spark.pipeline.curation import weighted_sample_es
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["es_key_milli"])
+        for r in weighted_sample_es(df, "w", k=10, id_col="doc_id").collect()
+    ]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        x = math.log((h + 1.0) / float(1 << 48)) / max(w, 1) * 1e3
+        # Spark round() is HALF_UP away from zero
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    want = sorted(
+        ((i, key(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0])
+    )[:10]
+    assert got == want
+    assert 999 in {i for i, _ in got}
+
+
+def test_curriculum_schedule_invariants(spark, sf_dir):
+    """Positions are a permutation of 1..n, ordered by (q4 desc, id),
+    and the 4 phases split the corpus into near-equal quarters."""
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["curriculum_schedule"](spark, sf_dir).collect()
+    release_cached()
+    n = len(rows)
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    by_pos = sorted(rows, key=lambda r: r["pos"])
+    keys = [(-r["q4"], r["doc_id"]) for r in by_pos]
+    assert keys == sorted(keys)
+    from collections import Counter
+
+    phases = Counter(r["phase"] for r in rows)
+    assert set(phases) == {0, 1, 2, 3}
+    assert max(phases.values()) - min(phases.values()) <= 1
