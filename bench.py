@@ -214,6 +214,8 @@ HEADLINE = [
     "streaming_drift_psi",
     "weighted_sample_tokens",
     "curriculum_schedule",
+    "ks_length_drift",
+    "source_overlap_matrix",
 ]
 
 

@@ -14550,6 +14550,206 @@ def curriculum_schedule(spark, sf_dir):
     )
 
 
+@q(
+    "ks_length_drift",
+    r"""
+    WITH toks AS (
+      SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                  END AS BIGINT) AS v,
+             coalesce(TRY_CAST(regexp_extract(source, '(\d+)', 1)
+                               AS BIGINT), 0) % 2 AS grp
+      FROM documents),
+    g AS (SELECT v,
+                 CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS c1,
+                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS c2
+          FROM toks GROUP BY 1),
+    rt AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+                  sum(c2) OVER (ORDER BY v) AS cum2
+           FROM g),
+    tot AS (SELECT CAST(coalesce(sum(c1), 0) AS HUGEINT) AS n1,
+                   CAST(coalesce(sum(c2), 0) AS HUGEINT) AS n2
+            FROM g),
+    nums AS (SELECT rt.v,
+                    abs(rt.cum1 * t.n2 - rt.cum2 * t.n1) AS num
+             FROM rt, tot t),
+    mx AS (SELECT max(num) AS mnum FROM nums)
+    SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+           CAST(CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN 0
+                ELSE (2000000 * m.mnum + t.n1 * t.n2)
+                     // (2 * t.n1 * t.n2) END AS BIGINT) AS ks_micro,
+           CAST((SELECT min(v) FROM nums WHERE num = m.mnum) AS BIGINT)
+             AS ks_at_value
+    FROM tot t, mx m
+    """,
+)
+def ks_length_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift test on the document-length
+    distribution between the even and odd source cohorts — the
+    distribution-free "did the new crawl slice change shape"
+    companion to the binned PSI (which can miss within-bin shifts).
+    EXACT: KS = max_v |F1(v) − F2(v)| = max_v |cum1·n2 − cum2·n1| /
+    (n1·n2), so the whole statistic is integer numerators with ONE
+    final round-half-up bigint division; `ks_at_value` reports the
+    (smallest) length where the gap peaks. Scale shape: the corpus
+    collapses through ONE map-side-combinable groupBy(length); both
+    cohorts' cumulative legs share ONE two-phase range-partitioned
+    running-totals pass (operators/cumulative.py — the AUC machinery
+    reused); everything after is length-domain-bounded."""
+    from .operators.cumulative import running_totals
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        TXT.token_count(F.col("text")).cast("long").alias("v"),
+        (
+            F.coalesce(
+                F.regexp_extract(F.col("source"), r"(\d+)", 1).try_cast(
+                    "long"
+                ),
+                F.lit(0),
+            )
+            % 2
+        ).alias("grp"),
+    )
+    g = DD._persist(
+        toks.groupBy("v").agg(
+            F.sum((F.col("grp") == 0).cast("long")).cast("long").alias("c1"),
+            F.sum((F.col("grp") == 1).cast("long")).cast("long").alias("c2"),
+        )
+    )
+    rt = running_totals(g, ["v"], [("c1", "cum1"), ("c2", "cum2")])
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    nums = rt.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.expr(
+            f"abs({dec.format('cum1')} * n2 - {dec.format('cum2')} * n1)"
+        ).alias("num"),
+    )
+    agg = nums.agg(F.max("num").alias("mnum"))
+    at = (
+        nums.crossJoin(F.broadcast(agg))
+        .filter(F.col("num") == F.col("mnum"))
+        .agg(F.min("v").cast("long").alias("ks_at_value"))
+    )
+    d2m = "CAST(2000000 AS DECIMAL(38,0))"
+    d2 = "CAST(2 AS DECIMAL(38,0))"
+    return (
+        tot.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n1",
+            "n2",
+            F.expr(
+                f"CASE WHEN n1 = 0 OR n2 = 0 THEN 0 ELSE"
+                f" ({d2m} * mnum + {dec.format('n1')} * n2)"
+                f" div ({d2} * n1 * n2) END"
+            ).alias("ks_micro"),
+            "ks_at_value",
+        )
+    )
+
+
+@q(
+    "source_overlap_matrix",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             string_split_regex(trim(lower(text)), '\s+') AS ts
+      FROM documents WHERE trim(text) <> ''),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest([ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                     FOR i IN generate_series(1, len(ts) - 2)]) AS shingle
+      FROM toks WHERE len(ts) >= 3),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.source < b.source
+      GROUP BY 1, 2),
+    j AS (SELECT p.src_a, p.src_b, p.n_common,
+                 sa.n_sh AS n_a, sb.n_sh AS n_b
+          FROM pairs p
+          JOIN sizes sa ON sa.source = p.src_a
+          JOIN sizes sb ON sb.source = p.src_b)
+    SELECT src_a, src_b, n_a, n_b, n_common,
+           CAST((2000000 * CAST(n_common AS HUGEINT)
+                 + (n_a + n_b - n_common))
+                // (2 * CAST(n_a + n_b - n_common AS HUGEINT)) AS BIGINT)
+             AS jaccard_micro
+    FROM j
+    """,
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Pairwise content overlap between corpus SOURCES (crawl
+    snapshots): distinct 3-gram shingle sets per source, Jaccard for
+    every co-occurring pair — the "how redundant are my snapshots"
+    audit that decides which slices to keep before dedup even runs.
+    Scale shape: one tokenize pass → distinct (source, shingle)
+    (map-side combinable), then an inverted-index equi-join on the
+    shingle — pair volume is Σ_shingle df² with df ≤ |sources| (a
+    SMALL constant), never corpus-quadratic; sizes/pairs frames are
+    source-domain-bounded. Exact integers, round-half-up micro
+    Jaccard, full oracle."""
+    from .pipeline.curation import ngram_array
+
+    d = _t(spark, sf_dir, "documents")
+    sh = DD._persist(
+        d.filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(ngram_array(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sh")
+    )
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    j = (
+        pairs.join(
+            sizes.select(
+                F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
+            ),
+            "src_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
+            ),
+            "src_b",
+        )
+    )
+    d2m = "CAST(2000000 AS DECIMAL(38,0))"
+    d2 = "CAST(2 AS DECIMAL(38,0))"
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.expr(
+            f"({d2m} * n_common + (n_a + n_b - n_common))"
+            f" div ({d2} * (n_a + n_b - n_common))"
+        ).alias("jaccard_micro"),
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 

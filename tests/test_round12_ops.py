@@ -334,3 +334,59 @@ def test_curriculum_schedule_invariants(spark, sf_dir):
     phases = Counter(r["phase"] for r in rows)
     assert set(phases) == {0, 1, 2, 3}
     assert max(phases.values()) - min(phases.values()) <= 1
+
+
+def test_ks_length_drift_bounds(spark, sf_dir):
+    """KS is in [0, 1e6]; cohort sizes tie out to the corpus; the
+    reported argmax length is a real length in the corpus."""
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES, _t
+
+    row = QUERIES["ks_length_drift"](spark, sf_dir).first()
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    lengths = {
+        r["v"]
+        for r in d.select(
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("v")
+        ).collect()
+    }
+    release_cached()
+    assert row["n1"] + row["n2"] == n
+    assert 0 <= row["ks_micro"] <= 10**6
+    assert row["ks_at_value"] in lengths
+
+
+def test_source_overlap_matrix_invariants(spark, sf_dir):
+    """Every pair ordered src_a < src_b and unique; common <= min of the
+    set sizes; Jaccard in (0, 1e6]; per-source shingle-set sizes agree
+    with a direct distinct count."""
+    import pyspark.sql.functions as F
+
+    from dsci551_edfs_spark.pipeline.curation import ngram_array
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES, _t
+
+    rows = QUERIES["source_overlap_matrix"](spark, sf_dir).collect()
+    d = _t(spark, sf_dir, "documents")
+    direct = {
+        r["source"]: r["n"]
+        for r in d.filter(F.trim("text") != "")
+        .select("source", F.explode(ngram_array(F.col("text"), 3)).alias("s"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    release_cached()
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert (r["src_a"], r["src_b"]) not in seen
+        seen.add((r["src_a"], r["src_b"]))
+        assert 0 < r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert 0 < r["jaccard_micro"] <= 10**6
+        assert r["n_a"] == direct[r["src_a"]]
+        assert r["n_b"] == direct[r["src_b"]]
