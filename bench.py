@@ -216,6 +216,8 @@ HEADLINE = [
     "curriculum_schedule",
     "ks_length_drift",
     "source_overlap_matrix",
+    "stratified_weighted_sample_tokens",
+    "source_lang_mi",
 ]
 
 

@@ -43,6 +43,8 @@ __all__ = [
     "leakage_safe_split",
     "stratified_sample",
     "weighted_sample_es",
+    "es_key_milli",
+    "stratified_weighted_sample",
     "group_sample_topk",
     "chunk_documents",
     "largest_remainder_allocation",
@@ -235,17 +237,51 @@ def weighted_sample_es(
     Weight 0 rows are unsampleable (w clamps to min 1 only to keep the
     expression total; u^(1/1) of a tiny u still loses to any real
     weight in practice)."""
+    return (
+        df.withColumn("es_key_milli", es_key_milli(id_col, weight_col))
+        .orderBy(F.col("es_key_milli").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def es_key_milli(id_col: str, weight_col: str) -> Column:
+    """The deterministic Efraimidis–Spirakis selection key:
+    round(1e3 · ln(u) / w) with u = (h48 + 1)/2^48 from the id's md5 —
+    shared by the global (`weighted_sample_es`) and per-group
+    (`stratified_weighted_sample`) samplers."""
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
     ).cast("long")
     u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 48))
-    key = F.round(
+    return F.round(
         F.log(u) / F.greatest(F.col(weight_col), F.lit(1)) * 1e3
     ).cast("long")
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum Efraimidis–Spirakis weighted sampling without
+    replacement: the k largest ES keys WITHIN each stratum — "give me
+    10 token-weighted docs per source", deterministic across engines/
+    retries/partitionings (same md5-uniform key as
+    `weighted_sample_es`). Plan shape: one hash-partition shuffle on
+    the stratum + the rank window per group — Spark pushes a
+    WindowGroupLimit so per-group state is O(k), the
+    `group_sample_topk` precedent. Returns the input columns plus
+    ``es_key_milli`` and ``sample_rank``."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("es_key_milli").desc(), F.col(id_col)
+    )
     return (
-        df.withColumn("es_key_milli", key)
-        .orderBy(F.col("es_key_milli").desc(), F.col(id_col))
-        .limit(k)
+        df.withColumn("es_key_milli", es_key_milli(id_col, weight_col))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
     )
 
 

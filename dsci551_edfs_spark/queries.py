@@ -14750,6 +14750,118 @@ def source_overlap_matrix(spark, sf_dir):
     )
 
 
+@q(
+    "stratified_weighted_sample_tokens",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                  END AS BIGINT) AS n_tokens,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(round(ln((h + 1.0) / 281474976710656.0)
+                        / greatest(n_tokens, 1) * 1000) AS BIGINT)
+               AS es_key_milli
+      FROM w),
+    r AS (SELECT doc_id, source, n_tokens, es_key_milli,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY es_key_milli DESC, doc_id)
+                   AS sample_rank
+          FROM keyed)
+    SELECT doc_id, source, n_tokens, es_key_milli,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 5
+    """,
+)
+def stratified_weighted_sample_tokens(spark, sf_dir):
+    """Per-SOURCE deterministic weighted sampling: the 5 largest
+    Efraimidis–Spirakis keys (token-count weights, md5-uniform
+    randomness) within each source — the stratified "eyeball N
+    weighted docs per snapshot" pull, reproducible across engines and
+    retries. One hash shuffle on the stratum + a WindowGroupLimit-
+    bounded rank window (O(k) state per group); full oracle restates
+    key, rank and selection (pipeline/curation.py:
+    stratified_weighted_sample)."""
+    from .pipeline.curation import stratified_weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return stratified_weighted_sample(
+        w, "source", "n_tokens", k=5
+    ).select("doc_id", "source", "n_tokens", "es_key_milli", "sample_rank")
+
+
+@q(
+    "source_lang_mi",
+    r"""
+    WITH j AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_xy
+               FROM documents GROUP BY 1, 2),
+    mx AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_x
+           FROM j GROUP BY 1),
+    my AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_y
+           FROM j GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j)
+    SELECT j.source, j.lang, j.n_xy, mx.n_x, my.n_y,
+           CAST(round(1000000.0 * j.n_xy
+                      * ln((CAST(j.n_xy AS DOUBLE) * t.n)
+                           / (CAST(mx.n_x AS DOUBLE) * my.n_y))
+                      / t.n) AS BIGINT) AS mi_term_micro
+    FROM j JOIN mx USING (source) JOIN my USING (lang), tot t
+    """,
+)
+def source_lang_mi(spark, sf_dir):
+    """Mutual information between two corpus columns (source × lang) —
+    the dependence profile that tells a mixture designer whether
+    language balance varies by snapshot (MI ≈ 0 ⇒ stratifying by one
+    covers the other). Per-cell terms
+    round(1e6 · n_xy · ln(n_xy·N / (n_x·n_y)) / N) are frozen integer
+    micro-nats (one fixed IEEE expression both engines evaluate
+    identically — the PSI discipline); total MI = Σ terms / 1e6,
+    order-free. Scale shape: ONE map-side-combinable groupBy on the
+    (x, y) pair, marginals off the cell frame (never the corpus), all
+    joins cell-domain-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    j = DD._persist(
+        d.groupBy("source", "lang").agg(
+            F.count("*").cast("long").alias("n_xy")
+        )
+    )
+    mx = j.groupBy("source").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = j.groupBy("lang").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = j.agg(F.sum("n_xy").cast("long").alias("n"))
+    return (
+        j.join(mx, "source")
+        .join(my, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(
+                F.lit(1e6)
+                * F.col("n_xy")
+                * F.log(
+                    (F.col("n_xy").cast("double") * F.col("n"))
+                    / (F.col("n_x").cast("double") * F.col("n_y"))
+                )
+                / F.col("n")
+            )
+            .cast("long")
+            .alias("mi_term_micro"),
+        )
+    )
+
+
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 

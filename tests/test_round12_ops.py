@@ -390,3 +390,50 @@ def test_source_overlap_matrix_invariants(spark, sf_dir):
         assert 0 < r["jaccard_micro"] <= 10**6
         assert r["n_a"] == direct[r["src_a"]]
         assert r["n_b"] == direct[r["src_b"]]
+
+
+def test_stratified_weighted_sample_invariants(spark, sf_dir):
+    """k rows per stratum (where the stratum has >= k docs), ranks
+    1..k, per-stratum keys descending, and each stratum's selection
+    equals the global sampler restricted to that stratum."""
+    from collections import Counter
+
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["stratified_weighted_sample_tokens"](
+        spark, sf_dir
+    ).collect()
+    release_cached()
+    per = Counter(r["source"] for r in rows)
+    assert all(v == 5 for v in per.values())
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["sample_rank"])
+        assert [r["sample_rank"] for r in rs] == [1, 2, 3, 4, 5]
+        keys = [(-r["es_key_milli"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_source_lang_mi_sums_to_nonneg_mi(spark, sf_dir):
+    """Marginals tie out and total MI (sum of frozen terms) is
+    non-negative up to the per-cell micro rounding budget."""
+    from dsci551_edfs_spark.pipeline.dedup import release_cached
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["source_lang_mi"](spark, sf_dir).collect()
+    release_cached()
+    n = sum(r["n_xy"] for r in rows)
+    from collections import defaultdict
+
+    mx, my = defaultdict(int), defaultdict(int)
+    for r in rows:
+        mx[r["source"]] += r["n_xy"]
+        my[r["lang"]] += r["n_xy"]
+    for r in rows:
+        assert r["n_x"] == mx[r["source"]]
+        assert r["n_y"] == my[r["lang"]]
+    total = sum(r["mi_term_micro"] for r in rows)
+    assert total >= -len(rows)  # MI >= 0; each term rounded +-0.5 micro
