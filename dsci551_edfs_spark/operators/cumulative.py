@@ -26,14 +26,40 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["running_total", "running_totals", "running_max"]
+__all__ = [
+    "running_total",
+    "running_totals",
+    "running_max",
+    "derive_rank_partitions",
+]
+
+#: Parallelism floor for the range-partitioned prefix stage. Small inputs
+#: (score-domain frames, test fixtures) still get full local[32] coverage.
+MIN_RANK_PARTITIONS = 32
+
+
+def derive_rank_partitions(df: DataFrame, rank_partitions: int | None) -> int:
+    """Resolve the range-partition count for the two-phase prefix pass.
+
+    ``None`` (the default everywhere) derives it from the input:
+    ``max(32, input partition count)`` — so a doc-granularity consumer
+    (corpus shuffle order, curriculum schedule, CUSUM over a 100 TB event
+    log) keeps the cluster's full parallelism instead of collapsing to a
+    fixed 32 window tasks, while the offset exchange stays one row per
+    range partition (KB-scale even at thousands of partitions). Callers
+    with domain knowledge (e.g. a score-domain-bounded frame) may still
+    pass an explicit count.
+    """
+    if rank_partitions is not None:
+        return rank_partitions
+    return max(MIN_RANK_PARTITIONS, df.rdd.getNumPartitions())
 
 
 def running_totals(
     df: DataFrame,
     order_cols: Sequence[str | Column],
     value_cols: Sequence[tuple[str, str]],
-    rank_partitions: int = 32,
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """Append one running-sum column per ``(value_col, out_col)`` pair,
     all in global ``order_cols`` order, sharing ONE two-phase pass
@@ -41,6 +67,7 @@ def running_totals(
     tie-corrected AUC's cumulative count AND cumulative positives cost
     a single range shuffle, and the plan contains no single-partition
     window at any input size."""
+    rank_partitions = derive_rank_partitions(df, rank_partitions)
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
         df.repartitionByRange(rank_partitions, *order)
@@ -96,7 +123,7 @@ def running_total(
     order_cols: Sequence[str | Column],
     value_col: str,
     out_col: str = "running_total",
-    rank_partitions: int = 32,
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = the running sum of ``value_col`` in global
     ``order_cols`` order, computed two-phase (range partition +
@@ -112,7 +139,7 @@ def running_max(
     order_cols: Sequence[str | Column],
     value_col: str,
     out_col: str = "running_max",
-    rank_partitions: int = 32,
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = the running max of ``value_col`` in global
     ``order_cols`` order — same two-phase shape as ``running_total``
@@ -121,6 +148,7 @@ def running_max(
     can be computed with no single-partition window. Rows in partitions
     before the first non-null value get a null offset, exactly like a
     window max over an empty preceding frame."""
+    rank_partitions = derive_rank_partitions(df, rank_partitions)
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
         df.repartitionByRange(rank_partitions, *order)

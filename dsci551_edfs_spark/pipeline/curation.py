@@ -234,11 +234,13 @@ def weighted_sample_es(
     Plan shape: ONE codegen projection + a global top-k
     (orderBy().limit → TakeOrdered — per-partition heaps, no
     single-partition sort), the same cost as any top-k at 100 TB.
-    Weight 0 rows are unsampleable (w clamps to min 1 only to keep the
-    expression total; u^(1/1) of a tiny u still loses to any real
-    weight in practice)."""
+    Rows with weight ≤ 0 are filtered out before keying — true
+    Efraimidis–Spirakis semantics (w = 0 ⇒ selection probability 0);
+    the `greatest(w, 1)` clamp inside `es_key_milli` then only guards
+    expression totality, it can never promote a zero-weight row."""
     return (
-        df.withColumn("es_key_milli", es_key_milli(id_col, weight_col))
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key_milli", es_key_milli(id_col, weight_col))
         .orderBy(F.col("es_key_milli").desc(), F.col(id_col))
         .limit(k)
     )
@@ -269,16 +271,18 @@ def stratified_weighted_sample(
     replacement: the k largest ES keys WITHIN each stratum — "give me
     10 token-weighted docs per source", deterministic across engines/
     retries/partitionings (same md5-uniform key as
-    `weighted_sample_es`). Plan shape: one hash-partition shuffle on
-    the stratum + the rank window per group — Spark pushes a
-    WindowGroupLimit so per-group state is O(k), the
+    `weighted_sample_es`, including the weight ≤ 0 pre-filter — zero-
+    weight rows are never sampled). Plan shape: one hash-partition
+    shuffle on the stratum + the rank window per group — Spark pushes
+    a WindowGroupLimit so per-group state is O(k), the
     `group_sample_topk` precedent. Returns the input columns plus
     ``es_key_milli`` and ``sample_rank``."""
     w = Window.partitionBy(strata_col).orderBy(
         F.col("es_key_milli").desc(), F.col(id_col)
     )
     return (
-        df.withColumn("es_key_milli", es_key_milli(id_col, weight_col))
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key_milli", es_key_milli(id_col, weight_col))
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
         .withColumn("sample_rank", F.col("sample_rank").cast("long"))

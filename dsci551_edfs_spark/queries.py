@@ -13621,6 +13621,33 @@ def _lr_trained_model(spark, sf_dir) -> tuple[dict[int, int], int]:
     return {b: w.get(b, 0) for b in range(64)}, bias
 
 
+def _lr_scored_frame(spark, sf_dir):
+    """The corpus scoring pass ITSELF served from the per-corpus memo
+    store: (id, y, p4) — the ×1e4-frozen sigmoid under the memoized
+    3-round model — persisted as parquet under the documents
+    fingerprint (the IVF-layout/CC-labels precedent). Calibration, the
+    AUC pair, the threshold sweep and ECE previously each re-ran the
+    tokenize+hash+score pass after loading the 65-integer model; now
+    all four read ONE settled frame, so the corpus is tokenized once
+    per corpus version, not once per metric query. Scoring is
+    deterministic (fixed IEEE expression over md5 hashing), so the
+    memoized integers are bit-identical to an in-query pass and every
+    oracle — which replays training AND scoring in SQL — still
+    hash-matches. The frame is (n_docs × 3 longs): at 100 TB that is
+    the cheap artifact, ~24 bytes/doc columnar."""
+    from .pipeline import classifier as CL
+
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+        w, bias = _lr_trained_model(spark, sf_dir)
+        return CL.lr_score(feats, labels, w, bias)
+
+    return MEMO.dataframe_memo(
+        spark, "lr_scored_r3", sf_dir, ["documents"], build
+    )
+
+
 @q("quality_lr_calibration", _lr_calibration_oracle_sql(3))
 def quality_lr_calibration(spark, sf_dir):
     """Close the loop `quality_calibration_bins` opened with a rule-based
@@ -13629,15 +13656,11 @@ def quality_lr_calibration(spark, sf_dir):
     probability deciles against the observed positive rate of the true
     label — the reliability audit a pipeline owner runs before
     thresholding 100 TB on a freshly trained model. Accumulations are
-    exact integers (p4 = frozen ×1e4 sigmoid, y as 0/1); ONE corpus
-    scoring pass against the memoized fit-once model
-    (`_lr_trained_model`), one ≤10-key map-side-combinable groupBy."""
-    from .pipeline import classifier as CL
-
-    d = _t(spark, sf_dir, "documents")
-    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    w, bias = _lr_trained_model(spark, sf_dir)
-    scored = CL.lr_score(feats, labels, w, bias)
+    exact integers (p4 = frozen ×1e4 sigmoid, y as 0/1); the scored
+    frame is served from the per-corpus memo (`_lr_scored_frame` —
+    fit-once AND score-once), leaving one ≤10-key map-side-combinable
+    groupBy as the query's own work."""
+    scored = _lr_scored_frame(spark, sf_dir)
     return (
         scored.select(
             F.least(
@@ -13923,14 +13946,17 @@ def quality_lr_auc(spark, sf_dir):
     Honesty note (same as `quality_lr_train`): this synthetic corpus
     has no text↔label signal, so BOTH scorers sit near 0.5 ROC-AUC —
     the registered contract is metric exactness, not model skill."""
-    from .pipeline import classifier as CL
     from .pipeline.evalmetrics import rank_auc_report
 
     d = _t(spark, sf_dir, "documents")
-    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    w, bias = _lr_trained_model(spark, sf_dir)
-    lr_scored = CL.lr_score(feats, labels, w, bias).select(
+    lr_scored = _lr_scored_frame(spark, sf_dir).select(
         "y", F.col("p4").alias("s")
+    )
+    # the rule leg needs only the label (lang == 'en'), never the
+    # hashed-TF-IDF features — label is a plain projection off documents
+    labels = d.select(
+        F.col("doc_id").alias("id"),
+        (F.col("lang") == "en").cast("long").alias("y"),
     )
     rule_scored = (
         TXT.quality_score_model(d)
@@ -14009,13 +14035,9 @@ def quality_lr_threshold_sweep(spark, sf_dir):
     then a broadcast range join of 21 threshold rows against that
     bounded frame — per-threshold counts NEVER rescan the corpus. All
     ratios are round-half-up bigint divisions (DECIMAL(38,0)-guarded),
-    so the DuckDB oracle replays training + sweep and hash-matches."""
-    from .pipeline import classifier as CL
-
-    d = _t(spark, sf_dir, "documents")
-    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    w, bias = _lr_trained_model(spark, sf_dir)
-    scored = CL.lr_score(feats, labels, w, bias)
+    so the DuckDB oracle replays training + sweep and hash-matches.
+    The scored frame is memo-served (`_lr_scored_frame`)."""
+    scored = _lr_scored_frame(spark, sf_dir)
     g = scored.groupBy(F.col("p4").alias("s")).agg(
         F.count("*").cast("long").alias("cnt"),
         F.sum("y").cast("long").alias("pos"),
@@ -14217,13 +14239,11 @@ def quality_lr_ece(spark, sf_dir):
     bigint division (no per-bin FP). Scale shape: one corpus scoring
     pass into a ≤10-key map-side-combinable groupBy; everything after
     is bin-sized. The oracle replays training + binning + both
-    divisions in HUGEINT and hash-matches."""
-    from .pipeline import classifier as CL
-
-    d = _t(spark, sf_dir, "documents")
-    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    w, bias = _lr_trained_model(spark, sf_dir)
-    scored = CL.lr_score(feats, labels, w, bias)
+    divisions in HUGEINT and hash-matches. The scored frame is
+    memo-served (`_lr_scored_frame`); on an EMPTY corpus every
+    aggregate coalesces to 0 so the (0, 0, 0, 0) row matches the
+    oracle's coalesced sums."""
+    scored = _lr_scored_frame(spark, sf_dir)
     bins = (
         scored.select(
             F.least(
@@ -14247,9 +14267,15 @@ def quality_lr_ece(spark, sf_dir):
         "n_b",
     )
     agg = terms.agg(
-        F.sum(F.col("n_b")).cast("long").alias("n_docs"),
+        # coalesce: sum over an EMPTY frame is NULL, which would slip
+        # past the n_docs = 0 guard below (the oracle's coalesced sums
+        # return 0); ADVICE r12
+        F.coalesce(F.sum(F.col("n_b")), F.lit(0)).cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_bins"),
-        F.sum("gap_num").cast("decimal(38,0)").alias("gap_sum"),
+        F.coalesce(
+            F.sum("gap_num").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("gap_sum"),
         F.max(
             F.expr(f"({d2} * gap_num + n_b) div ({d2} * n_b)")
         ).alias("mce_micro"),
@@ -14472,7 +14498,8 @@ def streaming_drift_psi(spark, sf_dir):
            CAST(round(ln((h + 1.0) / 281474976710656.0)
                       / greatest(n_tokens, 1) * 1000) AS BIGINT)
              AS es_key_milli
-    FROM w ORDER BY es_key_milli DESC, doc_id LIMIT 100
+    FROM w WHERE n_tokens > 0
+    ORDER BY es_key_milli DESC, doc_id LIMIT 100
     """,
 )
 def weighted_sample_tokens(spark, sf_dir):
@@ -14766,7 +14793,7 @@ def source_overlap_matrix(spark, sf_dir):
              CAST(round(ln((h + 1.0) / 281474976710656.0)
                         / greatest(n_tokens, 1) * 1000) AS BIGINT)
                AS es_key_milli
-      FROM w),
+      FROM w WHERE n_tokens > 0),
     r AS (SELECT doc_id, source, n_tokens, es_key_milli,
                  row_number() OVER (PARTITION BY source
                                     ORDER BY es_key_milli DESC, doc_id)
@@ -14886,7 +14913,16 @@ MEMOIZED_QUERIES: dict[str, str] = {
     "embedding_dup_pairs_lsh": "emb_twins",
     "ann_topk_pq": "pq_codes_s16x64",
     "ivm_segment_revenue": "ivm_seg_rev_base",
-    "quality_lr_calibration": "lr_model_r3",
+    # all four LR-metric queries serve the SAME memoized scored frame
+    # (which itself builds/serves the lr_model_r3 model memo inside its
+    # build); warm_memos dedups the build by tag, so it is attributed
+    # once, to quality_lr_calibration (ledger order) — ADVICE r12: every
+    # consumer of the memo is declared, so no standalone timing can
+    # land a cold build inside a query median
+    "quality_lr_calibration": "lr_scored_r3",
+    "quality_lr_auc": "lr_scored_r3",
+    "quality_lr_threshold_sweep": "lr_scored_r3",
+    "quality_lr_ece": "lr_scored_r3",
 }
 
 

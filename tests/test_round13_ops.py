@@ -1,0 +1,125 @@
+"""Round-13 contracts: autoscaled two-phase cumulative parallelism,
+true Efraimidis–Spirakis zero-weight semantics, and the quality_lr_ece
+empty-corpus degenerate row (ADVICE r12 / VERDICT r12 items 1 & 4)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_derive_rank_partitions_tracks_input(spark):
+    from dsci551_edfs_spark.operators.cumulative import (
+        MIN_RANK_PARTITIONS,
+        derive_rank_partitions,
+    )
+
+    small = spark.range(100).repartition(4)
+    wide = spark.range(100).repartition(64)
+    # floor: small inputs still get full local parallelism
+    assert derive_rank_partitions(small, None) == MIN_RANK_PARTITIONS
+    # derived: a wide input keeps its parallelism (the 100 TB case —
+    # a fixed 32 would cap the prefix stage at 32 tasks forever)
+    assert derive_rank_partitions(wide, None) == 64
+    # explicit caller hint always wins
+    assert derive_rank_partitions(wide, 7) == 7
+
+
+def test_running_total_derived_partitions_matches_naive(spark):
+    """Values are partitioning-independent by design: the derived
+    rank_partitions (input has 50 partitions -> 50 range buckets) must
+    produce the identical global running sum as any fixed count."""
+    from dsci551_edfs_spark.operators.cumulative import (
+        running_max,
+        running_total,
+    )
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(50)
+    got = {
+        r["k"]: r["running_total"]
+        for r in running_total(df, ["k"], "v").collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+    got_max = {
+        r["k"]: r["running_max"]
+        for r in running_max(df, ["k"], "v").collect()
+    }
+    run, want_max = None, {}
+    for k, v in sorted(rows):
+        run = v if run is None or v > run else run
+        want_max[k] = run
+    assert got_max == want_max
+
+
+def test_running_totals_offset_frame_tracks_derived_count(spark):
+    """The broadcast offset exchange stays one row per derived range
+    partition — constant-size whatever the data volume."""
+    from dsci551_edfs_spark.operators import cumulative as C
+
+    captured = {}
+    orig = C.derive_rank_partitions
+
+    def spy(df, rp):
+        n = orig(df, rp)
+        captured["n"] = n
+        return n
+
+    C.derive_rank_partitions = spy
+    try:
+        df = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+        ).repartition(40)
+        out = C.running_totals(df, ["k"], [("v", "cum_v")])
+        out.collect()
+    finally:
+        C.derive_rank_partitions = orig
+    assert captured["n"] == 40
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """Efraimidis–Spirakis semantics: w <= 0 => selection probability 0.
+    Before round 13 a zero-weight row competed at clamp weight 1 and
+    could outrank real rows on a lucky md5-uniform."""
+    from dsci551_edfs_spark.pipeline.curation import (
+        stratified_weighted_sample,
+        weighted_sample_es,
+    )
+
+    rows = [(i, "s%d" % (i % 2), [5, 0, -3][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    picked = weighted_sample_es(df, "w", k=50).collect()
+    assert picked, "positive-weight rows must be sampleable"
+    assert all(r["w"] > 0 for r in picked)
+    # only 20 rows have w > 0, so k=50 returns exactly those 20
+    assert len(picked) == 20
+
+    strat = stratified_weighted_sample(df, "source", "w", k=50).collect()
+    assert strat and all(r["w"] > 0 for r in strat)
+
+
+def test_quality_lr_ece_empty_corpus(spark, tmp_path):
+    """ADVICE r12: on an EMPTY corpus the Spark leg must return the
+    oracle's coalesced (0, 0, 0, 0) row, not NULL-ish aggregates."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    sf = str(tmp_path / "sf_empty")
+    os.makedirs(sf)
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    empty.write.parquet(os.path.join(sf, "documents.parquet"))
+    row = QUERIES["quality_lr_ece"](spark, sf).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_docs"], r["n_bins"], r["ece_micro"], r["mce_micro"]) == (
+        0,
+        0,
+        0,
+        0,
+    )
