@@ -255,3 +255,59 @@ def test_drift_flags_rule():
     assert [f["query"] for f in flags] == ["a"]  # 0.5 > 0.1+0.1+0.05
     assert flags[0]["ratio"] == 1.5
     assert flags[0]["band_s"] == 0.25
+
+
+def test_drift_flags_two_window_memory():
+    """Verdict r12 #7: a flag fires only if the move exceeds the band
+    against EVERY prior canonical window that measured the query — one
+    noisy previous window can't fire a spurious flag on its own."""
+    bench = _bench()
+    noisy = {  # r-1: a noisy window says 'a' regressed hugely
+        "queries": {"a": 0.5, "b": 1.0},
+        "spread_max_minus_min": {"a": 0.05, "b": 0.1},
+    }
+    quiet = {  # r-2: the quiet window agrees with the new number
+        "queries": {"a": 1.45, "b": 1.0},
+        "spread_max_minus_min": {"a": 0.05, "b": 0.1},
+    }
+    timings = {"a": 1.5, "b": 2.0}
+    spreads = {"a": 0.05, "b": 0.1}
+    flags = bench._drift_flags([noisy, quiet], timings, spreads)
+    # 'a' flags vs noisy but NOT vs quiet -> no flag; 'b' flags vs both
+    assert [f["query"] for f in flags] == ["b"]
+    assert flags[0]["n_windows"] == 2
+    assert flags[0]["prev_s"] == 1.0  # newest window's numbers reported
+    # a query only the NEWEST window measured still flags on that alone
+    flags2 = bench._drift_flags(
+        [{"queries": {"z": 1.0}, "spread_max_minus_min": {"z": 0.05}}, {}],
+        {"z": 2.0},
+        {"z": 0.05},
+    )
+    assert [f["query"] for f in flags2] == ["z"]
+    assert flags2[0]["n_windows"] == 1
+
+
+def test_r1_quiet_median_measurement(spark):
+    """Verdict r12 #3: the headline value_r1_comparable_25q is sourced
+    from a DEDICATED quiet median-of-5 pass, not inherited from
+    whichever full-suite window won the canonical tie-break."""
+    import inspect
+
+    bench = _bench()
+    # functional: the measurement helper produces per-query medians,
+    # spreads and its own ambient stamp
+    fake = {
+        "fast": lambda s, _sf: s.range(10),
+        "slow": lambda s, _sf: s.range(1000),
+    }
+    out = bench._measure_r1_quiet(
+        spark, fake, ["fast", "slow"], lambda: None, reps=5
+    )
+    assert out["method"] == "median_of_5"
+    assert set(out["queries"]) == {"fast", "slow"}
+    assert out["total_s"] == round(sum(out["queries"].values()), 3)
+    assert "ambient_cpu_frac" in out["ambient_load"]
+    assert all(v >= 0 for v in out["spread_max_minus_min"].values())
+    # wiring: main() assigns the headline field from the dedicated pass
+    src = inspect.getsource(bench.main)
+    assert '"value_r1_comparable_25q": r1_quiet["total_s"]' in src
