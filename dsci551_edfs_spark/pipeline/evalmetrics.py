@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame
 from ..operators.cumulative import running_totals
 from .dedup import _persist
 
-__all__ = ["rank_auc_report", "auc_from_counts", "auc_from_grouped_counts"]
+__all__ = [
+    "rank_auc_report",
+    "rank_auc_from_grouped",
+    "auc_from_counts",
+    "auc_from_grouped_counts",
+]
 
 _DEC = "decimal(38,0)"
 
@@ -63,6 +68,20 @@ def rank_auc_report(
             F.sum(label_col).cast("long").alias("pos"),
         )
     )
+    out = rank_auc_from_grouped(g)
+    g.unpersist()
+    return out
+
+
+def rank_auc_from_grouped(g: DataFrame) -> tuple[int, int, int, int]:
+    """(n_pos, n_neg, roc_auc_micro, pr_auc_micro) from a PRE-GROUPED
+    (s, cnt, pos) frame — the in-plan tail of `rank_auc_report`,
+    exposed so adversarial fixtures can feed counts far past what raw
+    rows could materialize (cnt ~ 1e14 blocks push Σ pos·midrank to
+    ~1e30, deep into the DECIMAL(38,0)-guard regime the r11
+    `aqp_sampled_revenue` overflow lesson says bites at scale first).
+    ``g`` should be persisted/settled by the caller if it is expensive:
+    it is consumed by three jobs (totals, offsets collect, final agg)."""
     rt = running_totals(
         g, ["s"], [("cnt", "cum_cnt"), ("pos", "cum_pos")]
     )
@@ -105,7 +124,6 @@ def rank_auc_report(
         .crossJoin(F.broadcast(tot.select("n")))
         .first()
     )
-    g.unpersist()
     n = int(row["n"] or 0)
     np_ = int(row["np"] or 0)
     nn = n - np_
