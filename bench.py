@@ -218,6 +218,11 @@ HEADLINE = [
     "source_overlap_matrix",
     "stratified_weighted_sample_tokens",
     "source_lang_mi",
+    # round-13 additions
+    "dataset_cartography",
+    "conformal_gate_threshold",
+    "label_noise_confident_joint",
+    "gate_fairness_audit",
 ]
 
 

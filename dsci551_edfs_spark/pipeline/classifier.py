@@ -170,6 +170,38 @@ def _score_p4(docfeats: DataFrame, w: dict[int, int], bias: int) -> DataFrame:
     return docfeats.select("id", "y", "fs", p4.alias("p4"))
 
 
+def multi_score_p4(
+    docfeats: DataFrame, models: list[tuple[dict[int, int], int]]
+) -> DataFrame:
+    """(id, y, p4_1..p4_k): score the SAME doc-feature frame under k
+    trained models in ONE map-side codegen projection — k literal
+    weight maps, no join, no shuffle, one scan. This is how dataset
+    cartography reads the whole GD trajectory (round-1/2/3 models)
+    without re-scanning the corpus per round."""
+    # closure factory, NOT a default arg: PySpark reads the lambda's
+    # parameter count to bind the higher-order function, so a bound
+    # `_m=wmap` third parameter breaks analysis
+    def _fold(m):
+        return lambda acc, f: acc + F.coalesce(
+            F.try_element_at(m, f["bucket"]), F.lit(0)
+        ) * f["x"]
+
+    cols = []
+    for i, (w, bias) in enumerate(models, start=1):
+        wmap = _wmap_lit(w, bias)
+        if wmap is None:  # all-zero model: logit 0 everywhere
+            zp = F.lit(0).cast("long")
+        else:
+            zp = F.aggregate("fs", F.lit(0).cast("long"), _fold(wmap))
+        z6 = F.round(zp / F.lit(_PICO), 6)
+        cols.append(
+            F.round(F.lit(1e4) / (F.lit(1.0) + F.exp(-z6)))
+            .cast("long")
+            .alias(f"p4_{i}")
+        )
+    return docfeats.select("id", "y", *cols)
+
+
 def lr_train_from_features(
     feats: DataFrame,
     labels: DataFrame,

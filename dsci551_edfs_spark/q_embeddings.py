@@ -1,0 +1,817 @@
+"""Embedding operators: int8/PQ/binary quantization, ANN variants, DSIR importance, model-based quality scoring.
+
+Split from the original monolithic queries.py (round 13) —
+verbatim section move, zero behavior change; registration
+still lands in the shared QUERIES/ORACLES dicts via @q.
+"""
+
+from __future__ import annotations
+
+from .queries_base import F, MEMO, SIM, TXT, _t, q
+from .q_pipeline import _DOT_SQL, _NORM_SQL, _ivf_cents_sql
+from .q_curation import _DECONTAM_CTES
+
+@q(
+    "embedding_quantize_error",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
+             END AS scale
+      FROM v
+    ),
+    qz AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> round(x / scale)) AS q
+      FROM s
+    ),
+    er AS (
+      SELECT vec_id, scale, len(e) AS dim,
+             list_transform(range(1, len(e) + 1),
+                            i -> e[i] - q[i] * scale) AS err
+      FROM qz
+    )
+    SELECT vec_id,
+           CAST(dim AS BIGINT) AS dim,
+           round(scale, 9) AS scale_r,
+           CAST(list_sum(list_transform(err,
+                x -> CAST(round(x * x * 1e12) AS BIGINT))) AS BIGINT)
+             AS sq_err_pico,
+           list_sum(list_transform(err,
+                x -> CAST(round(x * x * 1e12) AS BIGINT))) / 1e12 / dim
+             AS mse,
+           round(list_max(list_transform(err, x -> abs(x))), 9)
+             AS max_abs_err
+    FROM er
+    """,
+)
+def embedding_quantize_error(spark, sf_dir):
+    """Per-vector int8 quantization + reconstruction-error profile
+    (scale = max|x|/127, q = round(x/scale)); squared errors reduce as
+    exact integer picos so the oracle comparison is order-independent."""
+    from .pipeline import quantize as QZ
+
+    return QZ.quantization_error(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "ann_topk_int8",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             list_transform(
+               e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))
+             ) AS u
+      FROM v),
+    s AS (
+      SELECT vec_id, u,
+             CASE WHEN list_max(list_transform(u, x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(u, x -> abs(x))) / 127.0
+             END AS scale
+      FROM n),
+    qz AS (
+      SELECT vec_id, scale,
+             list_transform(u, x -> CAST(round(x / scale) AS BIGINT)) AS q
+      FROM s),
+    pairs AS (
+      SELECT qq.vec_id AS query_id, cc.vec_id AS nid,
+             CAST(list_sum(list_transform(
+                    range(1, len(cc.q) + 1), i -> cc.q[i] * qq.q[i]
+                  )) AS BIGINT) * cc.scale * qq.scale AS score
+      FROM qz cc, qz qq
+      WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id),
+    r AS (
+      SELECT query_id, nid, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nid) AS rnk
+      FROM pairs)
+    SELECT query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           round(score, 4) AS score
+    FROM r WHERE rnk <= 5
+    """,
+)
+def ann_topk_int8(spark, sf_dir):
+    """Quantized brute-force cosine top-5 for 10 query vectors — the int8
+    scan path whose recall vs the exact scan is pinned in pytest.
+
+    Full oracle (was rows-only): the quantization is deterministic
+    per-vector arithmetic — unit-normalize, scale = max|u|/127,
+    q = round(u/scale) — and the int64 dot products are exact, so DuckDB
+    restates the entire ranking; score ties are exact double equalities
+    (same idot·scale·scale multiplies), broken by neighbor id on both
+    sides. The quantize-agreement precedent is `embedding_quantize_error`,
+    whose hash-matched pico errors already pin round(x/scale) parity."""
+    from .pipeline import quantize as QZ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = QZ.topk_int8(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+# blocking-recall audit: above this many a-side query points the exact
+# truth leg runs on a deterministic md5-sampled slice of that size —
+# caps the quadratic leg at cap x |B| (linear). sf0.01 (250) and sf0.1
+# (1000) stay below it, so oracle and bench semantics are FULL truth.
+_BLOCKING_TRUTH_CAP = 1000
+
+_BINARY_PACK_DUCK = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN "
+    + (
+        "CAST(-9223372036854775808 AS BIGINT)"
+        if i == 63
+        else f"CAST({1 << i} AS BIGINT)"
+    )
+    + " ELSE CAST(0 AS BIGINT) END)"
+    for i in range(64)
+)
+
+
+@q(
+    "ann_topk_binary",
+    f"""
+    WITH s AS (
+      SELECT vec_id, {_BINARY_PACK_DUCK} AS w
+      FROM embeddings),
+    pairs AS (
+      SELECT qq.vec_id AS query_id, cc.vec_id AS nid,
+             bit_count(xor(cc.w, qq.w)) AS hamming
+      FROM s cc, s qq
+      WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id),
+    r AS (
+      SELECT query_id, nid, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, nid) AS rnk
+      FROM pairs)
+    SELECT query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM r WHERE rnk <= 5
+    """,
+)
+def ann_topk_binary(spark, sf_dir):
+    """1-bit sign-quantized Hamming top-5 for 10 query vectors — the
+    extreme point of the quantization ladder (float64 scan →
+    `ann_topk_int8` → PQ codes → ONE int64 word per vector, 64x
+    compression). bit_count(xor) ranking with neighbor-id ties; exact
+    integer arithmetic end to end, so the oracle restates the entire
+    ranking. Twin-recall contract (binary top-1 finds the planted
+    cosine-0.995 twin) pinned in tests/test_pipeline.py; a production
+    deployment scans these words as the coarse filter and reranks the
+    survivors with exact cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.binary_sign_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+@q(
+    "ann_topk_binary_rerank",
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_BINARY_PACK_DUCK} AS w
+      FROM embeddings),
+    cand AS (
+      SELECT query_id, nid FROM (
+        SELECT qq.vec_id AS query_id, cc.vec_id AS nid,
+               row_number() OVER (
+                 PARTITION BY qq.vec_id
+                 ORDER BY bit_count(xor(cc.w, qq.w)) ASC, cc.vec_id
+               ) AS crnk
+        FROM s cc, s qq
+        WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id)
+      WHERE crnk <= 20),
+    scored AS (
+      SELECT c.query_id, c.nid,
+             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+               / ({_NORM_SQL.format(a="e.embedding")}
+                  * {_NORM_SQL.format(a="q.embedding")}) AS score
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.nid
+      JOIN embeddings q ON q.vec_id = c.query_id)
+    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
+      SELECT query_id, nid AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nid) AS rnk,
+             score
+      FROM scored) WHERE rnk <= 5
+    """,
+)
+def ann_topk_binary_rerank(spark, sf_dir):
+    """Two-stage binary ANN, the deployment shape: 64x-compressed
+    Hamming scan keeps the top-20 candidates per query, exact cosine
+    reranks ONLY those to the final top-5. The coarse stage touches 16
+    bytes/vector; the float vectors are fetched for |queries|*20 rows by
+    id — never a second full scan. Full oracle end to end (exact-integer
+    coarse ranking + the proven dot/norm cosine restatement); recall vs
+    the exact scan pinned in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.binary_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, coarse_k=20
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+@q(
+    "ann_mutual_knn_binary",
+    f"""
+    WITH s AS (
+      SELECT vec_id, {_BINARY_PACK_DUCK} AS w FROM embeddings),
+    fwd AS (
+      SELECT qq.vec_id AS qa, cc.vec_id AS nb,
+             bit_count(xor(cc.w, qq.w)) AS hamming,
+             row_number() OVER (
+               PARTITION BY qq.vec_id
+               ORDER BY bit_count(xor(cc.w, qq.w)) ASC, cc.vec_id
+             ) AS rnk
+      FROM s cc, s qq
+      WHERE qq.vec_id % 2 = 0 AND cc.vec_id % 2 = 1),
+    bwd AS (
+      SELECT qq.vec_id AS qb, cc.vec_id AS na,
+             row_number() OVER (
+               PARTITION BY qq.vec_id
+               ORDER BY bit_count(xor(cc.w, qq.w)) ASC, cc.vec_id
+             ) AS rnk
+      FROM s cc, s qq
+      WHERE qq.vec_id % 2 = 1 AND cc.vec_id % 2 = 0)
+    SELECT f.qa AS id_a, f.nb AS id_b,
+           CAST(f.rnk AS BIGINT) AS rank_ab,
+           CAST(b.rnk AS BIGINT) AS rank_ba,
+           CAST(f.hamming AS BIGINT) AS hamming
+    FROM fwd f
+    JOIN bwd b ON b.qb = f.nb AND b.na = f.qa
+    WHERE f.rnk <= 5 AND b.rnk <= 5
+    """,
+)
+def ann_mutual_knn_binary(spark, sf_dir):
+    """Mutual k-NN pair mining between two corpora (the even / odd
+    vec_id halves stand in for the two languages' embedding sets) in
+    1-bit Hamming space: (a, b) survives only if each is in the other's
+    top-5 — the reciprocity filter that kills hub vectors in
+    bitext/parallel-pair mining (Artetxe & Schwenk 2019). Two 16-byte
+    Hamming scans + one join on the reversed pair; exact integer
+    arithmetic end to end, full oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.mutual_knn_hamming(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=5,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("rank_ab").cast("long").alias("rank_ab"),
+        F.col("rank_ba").cast("long").alias("rank_ba"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+@q(
+    "ann_mutual_knn_binary_bucketed",
+    f"""
+    WITH s AS (
+      SELECT vec_id, {_BINARY_PACK_DUCK} AS w FROM embeddings),
+    a AS (SELECT vec_id AS id_a, w AS wa FROM s WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS id_b, w AS wb FROM s WHERE vec_id % 2 = 1),
+    ab AS (SELECT id_a, wa, t.band,
+                  (wa >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
+           FROM a, generate_series(0, 3) t(band)),
+    bb AS (SELECT id_b, wb, t.band,
+                  (wb >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
+           FROM b, generate_series(0, 3) t(band)),
+    cand AS (SELECT DISTINCT id_a, id_b, wa, wb
+             FROM ab JOIN bb USING (band, key)),
+    pairs AS (SELECT id_a, id_b, bit_count(xor(wa, wb)) AS hamming
+              FROM cand),
+    r AS (SELECT id_a, id_b, hamming,
+                 row_number() OVER (PARTITION BY id_a
+                                    ORDER BY hamming, id_b) AS rank_ab,
+                 row_number() OVER (PARTITION BY id_b
+                                    ORDER BY hamming, id_a) AS rank_ba
+          FROM pairs)
+    SELECT id_a, id_b,
+           CAST(rank_ab AS BIGINT) AS rank_ab,
+           CAST(rank_ba AS BIGINT) AS rank_ba,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM r WHERE rank_ab <= 5 AND rank_ba <= 5
+    """,
+)
+def ann_mutual_knn_binary_bucketed(spark, sf_dir):
+    """The sub-quadratic scale twin of `ann_mutual_knn_binary`:
+    Hamming-prefix (banded-signature) blocking on the 64-bit sign word
+    — 4 bands x 16 bits, a pair is a candidate only if some band
+    matches exactly (pigeonhole: every pair at Hamming < 4 survives) —
+    then the SAME reciprocal top-5 filter, ranked within the candidate
+    set (the honest ANN semantics; `knn_label_vote_ivf` precedent).
+    The candidate stage is a key-shuffled equi-join on (band, key): no
+    corpus broadcast, no |A|x|B| pair frame. Band extraction
+    (w >> 16i) & 0xFFFF is bit-identical two's-complement arithmetic in
+    both engines, so the whole path — blocking included — carries a
+    full oracle; the planted-twin recall contract lives in
+    tests/test_round12_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.mutual_knn_hamming_bucketed(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=5,
+        bands=4,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("rank_ab").cast("long").alias("rank_ab"),
+        F.col("rank_ba").cast("long").alias("rank_ba"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+_CM_MICRO_DUCK = (
+    "CAST(floor(1000000 * ("
+    + _DOT_SQL.format(a="cc.embedding", b="qq.embedding")
+    + " / ("
+    + _NORM_SQL.format(a="cc.embedding")
+    + " * "
+    + _NORM_SQL.format(a="qq.embedding")
+    + ")) + 0.5) AS BIGINT)"
+)
+
+
+@q(
+    "margin_knn_pairs",
+    f"""
+    WITH pairs AS (
+      SELECT qq.vec_id AS qid, cc.vec_id AS nid, {_CM_MICRO_DUCK} AS cm
+      FROM embeddings cc, embeddings qq
+      WHERE qq.vec_id < 20 AND cc.vec_id <> qq.vec_id),
+    qn AS (
+      SELECT qid, nid, cm,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cm DESC, nid) AS rnk
+      FROM pairs),
+    ax AS (SELECT qid, CAST(SUM(cm) AS BIGINT) AS ax
+           FROM qn WHERE rnk <= 4 GROUP BY qid),
+    t1 AS (SELECT qid, nid, cm FROM qn WHERE rnk = 1),
+    yset AS (SELECT DISTINCT e.vec_id, e.embedding
+             FROM embeddings e JOIN t1 ON t1.nid = e.vec_id),
+    np AS (
+      SELECT qq.vec_id AS yid, cc.vec_id AS nid, {_CM_MICRO_DUCK} AS cm
+      FROM embeddings cc, yset qq
+      WHERE cc.vec_id <> qq.vec_id),
+    yn AS (
+      SELECT yid, cm,
+             row_number() OVER (PARTITION BY yid
+                                ORDER BY cm DESC, nid) AS rnk
+      FROM np),
+    ay AS (SELECT yid, CAST(SUM(cm) AS BIGINT) AS ay
+           FROM yn WHERE rnk <= 4 GROUP BY yid)
+    SELECT t1.qid AS query_id, t1.nid AS neighbor_id,
+           (2000 * 4 * t1.cm) // (ax.ax + ay.ay) AS margin_milli
+    FROM t1
+    JOIN ax ON ax.qid = t1.qid
+    JOIN ay ON ay.yid = t1.nid
+    WHERE (2000 * 4 * t1.cm) // (ax.ax + ay.ay) >= 1050
+    """,
+)
+def margin_knn_pairs(spark, sf_dir):
+    """Ratio-margin filtering of each query's best match (Artetxe &
+    Schwenk 2019): margin = cos(x,y) / ((avgNN4(x) + avgNN4(y)) / 2),
+    kept when >= 1.05 — the standard mined-pair filter (absolute cosine
+    thresholds fail under hubness; the margin renormalizes by local
+    density). Cosines quantize to integer micro units, the 4-sums are
+    exact int64, the margin is one bigint division — full oracle, same
+    arithmetic contract as the retrieval metrics."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.margin_knn_filter(
+        emb, emb.filter(F.col("vec_id") < 20), k=4, threshold_milli=1050
+    )
+
+
+# (session id, table fingerprint, n_codes) -> (ids, unit row matrix).
+# The normalized low-id sample rows are PART OF THE PQ INDEX (they are
+# the codebooks that produced the memoized code table), so they are as
+# cacheable as the codes: without this, every serve of the index re-ran
+# the 64-row collect job (r10: ~0.2 s of a 1.6 s op). Fingerprint-keyed
+# like the table plan cache, so regenerated testdata misses cleanly.
+_SAMPLE_CACHE: dict[tuple, "object"] = {}
+
+
+def _sample_unit_rows(emb, n_rows: int = 64, *, _cache_key=None):
+    """(ids, matrix) of the `vec_id < n_rows` vectors, unit-normalized BY
+    SPARK's own expression (so downstream float math is bit-identical to
+    what the oracle restates). Bounded driver collect, cached per corpus
+    version when `_cache_key` is supplied."""
+    import numpy as np
+
+    from .functions.vectors import as_double, normalize
+
+    key = None
+    if _cache_key is not None:
+        key = (*_cache_key, n_rows)
+        hit = _SAMPLE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    rows = (
+        emb.filter(F.col("vec_id") < n_rows)
+        .select("vec_id", normalize(as_double("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    out = (
+        np.array([r["vec_id"] for r in rows]),
+        np.array([r["v"] for r in rows], dtype=np.float64),
+    )
+    if key is not None:
+        _SAMPLE_CACHE[key] = out
+    return out
+
+
+def _sample_codebooks(emb, n_codes: int = 64, n_subspaces: int = 16, *, _cache_key=None):
+    """Sample-as-codebook PQ 'training' (Lloyd with iters=0 and first-id
+    init): codebook[j][c] = subspace-j slice of the c-th lowest-id UNIT
+    vector. A legitimate degenerate PQ recipe — and, unlike the seeded
+    Lloyd default, every codebook value is a pure Spark-expression
+    product (normalize = sequential double fold), so DuckDB re-derives
+    the identical codebooks FROM THE DATA and the registered demos carry
+    full oracles."""
+    _ids, mat = _sample_unit_rows(emb, n_codes, _cache_key=_cache_key)
+    n, dim = mat.shape
+    dsub = dim // n_subspaces
+    return mat.reshape(n, n_subspaces, dsub).transpose(1, 0, 2).copy()
+
+
+def _codebook_cache_key(spark, sf_dir: str) -> tuple:
+    """Session + embeddings-file identity, same recipe as the registry's
+    plan cache."""
+    import os as _os
+
+    from .sources.registry import _table_fingerprint
+
+    path = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+    return (id(spark), _table_fingerprint(path))
+
+
+def _pq_oracle_sql(ivf: bool = False) -> str:
+    """DuckDB replay of the PQ demo pipeline (16 subspaces × 64
+    sample-codebook codes over 64-dim vectors, dsub=4): re-derive the
+    codebooks from the first 64 unit vectors, encode the (re-normalized,
+    mirroring pq_encode's second normalize) corpus by per-subspace L2
+    argmin using the identical ||c||² − 2x·c expansion, ADC-score via the
+    query×code LUT, shortlist top-50, exact-cosine re-rank to top-5.
+    ``ivf=True`` additionally restricts candidates to the 4 probed coarse
+    buckets (seeded centroid literals, same as `_ivf_oracle_sql`)."""
+    ivf_cte = f"""
+    cents(cc, cv) AS (VALUES
+        {_ivf_cents_sql()}),
+    asn AS (
+      SELECT vec_id, cc,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cc) AS rn
+      FROM (
+        SELECT e.vec_id, cents.cc,
+               {_DOT_SQL.format(a="e.embedding", b="cents.cv")} AS sim
+        FROM embeddings e, cents)
+    ),
+    buckets AS (SELECT vec_id, cc FROM asn WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cc FROM asn
+      WHERE rn <= 4 AND vec_id < 10
+    ),"""
+    if ivf:
+        adc = """
+    adc AS (
+      SELECT l.query_id, codes.vec_id AS id, sum(l.l) AS score
+      FROM codes
+      JOIN buckets b ON b.vec_id = codes.vec_id
+      JOIN probes p ON p.cc = b.cc
+      JOIN lut l ON l.query_id = p.query_id
+                AND l.j = codes.j AND l.c = codes.code
+      WHERE codes.vec_id <> p.query_id
+      GROUP BY 1, 2
+    )"""
+    else:
+        adc = """
+    adc AS (
+      SELECT l.query_id, codes.vec_id AS id, sum(l.l) AS score
+      FROM codes
+      JOIN lut l ON l.j = codes.j AND l.c = codes.code
+      WHERE codes.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )"""
+    return f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / {_NORM_SQL.format(a="embedding")})
+               AS v
+      FROM embeddings
+    ),
+    w AS (
+      SELECT vec_id,
+             list_transform(v,
+               x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+               AS wv
+      FROM u
+    ),
+    js AS (SELECT unnest(range(0, 16)) AS j),
+    cb AS (
+      SELECT u.vec_id AS c, js.j,
+             u.v[js.j * 4 + 1 : js.j * 4 + 4] AS cs
+      FROM u, js WHERE u.vec_id < 64
+    ),{ivf_cte if ivf else ""}
+    encd AS (
+      SELECT w.vec_id, cb.j, cb.c,
+             list_sum(list_transform(cb.cs, x -> x * x))
+               - 2 * list_sum(list_transform(
+                       list_zip(w.wv[cb.j * 4 + 1 : cb.j * 4 + 4], cb.cs),
+                       z -> z[1] * z[2])) AS d2
+      FROM w, cb
+    ),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, c) AS rn
+        FROM encd) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.j, cb.c,
+             list_sum(list_transform(
+               list_zip(q.v[cb.j * 4 + 1 : cb.j * 4 + 4], cb.cs),
+               z -> z[1] * z[2])) AS l
+      FROM u q, cb WHERE q.vec_id < 10
+    ),
+    {adc},
+    short AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS rnk
+        FROM adc) WHERE rnk <= 50
+    ),
+    rer AS (
+      SELECT s.query_id, s.id,
+             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
+               / ({_NORM_SQL.format(a="e.embedding")}
+                  * {_NORM_SQL.format(a="q.embedding")}) AS score
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
+      SELECT query_id, id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id) AS rnk,
+             score
+      FROM rer) WHERE rnk <= 5
+    """
+
+
+@q("ann_topk_pq", _pq_oracle_sql())
+def ann_topk_pq(spark, sf_dir):
+    """Product-quantization two-stage top-5 for 10 query vectors: ADC
+    shortlist over 16-subspace × 64-code codes (12 bytes/vector vs 512
+    for float64), exact re-rank of the top-50 shortlist. Recall vs the
+    exact scan is pinned in pytest (pipeline/similarity.py:pq_topk).
+    Full oracle (was rows-only): the demo uses sample codebooks
+    (`_sample_codebooks` — k-means iters=0, first-id init), which DuckDB
+    re-derives from the data, then replays encode, ADC, shortlist and
+    re-rank end to end.
+
+    The code table is the PQ INDEX — built once per corpus version under
+    the memo store (tag ``pq_codes_s16x64``, like the IVF layout), so
+    the timed region measures the ADC scan + re-rank, not re-encoding
+    the corpus every call (mapInPandas plans never cache-match across
+    calls)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ckey = _codebook_cache_key(spark, sf_dir)
+    cb = _sample_codebooks(emb, _cache_key=ckey)
+    codes = MEMO.dataframe_memo(
+        spark,
+        "pq_codes_s16x64",
+        sf_dir,
+        ["embeddings"],
+        lambda: SIM.pq_encode(emb, cb),
+    )
+    # the 10 query vectors are the low-id rows of the SAME cached unit
+    # sample the codebooks reshape — serve them driver-resident (the
+    # serving-path shape) instead of re-scanning + re-normalizing the
+    # table per call; values are the Spark-normalized doubles, so the
+    # oracle math is unchanged
+    sids, smat = _sample_unit_rows(emb, _cache_key=ckey)
+    qmask = sids < 10
+    out = SIM.pq_topk(
+        emb,
+        None,
+        k=5,
+        n_subspaces=16,
+        n_codes=64,
+        rerank_k=50,
+        codebooks=cb,
+        codes=codes,
+        query_mat=(sids[qmask], smat[qmask]),
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+# =====================================================================
+# DSIR-style importance scoring (hashed n-gram log-likelihood ratio)
+# =====================================================================
+
+_GRAM_BUCKET_SQL = """
+    ((strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substring(md5(g), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substring(md5(g), 4, 1)) - 1)) % 1024
+"""
+
+
+@q(
+    "dsir_scores",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(t || list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM tok
+    ),
+    gb AS (SELECT doc_id, lang, {_GRAM_BUCKET_SQL} AS bucket FROM grams),
+    tdist AS (SELECT bucket, count(*) AS t_cnt FROM gb
+              WHERE lang = 'en' GROUP BY bucket),
+    rdist AS (SELECT bucket, count(*) AS r_cnt FROM gb GROUP BY bucket),
+    allb AS (SELECT unnest(range(0, 1024)) AS bucket),
+    w AS (
+      SELECT a.bucket,
+             round(ln((coalesce(t.t_cnt, 0) + 0.01)
+                      / ((SELECT count(*) FROM gb WHERE lang = 'en')
+                         + 0.01 * 1024))
+                 - ln((coalesce(r.r_cnt, 0) + 0.01)
+                      / ((SELECT count(*) FROM gb) + 0.01 * 1024)), 6) AS w
+      FROM allb a
+      LEFT JOIN tdist t USING (bucket)
+      LEFT JOIN rdist r USING (bucket)
+    ),
+    s AS (
+      SELECT gb.doc_id, count(*) AS n_grams,
+             sum(CAST(round(w.w * 1000000) AS BIGINT)) AS micro
+      FROM gb JOIN w USING (bucket)
+      GROUP BY gb.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           coalesce(s.micro, 0) / 1000000.0 AS log_weight,
+           round((coalesce(s.micro, 0) / 1000000.0)
+                 / greatest(coalesce(s.n_grams, 0), 1), 6) AS score
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def dsir_scores(spark, sf_dir):
+    """DSIR importance scoring: English docs are the target distribution,
+    the whole corpus the raw distribution; every doc gets the smoothed
+    hashed-ngram log-likelihood-ratio weight (unigrams + bigrams, 1024
+    md5 buckets). The oracle restates the full fit + score formula."""
+    from .pipeline import importance as IMP
+
+    docs = _t(spark, sf_dir, "documents")
+    w = IMP.dsir_log_weights(docs.filter(F.col("lang") == "en"), docs)
+    return IMP.dsir_scores(docs, w)
+
+
+# =====================================================================
+# Model-based quality scoring + contamination reporting
+# =====================================================================
+
+_QM_FEATURES_SQL = r"""
+    feats AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+                  AS BIGINT) AS n_tokens,
+             round(length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\s+')) END, 1), 3)
+               AS avg_token_len,
+             round(len(regexp_extract_all(text, '[^\w\s]'))
+                   / greatest(length(text), 1), 3) AS punct_ratio,
+             round(len(regexp_extract_all(text, '[A-Z]'))
+                   / greatest(length(text), 1), 3) AS upper_ratio,
+             round(len(regexp_extract_all(text, '[0-9]'))
+                   / greatest(length(text), 1), 3) AS digit_ratio
+      FROM documents
+    )
+"""
+
+
+@q(
+    "quality_score_model",
+    "WITH "
+    + _QM_FEATURES_SQL
+    + """
+    SELECT doc_id, n_tokens,
+           round(-1.0 + 2.5 * least(n_tokens / 100.0, 1.0)
+                 + 0.15 * avg_token_len - 4.0 * punct_ratio
+                 - 2.0 * upper_ratio - 3.0 * digit_ratio, 6) AS logit,
+           round(1.0 / (1.0 + exp(-round(-1.0
+                 + 2.5 * least(n_tokens / 100.0, 1.0)
+                 + 0.15 * avg_token_len - 4.0 * punct_ratio
+                 - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
+             AS quality_prob
+    FROM feats
+    """,
+)
+def quality_score_model(spark, sf_dir):
+    """fastText-classifier-style quality scoring: linear logit over the
+    rounded text_stats features + sigmoid, all in one codegen projection.
+    The oracle restates the exact weights (`TXT.QUALITY_MODEL_WEIGHTS`)."""
+    return TXT.quality_score_model(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "decontam_report",
+    _DECONTAM_CTES
+    + """
+    , st AS (
+      SELECT tr.doc_id,
+             coalesce(h.overlap_ngrams, 0) >= 2 AS contaminated
+      FROM train tr LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN st.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(avg(CASE WHEN st.contaminated THEN 1.0 ELSE 0.0 END), 4)
+             AS contaminated_frac
+    FROM st JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def decontam_report(spark, sf_dir):
+    """Per-source contamination report — the aggregate a pipeline owner
+    actually reads before dropping a source from the mixture."""
+    from .pipeline import decontam as DC
+    from .pipeline.curation import md5_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = md5_bucket("doc_id", 100)
+    stats = DC.ngram_overlap_contamination(
+        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2
+    )
+    return (
+        stats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.avg(F.when(F.col("contaminated"), 1.0).otherwise(0.0)), 4
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+# =====================================================================
+# Heuristic quality filters (pipeline/heuristics.py): C4 line/page rules
+# and Gopher document rules — the published web-corpus cleaning recipes
+# =====================================================================
+
+# The fixture corpus is one unpunctuated line per doc, so the C4 query
+# synthesizes pages deterministically (restated identically in the
+# oracle): 13 docs per page, terminal punctuation planted on doc_id % 3
+# (period) and % 5 (bang), blocklist content on % 89 ('{') and % 97
+# ('lorem ipsum') — so the blocklist, line and page rules all fire.
+
+

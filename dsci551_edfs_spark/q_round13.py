@@ -1,0 +1,473 @@
+"""Round-13 additions: training-dynamics dataset cartography, a
+split-conformal gate threshold, a confident-learning label-noise audit,
+and a per-source gate fairness report — the curation/governance loop
+AROUND the trained quality classifier, each with a full DuckDB oracle.
+
+All four ride the existing fit-once artifacts (the GD trajectory memo or
+the scored-frame memo), so none re-trains in-query; each adds at most
+one corpus-granularity pass of its own.
+"""
+
+from __future__ import annotations
+
+from .queries_base import F, MEMO, _t, q
+from .q_curation import _md5_bucket_sql
+from .q_analytics_b import (
+    _lr_final_scores_cte,
+    _lr_oracle_prefix,
+    _lr_scored_frame,
+)
+
+
+def _lr_trajectory(spark, sf_dir):
+    """The full 3-round GD TRAJECTORY (step, bucket, w_micro) served
+    from the per-corpus memo store (tag `lr_traj_r3`) — dataset
+    cartography needs the model AFTER EVERY round, not just the final
+    one `lr_model_r3` keeps. Training is deterministic, so the memoized
+    integers are bit-identical to an in-query train (the
+    `quality_lr_train` oracle replays the same trajectory in SQL)."""
+    from .pipeline import classifier as CL
+
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+        traj, _, _ = CL.lr_train_from_features(feats, labels, 64, rounds=3)
+        return spark.createDataFrame(
+            traj, "step long, bucket long, w_micro long"
+        )
+
+    return MEMO.dataframe_memo(
+        spark, "lr_traj_r3", sf_dir, ["documents"], build
+    )
+
+
+def _cartography_oracle_sql(rounds: int = 3) -> str:
+    per_round = []
+    for r in range(1, rounds + 1):
+        per_round.append(
+            f""",
+    zc{r} AS (
+      SELECT l.id, l.y,
+             coalesce(s.zp, 0) + (SELECT b FROM bw{r}) * 1000000 AS zp
+      FROM lab l LEFT JOIN (
+        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
+        FROM x JOIN wt{r} w USING (bucket) GROUP BY 1) s USING (id)),
+    pc{r} AS (
+      SELECT id, y,
+             CAST(round(10000.0 / (1.0 + exp(-round(
+                    zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
+      FROM zc{r})"""
+        )
+    c = [
+        f"CASE WHEN pc{r}.y = 1 THEN pc{r}.p4 ELSE 10000 - pc{r}.p4 END"
+        for r in range(1, rounds + 1)
+    ]
+    csum = " + ".join(f"({x})" for x in c)
+    csq = " + ".join(f"({x}) * ({x})" for x in c)
+    ncor = " + ".join(
+        f"(CASE WHEN ({x}) >= 5000 THEN 1 ELSE 0 END)" for x in c
+    )
+    joins = " ".join(
+        f"JOIN pc{r} ON pc{r}.id = pc1.id" for r in range(2, rounds + 1)
+    )
+    return (
+        _lr_oracle_prefix(rounds)
+        + "".join(per_round)
+        + f"""
+    SELECT pc1.id AS id, pc1.y AS y,
+           CAST({csum} AS BIGINT) AS conf_sum4,
+           CAST({rounds} * ({csq}) - ({csum}) * ({csum}) AS BIGINT)
+             AS disp,
+           CAST({ncor} AS BIGINT) AS n_correct,
+           CASE WHEN ({ncor}) = {rounds} THEN 'easy-to-learn'
+                WHEN ({ncor}) = 0 THEN 'hard-to-learn'
+                ELSE 'ambiguous' END AS region
+    FROM pc1 {joins}"""
+    )
+
+
+@q("dataset_cartography", _cartography_oracle_sql(3))
+def dataset_cartography(spark, sf_dir):
+    """Dataset cartography (Swayamdipta et al. 2020, "Dataset
+    Cartography: Mapping and Diagnosing Datasets with Training
+    Dynamics") restated in exact integers over the in-engine GD
+    trajectory: for every document, the GOLD-CLASS probability under
+    the model after each of the 3 training rounds (c_r = p4 if y=1
+    else 1e4−p4), summarized as confidence (conf_sum4 = Σ c_r — the
+    ×1e4 mean times 3, kept unscaled so it stays integral), variability
+    (disp = 3·Σc_r² − (Σc_r)² — 9·variance·1e8, exact, no sqrt) and
+    correctness (n_correct = #rounds with c_r ≥ 5000), plus the
+    paper's map regions (easy-to-learn / ambiguous / hard-to-learn)
+    as a frozen integer rule on n_correct.
+
+    This is the data-map a curation owner reads to pick what to keep
+    (ambiguous), audit (hard = likely label noise) or downsample
+    (easy) — the training-dynamics complement to the static quality
+    scores. Scale shape: the trajectory comes from the `lr_traj_r3`
+    memo (≤195 integers, never trains in-query); all 3 models score in
+    ONE map-side codegen projection over one doc-feature pass
+    (classifier.multi_score_p4 — 3 literal weight maps, no join, no
+    shuffle); everything after is per-row arithmetic. The oracle
+    replays training AND all 3 scoring passes in SQL and hash-matches."""
+    from .pipeline import classifier as CL
+
+    rows = _lr_trajectory(spark, sf_dir).collect()  # <= 195 by design
+    models = []
+    for step in (1, 2, 3):
+        w = {
+            int(r["bucket"]): int(r["w_micro"])
+            for r in rows
+            if r["step"] == step and r["bucket"] >= 0
+        }
+        bias = next(
+            (
+                int(r["w_micro"])
+                for r in rows
+                if r["step"] == step and r["bucket"] == -1
+            ),
+            0,
+        )
+        models.append(({b: w.get(b, 0) for b in range(64)}, bias))
+    d = _t(spark, sf_dir, "documents")
+    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
+    sc = CL.multi_score_p4(CL.doc_feature_frame(feats, labels), models)
+    cs = [
+        F.when(F.col("y") == 1, F.col(f"p4_{r}")).otherwise(
+            F.lit(10000) - F.col(f"p4_{r}")
+        )
+        for r in (1, 2, 3)
+    ]
+    conf = cs[0] + cs[1] + cs[2]
+    csq = cs[0] * cs[0] + cs[1] * cs[1] + cs[2] * cs[2]
+    ncor = sum(
+        (c >= 5000).cast("long") for c in cs
+    )
+    return sc.select(
+        "id",
+        "y",
+        conf.cast("long").alias("conf_sum4"),
+        (F.lit(3) * csq - conf * conf).cast("long").alias("disp"),
+        ncor.alias("n_correct"),
+        F.when(ncor == 3, F.lit("easy-to-learn"))
+        .when(ncor == 0, F.lit("hard-to-learn"))
+        .otherwise(F.lit("ambiguous"))
+        .alias("region"),
+    )
+
+
+def _conformal_oracle_sql(rounds: int = 3) -> str:
+    return (
+        _lr_oracle_prefix(rounds)
+        + _lr_final_scores_cte(rounds)
+        + f""",
+    calp AS (SELECT p4 FROM pf
+             WHERE ({_md5_bucket_sql("id")}) < 50 AND y = 1),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal_pos FROM calp),
+    kk AS (SELECT n_cal_pos,
+                  CAST((n_cal_pos + 1) // 10 AS BIGINT) AS k_rank
+           FROM nc),
+    rk AS (SELECT p4, row_number() OVER (ORDER BY p4) AS rn FROM calp),
+    tt AS (SELECT coalesce(
+             (SELECT CAST(rk.p4 AS BIGINT) FROM rk, kk
+              WHERE kk.k_rank >= 1 AND rk.rn = kk.k_rank), 0) AS t4),
+    dep AS (SELECT y, p4 FROM pf
+            WHERE ({_md5_bucket_sql("id")}) >= 50),
+    agg AS (
+      SELECT CAST(coalesce(sum(y), 0) AS HUGEINT) AS n_dep_pos,
+             CAST(coalesce(sum(CASE WHEN y = 1 AND p4 >= t.t4
+                                    THEN 1 ELSE 0 END), 0) AS HUGEINT)
+               AS n_dep_pos_covered,
+             CAST(count(*) AS HUGEINT) AS n_dep,
+             CAST(coalesce(sum(CASE WHEN p4 >= t.t4 THEN 1 ELSE 0 END),
+                           0) AS HUGEINT) AS n_dep_pass
+      FROM dep, tt t)
+    SELECT kk.n_cal_pos, kk.k_rank, t.t4,
+           CAST(a.n_dep_pos AS BIGINT) AS n_dep_pos,
+           CAST(a.n_dep_pos_covered AS BIGINT) AS n_dep_pos_covered,
+           CAST(CASE WHEN a.n_dep_pos = 0 THEN 0
+                ELSE (2000000 * a.n_dep_pos_covered + a.n_dep_pos)
+                     // (2 * a.n_dep_pos) END AS BIGINT)
+             AS coverage_micro,
+           CAST(a.n_dep AS BIGINT) AS n_dep,
+           CAST(a.n_dep_pass AS BIGINT) AS n_dep_pass,
+           CAST(CASE WHEN a.n_dep = 0 THEN 0
+                ELSE (2000000 * a.n_dep_pass + a.n_dep)
+                     // (2 * a.n_dep) END AS BIGINT) AS pass_rate_micro
+    FROM kk, tt t, agg a"""
+    )
+
+
+@q("conformal_gate_threshold", _conformal_oracle_sql(3))
+def conformal_gate_threshold(spark, sf_dir):
+    """Split-conformal calibration of the quality gate (Vovk et al.;
+    the distribution-free coverage recipe): on a deterministic md5
+    calibration split (bucket < 50), take the k-th smallest positive
+    score with k = ⌊(n_cal_pos+1)/10⌋ — the finite-sample threshold t4
+    such that a fresh positive scores ≥ t4 with probability ≥ 90% —
+    then report the realized coverage and gate pass-rate on the
+    held-out deploy split. This turns the gate's threshold choice from
+    a guess (`quality_lr_threshold_sweep` shows the trade-offs) into a
+    guarantee.
+
+    Everything is exact: the quantile is an order statistic (smallest
+    score whose ascending cumulative count reaches k), coverage/pass
+    rates are round-half-up micro integers. Scale shape: the scored
+    frame is memo-served; the calibration side collapses through ONE
+    groupBy(score) bounded at the score domain (≤10001 rows), the
+    quantile comes off the two-phase running total — no
+    single-partition window — and the deploy side is one
+    map-side-combinable aggregate against the broadcast 1-row
+    threshold. The oracle replays training, scoring, the order
+    statistic and both divisions, and hash-matches."""
+    from .operators.cumulative import running_total
+    from .pipeline.curation import md5_bucket
+
+    sc = _lr_scored_frame(spark, sf_dir)
+    is_cal = md5_bucket("id", 100) < 50
+    calp = sc.filter(is_cal & (F.col("y") == 1))
+    g = calp.groupBy(F.col("p4").alias("s")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    rt = running_total(g, ["s"], "cnt", out_col="cum")
+    tot = g.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_cal_pos")
+    ).withColumn("k_rank", F.expr("(n_cal_pos + 1) div 10"))
+    tsel = (
+        rt.crossJoin(F.broadcast(tot))
+        .filter((F.col("k_rank") >= 1) & (F.col("cum") >= F.col("k_rank")))
+        .agg(F.min("s").alias("t4_raw"))
+    )
+    scal = tot.crossJoin(F.broadcast(tsel)).select(
+        "n_cal_pos",
+        "k_rank",
+        F.coalesce(F.col("t4_raw"), F.lit(0)).cast("long").alias("t4"),
+    )
+    dep = sc.filter(~is_cal)
+    agg = dep.crossJoin(F.broadcast(scal)).agg(
+        F.first("n_cal_pos").alias("n_cal_pos"),
+        F.first("k_rank").alias("k_rank"),
+        F.first("t4").alias("t4"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("n_dep_pos"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("y") == 1) & (F.col("p4") >= F.col("t4")), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_dep_pos_covered"),
+        F.count("*").cast("long").alias("n_dep"),
+        F.coalesce(
+            F.sum(F.when(F.col("p4") >= F.col("t4"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_dep_pass"),
+    )
+    d2m = "CAST(2000000 AS DECIMAL(38,0))"
+    d2 = "CAST(2 AS DECIMAL(38,0))"
+    return agg.select(
+        "n_cal_pos",
+        "k_rank",
+        "t4",
+        "n_dep_pos",
+        "n_dep_pos_covered",
+        F.expr(
+            f"CASE WHEN n_dep_pos = 0 THEN 0 ELSE"
+            f" ({d2m} * n_dep_pos_covered + n_dep_pos)"
+            f" div ({d2} * n_dep_pos) END"
+        ).alias("coverage_micro"),
+        "n_dep",
+        "n_dep_pass",
+        F.expr(
+            f"CASE WHEN n_dep = 0 THEN 0 ELSE"
+            f" ({d2m} * n_dep_pass + n_dep) div ({d2} * n_dep) END"
+        ).alias("pass_rate_micro"),
+    )
+
+
+def _confident_joint_oracle_sql(rounds: int = 3) -> str:
+    return (
+        _lr_oracle_prefix(rounds)
+        + _lr_final_scores_cte(rounds)
+        + """,
+    th AS (
+      SELECT CASE WHEN coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0) = 0
+                  THEN 10001
+                  ELSE (2 * sum(CASE WHEN y = 1 THEN p4 ELSE 0 END)
+                        + sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+                       // (2 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+             END AS t1_4,
+             CASE WHEN coalesce(sum(CASE WHEN y = 0 THEN 1 END), 0) = 0
+                  THEN 10001
+                  ELSE (2 * sum(CASE WHEN y = 0 THEN 10000 - p4
+                                ELSE 0 END)
+                        + sum(CASE WHEN y = 0 THEN 1 ELSE 0 END))
+                       // (2 * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END))
+             END AS t0_4
+      FROM pf),
+    lab2 AS (
+      SELECT y,
+             CASE WHEN p4 >= t.t1_4 AND (10000 - p4) >= t.t0_4
+                  THEN CASE WHEN p4 >= 5000 THEN 1 ELSE 0 END
+                  WHEN p4 >= t.t1_4 THEN 1
+                  WHEN (10000 - p4) >= t.t0_4 THEN 0
+                  ELSE NULL END AS yhat,
+             t.t1_4, t.t0_4
+      FROM pf, th t)
+    SELECT CAST(y AS BIGINT) AS y, CAST(yhat AS BIGINT) AS yhat,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(t1_4 AS BIGINT) AS t1_4, CAST(t0_4 AS BIGINT) AS t0_4
+    FROM lab2 WHERE yhat IS NOT NULL GROUP BY 1, 2, 4, 5"""
+    )
+
+
+@q("label_noise_confident_joint", _confident_joint_oracle_sql(3))
+def label_noise_confident_joint(spark, sf_dir):
+    """Confident-learning label-noise audit (Northcutt et al. 2021,
+    "Confident Learning: Estimating Uncertainty in Dataset Labels"):
+    the confident joint C[y][ŷ] of the corpus under the trained quality
+    classifier — a document counts toward class ŷ when its predicted
+    probability for ŷ clears that class's SELF-CONFIDENCE threshold
+    (the round-half-up mean predicted probability over docs labeled ŷ);
+    docs clearing both go to the argmax, docs clearing neither are
+    excluded. Off-diagonal cells (y ≠ ŷ) are the suspected label
+    errors — what a curation owner re-annotates before trusting 100 TB
+    of weak labels.
+
+    Exact integers end to end: thresholds are round-half-up bigint
+    means in the ×1e4 score scale, cell counts are plain counts. Scale
+    shape: the scored frame is memo-served; thresholds come from ONE
+    map-side aggregate (1 row, broadcast back); the joint is ONE ≤4-key
+    groupBy. The oracle replays training, scoring, thresholds and cell
+    assignment, and hash-matches."""
+    sc = _lr_scored_frame(spark, sf_dir)
+    th = sc.agg(
+        F.coalesce(F.sum(F.when(F.col("y") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("y") == 1, F.col("p4"))), F.lit(0))
+        .cast("long")
+        .alias("s1"),
+        F.coalesce(F.sum(F.when(F.col("y") == 0, 1)), F.lit(0))
+        .cast("long")
+        .alias("n0"),
+        F.coalesce(
+            F.sum(F.when(F.col("y") == 0, F.lit(10000) - F.col("p4"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s0"),
+    ).select(
+        F.expr(
+            "CASE WHEN n1 = 0 THEN 10001"
+            " ELSE (2 * s1 + n1) div (2 * n1) END"
+        ).alias("t1_4"),
+        F.expr(
+            "CASE WHEN n0 = 0 THEN 10001"
+            " ELSE (2 * s0 + n0) div (2 * n0) END"
+        ).alias("t0_4"),
+    )
+    j = sc.crossJoin(F.broadcast(th))
+    conf1 = F.col("p4") >= F.col("t1_4")
+    conf0 = (F.lit(10000) - F.col("p4")) >= F.col("t0_4")
+    yhat = (
+        F.when(
+            conf1 & conf0,
+            F.when(F.col("p4") >= 5000, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .when(conf1, F.lit(1))
+        .when(conf0, F.lit(0))
+    )
+    return (
+        j.select(
+            F.col("y").cast("long").alias("y"),
+            yhat.cast("long").alias("yhat"),
+            "t1_4",
+            "t0_4",
+        )
+        .filter(F.col("yhat").isNotNull())
+        .groupBy("y", "yhat", "t1_4", "t0_4")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select("y", "yhat", "n_docs", "t1_4", "t0_4")
+    )
+
+
+def _wilson_sql(sign: str) -> str:
+    """One frozen IEEE expression for the Wilson 95% interval bound
+    (z = 1.96, z² = 3.8416) — IDENTICAL text on both engines (the
+    PSI/MI discipline: +-*/ and sqrt are correctly rounded, so the
+    doubles agree bit-for-bit)."""
+    ph = "(CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE))"
+    nd = "CAST(n AS DOUBLE)"
+    return (
+        f"CAST(round(1000000.0 * ((({ph} + 3.8416 / (2.0 * {nd}))"
+        f" {sign} 1.96 * sqrt({ph} * (1.0 - {ph}) / {nd}"
+        f" + 3.8416 / (4.0 * {nd} * {nd})))"
+        f" / (1.0 + 3.8416 / {nd}))) AS BIGINT)"
+    )
+
+
+def _fairness_oracle_sql(rounds: int = 3) -> str:
+    return (
+        _lr_oracle_prefix(rounds)
+        + _lr_final_scores_cte(rounds)
+        + f""",
+    src AS (SELECT doc_id AS id, source FROM documents),
+    g AS (SELECT s.source,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(coalesce(sum(CASE WHEN p.p4 >= 5000
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_pass
+          FROM pf p JOIN src s USING (id) GROUP BY 1)
+    SELECT source, n, n_pass,
+           CAST((2000000 * n_pass + n) // (2 * n) AS BIGINT)
+             AS pass_rate_micro,
+           {_wilson_sql("-")} AS wilson_lo_micro,
+           {_wilson_sql("+")} AS wilson_hi_micro
+    FROM g"""
+    )
+
+
+@q("gate_fairness_audit", _fairness_oracle_sql(3))
+def gate_fairness_audit(spark, sf_dir):
+    """Disparate-impact audit of the quality gate: per-SOURCE pass rate
+    at the t = 5000 operating point with exact round-half-up micro
+    rates AND Wilson 95% score intervals (the CI that stays honest at
+    small n, unlike the normal approximation) — the table a pipeline
+    owner reads before letting one gate threshold silently de-weight a
+    whole source/snapshot of the corpus. The Wilson bounds are ONE
+    frozen IEEE double expression evaluated identically by both engines
+    (+-*/ and sqrt are correctly rounded — the PSI discipline), so the
+    audit carries a full oracle.
+
+    Scale shape: the scored frame is memo-served; ONE doc-key equi-join
+    attaches the source column (co-partitioned at cluster scale), then
+    ONE map-side-combinable groupBy(source) bounds everything at the
+    source domain. No corpus-sized state past the join."""
+    sc = _lr_scored_frame(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    g = sc.join(src, "id").groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("p4") >= 5000, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_pass"),
+    )
+    d2m = "CAST(2000000 AS DECIMAL(38,0))"
+    d2 = "CAST(2 AS DECIMAL(38,0))"
+    return g.select(
+        "source",
+        "n",
+        "n_pass",
+        F.expr(f"({d2m} * n_pass + n) div ({d2} * n)").alias(
+            "pass_rate_micro"
+        ),
+        F.expr(_wilson_sql("-")).alias("wilson_lo_micro"),
+        F.expr(_wilson_sql("+")).alias("wilson_hi_micro"),
+    )

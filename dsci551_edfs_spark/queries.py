@@ -1,14923 +1,76 @@
-"""Query catalog: every implemented operator exposed as a
+"""Query catalog facade: every implemented operator exposed as a
 (spark, sf_dir) -> DataFrame callable, with a DuckDB oracle SQL string
 where the semantics are ANSI-SQL-expressible.
 
-This is the driver-facing inventory for SURVEY.md §2 plus the
-training-data-pipeline operators. Naming contract: every computed column is
-aliased IDENTICALLY in the Spark plan and the oracle SQL (the driver's
-compare hashes values after sorting columns by name).
+Round-13 split: the catalog body lives in per-family q_* modules (each
+<3,000 lines); importing THIS module imports them all, so
+`from dsci551_edfs_spark.queries import QUERIES, ORACLES` keeps working
+unchanged, and every name the monolith used to expose (helpers included)
+is re-exported below for test/tool compatibility.
 
-FP policy: aggregates whose accumulation order differs between engines
-(sums/avgs over many doubles) are rounded to a fixed scale ON BOTH SIDES;
-integer-derived and exact values are left unrounded.
+Naming contract and FP policy are documented in queries_base.py.
 """
 
 from __future__ import annotations
 
-import os
-import tempfile
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from . import memo as MEMO
-from .functions import text as TXT
-from .pipeline import dedup as DD
-from .pipeline import multimodal as MM
-from .pipeline import similarity as SIM
-from .sources import ingest as ING
-from .sources import scan as SCN
-from .sources.registry import load_table
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-SCRATCH = "/root/repo/.scratch"
-
-
-def q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
-
-def _scratch_dir(tag: str) -> str:
-    os.makedirs(SCRATCH, exist_ok=True)
-    return tempfile.mkdtemp(prefix=f"{tag}_", dir=SCRATCH)
-
-
-# =====================================================================
-# §2.2 PMR aggregates (reference parity: combined_flask.py:549-802)
-# =====================================================================
-
-@q("pmr_avg", "SELECT round(avg(l_quantity), 3) AS avg_qty FROM lineitem")
-def pmr_avg(spark, sf_dir):
-    """getAvg parity: whole-table scalar avg; Catalyst runs the reference's
-    partial(mean,count)→weighted-merge split natively."""
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.round(F.avg("l_quantity"), 3).alias("avg_qty")
-    )
-
-
-@q("pmr_max", "SELECT max(l_extendedprice) AS max_price FROM lineitem")
-def pmr_max(spark, sf_dir):
-    return _t(spark, sf_dir, "lineitem").agg(F.max("l_extendedprice").alias("max_price"))
-
-
-@q("pmr_min", "SELECT min(l_extendedprice) AS min_price FROM lineitem")
-def pmr_min(spark, sf_dir):
-    return _t(spark, sf_dir, "lineitem").agg(F.min("l_extendedprice").alias("min_price"))
-
-
-@q("pmr_count", "SELECT count(*) AS cnt FROM lineitem")
-def pmr_count(spark, sf_dir):
-    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
-
-
-@q(
-    "pmr_avg_pruned",
-    "SELECT round(avg(l_extendedprice), 3) AS avg_price FROM lineitem "
-    "WHERE l_returnflag = 'R'",
-)
-def pmr_avg_pruned(spark, sf_dir):
-    """getAvg with `hash` partition pruning (`combined_flask.py:459-465`):
-    the equality filter is pushed to the parquet scan; over a partitionBy
-    layout it becomes directory pruning."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_returnflag") == "R").agg(
-        F.round(F.avg("l_extendedprice"), 3).alias("avg_price")
-    )
-
-
-@q(
-    "pmr_legacy_max",
-    "SELECT greatest(max(coalesce(value, 0)), 0) AS legacy_max FROM events",
-)
-def pmr_legacy_max(spark, sf_dir):
-    """Legacy getMax quirk (`combined_flask.py:741`, `:777`): nulls→0,
-    result floored at 0."""
-    return _t(spark, sf_dir, "events").agg(
-        F.greatest(F.max(F.coalesce(F.col("value"), F.lit(0.0))), F.lit(0.0)).alias(
-            "legacy_max"
-        )
-    )
-
-
-@q(
-    "pmr_legacy_min_firebase",
-    "SELECT least(min(coalesce(value, 'infinity'::DOUBLE)), 0) AS legacy_min "
-    "FROM events",
-)
-def pmr_legacy_min_firebase(spark, sf_dir):
-    """Firebase getMin 0-seed bug (`combined_flask.py:1676-1688`)."""
-    return _t(spark, sf_dir, "events").agg(
-        F.least(
-            F.min(F.coalesce(F.col("value"), F.lit(float("inf")))), F.lit(0.0)
-        ).alias("legacy_min")
-    )
-
-
-@q(
-    "pmr_partition_stats",
-    "SELECT l_returnflag AS part_key, count(*) AS n_rows FROM lineitem "
-    "GROUP BY l_returnflag",
-)
-def pmr_partition_stats(spark, sf_dir):
-    """getPartitionLocations analog (`combined_flask.py:438-490`): the
-    partition map as (key → row count) — metadata-cheap over a partitioned
-    layout."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_returnflag").alias("part_key"))
-        .agg(F.count("*").alias("n_rows"))
-    )
-
-
-# =====================================================================
-# §2.1 ingest + scans, exercised as a real put→read roundtrip
-# =====================================================================
-
-@q("edfs_cat_roundtrip", "SELECT * FROM region")
-def edfs_cat_roundtrip(spark, sf_dir):
-    """put (hash-partitioned parquet) → cat (order-restoring scan):
-    `combined_flask.py:324-436` + `:270-322` end-to-end."""
-    dest = _scratch_dir("cat")
-    ING.put_dataframe(_t(spark, sf_dir, "region"), dest, 3, "r_regionkey")
-    return SCN.cat(spark, dest)
-
-
-@q(
-    "edfs_read_partition",
-    "SELECT * FROM lineitem WHERE l_returnflag = 'A'",
-)
-def edfs_read_partition(spark, sf_dir):
-    """put hash-partitioned on l_returnflag → readPartition 1 (sorted keys
-    A < N < R ⇒ partition 1 = 'A'); a partition-pruned directory read
-    (`combined_flask.py:492-547`)."""
-    dest = _scratch_dir("rp")
-    ING.put_dataframe(_t(spark, sf_dir, "lineitem"), dest, 3, "l_returnflag")
-    return SCN.read_partition(spark, dest, 1)
-
-
-# =====================================================================
-# §2.5 relational surface (Spark-native additions)
-# =====================================================================
-
-@q(
-    "q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 3) AS avg_qty,
-           round(avg(l_extendedprice), 3) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: filter → grouped multi-aggregate. Partial aggregation
-    map-side; the shuffle carries 6 rows per partition, not data."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 3).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-@q(
-    "q3_shipping_priority",
-    """
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           o_orderdate
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-03-15'
-      AND l_shipdate > TIMESTAMP '1998-03-15'
-    GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey
-    LIMIT 10
-    """,
-)
-def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim filter → 3-way join → grouped agg →
-    top-k. customer qualifies for broadcast; top-k runs as
-    TakeOrderedAndProject."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
-    )
-
-
-@q(
-    "join_segment_revenue",
-    """
-    SELECT c_mktsegment,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_revenue
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_mktsegment
-    """,
-)
-def join_segment_revenue(spark, sf_dir):
-    """Fact⋈dim with broadcast hint: the orders side never shuffles."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
-        )
-    )
-
-
-@q(
-    "join_region_revenue",
-    """
-    SELECT r_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-                  JOIN nation ON s_nationkey = n_nationkey
-                  JOIN region ON n_regionkey = r_regionkey
-    GROUP BY r_name
-    """,
-)
-def join_region_revenue(spark, sf_dir):
-    """Star join: three successively broadcast dims — the lineitem fact is
-    scanned once, zero shuffles until the final 5-row aggregate."""
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
-
-
-@q(
-    "anti_join_customers",
-    "SELECT c_custkey FROM customer WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-)
-def anti_join_customers(spark, sf_dir):
-    """left_anti join — Spark's NOT EXISTS. Broadcast-able when the probe
-    side's distinct keys are small."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
-
-
-@q(
-    "semi_join_customers",
-    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
-    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)",
-)
-def semi_join_customers(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@q(
-    "window_topk_orders",
-    """
-    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders) WHERE rn <= 3
-    """,
-)
-def window_topk_orders(spark, sf_dir):
-    """Per-group top-k via row_number window — one shuffle on the partition
-    key, in-partition sort only (no global sort)."""
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        _t(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-@q(
-    "window_running_total",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-           AS running_total
-    FROM orders
-    """,
-)
-def window_running_total(spark, sf_dir):
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    )
-
-
-@q(
-    "topk_orders_global",
-    "SELECT o_orderkey, o_totalprice FROM orders "
-    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
-)
-def topk_orders_global(spark, sf_dir):
-    """Global top-k = TakeOrderedAndProject: per-partition heaps + single
-    merge, never a total sort."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
-
-
-@q(
-    "setop_nations_intersect",
-    "SELECT c_nationkey AS nationkey FROM customer INTERSECT "
-    "SELECT s_nationkey AS nationkey FROM supplier",
-)
-def setop_nations_intersect(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@q(
-    "setop_nations_except",
-    "SELECT c_nationkey AS nationkey FROM customer EXCEPT "
-    "SELECT s_nationkey AS nationkey FROM supplier",
-)
-def setop_nations_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
-
-
-@q(
-    "rollup_lineitem",
-    """
-    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_lineitem(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
-    )
-
-
-@q(
-    "cube_orders",
-    """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_orders(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
-@q(
-    "scalar_functions",
-    """
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           CAST(month(o_orderdate) AS BIGINT) AS order_month,
-           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
-           upper(o_orderstatus) AS status_u,
-           substring(o_orderpriority, 1, 1) AS prio_code,
-           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
-           round(o_totalprice * 1.1, 3) AS price_taxed,
-           o_orderdate + INTERVAL 30 DAY AS due_date
-    FROM orders
-    """,
-)
-def scalar_functions(spark, sf_dir):
-    """Scalar string/date/math surface — all JVM built-ins inside one
-    codegen'd projection (reference has zero data-level scalar fns)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").cast("long").alias("order_year"),
-        F.month("o_orderdate").cast("long").alias("order_month"),
-        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
-        F.upper("o_orderstatus").alias("status_u"),
-        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-        F.length("o_orderpriority").cast("long").alias("prio_len"),
-        F.round(F.col("o_totalprice") * 1.1, 3).alias("price_taxed"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
-    )
-
-
-@q(
-    "string_functions_part",
-    """
-    SELECT p_partkey,
-           upper(p_brand) AS brand_u,
-           replace(p_type, ' ', '_') AS type_slug,
-           concat(p_brand, '#', p_type) AS brand_type,
-           (p_name LIKE '%green%') AS is_green,
-           CAST(length(p_name) AS BIGINT) AS name_len
-    FROM part
-    """,
-)
-def string_functions_part(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_u"),
-        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
-        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
-        F.col("p_name").like("%green%").alias("is_green"),
-        F.length("p_name").cast("long").alias("name_len"),
-    )
-
-
-@q(
-    "json_events",
-    """
-    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
-    FROM events
-    """,
-)
-def json_events(spark, sf_dir):
-    return _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-    )
-
-
-@q(
-    "json_schema_audit",
-    """
-    WITH t AS (SELECT count(*) AS total FROM events),
-    k AS (
-      SELECT 'event_type' AS key, count(*) AS n FROM events
-      UNION ALL SELECT 'user_id', count(*) FROM events
-      UNION ALL SELECT 'value', count(*) FROM events WHERE event_type = 'view'
-      UNION ALL SELECT 'k', count(*) FROM events WHERE event_id % 2 = 0)
-    SELECT key, CAST(n AS BIGINT) AS n_rows,
-           CAST(n * 1000000 // (SELECT total FROM t) AS BIGINT)
-             AS coverage_ppm
-    FROM k WHERE n > 0
-    """,
-)
-def json_schema_audit(spark, sf_dir):
-    """Semi-structured schema-drift audit: per JSON key, how many event
-    payloads carry it and its corpus coverage (ppm). The payloads are
-    REAL JSON built row-side (`to_json` drops null fields, so key sets
-    vary by row: `value` only on views, `k` only on even event ids) and
-    the keys come back through `json_object_keys` — the engine does
-    genuine JSON construction + parsing while the oracle states the
-    expected counts from the generating rules in closed form. One
-    explode + one key-count agg; coverage denominator is a broadcast
-    scalar."""
-    ev = _t(spark, sf_dir, "events")
-    payload = F.to_json(
-        F.struct(
-            F.col("event_type"),
-            F.col("user_id"),
-            F.when(F.col("event_type") == "view", F.col("value")).alias("value"),
-            F.when(
-                F.col("event_id") % 2 == 0,
-                F.get_json_object("props", "$.k").cast("long"),
-            ).alias("k"),
-        )
-    )
-    keys = ev.select(F.explode(F.json_object_keys(payload)).alias("key"))
-    total = ev.agg(F.count("*").alias("_t"))
-    return (
-        keys.groupBy("key")
-        .agg(F.count("*").cast("long").alias("n_rows"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "key",
-            "n_rows",
-            F.expr("n_rows * 1000000 div _t").cast("long").alias("coverage_ppm"),
-        )
-    )
-
-
-@q(
-    "events_tumbling_window",
-    """
-    SELECT date_trunc('hour', ts)
-             + INTERVAL (CAST(minute(ts) AS INT) // 10 * 10) MINUTE AS window_start,
-           event_type,
-           count(*) AS cnt,
-           round(sum(value), 3) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def events_tumbling_window(spark, sf_dir):
-    """10-minute tumbling window aggregate (batch mode — the streaming
-    variant in streaming/ shares the same window semantics; Spark window
-    start = epoch-floored boundary, equal to the oracle's
-    hour-trunc + 10-min floor)."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.window("ts", "10 minutes").alias("w"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 3).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "cnt",
-            "sum_value",
-        )
-    )
-
-
-# =====================================================================
-# Training-data-pipeline operators (north star)
-# =====================================================================
-
-_FP_SQL = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
-_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
-
-
-@q(
-    "dedup_exact_groups",
-    f"""
-    SELECT {_FP_SQL} AS fp, min(doc_id) AS keep_id, count(*) AS group_size
-    FROM documents GROUP BY 1
-    """,
-)
-def dedup_exact_groups(spark, sf_dir):
-    """Exact dedup: hash-groupBy on the normalized md5 fingerprint."""
-    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"))
-
-
-@q(
-    "dedup_exact_rows",
-    f"""
-    SELECT doc_id FROM documents
-    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {_FP_SQL})
-    """,
-)
-def dedup_exact_rows(spark, sf_dir):
-    return DD.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
-
-
-_SHINGLES_SQL = f"""
-    CASE WHEN len(t) >= 3
-         THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
-                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-         ELSE [array_to_string(t, ' ')] END
-"""
-
-
-@q(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH s AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
-    )
-    SELECT id_a, id_b, jaccard FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-               AS jaccard
-      FROM s a, s b WHERE a.doc_id < b.doc_id)
-    WHERE jaccard >= 0.2
-    """,
-)
-def ngram_jaccard_pairs(spark, sf_dir):
-    """EXACT 3-gram Jaccard near-dup pairs via inverted-index join — the
-    ground truth the MinHash path approximates."""
-    return DD.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
-    ).orderBy("id_a", "id_b")
-
-
-@q(
-    "containment_dup_pairs",
-    f"""
-    WITH s AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
-    )
-    SELECT id_a, id_b, containment FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / least(len(a.sh), len(b.sh)) AS containment
-      FROM s a, s b WHERE a.doc_id < b.doc_id)
-    WHERE containment >= 0.5
-    """,
-)
-def containment_dup_pairs(spark, sf_dir):
-    """Doc-inside-doc detection: |∩| / min(|A|,|B|) ≥ 0.5 — Broder's
-    CONTAINMENT measure, the crawl-processing complement to Jaccard
-    dedup (a short article quoted inside a long aggregator page has
-    near-zero Jaccard but containment ~1). Same inverted-index join and
-    DF-cap machinery as `ngram_jaccard_pairs`
-    (dedup._pair_intersections), different denominator."""
-    return DD.containment_dup_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
-    ).orderBy("id_a", "id_b")
-
-
-# recursive-CTE ground truth shared by BOTH cluster queries: recomputes
-# the same 3-gram Jaccard components from scratch, so transitive chains
-# (A~B~C with A≁C) are verified, not just pairwise hits
-_CLUSTERS_ORACLE = f"""
-    WITH RECURSIVE s AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
-    ),
-    pairs AS (
-      SELECT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                 AS jaccard
-        FROM s a, s b WHERE a.doc_id < b.doc_id)
-      WHERE jaccard >= 0.2
-    ),
-    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
-    reach AS (
-      SELECT doc_id AS node, doc_id AS r FROM documents
-      UNION
-      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node
-    )
-    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-    """
-
-
-@q("dedup_clusters", _CLUSTERS_ORACLE)
-def dedup_clusters(spark, sf_dir):
-    """Corpus-level dedup endgame: exact 3-gram Jaccard edges → HashMin
-    connected components → every doc labeled with its component's min id
-    (singletons label themselves). The DuckDB oracle recomputes the SAME
-    components via a recursive CTE, so transitive chains (A~B~C with A≁C)
-    are verified, not just pairwise hits. Retention = doc_id == cluster_id."""
-    return DD.dedup_clusters(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
-    ).orderBy("doc_id")
-
-
-@q("dedup_clusters_star", _CLUSTERS_ORACLE)
-def dedup_clusters_star(spark, sf_dir):
-    """Same cluster assignment computed through the alternating
-    large-star/small-star components (Kiveris et al. 2014) instead of
-    HashMin: O(log d) rounds regardless of component diameter, so it's
-    the variant that survives chain-shaped near-dup graphs (serial
-    plagiarism, quote threads) where HashMin's round count equals the
-    chain length. Exact algorithm → shares `dedup_clusters`' recursive-CTE
-    oracle verbatim; both must hash-match the same ground truth.
-
-    Cluster labels are a per-corpus-version artifact (the same contract
-    as the single-linkage labels): the shingle→pair→star-CC pipeline
-    runs once, the settled (doc, cluster) table serves every caller."""
-    labels = MEMO.dataframe_memo(
-        spark,
-        "dedup_clusters_star",
-        sf_dir,
-        ["documents"],
-        lambda: DD.dedup_clusters(
-            _t(spark, sf_dir, "documents"), n=3, threshold=0.2, method="star"
-        ),
-    )
-    return labels.orderBy("doc_id")
-
-
-@q(
-    "doc_novelty_scores",
-    f"""
-    WITH g AS (
-      SELECT doc_id, unnest(sh) AS gram FROM (
-        SELECT doc_id, {_SHINGLES_SQL} AS sh
-        FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents))),
-    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
-    SELECT g.doc_id,
-           CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_seen,
-           CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
-                * 1000000 // count(*) AS BIGINT) AS seen_ppm
-    FROM g JOIN firsts f USING (gram)
-    GROUP BY g.doc_id
-    """,
-)
-def doc_novelty_scores(spark, sf_dir):
-    """Memorization-risk / novelty audit: per document, the share of its
-    distinct 3-gram shingles that already occur in an EARLIER document
-    (ingest order = doc_id) — high seen_ppm flags near-copies and
-    templated boilerplate BEFORE pair generation, and is the per-doc
-    overlap profile a dedup-threshold choice should be based on.
-    Plan: one shingle explode feeds both the gram→first-doc aggregate
-    and the join back (persisted once); counts are integer-exact ppm.
-    Everything shuffles on the 8-byte gram key — no pair blowup at any
-    scale (contrast `ngram_jaccard_pairs`, which this pre-screens)."""
-    sh = DD.shingle_df(_t(spark, sf_dir, "documents"), "text", "doc_id", 3)
-    g = DD._persist(
-        sh.select(F.col("id").alias("doc_id"), F.explode("shingles").alias("gram"))
-    )
-    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        g.join(firsts, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_seen"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_seen",
-            F.expr("n_seen * 1000000 div n_grams").cast("long").alias("seen_ppm"),
-        )
-    )
-
-
-@q(
-    "dedup_cluster_keep_best",
-    f"""
-    WITH RECURSIVE s AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
-    ),
-    pairs AS (
-      SELECT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                 AS jaccard
-        FROM s a, s b WHERE a.doc_id < b.doc_id)
-      WHERE jaccard >= 0.2
-    ),
-    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
-    reach AS (
-      SELECT doc_id AS node, doc_id AS r FROM documents
-      UNION
-      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node
-    ),
-    cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
-    SELECT cluster_id, doc_id AS keep_id,
-           CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(csize AS BIGINT) AS cluster_size
-    FROM (
-      SELECT cl.cluster_id, cl.doc_id, d.n_chars,
-             count(*) OVER (PARTITION BY cl.cluster_id) AS csize,
-             row_number() OVER (PARTITION BY cl.cluster_id
-                                ORDER BY d.n_chars DESC, cl.doc_id) AS rn
-      FROM cl JOIN documents d USING (doc_id))
-    WHERE rn = 1
-    """,
-)
-def dedup_cluster_keep_best(spark, sf_dir):
-    """NEAR-dup cluster canonicalization: the corpus-level counterpart of
-    exact keep-best — within each Jaccard connected component keep the
-    LONGEST copy (ties → min id), the 'fullest version wins' retention
-    policy crawl dedup actually wants (min-id keeps whichever copy was
-    crawled first, including truncated ones). Reuses `dedup_clusters`'
-    components; the per-cluster argmax is a cluster-KEYED window over
-    cluster-sized groups."""
-    cl = DD.dedup_clusters(_t(spark, sf_dir, "documents"), n=3, threshold=0.2)
-    meta = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    j = cl.join(meta, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), "doc_id"
-    )
-    wc = Window.partitionBy("cluster_id")
-    return (
-        j.withColumn("cluster_size", F.count("*").over(wc).cast("long"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("keep_id"),
-            F.col("n_chars").cast("long").alias("n_chars"),
-            "cluster_size",
-        )
-    )
-
-
-def _minhash_base_ctes(src: str = "documents") -> str:
-    """The shared md5-family MinHash CTE chain (shingle → affine 32-bit
-    minima → 16 band keys) over any (doc_id, text) relation ``src``,
-    reused by every LSH oracle. The family is
-    `dedup.minhash_affine_params`: h0 = CAST('0x' || substring(md5(sh),
-    1, 8) AS BIGINT) — 8 nibbles, 32 bits (the 12-nibble/48-bit prefix
-    is the HLL family's) — the same hex→int trick that minted the
-    `ann_topk_int8` and `cms_token_counts` oracles — then h_i = (a_i·h0
-    + b_i) mod MINHASH_PRIME, exact int64 arithmetic on both engines."""
-    k, bands, seed = 64, 16, 42
-    r = k // bands
-    params = DD.minhash_affine_params(k, seed)
-    prime = DD.MINHASH_PRIME
-    mins = ",\n             ".join(
-        f"min((h0 * {a} + {b}) % {prime}) AS h{i}"
-        for i, (a, b) in enumerate(params)
-    )
-    band_rows = "\n      UNION ALL ".join(
-        "SELECT id, {b} AS band, md5({key}) AS bh FROM sig".format(
-            b=b,
-            key=" || ',' || ".join(
-                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
-            ),
-        )
-        for b in range(bands)
-    )
-    return f"""
-    sh AS (
-      SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM {src})
-    ),
-    ex AS (SELECT id,
-                  CAST('0x' || substring(md5(unnest(shingles)), 1, 8)
-                       AS BIGINT) AS h0
-           FROM sh),
-    sig AS (
-      SELECT id, {mins}
-      FROM ex GROUP BY id
-    ),
-    bands AS (
-      {band_rows}
-    )"""
-
-
-def _minhash_oracle_sql(estimate: bool = False) -> str:
-    """Full DuckDB restatement of the md5-family MinHash+LSH pipeline
-    (64 hashes, 16 bands of 4): `_minhash_base_ctes` → band-bucket
-    self-join → verify (exact shingle Jaccard, or signature agreement
-    for the estimate mode)."""
-    k = 64
-    if estimate:
-        matches = " + ".join(
-            f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(k)
-        )
-        verify = f"""
-    SELECT id_a, id_b, round(({matches}) / {k}, 3) AS jaccard_est
-    FROM cands
-    JOIN sig sa ON sa.id = cands.id_a
-    JOIN sig sb ON sb.id = cands.id_b
-    WHERE ({matches}) / {k} >= 0.5"""
-    else:
-        verify = """
-    SELECT id_a, id_b,
-           len(list_intersect(sa.shingles, sb.shingles))
-             / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
-    FROM cands
-    JOIN sh sa ON sa.id = cands.id_a
-    JOIN sh sb ON sb.id = cands.id_b
-    WHERE len(list_intersect(sa.shingles, sb.shingles))
-            / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5"""
-    return f"""
-    WITH {_minhash_base_ctes()},
-    cands AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-    )
-    {verify}
-    """
-
-
-@q("minhash_dedup_pairs", _minhash_oracle_sql())
-def minhash_dedup_pairs(spark, sf_dir):
-    """MinHash(64)+LSH(16 bands) near-dup pairs, exact-verified at
-    jaccard ≥ 0.5. Full oracle (was rows-only): the registered demo runs
-    the md5-derived 32-bit hash family (`dedup._md5_base_hash`), which
-    DuckDB restates exactly — banding, bucket self-join and the exact
-    Jaccard verify are all replayed in SQL. The production default stays
-    xxhash64 (JVM-side, no string round-trip); recall vs
-    `ngram_jaccard_pairs` ground truth is pinned in pytest for BOTH
-    families."""
-    return DD.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, hash_family="md5"
-    ).orderBy("id_a", "id_b")
-
-
-def _simhash_oracle_sql(max_hamming: int = 3) -> str:
-    """DuckDB restatement of the md5-family SimHash: 60-bit token hash
-    (15 md5 nibbles), per-bit majority vote (positive iff 2*count > n,
-    ties → 0 — dedup.simhash's SWAR semantics exactly), pigeonhole
-    16-bit chunks, bit_count(xor) verify."""
-    chunks = max_hamming + 1
-    cnts = ",\n             ".join(
-        f"sum((h >> {b}) & 1) AS c{b}" for b in range(60)
-    )
-    sig_bits = "\n           + ".join(
-        f"CASE WHEN 2 * c{b} > n THEN (CAST(1 AS BIGINT) << {b}) "
-        f"ELSE 0 END"
-        for b in range(60)
-    )
-    band_rows = "\n      UNION ALL ".join(
-        f"SELECT id, {c} AS chunk, (sig >> {c * 16}) & 65535 AS cv FROM s"
-        for c in range(chunks)
-    )
-    return f"""
-    WITH tok AS (
-      SELECT doc_id AS id, unnest({_TOKENS_SQL}) AS t FROM documents
-    ),
-    th AS (
-      SELECT id,
-             CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
-      FROM tok
-    ),
-    votes AS (
-      SELECT id, count(*) AS n,
-             {cnts}
-      FROM th GROUP BY id
-    ),
-    s AS (
-      SELECT id,
-             {sig_bits} AS sig
-      FROM votes
-    ),
-    bands AS (
-      {band_rows}
-    ),
-    pairs AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM bands a JOIN bands b
-        ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
-    )
-    SELECT id_a, id_b,
-           bit_count(xor(sa.sig, sb.sig)) AS hamming
-    FROM pairs
-    JOIN s sa ON sa.id = pairs.id_a
-    JOIN s sb ON sb.id = pairs.id_b
-    WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
-    """
-
-
-@q("simhash_pairs", _simhash_oracle_sql(max_hamming=3))
-def simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs at Hamming ≤ 3 via pigeonhole banding.
-    Full oracle (was rows-only): the demo runs the md5 hash family — a
-    60-bit token hash DuckDB computes bit-identically — so the vote,
-    banding and verify all replay in SQL; the SWAR aggregation and the
-    chunk join are the production (xxhash64) code paths, unchanged."""
-    sims = DD.simhash(_t(spark, sf_dir, "documents"), hash_family="md5")
-    return DD.simhash_pairs(sims, max_hamming=3).orderBy("id_a", "id_b")
-
-
-_DOT_SQL = (
-    "list_sum(list_transform(list_zip({a}, {b}), "
-    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-)
-_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-
-
-@q(
-    "embedding_dup_pairs",
-    f"""
-    SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
-               / ({_NORM_SQL.format(a="a.embedding")}
-                  * {_NORM_SQL.format(a="b.embedding")}) AS cosine
-      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-    WHERE round(cosine, 4) >= 0.4
-    """,
-)
-def embedding_dup_pairs(spark, sf_dir):
-    """Embedding near-dup pairs (cosine ≥ 0.4), exact pairwise baseline;
-    the RP-LSH variant is the scale path (tested separately).
-
-    The inner threshold is a strict superset of round(·,4) ≥ 0.4 (any x
-    rounding up to 0.4 satisfies x ≥ 0.3999), so the O(N²) candidate mask
-    is applied INSIDE the numpy matmul — only near-dups cross Arrow, not
-    all N²/2 pairs."""
-    out = DD.embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3999, use_lsh=False
-    )
-    return (
-        out.select(
-            "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
-        )
-        .filter(F.col("cosine") >= 0.4)
-    )
-
-
-@q(
-    "ann_brute_force_topk",
-    f"""
-    WITH uq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-    scored AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS id,
-             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
-               / ({_NORM_SQL.format(a="e.embedding")}
-                  * {_NORM_SQL.format(a="q.embedding")}) AS score
-      FROM embeddings e, uq q WHERE e.vec_id <> q.vec_id)
-    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
-      SELECT query_id, id AS neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, id) AS rnk,
-             score
-      FROM scored) WHERE rnk <= 5
-    """,
-)
-def ann_brute_force_topk(spark, sf_dir):
-    """Exact cosine top-5 for 10 query vectors: broadcast queries, one
-    corpus scan, per-query top-k."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    out = SIM.brute_force_topk(emb, queries, k=5)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-@q(
-    "knn_label_vote",
-    f"""
-    WITH uq AS (SELECT vec_id, embedding FROM embeddings
-                WHERE vec_id % 50 = 0),
-    scored AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS id, e.label,
-             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
-               / ({_NORM_SQL.format(a="e.embedding")}
-                  * {_NORM_SQL.format(a="q.embedding")}) AS score
-      FROM embeddings e, uq q
-      WHERE e.vec_id <> q.vec_id AND e.vec_id % 50 <> 0),
-    top AS (
-      SELECT query_id, label FROM (
-        SELECT query_id, label,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, id) AS rnk
-        FROM scored) WHERE rnk <= 5),
-    v AS (SELECT query_id, label, count(*) AS votes
-          FROM top GROUP BY 1, 2)
-    SELECT query_id, CAST(label AS BIGINT) AS pred_label,
-           CAST(votes AS BIGINT) AS votes FROM (
-      SELECT query_id, label, votes,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY votes DESC, label) AS rn
-      FROM v) WHERE rn = 1
-    """,
-)
-def knn_label_vote(spark, sf_dir):
-    """k-NN majority-vote labeling: every 50th vector plays the unlabeled
-    query set, classified by its 5 exact-cosine nearest labeled
-    neighbors (pipeline/similarity.py:knn_classify — broadcast queries,
-    one corpus scan, query-keyed vote argmax). Deterministic ties
-    (votes desc, label asc) make the whole prediction SQL-oracle-able."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    corpus = emb.filter(F.col("vec_id") % 50 != 0)
-    return SIM.knn_classify(corpus, queries, k=5).orderBy("query_id")
-
-
-def _ivf_cents_sql(n_centroids: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """The IVF coarse centroids as SQL literals: build_ivf_index's exact
-    init (seeded standard normal, unit-normalized) rendered with repr()
-    — the shortest round-trip decimal, so DuckDB parses the identical
-    float64 bits. The centroids are algorithm PARAMETERS (a pure function
-    of the seed, independent of the data); the oracle still independently
-    verifies assignment, probing, scoring and ranking."""
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    c = rng.standard_normal((n_centroids, dim))
-    c /= np.linalg.norm(c, axis=1, keepdims=True)
-    return ",\n        ".join(
-        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in row))
-        for i, row in enumerate(c)
-    )
-
-
-
-def _knn_ivf_oracle_sql() -> str:
-    """The IVF variant of the `knn_label_vote` oracle: same seeded
-    coarse-centroid literals and assignment/probe CTEs as
-    `_ivf_oracle_sql`, candidates restricted to labeled (non-query)
-    vectors in the probed buckets, then the identical vote argmax."""
-    return f"""
-    WITH cents(c, cv) AS (VALUES
-        {_ivf_cents_sql()}),
-    asn AS (
-      SELECT vec_id, c,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY sim DESC, c) AS rn
-      FROM (
-        SELECT e.vec_id, cents.c,
-               {_DOT_SQL.format(a="e.embedding", b="cents.cv")} AS sim
-        FROM embeddings e, cents)
-    ),
-    buckets AS (SELECT vec_id, c FROM asn WHERE rn = 1),
-    probes AS (
-      SELECT vec_id AS query_id, c FROM asn
-      WHERE rn <= 4 AND vec_id % 50 = 0
-    ),
-    scored AS (
-      SELECT p.query_id, b.vec_id AS id, e.label,
-             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
-               / ({_NORM_SQL.format(a="e.embedding")}
-                  * {_NORM_SQL.format(a="q.embedding")}) AS score
-      FROM buckets b
-      JOIN probes p ON b.c = p.c AND b.vec_id <> p.query_id
-      JOIN embeddings e ON e.vec_id = b.vec_id
-      JOIN embeddings q ON q.vec_id = p.query_id
-      WHERE b.vec_id % 50 <> 0
-    ),
-    top AS (
-      SELECT query_id, label FROM (
-        SELECT query_id, label,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, id) AS rnk
-        FROM scored) WHERE rnk <= 5),
-    v AS (SELECT query_id, label, count(*) AS votes
-          FROM top GROUP BY 1, 2)
-    SELECT query_id, CAST(label AS BIGINT) AS pred_label,
-           CAST(votes AS BIGINT) AS votes FROM (
-      SELECT query_id, label, votes,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY votes DESC, label) AS rn
-      FROM v) WHERE rn = 1
-    """
-
-
-@q("knn_label_vote_ivf", _knn_ivf_oracle_sql())
-def knn_label_vote_ivf(spark, sf_dir):
-    """The documented 100 TB swap, demonstrated at the registered-query
-    level: the SAME majority vote as `knn_label_vote`, but the neighbor
-    top-k comes from the PERSISTED IVF layout (memoized `ivf_idx`, the
-    one `ann_ivf_persisted` builds) probed with an explicit partition
-    filter — the scan touches only the 4 probed bucket directories per
-    query, never the full corpus. The vote composes over any top-k
-    backend (similarity.knn_classify's `topk` injection point). Full
-    oracle: seeded centroid literals + assignment/probe/score/vote all
-    replayed in SQL."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-
-    def _build(tmp: str) -> None:
-        bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
-        SIM.save_ivf_index(bucketed, cents, tmp)
-
-    path = MEMO.layout_memo(
-        "ivf_idx",
-        sf_dir,
-        ["embeddings"],
-        _build,
-        markers=("buckets/_SUCCESS", "centroids/_SUCCESS"),
-    )
-    loaded, cents = SIM.load_ivf_index(spark, path)
-    labeled = loaded.filter(F.col("id") % 50 != 0)
-    top = SIM.ivf_topk_pruned(labeled, cents, queries, k=5, n_probe=4)
-    corpus = emb.filter(F.col("vec_id") % 50 != 0)
-    return SIM.knn_classify(corpus, queries, k=5, topk=top).orderBy(
-        "query_id"
-    )
-
-
-@q(
-    "label_outlier_report",
-    """
-    WITH x AS (
-      SELECT vec_id, label,
-             unnest(range(1, len(embedding) + 1)) AS dim,
-             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
-                  AS BIGINT) AS xm
-      FROM embeddings),
-    c AS (
-      SELECT label, dim,
-             CAST(sum(xm) AS BIGINT) // count(*) AS cm
-      FROM x GROUP BY 1, 2),
-    d AS (
-      SELECT x.vec_id, x.label,
-             CAST(sum((x.xm - c.cm) * (x.xm - c.cm)) AS BIGINT) AS dist2
-      FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
-      GROUP BY 1, 2)
-    SELECT vec_id, label, dist2 FROM (
-      SELECT vec_id, label, dist2,
-             row_number() OVER (PARTITION BY label
-                                ORDER BY dist2 DESC, vec_id) AS rn
-      FROM d) WHERE rn <= 3
-    """,
-)
-def label_outlier_report(spark, sf_dir):
-    """Mislabeled-data detector: per label, the 3 vectors farthest from
-    their OWN label's centroid. Exactness discipline: coordinates are
-    integer micro-units, the centroid is an integer floor-mean (sum div
-    count), and the distance is an exact integer sum of squares — so the
-    ranking is bit-identical on any engine (FP centroid averaging would
-    be summation-order-dependent). Shuffles: one (label, dim) agg reused
-    by the join back, one per-vector agg, one label-KEYED window."""
-    emb = _t(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding")).alias("dim", "x"),
-    ).select(
-        "vec_id",
-        "label",
-        # DuckDB's unnest ordinality is 1-based; align
-        (F.col("dim") + 1).alias("dim"),
-        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("xm"),
-    )
-    x = DD._persist(x)  # two consumers: the centroid agg + the join back
-    cent = x.groupBy("label", "dim").agg(
-        F.expr("sum(xm) div count(*)").alias("cm")
-    )
-    d = (
-        x.join(cent, ["label", "dim"])
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum((F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm")))
-            .cast("long")
-            .alias("dist2")
-        )
-    )
-    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("vec_id", "label", "dist2")
-    )
-
-
-@q(
-    "hard_negatives",
-    f"""
-    WITH uq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-    scored AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS id,
-             {{dot}} / ({{norm_e}} * {{norm_q}}) AS score
-      FROM embeddings e, uq q WHERE e.vec_id <> q.vec_id)
-    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
-      SELECT query_id, id AS neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, id) AS rnk,
-             score
-      FROM scored) WHERE rnk BETWEEN 6 AND 20
-    """.format(
-        dot=_DOT_SQL.format(a="e.embedding", b="q.embedding"),
-        norm_e=_NORM_SQL.format(a="e.embedding"),
-        norm_q=_NORM_SQL.format(a="q.embedding"),
-    ),
-)
-def hard_negatives(spark, sf_dir):
-    """Contrastive-training hard-negative mining: per anchor, the
-    near-but-not-nearest neighbors (exact-cosine ranks 6-20) — similar
-    enough to be informative negatives, far enough to not be latent
-    positives. Same broadcast-scan + per-query-rank shape as the top-k
-    retrieval; a production pass feeds the IVF/PQ shortlist instead of
-    the exact scan."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    out = SIM.brute_force_topk(emb, queries, k=20).filter(F.col("rank") > 5)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-def _ivf_oracle_sql(query_pred: str, k: int = 5, n_probe: int = 4) -> str:
-    """DuckDB restatement of the full IVF search: nearest-centroid
-    assignment (argmax dot — scale-invariant, so the raw vectors serve),
-    top-n_probe probes per query, exact cosine inside probed buckets,
-    per-query rank. Shared by the in-memory and persisted-layout demos:
-    both produce the same top-k by construction (the layout is storage,
-    not semantics)."""
-    return f"""
-    WITH cents(c, cv) AS (VALUES
-        {_ivf_cents_sql()}),
-    asn AS (
-      SELECT vec_id, c,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY sim DESC, c) AS rn
-      FROM (
-        SELECT e.vec_id, cents.c,
-               {_DOT_SQL.format(a="e.embedding", b="cents.cv")} AS sim
-        FROM embeddings e, cents)
-    ),
-    buckets AS (SELECT vec_id, c FROM asn WHERE rn = 1),
-    probes AS (
-      SELECT vec_id AS query_id, c FROM asn
-      WHERE rn <= {n_probe} AND {query_pred}
-    ),
-    scored AS (
-      SELECT p.query_id, b.vec_id AS id,
-             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
-               / ({_NORM_SQL.format(a="e.embedding")}
-                  * {_NORM_SQL.format(a="q.embedding")}) AS score
-      FROM buckets b
-      JOIN probes p ON b.c = p.c AND b.vec_id <> p.query_id
-      JOIN embeddings e ON e.vec_id = b.vec_id
-      JOIN embeddings q ON q.vec_id = p.query_id
-    )
-    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
-      SELECT query_id, id AS neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, id) AS rnk,
-             score
-      FROM scored) WHERE rnk <= {k}
-    """
-
-
-@q("ann_ivf_incremental", _ivf_oracle_sql("vec_id < 10"))
-def ann_ivf_incremental(spark, sf_dir):
-    """Index maintenance demo: the IVF index is built on the vec_id<400
-    base corpus, then the remaining shard is APPENDED via
-    `similarity.append_to_ivf_index` — one assignment pass over the
-    shard, no rebuild. Probing the appended index returns EXACTLY what
-    probing a full build returns (same centroids ⇒ same per-row
-    assignment), so this query shares `ann_ivf_topk`'s full oracle: the
-    hash match is the maintenance-is-exact proof, and pytest pins
-    bucket-table equality directly."""
-    emb = _t(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") < 400)
-    delta = emb.filter(F.col("vec_id") >= 400)
-    queries = emb.filter(F.col("vec_id") < 10)
-    bucketed, cents = SIM.build_ivf_index(base, n_centroids=8)
-    appended = SIM.append_to_ivf_index(bucketed, cents, delta)
-    out = SIM.ivf_topk(appended, cents, queries, k=5, n_probe=4)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-@q("ann_ivf_topk", _ivf_oracle_sql("vec_id < 10"))
-def ann_ivf_topk(spark, sf_dir):
-    """IVF-pruned ANN: corpus bucketed by nearest of 8 centroids, queries
-    probe 4 buckets. Tested for recall against the brute-force truth.
-    Full oracle (was rows-only): the seeded centroid init is embedded as
-    SQL literals and DuckDB independently replays assignment, probing,
-    in-bucket scoring and ranking."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
-    out = SIM.ivf_topk(bucketed, cents, queries, k=5, n_probe=4)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-@q(
-    "text_stats",
-    r"""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
-                AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-                AS BIGINT) AS n_bpe_tokens,
-           round(length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(string_split_regex(trim(lower(text)), '\s+')) END, 1), 3)
-             AS avg_token_len,
-           round(len(regexp_extract_all(text, '[^\w\s]'))
-                 / greatest(length(text), 1), 3) AS punct_ratio,
-           round(len(regexp_extract_all(text, '[A-Z]'))
-                 / greatest(length(text), 1), 3) AS upper_ratio,
-           round(len(regexp_extract_all(text, '[0-9]'))
-                 / greatest(length(text), 1), 3) AS digit_ratio
-    FROM documents
-    """,
-)
-def text_stats(spark, sf_dir):
-    """Quality-scoring features, one codegen'd projection per document."""
-    return TXT.text_stats(_t(spark, sf_dir, "documents"))
-
-
-def _lang_score_sql(lang: str, words: list[str]) -> str:
-    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
-    return (
-        f"len(list_filter({_TOKENS_SQL}, t -> list_contains({lst}, t)))"
-    )
-
-
-_LANG_CASE = " ".join(
-    f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
-    for lang in sorted(TXT.LANG_STOPWORDS)
-)
-
-
-@q(
-    "lang_id",
-    f"""
-    SELECT doc_id,
-           CASE {_LANG_CASE} ELSE 'und' END AS lang_pred,
-           CAST(best AS BIGINT) AS lang_score
-    FROM (
-      SELECT doc_id,
-             {", ".join(f"{_lang_score_sql(lang, sw)} AS s_{lang}" for lang, sw in sorted(TXT.LANG_STOPWORDS.items()))},
-             greatest({", ".join(f"{_lang_score_sql(lang, sw)}" for lang, sw in sorted(TXT.LANG_STOPWORDS.items()))}) AS best
-      FROM documents)
-    """,
-)
-def lang_id(spark, sf_dir):
-    """Stopword-overlap language ID (SQL-reproducible heuristic)."""
-    return TXT.lang_id(_t(spark, sf_dir, "documents"))
-
-
-@q(
-    "doc_fingerprint",
-    f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
-)
-def doc_fingerprint(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", TXT.fingerprint("text").alias("fp")
-    )
-
-
-@q(
-    "token_frequencies",
-    rf"""
-    SELECT token, count(*) AS cnt FROM (
-      SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
-    GROUP BY token ORDER BY cnt DESC, token LIMIT 20
-    """,
-)
-def token_frequencies(spark, sf_dir):
-    """Corpus token histogram: explode → count → top-k. The groupBy key is
-    the token (heavy-hitter skew at corpus scale → AQE skew handling; the
-    top-k tail is a 20-row merge)."""
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("token"))
-        .limit(20)
-    )
-
-
-_VOCAB_SQL = rf"""
-    vocab AS (
-      SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
-               AS token_id,
-             CAST(cnt AS BIGINT) AS cnt
-      FROM (SELECT token, count(*) AS cnt FROM
-              (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
-            GROUP BY token)
-      QUALIFY token_id <= 200
-    )
-"""
-
-
-@q(
-    "vocab_top200",
-    f"WITH {_VOCAB_SQL} SELECT token, token_id, cnt FROM vocab",
-)
-def vocab_top200(spark, sf_dir):
-    """Dense-id vocabulary (top 200 by count desc, token asc). A bounded
-    top_n ranks lazily over the TakeOrdered result (<= top_n rows by
-    construction); unbounded vocabularies take the two-phase
-    range-partition + offset shape (functions/text.py:build_vocab) —
-    never a single-partition window over corpus-sized data."""
-    return TXT.build_vocab(_t(spark, sf_dir, "documents"), top_n=200)
-
-
-@q(
-    "encode_docs_vocab",
-    rf"""
-    WITH {_VOCAB_SQL},
-    toks AS (
-      SELECT doc_id, unnest(t) AS token,
-             unnest(range(1, len(t) + 1)) AS pos
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
-    ),
-    j AS (
-      SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
-      FROM toks t LEFT JOIN vocab v USING (token)
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
-    FROM j GROUP BY doc_id
-    """,
-)
-def encode_docs_vocab(spark, sf_dir):
-    """Token-id encoding of every document against the top-200 vocabulary
-    (OOV → 0): broadcast dictionary join + in-order sequence reassembly
-    (functions/text.py:encode_docs). The id sequence is md5'd for the
-    compare so full arrays never cross the driver."""
-    docs = _t(spark, sf_dir, "documents")
-    vocab = TXT.build_vocab(docs, top_n=200)
-    enc = TXT.encode_docs(docs, vocab)
-    return enc.select(
-        "doc_id",
-        "n_tokens",
-        "n_oov",
-        F.md5(
-            F.array_join(
-                F.transform(F.col("token_ids"), lambda x: x.cast("string")), ","
-            )
-        ).alias("ids_md5"),
-    )
-
-
-# =====================================================================
-# Streaming-window semantics in batch mode (streaming/windows.py shares
-# the same functions; batch run == oracle for the streaming run)
-# =====================================================================
-
-_FLOOR5_SQL = (
-    "date_trunc('hour', ts) + INTERVAL (CAST(minute(ts) AS INT) // 5 * 5) MINUTE"
-)
-
-
-@q(
-    "events_sliding_window",
-    f"""
-    SELECT window_start, count(*) AS cnt, round(sum(value), 3) AS sum_value
-    FROM (
-      SELECT unnest([{_FLOOR5_SQL}, {_FLOOR5_SQL} - INTERVAL 5 MINUTE])
-               AS window_start,
-             value
-      FROM events)
-    GROUP BY window_start
-    """,
-)
-def events_sliding_window(spark, sf_dir):
-    """10-min windows sliding by 5: every event belongs to exactly 2
-    windows (floor5(ts) and floor5(ts)-5min — the oracle states that
-    identity explicitly)."""
-    from .streaming.windows import sliding_agg
-
-    return sliding_agg(_t(spark, sf_dir, "events"))
-
-
-@q(
-    "events_session_window",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-      SELECT user_id, ts, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
-                                 ROWS UNBOUNDED PRECEDING) AS sess_id
-      FROM flagged)
-    SELECT min(ts) AS session_start,
-           max(ts) + INTERVAL 5 MINUTE AS session_end,
-           user_id,
-           count(*) AS cnt,
-           round(sum(value), 3) AS sum_value
-    FROM numbered GROUP BY user_id, sess_id
-    """,
-)
-def events_session_window(spark, sf_dir):
-    """Session windows (5-min gap) per user: Spark's `session_window`
-    vs the oracle's gaps-and-islands formulation (new session when the gap
-    to the previous event is >= the gap duration; session end = last event
-    + gap)."""
-    from .streaming.windows import session_agg
-
-    return session_agg(_t(spark, sf_dir, "events"))
-
-
-@q(
-    "events_dedup",
-    "SELECT event_id, count(*) AS cnt FROM (SELECT DISTINCT event_id, ts, "
-    "user_id, event_type, value, props FROM events) GROUP BY event_id",
-)
-def events_dedup(spark, sf_dir):
-    """Exact event dedup (batch form of dropDuplicatesWithinWatermark):
-    distinct full rows, then per-id count."""
-    from .streaming.windows import dedup_events
-
-    ev = _t(spark, sf_dir, "events")
-    return (
-        dedup_events(ev, id_cols=ev.columns)
-        .groupBy("event_id")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
-# =====================================================================
-# Multimodal columns (pipeline/multimodal.py): opaque binary media +
-# typed metadata; decode / features / resize / frame-sample
-# =====================================================================
-
-_MM_KIND_SQL = "CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END"
-
-
-@q(
-    "multimodal_decode",
-    f"""
-    SELECT doc_id,
-           {_MM_KIND_SQL} AS kind,
-           CAST(16 + doc_id % 48 AS INT) AS width,
-           CAST(16 + doc_id % 32 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 7 ELSE 1 END AS INT)
-             AS n_frames,
-           CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 4000
-                     ELSE 0 END AS INT) AS sample_rate,
-           octet_length(encode(text)) AS payload_bytes,
-           md5(text) AS payload_md5
-    FROM documents
-    """,
-)
-def multimodal_decode(spark, sf_dir):
-    """Binary media container roundtrip: attach (JVM encode/concat) then
-    decode (Arrow mapInPandas header parse + payload md5). The oracle
-    restates every header field as arithmetic on doc_id and the payload
-    hash as md5(text) — byte-for-byte container verification."""
-    return MM.decode_media(MM.attach_media(_t(spark, sf_dir, "documents")))
-
-
-@q(
-    "multimodal_frame_sample",
-    """
-    WITH m AS (
-      SELECT doc_id,
-             2 + doc_id % 7 AS n_frames,
-             hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS plen
-      FROM documents WHERE doc_id % 3 = 2
-    ), fr AS (
-      SELECT doc_id, hx,
-             CAST(plen // n_frames AS BIGINT) AS flen,
-             unnest(range(0, n_frames, 2)) AS frame_idx
-      FROM m
-    )
-    SELECT doc_id, frame_idx, flen AS frame_bytes,
-           md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)) AS frame_sig
-    FROM fr
-    """,
-)
-def multimodal_frame_sample(spark, sf_dir):
-    """Every-2nd-frame sampling of video payloads — pure JVM explode +
-    binary substring. Frame fingerprints are md5-over-uppercase-hex on both
-    engines (DuckDB cannot slice blobs, so both sides hash the hex text)."""
-    return MM.frame_sample(MM.attach_media(_t(spark, sf_dir, "documents")), every=2)
-
-
-@q(
-    "multimodal_resize",
-    f"""
-    SELECT doc_id,
-           {_MM_KIND_SQL} AS kind,
-           24 AS width, 24 AS height,
-           least(octet_length(encode(text)), 576) AS payload_bytes
-    FROM documents
-    """,
-)
-def multimodal_resize(spark, sf_dir):
-    """Deterministic fake resize (header rewrite + center-crop payload to
-    w*h bytes) verified through the decode stage. payload_md5 excluded:
-    the crop can split a multi-byte char, and DuckDB cannot md5 blobs."""
-    resized = MM.resize_media(MM.attach_media(_t(spark, sf_dir, "documents")), 24, 24)
-    return MM.decode_media(resized).select(
-        "doc_id", "kind", "width", "height", "payload_bytes"
-    )
-
-
-@q(
-    "multimodal_png_roundtrip",
-    """
-    SELECT doc_id,
-           12 AS px_width, 10 AS px_height,
-           CAST(doc_id % 256 AS DOUBLE) AS px_mean
-    FROM documents
-    """,
-)
-def multimodal_png_roundtrip(spark, sf_dir):
-    """ALL-REAL image pipeline: encode genuine PNGs executor-side (stdlib
-    codec — real DEFLATE), resize with use_real=True (decode → resample →
-    re-encode), then decode the resized payloads back to pixel stats.
-    Every stage is a narrow Arrow mapInPandas pass (no shuffle; media
-    bytes never leave their partition). The oracle states the closed form:
-    a uniform-shade image keeps its shade through resampling and the
-    target dims are 12x10 — so a hash match proves three real codec
-    passes ran correctly on every document."""
-    from pyspark.sql import types as T
-
-    from dsci551_edfs_spark.pipeline.png_stdlib import png_codec
-
-    media = MM.attach_png_media(_t(spark, sf_dir, "documents"))
-    resized = MM.resize_media(media, 12, 10, use_real=True)
-    return MM.decode_media(
-        resized,
-        codec=png_codec,
-        codec_fields=[
-            T.StructField("px_width", T.IntegerType()),
-            T.StructField("px_height", T.IntegerType()),
-            T.StructField("px_mean", T.DoubleType()),
-        ],
-    ).select("doc_id", "px_width", "px_height", "px_mean")
-
-
-_HIST_ORACLE = """
-    WITH b AS (
-      SELECT doc_id, hex(encode(text)) AS hx FROM documents
-    ), p AS (
-      SELECT doc_id, hx,
-             unnest(generate_series(1, CAST(length(hx)/2 AS BIGINT))) AS i
-      FROM b
-    ), e AS (
-      SELECT doc_id,
-             strpos('0123456789ABCDEF', substring(hx, CAST(2*i-1 AS INT), 1)) - 1 AS hi,
-             strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) - 1 AS lo
-      FROM p
-    ), agg AS (
-      SELECT doc_id,
-             {h_cols},
-             CAST(sum(hi*16 + lo) AS BIGINT) AS byte_sum
-      FROM e GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           {h_sel},
-           CAST(COALESCE(a.byte_sum, 0) AS BIGINT) AS byte_sum
-    FROM documents d LEFT JOIN agg a USING (doc_id)
-""".format(
-    h_cols=", ".join(
-        f"count(*) FILTER (WHERE hi={i}) AS h{i}" for i in range(16)
-    ),
-    h_sel=", ".join(f"COALESCE(a.h{i}, 0) AS h{i}" for i in range(16)),
-)
-
-
-@q("multimodal_byte_histogram", _HIST_ORACLE)
-def multimodal_byte_histogram(spark, sf_dir):
-    """16-bucket byte histogram + exact byte sum of the payload — the
-    feature-extraction stage (numpy bincount inside Arrow batches).
-
-    Output is 16 SCALAR columns h0..h15 (not an array: the driver's pandas
-    canonicalizer sorts every column and lists are unhashable) + byte_sum,
-    all exact integers so the hash-compare is FP-free. The DuckDB oracle
-    rebuilds each payload byte from hex(encode(text)) — high nibble IS the
-    16-bucket id — since DuckDB cannot slice blobs directly."""
-    h = MM.media_byte_histogram(MM.attach_media(_t(spark, sf_dir, "documents")))
-    return h.select(
-        "doc_id",
-        *[F.col("hist")[i].alias(f"h{i}") for i in range(16)],
-        "byte_sum",
-    )
-
-
-# =====================================================================
-# Temporal joins (operators/temporal.py): as-of + banded range join
-# =====================================================================
-
-@q(
-    "asof_join_last_purchase",
-    """
-    SELECT e.event_id, e.user_id, e.event_type,
-           p.ts AS purchase_ts, round(p.value, 3) AS purchase_value
-    FROM events e
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                    WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND e.ts >= p.ts
-    """,
-)
-def asof_join_last_purchase(spark, sf_dir):
-    """As-of join: every event picks up the user's most recent purchase at
-    or before it. Union-window formulation — one shuffle per side on
-    user_id, no range cross-product (oracle: DuckDB native ASOF JOIN)."""
-    from .operators.temporal import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    out = asof_join(
-        ev.select("event_id", "user_id", "event_type", "ts"),
-        purchases,
-        on="user_id",
-        ts_col="ts",
-        suffix="_p",
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.col("ts_p").alias("purchase_ts"),
-        F.round(F.col("value_p"), 3).alias("purchase_value"),
-    )
-
-
-@q(
-    "range_join_purchase_hour",
-    """
-    SELECT p.event_id AS purchase_id, e.event_id, e.event_type
-    FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase') p
-    JOIN events e
-      ON e.user_id = p.user_id
-     AND e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts < p.ts
-    """,
-)
-def range_join_purchase_hour(spark, sf_dir):
-    """Banded range join: events in the 10 minutes leading up to each
-    purchase by the same user. Intervals explode to 10-minute buckets, the
-    bucket+user equi-join is a plain hash join, then the exact containment
-    predicate filters."""
-    from .operators.temporal import range_join_point_interval
-
-    ev = _t(spark, sf_dir, "events")
-    iv = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            (F.col("ts") - F.expr("INTERVAL 10 MINUTE")).alias("start"),
-            F.col("ts").alias("end"),
-        )
-    )
-    out = range_join_point_interval(
-        ev.select("event_id", "user_id", "event_type", "ts"),
-        iv,
-        bucket="10 minutes",
-    ).filter(F.col("user_id") == F.col("p_user"))
-    return out.select("purchase_id", "event_id", "event_type")
-
-
-@q(
-    "stateful_user_stats",
-    "SELECT user_id, count(*) AS n_events, round(sum(value), 3) AS sum_value, "
-    "max(ts) AS last_ts FROM events GROUP BY user_id",
-)
-def stateful_user_stats(spark, sf_dir):
-    """Batch face of the applyInPandasWithState per-user running stats
-    (streaming/stateful.py); the streaming run's final state equals this
-    (pinned by test_streaming.py)."""
-    from .streaming.stateful import user_running_stats
-
-    out = user_running_stats(_t(spark, sf_dir, "events"))
-    return out.withColumn("sum_value", F.round("sum_value", 3))
-
-
-@q(
-    "stream_exactly_once_sink",
-    "SELECT event_id, user_id, event_type, value FROM events",
-)
-def stream_exactly_once_sink(spark, sf_dir):
-    """RUNS a real Structured Streaming query (availableNow) through the
-    idempotent foreachBatch parquet sink (streaming/sinks.py) and reads
-    the landed output back: exactly-once means the sink equals the input
-    row-for-row — which is exactly what the oracle states. Replay
-    idempotency is additionally pinned in test_streaming.py."""
-    from .streaming import sinks as SK
-    from .streaming import windows as SW
-
-    ev = _t(spark, sf_dir, "events")
-    base = _scratch_dir("eo_sink")
-    watch = os.path.join(base, "in")
-    ev.repartition(4).write.mode("overwrite").parquet(watch)
-    src = SW.stream_from_parquet(spark, watch, ev.schema, max_files=2)
-    sq = SK.exactly_once_parquet_sink(
-        src, os.path.join(base, "out"), os.path.join(base, "ckpt"), "eo_query"
-    )
-    if not sq.awaitTermination(300):
-        sq.stop()
-        raise TimeoutError("exactly-once sink did not finish within 300s")
-    return SK.read_exactly_once(spark, os.path.join(base, "out")).select(
-        "event_id", "user_id", "event_type", "value"
-    )
-
-
-# =====================================================================
-# Sketch aggregates (operators/sketches.py)
-# =====================================================================
-
-@q("approx_ndv_orders")  # rows-only: HLL++ estimates have no DuckDB twin
-def approx_ndv_orders(spark, sf_dir):
-    """HyperLogLog++ distinct counts (rsd=2%) for order keys/customers.
-    Error pinned < 5% against exact counts in tests/test_sketches.py."""
-    from .operators.sketches import approx_ndv
-
-    return approx_ndv(
-        _t(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey"], rsd=0.02
-    )
-
-
-def _hll_own_sql(src: str, group: str, value: str, p: int = 9) -> str:
-    """DuckDB replay of the md5-derived HLL (operators/sketches.py:
-    hll_own_registers/_estimate): 48-bit hash, low-p-bit bucket,
-    descending bit-length CASE for rho, max-register table, harmonic
-    estimate with linear-counting correction — every arithmetic step the
-    same expression text as the Spark plan, so the doubles agree
-    bit-for-bit (dyadic-rational register sum; the one ln() is absorbed
-    by round-3 on both sides)."""
-    m = 1 << p
-    w_bits = 48 - p
-    rho = (
-        "CASE "
-        + " ".join(
-            f"WHEN w >= {1 << (b - 1)} THEN {w_bits - b + 1}"
-            for b in range(w_bits, 0, -1)
-        )
-        + f" ELSE {w_bits + 1} END"
-    )
-    raw = f"0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0 / (s + ({m} - c))"
-    return f"""
-    WITH hx AS (
-      SELECT {group} AS g,
-             CAST('0x' || substring(md5(CAST({value} AS VARCHAR)), 1, 12)
-                  AS BIGINT) AS h
-      FROM {src}
-    ),
-    wx AS (SELECT g, h & {m - 1} AS bucket, h >> {p} AS w FROM hx),
-    r AS (SELECT g, bucket, max({rho}) AS reg FROM wx GROUP BY 1, 2),
-    a AS (SELECT g, sum(pow(2.0, -reg)) AS s, count(*) AS c
-          FROM r GROUP BY 1)
-    SELECT g, round(CASE WHEN {raw} <= {2.5 * m} AND ({m} - c) > 0
-                         THEN {m}.0 * ln({m}.0 / ({m} - c))
-                         ELSE {raw} END, 3) AS ndv_est
-    FROM a
-    """
-
-
-@q(
-    "hll_own_ndv",
-    f"""
-    WITH est AS ({_hll_own_sql("orders", "o_orderpriority", "o_custkey")}),
-    ex AS (SELECT o_orderpriority AS g,
-                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact
-           FROM orders GROUP BY 1)
-    SELECT est.g AS o_orderpriority, est.ndv_est, ex.ndv_exact
-    FROM est JOIN ex USING (g) ORDER BY 1
-    """,
-)
-def hll_own_ndv(spark, sf_dir):
-    """Oracle-checked HyperLogLog: per-priority distinct-customer
-    estimates from the md5-derived register table
-    (operators/sketches.py:hll_own_registers — the fully-verifiable twin
-    of the Datasketches `approx_ndv_orders`, whose opaque binary
-    sketches stay rows-only by nature), reported next to the exact NDV
-    so the error is visible in the result itself."""
-    from .operators import sketches as SK
-
-    orders = _t(spark, sf_dir, "orders")
-    regs = SK.hll_own_registers(orders, "o_custkey", ["o_orderpriority"])
-    est = SK.hll_own_estimate(regs, ["o_orderpriority"])
-    exact = orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").cast("long").alias("ndv_exact")
-    )
-    return est.join(exact, "o_orderpriority").orderBy("o_orderpriority")
-
-
-@q(
-    "hll_own_rollup",
-    f"""
-    WITH wk AS (
-      SELECT (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week, user_id
-      FROM events),
-    est AS ({_hll_own_sql("wk", "week", "user_id")})
-    SELECT g AS week, ndv_est FROM est ORDER BY week
-    """,
-)
-def hll_own_rollup(spark, sf_dir):
-    """Lossless sketch mergeability, PROVED by the oracle: Spark builds
-    per-DAY register tables and max-merges them to weeks; DuckDB builds
-    the week registers directly from the raw events. Registers agree
-    exactly iff max-merge is lossless (max over day partitions == max
-    over the week), so the hash match IS the mergeability proof — the
-    property `ndv_daily_to_weekly` (Datasketches union) can only pin in
-    pytest."""
-    from .operators import sketches as SK
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
-        "user_id",
-    )
-    day_regs = SK.hll_own_registers(ev, "user_id", ["day_num"])
-    week_regs = (
-        day_regs.withColumn("week", F.expr("day_num div 7"))
-        .groupBy("week", "bucket")
-        .agg(F.max("reg").cast("int").alias("reg"))
-    )
-    return SK.hll_own_estimate(week_regs, ["week"]).orderBy("week")
-
-
-@q(
-    "frequent_event_types",
-    """
-    SELECT event_type, cnt, share FROM (
-      SELECT event_type, count(*) AS cnt,
-             round(count(*) / (SELECT count(*) FROM events), 4) AS share
-      FROM events GROUP BY event_type)
-    WHERE share >= 0.01 ORDER BY cnt DESC, event_type LIMIT 20
-    """,
-)
-def frequent_event_types(spark, sf_dir):
-    """Heavy hitters over event_type at >= 1% support."""
-    from .operators.sketches import frequent_items
-
-    return frequent_items(_t(spark, sf_dir, "events"), "event_type", 0.01, 20)
-
-
-_NTOK_SQL = (
-    "CAST(CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS BIGINT)"
-)
-
-
-@q(
-    "quality_filter",
-    rf"""
-    WITH s AS (
-      SELECT doc_id,
-             {_NTOK_SQL} AS n_tokens,
-             round(length(text) / greatest({_NTOK_SQL}, 1), 3) AS avg_token_len,
-             round(len(regexp_extract_all(text, '[^\w\s]'))
-                   / greatest(length(text), 1), 3) AS punct_ratio,
-             round(len(regexp_extract_all(text, '[0-9]'))
-                   / greatest(length(text), 1), 3) AS digit_ratio
-      FROM documents)
-    SELECT doc_id, n_tokens, avg_token_len, punct_ratio, digit_ratio,
-           round(least(n_tokens / 100.0, 1.0) * (1 - punct_ratio)
-                 * (1 - digit_ratio), 4) AS quality_score
-    FROM s
-    WHERE n_tokens >= 10 AND punct_ratio <= 0.20 AND digit_ratio <= 0.30
-      AND avg_token_len BETWEEN 2.0 AND 12.0
-    """,
-)
-def quality_filter(spark, sf_dir):
-    """Composite corpus quality gate: text_stats thresholds + monotone
-    quality score — the first pass of a training-data pipeline."""
-    return TXT.quality_filter(_t(spark, sf_dir, "documents"))
-
-
-# =====================================================================
-# Additional TPC-H shapes: semi-join EXISTS (Q4), scan-agg (Q6),
-# correlated scalar subquery (Q17) — Catalyst subquery decorrelation
-# =====================================================================
-
-@q(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-      AND o_orderdate < TIMESTAMP '1996-10-01'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-    GROUP BY o_orderpriority
-    """,
-)
-def q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape (adapted: no commit/receipt dates in the synthetic
-    schema — "late" = shipped >60 days after order). The correlated EXISTS
-    decorrelates to a left-semi hash join; the date filter prunes before
-    the shuffle."""
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    filtered = o.filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
-    )
-    late = (
-        li.select("l_orderkey", "l_shipdate")
-        .join(filtered.select("o_orderkey", "o_orderdate"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey")
-    )
-    return (
-        filtered.join(late, filtered.o_orderkey == late.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-    )
-
-
-@q(
-    "q6_forecast_revenue",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6: pure scan-aggregate — every predicate pushes to the
-    parquet reader; the ideal plan is scan -> partial agg -> final."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_discount").between(0.05, 0.07))
-        & (F.col("l_quantity") < 24)
-    ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
-    )
-
-
-@q(
-    "q17_small_qty_revenue",
-    """
-    SELECT round(sum(l_extendedprice) / 7.0, 3) AS avg_yearly
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_size = 1
-      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
-                          WHERE l2.l_partkey = l.l_partkey)
-    """,
-)
-def q17_small_qty_revenue(spark, sf_dir):
-    """TPC-H Q17 shape: correlated scalar subquery -> per-key avg computed
-    once in a broadcastable aggregate, joined back (what Catalyst's
-    decorrelation emits)."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey")
-    thresholds = li.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(thresholds, on="l_partkey")
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 3).alias("avg_yearly"))
-    )
-
-
-@q(
-    "jsonl_roundtrip",
-    "SELECT doc_id, lang, n_chars FROM documents",
-)
-def jsonl_roundtrip(spark, sf_dir):
-    """documents -> gzip JSONL -> schema-explicit read-back (sources/
-    formats.py). Exercises the edge-format contract: no inference pass,
-    values survive the text roundtrip bit-exact."""
-    from .sources.formats import read_jsonl, write_jsonl
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    dest = _scratch_dir("jsonl")
-    write_jsonl(docs, dest, n_files=4)
-    return read_jsonl(spark, dest, schema="doc_id long, lang string, n_chars long")
-
-
-@q(
-    "orc_roundtrip",
-    "SELECT doc_id, lang, n_chars FROM documents",
-)
-def orc_roundtrip(spark, sf_dir):
-    """documents -> zlib ORC -> read-back (sources/formats.py). The
-    Hive-ecosystem columnar interchange path; schema, pushdown and
-    pruning behave as with Parquet."""
-    from .sources.formats import read_orc, write_orc
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    dest = _scratch_dir("orc")
-    write_orc(docs, dest)
-    return read_orc(spark, dest)
-
-
-def _incremental_near_oracle_sql() -> str:
-    """DuckDB replay of the incremental LSH gate: a %5==0 shard doc dies
-    iff some band bucket pairs it with (a) any corpus doc or (b) a
-    lower-id shard doc, AND the exact shingle Jaccard of that pair is
-    ≥ 0.5. Reuses the shared md5-family MinHash CTE chain."""
-    return f"""
-    WITH {_minhash_base_ctes()},
-    cands AS (
-      SELECT DISTINCT n.id AS drop_id, o.id AS keep_id
-      FROM bands n JOIN bands o
-        ON n.band = o.band AND n.bh = o.bh
-      WHERE n.id % 5 = 0
-        AND (o.id % 5 <> 0 OR o.id < n.id)
-    ),
-    dropped AS (
-      SELECT DISTINCT drop_id
-      FROM cands
-      JOIN sh sa ON sa.id = cands.drop_id
-      JOIN sh sb ON sb.id = cands.keep_id
-      WHERE len(list_intersect(sa.shingles, sb.shingles))
-              / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
-    )
-    SELECT doc_id, lang FROM documents
-    WHERE doc_id % 5 = 0
-      AND doc_id NOT IN (SELECT drop_id FROM dropped)
-    ORDER BY doc_id
-    """
-
-
-@q("incremental_dedup_near", _incremental_near_oracle_sql())
-def incremental_dedup_near(spark, sf_dir):
-    """NEAR-duplicate incremental gate: the %5==0 shard is deduped
-    against the rest of the corpus by MinHash-LSH — the corpus side
-    contributes only its banded signature index to the join, candidates
-    are exact-Jaccard verified before dropping
-    (pipeline/dedup.py:incremental_minhash_dedup). The LSH counterpart
-    of `incremental_dedup` (exact fingerprints). Full oracle (was
-    rows-only) via the md5 hash family: DuckDB replays the banded
-    signature index, both candidate families and the exact verify."""
-    docs = _t(spark, sf_dir, "documents")
-    incoming = docs.filter(F.col("doc_id") % 5 == 0)
-    existing = docs.filter(F.col("doc_id") % 5 != 0)
-    return (
-        DD.incremental_minhash_dedup(
-            incoming, existing, threshold=0.5, hash_family="md5"
-        )
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    )
-
-
-@q(
-    "avro_roundtrip",
-    """
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-           o_orderdate, o_orderpriority
-    FROM orders
-    """,
-)
-def avro_roundtrip(spark, sf_dir):
-    """orders -> Avro OCF (deflate) -> read-back. The spark-avro module
-    is absent here, so the codec is `sources/avro_stdlib.py` — the Avro
-    spec implemented on zlib/struct/json: zigzag varints, null-union
-    prefixes, OCF block framing. Write is one OCF file per partition
-    (executor-side); read distributes files via the built-in binaryFile
-    source and decodes in an Arrow mapInPandas stage. The oracle is the
-    identity projection, so a hash match proves every value — including
-    timestamp-micros — survived a full binary encode/decode."""
-    from .sources.avro_stdlib import read_avro, write_avro
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
-    )
-    dest = _scratch_dir("avro")
-    write_avro(orders.repartition(8), dest)
-    return read_avro(spark, dest)
-
-
-@q(
-    "incremental_dedup",
-    r"""
-    WITH f AS (
-      SELECT doc_id, lang,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-             doc_id % 5 = 0 AS incoming
-      FROM documents
-    )
-    SELECT doc_id, lang FROM f
-    WHERE incoming
-      AND fp NOT IN (SELECT fp FROM f WHERE NOT incoming)
-      AND doc_id = (SELECT min(doc_id) FROM f f2
-                    WHERE f2.incoming AND f2.fp = f.fp)
-    """,
-)
-def incremental_dedup(spark, sf_dir):
-    """Incremental crawl dedup: docs with doc_id % 5 = 0 play the incoming
-    shard, the rest the already-ingested corpus. A new doc survives iff
-    its content fingerprint is absent from the corpus AND it is the
-    canonical (min-id) copy within its batch. The corpus side ships only
-    distinct 16-byte fingerprints into an anti-join."""
-    docs = _t(spark, sf_dir, "documents")
-    incoming = docs.filter(F.col("doc_id") % 5 == 0)
-    existing = docs.filter(F.col("doc_id") % 5 != 0)
-    return DD.incremental_exact_dedup(incoming, existing).select("doc_id", "lang")
-
-
-@q(
-    "incremental_dedup_bloom",
-    ORACLES.get("incremental_dedup"),
-)
-def incremental_dedup_bloom(spark, sf_dir):
-    """Same contract as `incremental_dedup` (identical oracle — the Bloom
-    prefilter is exact end-to-end: no false negatives, positives verified
-    against the fingerprint set), but only the ~FPR + true-dup sliver of
-    the incoming shard reaches the corpus anti-join
-    (pipeline/dedup.py:incremental_exact_dedup_bloom)."""
-    docs = _t(spark, sf_dir, "documents")
-    incoming = docs.filter(F.col("doc_id") % 5 == 0)
-    existing = docs.filter(F.col("doc_id") % 5 != 0)
-    return DD.incremental_exact_dedup_bloom(incoming, existing).select(
-        "doc_id", "lang"
-    )
-
-
-# =====================================================================
-# Skew, grouping sets, window-function breadth, pivot
-# =====================================================================
-
-@q(
-    "salted_join_hot_keys",
-    """
-    SELECT e.user_id, count(*) AS cnt, round(sum(e.value), 3) AS sum_value
-    FROM events e JOIN (SELECT DISTINCT user_id FROM events) u
-      ON e.user_id = u.user_id
-    GROUP BY e.user_id
-    """,
-)
-def salted_join_hot_keys(spark, sf_dir):
-    """Hot-key salted join (operators/skew.py): detects the heaviest event
-    users, salts them across 8 sub-keys, joins, and aggregates. The result
-    set is identical to the plain join — the oracle states the plain join —
-    while the hot keys' rows land on 8 reducers instead of 1."""
-    from .operators.skew import salted_join, top_keys
-
-    ev = _t(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
-    hot = top_keys(ev, "user_id", n=5, min_count=10)
-    out = salted_join(ev, users, "user_id", hot_keys=hot, salts=8)
-    return out.groupBy("user_id").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("value"), 3).alias("sum_value")
-    )
-
-
-@q(
-    "grouping_sets_lineitem",
-    """
-    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-)
-def grouping_sets_lineitem(spark, sf_dir):
-    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
-    and grand total in one pass — Catalyst expands then partial-aggregates
-    each set map-side."""
-    li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("li_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-               round(sum(l_quantity), 2) AS sum_qty
-        FROM li_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-@q(
-    "window_functions_showcase",
-    """
-    SELECT o_orderkey, o_custkey,
-           lag(o_totalprice) OVER w AS prev_price,
-           lead(o_totalprice) OVER w AS next_price,
-           ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 4) AS pct_rank,
-           round(o_totalprice - max(o_totalprice)
-                 OVER (PARTITION BY o_custkey), 3) AS delta_from_max
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
-    """,
-)
-def window_functions_showcase(spark, sf_dir):
-    """lead/lag/ntile/percent_rank + partition-relative delta in one
-    window spec — a single sort per customer partition serves all five."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    wp = Window.partitionBy("o_custkey")
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(
-            F.col("o_totalprice") - F.max("o_totalprice").over(wp), 3
-        ).alias("delta_from_max"),
-    )
-
-
-@q(
-    "pivot_returnflag_by_status",
-    """
-    SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def pivot_returnflag_by_status(spark, sf_dir):
-    """Pivot on a low-cardinality column with EXPLICIT pivot values — at
-    scale, never let pivot() run its distinct-values discovery job."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_quantity"), 2))
-    )
-
-
-@q(
-    "stream_interval_join",
-    """
-    SELECT p.event_id AS purchase_id, v.event_id AS view_id
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON v.user_id = p.user_id
-     AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
-    """,
-)
-def stream_interval_join(spark, sf_dir):
-    """Batch face of the stream-stream interval join (streaming/windows.py
-    interval_join): views in the 10 minutes before each purchase. The
-    streaming run with two watermarked inputs is pinned equal in
-    tests/test_streaming.py."""
-    from .streaming.windows import interval_join
-
-    ev = _t(spark, sf_dir, "events")
-    p = ev.filter("event_type = 'purchase'").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id")
-    )
-    v = ev.filter("event_type = 'view'").select(
-        F.col("user_id").alias("user_id_r"),
-        F.col("ts").alias("ts_r"),
-        F.col("event_id").alias("view_id"),
-    )
-    return interval_join(p, v).select("purchase_id", "view_id")
-
-
-@q(
-    "stream_interval_join_outer",
-    """
-    SELECT p.event_id AS purchase_id, v.event_id AS view_id
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON v.user_id = p.user_id
-     AND v.ts >= p.ts - INTERVAL 10 MINUTE AND v.ts < p.ts
-    """,
-)
-def stream_interval_join_outer(spark, sf_dir):
-    """Batch face of the watermarked LEFT-OUTER stream-stream join
-    (streaming/windows.py interval_join how='leftOuter'): every purchase
-    with its preceding-10-minute views, or a null row if none — the
-    "conversions with no attributable touchpoint" audit. In streaming,
-    outer-null rows emit at state-eviction time (watermark past the join
-    window; both legs' watermarks bound the state); the streaming run is
-    pinned equal to this batch plan in tests/test_streaming.py with a
-    ts-ordered feed + checkpoint-restart eviction."""
-    from .streaming.windows import interval_join
-
-    ev = _t(spark, sf_dir, "events")
-    p = ev.filter("event_type = 'purchase'").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id")
-    )
-    v = ev.filter("event_type = 'view'").select(
-        F.col("user_id").alias("user_id_r"),
-        F.col("ts").alias("ts_r"),
-        F.col("event_id").alias("view_id"),
-    )
-    return interval_join(p, v, how="leftOuter").select("purchase_id", "view_id")
-
-
-_MD5_BUCKET_SQL = """
-    ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-   + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
-"""
-
-
-_BP_FOOTER = "subscribe to our newsletter for daily updates"
-_BP_HEADER = "copyright 2024 example corp all rights reserved"
-
-_BP_DOC2_SQL = f"""
-    doc2 AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0
-                  THEN t1 || chr(10) || '{_BP_FOOTER}' ELSE t1 END AS text
-      FROM (SELECT doc_id,
-                   CASE WHEN doc_id % 11 = 0
-                        THEN '{_BP_HEADER}' || chr(10) || text
-                        ELSE text END AS t1
-            FROM documents)
-    )
-"""
-
-
-def _corpus_prep_pipeline_oracle_sql() -> str:
-    """End-to-end replay of the corpus-prep composition: the quality
-    gate (min_tokens=5 variant of the `quality_filter` oracle), the
-    `lang_id` oracle's keep-list, exact dedup by normalized-md5
-    fingerprint, and the md5-family MinHash near-dedup (shared CTE
-    chain) restricted to the exact-dedup survivors — each fragment is
-    the same SQL its standalone oracle already hash-matches."""
-    lang_scores = ", ".join(
-        f"{_lang_score_sql(lang, sw)} AS s_{lang}"
-        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
-    )
-    lang_best = ", ".join(
-        f"{_lang_score_sql(lang, sw)}"
-        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
-    )
-    return rf"""
-    WITH q AS (
-      SELECT doc_id, quality_score FROM (
-        SELECT doc_id, n_tokens, avg_token_len, punct_ratio, digit_ratio,
-               round(least(n_tokens / 100.0, 1.0) * (1 - punct_ratio)
-                     * (1 - digit_ratio), 4) AS quality_score
-        FROM (
-          SELECT doc_id,
-                 {_NTOK_SQL} AS n_tokens,
-                 round(length(text) / greatest({_NTOK_SQL}, 1), 3)
-                   AS avg_token_len,
-                 round(len(regexp_extract_all(text, '[^\w\s]'))
-                       / greatest(length(text), 1), 3) AS punct_ratio,
-                 round(len(regexp_extract_all(text, '[0-9]'))
-                       / greatest(length(text), 1), 3) AS digit_ratio
-          FROM documents))
-      WHERE n_tokens >= 5 AND punct_ratio <= 0.20 AND digit_ratio <= 0.30
-        AND avg_token_len BETWEEN 2.0 AND 12.0
-    ),
-    lg AS (
-      SELECT doc_id, lang_pred FROM (
-        SELECT doc_id,
-               CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
-        FROM (
-          SELECT doc_id, {lang_scores},
-                 greatest({lang_best}) AS best
-          FROM documents))
-      WHERE lang_pred <> 'und'
-    ),
-    fp AS (
-      SELECT d.doc_id, {_FP_SQL} AS fp
-      FROM documents d JOIN q USING (doc_id) JOIN lg USING (doc_id)
-    ),
-    exact_kept AS (
-      SELECT doc_id FROM fp
-      WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fp)
-    ),
-    {_minhash_base_ctes()},
-    near AS (
-      SELECT DISTINCT b.id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-      JOIN exact_kept ka ON ka.doc_id = a.id
-      JOIN exact_kept kb ON kb.doc_id = b.id
-      JOIN sh sa ON sa.id = a.id
-      JOIN sh sb ON sb.id = b.id
-      WHERE len(list_intersect(sa.shingles, sb.shingles))
-              / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
-    )
-    SELECT k.doc_id, lg.lang_pred, q.quality_score,
-           CAST(length(d.text) AS INT) AS n_chars
-    FROM exact_kept k
-    JOIN documents d USING (doc_id)
-    JOIN q USING (doc_id)
-    JOIN lg USING (doc_id)
-    WHERE k.doc_id NOT IN (SELECT id_b FROM near)
-    ORDER BY k.doc_id
-    """
-
-
-@q(
-    "corpus_datacard",
-    rf"""
-    WITH base AS (
-      SELECT source, doc_id, {_NTOK_SQL} AS n_tokens, {_FP_SQL} AS fp
-      FROM documents),
-    winners AS (SELECT min(doc_id) AS w FROM base GROUP BY fp),
-    stats AS (
-      SELECT source, count(*) AS n_docs,
-             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-             count(*) FILTER (WHERE doc_id NOT IN (SELECT w FROM winners))
-               AS losers
-      FROM base GROUP BY source),
-    q AS (
-      SELECT doc_id, quality_score FROM (
-        SELECT doc_id, n_tokens, avg_token_len, punct_ratio, digit_ratio,
-               round(least(n_tokens / 100.0, 1.0) * (1 - punct_ratio)
-                     * (1 - digit_ratio), 4) AS quality_score
-        FROM (
-          SELECT doc_id,
-                 {_NTOK_SQL} AS n_tokens,
-                 round(length(text) / greatest({_NTOK_SQL}, 1), 3)
-                   AS avg_token_len,
-                 round(len(regexp_extract_all(text, '[^\w\s]'))
-                       / greatest(length(text), 1), 3) AS punct_ratio,
-                 round(len(regexp_extract_all(text, '[0-9]'))
-                       / greatest(length(text), 1), 3) AS digit_ratio
-          FROM documents))
-      WHERE n_tokens >= 5 AND punct_ratio <= 0.20 AND digit_ratio <= 0.30
-        AND avg_token_len BETWEEN 2.0 AND 12.0),
-    lg AS (
-      SELECT doc_id, lang_pred FROM (
-        SELECT doc_id, CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
-        FROM (
-          SELECT doc_id,
-                 {", ".join(f"{_lang_score_sql(lang, sw)} AS s_{lang}" for lang, sw in sorted(TXT.LANG_STOPWORDS.items()))},
-                 greatest({", ".join(f"{_lang_score_sql(lang, sw)}" for lang, sw in sorted(TXT.LANG_STOPWORDS.items()))}) AS best
-          FROM documents))
-      WHERE lang_pred <> 'und'),
-    gated AS (
-      SELECT d.source, q.quality_score, lg.lang_pred
-      FROM documents d JOIN q USING (doc_id) JOIN lg USING (doc_id)),
-    topl AS (
-      SELECT source, lang_pred AS top_lang FROM (
-        SELECT source, lang_pred,
-               row_number() OVER (PARTITION BY source
-                                  ORDER BY count(*) DESC, lang_pred) AS rn
-        FROM gated GROUP BY source, lang_pred) WHERE rn = 1),
-    gq AS (
-      SELECT source, count(*) AS gate_cnt,
-             CAST(sum(CAST(round(quality_score * 10000) AS BIGINT))
-                  AS BIGINT) AS micro
-      FROM gated GROUP BY source)
-    SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs, s.total_tokens,
-           CAST(s.losers * 1000000 // s.n_docs AS BIGINT)
-             AS dup_loser_ppm,
-           CAST(gq.gate_cnt * 1000000 // s.n_docs AS BIGINT)
-             AS gate_pass_ppm,
-           CAST(gq.micro // gq.gate_cnt AS BIGINT)
-             AS avg_quality_micro,
-           topl.top_lang
-    FROM stats s JOIN gq USING (source) JOIN topl USING (source)
-    ORDER BY s.source
-    """,
-)
-def corpus_datacard(spark, sf_dir):
-    """The per-source corpus datasheet — the governance artifact a
-    100 TB ingest publishes alongside the data: volume (docs, tokens),
-    exact-duplicate loser rate, quality-gate pass rate, mean quality of
-    survivors (integer micro — exact on any engine), and the dominant
-    predicted language. Pure composition of the fused gate and the
-    fingerprint dedup rule; integer ppm/micro throughout, so the whole
-    card is hash-exact against the oracle."""
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "source",
-        "doc_id",
-        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        TXT.fingerprint("text").alias("fp"),
-    )
-    base = DD._persist(base)
-    winners = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    losers = base.join(winners, ["doc_id"], "left_anti").groupBy(
-        "source"
-    ).agg(F.count("*").alias("losers"))
-    stats = (
-        base.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-        )
-        .join(losers, "source", "left")
-        .na.fill({"losers": 0})
-    )
-    gated = TXT.corpus_gate(docs, min_tokens=5).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
-    gated = DD._persist(
-        gated.select("source", "quality_score", "lang_pred")
-    )
-    topl = (
-        gated.groupBy("source", "lang_pred")
-        .agg(F.count("*").alias("_c"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.col("_c").desc(), "lang_pred"
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("source", F.col("lang_pred").alias("top_lang"))
-    )
-    gq = gated.groupBy("source").agg(
-        F.count("*").alias("gate_cnt"),
-        F.sum(F.round(F.col("quality_score") * 10000).cast("long")).alias(
-            "micro"
-        ),
-    )
-    return (
-        stats.join(gq, "source")
-        .join(topl, "source")
-        .select(
-            "source",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            "total_tokens",
-            F.expr("losers * 1000000 div n_docs").cast("long").alias(
-                "dup_loser_ppm"
-            ),
-            F.expr("gate_cnt * 1000000 div n_docs").cast("long").alias(
-                "gate_pass_ppm"
-            ),
-            F.expr("micro div gate_cnt").cast("long").alias(
-                "avg_quality_micro"
-            ),
-            "top_lang",
-        )
-        .orderBy("source")
-    )
-
-
-@q("corpus_prep_pipeline", _corpus_prep_pipeline_oracle_sql())
-def corpus_prep_pipeline(spark, sf_dir):
-    """The full training-data recipe end-to-end: quality gate -> language
-    keep-list -> exact dedup -> MinHash near-dedup -> surviving corpus
-    with quality + lang metadata. Each stage is the tested operator; this
-    entry proves they compose (ids flow, no schema drift, one pipeline
-    plan). Full oracle (was rows-only): with the MinHash stage on the md5
-    hash family, every stage has a SQL twin and the whole composition
-    replays in DuckDB.
-
-    r8: the quality + language + fingerprint gates run FUSED
-    (functions/text.py:corpus_gate) — one projection over one corpus
-    scan instead of the previous quality ⋈ lang ⋈ fingerprint
-    three-scan join tree. The gate's TEXT-FREE metadata (ids, scores,
-    fingerprints, n_chars) is the multi-consumer frame, so it persists
-    tiny; the text itself is re-read once, column-pruned, only for the
-    MinHash leg — documents never caches and the corpus pays exactly
-    two scans total. Identical semantics, same oracle."""
-    docs = _t(spark, sf_dir, "documents")
-    gated = TXT.corpus_gate(docs, min_tokens=5)
-    gmeta = DD._persist(
-        gated.select(
-            "doc_id",
-            "quality_score",
-            "lang_pred",
-            "fp",
-            F.length("text").alias("n_chars"),
-        )
-    )
-    keep = gmeta.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id"
-    )
-    near_input = docs.join(keep, "doc_id", "left_semi")
-    near_pairs = DD.minhash_dedup_pairs(
-        near_input, threshold=0.5, hash_family="md5"
-    )
-    drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return (
-        gmeta.join(keep, "doc_id", "left_semi")
-        .join(drop_ids, "doc_id", "left_anti")
-        .select("doc_id", "lang_pred", "quality_score", "n_chars")
-        .orderBy("doc_id")
-    )
-
-
-def _corpus_prep_full_oracle_sql() -> str:
-    """The COMPLETE pipeline replayed in one DuckDB statement, each CTE
-    block the same SQL its standalone oracle hash-matches: boilerplate
-    strip (doc2/lines), quality gate (min_tokens=5), repetition filter,
-    exact dedup, md5-family MinHash near-dedup, 3-gram benchmark
-    decontamination at min_overlap=8, md5-bucket split, and the ordered
-    prefix-sum sequence packing of the train split."""
-    ntok_cl = _NTOK_SQL  # operates on a column literally named `text`
-    return rf"""
-    WITH {_BP_DOC2_SQL},
-    lists AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc2),
-    segs AS (
-      SELECT doc_id, unnest(l) AS seg,
-             unnest(range(1, len(l) + 1)) AS pos
-      FROM lists
-    ),
-    hs AS (
-      SELECT doc_id, pos, seg,
-             md5(regexp_replace(trim(lower(seg)), '\s+', ' ', 'g')) AS h
-      FROM segs
-    ),
-    freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM hs GROUP BY h),
-    keptl AS (SELECT doc_id, pos, seg
-              FROM hs JOIN freq USING (h) WHERE ndocs < 3),
-    cl AS (
-      SELECT d.doc_id, coalesce(k.txt, '') AS text
-      FROM doc2 d LEFT JOIN (
-        SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS txt
-        FROM keptl GROUP BY doc_id) k USING (doc_id)
-    ),
-    q AS (
-      SELECT doc_id FROM (
-        SELECT doc_id,
-               {ntok_cl} AS n_tokens,
-               round(length(text) / greatest({ntok_cl}, 1), 3)
-                 AS avg_token_len,
-               round(len(regexp_extract_all(text, '[^\w\s]'))
-                     / greatest(length(text), 1), 3) AS punct_ratio,
-               round(len(regexp_extract_all(text, '[0-9]'))
-                     / greatest(length(text), 1), 3) AS digit_ratio
-        FROM cl)
-      WHERE n_tokens >= 5 AND punct_ratio <= 0.20 AND digit_ratio <= 0.30
-        AND avg_token_len BETWEEN 2.0 AND 12.0
-    ),
-    rtok AS (
-      SELECT doc_id, unnest(toks) AS w,
-             unnest(generate_series(1, len(toks))) AS i
-      FROM (SELECT doc_id,
-                   string_split_regex(lower(trim(text)), '\s+') AS toks
-            FROM cl)
-    ),
-    rbst AS (
-      SELECT doc_id, max(c) AS maxc, sum(c) AS nbg FROM (
-        SELECT a.doc_id, a.w || ' ' || b.w AS bg, count(*) AS c
-        FROM rtok a JOIN rtok b
-          ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        GROUP BY 1, 2) GROUP BY doc_id
-    ),
-    rtst AS (
-      SELECT doc_id, count(*) AS ntg, count(DISTINCT tg) AS ndtg FROM (
-        SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS tg
-        FROM rtok a
-        JOIN rtok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        JOIN rtok c ON a.doc_id = c.doc_id AND c.i = a.i + 2)
-      GROUP BY doc_id
-    ),
-    rep AS (
-      SELECT cl.doc_id FROM cl
-      LEFT JOIN rbst b USING (doc_id)
-      LEFT JOIN rtst t USING (doc_id)
-      WHERE round(COALESCE(b.maxc / b.nbg, 0), 3) < 0.9
-        AND round(COALESCE(1 - t.ndtg / CAST(t.ntg AS DOUBLE), 0), 3) < 0.9
-    ),
-    kept AS (
-      SELECT cl.doc_id, cl.text FROM cl
-      JOIN q USING (doc_id) JOIN rep USING (doc_id)
-    ),
-    fp AS (SELECT doc_id, {_FP_SQL} AS fp FROM kept),
-    exact_kept AS (
-      SELECT doc_id FROM fp
-      WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fp)
-    ),
-    {_minhash_base_ctes(src="kept")},
-    near AS (
-      SELECT DISTINCT b.id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-      JOIN exact_kept ka ON ka.doc_id = a.id
-      JOIN exact_kept kb ON kb.doc_id = b.id
-      JOIN sh sa ON sa.id = a.id
-      JOIN sh sb ON sb.id = b.id
-      WHERE len(list_intersect(sa.shingles, sb.shingles))
-              / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
-    ),
-    deduped AS (
-      SELECT doc_id FROM exact_kept
-      WHERE doc_id NOT IN (SELECT id_b FROM near)
-    ),
-    tsh AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh3
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM cl)
-      WHERE doc_id IN (SELECT doc_id FROM deduped)
-        AND {_MD5_BUCKET_SQL} >= 5
-    ),
-    bsh AS (
-      SELECT DISTINCT unnest({_SHINGLES_SQL}) AS g
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM doc2)
-      WHERE {_MD5_BUCKET_SQL} < 5
-    ),
-    hits AS (
-      SELECT doc_id FROM (
-        SELECT tg.doc_id, count(*) AS c
-        FROM (SELECT doc_id, unnest(sh3) AS g FROM tsh) tg
-        JOIN bsh USING (g) GROUP BY 1)
-      WHERE c >= 8
-    ),
-    final AS (
-      SELECT doc_id FROM tsh
-      WHERE doc_id NOT IN (SELECT doc_id FROM hits)
-    ),
-    tr AS (SELECT doc_id FROM final WHERE {_MD5_BUCKET_SQL} < 80),
-    pk AS (
-      SELECT doc_id, n_tokens,
-             CAST(floor((sum(n_tokens) OVER (
-                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 512)
-                  AS BIGINT) AS pack_id
-      FROM (SELECT cl.doc_id, {ntok_cl} AS n_tokens
-            FROM cl JOIN tr USING (doc_id))
-    )
-    SELECT doc_id, 'train' AS split, n_tokens, pack_id
-    FROM pk ORDER BY doc_id
-    """
-
-
-@q("corpus_prep_full", _corpus_prep_full_oracle_sql())
-def corpus_prep_full(spark, sf_dir):
-    """The COMPLETE pretraining-data recipe: boilerplate line removal ->
-    quality gate -> repetition filter -> exact dedup -> MinHash near-dedup
-    -> benchmark decontamination -> deterministic train/val/test split ->
-    sequence packing of the train split. Proves the curation, dedup and
-    decontamination operators compose in one flow (ids thread through;
-    every stage is individually oracle-checked). Full oracle (was
-    rows-only): the MinHash stage now runs the md5 hash family, so the
-    WHOLE recipe — eight stages — replays as one DuckDB statement."""
-    from .pipeline import curation as CUR
-    from .pipeline import decontam as DC
-    from .pipeline.curation import md5_bucket
-
-    raw = _bp_corpus(spark, sf_dir)  # fixture + planted boilerplate lines
-    cleaned = CUR.remove_boilerplate_lines(raw, min_docs=3).select(
-        "doc_id", F.col("cleaned_text").alias("text")
-    )
-    quality = TXT.quality_filter(cleaned, min_tokens=5).select("doc_id")
-    rep = CUR.repetition_stats(cleaned).filter(
-        (F.col("top_bigram_frac") < 0.9) & (F.col("dup_trigram_frac") < 0.9)
-    ).select("doc_id")
-    kept = cleaned.join(quality, "doc_id").join(rep, "doc_id")
-    exact_kept = DD.exact_dedup(kept)
-    near_pairs = DD.minhash_dedup_pairs(
-        exact_kept, threshold=0.5, hash_family="md5"
-    )
-    drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    deduped = exact_kept.join(drop_ids, "doc_id", "left_anti")
-    # held-out benchmark = the md5-bucket 0-4 docs (same subset the
-    # decontam_* queries use); train side = everything else, decontaminated
-    bench = raw.filter(md5_bucket("doc_id", 100) < 5)
-    final = DC.decontaminate(
-        deduped.filter(md5_bucket("doc_id", 100) >= 5), bench, min_overlap=8
-    )
-    split = CUR.deterministic_split(final)
-    train = split.filter(F.col("split") == "train")
-    packed = CUR.pack_sequences(train, target_tokens=512)
-    return (
-        train.select("doc_id", "split")
-        .join(packed, "doc_id")
-        .select("doc_id", "split", "n_tokens", "pack_id")
-        .orderBy("doc_id")
-    )
-
-
-@q(
-    "profile_orders",
-    """
-    SELECT * FROM (
-      SELECT 'o_orderkey' AS column, count(*) AS n_rows,
-             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-             count(DISTINCT o_orderkey) AS ndv,
-             CAST(min(o_orderkey) AS VARCHAR) AS min_str,
-             CAST(max(o_orderkey) AS VARCHAR) AS max_str
-      FROM orders
-      UNION ALL
-      SELECT 'o_orderstatus', count(*),
-             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             count(DISTINCT o_orderstatus),
-             CAST(min(o_orderstatus) AS VARCHAR),
-             CAST(max(o_orderstatus) AS VARCHAR)
-      FROM orders
-      UNION ALL
-      SELECT 'o_custkey', count(*),
-             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             count(DISTINCT o_custkey),
-             CAST(min(o_custkey) AS VARCHAR),
-             CAST(max(o_custkey) AS VARCHAR)
-      FROM orders)
-    """,
-)
-def profile_orders(spark, sf_dir):
-    """One-pass table profile (operators/profile.py) on three orders
-    columns, exact NDV for oracle parity (the sketch path is default at
-    scale). The oracle is the classic one-subquery-per-column UNION — the
-    engine computes the same numbers in a single scan."""
-    from .operators.profile import profile
-
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_custkey")
-    return profile(o, exact_ndv=True)
-
-
-@q(
-    "embedding_dup_pairs_lsh",
-    """
-    SELECT CAST(vec_id AS BIGINT) AS id_a,
-           CAST(vec_id + 1000000 AS BIGINT) AS id_b
-    FROM embeddings
-    """,
-)
-def embedding_dup_pairs_lsh(spark, sf_dir):
-    """The 100 TB scale path for embedding near-dup: multi-table random-
-    hyperplane LSH candidates (numpy-matmul bucket assignment per Arrow
-    batch) + batched einsum verification.
-
-    Self-certifying recall contract: the corpus is inflated with one
-    planted twin per vector at cosine ≈ 0.995 (plant_embedding_twins);
-    the fixture corpus itself has no pairs above cosine ~0.52, so the
-    detector's output at threshold 0.95 must be EXACTLY the planted
-    (id, id+1e6) pairs. 20 tables × 12 hyperplanes puts per-pair miss
-    probability at (1-0.968¹²)²⁰ ≈ 1e-10 — recall failures would surface
-    as an oracle hash mismatch, not a silent statistic — while random
-    pairs (cosine ≈ 0) collide at only 2⁻¹² per table, keeping the
-    candidate volume ~Σ|bucket|² linear-ish in N.
-
-    The twin-inflated FIXTURE is memoized per corpus (tag ``emb_twins``):
-    planting is test scaffolding, not the operator under measurement,
-    and its mapInPandas plan can never cache-match across calls (fresh
-    UDF/broadcast identities), so un-memoized it re-ran every bench
-    repeat. Parquet round-trips float64 losslessly — same vectors, same
-    pairs."""
-    inflated = MEMO.dataframe_memo(
-        spark,
-        "emb_twins",
-        sf_dir,
-        ["embeddings"],
-        lambda: DD.plant_embedding_twins(_t(spark, sf_dir, "embeddings")),
-    )
-    return (
-        DD.embedding_dup_pairs(
-            inflated, threshold=0.95, use_lsh=True, n_planes=12, n_tables=20
-        )
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
-    )
-
-
-@q(
-    "profile_quantiles",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def profile_quantiles(spark, sf_dir):
-    """Grouped order statistics, exact PERCENTILE_CONT semantics (linear
-    interpolation — same formula as DuckDB quantile_cont, so the hash
-    comparison is meaningful). The approx_percentile sketch variant is the
-    scale path (quantiles(approx=True)); its rank-error contract is pinned
-    in tests rather than an oracle."""
-    from .operators.profile import quantiles
-
-    li = _t(spark, sf_dir, "lineitem")
-    out = quantiles(li, "l_extendedprice", by=["l_returnflag"])
-    return out.select(
-        "l_returnflag",
-        *[F.round(F.col(c), 4).alias(c) for c in ("p25", "p50", "p75", "p90")],
-    )
-
-
-# =====================================================================
-# Corpus curation (pipeline/curation.py): the between-ingest-and-training
-# operators — repetition quality, deterministic split/sample/shuffle,
-# sequence packing, PII redaction
-# =====================================================================
-
-def _md5_bucket_sql(col: str) -> str:
-    """DuckDB restatement of curation.md5_bucket(col, 100) for any column:
-    first 4 hex nibbles of md5(col-as-string) as an int, mod 100 (DuckDB
-    lacks hex->int conversion, so the nibbles are rebuilt with strpos)."""
-    m = f"md5(CAST({col} AS VARCHAR))"
-    return f"""
-    ((strpos('0123456789abcdef', substring({m}, 1, 1)) - 1) * 4096
-   + (strpos('0123456789abcdef', substring({m}, 2, 1)) - 1) * 256
-   + (strpos('0123456789abcdef', substring({m}, 3, 1)) - 1) * 16
-   + (strpos('0123456789abcdef', substring({m}, 4, 1)) - 1)) % 100
-"""
-
-
-
-
-@q(
-    "repetition_stats",
-    r"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-      FROM documents
-    ), tok AS (
-      SELECT doc_id, unnest(toks) AS w,
-             unnest(generate_series(1, len(toks))) AS i
-      FROM t
-    ), bg AS (
-      SELECT a.doc_id, a.w || ' ' || b.w AS bg
-      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-    ), tg AS (
-      SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS tg
-      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-                 JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
-    ), bstat AS (
-      SELECT doc_id, max(c) AS maxc, sum(c) AS nbg FROM (
-        SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
-      ) GROUP BY doc_id
-    ), tstat AS (
-      SELECT doc_id, count(*) AS ntg, count(DISTINCT tg) AS ndtg
-      FROM tg GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           round(COALESCE(b.maxc / b.nbg, 0), 3) AS top_bigram_frac,
-           round(COALESCE(1 - ts.ndtg / CAST(ts.ntg AS DOUBLE), 0), 3)
-             AS dup_trigram_frac
-    FROM documents d
-    LEFT JOIN bstat b USING (doc_id)
-    LEFT JOIN tstat ts USING (doc_id)
-    """,
-)
-def repetition_stats(spark, sf_dir):
-    """Gopher-family repetition metrics: most-frequent-bigram fraction and
-    duplicate-trigram fraction per document. Trigram dedup fraction is a
-    shuffle-free HOF projection; the bigram mode is one explode +
-    two-level groupBy on (doc, bigram)."""
-    from .pipeline import curation as CUR
-
-    return CUR.repetition_stats(_t(spark, sf_dir, "documents"))
-
-
-@q(
-    "corpus_split",
-    f"""
-    SELECT doc_id,
-           CASE WHEN {_MD5_BUCKET_SQL} < 80 THEN 'train'
-                WHEN {_MD5_BUCKET_SQL} < 90 THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
-    """,
-)
-def corpus_split(spark, sf_dir):
-    """Deterministic 80/10/10 train/val/test assignment by md5 bucket —
-    stable under re-runs and re-partitioning, never rand()."""
-    from .pipeline import curation as CUR
-
-    return CUR.deterministic_split(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "split"
-    )
-
-
-@q(
-    "leakage_safe_split",
-    f"""
-    WITH RECURSIVE s AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
-    ),
-    pairs AS (
-      SELECT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                 AS jaccard
-        FROM s a, s b WHERE a.doc_id < b.doc_id)
-      WHERE jaccard >= 0.2
-    ),
-    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
-    reach AS (
-      SELECT doc_id AS node, doc_id AS r FROM documents
-      UNION
-      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node
-    ),
-    comp AS (SELECT node AS doc_id, min(r) AS cluster_id
-             FROM reach GROUP BY node)
-    SELECT doc_id, cluster_id,
-           CASE WHEN {_md5_bucket_sql("cluster_id")} < 80 THEN 'train'
-                WHEN {_md5_bucket_sql("cluster_id")} < 90 THEN 'val'
-                ELSE 'test' END AS split
-    FROM comp
-    """,
-)
-def leakage_safe_split(spark, sf_dir):
-    """Near-dup-aware train/val/test split: md5 bucket of the CLUSTER id
-    (3-gram Jaccard components, same clustering as `dedup_clusters`), so
-    a test document's near-duplicates can never land in train — the
-    eval-leakage failure mode a per-doc split has by construction. The
-    oracle recomputes the components with a recursive CTE and re-buckets
-    on the component label, verifying the transitive same-side property
-    end-to-end (pipeline/curation.py:leakage_safe_split)."""
-    from .pipeline import curation as CUR
-
-    return CUR.leakage_safe_split(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
-    ).orderBy("doc_id")
-
-
-@q(
-    "corpus_sample_stratified",
-    f"""
-    SELECT doc_id, source FROM documents
-    WHERE {_MD5_BUCKET_SQL} <
-          CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 40
-                      WHEN 'src2' THEN 20 ELSE 10 END
-    """,
-)
-def corpus_sample_stratified(spark, sf_dir):
-    """Deterministic per-source downsampling (mixture re-weighting): keep
-    a row iff its md5 bucket clears its stratum's fraction. A single
-    narrow filter — pipelines into the scan, shuffles nothing."""
-    from .pipeline import curation as CUR
-
-    return CUR.stratified_sample(
-        _t(spark, sf_dir, "documents"),
-        {"src0": 0.8, "src1": 0.4, "src2": 0.2},
-        default_fraction=0.1,
-    ).select("doc_id", "source")
-
-
-@q(
-    "corpus_shuffle_order",
-    """
-    SELECT doc_id,
-           row_number() OVER (
-             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-           ) AS shuffle_pos
-    FROM documents
-    """,
-)
-def corpus_shuffle_order(spark, sf_dir):
-    """Deterministic global pretraining order: rank by md5(doc_id).
-    Executes as a range-partitioned distributed sort."""
-    from .pipeline import curation as CUR
-
-    return CUR.global_shuffle_order(_t(spark, sf_dir, "documents"))
-
-
-@q(
-    "training_shard_manifest",
-    """
-    WITH o AS (
-      SELECT doc_id, n_chars,
-             row_number() OVER (
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-             ) - 1 AS pos
-      FROM documents)
-    SELECT CAST(pos // 64 AS BIGINT) AS shard_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS n_chars,
-           CAST(min(pos) AS BIGINT) AS first_pos,
-           CAST(max(pos) AS BIGINT) AS last_pos
-    FROM o GROUP BY 1
-    """,
-)
-def training_shard_manifest(spark, sf_dir):
-    """Export planning: the deterministic global shuffle order
-    (`corpus_shuffle_order`, two-phase bucketed rank — never a
-    single-partition sort) cut into fixed-64-doc shards, with the
-    per-shard doc/char totals and position range a shard writer records
-    in its manifest. Contiguous rank ranges mean each shard is one
-    `write.partitionBy(shard_id)` task's worth of SEQUENTIAL examples —
-    the layout a dataloader streams without seeking. One rank pass + one
-    shard-keyed agg."""
-    from .pipeline import curation as CUR
-
-    docs = _t(spark, sf_dir, "documents")
-    order = CUR.global_shuffle_order(docs)
-    j = order.join(docs.select("doc_id", "n_chars"), "doc_id").select(
-        (F.col("shuffle_pos") - 1).alias("pos"), "n_chars"
-    )
-    return (
-        j.groupBy(F.expr("pos div 64").cast("long").alias("shard_id"))
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("n_chars"),
-            F.min("pos").cast("long").alias("first_pos"),
-            F.max("pos").cast("long").alias("last_pos"),
-        )
-    )
-
-
-@q(
-    "sequence_packing",
-    r"""
-    WITH t AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(lower(trim(text)), '\s+'))
-             END AS n_tokens
-      FROM documents
-    )
-    SELECT doc_id, n_tokens,
-           CAST(floor((sum(n_tokens) OVER (
-                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT)
-             AS pack_id
-    FROM t
-    """,
-)
-def sequence_packing(spark, sf_dir):
-    """Concat-and-chunk packing into 512-token windows in deterministic
-    shuffle order: pack_id = window holding the doc's first token.
-    Bucketed two-phase prefix sum — never a single-partition window."""
-    from .pipeline import curation as CUR
-
-    return CUR.pack_sequences(_t(spark, sf_dir, "documents"), target_tokens=512)
-
-
-@q(
-    "batch_padding_report",
-    r"""
-    WITH t AS (
-      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
-                  END AS BIGINT) AS n_tokens
-      FROM documents),
-    rb AS (SELECT n_tokens,
-                  row_number() OVER (ORDER BY n_tokens // 64, k, doc_id)
-                    AS rn
-           FROM t),
-    rs AS (SELECT n_tokens,
-                  row_number() OVER (ORDER BY k, doc_id) AS rn
-           FROM t),
-    bb AS (SELECT (rn - 1) // 16 AS b, count(*) AS c,
-                  max(n_tokens) AS mx, sum(n_tokens) AS sm
-           FROM rb GROUP BY 1),
-    bs AS (SELECT (rn - 1) // 16 AS b, count(*) AS c,
-                  max(n_tokens) AS mx, sum(n_tokens) AS sm
-           FROM rs GROUP BY 1)
-    SELECT 'length_bucketed' AS strategy,
-           CAST(count(*) AS BIGINT) AS n_batches,
-           CAST(sum(c * mx) AS BIGINT) AS padded_tokens,
-           CAST(sum(c * mx) - sum(sm) AS BIGINT) AS waste_tokens,
-           CAST((sum(c * mx) - sum(sm)) * 1000000 // sum(c * mx)
-                AS BIGINT) AS waste_ppm
-    FROM bb
-    UNION ALL
-    SELECT 'shuffled',
-           CAST(count(*) AS BIGINT),
-           CAST(sum(c * mx) AS BIGINT),
-           CAST(sum(c * mx) - sum(sm) AS BIGINT),
-           CAST((sum(c * mx) - sum(sm)) * 1000000 // sum(c * mx)
-                AS BIGINT)
-    FROM bs
-    """,
-)
-def batch_padding_report(spark, sf_dir):
-    """Dynamic-padding batch waste, shuffled vs length-bucketed loader
-    order (pipeline/curation.py:batch_padding_report): batches of 16 pad
-    to their max member, and bucketing by ⌊n_tokens/64⌋ collapses the
-    padding — the report quantifies by how much, in exact integers. Both
-    global ranks are the 256-way two-phase prefix, never a
-    single-partition sort."""
-    from .pipeline import curation as CUR
-
-    return CUR.batch_padding_report(
-        _t(spark, sf_dir, "documents"), batch_size=16, bucket_width=64
-    )
-
-
-@q(
-    "pii_redact",
-    r"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS redacted
-    FROM documents
-    """,
-)
-def pii_redact(spark, sf_dir):
-    """Email/phone redaction — codegen regexp_replace, ASCII-anchored so
-    Java regex and DuckDB's RE2 agree byte-for-byte."""
-    from .pipeline import curation as CUR
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", CUR.redact_pii("text").alias("redacted"))
-
-
-@q(
-    "corpus_mixture_weighted",
-    f"""
-    WITH b AS (
-      SELECT doc_id, source, {_MD5_BUCKET_SQL} AS bucket FROM documents
-      WHERE source IN ('src0', 'src1')
-    ), n AS (
-      SELECT doc_id, source,
-             CASE WHEN source = 'src0'
-                  THEN 2 + CASE WHEN bucket < 30 THEN 1 ELSE 0 END
-                  ELSE CASE WHEN bucket < 50 THEN 1 ELSE 0 END
-             END AS n_copies
-      FROM b
-    )
-    SELECT doc_id, source,
-           unnest(generate_series(0, CAST(n_copies - 1 AS BIGINT))) AS copy
-    FROM n WHERE n_copies > 0
-    """,
-)
-def corpus_mixture_weighted(spark, sf_dir):
-    """Mixture re-weighting, both directions at once: the high-quality
-    source (src0) is epoch-upsampled 2.3x (every doc twice, a stable 30%
-    thrice), the bulk source (src1) is downsampled to 0.5x — all md5-
-    deterministic, no rand(), so the assembled corpus is identical on
-    every re-run and every partitioning."""
-    from .pipeline import curation as CUR
-
-    docs = _t(spark, sf_dir, "documents")
-    up = CUR.upsample_repeat(
-        docs.filter(F.col("source") == "src0"), 2.3
-    ).select("doc_id", "source", "copy")
-    down = (
-        CUR.stratified_sample(docs, {"src1": 0.5}, default_fraction=0.0)
-        .select("doc_id", "source", F.lit(0).alias("copy"))
-    )
-    return up.unionByName(down)
-
-
-@q(
-    "duplicate_reweighting",
-    _CLUSTERS_ORACLE.replace(
-        "SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node",
-        """, lab AS (
-      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
-    SELECT doc_id, cluster_id,
-           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-             AS cluster_size,
-           CAST(1000000 // count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-             AS weight_ppm""",
-    )
-    + " FROM lab",
-)
-def duplicate_reweighting(spark, sf_dir):
-    """Soft dedup: instead of dropping near-duplicates, weight every doc
-    by 1/|its near-dup cluster| (integer ppm) so each duplicate FAMILY
-    contributes one doc-equivalent to the training mix — the
-    reweighting alternative to hard removal that keeps rare phrasing
-    variants while killing the over-representation. Rides the memoized
-    star-CC labels (same clusters the dedup queries pin against the
-    recursive-CTE oracle); the size count is one cluster-KEYED window
-    over the label table — label-table-sized work, never corpus-sized."""
-    labels = dedup_clusters_star(spark, sf_dir)
-    w = Window.partitionBy("cluster_id")
-    size = F.count("*").over(w)
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        size.cast("long").alias("cluster_size"),
-        F.floor(F.lit(1000000) / size).cast("long").alias("weight_ppm"),
-    )
-
-
-@q("minhash_dedup_pairs_estimate", _minhash_oracle_sql(estimate=True))
-def minhash_dedup_pairs_estimate(spark, sf_dir):
-    """The 100 TB mode of MinHash dedup: Jaccard estimated from signature
-    agreement — nothing larger than the 8*k-byte signatures is ever
-    shuffled (exact_verify re-joins shingle arrays; this doesn't). Full
-    oracle via the md5 hash family: DuckDB recomputes the signatures and
-    the per-position agreement count exactly."""
-    d = _t(spark, sf_dir, "documents")
-    out = DD.minhash_dedup_pairs(
-        d, threshold=0.5, exact_verify=False, hash_family="md5"
-    )
-    return out.select(
-        "id_a", "id_b", F.round("jaccard", 3).alias("jaccard_est")
-    )
-
-
-@q(
-    "stream_static_enrich",
-    """
-    SELECT e.event_id, e.user_id,
-           CASE e.user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
-                ELSE 'bronze' END AS tier
-    FROM events e
-    """,
-)
-def stream_static_enrich(spark, sf_dir):
-    """Stream-static enrichment (batch mode; the streaming run of the SAME
-    function is pinned equal in tests/test_streaming.py): every event
-    left-joins a broadcast user-tier dimension — zero stream state."""
-    from .streaming.windows import static_enrich
-
-    ev = _t(spark, sf_dir, "events")
-    dim = ev.select("user_id").distinct().withColumn(
-        "tier",
-        F.when(F.col("user_id") % 3 == 0, "gold")
-        .when(F.col("user_id") % 3 == 1, "silver")
-        .otherwise("bronze"),
-    )
-    return static_enrich(ev, dim).select("event_id", "user_id", "tier")
-
-
-@q(
-    "hypertable_rollup_day",
-    """
-    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
-           event_type AS key,
-           count(*) AS n_events,
-           round(sum(value), 3) AS sum_value,
-           min(value) AS min_value,
-           max(value) AS max_value,
-           round(round(sum(value), 3) / count(*), 3) AS avg_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def hypertable_rollup_day(spark, sf_dir):
-    """Hypertable continuous aggregate: materialize an HOURLY rollup of
-    events (mergeable partials only, Hive-partitioned by day), then
-    re-aggregate the rollup to DAY grain without touching the raw table.
-    The oracle states the day grain directly over raw events — equality
-    proves the partials merge losslessly (avg derived from merged
-    sum/count, never stored)."""
-    from .operators import rollup_hypertable as HT
-
-    # the hourly rollup is a continuous aggregate: materialized ONCE per
-    # corpus version (memo store), queried many times — the timed region
-    # measures the hypertable value proposition (re-aggregate the rollup),
-    # not rebuilding it per call (r9 timed-region purity)
-    dest = MEMO.layout_memo(
-        "rollup_hour",
-        sf_dir,
-        ["events"],
-        lambda tmp: HT.build_rollup(
-            _t(spark, sf_dir, "events"), tmp, bucket="1 hour"
-        ),
-        markers=["_SUCCESS"],
-    )
-    day = HT.reaggregate(HT.read_rollup(spark, dest), grain="1 day")
-    # avg restated from the ROUNDED sum on both sides: the merged-partial
-    # sum and the oracle's single-pass sum can differ in the last double
-    # bit, which flips round(.,3) at an x.xxx5 boundary — rounding first
-    # pins both engines to the identical dividend.
-    return day.select(
-        "bucket_start",
-        "key",
-        "n_events",
-        F.round("sum_value", 3).alias("sum_value"),
-        "min_value",
-        "max_value",
-        F.round(F.round("sum_value", 3) / F.col("n_events"), 3).alias("avg_value"),
-    )
-
-
-# =====================================================================
-# Benchmark decontamination (n-gram overlap vs a held-out eval set)
-# =====================================================================
-
-# Deterministic benchmark subset: md5 buckets 0-4 (5% of docs) play the
-# held-out eval set; the remaining 95% are the training corpus.
-_DECONTAM_CTES = f"""
-    WITH s AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
-    ),
-    bench AS (
-      SELECT DISTINCT unnest(sh) AS g FROM s WHERE {_MD5_BUCKET_SQL} < 5
-    ),
-    train AS (SELECT doc_id, sh FROM s WHERE {_MD5_BUCKET_SQL} >= 5),
-    tg AS (SELECT doc_id, unnest(sh) AS g FROM train),
-    hits AS (
-      SELECT doc_id, count(*) AS overlap_ngrams
-      FROM tg JOIN bench USING (g) GROUP BY doc_id
-    )
-"""
-
-
-@q(
-    "curation_pipeline_e2e",
-    f"""
-    WITH pool AS (
-      SELECT * FROM documents WHERE {_MD5_BUCKET_SQL} >= 5),
-    w AS (
-      SELECT doc_id, text,
-             regexp_extract_all(trim(text), '\\S+') AS words
-      FROM pool),
-    m AS (
-      SELECT doc_id,
-             len(words) AS nw,
-             round(length(regexp_replace(text, '\\s+', '', 'g'))
-                   / greatest(len(words), 1), 3) AS mwl,
-             round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
-                   / greatest(len(words), 1), 4) AS swr,
-             round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
-                   / greatest(len(words), 1), 3) AS awf,
-             len(list_filter(['the','be','to','of','and','that','have','with'],
-                             s -> list_contains(words, s))) AS hits
-      FROM w),
-    quality AS (
-      SELECT doc_id FROM m
-      WHERE nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
-        AND swr <= 0.10 AND awf >= 0.80 AND hits >= 1),
-    fp AS (
-      SELECT p.doc_id,
-             md5(regexp_replace(lower(trim(p.text)), '\\s+', ' ', 'g')) AS f
-      FROM pool p JOIN quality q USING (doc_id)),
-    canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-    s AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
-    bench AS (
-      SELECT DISTINCT unnest(sh) AS g FROM s WHERE {_MD5_BUCKET_SQL} < 5),
-    tg AS (SELECT s.doc_id, unnest(s.sh) AS g
-           FROM s JOIN canon USING (doc_id)),
-    dirty AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bench USING (g)),
-    clean AS (SELECT doc_id FROM canon
-              WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
-    SELECT d.source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
-    FROM documents d JOIN clean USING (doc_id)
-    GROUP BY d.source
-    """,
-)
-def curation_pipeline_e2e(spark, sf_dir):
-    """FLAGSHIP composition — the whole curation recipe as ONE lazy plan:
-    quality gate (Gopher rules, scan-bound projection) → exact dedup
-    (min-id canonical, fingerprint groupBy) → benchmark decontamination
-    (3-gram overlap vs the md5-bucket<5 held-out set, bench side reduced
-    to a broadcast hash set) → per-source survival report. Each stage
-    narrows the corpus before the next pays for it (the deduped pool is
-    the one pinned intermediate: decontam, the clean semi-join and the
-    report all consume it) and every stage's semantics are individually
-    oracle-pinned
-    (gopher_quality_flags / dedup_exact_* / decontam_clean), so this row
-    verifies their COMPOSITION end-to-end."""
-    from .pipeline import decontam as DC
-    from .pipeline import heuristics as HEU
-    from .pipeline.curation import md5_bucket
-
-    docs = _t(spark, sf_dir, "documents")
-    b = md5_bucket("doc_id", 100)
-    pool = docs.filter(b >= 5)
-    bench = docs.filter(b < 5)
-    keep = (
-        HEU.gopher_quality_flags(pool, min_stopword_hits=1)
-        .filter("keep")
-        .select("doc_id")
-    )
-    quality = pool.join(keep, "doc_id", "left_semi")
-    # the deduped pool has 3+ consumers (decontam's n-gram pass, the
-    # clean semi-join, the final agg) and its subtree re-runs the
-    # quality gate + dedup joins per consumer — pin it once
-    deduped = DD._persist(DD.exact_dedup(quality))
-    flags = DC.ngram_overlap_contamination(
-        deduped, bench, n=3, min_overlap=1
-    )
-    clean = deduped.join(
-        flags.filter(~F.col("contaminated")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
-    return clean.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("n_chars"),
-    )
-
-
-@q(
-    "decontam_overlap",
-    _DECONTAM_CTES
-    + """
-    SELECT tr.doc_id,
-           CAST(len(tr.sh) AS BIGINT) AS n_ngrams,
-           CAST(coalesce(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
-           round(coalesce(h.overlap_ngrams, 0)
-                 / CAST(len(tr.sh) AS DOUBLE), 6) AS overlap_frac,
-           coalesce(h.overlap_ngrams, 0) >= 1 AS contaminated
-    FROM train tr LEFT JOIN hits h USING (doc_id)
-    """,
-)
-def decontam_overlap(spark, sf_dir):
-    """GPT-3/PaLM-style benchmark decontamination stats: per training doc,
-    how many distinct word 3-grams it shares with the held-out benchmark
-    subset (md5 buckets 0-4). The benchmark side is reduced to its distinct
-    8-byte n-gram hash set and broadcast — corpus text never shuffles."""
-    from .pipeline import decontam as DC
-    from .pipeline.curation import md5_bucket
-
-    docs = _t(spark, sf_dir, "documents")
-    b = md5_bucket("doc_id", 100)
-    return DC.ngram_overlap_contamination(
-        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=1
-    )
-
-
-@q(
-    "decontam_clean",
-    _DECONTAM_CTES
-    + """
-    SELECT d.doc_id, d.n_chars FROM documents d
-    JOIN train tr ON d.doc_id = tr.doc_id
-    WHERE d.doc_id NOT IN
-          (SELECT doc_id FROM hits WHERE overlap_ngrams >= 2)
-    """,
-)
-def decontam_clean(spark, sf_dir):
-    """Decontaminated training corpus at min_overlap=2 (anti-join on the
-    flagged id set; rows pass through untouched)."""
-    from .pipeline import decontam as DC
-    from .pipeline.curation import md5_bucket
-
-    docs = _t(spark, sf_dir, "documents")
-    b = md5_bucket("doc_id", 100)
-    return DC.decontaminate(
-        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2
-    ).select("doc_id", "n_chars")
-
-
-@q(
-    "semantic_decontam",
-    f"""
-    WITH b AS (SELECT vec_id, embedding FROM embeddings
-               WHERE vec_id % 20 = 0),
-    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
-    s AS (
-      SELECT c.vec_id,
-             round({_DOT_SQL.format(a="c.embedding", b="b.embedding")}
-                   / ({_NORM_SQL.format(a="c.embedding")}
-                      * {_NORM_SQL.format(a="b.embedding")}), 4) AS c4
-      FROM c, b)
-    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
-           max(c4) AS max_cosine
-    FROM s WHERE c4 >= 0.4 GROUP BY vec_id
-    """,
-)
-def semantic_decontam_report(spark, sf_dir):
-    """Embedding-space contamination report — catches paraphrased
-    benchmark leakage that shares no surface n-grams with the eval set
-    (the case `decontam_overlap` is blind to). The %20==0 shard plays
-    the benchmark; for each corpus vector colliding at cosine ≥ 0.4 the
-    report gives its hit count and strongest collision. Only the bounded
-    benchmark matrix is broadcast; the corpus streams through one Arrow
-    matmul scan, no corpus-side shuffle before the flagged-rows agg
-    (pipeline/decontam.py:semantic_decontam)."""
-    from .pipeline import decontam as DC
-
-    emb = _t(spark, sf_dir, "embeddings")
-    bench = emb.filter(F.col("vec_id") % 20 == 0)
-    corpus = emb.filter(F.col("vec_id") % 20 != 0)
-    return DC.semantic_decontam(corpus, bench, threshold=0.4).orderBy(
-        "vec_id"
-    )
-
-
-# =====================================================================
-# Boilerplate line removal (corpus-frequency line dedup, CCNet-style)
-# =====================================================================
-
-# The fixture corpus has no newlines, so the query plants them: a footer
-# on every doc_id % 7 == 0 and a header on every doc_id % 11 == 0 —
-# deterministic, restated identically in the oracle. The operator then has
-# real multi-line docs with genuinely corpus-frequent lines to find.
-
-
-def _bp_corpus(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    t1 = F.when(
-        F.col("doc_id") % 11 == 0,
-        F.concat(F.lit(_BP_HEADER + "\n"), F.col("text")),
-    ).otherwise(F.col("text"))
-    t2 = F.when(
-        F.col("doc_id") % 7 == 0, F.concat(t1, F.lit("\n" + _BP_FOOTER))
-    ).otherwise(t1)
-    return d.select("doc_id", t2.alias("text"))
-
-
-@q(
-    "boilerplate_lines",
-    f"""
-    WITH {_BP_DOC2_SQL},
-    segs AS (
-      SELECT doc_id,
-             unnest(string_split(text, chr(10))) AS seg
-      FROM doc2
-    )
-    SELECT md5(regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')) AS h,
-           count(DISTINCT doc_id) AS ndocs,
-           min(seg) AS example
-    FROM segs
-    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
-    """,
-)
-def boilerplate_lines(spark, sf_dir):
-    """Corpus-frequent line inventory: normalized lines appearing in >= 3
-    distinct docs (the planted header/footer, here)."""
-    from .pipeline import curation as CUR
-
-    return CUR.boilerplate_line_stats(_bp_corpus(spark, sf_dir), min_docs=3)
-
-
-@q(
-    "boilerplate_removal",
-    f"""
-    WITH {_BP_DOC2_SQL},
-    lists AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc2),
-    segs AS (
-      SELECT doc_id, unnest(l) AS seg,
-             unnest(range(1, len(l) + 1)) AS pos
-      FROM lists
-    ),
-    hs AS (
-      SELECT doc_id, pos, seg,
-             md5(regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')) AS h
-      FROM segs
-    ),
-    freq AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM hs GROUP BY h),
-    kept AS (SELECT doc_id, pos, seg
-             FROM hs JOIN freq USING (h) WHERE ndocs < 3),
-    ka AS (
-      SELECT doc_id, count(*) AS n_kept,
-             md5(string_agg(seg, chr(10) ORDER BY pos)) AS cleaned_md5
-      FROM kept GROUP BY doc_id
-    ),
-    tot AS (SELECT doc_id, count(*) AS n_segments FROM hs GROUP BY doc_id)
-    SELECT d.doc_id,
-           CAST(tt.n_segments AS BIGINT) AS n_segments,
-           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-           coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
-    FROM doc2 d
-    JOIN tot tt USING (doc_id)
-    LEFT JOIN ka k USING (doc_id)
-    """,
-)
-def boilerplate_removal(spark, sf_dir):
-    """CCNet-style boilerplate strip over the planted corpus: lines in
-    >= 3 distinct docs are dropped, survivors rejoin in original order.
-    cleaned_md5 hashes the reassembled text so the oracle verifies exact
-    reconstruction without shipping full documents through the compare."""
-    from .pipeline import curation as CUR
-
-    out = CUR.remove_boilerplate_lines(_bp_corpus(spark, sf_dir), min_docs=3)
-    return out.select(
-        "doc_id", "n_segments", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
-    )
-
-
-@q(
-    "paragraph_dedup",
-    f"""
-    WITH {_BP_DOC2_SQL},
-    lists AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc2),
-    segs AS (
-      SELECT doc_id, unnest(l) AS seg,
-             unnest(range(1, len(l) + 1)) AS pos
-      FROM lists
-    ),
-    hs AS (
-      SELECT doc_id, pos, seg,
-             md5(regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')) AS h
-      FROM segs
-    ),
-    ranked AS (
-      SELECT doc_id, pos, seg,
-             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-      FROM hs
-    ),
-    kept AS (SELECT doc_id, pos, seg FROM ranked WHERE rn = 1),
-    ka AS (
-      SELECT doc_id, count(*) AS n_kept,
-             md5(string_agg(seg, chr(10) ORDER BY pos)) AS cleaned_md5
-      FROM kept GROUP BY doc_id
-    ),
-    tot AS (SELECT doc_id, count(*) AS n_segments FROM hs GROUP BY doc_id)
-    SELECT t.doc_id,
-           CAST(t.n_segments AS BIGINT) AS n_segments,
-           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-           coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
-    FROM tot t LEFT JOIN ka k USING (doc_id)
-    """,
-)
-def paragraph_dedup(spark, sf_dir):
-    """Corpus-wide keep-first paragraph dedup over the planted corpus:
-    the header/footer lines (and any cross-doc duplicate lines in the
-    underlying fixture) survive only in their lowest-(doc_id, pos)
-    occurrence; every doc is reassembled from its surviving lines.
-    cleaned_md5 hashes the reassembly so the oracle checks exact
-    reconstruction without shipping text through the compare."""
-    from .pipeline import curation as CUR
-
-    out = CUR.dedup_paragraphs(_bp_corpus(spark, sf_dir))
-    return out.select(
-        "doc_id", "n_segments", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
-    )
-
-
-# =====================================================================
-# Semantic dedup (SemDeDup-style cluster + cosine prune)
-# =====================================================================
-
-@q(
-    "semantic_dedup",
-    f"""
-    WITH p AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
-                  / ({_NORM_SQL.format(a="a.embedding")}
-                     * {_NORM_SQL.format(a="b.embedding")}), 4) >= 0.4
-    ),
-    d AS (SELECT id_b AS vec_id, min(id_a) AS rep FROM p GROUP BY id_b)
-    SELECT e.vec_id, e.label AS cluster_id,
-           d.rep IS NOT NULL AS is_dup,
-           coalesce(d.rep, e.vec_id) AS rep_id
-    FROM embeddings e LEFT JOIN d USING (vec_id)
-    """,
-)
-def semantic_dedup(spark, sf_dir):
-    """SemDeDup over the fixture's label clusters: within-cluster pairs at
-    cosine ≥ 0.4 (round-4, same FP-parity trick as embedding_dup_pairs)
-    mark the higher id a dup of its minimum lower-id neighbor. The oracle
-    restates the full greedy min-id rule in SQL."""
-    return DD.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"),
-        cluster_col="label",
-        threshold=0.4,
-        cosine_round=4,
-    )
-
-
-def _semantic_kmeans_oracle_sql(iters: int = 2) -> str:
-    """Unrolled spherical k-means in SQL (the PageRank precedent applied
-    to Lloyd): seeded init centroids as literals, then per iteration —
-    argmax-cosine assignment, per-(cluster, dim) mean, renormalize,
-    empty clusters keep their previous direction — exactly
-    `similarity.kmeans_centroids`. The final assignment feeds the same
-    greedy min-id SemDeDup rule the label-clustered variant already
-    oracles. Twins come from the cyclic-perturbation planter
-    (`dedup.plant_embedding_twins_cyclic`), a pure column expression."""
-    ldot = (
-        "list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
-    )
-    lnorm = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
-    iter_ctes = []
-    prev = "c0"
-    for i in range(1, iters + 1):
-        iter_ctes.append(f"""
-    a{i} AS (
-      SELECT vec_id, c FROM (
-        SELECT w.vec_id, {prev}.c,
-               row_number() OVER (PARTITION BY w.vec_id
-                                  ORDER BY {ldot.format(a="w.wv", b=prev + ".cv")} DESC,
-                                           {prev}.c) AS rn
-        FROM w, {prev}) WHERE rn = 1
-    ),
-    m{i} AS (
-      SELECT a{i}.c, j.j, avg(w.wv[j.j]) AS m
-      FROM a{i} JOIN w USING (vec_id),
-           (SELECT unnest(range(1, 65)) AS j) j
-      GROUP BY 1, 2
-    ),
-    mv{i} AS (SELECT c, list(m ORDER BY j) AS mv FROM m{i} GROUP BY c),
-    c{i} AS (
-      SELECT {prev}.c,
-             CASE WHEN mv{i}.c IS NOT NULL
-                       AND {lnorm.format(a=f"mv{i}.mv")} > 0
-                  THEN list_transform(mv{i}.mv,
-                         x -> x / {lnorm.format(a=f"mv{i}.mv")})
-                  ELSE {prev}.cv END AS cv
-      FROM {prev} LEFT JOIN mv{i} ON mv{i}.c = {prev}.c
-    )""")
-        prev = f"c{i}"
-    return f"""
-    WITH raw AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(x AS DOUBLE) / {_NORM_SQL.format(a="embedding")})
-               AS v
-      FROM embeddings
-    ),
-    inflated AS (
-      SELECT vec_id, v FROM raw
-      UNION ALL
-      SELECT vec_id + 1000000,
-             list_transform(pv,
-               x -> x / sqrt(list_sum(list_transform(pv, y -> y * y))))
-      FROM (
-        SELECT vec_id,
-               list_transform(list_zip(v, v[2:64] || v[1:1]),
-                              z -> z[1] + 0.0125 * z[2]) AS pv
-        FROM raw)
-    ),
-    w AS (
-      SELECT vec_id,
-             list_transform(v,
-               x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
-               AS wv
-      FROM inflated
-    ),
-    c0(c, cv) AS (VALUES
-        {_ivf_cents_sql(n_centroids=16, dim=64, seed=42)}),
-    {",".join(iter_ctes)},
-    final AS (
-      SELECT vec_id, c FROM (
-        SELECT w.vec_id, {prev}.c,
-               row_number() OVER (PARTITION BY w.vec_id
-                                  ORDER BY {ldot.format(a="w.wv", b=prev + ".cv")} DESC,
-                                           {prev}.c) AS rn
-        FROM w, {prev}) WHERE rn = 1
-    ),
-    cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM final a JOIN final b
-        ON a.c = b.c AND a.vec_id < b.vec_id
-    ),
-    dups AS (
-      SELECT id_b AS id, min(id_a) AS rep FROM (
-        SELECT cand.id_a, cand.id_b,
-               round({ldot.format(a="wa.wv", b="wb.wv")}, 4) AS cr
-        FROM cand
-        JOIN w wa ON wa.vec_id = cand.id_a
-        JOIN w wb ON wb.vec_id = cand.id_b)
-      WHERE cr >= 0.95 GROUP BY 1
-    )
-    SELECT f.vec_id, f.c AS cluster_id, TRUE AS is_dup, d.rep AS rep_id
-    FROM final f JOIN dups d ON d.id = f.vec_id
-    ORDER BY f.vec_id
-    """
-
-
-@q("semantic_dedup_kmeans", _semantic_kmeans_oracle_sql())
-def semantic_dedup_kmeans(spark, sf_dir):
-    """The self-clustering path: spherical k-means (16 centroids, 2 Lloyd
-    iterations, seeded) + within-cluster cosine prune at 0.95 over the
-    twin-planted corpus (cyclic-perturbation planter, cos ≈ 0.9999
-    pairs). Recall contract pinned in tests/test_pipeline.py: every
-    planted twin whose pair lands in the same cluster is marked is_dup
-    with rep_id = its original — misses are bounded by cluster-boundary
-    splits, the documented SemDeDup trade-off. Full oracle (was
-    rows-only): fixed-seed fixed-iteration Lloyd unrolls in SQL — init
-    literals, two assignment/mean/renormalize rounds, then the greedy
-    min-id rule, all replayed by DuckDB."""
-    inflated = DD.plant_embedding_twins_cyclic(_t(spark, sf_dir, "embeddings"))
-    return (
-        DD.semantic_dedup(
-            inflated,
-            n_clusters=16,
-            kmeans_iters=2,
-            threshold=0.95,
-            cosine_round=4,
-        )
-        .filter(F.col("is_dup"))
-        .orderBy("vec_id")
-    )
-
-
-# =====================================================================
-# Embedding int8 quantization
-# =====================================================================
-
-@q(
-    "embedding_quantize_error",
-    """
-    WITH v AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ),
-    s AS (
-      SELECT vec_id, e,
-             CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0
-                  THEN 1.0
-                  ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
-             END AS scale
-      FROM v
-    ),
-    qz AS (
-      SELECT vec_id, e, scale,
-             list_transform(e, x -> round(x / scale)) AS q
-      FROM s
-    ),
-    er AS (
-      SELECT vec_id, scale, len(e) AS dim,
-             list_transform(range(1, len(e) + 1),
-                            i -> e[i] - q[i] * scale) AS err
-      FROM qz
-    )
-    SELECT vec_id,
-           CAST(dim AS BIGINT) AS dim,
-           round(scale, 9) AS scale_r,
-           CAST(list_sum(list_transform(err,
-                x -> CAST(round(x * x * 1e12) AS BIGINT))) AS BIGINT)
-             AS sq_err_pico,
-           list_sum(list_transform(err,
-                x -> CAST(round(x * x * 1e12) AS BIGINT))) / 1e12 / dim
-             AS mse,
-           round(list_max(list_transform(err, x -> abs(x))), 9)
-             AS max_abs_err
-    FROM er
-    """,
-)
-def embedding_quantize_error(spark, sf_dir):
-    """Per-vector int8 quantization + reconstruction-error profile
-    (scale = max|x|/127, q = round(x/scale)); squared errors reduce as
-    exact integer picos so the oracle comparison is order-independent."""
-    from .pipeline import quantize as QZ
-
-    return QZ.quantization_error(_t(spark, sf_dir, "embeddings"))
-
-
-@q(
-    "ann_topk_int8",
-    """
-    WITH v AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings),
-    n AS (
-      SELECT vec_id,
-             list_transform(
-               e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))
-             ) AS u
-      FROM v),
-    s AS (
-      SELECT vec_id, u,
-             CASE WHEN list_max(list_transform(u, x -> abs(x))) = 0
-                  THEN 1.0
-                  ELSE list_max(list_transform(u, x -> abs(x))) / 127.0
-             END AS scale
-      FROM n),
-    qz AS (
-      SELECT vec_id, scale,
-             list_transform(u, x -> CAST(round(x / scale) AS BIGINT)) AS q
-      FROM s),
-    pairs AS (
-      SELECT qq.vec_id AS query_id, cc.vec_id AS nid,
-             CAST(list_sum(list_transform(
-                    range(1, len(cc.q) + 1), i -> cc.q[i] * qq.q[i]
-                  )) AS BIGINT) * cc.scale * qq.scale AS score
-      FROM qz cc, qz qq
-      WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id),
-    r AS (
-      SELECT query_id, nid, score,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, nid) AS rnk
-      FROM pairs)
-    SELECT query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
-           round(score, 4) AS score
-    FROM r WHERE rnk <= 5
-    """,
-)
-def ann_topk_int8(spark, sf_dir):
-    """Quantized brute-force cosine top-5 for 10 query vectors — the int8
-    scan path whose recall vs the exact scan is pinned in pytest.
-
-    Full oracle (was rows-only): the quantization is deterministic
-    per-vector arithmetic — unit-normalize, scale = max|u|/127,
-    q = round(u/scale) — and the int64 dot products are exact, so DuckDB
-    restates the entire ranking; score ties are exact double equalities
-    (same idot·scale·scale multiplies), broken by neighbor id on both
-    sides. The quantize-agreement precedent is `embedding_quantize_error`,
-    whose hash-matched pico errors already pin round(x/scale) parity."""
-    from .pipeline import quantize as QZ
-
-    emb = _t(spark, sf_dir, "embeddings")
-    out = QZ.topk_int8(emb, emb.filter(F.col("vec_id") < 10), k=5)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-# blocking-recall audit: above this many a-side query points the exact
-# truth leg runs on a deterministic md5-sampled slice of that size —
-# caps the quadratic leg at cap x |B| (linear). sf0.01 (250) and sf0.1
-# (1000) stay below it, so oracle and bench semantics are FULL truth.
-_BLOCKING_TRUTH_CAP = 1000
-
-_BINARY_PACK_DUCK = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] > 0 THEN "
-    + (
-        "CAST(-9223372036854775808 AS BIGINT)"
-        if i == 63
-        else f"CAST({1 << i} AS BIGINT)"
-    )
-    + " ELSE CAST(0 AS BIGINT) END)"
-    for i in range(64)
-)
-
-
-@q(
-    "ann_topk_binary",
-    f"""
-    WITH s AS (
-      SELECT vec_id, {_BINARY_PACK_DUCK} AS w
-      FROM embeddings),
-    pairs AS (
-      SELECT qq.vec_id AS query_id, cc.vec_id AS nid,
-             bit_count(xor(cc.w, qq.w)) AS hamming
-      FROM s cc, s qq
-      WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id),
-    r AS (
-      SELECT query_id, nid, hamming,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY hamming ASC, nid) AS rnk
-      FROM pairs)
-    SELECT query_id, nid AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
-           CAST(hamming AS BIGINT) AS hamming
-    FROM r WHERE rnk <= 5
-    """,
-)
-def ann_topk_binary(spark, sf_dir):
-    """1-bit sign-quantized Hamming top-5 for 10 query vectors — the
-    extreme point of the quantization ladder (float64 scan →
-    `ann_topk_int8` → PQ codes → ONE int64 word per vector, 64x
-    compression). bit_count(xor) ranking with neighbor-id ties; exact
-    integer arithmetic end to end, so the oracle restates the entire
-    ranking. Twin-recall contract (binary top-1 finds the planted
-    cosine-0.995 twin) pinned in tests/test_pipeline.py; a production
-    deployment scans these words as the coarse filter and reranks the
-    survivors with exact cosine."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.binary_sign_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.col("hamming").cast("long").alias("hamming"),
-    )
-
-
-@q(
-    "ann_topk_binary_rerank",
-    f"""
-    WITH s AS (
-      SELECT vec_id, embedding, {_BINARY_PACK_DUCK} AS w
-      FROM embeddings),
-    cand AS (
-      SELECT query_id, nid FROM (
-        SELECT qq.vec_id AS query_id, cc.vec_id AS nid,
-               row_number() OVER (
-                 PARTITION BY qq.vec_id
-                 ORDER BY bit_count(xor(cc.w, qq.w)) ASC, cc.vec_id
-               ) AS crnk
-        FROM s cc, s qq
-        WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id)
-      WHERE crnk <= 20),
-    scored AS (
-      SELECT c.query_id, c.nid,
-             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
-               / ({_NORM_SQL.format(a="e.embedding")}
-                  * {_NORM_SQL.format(a="q.embedding")}) AS score
-      FROM cand c
-      JOIN embeddings e ON e.vec_id = c.nid
-      JOIN embeddings q ON q.vec_id = c.query_id)
-    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
-      SELECT query_id, nid AS neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, nid) AS rnk,
-             score
-      FROM scored) WHERE rnk <= 5
-    """,
-)
-def ann_topk_binary_rerank(spark, sf_dir):
-    """Two-stage binary ANN, the deployment shape: 64x-compressed
-    Hamming scan keeps the top-20 candidates per query, exact cosine
-    reranks ONLY those to the final top-5. The coarse stage touches 16
-    bytes/vector; the float vectors are fetched for |queries|*20 rows by
-    id — never a second full scan. Full oracle end to end (exact-integer
-    coarse ranking + the proven dot/norm cosine restatement); recall vs
-    the exact scan pinned in pytest."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.binary_rerank_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, coarse_k=20
-    )
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-@q(
-    "ann_mutual_knn_binary",
-    f"""
-    WITH s AS (
-      SELECT vec_id, {_BINARY_PACK_DUCK} AS w FROM embeddings),
-    fwd AS (
-      SELECT qq.vec_id AS qa, cc.vec_id AS nb,
-             bit_count(xor(cc.w, qq.w)) AS hamming,
-             row_number() OVER (
-               PARTITION BY qq.vec_id
-               ORDER BY bit_count(xor(cc.w, qq.w)) ASC, cc.vec_id
-             ) AS rnk
-      FROM s cc, s qq
-      WHERE qq.vec_id % 2 = 0 AND cc.vec_id % 2 = 1),
-    bwd AS (
-      SELECT qq.vec_id AS qb, cc.vec_id AS na,
-             row_number() OVER (
-               PARTITION BY qq.vec_id
-               ORDER BY bit_count(xor(cc.w, qq.w)) ASC, cc.vec_id
-             ) AS rnk
-      FROM s cc, s qq
-      WHERE qq.vec_id % 2 = 1 AND cc.vec_id % 2 = 0)
-    SELECT f.qa AS id_a, f.nb AS id_b,
-           CAST(f.rnk AS BIGINT) AS rank_ab,
-           CAST(b.rnk AS BIGINT) AS rank_ba,
-           CAST(f.hamming AS BIGINT) AS hamming
-    FROM fwd f
-    JOIN bwd b ON b.qb = f.nb AND b.na = f.qa
-    WHERE f.rnk <= 5 AND b.rnk <= 5
-    """,
-)
-def ann_mutual_knn_binary(spark, sf_dir):
-    """Mutual k-NN pair mining between two corpora (the even / odd
-    vec_id halves stand in for the two languages' embedding sets) in
-    1-bit Hamming space: (a, b) survives only if each is in the other's
-    top-5 — the reciprocity filter that kills hub vectors in
-    bitext/parallel-pair mining (Artetxe & Schwenk 2019). Two 16-byte
-    Hamming scans + one join on the reversed pair; exact integer
-    arithmetic end to end, full oracle."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.mutual_knn_hamming(
-        emb.filter(F.col("vec_id") % 2 == 0),
-        emb.filter(F.col("vec_id") % 2 == 1),
-        k=5,
-    )
-    return out.select(
-        "id_a",
-        "id_b",
-        F.col("rank_ab").cast("long").alias("rank_ab"),
-        F.col("rank_ba").cast("long").alias("rank_ba"),
-        F.col("hamming").cast("long").alias("hamming"),
-    )
-
-
-@q(
-    "ann_mutual_knn_binary_bucketed",
-    f"""
-    WITH s AS (
-      SELECT vec_id, {_BINARY_PACK_DUCK} AS w FROM embeddings),
-    a AS (SELECT vec_id AS id_a, w AS wa FROM s WHERE vec_id % 2 = 0),
-    b AS (SELECT vec_id AS id_b, w AS wb FROM s WHERE vec_id % 2 = 1),
-    ab AS (SELECT id_a, wa, t.band,
-                  (wa >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
-           FROM a, generate_series(0, 3) t(band)),
-    bb AS (SELECT id_b, wb, t.band,
-                  (wb >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
-           FROM b, generate_series(0, 3) t(band)),
-    cand AS (SELECT DISTINCT id_a, id_b, wa, wb
-             FROM ab JOIN bb USING (band, key)),
-    pairs AS (SELECT id_a, id_b, bit_count(xor(wa, wb)) AS hamming
-              FROM cand),
-    r AS (SELECT id_a, id_b, hamming,
-                 row_number() OVER (PARTITION BY id_a
-                                    ORDER BY hamming, id_b) AS rank_ab,
-                 row_number() OVER (PARTITION BY id_b
-                                    ORDER BY hamming, id_a) AS rank_ba
-          FROM pairs)
-    SELECT id_a, id_b,
-           CAST(rank_ab AS BIGINT) AS rank_ab,
-           CAST(rank_ba AS BIGINT) AS rank_ba,
-           CAST(hamming AS BIGINT) AS hamming
-    FROM r WHERE rank_ab <= 5 AND rank_ba <= 5
-    """,
-)
-def ann_mutual_knn_binary_bucketed(spark, sf_dir):
-    """The sub-quadratic scale twin of `ann_mutual_knn_binary`:
-    Hamming-prefix (banded-signature) blocking on the 64-bit sign word
-    — 4 bands x 16 bits, a pair is a candidate only if some band
-    matches exactly (pigeonhole: every pair at Hamming < 4 survives) —
-    then the SAME reciprocal top-5 filter, ranked within the candidate
-    set (the honest ANN semantics; `knn_label_vote_ivf` precedent).
-    The candidate stage is a key-shuffled equi-join on (band, key): no
-    corpus broadcast, no |A|x|B| pair frame. Band extraction
-    (w >> 16i) & 0xFFFF is bit-identical two's-complement arithmetic in
-    both engines, so the whole path — blocking included — carries a
-    full oracle; the planted-twin recall contract lives in
-    tests/test_round12_ops.py."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.mutual_knn_hamming_bucketed(
-        emb.filter(F.col("vec_id") % 2 == 0),
-        emb.filter(F.col("vec_id") % 2 == 1),
-        k=5,
-        bands=4,
-    )
-    return out.select(
-        "id_a",
-        "id_b",
-        F.col("rank_ab").cast("long").alias("rank_ab"),
-        F.col("rank_ba").cast("long").alias("rank_ba"),
-        F.col("hamming").cast("long").alias("hamming"),
-    )
-
-
-_CM_MICRO_DUCK = (
-    "CAST(floor(1000000 * ("
-    + _DOT_SQL.format(a="cc.embedding", b="qq.embedding")
-    + " / ("
-    + _NORM_SQL.format(a="cc.embedding")
-    + " * "
-    + _NORM_SQL.format(a="qq.embedding")
-    + ")) + 0.5) AS BIGINT)"
-)
-
-
-@q(
-    "margin_knn_pairs",
-    f"""
-    WITH pairs AS (
-      SELECT qq.vec_id AS qid, cc.vec_id AS nid, {_CM_MICRO_DUCK} AS cm
-      FROM embeddings cc, embeddings qq
-      WHERE qq.vec_id < 20 AND cc.vec_id <> qq.vec_id),
-    qn AS (
-      SELECT qid, nid, cm,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY cm DESC, nid) AS rnk
-      FROM pairs),
-    ax AS (SELECT qid, CAST(SUM(cm) AS BIGINT) AS ax
-           FROM qn WHERE rnk <= 4 GROUP BY qid),
-    t1 AS (SELECT qid, nid, cm FROM qn WHERE rnk = 1),
-    yset AS (SELECT DISTINCT e.vec_id, e.embedding
-             FROM embeddings e JOIN t1 ON t1.nid = e.vec_id),
-    np AS (
-      SELECT qq.vec_id AS yid, cc.vec_id AS nid, {_CM_MICRO_DUCK} AS cm
-      FROM embeddings cc, yset qq
-      WHERE cc.vec_id <> qq.vec_id),
-    yn AS (
-      SELECT yid, cm,
-             row_number() OVER (PARTITION BY yid
-                                ORDER BY cm DESC, nid) AS rnk
-      FROM np),
-    ay AS (SELECT yid, CAST(SUM(cm) AS BIGINT) AS ay
-           FROM yn WHERE rnk <= 4 GROUP BY yid)
-    SELECT t1.qid AS query_id, t1.nid AS neighbor_id,
-           (2000 * 4 * t1.cm) // (ax.ax + ay.ay) AS margin_milli
-    FROM t1
-    JOIN ax ON ax.qid = t1.qid
-    JOIN ay ON ay.yid = t1.nid
-    WHERE (2000 * 4 * t1.cm) // (ax.ax + ay.ay) >= 1050
-    """,
-)
-def margin_knn_pairs(spark, sf_dir):
-    """Ratio-margin filtering of each query's best match (Artetxe &
-    Schwenk 2019): margin = cos(x,y) / ((avgNN4(x) + avgNN4(y)) / 2),
-    kept when >= 1.05 — the standard mined-pair filter (absolute cosine
-    thresholds fail under hubness; the margin renormalizes by local
-    density). Cosines quantize to integer micro units, the 4-sums are
-    exact int64, the margin is one bigint division — full oracle, same
-    arithmetic contract as the retrieval metrics."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return SIM.margin_knn_filter(
-        emb, emb.filter(F.col("vec_id") < 20), k=4, threshold_milli=1050
-    )
-
-
-# (session id, table fingerprint, n_codes) -> (ids, unit row matrix).
-# The normalized low-id sample rows are PART OF THE PQ INDEX (they are
-# the codebooks that produced the memoized code table), so they are as
-# cacheable as the codes: without this, every serve of the index re-ran
-# the 64-row collect job (r10: ~0.2 s of a 1.6 s op). Fingerprint-keyed
-# like the table plan cache, so regenerated testdata misses cleanly.
-_SAMPLE_CACHE: dict[tuple, "object"] = {}
-
-
-def _sample_unit_rows(emb, n_rows: int = 64, *, _cache_key=None):
-    """(ids, matrix) of the `vec_id < n_rows` vectors, unit-normalized BY
-    SPARK's own expression (so downstream float math is bit-identical to
-    what the oracle restates). Bounded driver collect, cached per corpus
-    version when `_cache_key` is supplied."""
-    import numpy as np
-
-    from .functions.vectors import as_double, normalize
-
-    key = None
-    if _cache_key is not None:
-        key = (*_cache_key, n_rows)
-        hit = _SAMPLE_CACHE.get(key)
-        if hit is not None:
-            return hit
-    rows = (
-        emb.filter(F.col("vec_id") < n_rows)
-        .select("vec_id", normalize(as_double("embedding")).alias("v"))
-        .orderBy("vec_id")
-        .collect()
-    )
-    out = (
-        np.array([r["vec_id"] for r in rows]),
-        np.array([r["v"] for r in rows], dtype=np.float64),
-    )
-    if key is not None:
-        _SAMPLE_CACHE[key] = out
-    return out
-
-
-def _sample_codebooks(emb, n_codes: int = 64, n_subspaces: int = 16, *, _cache_key=None):
-    """Sample-as-codebook PQ 'training' (Lloyd with iters=0 and first-id
-    init): codebook[j][c] = subspace-j slice of the c-th lowest-id UNIT
-    vector. A legitimate degenerate PQ recipe — and, unlike the seeded
-    Lloyd default, every codebook value is a pure Spark-expression
-    product (normalize = sequential double fold), so DuckDB re-derives
-    the identical codebooks FROM THE DATA and the registered demos carry
-    full oracles."""
-    _ids, mat = _sample_unit_rows(emb, n_codes, _cache_key=_cache_key)
-    n, dim = mat.shape
-    dsub = dim // n_subspaces
-    return mat.reshape(n, n_subspaces, dsub).transpose(1, 0, 2).copy()
-
-
-def _codebook_cache_key(spark, sf_dir: str) -> tuple:
-    """Session + embeddings-file identity, same recipe as the registry's
-    plan cache."""
-    import os as _os
-
-    from .sources.registry import _table_fingerprint
-
-    path = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
-    return (id(spark), _table_fingerprint(path))
-
-
-def _pq_oracle_sql(ivf: bool = False) -> str:
-    """DuckDB replay of the PQ demo pipeline (16 subspaces × 64
-    sample-codebook codes over 64-dim vectors, dsub=4): re-derive the
-    codebooks from the first 64 unit vectors, encode the (re-normalized,
-    mirroring pq_encode's second normalize) corpus by per-subspace L2
-    argmin using the identical ||c||² − 2x·c expansion, ADC-score via the
-    query×code LUT, shortlist top-50, exact-cosine re-rank to top-5.
-    ``ivf=True`` additionally restricts candidates to the 4 probed coarse
-    buckets (seeded centroid literals, same as `_ivf_oracle_sql`)."""
-    ivf_cte = f"""
-    cents(cc, cv) AS (VALUES
-        {_ivf_cents_sql()}),
-    asn AS (
-      SELECT vec_id, cc,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY sim DESC, cc) AS rn
-      FROM (
-        SELECT e.vec_id, cents.cc,
-               {_DOT_SQL.format(a="e.embedding", b="cents.cv")} AS sim
-        FROM embeddings e, cents)
-    ),
-    buckets AS (SELECT vec_id, cc FROM asn WHERE rn = 1),
-    probes AS (
-      SELECT vec_id AS query_id, cc FROM asn
-      WHERE rn <= 4 AND vec_id < 10
-    ),"""
-    if ivf:
-        adc = """
-    adc AS (
-      SELECT l.query_id, codes.vec_id AS id, sum(l.l) AS score
-      FROM codes
-      JOIN buckets b ON b.vec_id = codes.vec_id
-      JOIN probes p ON p.cc = b.cc
-      JOIN lut l ON l.query_id = p.query_id
-                AND l.j = codes.j AND l.c = codes.code
-      WHERE codes.vec_id <> p.query_id
-      GROUP BY 1, 2
-    )"""
-    else:
-        adc = """
-    adc AS (
-      SELECT l.query_id, codes.vec_id AS id, sum(l.l) AS score
-      FROM codes
-      JOIN lut l ON l.j = codes.j AND l.c = codes.code
-      WHERE codes.vec_id <> l.query_id
-      GROUP BY 1, 2
-    )"""
-    return f"""
-    WITH u AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(x AS DOUBLE) / {_NORM_SQL.format(a="embedding")})
-               AS v
-      FROM embeddings
-    ),
-    w AS (
-      SELECT vec_id,
-             list_transform(v,
-               x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
-               AS wv
-      FROM u
-    ),
-    js AS (SELECT unnest(range(0, 16)) AS j),
-    cb AS (
-      SELECT u.vec_id AS c, js.j,
-             u.v[js.j * 4 + 1 : js.j * 4 + 4] AS cs
-      FROM u, js WHERE u.vec_id < 64
-    ),{ivf_cte if ivf else ""}
-    encd AS (
-      SELECT w.vec_id, cb.j, cb.c,
-             list_sum(list_transform(cb.cs, x -> x * x))
-               - 2 * list_sum(list_transform(
-                       list_zip(w.wv[cb.j * 4 + 1 : cb.j * 4 + 4], cb.cs),
-                       z -> z[1] * z[2])) AS d2
-      FROM w, cb
-    ),
-    codes AS (
-      SELECT vec_id, j, c AS code FROM (
-        SELECT vec_id, j, c,
-               row_number() OVER (PARTITION BY vec_id, j
-                                  ORDER BY d2, c) AS rn
-        FROM encd) WHERE rn = 1
-    ),
-    lut AS (
-      SELECT q.vec_id AS query_id, cb.j, cb.c,
-             list_sum(list_transform(
-               list_zip(q.v[cb.j * 4 + 1 : cb.j * 4 + 4], cb.cs),
-               z -> z[1] * z[2])) AS l
-      FROM u q, cb WHERE q.vec_id < 10
-    ),
-    {adc},
-    short AS (
-      SELECT query_id, id FROM (
-        SELECT query_id, id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, id) AS rnk
-        FROM adc) WHERE rnk <= 50
-    ),
-    rer AS (
-      SELECT s.query_id, s.id,
-             {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
-               / ({_NORM_SQL.format(a="e.embedding")}
-                  * {_NORM_SQL.format(a="q.embedding")}) AS score
-      FROM short s
-      JOIN embeddings e ON e.vec_id = s.id
-      JOIN embeddings q ON q.vec_id = s.query_id
-    )
-    SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
-      SELECT query_id, id AS neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, id) AS rnk,
-             score
-      FROM rer) WHERE rnk <= 5
-    """
-
-
-@q("ann_topk_pq", _pq_oracle_sql())
-def ann_topk_pq(spark, sf_dir):
-    """Product-quantization two-stage top-5 for 10 query vectors: ADC
-    shortlist over 16-subspace × 64-code codes (12 bytes/vector vs 512
-    for float64), exact re-rank of the top-50 shortlist. Recall vs the
-    exact scan is pinned in pytest (pipeline/similarity.py:pq_topk).
-    Full oracle (was rows-only): the demo uses sample codebooks
-    (`_sample_codebooks` — k-means iters=0, first-id init), which DuckDB
-    re-derives from the data, then replays encode, ADC, shortlist and
-    re-rank end to end.
-
-    The code table is the PQ INDEX — built once per corpus version under
-    the memo store (tag ``pq_codes_s16x64``, like the IVF layout), so
-    the timed region measures the ADC scan + re-rank, not re-encoding
-    the corpus every call (mapInPandas plans never cache-match across
-    calls)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    ckey = _codebook_cache_key(spark, sf_dir)
-    cb = _sample_codebooks(emb, _cache_key=ckey)
-    codes = MEMO.dataframe_memo(
-        spark,
-        "pq_codes_s16x64",
-        sf_dir,
-        ["embeddings"],
-        lambda: SIM.pq_encode(emb, cb),
-    )
-    # the 10 query vectors are the low-id rows of the SAME cached unit
-    # sample the codebooks reshape — serve them driver-resident (the
-    # serving-path shape) instead of re-scanning + re-normalizing the
-    # table per call; values are the Spark-normalized doubles, so the
-    # oracle math is unchanged
-    sids, smat = _sample_unit_rows(emb, _cache_key=ckey)
-    qmask = sids < 10
-    out = SIM.pq_topk(
-        emb,
-        None,
-        k=5,
-        n_subspaces=16,
-        n_codes=64,
-        rerank_k=50,
-        codebooks=cb,
-        codes=codes,
-        query_mat=(sids[qmask], smat[qmask]),
-    )
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-# =====================================================================
-# DSIR-style importance scoring (hashed n-gram log-likelihood ratio)
-# =====================================================================
-
-_GRAM_BUCKET_SQL = """
-    ((strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 4096
-   + (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) * 256
-   + (strpos('0123456789abcdef', substring(md5(g), 3, 1)) - 1) * 16
-   + (strpos('0123456789abcdef', substring(md5(g), 4, 1)) - 1)) % 1024
-"""
-
-
-@q(
-    "dsir_scores",
-    rf"""
-    WITH tok AS (
-      SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\s+') AS t
-      FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, lang,
-             unnest(t || list_transform(range(1, len(t)),
-                                        i -> t[i] || ' ' || t[i + 1])) AS g
-      FROM tok
-    ),
-    gb AS (SELECT doc_id, lang, {_GRAM_BUCKET_SQL} AS bucket FROM grams),
-    tdist AS (SELECT bucket, count(*) AS t_cnt FROM gb
-              WHERE lang = 'en' GROUP BY bucket),
-    rdist AS (SELECT bucket, count(*) AS r_cnt FROM gb GROUP BY bucket),
-    allb AS (SELECT unnest(range(0, 1024)) AS bucket),
-    w AS (
-      SELECT a.bucket,
-             round(ln((coalesce(t.t_cnt, 0) + 0.01)
-                      / ((SELECT count(*) FROM gb WHERE lang = 'en')
-                         + 0.01 * 1024))
-                 - ln((coalesce(r.r_cnt, 0) + 0.01)
-                      / ((SELECT count(*) FROM gb) + 0.01 * 1024)), 6) AS w
-      FROM allb a
-      LEFT JOIN tdist t USING (bucket)
-      LEFT JOIN rdist r USING (bucket)
-    ),
-    s AS (
-      SELECT gb.doc_id, count(*) AS n_grams,
-             sum(CAST(round(w.w * 1000000) AS BIGINT)) AS micro
-      FROM gb JOIN w USING (bucket)
-      GROUP BY gb.doc_id
-    )
-    SELECT d.doc_id,
-           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
-           coalesce(s.micro, 0) / 1000000.0 AS log_weight,
-           round((coalesce(s.micro, 0) / 1000000.0)
-                 / greatest(coalesce(s.n_grams, 0), 1), 6) AS score
-    FROM documents d LEFT JOIN s USING (doc_id)
-    """,
-)
-def dsir_scores(spark, sf_dir):
-    """DSIR importance scoring: English docs are the target distribution,
-    the whole corpus the raw distribution; every doc gets the smoothed
-    hashed-ngram log-likelihood-ratio weight (unigrams + bigrams, 1024
-    md5 buckets). The oracle restates the full fit + score formula."""
-    from .pipeline import importance as IMP
-
-    docs = _t(spark, sf_dir, "documents")
-    w = IMP.dsir_log_weights(docs.filter(F.col("lang") == "en"), docs)
-    return IMP.dsir_scores(docs, w)
-
-
-# =====================================================================
-# Model-based quality scoring + contamination reporting
-# =====================================================================
-
-_QM_FEATURES_SQL = r"""
-    feats AS (
-      SELECT doc_id,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
-                  AS BIGINT) AS n_tokens,
-             round(length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(string_split_regex(trim(lower(text)), '\s+')) END, 1), 3)
-               AS avg_token_len,
-             round(len(regexp_extract_all(text, '[^\w\s]'))
-                   / greatest(length(text), 1), 3) AS punct_ratio,
-             round(len(regexp_extract_all(text, '[A-Z]'))
-                   / greatest(length(text), 1), 3) AS upper_ratio,
-             round(len(regexp_extract_all(text, '[0-9]'))
-                   / greatest(length(text), 1), 3) AS digit_ratio
-      FROM documents
-    )
-"""
-
-
-@q(
-    "quality_score_model",
-    "WITH "
-    + _QM_FEATURES_SQL
-    + """
-    SELECT doc_id, n_tokens,
-           round(-1.0 + 2.5 * least(n_tokens / 100.0, 1.0)
-                 + 0.15 * avg_token_len - 4.0 * punct_ratio
-                 - 2.0 * upper_ratio - 3.0 * digit_ratio, 6) AS logit,
-           round(1.0 / (1.0 + exp(-round(-1.0
-                 + 2.5 * least(n_tokens / 100.0, 1.0)
-                 + 0.15 * avg_token_len - 4.0 * punct_ratio
-                 - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
-             AS quality_prob
-    FROM feats
-    """,
-)
-def quality_score_model(spark, sf_dir):
-    """fastText-classifier-style quality scoring: linear logit over the
-    rounded text_stats features + sigmoid, all in one codegen projection.
-    The oracle restates the exact weights (`TXT.QUALITY_MODEL_WEIGHTS`)."""
-    return TXT.quality_score_model(_t(spark, sf_dir, "documents"))
-
-
-@q(
-    "decontam_report",
-    _DECONTAM_CTES
-    + """
-    , st AS (
-      SELECT tr.doc_id,
-             coalesce(h.overlap_ngrams, 0) >= 2 AS contaminated
-      FROM train tr LEFT JOIN hits h USING (doc_id)
-    )
-    SELECT d.source,
-           count(*) AS n_docs,
-           CAST(sum(CASE WHEN st.contaminated THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_contaminated,
-           round(avg(CASE WHEN st.contaminated THEN 1.0 ELSE 0.0 END), 4)
-             AS contaminated_frac
-    FROM st JOIN documents d USING (doc_id)
-    GROUP BY d.source
-    """,
-)
-def decontam_report(spark, sf_dir):
-    """Per-source contamination report — the aggregate a pipeline owner
-    actually reads before dropping a source from the mixture."""
-    from .pipeline import decontam as DC
-    from .pipeline.curation import md5_bucket
-
-    docs = _t(spark, sf_dir, "documents")
-    b = md5_bucket("doc_id", 100)
-    stats = DC.ngram_overlap_contamination(
-        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2
-    )
-    return (
-        stats.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_contaminated"),
-            F.round(
-                F.avg(F.when(F.col("contaminated"), 1.0).otherwise(0.0)), 4
-            ).alias("contaminated_frac"),
-        )
-    )
-
-
-# =====================================================================
-# Heuristic quality filters (pipeline/heuristics.py): C4 line/page rules
-# and Gopher document rules — the published web-corpus cleaning recipes
-# =====================================================================
-
-# The fixture corpus is one unpunctuated line per doc, so the C4 query
-# synthesizes pages deterministically (restated identically in the
-# oracle): 13 docs per page, terminal punctuation planted on doc_id % 3
-# (period) and % 5 (bang), blocklist content on % 89 ('{') and % 97
-# ('lorem ipsum') — so the blocklist, line and page rules all fire.
-
-
-def _c4_pages(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    deco = (
-        F.when(F.col("doc_id") % 89 == 0, F.lit(" {block}"))
-        .when(F.col("doc_id") % 97 == 0, F.lit(" lorem ipsum dolor."))
-        .when(F.col("doc_id") % 3 == 0, F.lit("."))
-        .when(F.col("doc_id") % 5 == 0, F.lit("!"))
-        .otherwise(F.lit(""))
-    )
-    lines = d.select(
-        F.floor(F.col("doc_id") / 13).cast("long").alias("page_id"),
-        "doc_id",
-        F.concat("text", deco).alias("line"),
-    )
-    return lines.groupBy("page_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
-                lambda x: x["line"],
-            ),
-            "\n",
-        ).alias("text")
-    )
-
-
-_C4_LINES_SQL = """
-    lines AS (
-      SELECT doc_id // 13 AS page_id, doc_id,
-             text || CASE WHEN doc_id % 89 = 0 THEN ' {block}'
-                          WHEN doc_id % 97 = 0 THEN ' lorem ipsum dolor.'
-                          WHEN doc_id % 3 = 0 THEN '.'
-                          WHEN doc_id % 5 = 0 THEN '!'
-                          ELSE '' END AS line
-      FROM documents
-    ),
-    blocked AS (
-      SELECT DISTINCT page_id FROM lines
-      WHERE contains(lower(line), 'lorem ipsum') OR contains(line, '{')
-    ),
-    ok AS (SELECT * FROM lines
-           WHERE page_id NOT IN (SELECT page_id FROM blocked))
-"""
-
-
-@q(
-    "c4_page_clean",
-    f"""
-    WITH {_C4_LINES_SQL},
-    flg AS (
-      SELECT page_id, doc_id, line,
-             len(regexp_extract_all(trim(line), '\\S+')) AS n_words,
-             regexp_matches(trim(line), '[.!?"”]$') AS ends_punct
-      FROM ok
-    ),
-    tot AS (SELECT page_id, count(*) AS n_lines FROM ok GROUP BY page_id),
-    kept AS (
-      SELECT page_id, count(*) AS n_kept,
-             md5(string_agg(line, chr(10) ORDER BY doc_id)) AS cleaned_md5
-      FROM flg WHERE ends_punct AND n_words >= 5
-      GROUP BY page_id HAVING count(*) >= 3
-    )
-    SELECT k.page_id,
-           CAST(t.n_lines AS BIGINT) AS n_lines,
-           CAST(k.n_kept AS BIGINT) AS n_kept,
-           k.cleaned_md5
-    FROM kept k JOIN tot t USING (page_id)
-    """,
-)
-def c4_page_clean(spark, sf_dir):
-    """C4-style page cleaning (Raffel et al. 2020 §2.2): drop lines not
-    ending in terminal punctuation or under 5 words; drop pages with
-    blocklisted content ('lorem ipsum', '{') or fewer than 3 surviving
-    lines. cleaned_md5 stands in for the rebuilt page text (same trick as
-    boilerplate_removal) so the compare doesn't haul full pages."""
-    from .pipeline import heuristics as HEU
-
-    out = HEU.c4_clean(
-        _c4_pages(spark, sf_dir),
-        text_col="text",
-        id_col="page_id",
-        min_words_per_line=5,
-        min_kept_lines=3,
-    )
-    return out.select(
-        "page_id", "n_lines", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
-    )
-
-
-@q(
-    "gopher_quality_flags",
-    """
-    WITH w AS (
-      SELECT doc_id, text,
-             regexp_extract_all(trim(text), '\\S+') AS words
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             len(words) AS nw,
-             round(length(regexp_replace(text, '\\s+', '', 'g'))
-                   / greatest(len(words), 1), 3) AS mean_word_len,
-             round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
-                   / greatest(len(words), 1), 4) AS symbol_word_ratio,
-             round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
-                   / greatest(len(words), 1), 3) AS alpha_word_frac,
-             len(list_filter(['the','be','to','of','and','that','have','with'],
-                             s -> list_contains(words, s))) AS hits
-      FROM w
-    )
-    SELECT doc_id,
-           CAST(nw AS BIGINT) AS n_words,
-           mean_word_len,
-           symbol_word_ratio,
-           alpha_word_frac,
-           CAST(hits AS BIGINT) AS stopword_hits,
-           (nw >= 50 AND nw <= 100000
-            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-            AND symbol_word_ratio <= 0.10
-            AND alpha_word_frac >= 0.80
-            AND hits >= 1) AS keep
-    FROM m
-    """,
-)
-def gopher_quality_flags(spark, sf_dir):
-    """Gopher document-quality rules (Rae et al. 2021 Table A1) as one
-    codegen projection — every doc with its metrics and per-rule verdict.
-    min_stopword_hits=1 here because the fixture vocabulary contains only
-    'the' from the required list; the operator default is the paper's 2."""
-    from .pipeline import heuristics as HEU
-
-    return HEU.gopher_quality_flags(
-        _t(spark, sf_dir, "documents"), min_stopword_hits=1
-    )
-
-
-# =====================================================================
-# Source mixture accounting: the per-source report + blocklist removal a
-# corpus owner runs before re-weighting the training mixture
-# =====================================================================
-
-_SOURCE_BLOCKLIST = ["src3", "src7", "src11", "src15"]
-
-
-@q(
-    "source_mix_report",
-    """
-    WITH tot AS (SELECT count(*) AS n, sum(n_chars) AS c FROM documents)
-    SELECT source,
-           count(*) AS n_docs,
-           round(count(*) / (SELECT n FROM tot), 4) AS doc_share,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(sum(n_chars) / (SELECT c FROM tot), 4) AS char_share,
-           round(avg(n_chars), 3) AS avg_chars,
-           count(DISTINCT lang) AS n_langs
-    FROM documents GROUP BY source
-    """,
-)
-def source_mix_report(spark, sf_dir):
-    """Per-source mixture report: doc/char share of corpus, size stats,
-    language spread. The corpus totals come from a 1-row scalar aggregate
-    broadcast back (the q15 shape) — NOT an unpartitioned window."""
-    d = _t(spark, sf_dir, "documents")
-    tot = d.agg(F.count("*").alias("_n"), F.sum("n_chars").alias("_c"))
-    per = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("_chars"),
-        F.avg("n_chars").alias("_avg"),
-        F.count_distinct("lang").alias("n_langs"),
-    )
-    return per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        F.round(F.col("n_docs") / F.col("_n"), 4).alias("doc_share"),
-        F.col("_chars").cast("long").alias("total_chars"),
-        F.round(F.col("_chars") / F.col("_c"), 4).alias("char_share"),
-        F.round("_avg", 3).alias("avg_chars"),
-        "n_langs",
-    )
-
-
-@q(
-    "source_blocklist_clean",
-    f"""
-    SELECT source,
-           count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM documents
-    WHERE source NOT IN ({", ".join(repr(s) for s in _SOURCE_BLOCKLIST)})
-    GROUP BY source
-    """,
-)
-def source_blocklist_clean(spark, sf_dir):
-    """Blocklist removal as a broadcast ANTI join against a blocklist
-    table (not an IN-literal): at 100 TB the blocklist is a maintained
-    table of thousands of domains, and the anti-join shape scales where a
-    growing literal predicate would not."""
-    d = _t(spark, sf_dir, "documents")
-    bl = spark.createDataFrame(
-        [(s,) for s in _SOURCE_BLOCKLIST], "source string"
-    )
-    return (
-        d.join(F.broadcast(bl), "source", "left_anti")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-    )
-
-
-@q(
-    "group_sample_per_lang",
-    """
-    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
-    FROM (
-      SELECT doc_id, lang,
-             row_number() OVER (
-               PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-      FROM documents)
-    WHERE rn <= 20
-    """,
-)
-def group_sample_per_lang(spark, sf_dir):
-    """Deterministic per-language sample (20 docs each) by md5 hash
-    order — the reproducible 'pull k docs per stratum' primitive
-    (pipeline/curation.py:group_sample_topk)."""
-    from .pipeline.curation import group_sample_topk
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return group_sample_topk(d, ["lang"], 20)
-
-
-@q("ann_topk_ivf_pq", _pq_oracle_sql(ivf=True))
-def ann_topk_ivf_pq(spark, sf_dir):
-    """FAISS-style IVF-PQ: probe 4 of 8 coarse buckets, ADC-score PQ
-    codes inside them, exact-rerank the top-50 shortlist
-    (pipeline/similarity.py:ivf_pq_topk). Recall pinned in pytest.
-    Full oracle (was rows-only): seeded coarse-centroid literals +
-    data-derived sample codebooks let DuckDB replay the entire
-    coarse-prune → ADC → re-rank cascade."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.ivf_pq_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 10),
-        k=5,
-        n_centroids=8,
-        n_probe=4,
-        n_subspaces=16,
-        n_codes=64,
-        rerank_k=50,
-        codebooks=_sample_codebooks(
-            emb, _cache_key=_codebook_cache_key(spark, sf_dir)
-        ),
-    )
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-_CMS_BUCKET_SQL = """
-    ((strpos('0123456789abcdef', substring({m}, 1, 1)) - 1) * 4096
-   + (strpos('0123456789abcdef', substring({m}, 2, 1)) - 1) * 256
-   + (strpos('0123456789abcdef', substring({m}, 3, 1)) - 1) * 16
-   + (strpos('0123456789abcdef', substring({m}, 4, 1)) - 1)) % 64
-"""
-
-
-@q(
-    "cms_token_counts",
-    f"""
-    WITH toks AS (
-      SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
-    exact AS (
-      SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
-      FROM toks GROUP BY token),
-    b AS (
-      SELECT token, exact_cnt, r.range AS row,
-             {_CMS_BUCKET_SQL.format(
-                 m="md5(CAST(r.range AS VARCHAR) || ':' || token)")} AS bucket
-      FROM exact CROSS JOIN range(4) r),
-    cells AS (
-      SELECT row, bucket, sum(exact_cnt) AS cnt FROM b GROUP BY 1, 2),
-    est AS (
-      SELECT b.token, CAST(min(c.cnt) AS BIGINT) AS cms_cnt
-      FROM b JOIN cells c USING (row, bucket) GROUP BY b.token)
-    SELECT e.token, e.exact_cnt, est.cms_cnt
-    FROM exact e JOIN est USING (token) ORDER BY token
-    """,
-)
-def cms_token_counts(spark, sf_dir):
-    """Count-min sketch demo: build a 4x64 sketch over every token
-    occurrence, then point-estimate the 31-token vocabulary against exact
-    counts — (token, exact_cnt, cms_cnt). The width is deliberately
-    under-provisioned so collisions are visible; est >= exact is pinned
-    in pytest (operators/sketches.py:count_min_build).
-
-    hash_fn="md5" (16-bit md5 prefix mod 64; exactly uniform since
-    65536 % 64 == 0) instead of the default xxhash64 ONLY so the sketch
-    has a full SQL twin: DuckDB restates every cell as the exact_cnt-sum
-    of tokens hashing there, and every estimate as the min over its
-    depth cells — the whole overestimate structure is hash-matched, not
-    just bounded."""
-    from .operators.sketches import count_min_build, count_min_estimate
-
-    toks = _t(spark, sf_dir, "documents").select(
-        F.explode(TXT.tokens(F.col("text"))).alias("token")
-    )
-    exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
-    # Persist the (tiny, <=depth*width rows) sketch: count_min_estimate
-    # reads the geometry metadata off it with a first(), and the probe
-    # join reads it again — without the persist the corpus would be
-    # scanned twice.
-    cms = count_min_build(toks, "token", depth=4, width=64, hash_fn="md5").persist()
-    est = count_min_estimate(cms, exact.select("token"), "token")
-    return exact.join(est, "token").orderBy("token")
-
-
-_PR_ITER_SQL = """
-    i{K} AS (
-      SELECT n.node,
-             (15 * 1000000) // (100 * (SELECT n FROM nn))
-             + (85 * coalesce(s.sc, 0)) // 100 AS pr
-      FROM nodes n LEFT JOIN (
-        SELECT e.dst AS node, sum(p.pr // d.deg) AS sc
-        FROM edges e
-        JOIN i{P} p ON e.src = p.node
-        JOIN deg d ON e.src = d.node
-        GROUP BY e.dst) s ON n.node = s.node
-    )
-"""
-
-
-@q(
-    "pagerank_user_events",
-    """
-    WITH ue AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
-                                'e:' || event_type AS e FROM events),
-    edges AS (SELECT u AS src, e AS dst FROM ue
-              UNION ALL SELECT e AS src, u AS dst FROM ue),
-    nodes AS (SELECT DISTINCT src AS node FROM edges
-              UNION SELECT DISTINCT dst AS node FROM edges),
-    nn AS (SELECT count(*) AS n FROM nodes),
-    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
-    i0 AS (SELECT node, 1000000 // (SELECT n FROM nn) AS pr FROM nodes),
-    """
-    + _PR_ITER_SQL.format(K=1, P=0)
-    + ","
-    + _PR_ITER_SQL.format(K=2, P=1)
-    + ","
-    + _PR_ITER_SQL.format(K=3, P=2)
-    + """
-    SELECT node, CAST(pr AS BIGINT) AS pr_micro FROM i3
-    """,
-)
-def pagerank_user_events(spark, sf_dir):
-    """Integer-exact PageRank (3 rounds) over the bipartite user ↔
-    event-type graph — an iterative distributed algorithm with a FULL SQL
-    oracle, possible because ranks are integer micro-units with floor
-    division everywhere (operators/graph.py:pagerank_micro)."""
-    from .operators.graph import pagerank_micro
-
-    ue = (
-        _t(spark, sf_dir, "events")
-        .select(
-            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
-            F.concat(F.lit("e:"), F.col("event_type")).alias("e"),
-        )
-        .distinct()
-    )
-    edges = ue.select(F.col("u").alias("src"), F.col("e").alias("dst")).unionByName(
-        ue.select(F.col("e").alias("src"), F.col("u").alias("dst"))
-    )
-    return pagerank_micro(edges, iterations=3)
-
-
-@q(
-    "merge_upsert_orders",
-    """
-    WITH src AS (
-      SELECT o_orderkey,
-             round(o_totalprice * 2, 2) AS o_totalprice,
-             'U' AS o_orderstatus
-      FROM orders WHERE o_orderkey % 7 = 0
-      UNION ALL
-      SELECT o_orderkey + 10000000,
-             round(o_totalprice, 2),
-             'N'
-      FROM orders WHERE o_orderkey % 97 = 0
-    )
-    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-           coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-           round(coalesce(s.o_totalprice, t.o_totalprice), 2) AS price,
-           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
-                WHEN s.o_orderkey IS NULL THEN 'keep'
-                ELSE 'update' END AS merge_action
-    FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
-    """,
-)
-def merge_upsert_orders(spark, sf_dir):
-    """MERGE INTO semantics on plain tables (operators/merge.py): source =
-    doubled prices for every 7th order (UPDATE branch) plus brand-new
-    orders for every 97th key (INSERT branch); everything else carries
-    through. The doubling keeps the arithmetic exact in binary so the
-    hash compare is FP-safe."""
-    from .operators.merge import merge_into
-
-    o = _t(spark, sf_dir, "orders")
-    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
-        F.lit("U").alias("o_orderstatus"),
-    )
-    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        F.round("o_totalprice", 2).alias("o_totalprice"),
-        F.lit("N").alias("o_orderstatus"),
-    )
-    merged = merge_into(
-        o,
-        updates.unionByName(inserts),
-        key="o_orderkey",
-        update_cols=["o_totalprice", "o_orderstatus"],
-    )
-    return merged.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round("o_totalprice", 2).alias("price"),
-        F.col("_merge_action").alias("merge_action"),
-    )
-
-
-@q(
-    "trending_event_types",
-    """
-    WITH w AS (
-      SELECT date_trunc('hour', ts)
-               - INTERVAL (CAST(hour(ts) AS INT) % 6) HOUR AS win,
-             event_type, count(*) AS cnt
-      FROM events GROUP BY 1, 2)
-    SELECT win, event_type, CAST(cnt AS BIGINT) AS cnt,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM (SELECT win, event_type, cnt,
-                 row_number() OVER (PARTITION BY win
-                                    ORDER BY cnt DESC, event_type) AS rnk
-          FROM w)
-    WHERE rnk <= 3
-    """,
-)
-def trending_event_types(spark, sf_dir):
-    """Trending analysis: top-3 event types per 6-hour tumbling window —
-    the batch face of a streaming trending dashboard (windowed counts +
-    per-window WindowGroupLimit rank). One (window, type) count shuffle,
-    rank state O(k) per window."""
-    ev = _t(spark, sf_dir, "events")
-    win = F.window("ts", "6 hours").getField("start").alias("win")
-    cnt = ev.groupBy(win, "event_type").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("win").orderBy(F.col("cnt").desc(), "event_type")
-    return (
-        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
-        .select("win", "event_type", F.col("cnt").cast("long").alias("cnt"), "rnk")
-    )
-
-
-@q(
-    "copurchase_lift",
-    """
-    WITH items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_partkey % 5 = 0),
-    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
-    supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey),
-    pairs AS (
-      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-             count(*) AS together
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2)
-    SELECT part_a, part_b, CAST(together AS BIGINT) AS together,
-           CAST(round(CAST(together AS DOUBLE) * (SELECT n_orders FROM n)
-                      / (CAST(sa.s AS DOUBLE) * sb.s) * 1000000)
-                AS BIGINT) AS lift_micro
-    FROM pairs
-    JOIN supp sa ON sa.l_partkey = part_a
-    JOIN supp sb ON sb.l_partkey = part_b
-    """,
-)
-def copurchase_lift(spark, sf_dir):
-    """Market-basket co-occurrence: part pairs appearing in the same
-    order (distinct per order, %5 part filter bounds the item universe),
-    min support 2, lift = P(ab)/(P(a)P(b)) in exact integer micro-units.
-    The within-basket self-join is bounded by basket size (~7 lines/order)
-    — never an unconstrained cross join — and the margins join at
-    item-vocabulary scale."""
-    li = _t(spark, sf_dir, "lineitem")
-    items = (
-        li.filter(F.col("l_partkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    n_tot = li.agg(F.count_distinct("l_orderkey").alias("_n"))
-    supp = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("together"))
-        .filter(F.col("together") >= 2)
-    )
-    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
-    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
-    lift = F.round(
-        F.col("together").cast("double")
-        * F.col("_n")
-        / (F.col("sa").cast("double") * F.col("sb"))
-        * 1e6
-    ).cast("long")
-    return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            "part_a", "part_b",
-            F.col("together").cast("long").alias("together"),
-            lift.alias("lift_micro"),
-        )
-    )
-
-
-@q(
-    "langid_agreement",
-    rf"""
-    WITH toks AS (
-      SELECT doc_id, source, lang, {_TOKENS_SQL} AS t FROM documents
-    ),
-    scores AS (
-      SELECT doc_id, source, lang,
-             len(list_filter(t, x -> list_contains(
-               ['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
-             len(list_filter(t, x -> list_contains(
-               ['the','and','of','to','a','in','is','that'], x))) AS s_en,
-             len(list_filter(t, x -> list_contains(
-               ['el','la','de','que','y','en','un','es'], x))) AS s_es,
-             len(list_filter(t, x -> list_contains(
-               ['le','la','de','et','un','est','que','pour'], x))) AS s_fr,
-             len(list_filter(t, x -> list_contains(
-               ['的','是','了','在','我','有','他','这'], x))) AS s_zh
-      FROM toks
-    ),
-    pred AS (
-      SELECT doc_id, source, lang,
-             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-                  ELSE 'zh' END AS lang_pred
-      FROM scores
-    )
-    SELECT source, count(*) AS n_docs,
-           CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_agree,
-           round(avg(CASE WHEN lang_pred = lang THEN 1.0 ELSE 0.0 END), 4)
-             AS agree_frac
-    FROM pred GROUP BY source
-    """,
-)
-def langid_agreement(spark, sf_dir):
-    """Label-quality audit: per source, how often the heuristic language
-    detector agrees with the recorded `lang` label — the metadata-trust
-    report a corpus owner runs before using labels for filtering. Pure
-    composition of the existing lang_id projection + one aggregate."""
-    d = _t(spark, sf_dir, "documents")
-    pred = TXT.lang_id(d).select("doc_id", "lang_pred")
-    joined = d.select("doc_id", "source", "lang").join(pred, "doc_id")
-    return joined.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_agree"),
-        F.round(
-            F.avg(F.when(F.col("lang_pred") == F.col("lang"), 1.0).otherwise(0.0)),
-            4,
-        ).alias("agree_frac"),
-    )
-
-
-@q(
-    "dedup_keep_best",
-    r"""
-    WITH f AS (
-      SELECT doc_id, n_chars,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-      FROM documents)
-    SELECT fp,
-           CAST(max_by(doc_id, n_chars * 1000000000000 - doc_id) AS BIGINT)
-             AS keep_id,
-           CAST(max(n_chars) AS BIGINT) AS keep_chars,
-           count(*) AS group_size
-    FROM f GROUP BY fp
-    """,
-)
-def dedup_keep_best(spark, sf_dir):
-    """Quality-priority exact dedup: per content fingerprint keep the
-    LONGEST copy (ties → smallest id) instead of blindly the min id —
-    the 'keep the best duplicate' policy real pipelines want. One
-    map-side-combinable max_by aggregation; no window, no second pass."""
-    d = _t(spark, sf_dir, "documents")
-    f = d.select("doc_id", "n_chars", TXT.fingerprint("text").alias("fp"))
-    # scalar composite key (longest wins, ties -> smallest id): DuckDB's
-    # max_by has no struct-key overload, and the integer encoding is
-    # engine-portable. 1e12 multiplier keeps the order correct for any
-    # doc_id < 1e12 and n_chars < 9.2e6 without overflowing int64
-    return f.groupBy("fp").agg(
-        F.max_by("doc_id", F.col("n_chars") * 1_000_000_000_000 - F.col("doc_id"))
-        .cast("long")
-        .alias("keep_id"),
-        F.max("n_chars").cast("long").alias("keep_chars"),
-        F.count("*").alias("group_size"),
-    )
-
-
-@q(
-    "trend_per_event_type",
-    """
-    WITH b AS (
-      SELECT event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
-             CAST(value AS DECIMAL(18, 6)) AS y
-      FROM events),
-    s AS (
-      SELECT event_type,
-             count(*) AS n,
-             sum(x) AS sx,
-             sum(CAST(x AS DECIMAL(18, 0)) * x) AS sxx,
-             sum(y) AS sy,
-             sum(CAST(x AS DECIMAL(18, 0)) * y) AS sxy
-      FROM b GROUP BY event_type)
-    SELECT event_type,
-           CAST(n AS BIGINT) AS n,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 * 86400 * 1000000, 4) AS slope_micro_per_day
-    FROM s
-    """,
-)
-def trend_per_event_type(spark, sf_dir):
-    """Per-key OLS trend (is this event type's value drifting?): the
-    slope comes from sufficient statistics where every sum is EXACT —
-    epoch offsets are integers and `value` is summed as DECIMAL(18,6),
-    so no accumulation-order dependence — and only the final division is
-    floating point. Scaled to micro-units/day. One groupBy; the classic
-    map-side-combinable regression shape."""
-    ev = _t(spark, sf_dir, "events")
-    b = ev.select(
-        "event_type",
-        (F.col("ts").cast("long") - 1704067200).alias("x"),
-        F.col("value").cast("decimal(18,6)").alias("y"),
-    )
-    s = b.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        # sxx accumulates as decimal(38,0) (same trick as sxy): a long
-        # accumulator is safe at fixture scale (~1e15) but could silently
-        # overflow Spark-side only on a much wider epoch range, breaking
-        # the cross-engine hash vs DuckDB's HUGEINT.
-        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("sxx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
-    )
-    # cast each EXACT sum to double first, then slope arithmetic in
-    # doubles — Spark's decimal-overflow scale reduction rounds
-    # differently than DuckDB's widening, but identical doubles in,
-    # identical doubles out
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
-        "sy"
-    ).cast("double")
-    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
-        "sx"
-    ).cast("double")
-    return s.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.round(num / den * 86400 * 1e6, 4).alias("slope_micro_per_day"),
-    )
-
-
-@q(
-    "price_percentile_by_status",
-    """
-    SELECT o_orderkey, o_orderstatus,
-           round(CAST(rnk - 1 AS DOUBLE) / (cnt - 1), 6) AS pct_rank
-    FROM (
-      SELECT o_orderkey, o_orderstatus,
-             rank() OVER (PARTITION BY o_orderstatus
-                          ORDER BY o_totalprice, o_orderkey) AS rnk,
-             count(*) OVER (PARTITION BY o_orderstatus) AS cnt
-      FROM orders)
-    WHERE o_orderkey % 17 = 0
-    """,
-)
-def price_percentile_by_status(spark, sf_dir):
-    """Exact percentile rank of each order's price within its status
-    group ((rank-1)/(n-1) — integer rank arithmetic, so the double is
-    derived identically on both engines). Keyed windows only; the %17
-    projection keeps the compare table small while ranks come from the
-    FULL group."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    cw = Window.partitionBy("o_orderstatus")
-    ranked = o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.rank().over(w).alias("rnk"),
-        F.count("*").over(cw).alias("cnt"),
-    )
-    return ranked.filter(F.col("o_orderkey") % 17 == 0).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round(
-            (F.col("rnk") - 1).cast("double") / (F.col("cnt") - 1), 6
-        ).alias("pct_rank"),
-    )
-
-
-@q(
-    "snapshot_diff_orders",
-    """
-    WITH old AS (
-      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
-      FROM orders WHERE o_orderkey % 13 != 0),
-    new AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
-               AS o_orderstatus,
-             round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
-                        ELSE o_totalprice END, 2) AS price
-      FROM orders WHERE o_orderkey % 11 != 0)
-    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-           CASE WHEN o.o_orderkey IS NULL THEN 'added'
-                WHEN n.o_orderkey IS NULL THEN 'removed'
-                WHEN o.o_orderstatus = n.o_orderstatus
-                     AND o.price = n.price THEN 'unchanged'
-                ELSE 'changed' END AS change,
-           o.o_orderstatus AS old_o_orderstatus,
-           n.o_orderstatus AS new_o_orderstatus,
-           o.price AS old_price,
-           n.price AS new_price
-    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
-    """,
-)
-def snapshot_diff_orders(spark, sf_dir):
-    """Table-version diff (operators/merge.py:snapshot_diff): the 'new'
-    snapshot drops %11 keys, the 'old' lacked %13 keys, and %7 keys got a
-    status+price edit — so all four change classes appear. One full-outer
-    key join; bucketing both snapshots makes it exchange-free."""
-    from .operators.merge import snapshot_diff
-
-    o = _t(spark, sf_dir, "orders")
-    old = o.filter(F.col("o_orderkey") % 13 != 0).select(
-        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
-    )
-    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 7 == 0, F.lit("U"))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("o_orderstatus"),
-        F.round(
-            F.when(
-                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
-            ).otherwise(F.col("o_totalprice")),
-            2,
-        ).alias("price"),
-    )
-    return snapshot_diff(old, new, key="o_orderkey")
-
-
-@q(
-    "histogram_totalprice",
-    """
-    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
-               FROM orders)
-    SELECT CAST(least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)
-                           ) AS BIGINT), 19) AS BIGINT) AS bin,
-           count(*) AS cnt,
-           round(min(o_totalprice), 2) AS bin_min,
-           round(max(o_totalprice), 2) AS bin_max
-    FROM orders, b GROUP BY 1
-    """,
-)
-def histogram_totalprice(spark, sf_dir):
-    """Equi-width 20-bin histogram of order totals: bounds from one
-    scalar-agg broadcast (never an unpartitioned window), binning as a
-    codegen projection, one small groupBy — the profiling primitive for
-    distribution eyeballing at any scale."""
-    o = _t(spark, sf_dir, "orders")
-    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
-    binned = o.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / 20)
-            ).cast("long"),
-            F.lit(19),
-        ).alias("bin"),
-        "o_totalprice",
-    )
-    return binned.groupBy("bin").agg(
-        F.count("*").alias("cnt"),
-        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
-        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
-    )
-
-
-@q(
-    "frequent_event_triples",
-    """
-    WITH s AS (
-      SELECT user_id,
-             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
-               AS seq
-      FROM events WHERE event_id % 11 = 0
-      GROUP BY user_id),
-    tri AS (
-      SELECT unnest(list_transform(range(1, length(seq) - 1),
-                                   i -> substr(seq, CAST(i AS INT), 3)))
-               AS triple
-      FROM s WHERE length(seq) >= 3)
-    SELECT triple, count(*) AS cnt FROM tri
-    GROUP BY triple ORDER BY cnt DESC, triple LIMIT 15
-    """,
-)
-def frequent_event_triples(spark, sf_dir):
-    """Sequential-pattern mining lite: the 15 most frequent consecutive
-    event-type triples across per-user ordered streams (sparse sample so
-    sequences vary). Sequence reconstruction is one keyed shuffle; the
-    n-gram explode + count is the same map-side-combinable shape as BPE
-    pair counting."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
-    seq = _user_event_seq(ev)
-    tri = seq.filter(F.length("seq") >= 3).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("seq") - 2),
-                lambda i: F.substring(F.col("seq"), i, 3),
-            )
-        ).alias("triple")
-    )
-    return (
-        tri.groupBy("triple")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "triple")
-        .limit(15)
-    )
-
-
-@q(
-    "weighted_sample_docs",
-    """
-    WITH k AS (
-      SELECT doc_id, n_chars,
-             round(exp(ln(((strpos('0123456789abcdef',
-                                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
-                           ) * 16
-                           + strpos('0123456789abcdef',
-                                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
-                           + 1.0) / 257.0)
-                       / n_chars) * 1000000000) AS key_nano
-      FROM documents),
-    top AS (SELECT doc_id, n_chars, key_nano FROM k
-            ORDER BY key_nano DESC, doc_id LIMIT 50)
-    SELECT a.doc_id, CAST(a.n_chars AS BIGINT) AS n_chars,
-           CAST(a.key_nano AS BIGINT) AS key_nano,
-           CAST(1 + count(b.doc_id) AS BIGINT) AS rnk
-    FROM top a LEFT JOIN top b
-      ON (b.key_nano > a.key_nano)
-         OR (b.key_nano = a.key_nano AND b.doc_id < a.doc_id)
-    GROUP BY a.doc_id, a.n_chars, a.key_nano
-    """,
-)
-def weighted_sample_docs(spark, sf_dir):
-    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): key =
-    u^(1/w) with u derived from the doc's md5 first byte (uniform-ish,
-    engine-identical) and w = n_chars; top-50 keys win. Longer docs are
-    proportionally likelier — the char-budget-weighted corpus draw —
-    and the whole draw replays bit-identically on any engine or
-    partitioning (key rounded to integer nano-units). Top-k is
-    TakeOrdered-shaped; the final rank is a join-based count over the
-    bounded 50-row shortlist — no unpartitioned window anywhere."""
-    d = _t(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
-    u = (nib(1) * 16 + nib(2) + 1.0) / 257.0
-    key_nano = F.round(
-        F.exp(F.log(u) / F.col("n_chars")) * 1e9
-    ).cast("long")
-    scored = d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
-                      key_nano.alias("key_nano"))
-    top = scored.orderBy(F.col("key_nano").desc(), "doc_id").limit(50)
-    # rank within the bounded top-50 via a join-based count of rows ahead
-    # (window-free: no single-partition WindowExec even on the tail)
-    a, b = top.alias("a"), top.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("b.key_nano") > F.col("a.key_nano"))
-            | (
-                (F.col("b.key_nano") == F.col("a.key_nano"))
-                & (F.col("b.doc_id") < F.col("a.doc_id"))
-            ),
-            "left",
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.n_chars").alias("n_chars"),
-            F.col("a.key_nano").alias("key_nano"),
-        )
-        .agg((F.count(F.col("b.doc_id")) + 1).cast("long").alias("rnk"))
-    )
-
-
-_BG_SQL = rf"""
-    t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
-    bg AS (
-      SELECT doc_id,
-             unnest(toks[1 : len(toks) - 1]) AS w1,
-             unnest(toks[2 : len(toks)]) AS w2
-      FROM t WHERE len(toks) >= 2
-    )
-"""
-
-
-@q(
-    "pmi_collocations",
-    f"""
-    WITH {_BG_SQL},
-    pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-    l AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-    r AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2),
-    n AS (SELECT count(*) AS total FROM bg)
-    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
-           CAST(round(ln(CAST(c12 AS DOUBLE) * (SELECT total FROM n)
-                         / (CAST(c1 AS DOUBLE) * c2)) * 1000000) AS BIGINT)
-             AS pmi_micro
-    FROM pc JOIN l USING (w1) JOIN r USING (w2)
-    WHERE c12 >= 5
-    """,
-)
-def pmi_collocations(spark, sf_dir):
-    """Collocation mining: pointwise mutual information per bigram,
-    ln(c12·N / (c1·c2)) in exact integer micro-nats, min support 5 —
-    three count aggregations on token keys + two broadcast-scale joins
-    (the margins are vocab-sized). The classic word-association prep."""
-    from .pipeline.lm import _doc_bigrams
-
-    # ONE corpus explode: margins (c1 = Σ_w2 c12, c2 = Σ_w1 c12) and the
-    # grand total all derive from the vocab-sized pc aggregate, so the
-    # corpus is scanned exactly once
-    bg = _doc_bigrams(_t(spark, sf_dir, "documents"), "text", "doc_id")
-    # managed persist (released by the harnesses between queries): an
-    # inline unpersist-before-return would evict the cache before the
-    # LAZY plan ever runs and silently restore the 4-scan behavior
-    pc = DD._persist(bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
-    l_m = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    r_m = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))
-    tot = pc.agg(F.sum("c12").alias("_n"))
-    pmi = F.round(
-        F.log(
-            F.col("c12").cast("double")
-            * F.col("_n")
-            / (F.col("c1").cast("double") * F.col("c2"))
-        )
-        * 1e6
-    ).cast("long")
-    # the margins are VOCAB-sized (grow with distinct bigrams, not corpus
-    # rows): hint them only while the plan-size estimate stays under the
-    # broadcast threshold; on a 100x-vocab corpus the guard declines and
-    # the planner/AQE falls back to a shuffled join instead of OOMing a
-    # forced 8 GB+ broadcast
-    from .plans.hints import broadcast_if_small
-
-    out = (
-        pc.join(broadcast_if_small(l_m), "w1")
-        .join(broadcast_if_small(r_m), "w2")
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("c12") >= 5)
-        .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
-                pmi.alias("pmi_micro"))
-    )
-    return out
-
-
-@q(
-    "event_rate_anomalies",
-    """
-    WITH hr AS (
-      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
-      FROM events GROUP BY 1, 2),
-    st AS (
-      SELECT event_type,
-             count(*) AS n,
-             sum(c) AS s1,
-             sum(c * c) AS s2
-      FROM hr GROUP BY event_type)
-    SELECT hr.event_type, hr.h, CAST(hr.c AS BIGINT) AS c,
-           round((hr.c - CAST(s1 AS DOUBLE) / n)
-                 / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
-                        / (CAST(n AS DOUBLE) * (n - 1))), 3) AS zscore
-    FROM hr JOIN st USING (event_type)
-    WHERE abs((hr.c - CAST(s1 AS DOUBLE) / n)
-              / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
-                     / (CAST(n AS DOUBLE) * (n - 1)))) >= 2.0
-    """,
-)
-def event_rate_anomalies(spark, sf_dir):
-    """Rate-anomaly detection: hourly counts per event type, z-scored
-    against the type's own distribution, |z| >= 2 flagged. Variance comes
-    from EXACT integer sums (n, Σc, Σc²) — not a streaming stddev whose
-    merge order differs across partitionings — so the doubles derive from
-    identical integers on every engine and the hash compare holds."""
-    ev = _t(spark, sf_dir, "events")
-    hr = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count("*").alias("c"))
-    st = hr.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
-    )
-    mean = F.col("s1").cast("double") / F.col("n")
-    var = (
-        F.col("n").cast("double") * F.col("s2")
-        - F.col("s1").cast("double") * F.col("s1")
-    ) / (F.col("n").cast("double") * (F.col("n") - 1))
-    z = (F.col("c") - mean) / F.sqrt(var)
-    return (
-        hr.join(F.broadcast(st), "event_type")
-        .filter(F.abs(z) >= 2.0)
-        .select(
-            "event_type",
-            "h",
-            F.col("c").cast("long").alias("c"),
-            F.round(z, 3).alias("zscore"),
-        )
-    )
-
-
-@q(
-    "tfidf_keywords",
-    rf"""
-    WITH tf AS (
-      SELECT doc_id, token, count(*) AS tf FROM
-        (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
-      GROUP BY doc_id, token),
-    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.token,
-             CAST(tf.tf AS BIGINT) * CAST(round(ln(
-               CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df) * 1000000)
-               AS BIGINT) AS score_micro
-      FROM tf JOIN df USING (token))
-    SELECT doc_id, token, score_micro, CAST(rnk AS BIGINT) AS rnk FROM (
-      SELECT doc_id, token, score_micro,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score_micro DESC, token) AS rnk
-      FROM scored) WHERE rnk <= 3
-    """,
-)
-def tfidf_keywords(spark, sf_dir):
-    """Per-document TF-IDF keyword extraction (top 3): tf · round(ln(N/df)
-    ·1e6) as exact integer micro-nats — two count aggregations (token
-    keys), a broadcast-scale df join, and a per-doc WindowGroupLimit
-    top-k. The classic IR relevance primitive, FP-order-free."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    n_tot = d.agg(F.count("*").alias("_n"))  # scalar-agg broadcast, no
-    idf_micro = F.round(                      # eager driver count job
-        F.log(F.col("_n").cast("double") / F.col("df")) * 1e6
-    ).cast("long")
-    # the df dictionary is VOCAB-sized: size-guarded hint (see
-    # plans/hints.py) — broadcast under threshold, shuffled join above
-    from .plans.hints import broadcast_if_small
-
-    scored = (
-        tf.join(broadcast_if_small(df_t), "token")
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            "doc_id",
-            "token",
-            (F.col("tf").cast("long") * idf_micro).alias("score_micro"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_micro").desc(), "token"
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
-        .select("doc_id", "token", "score_micro", "rnk")
-    )
-
-
-@q(
-    "bm25_search_topk",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, len(t) AS dl, unnest(t) AS term
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
-    corpus AS (
-      SELECT count(*) AS n_docs,
-             CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS sl
-      FROM documents),
-    tf AS (
-      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-             any_value(dl) AS dl
-      FROM toks WHERE term IN ('dup', 'hash', 'scan')
-      GROUP BY doc_id, term),
-    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             CAST(round(
-               CAST(CAST(round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-                          * 1e6) AS BIGINT)
-                    * 22 * sl * tf AS DOUBLE)
-               / CAST(10 * sl * tf + 3 * sl + 9 * dl * n_docs AS DOUBLE)
-             ) AS BIGINT) AS c
-      FROM tf JOIN dft USING (term), corpus)
-    SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
-    FROM scored GROUP BY doc_id
-    ORDER BY score_micro DESC, doc_id LIMIT 20
-    """,
-)
-def bm25_search_topk(spark, sf_dir):
-    """Ranked full-text retrieval: BM25 (Lucene non-negative idf, k1=1.2,
-    b=0.75) of the query bag {dup, hash, scan} over `documents`, top 20.
-    'dup' appears in only ~5% of docs, so the idf spread is real. The
-    score is summed integer micro-units via the rational rewrite in
-    `pipeline/retrieval.py` — only ln() and one bigint/bigint division
-    touch floating point, so the oracle hash-matches exactly. Corpus
-    mining primitive: "find docs about X to upsample"."""
-    from .pipeline.retrieval import bm25_topk
-
-    return bm25_topk(
-        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20
-    )
-
-
-@q(
-    "hybrid_rrf_search",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, len(t) AS dl, unnest(t) AS term
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
-    corpus AS (
-      SELECT count(*) AS n_docs,
-             CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS sl
-      FROM documents),
-    tf AS (
-      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-             any_value(dl) AS dl
-      FROM toks WHERE term IN ('dup', 'hash', 'scan')
-      GROUP BY doc_id, term),
-    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
-    bm AS (
-      SELECT doc_id, CAST(sum(CAST(round(
-               CAST(CAST(round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-                          * 1e6) AS BIGINT)
-                    * 22 * sl * tf AS DOUBLE)
-               / CAST(10 * sl * tf + 3 * sl + 9 * dl * n_docs AS DOUBLE)
-             ) AS BIGINT)) AS BIGINT) AS score_micro
-      FROM tf JOIN dft USING (term), corpus GROUP BY doc_id),
-    lex AS (
-      SELECT doc_id,
-             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
-      FROM bm QUALIFY rnk <= 50),
-    vec AS (
-      SELECT id AS doc_id, row_number() OVER (ORDER BY score DESC, id) AS rnk
-      FROM (
-        SELECT e.vec_id AS id,
-               {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
-                 / ({_NORM_SQL.format(a="e.embedding")}
-                    * {_NORM_SQL.format(a="q.embedding")}) AS score
-        FROM embeddings e,
-             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        WHERE e.vec_id <> 0)
-      QUALIFY rnk <= 50),
-    contrib AS (
-      SELECT doc_id, CAST(round(1e6 / (60 + rnk)) AS BIGINT) AS c FROM lex
-      UNION ALL
-      SELECT doc_id, CAST(round(1e6 / (60 + rnk)) AS BIGINT) FROM vec)
-    SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
-    FROM contrib GROUP BY doc_id
-    ORDER BY rrf_micro DESC, doc_id LIMIT 20
-    """,
-)
-def hybrid_rrf_search(spark, sf_dir):
-    """Hybrid retrieval, the RAG-corpus shape: BM25 leg ({dup, hash,
-    scan}) + exact-cosine leg (query = stored embedding of vec_id 0, the
-    tables share the 0..N-1 id space) fused with Reciprocal Rank Fusion
-    at rrf_k=60, top 20. Leg ranks are n_leg-bounded join-ranks (no
-    global window — registry lint); contributions are integer micro
-    points, so fusion is FP-free and the oracle hash-matches."""
-    from .pipeline.retrieval import hybrid_rrf_topk
-
-    return hybrid_rrf_topk(
-        _t(spark, sf_dir, "documents"),
-        _t(spark, sf_dir, "embeddings"),
-        ["dup", "hash", "scan"],
-        query_vec_id=0,
-        k=20,
-        n_leg=50,
-    )
-
-
-@q(
-    "sessionize_events",
-    """
-    WITH g AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
-                       THEN 1
-                  ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    SELECT user_id, event_id,
-           CAST(sum(new_sess) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS session_no
-    FROM g
-    """,
-)
-def sessionize_events(spark, sf_dir):
-    """Batch sessionization: a new session starts after a >30 min gap;
-    session_no = running count of session starts per user. Two stacked
-    windows over ONE keyed shuffle (same partitioning, Catalyst reuses
-    the sort) — the batch face of the streaming session_window, exact
-    instead of state-store-approximate (operators/temporal.py
-    sessionize)."""
-    from .operators.temporal import sessionize
-
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    return sessionize(ev)
-
-
-@q(
-    "sessionize_events_bucketed",
-    ORACLES.get("sessionize_events"),
-)
-def sessionize_events_bucketed(spark, sf_dir):
-    """Identical contract and oracle to `sessionize_events`, run over a
-    table bucketed by user_id — the documented hot-user mitigation: the
-    keyed shuffle is paid ONCE at write (bucketBy + sortBy user_id) and
-    the window's required hashpartitioning(user_id) is satisfied by the
-    bucketed scan, so the query plan has ZERO Exchange operators (pinned
-    in tests/test_plans.py). At 100 TB every user-keyed window/agg/join
-    re-runs against the same layout shuffle-free; SCALE.md measures the
-    hot-user probe on both layouts."""
-    from .operators.temporal import sessionize
-    from .sources.bucketing import write_bucketed
-
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-
-    def build(tmp: str) -> None:
-        # write through a scratch catalog name, then drop the entry: the
-        # EXTERNAL table's files stay for the memo to promote; the real
-        # table is re-declared over the settled path below
-        write_bucketed(ev, "events_by_user_sess_build", "user_id", 16, tmp)
-        spark.sql("DROP TABLE IF EXISTS events_by_user_sess_build")
-
-    # the bucketed layout is the once-per-corpus artifact (the POINT of
-    # bucketing: pay the keyed shuffle at write, reuse it forever) — memo
-    # it and re-declare the catalog entry over the settled location, so
-    # the timed region measures the shuffle-free sessionize, not ingest
-    dest = MEMO.layout_memo(
-        "sess_bucket", sf_dir, ["events"], build, markers=["_SUCCESS"]
-    )
-    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
-    spark.sql("DROP TABLE IF EXISTS events_by_user_sess")
-    spark.sql(
-        f"CREATE TABLE events_by_user_sess ({cols}) USING PARQUET "
-        "CLUSTERED BY (user_id) SORTED BY (user_id) INTO 16 BUCKETS "
-        f"LOCATION '{dest}'"
-    )
-    return sessionize(spark.table("events_by_user_sess"))
-
-
-@q(
-    "cohort_retention",
-    """
-    WITH firsts AS (
-      SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events
-      GROUP BY user_id),
-    f AS (SELECT user_id,
-                 first_day - CAST(dayofweek(first_day) AS INT) AS cohort_week
-          FROM firsts),
-    act AS (
-      SELECT DISTINCT e.user_id, f.cohort_week,
-             CAST(floor((epoch(CAST(CAST(e.ts AS DATE) AS TIMESTAMP))
-                         - epoch(CAST(f.cohort_week AS TIMESTAMP)))
-                        / 604800) AS BIGINT) AS week_offset
-      FROM events e JOIN f USING (user_id))
-    SELECT cohort_week, week_offset, count(*) AS n_users
-    FROM act GROUP BY cohort_week, week_offset
-    """,
-)
-def cohort_retention(spark, sf_dir):
-    """Cohort retention: users grouped by their first-activity week
-    (week = Sunday-aligned day truncation, identical arithmetic both
-    engines), counted once per (cohort, week-offset) they were active.
-    Two aggregations + one broadcast-scale cohort join — the standard
-    retention-triangle feed."""
-    ev = _t(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
-    cohort = firsts.select(
-        "user_id",
-        # Spark dayofweek is 1-7 (Sun=1), DuckDB's is 0-6 (Sun=0):
-        # subtract (dow-1) here to match the oracle's Sunday alignment
-        F.date_sub(
-            F.col("first_day"), F.dayofweek("first_day").cast("int") - 1
-        ).alias("cohort_week"),
-    )
-    act = (
-        ev.select("user_id", F.col("ts").cast("date").alias("d"))
-        .join(cohort, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            F.floor(
-                (
-                    F.col("d").cast("timestamp").cast("long")
-                    - F.col("cohort_week").cast("timestamp").cast("long")
-                )
-                / 604800
-            )
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .distinct()
-    )
-    return act.groupBy("cohort_week", "week_offset").agg(
-        F.count("*").alias("n_users")
-    )
-
-
-@q(
-    "mixture_temperature_sampling",
-    """
-    WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-    b AS (
-      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-             CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS score
-      FROM n),
-    t AS (SELECT sum(score) AS s FROM b),
-    q AS (
-      SELECT source, n_docs, score,
-             (score * 1000000) // (SELECT s FROM t) AS base,
-             (score * 1000000) % (SELECT s FROM t) AS rem
-      FROM b),
-    tb AS (SELECT sum(base) AS sb FROM q),
-    r AS (
-      SELECT x.source, count(y.source) AS ahead
-      FROM q x LEFT JOIN q y
-        ON (y.rem > x.rem) OR (y.rem = x.rem AND y.source < x.source)
-      GROUP BY x.source)
-    SELECT q.source, q.n_docs, q.score AS w_micro,
-           CAST(q.base + CASE WHEN r.ahead < (1000000 - tb.sb)
-                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
-    FROM q JOIN r USING (source), tb
-    """,
-)
-def mixture_temperature_sampling(spark, sf_dir):
-    """Temperature-based mixture rebalancing (the mT5/XLM-R recipe,
-    α = 0.5): per-source sampling mass ∝ n_docs^α, so small sources are
-    upweighted relative to their raw share. α = 0.5 is computed via
-    sqrt — IEEE-correctly-rounded on every engine, unlike pow/exp — and
-    scores feed `largest_remainder_allocation(normalize=True)`: quota =
-    score·budget div Σscore stays integer-exact with Σ alloc == budget
-    (a 1e6-unit budget here, i.e. ppm sampling rates). One count agg +
-    a sources-sized self-join; no window."""
-    from .pipeline.curation import largest_remainder_allocation
-
-    n = (
-        _t(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-    )
-    scored = n.select(
-        "source",
-        "n_docs",
-        F.round(F.sqrt(F.col("n_docs")) * 1e6).cast("long").alias("w_micro"),
-    )
-    out = largest_remainder_allocation(
-        scored, budget=1_000_000, key_col="source", normalize=True
-    )
-    return out.join(scored.select("source", "n_docs"), "source").select(
-        "source", "n_docs", "w_micro", "alloc"
-    )
-
-
-
-
-@q(
-    "mixture_token_allocation",
-    """
-    WITH w AS (
-      SELECT DISTINCT source,
-             20000 + CAST(substr(source, 4) AS INT) * 3000
-             + CASE WHEN source = 'src0' THEN 30000 ELSE 0 END AS w_micro
-      FROM documents),
-    b AS (
-      SELECT source, w_micro,
-             (CAST(w_micro AS BIGINT) * 1234567) // 1000000 AS base,
-             (CAST(w_micro AS BIGINT) * 1234567) % 1000000 AS rem
-      FROM w),
-    t AS (SELECT sum(base) AS sb FROM b),
-    r AS (
-      SELECT x.source, count(y.source) AS ahead
-      FROM b x LEFT JOIN b y
-        ON (y.rem > x.rem) OR (y.rem = x.rem AND y.source < x.source)
-      GROUP BY x.source)
-    SELECT b.source,
-           CAST(b.w_micro AS BIGINT) AS w_micro,
-           CAST(b.base + CASE WHEN r.ahead < (1234567 - t.sb)
-                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
-    FROM b JOIN r USING (source), t
-    """,
-)
-def mixture_token_allocation(spark, sf_dir):
-    """Mixture planning: allocate a 1,234,567-token budget across sources
-    by largest remainder (weights 2-8.9% per source, summing to exactly
-    1e6 micro). Integer arithmetic + join-based remainder rank → exact,
-    window-free, Σ alloc == budget
-    (pipeline/curation.py:largest_remainder_allocation)."""
-    from .pipeline.curation import largest_remainder_allocation
-
-    d = _t(spark, sf_dir, "documents")
-    idx = F.substring("source", 4, 10).cast("int")
-    weights = (
-        d.select("source")
-        .distinct()
-        .select(
-            "source",
-            (
-                20000
-                + idx * 3000
-                + F.when(F.col("source") == "src0", 30000).otherwise(0)
-            ).alias("w_micro"),
-        )
-    )
-    return largest_remainder_allocation(weights, budget=1_234_567)
-
-
-@q(
-    "token_drift_report",
-    rf"""
-    WITH ta AS (
-      SELECT token, count(*) AS cnt_a FROM
-        (SELECT unnest({_TOKENS_SQL}) AS token FROM documents
-         WHERE doc_id % 2 = 0) GROUP BY token),
-    tb AS (
-      SELECT token, count(*) AS cnt_b FROM
-        (SELECT unnest({_TOKENS_SQL}) AS token FROM documents
-         WHERE doc_id % 2 = 1) GROUP BY token),
-    v AS (
-      SELECT coalesce(ta.token, tb.token) AS token,
-             CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
-             CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
-      FROM ta FULL OUTER JOIN tb ON ta.token = tb.token),
-    tot AS (SELECT sum(cnt_a) AS sa, sum(cnt_b) AS sb, count(*) AS nv FROM v)
-    SELECT token, cnt_a, cnt_b,
-           CAST(round(((cnt_a + 1.0) / (sa + nv))
-                      * ln(((cnt_a + 1.0) / (sa + nv))
-                           / ((cnt_b + 1.0) / (sb + nv))) * 1000000000)
-                AS BIGINT) AS kl_nano
-    FROM v, tot
-    """,
-)
-def token_drift_report(spark, sf_dir):
-    """Distribution-drift monitor between two corpus snapshots (even vs
-    odd doc ids): per-token KL(A‖B) contribution in exact integer
-    nano-nats (pipeline/drift.py:token_distribution_drift) — the
-    'did this week's crawl shift?' report."""
-    from .pipeline.drift import token_distribution_drift
-
-    d = _t(spark, sf_dir, "documents")
-    return token_distribution_drift(
-        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
-    )
-
-
-def _user_event_seq(ev):
-    """Per-user first-letter event sequence in (ts, event_id) order — the
-    shared reconstruction for funnel_stages and frequent_event_triples."""
-    return ev.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "ts",
-                            "event_id",
-                            F.substring("event_type", 1, 1).alias("c"),
-                        )
-                    )
-                ),
-                lambda x: x["c"],
-            ),
-            "",
-        ).alias("seq")
-    )
-
-
-@q(
-    "funnel_stages",
-    """
-    WITH s AS (
-      SELECT user_id,
-             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
-               AS seq
-      FROM events WHERE event_id % 31 = 0
-      GROUP BY user_id
-    )
-    SELECT CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 3
-                WHEN regexp_matches(seq, 'v.*c') THEN 2
-                WHEN contains(seq, 'v') THEN 1
-                ELSE 0 END AS stage,
-           count(*) AS n_users
-    FROM s GROUP BY 1
-    """,
-)
-def funnel_stages(spark, sf_dir):
-    """Conversion-funnel analysis: per user, the furthest
-    view → click → purchase stage reached as an ordered SUBSEQUENCE of
-    their event stream (sparse sample: every 31st event, so stages
-    actually vary). Sequence assembly is the standard one-keyed-shuffle
-    collect + array_sort reconstruction; stage detection is a regex over
-    the per-user first-letter string — all codegen, state O(events/user)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
-    seq = _user_event_seq(ev)
-    stage = (
-        F.when(F.col("seq").rlike("v.*c.*p"), F.lit(3))
-        .when(F.col("seq").rlike("v.*c"), F.lit(2))
-        .when(F.col("seq").contains("v"), F.lit(1))
-        .otherwise(F.lit(0))
-    )
-    return seq.groupBy(stage.alias("stage")).agg(F.count("*").alias("n_users"))
-
-
-@q(
-    "length_bucket_stats",
-    rf"""
-    WITH n AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len({_TOKENS_SQL}) END AS n_tokens
-      FROM documents
-    )
-    SELECT CAST(n_tokens // 32 AS BIGINT) AS bucket,
-           count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
-           round(1.0 - sum(n_tokens) / (count(*) * max(n_tokens)), 4)
-             AS pad_waste_frac
-    FROM n GROUP BY 1
-    """,
-)
-def length_bucket_stats(spark, sf_dir):
-    """Length-bucketed batching planner: docs grouped into 32-token
-    buckets with the padding waste a pad-to-bucket-max batcher pays —
-    the report that decides bucket boundaries for efficient training
-    batches. One scan + a tiny bucket-keyed aggregate."""
-    d = _t(spark, sf_dir, "documents")
-    n = d.select(TXT.token_count(F.col("text")).alias("n_tokens"))
-    return (
-        n.groupBy(F.floor(F.col("n_tokens") / 32).cast("long").alias("bucket"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.max("n_tokens").cast("long").alias("max_tokens"),
-            F.round(
-                1.0
-                - F.sum("n_tokens") / (F.count("*") * F.max("n_tokens")),
-                4,
-            ).alias("pad_waste_frac"),
-        )
-    )
-
-
-@q(
-    "scd2_user_versions",
-    """
-    SELECT user_id, event_id,
-           ts AS valid_from,
-           lead(ts) OVER w AS valid_to,
-           CAST(row_number() OVER w AS BIGINT) AS version,
-           lead(ts) OVER w IS NULL AS is_current
-    FROM events
-    WHERE event_id % 20 = 0
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def scd2_user_versions(spark, sf_dir):
-    """SCD Type 2 dimension build from a change stream: every 20th event
-    is a 'profile version'; validity intervals come from one
-    key-partitioned lead window (operators/merge.py:scd2_from_changes)."""
-    from .operators.merge import scd2_from_changes
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
-    out = scd2_from_changes(
-        ev.select("user_id", "event_id", "ts"),
-        key="user_id",
-        tiebreak="event_id",
-    )
-    return out.select(
-        "user_id", "event_id",
-        "valid_from", "valid_to", "version", "is_current",
-    )
-
-
-@q(
-    "scd2_asof_snapshot",
-    """
-    WITH v AS (
-      SELECT user_id, event_id,
-             ts AS valid_from,
-             lead(ts) OVER w AS valid_to
-      FROM events
-      WHERE event_id % 20 = 0
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    SELECT user_id, event_id, valid_from
-    FROM v
-    WHERE valid_from <= TIMESTAMP '2024-01-16 00:00:00'
-      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-16 00:00:00')
-    """,
-)
-def scd2_asof_snapshot(spark, sf_dir):
-    """TIME TRAVEL: reconstruct the dimension state AS OF 2024-01-16
-    from the SCD2 validity intervals (operators/merge.py:asof_snapshot)
-    — one row per user that had any version by then, zero extra shuffle
-    (the interval filter composes onto the SCD2 window plan). The
-    lakehouse `VERSION AS OF` read over interval columns."""
-    from .operators.merge import asof_snapshot, scd2_from_changes
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
-    scd2 = scd2_from_changes(
-        ev.select("user_id", "event_id", "ts"), key="user_id", tiebreak="event_id"
-    )
-    return asof_snapshot(scd2, "2024-01-16 00:00:00").select(
-        "user_id", "event_id", "valid_from"
-    )
-
-
-@q(
-    "pit_enrich_events",
-    """
-    WITH v AS (
-      SELECT user_id, event_id AS version_event, ts AS valid_from,
-             lead(ts) OVER w AS valid_to
-      FROM events
-      WHERE event_id % 20 = 0
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-    SELECT e.event_id, e.user_id, v.version_event
-    FROM events e JOIN v
-      ON e.user_id = v.user_id
-     AND v.valid_from <= e.ts
-     AND (v.valid_to IS NULL OR v.valid_to > e.ts)
-    WHERE e.event_type = 'purchase'
-    """,
-)
-def pit_enrich_events(spark, sf_dir):
-    """POINT-IN-TIME enrichment (the feature-store join): every purchase
-    event is joined to the dimension VERSION that was valid at the
-    event's own timestamp — never a later one (no feature leakage), via
-    the SCD2 validity intervals. Interval containment means at most one
-    version matches per (user, ts), so the join is 1:≤1 by construction.
-    Plan: the SCD2 side is dimension-sized → broadcast; the interval
-    predicate evaluates on the build side with zero fact-side shuffle.
-    At 100 TB with a fact-sized dimension the same query runs as the
-    banded `range_join_point_interval` instead — the call site swaps,
-    the semantics don't."""
-    from .operators.merge import scd2_from_changes
-
-    ev = _t(spark, sf_dir, "events")
-    dim = scd2_from_changes(
-        ev.filter(F.col("event_id") % 20 == 0).select(
-            "user_id", F.col("event_id").alias("version_event"), "ts"
-        ),
-        key="user_id",
-        tiebreak="version_event",
-    ).select("user_id", "version_event", "valid_from", "valid_to")
-    fact = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    return fact.join(
-        F.broadcast(dim),
-        (fact.user_id == dim.user_id)
-        & (dim.valid_from <= fact.ts)
-        & (dim.valid_to.isNull() | (dim.valid_to > fact.ts)),
-    ).select("event_id", fact.user_id.alias("user_id"), "version_event")
-
-
-@q("ndv_daily_to_weekly")  # rows-only: HLL estimates have no SQL twin;
-def ndv_daily_to_weekly(spark, sf_dir):  # merge==direct + error pinned in pytest
-    """Continuous-aggregate pattern for DISTINCT counts: per-day HLL
-    sketches of active users (`operators/sketches.py:ndv_partials`, the
-    shuffle carries O(2^lg_k)-byte sketches) merged up to weeks with
-    `ndv_rollup` — the corpus is never rescanned at the coarse grain,
-    the re-aggregation property exact COUNT(DISTINCT) cannot have.
-    Lossless-merge (rollup == direct weekly sketch) and the 5% error
-    contract are pinned in pytest."""
-    from .operators.sketches import ndv_partials, ndv_rollup
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.date_trunc("week", F.col("ts")).alias("week"),
-        "user_id",
-    )
-    daily = ndv_partials(ev, ["week", "day"], "user_id")
-    return (
-        ndv_rollup(daily.drop("day"), "week")
-        .select("week", "ndv_est", "n_rows")
-        .orderBy("week")
-    )
-
-
-@q(
-    "bigram_lm_table",
-    f"""
-    WITH {_BG_SQL},
-    pc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
-    cc AS (SELECT w1, count(*) AS ctx_cnt FROM bg GROUP BY w1)
-    SELECT p.w1, p.w2,
-           CAST(p.cnt AS BIGINT) AS cnt,
-           CAST(c.ctx_cnt AS BIGINT) AS ctx_cnt,
-           CAST(round(ln(p.cnt / c.ctx_cnt) * 1000000) AS BIGINT) AS logp_micro
-    FROM pc p JOIN cc c USING (w1)
-    """,
-)
-def bigram_lm_table(spark, sf_dir):
-    """Distributed bigram LM training (pipeline/lm.py:bigram_lm): MLE
-    conditional probabilities as exact integer micro-nats."""
-    from .pipeline import lm as LM
-
-    return LM.bigram_lm(_t(spark, sf_dir, "documents"))
-
-
-@q(
-    "doc_perplexity_lm",
-    f"""
-    WITH {_BG_SQL},
-    pc AS (SELECT w1, w2, count(*) AS cnt FROM bg
-           WHERE doc_id % 5 != 0 GROUP BY w1, w2),
-    cc AS (SELECT w1, count(*) AS ctx_cnt FROM bg
-           WHERE doc_id % 5 != 0 GROUP BY w1),
-    lm AS (SELECT p.w1, p.w2,
-                  CAST(round(ln(p.cnt / c.ctx_cnt) * 1000000) AS BIGINT) AS lp
-           FROM pc p JOIN cc c USING (w1)),
-    sc AS (SELECT b.doc_id, coalesce(l.lp, -13815511) AS lp
-           FROM bg b LEFT JOIN lm l USING (w1, w2)
-           WHERE b.doc_id % 5 = 0),
-    a AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS micro
-          FROM sc GROUP BY doc_id)
-    SELECT doc_id,
-           CAST(n_bigrams AS BIGINT) AS n_bigrams,
-           round(-micro / 1000000.0 / n_bigrams, 6) AS avg_neg_logp,
-           round(exp(round(-micro / 1000000.0 / n_bigrams, 6)), 3) AS ppl
-    FROM a
-    """,
-)
-def doc_perplexity_lm(spark, sf_dir):
-    """CCNet-style LM quality signal: train the bigram LM on the corpus
-    side (doc_id % 5 != 0), score the incoming shard (doc_id % 5 == 0)
-    with exact integer micro-nat sums — no FP accumulation-order
-    divergence (pipeline/lm.py:doc_perplexity)."""
-    from .pipeline import lm as LM
-
-    docs = _t(spark, sf_dir, "documents")
-    lm = LM.bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
-    return LM.doc_perplexity(docs.filter(F.col("doc_id") % 5 == 0), lm)
-
-
-@q(
-    "doc_chunks",
-    rf"""
-    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
-    s AS (
-      SELECT doc_id, toks, len(toks) AS n,
-             unnest(range(0, len(toks), 24)) AS start
-      FROM t WHERE len(toks) > 0
-    )
-    SELECT doc_id,
-           CAST(start // 24 AS BIGINT) AS chunk_idx,
-           CAST(least(32, n - start) AS BIGINT) AS n_chunk_tokens,
-           md5(array_to_string(toks[start + 1 : start + 32], ' ')) AS chunk_md5
-    FROM s
-    """,
-)
-def doc_chunks(spark, sf_dir):
-    """Sliding-window chunking (32-token windows, stride 24 — overlap 8):
-    the long-document → training-context splitter
-    (pipeline/curation.py:chunk_documents). Map-only, no shuffle; chunk
-    text is md5'd for the compare."""
-    from .pipeline.curation import chunk_documents
-
-    out = chunk_documents(
-        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
-    )
-    return out.select(
-        "doc_id",
-        "chunk_idx",
-        "n_chunk_tokens",
-        F.md5("chunk_text").alias("chunk_md5"),
-    )
-
-
-@q(
-    "bpe_merge_top20",
-    rf"""
-    SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM (
-      SELECT pair, count(*) AS cnt FROM (
-        SELECT unnest(list_transform(range(1, length(w)),
-                                     i -> substr(w, CAST(i AS INT), 2))) AS pair
-        FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
-        WHERE length(w) >= 2)
-      GROUP BY pair)
-    ORDER BY cnt DESC, pair LIMIT 20
-    """,
-)
-def bpe_merge_top20(spark, sf_dir):
-    """First BPE training iteration, distributed: adjacent character-pair
-    counts over every word occurrence, top-20 merge candidates
-    (functions/text.py:bpe_merge_candidates)."""
-    return TXT.bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_n=20)
-
-
-# =====================================================================
-# Z-order layout (sources/layout.py): Morton z-values for two-dimensional
-# data skipping — Delta/Iceberg OPTIMIZE ZORDER on plain parquet
-# =====================================================================
-
-@q(
-    "zorder_zvalues",
-    """
-    WITH b AS (
-      SELECT o_orderkey, o_custkey % 256 AS ab,
-             CAST(floor(o_totalprice) AS BIGINT) % 256 AS bb
-      FROM orders
-    ),
-    s1 AS (SELECT o_orderkey,
-                  (ab | (ab << 8)) & 16711935 AS xa,
-                  (bb | (bb << 8)) & 16711935 AS xb FROM b),
-    s2 AS (SELECT o_orderkey,
-                  (xa | (xa << 4)) & 252645135 AS xa,
-                  (xb | (xb << 4)) & 252645135 AS xb FROM s1),
-    s3 AS (SELECT o_orderkey,
-                  (xa | (xa << 2)) & 858993459 AS xa,
-                  (xb | (xb << 2)) & 858993459 AS xb FROM s2),
-    s4 AS (SELECT o_orderkey,
-                  (xa | (xa << 1)) & 1431655765 AS xa,
-                  (xb | (xb << 1)) & 1431655765 AS xb FROM s3)
-    SELECT o_orderkey, CAST(xa | (xb << 1) AS BIGINT) AS zval FROM s4
-    """,
-)
-def zorder_zvalues(spark, sf_dir):
-    """Morton z-value per order row over integer-exact bucket ids
-    (o_custkey % 256, bigint(o_totalprice) % 256 — deterministic on both
-    engines; the min/max-normalized bucketing lives in
-    sources/layout.py:zorder_layout and is pinned in tests). The oracle
-    restates the 4-step magic-mask spread bit-for-bit."""
-    from .sources.layout import zvalue16
-
-    o = _t(spark, sf_dir, "orders")
-    ab = (F.col("o_custkey") % 256).cast("long")
-    # floor, not cast: CAST(double AS BIGINT) truncates in Spark but
-    # ROUNDS in DuckDB — floor() agrees everywhere
-    bb = (F.floor("o_totalprice") % 256).cast("long")
-    return o.select(
-        "o_orderkey", zvalue16(ab, bb).cast("long").alias("zval")
-    )
-
-
-@q(
-    "streaming_merge_upsert",
-    """
-    WITH src AS (
-      SELECT o_orderkey,
-             round(o_totalprice * 2, 2) AS o_totalprice,
-             'U' AS o_orderstatus
-      FROM orders WHERE o_orderkey % 7 = 0
-      UNION ALL
-      SELECT o_orderkey + 10000000,
-             round(o_totalprice, 2),
-             'N'
-      FROM orders WHERE o_orderkey % 97 = 0
-    )
-    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-           coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-           round(coalesce(s.o_totalprice, t.o_totalprice), 2) AS price
-    FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
-    """,
-)
-def streaming_merge_upsert(spark, sf_dir):
-    """RUNS a real Structured Streaming CDC apply (streaming/cdc.py): the
-    same change feed as merge_upsert_orders — doubled prices for every
-    7th order, new rows for every 97th — lands as parquet files and
-    replays batch-by-batch (maxFilesPerTrigger=1) through foreachBatch
-    MERGE into versioned table snapshots. Feed keys are unique, so the
-    final version must equal ONE single-shot MERGE of the whole feed —
-    which is exactly what the oracle states (batch/stream equivalence)."""
-    from .streaming.cdc import apply_changes_stream
-
-    o = _t(spark, sf_dir, "orders")
-    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
-        F.lit("U").alias("o_orderstatus"),
-    )
-    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-        F.round("o_totalprice", 2).alias("o_totalprice"),
-        F.lit("N").alias("o_orderstatus"),
-    )
-    base = _scratch_dir("cdc")
-    feed = os.path.join(base, "feed")
-    # three feed files -> three micro-batches at maxFilesPerTrigger=1
-    updates.repartition(2).write.mode("overwrite").parquet(feed)
-    inserts.repartition(1).write.mode("append").parquet(feed)
-    target = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    final = apply_changes_stream(
-        spark, target, feed, base, key="o_orderkey",
-        update_cols=["o_totalprice", "o_orderstatus"],
-    )
-    return final.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.round("o_totalprice", 2).alias("price"),
-    )
-
-
-@q(
-    "compaction_plan",
-    """
-    WITH f AS (
-      SELECT event_type || '/' || strftime(ts, '%Y-%m-%d') AS file_id,
-             sum(strlen(props) + 64) AS bytes
-      FROM events GROUP BY 1),
-    c AS (
-      SELECT file_id, bytes,
-             sum(bytes) OVER (ORDER BY bytes DESC, file_id
-                              ROWS UNBOUNDED PRECEDING) - bytes AS before
-      FROM f)
-    SELECT file_id, CAST(bytes AS BIGINT) AS bytes,
-           CAST(before // 32000 AS BIGINT) AS out_group
-    FROM c
-    """,
-)
-def compaction_plan(spark, sf_dir):
-    """OPTIMIZE-style small-file compaction planning
-    (sources/compaction.py): the per-(event_type, day) micro-batch
-    directories a streaming sink would leave behind become the file
-    manifest (bytes = payload + 64B object overhead), packed toward
-    32 KB output files under the greedy size-descending rule. The oracle
-    restates the packing as one window cumsum; the engine computes the
-    same sum two-phase (range-partition + per-partition offsets) so no
-    single-partition window appears in the plan."""
-    from .sources.compaction import plan_compaction
-
-    ev = _t(spark, sf_dir, "events")
-    files = ev.groupBy(
-        F.concat(
-            "event_type", F.lit("/"), F.date_format("ts", "yyyy-MM-dd")
-        ).alias("file_id")
-    ).agg(
-        F.sum(F.octet_length("props") + F.lit(64)).cast("long").alias("bytes")
-    )
-    plan = plan_compaction(files, target_bytes=32_000)
-    return plan.select("file_id", "bytes", "out_group")
-
-
-# =====================================================================
-# Round-5 pipeline additions: exact-substring spans, tokenizer economics,
-# entropy quality, multi-n decontamination, schema evolution, cross-source
-# duplication audit, exact per-source length percentiles
-# =====================================================================
-
-
-@q(
-    "shared_span_pairs",
-    r"""
-    WITH tt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-                FROM documents),
-    g AS (
-      SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS ng
-      FROM tt, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i)
-    ),
-    keep AS (SELECT ng FROM g GROUP BY ng HAVING count(*) BETWEEN 2 AND 1000),
-    gk AS (SELECT g.* FROM g JOIN keep USING (ng)),
-    m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
-                 b.pos - a.pos AS d
-          FROM gk a JOIN gk b USING (ng) WHERE a.doc_id < b.doc_id),
-    runs AS (SELECT id_a, id_b, d, pa,
-                    pa - row_number() OVER (PARTITION BY id_a, id_b, d
-                                            ORDER BY pa) AS isl
-             FROM m),
-    spans AS (SELECT id_a, id_b, count(*) + 3 AS span_tokens
-              FROM runs GROUP BY id_a, id_b, d, isl)
-    SELECT id_a, id_b, CAST(max(span_tokens) AS BIGINT) AS longest_span
-    FROM spans GROUP BY 1, 2 HAVING max(span_tokens) >= 6
-    """,
-)
-def shared_span_pairs_q(spark, sf_dir):
-    """Exact-substring dedup (Lee et al. 2021 semantics): document pairs
-    sharing a verbatim run of >= 6 consecutive tokens, with the longest
-    shared span per pair — positional 4-gram fingerprints + gaps-and-
-    islands run stitching, windows partitioned by pair key only."""
-    return DD.shared_span_pairs(
-        _t(spark, sf_dir, "documents"), n=4, min_span=6, max_occ=1000
-    ).orderBy("id_a", "id_b")
-
-
-@q(
-    "tokenizer_fertility",
-    r"""
-    WITH d AS (
-      SELECT source,
-             octet_length(encode(text)) AS n_bytes,
-             length(text) AS n_chars,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
-               AS ws_tokens,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-               AS bpe_tokens
-      FROM documents)
-    SELECT source,
-           count(*) AS n_docs,
-           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
-           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-           round(sum(n_chars) / CAST(sum(ws_tokens) AS DOUBLE), 4)
-             AS chars_per_ws_token,
-           round(sum(n_bytes) / CAST(sum(bpe_tokens) AS DOUBLE), 4)
-             AS bytes_per_bpe_token,
-           round(sum(bpe_tokens) / CAST(sum(ws_tokens) AS DOUBLE), 4)
-             AS fertility
-    FROM d GROUP BY source
-    """,
-)
-def tokenizer_fertility(spark, sf_dir):
-    """Tokenizer economics per source: whitespace-token vs BPE-ish-token
-    totals, chars-per-token, bytes-per-token, and fertility (BPE tokens
-    per word) — the report that prices a corpus in training tokens and
-    flags sources a tokenizer fragments badly. One codegen projection +
-    one small groupBy; at 100 TB this is scan-bound."""
-    d = _t(spark, sf_dir, "documents")
-    proj = d.select(
-        "source",
-        F.octet_length("text").alias("n_bytes"),
-        F.length("text").alias("n_chars"),
-        TXT.token_count(F.col("text")).alias("ws_tokens"),
-        TXT.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
-    )
-    return proj.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
-        F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
-        F.round(F.sum("n_chars") / F.sum("ws_tokens").cast("double"), 4).alias(
-            "chars_per_ws_token"
-        ),
-        F.round(F.sum("n_bytes") / F.sum("bpe_tokens").cast("double"), 4).alias(
-            "bytes_per_bpe_token"
-        ),
-        F.round(F.sum("bpe_tokens") / F.sum("ws_tokens").cast("double"), 4).alias(
-            "fertility"
-        ),
-    )
-
-
-@q(
-    "char_entropy_quality",
-    """
-    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
-                FROM documents WHERE length(text) > 0),
-    cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_distinct_chars,
-           round(ln(CAST(sum(k) AS DOUBLE))
-                 - sum(k * ln(CAST(k AS DOUBLE))) / sum(k), 6)
-             AS char_entropy,
-           ln(CAST(sum(k) AS DOUBLE))
-             - sum(k * ln(CAST(k AS DOUBLE))) / sum(k) < 2.0 AS low_entropy
-    FROM cc GROUP BY 1
-    """,
-)
-def char_entropy_quality(spark, sf_dir):
-    """Character-entropy quality signal: Shannon entropy (nats) of each
-    document's character distribution — near-zero entropy = padding /
-    repeated-char spam, the cheap gibberish detector quality pipelines
-    run before any model scoring. Explode to (doc, char) → two keyed
-    aggregations on the SAME doc_id exchange, no join: the identity
-    H = ln n − (Σ k·ln k)/n needs only Σk and Σ k·ln k, both plain sums
-    over the per-(doc, char) counts. Entropy rounded to micro-nats on
-    both engines so the cross-engine hash is stable."""
-    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    ch = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
-    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
-    h = F.log(F.sum("k").cast("double")) - F.sum(
-        F.col("k") * F.log(F.col("k").cast("double"))
-    ) / F.sum("k")
-    ent = cc.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_distinct_chars"),
-        h.alias("_h"),
-    )
-    return ent.select(
-        "doc_id",
-        "n_distinct_chars",
-        F.round("_h", 6).alias("char_entropy"),
-        (F.col("_h") < 2.0).alias("low_entropy"),
-    )
-
-
-@q(
-    "decontam_multi_n",
-    _DECONTAM_CTES
-    + f"""
-    , s5 AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 5
-                  THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
-                                     i -> array_to_string(t[i:i+4], ' ')))
-                  ELSE [array_to_string(t, ' ')] END AS sh
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)
-    ),
-    bench5 AS (
-      SELECT DISTINCT unnest(sh) AS g FROM s5 WHERE {_MD5_BUCKET_SQL} < 5
-    ),
-    train5 AS (SELECT doc_id, sh FROM s5 WHERE {_MD5_BUCKET_SQL} >= 5),
-    tg5 AS (SELECT doc_id, unnest(sh) AS g FROM train5),
-    hits5 AS (SELECT doc_id, count(*) AS o5 FROM tg5 JOIN bench5 USING (g)
-              GROUP BY doc_id)
-    SELECT tr.doc_id,
-           CAST(coalesce(h.overlap_ngrams, 0) AS BIGINT) AS overlap_3,
-           CAST(coalesce(h5.o5, 0) AS BIGINT) AS overlap_5,
-           coalesce(h.overlap_ngrams, 0) >= 1 AS contaminated_loose,
-           coalesce(h5.o5, 0) >= 1 AS contaminated_strict
-    FROM train tr
-    LEFT JOIN hits h USING (doc_id)
-    LEFT JOIN hits5 h5 USING (doc_id)
-    """,
-)
-def decontam_multi_n(spark, sf_dir):
-    """Multi-n decontamination report (the GPT-3 appendix-C recipe runs
-    several n's): per training doc, benchmark-overlapping distinct 3-grams
-    (loose) AND 5-grams (strict). SINGLE tokenize pass per side
-    (decontam.multi_n_overlap): both gram families are emitted from one
-    tagged posting scan and resolved by one (n, gh) broadcast join — at
-    100 TB that halves the dominant corpus-scan cost vs the previous
-    per-n passes. A doc is strict-contaminated only when a full 5-token
-    run leaks."""
-    from .pipeline import decontam as DC
-    from .pipeline.curation import md5_bucket
-
-    docs = _t(spark, sf_dir, "documents")
-    b = md5_bucket("doc_id", 100)
-    train, bench = docs.filter(b >= 5), docs.filter(b < 5)
-    out = DC.multi_n_overlap(train, bench, ns=(3, 5))
-    return out.select(
-        "doc_id",
-        F.col("overlap_3").cast("long").alias("overlap_3"),
-        F.col("overlap_5").cast("long").alias("overlap_5"),
-        (F.col("overlap_3") >= 1).alias("contaminated_loose"),
-        (F.col("overlap_5") >= 1).alias("contaminated_strict"),
-    )
-
-
-@q(
-    "schema_evolution_union",
-    """
-    SELECT * FROM (
-      SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 0
-      UNION ALL BY NAME
-      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-             'v2' AS schema_rev
-      FROM documents WHERE doc_id % 2 = 1)
-    """,
-)
-def schema_evolution_union(spark, sf_dir):
-    """Schema-evolution read: two snapshots of the same logical table with
-    drifted schemas (v1 carries `lang`, v2 dropped it and added
-    `schema_rev` + `n_chars`) union by COLUMN NAME with null-fill — the
-    `unionByName(allowMissingColumns=True)` contract every long-lived
-    ingest pipeline needs (parquet mergeSchema reads compose the same
-    way). Pure metadata alignment: zero shuffle, two scans."""
-    d = _t(spark, sf_dir, "documents")
-    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "source")
-    v2 = (
-        d.filter(F.col("doc_id") % 2 == 1)
-        .select(
-            "doc_id",
-            "source",
-            F.col("n_chars").cast("long").alias("n_chars"),
-            F.lit("v2").alias("schema_rev"),
-        )
-    )
-    return v1.unionByName(v2, allowMissingColumns=True)
-
-
-@q(
-    "cross_source_dup_audit",
-    r"""
-    SELECT md5(array_to_string(
-             (string_split_regex(trim(lower(text)), '\s+'))[1:8], ' ')) AS fp,
-           count(*) AS n_copies,
-           count(DISTINCT source) AS n_sources,
-           min(doc_id) AS keep_id,
-           count(DISTINCT source) > 1 AS cross_source
-    FROM documents GROUP BY 1 HAVING count(*) > 1
-    """,
-)
-def cross_source_dup_audit(spark, sf_dir):
-    """Cross-source duplication audit on opening-prefix fingerprints (md5
-    of the first 8 tokens — the template/boilerplate-opening detector):
-    groups with copy count and how many distinct sources they span. A
-    one-source group is an upstream crawler double-fetch; a cross-source
-    group is syndication, with license/mixture-weighting implications.
-    One fingerprint groupBy, map-side combinable."""
-    d = _t(spark, sf_dir, "documents")
-    pre = F.md5(F.concat_ws(" ", F.slice(TXT.tokens(F.col("text")), 1, 8)))
-    return (
-        d.groupBy(pre.alias("fp"))
-        .agg(
-            F.count("*").alias("n_copies"),
-            F.count_distinct("source").alias("n_sources"),
-            F.min("doc_id").alias("keep_id"),
-            (F.count_distinct("source") > 1).alias("cross_source"),
-        )
-        .filter(F.col("n_copies") > 1)
-    )
-
-
-@q(
-    "source_length_percentiles",
-    """
-    SELECT source,
-           count(*) AS n_docs,
-           round(quantile_cont(n_chars, 0.25), 4) AS p25,
-           round(quantile_cont(n_chars, 0.50), 4) AS p50,
-           round(quantile_cont(n_chars, 0.75), 4) AS p75,
-           round(quantile_cont(n_chars, 0.95), 4) AS p95
-    FROM documents GROUP BY source
-    """,
-)
-def source_length_percentiles(spark, sf_dir):
-    """Exact per-source length percentiles (linear interpolation — the
-    percentile_cont definition): the data-card numbers a mixture designer
-    reads. Spark's exact `percentile` aggregates a per-group value-count
-    map — memory scales with DISTINCT lengths per source, not rows, so
-    per-source groups stay bounded at any corpus size; for a truly
-    unbounded-domain column the GK-sketch `profile_quantiles` entry is
-    the declared scale path."""
-    d = _t(spark, sf_dir, "documents")
-    pct = F.expr("percentile(n_chars, array(0.25, 0.50, 0.75, 0.95))")
-    return d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.round(pct[0], 4).alias("p25"),
-        F.round(pct[1], 4).alias("p50"),
-        F.round(pct[2], 4).alias("p75"),
-        F.round(pct[3], 4).alias("p95"),
-    )
-
-
-@q(
-    "gap_fill_locf",
-    """
-    WITH o AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-                      round(avg(value), 4) AS v FROM events GROUP BY 1, 2),
-    g AS (SELECT event_type,
-                 unnest(generate_series(min(bucket_ts), max(bucket_ts),
-                                        INTERVAL 1 HOUR)) AS bucket_ts
-          FROM o GROUP BY event_type),
-    j AS (SELECT g.event_type, g.bucket_ts, o.v
-          FROM g LEFT JOIN o USING (event_type, bucket_ts))
-    SELECT event_type, bucket_ts, v IS NULL AS filled,
-           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
-             ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS value
-    FROM j
-    """,
-)
-def gap_fill_locf_q(spark, sf_dir):
-    """Time-series gap filling (TimescaleDB time_bucket_gapfill + locf):
-    hourly per-type value averages land on each series' dense hour grid,
-    missing buckets synthesized and filled with the last observation
-    carried forward (operators/temporal.py gap_fill_locf). Grid explode +
-    left join + fill window all partition on the series key — one
-    exchange. The observed average is rounded BEFORE the fill so the
-    carried value is byte-identical on both engines."""
-    from .operators.temporal import gap_fill_locf
-
-    ev = _t(spark, sf_dir, "events")
-    observed = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
-    ).agg(F.round(F.avg("value"), 4).alias("value"))
-    return gap_fill_locf(
-        observed, key_col="event_type", ts_col="bucket_ts",
-        value_cols=("value",), step="1 hour",
-    )
-
-
-@q(
-    "csv_roundtrip",
-    "SELECT doc_id, lang, n_chars FROM documents",
-)
-def csv_roundtrip(spark, sf_dir):
-    """documents -> headered CSV -> schema-explicit read-back — the
-    reference's native interchange format (`combined_flask.py:343`
-    ingests CSV exclusively) on the engine's format surface. Explicit
-    schema on read: no inference pass, values survive the text roundtrip
-    exactly."""
-    from .sources.formats import read_csv, write_csv
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    dest = _scratch_dir("csv")
-    write_csv(docs, dest)
-    return read_csv(
-        spark, dest, schema="doc_id long, lang string, n_chars long"
-    )
-
-
-def _phash_pairs_oracle_sql(max_hamming: int = 6) -> str:
-    """media_phash_pairs restated exactly (r9 — was rows-only): the
-    payload is attach_media's utf-8 text bytes (uint8 view via the
-    hex-nibble trick), np.array_split's 72-segment pooling is the
-    first-(L%72)-segments-get-one-extra rule, and the segment MEANS
-    compare exactly across engines — integer byte sums are exact in
-    float64 and the division is correctly rounded IEEE on both sides,
-    so the dHash bit pattern is bit-identical, not approximately so.
-    Bit 63 lands as the signed min-long addend (two's complement);
-    banding/verify mirror `_simhash_oracle_sql` at 64//7 = 9-bit
-    chunks."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
-    mask = (1 << width) - 1
-    band_rows = "\n      UNION ALL ".join(
-        f"SELECT id, {c} AS chunk, (sig >> {c * width}) & {mask} AS cv FROM s"
-        for c in range(chunks)
-    )
-    bits_sql = "\n         + ".join(
-        f"(CASE WHEN c{r * 9 + c} > c{r * 9 + c + 1} THEN "
-        + (
-            "CAST(-9223372036854775808 AS BIGINT)"
-            if r * 8 + c == 63
-            else f"(CAST(1 AS BIGINT) << {r * 8 + c})"
-        )
-        + " ELSE 0 END)"
-        for r in range(8)
-        for c in range(8)
-    )
-    cell_cols = ", ".join(
-        f"coalesce(max(CASE WHEN seg = {i} THEN m END), 0.0) AS c{i}"
-        for i in range(72)
-    )
-    return f"""
-    WITH pay AS MATERIALIZED (
-      SELECT doc_id AS id, hex(encode(text)) AS hx,
-             greatest(octet_length(encode(text)), 1) AS n
-      FROM documents
-    ), bytes AS MATERIALIZED (
-      SELECT id, n, pos - 1 AS p,
-             CASE WHEN length(hx) >= 2*pos THEN
-               (strpos('0123456789ABCDEF', substring(hx, 2*pos - 1, 1)) - 1)
-                 * 16
-             + (strpos('0123456789ABCDEF', substring(hx, 2*pos, 1)) - 1)
-             ELSE 0 END AS v
-      FROM pay, unnest(range(1, n + 1)) AS t(pos)
-    ), seg AS (
-      SELECT id,
-             CASE WHEN p < (n % 72) * (n // 72 + 1)
-                  THEN p // (n // 72 + 1)
-                  ELSE (n % 72) + (p - (n % 72) * (n // 72 + 1)) // (n // 72)
-             END AS seg, v
-      FROM bytes WHERE n // 72 > 0 OR p < (n % 72)
-    ), means AS (
-      SELECT id, seg, avg(CAST(v AS DOUBLE)) AS m FROM seg GROUP BY id, seg
-    ), cells AS (
-      SELECT id, {cell_cols} FROM means GROUP BY id
-    ), s AS (
-      SELECT id, {bits_sql} AS sig FROM cells
-    ), bands AS (
-      {band_rows}
-    ), pairs AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM bands a JOIN bands b
-        ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
-    )
-    SELECT p.id_a, p.id_b,
-           CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
-    FROM pairs p JOIN s sa ON p.id_a = sa.id JOIN s sb ON p.id_b = sb.id
-    WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
-    ORDER BY id_a, id_b
-    """
-
-
-@q("media_phash_pairs", _phash_pairs_oracle_sql())
-# the identical/near/far contract is additionally pinned in tests/test_round5.py
-def media_phash_pairs(spark, sf_dir):
-    """Near-duplicate MEDIA detection: perceptual dHash over the decoded
-    payload (Arrow-batched mapInPandas, pipeline/multimodal.py
-    media_phash), then the SAME pigeonhole Hamming-banding pair generator
-    the text SimHash path uses — one banding engine, two modalities.
-    Returns (id_a, id_b, hamming) pairs with Hamming <= 6. Full oracle
-    since r9 (`_phash_pairs_oracle_sql` — exact segment means, exact
-    dHash bits)."""
-    docs = _t(spark, sf_dir, "documents")
-    media = MM.attach_media(docs)
-    sigs = MM.media_phash(media).select(
-        "id", F.col("phash").alias("simhash")
-    )
-    return DD.simhash_pairs(sigs, max_hamming=6).orderBy("id_a", "id_b")
-
-
-@q(
-    "rolling_7d_avg_by_type",
-    """
-    WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                      CAST(date_diff('day', DATE '1970-01-01',
-                                     date_trunc('day', ts)) AS BIGINT) AS day_num,
-                      round(sum(value), 4) AS day_sum, count(*) AS day_n
-               FROM events GROUP BY 1, 2, 3)
-    SELECT event_type, day,
-           CAST(sum(day_n) OVER w AS BIGINT) AS n_7d,
-           round(sum(day_sum) OVER w / sum(day_n) OVER w, 4) AS avg_7d
-    FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day_num
-                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-    """,
-)
-def rolling_7d_avg_by_type(spark, sf_dir):
-    """Trailing-7-day rolling average per event type — the moving-window
-    time-series smoother, as a RANGE frame over PRE-AGGREGATED days:
-    the window input is (types x days) rows however large the raw corpus,
-    so the keyed sort is trivially bounded. Per-day sums are rounded
-    BEFORE the rolling sum so both engines accumulate identical values;
-    the range frame is keyed by event_type (never unpartitioned)."""
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type",
-        F.to_date(F.date_trunc("day", "ts")).alias("day"),
-        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01"))
-        .cast("long")
-        .alias("day_num"),
-    ).agg(
-        F.round(F.sum("value"), 4).alias("day_sum"),
-        F.count("*").alias("day_n"),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day_num")
-        .rangeBetween(-6, Window.currentRow)
-    )
-    return d.select(
-        "event_type",
-        "day",
-        F.sum("day_n").over(w).cast("long").alias("n_7d"),
-        F.round(F.sum("day_sum").over(w) / F.sum("day_n").over(w), 4).alias(
-            "avg_7d"
-        ),
-    )
-
-
-@q(
-    "dq_orders_report",
-    """
-    SELECT count(*) AS n_rows,
-           count(DISTINCT o_orderkey) AS n_distinct_keys,
-           count(*) - count(DISTINCT o_orderkey) AS dup_key_rows,
-           count(*) - count(o_custkey) AS null_custkey,
-           CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL
-                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
-             AS orphan_orders,
-           CAST(coalesce(sum(CASE WHEN o_totalprice <= 0
-                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
-             AS nonpositive_price
-    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    """,
-)
-def dq_orders_report(spark, sf_dir):
-    """Data-quality assertion report for the orders table: key
-    uniqueness, null foreign keys, referential integrity against the
-    customer dimension (broadcast left join — the dim is the small
-    side), and a domain rule (positive price). One scan + one broadcast
-    join; each violation count is a map-side-combinable aggregate. The
-    planted-violation contract (every counter actually fires) is pinned
-    in pytest."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
-    return j.agg(
-        F.count("*").alias("n_rows"),
-        F.count_distinct("o_orderkey").alias("n_distinct_keys"),
-        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_key_rows"),
-        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
-        F.coalesce(
-            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)), F.lit(0)
-        )
-        .cast("long")
-        .alias("orphan_orders"),
-        F.coalesce(
-            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)), F.lit(0)
-        )
-        .cast("long")
-        .alias("nonpositive_price"),
-    )
-
-
-@q(
-    "daily_new_users_cumulative",
-    """
-    WITH fu AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE))
-                         AS day
-                FROM events GROUP BY 1),
-    nd AS (SELECT day, count(*) AS new_users FROM fu GROUP BY 1)
-    SELECT day, new_users,
-           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-                AS BIGINT) AS cumulative_users
-    FROM nd
-    """,
-)
-def daily_new_users_cumulative(spark, sf_dir):
-    """User-acquisition curve: first-seen day per user, new users per
-    day, and the cumulative total — the growth chart every event product
-    tracks. The cumulative sum runs through `operators/cumulative.py
-    running_total` (range partition + broadcast per-partition offsets),
-    so the plan has NO single-partition window even though the series is
-    globally ordered; the oracle restates it as a plain window cumsum."""
-    from .operators.cumulative import running_total
-
-    ev = _t(spark, sf_dir, "events")
-    fu = ev.groupBy("user_id").agg(
-        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("day")
-    )
-    nd = fu.groupBy("day").agg(F.count("*").alias("new_users"))
-    return running_total(
-        nd, ["day"], "new_users", out_col="cumulative_users"
-    )
-
-
-@q(
-    "event_transition_matrix",
-    """
-    WITH s AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS dst_type
-      FROM events),
-    p AS (SELECT event_type AS src_type, dst_type, count(*) AS cnt
-          FROM s WHERE dst_type IS NOT NULL GROUP BY 1, 2),
-    m AS (SELECT src_type, sum(cnt) AS tot FROM p GROUP BY 1)
-    SELECT p.src_type, p.dst_type, CAST(p.cnt AS BIGINT) AS cnt,
-           CAST((p.cnt * 1000000) // m.tot AS BIGINT) AS prob_ppm
-    FROM p JOIN m USING (src_type)
-    """,
-)
-def event_transition_matrix(spark, sf_dir):
-    """First-order Markov transition matrix of user behavior: for each
-    user's event stream in (ts, event_id) order, count src→dst
-    event-type transitions and normalize per source into integer ppm
-    (floor division — FP-order-free). The sequence window is KEYED by
-    user_id (never a global window); the transition table is
-    |types|²-sized, so the per-source margin join is broadcast-scale.
-    At 100 TB the only big shuffle is the user_id keyed sort — the same
-    shape sessionize_events already pays."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = ev.select(
-        F.col("event_type").alias("src_type"),
-        F.lead("event_type").over(w).alias("dst_type"),
-    ).filter(F.col("dst_type").isNotNull())
-    p = s.groupBy("src_type", "dst_type").agg(F.count("*").alias("cnt"))
-    m = p.groupBy("src_type").agg(F.sum("cnt").alias("tot"))
-    return p.join(F.broadcast(m), "src_type").select(
-        "src_type",
-        "dst_type",
-        F.col("cnt").cast("long").alias("cnt"),
-        F.expr("(cnt * CAST(1000000 AS BIGINT)) div tot")
-        .cast("long")
-        .alias("prob_ppm"),
-    )
-
-
-@q(
-    "key_skew_report",
-    """
-    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
-    t AS (SELECT count(*) AS total FROM events),
-    n AS (SELECT count(*) AS ndv FROM c)
-    SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
-           CAST((cnt * 1000000) // t.total AS BIGINT) AS share_ppm,
-           CAST((cnt * n.ndv * 100) // t.total AS BIGINT) AS x_avg_pct
-    FROM c, t, n
-    ORDER BY cnt DESC, user_id LIMIT 20
-    """,
-)
-def key_skew_report(spark, sf_dir):
-    """Shuffle-skew diagnosis for a join/groupBy key: top-20 heaviest
-    keys with their row count, corpus share (integer ppm) and multiple
-    of the average key load (integer percent) — the report that decides
-    whether a key needs salting (`operators/skew.py`) before a 100 TB
-    join. One groupBy on the key plus two scalar aggregates joined as
-    broadcast scalars; the top-20 is a global TakeOrdered, never a
-    window."""
-    ev = _t(spark, sf_dir, "events")
-    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    t = ev.agg(F.count("*").alias("total"))
-    n = c.agg(F.count("*").alias("ndv"))
-    return (
-        c.crossJoin(F.broadcast(t))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "user_id",
-            F.col("cnt").cast("long").alias("cnt"),
-            F.expr("(cnt * CAST(1000000 AS BIGINT)) div total")
-            .cast("long")
-            .alias("share_ppm"),
-            F.expr("(cnt * ndv * CAST(100 AS BIGINT)) div total")
-            .cast("long")
-            .alias("x_avg_pct"),
-        )
-        .orderBy(F.col("cnt").desc(), "user_id")
-        .limit(20)
-    )
-
-
-@q(
-    "equi_depth_histogram",
-    """
-    WITH r AS (
-      SELECT o_totalprice,
-             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
-      FROM orders),
-    n AS (SELECT count(*) AS total FROM orders)
-    SELECT CAST(((rnk - 1) * 10) // n.total AS BIGINT) AS bucket,
-           count(*) AS n_rows,
-           min(o_totalprice) AS lo,
-           max(o_totalprice) AS hi,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
-             AS sum_price
-    FROM r, n GROUP BY 1
-    """,
-)
-def equi_depth_histogram(spark, sf_dir):
-    """Equi-depth (equal-frequency) 10-bucket histogram of order value —
-    the optimizer-statistics primitive equi-WIDTH histograms miss on
-    skewed money columns. Exact global rank comes from the two-phase
-    `running_total` (range partition + broadcast offsets), so the plan
-    has NO single-partition window; bucket = (rank-1)·10 div N with
-    integer floor division, identical on both engines. Sums accumulate
-    as DECIMAL(18,2) (prices carry 2 decimals) so the bucket totals are
-    FP-order-free."""
-    from .operators.cumulative import running_total
-
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    n = o.agg(F.count("*").alias("total"))
-    r = running_total(
-        o.withColumn("_one", F.lit(1)),
-        [F.col("o_totalprice"), F.col("o_orderkey")],
-        "_one",
-        out_col="rnk",
-    )
-    return (
-        r.crossJoin(F.broadcast(n))
-        .select(
-            F.expr("((rnk - 1) * CAST(10 AS BIGINT)) div total")
-            .cast("long")
-            .alias("bucket"),
-            "o_totalprice",
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
-        )
-    )
-
-
-@q(
-    "events_late_data_audit",
-    """
-    WITH s AS (SELECT event_id, event_type,
-                      md5(CAST(event_id AS VARCHAR)) AS arr,
-                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
-               FROM events),
-    w AS (SELECT event_type,
-                 max(ts_s) OVER (ORDER BY arr, event_id
-                                 ROWS UNBOUNDED PRECEDING) - ts_s AS late_s
-          FROM s)
-    SELECT event_type, count(*) AS n_late,
-           CAST(max(late_s) AS BIGINT) AS max_late_s,
-           CAST(sum(late_s) AS BIGINT) AS sum_late_s
-    FROM w WHERE late_s > 604800 GROUP BY 1
-    """,
-)
-def events_late_data_audit(spark, sf_dir):
-    """Watermark-policy STRESS audit for the streaming pipeline: replay
-    the batch table in a deterministic md5-permuted arrival order (a
-    worst-case out-of-order stream — the fixture's natural event_id
-    order is perfectly sorted, which would make the audit vacuous),
-    track the running max event time — exactly Structured Streaming's
-    watermark clock before the delay subtraction — and report, per
-    event type, how many rows arrive >7 days behind it and how far
-    behind. This measures what `withWatermark` would drop under a given
-    delay budget (`streaming/windows.py`). The running max is the
-    two-phase `running_max` (range partition + broadcast prefix-max
-    offsets) — no single-partition window even though the clock is
-    globally ordered."""
-    from .operators.cumulative import running_max
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.md5(F.col("event_id").cast("string")).alias("arr"),
-        F.col("ts").cast("long").alias("ts_s"),
-    )
-    wm = running_max(ev, ["arr", "event_id"], "ts_s", out_col="max_seen")
-    return (
-        wm.select(
-            "event_type", (F.col("max_seen") - F.col("ts_s")).alias("late_s")
-        )
-        .filter(F.col("late_s") > 604800)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_late"),
-            F.max("late_s").cast("long").alias("max_late_s"),
-            F.sum("late_s").cast("long").alias("sum_late_s"),
-        )
-    )
-
-
-@q(
-    "copurchase_triangles",
-    """
-    WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    e0 AS (SELECT a.p AS x, b.p AS y, count(*) AS sup
-           FROM i a JOIN i b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-    e AS (SELECT x, y FROM e0 WHERE sup >= 2)
-    SELECT CAST(count(*) AS BIGINT) AS n_triangles
-    FROM e e1 JOIN e e2 ON e1.y = e2.x
-              JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
-    """,
-)
-def copurchase_triangles(spark, sf_dir):
-    """Triangle count of the STRONG part co-purchase graph (parts
-    co-occurring in ≥2 orders are connected — the same support floor as
-    `copurchase_lift`, pruning coincidental single co-occurrences): the
-    classic graph-density / community cohesion statistic. Edge
-    generation is basket-bounded (baskets have ≤7 items, so pair
-    expansion is constant work per order); counting runs through
-    `operators/graph.py triangle_count` — degree-ORDERED orientation,
-    so the wedge join is bounded m^1.5 even when one hub part appears
-    in every basket, where the oracle's naive triple join would go
-    quadratic on the hub. Edge generation is the shared per-corpus memo
-    (`_strong_copurchase_edges`); the count itself is two edge-keyed
-    shuffles over the settled edge parquet, nothing collected.
-
-    First-call accounting (round-11 memo probe): ~1.8 s of a fresh
-    session's first call is driver-side Catalyst plan→RDD conversion
-    for the orientation checkpoint — measured to be load-bearing
-    (removing it: steady state 1.14 → 1.77 s and first-call total
-    WORSE, since the oriented frame recomputes per consumer), so the
-    checkpoint stays; assume_packable=True trims the pack-probe bounds
-    job (TPC-H part keys are < 2^31 by schema)."""
-    from .operators.graph import triangle_count
-
-    return triangle_count(
-        _strong_copurchase_edges(spark, sf_dir),
-        "pa",
-        "pb",
-        assume_packable=True,
-    )
-
-
-@q(
-    "tfidf_doc_pairs",
-    """
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
-               AS token
-      FROM documents),
-    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-    dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    w AS (
-      SELECT tf.doc_id, tf.token,
-             tf.tf * CAST(round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
-                                    / dfr.df) * 1000) AS BIGINT) AS w
-      FROM tf JOIN dfr USING (token)
-      WHERE dfr.df >= 2
-        AND dfr.df <= least(greatest(100, (SELECT n_docs FROM n) // 5),
-                            1000)),
-    nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
-    dot AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             sum(a.w * b.w) AS dot
-      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot_w,
-           CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
-    FROM dot d JOIN nrm na ON na.doc_id = d.doc_a
-               JOIN nrm nb ON nb.doc_id = d.doc_b
-    WHERE 4 * CAST(d.dot AS HUGEINT) * d.dot >= CAST(na.n2 AS HUGEINT) * nb.n2
-      AND d.dot > 0
-    """,
-)
-def tfidf_doc_pairs(spark, sf_dir):
-    """Sparse TF-IDF cosine similarity pairs (cos ≥ 0.5) via an inverted
-    index — the lexical complement to `embedding_dup_pairs`: documents
-    never meet unless they share an informative token. Weights are
-    exact integers (tf · milli-nat idf); the DF prune
-    (2 ≤ df ≤ min(max(100, N div 5), 1000)) drops both pair-less
-    hapaxes and boilerplate tokens — the ABSOLUTE 1000 ceiling (added
-    after the round-11 real-5× run caught the relative N/5 bound going
-    quadratic) keeps total pair work linear in corpus size, the same
-    skew cap discipline as `ngram_jaccard_pairs`. The cosine threshold
-    is evaluated EXACTLY in
-    integer arithmetic (4·dot² ≥ ‖a‖²·‖b‖², valid since weights are
-    non-negative) — no FP division anywhere, so the result is
-    engine- and partitioning-independent. Output carries the exact
-    integer dot and norms; cosine itself is one driver-side sqrt away."""
-    d = _t(spark, sf_dir, "documents")
-    return DD.tfidf_cosine_pairs(d)
-
-
-@q(
-    "fuzzy_name_pairs",
-    """
-    WITH n AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
-    b AS (SELECT p_name, n_parts, split_part(p_name, ' ', 1) AS blk FROM n)
-    SELECT a.p_name AS name_a, c.p_name AS name_b,
-           CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist,
-           CAST(a.n_parts AS BIGINT) AS n_a, CAST(c.n_parts AS BIGINT) AS n_b
-    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
-    WHERE levenshtein(a.p_name, c.p_name) <= 3
-    """,
-)
-def fuzzy_name_pairs(spark, sf_dir):
-    """Blocked fuzzy record linkage on entity names: candidate duplicate
-    part names within edit distance 3, with how many rows each spelling
-    covers. The scale discipline is the record-linkage classic — edit
-    distance only WITHIN blocks (shared first token), never all-pairs,
-    and the self-join runs on the DISTINCT-name table (entity-
-    vocabulary-sized, orders of magnitude below row count at 100 TB).
-    `levenshtein` is JVM codegen on both engines — no UDF."""
-    p = _t(spark, sf_dir, "part")
-    n = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
-    b = n.select(
-        "p_name", "n_parts", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
-    )
-    a = b.select(
-        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"), "blk"
-    )
-    c = b.select(
-        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"), "blk"
-    )
-    return (
-        a.join(c, "blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("dist") <= 3)
-        .select(
-            "name_a",
-            "name_b",
-            "dist",
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-        )
-    )
-
-
-def _bpe_train_oracle_sql(n_merges: int = 40, max_vocab: int = 50000) -> str:
-    """The 40-iteration BPE merge loop UNROLLED as one DuckDB statement
-    (r9 — was rows-only): each round recomputes adjacent-pair counts
-    from the current symbolization state, takes the argmax with the
-    (count desc, pair asc) tie-break, and applies the merge. Two tricks
-    make it SQL-expressible:
-
-    - each word's symbol sequence is encoded as a SENTINEL STRING
-      (chr(1)||sym||chr(2) concatenated), so the greedy left-to-right
-      non-overlapping merge is exactly SQL `replace()` — boundary-safe
-      because a pair key chr(1)a chr(2)chr(1)b chr(2) can never match
-      inside a longer symbol;
-    - every CTE is MATERIALIZED: state{k} is referenced ~4x per round
-      (pair scan + 3 scalar best{k} lookups), and DuckDB's default
-      inlining makes that 4^k plan growth — materialization keeps it
-      linear (40 rounds run in ~1 s at sf0.01).
-
-    The incremental posting-list updates the Spark-side driver loop does
-    (functions/text.py bpe_train_merges) are an optimization of exactly
-    this recompute-from-state semantics, so the outputs are identical
-    row-for-row."""
-    sy = (
-        "list_transform(list_filter(string_split(enc, chr(2)), "
-        "s -> s <> ''), s -> s[2:])"
-    )
-    parts = [
-        f"""WITH words AS MATERIALIZED (
-      SELECT w, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
-      WHERE length(w) >= 2 GROUP BY w
-      ORDER BY cnt DESC, w LIMIT {max_vocab}
-    ), state0 AS MATERIALIZED (
-      SELECT w, cnt,
-             array_to_string(list_transform(string_split(w, ''),
-                             c -> chr(1) || c || chr(2)), '') AS enc
-      FROM words
-    )"""
-    ]
-    for k in range(n_merges):
-        parts.append(
-            f""", best{k} AS MATERIALIZED (
-      SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
-      FROM (SELECT cnt, unnest(list_zip(sy, sy[2:])) AS pr
-            FROM (SELECT cnt, {sy} AS sy FROM state{k}))
-      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
-      ORDER BY c DESC, a, b LIMIT 1
-    )"""
-        )
-        if k < n_merges - 1:
-            parts.append(
-                f""", state{k + 1} AS MATERIALIZED (
-      SELECT w, cnt,
-             replace(enc,
-                     chr(1) || (SELECT a FROM best{k}) || chr(2)
-                       || chr(1) || (SELECT b FROM best{k}) || chr(2),
-                     chr(1) || (SELECT a || b FROM best{k}) || chr(2))
-               AS enc
-      FROM state{k}
-    )"""
-            )
-    union = "\nUNION ALL ".join(
-        f"SELECT {k} AS rank, a AS left, b AS right, a || b AS merged, "
-        f"CAST(c AS BIGINT) AS pair_count FROM best{k}"
-        for k in range(n_merges)
-    )
-    return "".join(parts) + "\n" + union + "\nORDER BY rank"
-
-
-@q("bpe_train_merges", _bpe_train_oracle_sql())
-def bpe_train_merges_q(spark, sf_dir):
-    """FULL BPE tokenizer TRAINING (Sennrich 2016) — completes the
-    train→apply loop whose apply half is `bpe_segment_docs`: one
-    distributed corpus pass builds the word-frequency table, then the
-    merge loop runs over the vocab-sized dict with an inverted
-    pair→words index (each merge touches its posting list, not the whole
-    vocab). Deterministic tie-break (count desc, pair asc), so the merge
-    table is engine- and partitioning-independent. Full oracle since r9:
-    the 40-round loop unrolls into materialized DuckDB CTEs
-    (`_bpe_train_oracle_sql`); also pinned in pytest against a naive
-    full-recount reference (functions/text.py bpe_train_merges)."""
-    return TXT.bpe_train_merges(
-        _t(spark, sf_dir, "documents"), num_merges=40
-    ).orderBy("rank")
-
-
-def _bpe_segment_oracle_sql(top_n: int = 20) -> str:
-    """Greedy BPE APPLY restated in DuckDB (r9 — was rows-only): the
-    one-occurrence-at-a-time lowest-rank-first loop in
-    `bpe_segment_vocab` is EXACTLY equivalent to applying the merges in
-    rank order with left-to-right replace-all — because every merge here
-    is a SINGLE-CHARACTER pair (first-iteration candidates), applying a
-    later merge can only create 2-char units, never a new single-char
-    adjacency, so earlier merges stay exhausted. Same sentinel-string
-    encoding as `_bpe_train_oracle_sql`; each merge is a data-driven
-    scalar subquery (coalesce to a never-matching chr(3) needle if the
-    corpus has fewer than top_n pairs). n_pieces = count of chr(1)
-    sentinels in the final encoding."""
-    parts = [
-        f"""WITH toks AS MATERIALIZED (
-      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
-    ), tf AS MATERIALIZED (
-      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
-    ), mranked AS MATERIALIZED (
-      SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) - 1 AS rk
-      FROM (
-        SELECT pair, CAST(count(*) AS BIGINT) AS cnt
-        FROM (SELECT unnest(list_transform(range(1, length(token)),
-                            i -> token[i:i+1])) AS pair
-              FROM toks WHERE length(token) >= 2)
-        GROUP BY pair)
-      ORDER BY cnt DESC, pair LIMIT {top_n}
-    ), seg0 AS MATERIALIZED (
-      SELECT token,
-             array_to_string(list_transform(string_split(token, ''),
-                             c -> chr(1) || c || chr(2)), '') AS enc
-      FROM (SELECT DISTINCT token FROM tf)
-    )"""
-    ]
-    for k in range(top_n):
-        m = f"(SELECT pair FROM mranked WHERE rk = {k})"
-        parts.append(
-            f""", seg{k + 1} AS MATERIALIZED (
-      SELECT token,
-             replace(enc,
-                     chr(1) || substring(coalesce({m}, chr(3) || chr(3)),
-                                         1, 1) || chr(2)
-                       || chr(1) || substring(coalesce({m},
-                                              chr(3) || chr(3)),
-                                              2, 1) || chr(2),
-                     chr(1) || coalesce({m}, chr(3)) || chr(2)) AS enc
-      FROM seg{k})"""
-        )
-    parts.append(
-        f"""
-    SELECT tf.doc_id,
-           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-           CAST(sum(tf.tf * (length(s.enc)
-                             - length(replace(s.enc, chr(1), ''))))
-                AS BIGINT) AS n_pieces
-    FROM tf JOIN seg{top_n} s USING (token)
-    GROUP BY tf.doc_id"""
-    )
-    return "".join(parts)
-
-
-@q("bpe_segment_docs", _bpe_segment_oracle_sql())
-def bpe_segment_docs(spark, sf_dir):
-    """End-to-end BPE tokenizer application: learn the first-iteration
-    merge table from the corpus (`bpe_merge_candidates`, top 20), apply
-    it greedily to the DISTINCT-token vocabulary
-    (`bpe_segment_vocab` — the only Python, Arrow-batched, vocab-sized),
-    then roll subword counts up to documents through a broadcast-scale
-    join onto the (doc, token, tf) stream. Output: per-doc whitespace
-    token count vs post-BPE piece count — the fertility input a
-    tokenizer-budget planner needs. The corpus is scanned twice (merge
-    count + tf count) and never leaves the JVM. Full oracle since r9
-    (`_bpe_segment_oracle_sql` — rank-ordered replace-all equals the
-    greedy loop for single-char merge tables)."""
-    d = _t(spark, sf_dir, "documents")
-    merges = [
-        r["pair"]
-        for r in TXT.bpe_merge_candidates(d, "text", top_n=20).collect()
-    ]
-    toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    vocab = tf.select("token").distinct()
-    seg = TXT.bpe_segment_vocab(vocab, merges)
-    from .plans.hints import broadcast_if_small
-
-    return (
-        tf.join(broadcast_if_small(seg.select("token", "n_pieces")), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("long").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("n_pieces")).cast("long").alias("n_pieces"),
-        )
-    )
-
-
-_STRONG_EDGES_SQL = """
-    i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    e0 AS (SELECT a.p AS x, b.p AS y, count(*) AS sup
-           FROM i a JOIN i b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-    e AS (SELECT x, y FROM e0 WHERE sup >= 2)
-"""
-
-
-def _strong_copurchase_edges(spark, sf_dir):
-    """Shared edge generator: the support-≥2 part co-purchase graph,
-    served from the per-corpus memo store. The expensive half of every
-    co-purchase graph statistic is identical — ONE shuffle to baskets
-    (collect_set dedups in-order), pair expansion in pure codegen
-    (cheaper than the two-sided self-join's 3 exchanges while baskets
-    are bounded, which they are: ≤7 items), a map-side-combinable
-    support groupBy — so it runs once per corpus version and triangles /
-    clustering coefficient / communities each start from the settled
-    (pa, pb) parquet."""
-
-    def _build():
-        li = _t(spark, sf_dir, "lineitem")
-        basket = li.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("ps")
-        )
-        return (
-            basket.select(
-                F.explode(
-                    F.flatten(
-                        F.expr(
-                            "transform(ps, (x, i) -> transform("
-                            "slice(ps, i + 2, size(ps) - i - 1), "
-                            "y -> struct(x AS pa, y AS pb)))"
-                        )
-                    )
-                ).alias("e")
-            )
-            .groupBy("e.pa", "e.pb")
-            .agg(F.count("*").alias("sup"))
-            .filter(F.col("sup") >= 2)
-            .select("pa", "pb")
-        )
-
-    return MEMO.dataframe_memo(
-        spark, "copurchase_strong_edges", sf_dir, ["lineitem"], _build
-    )
-
-
-@q(
-    "copurchase_clustering_coeff",
-    f"""
-    WITH {_STRONG_EDGES_SQL},
-    d AS (SELECT node, count(*) AS deg FROM
-            (SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
-    wd AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
-           FROM d),
-    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
-          FROM e e1 JOIN e e2 ON e1.y = e2.x
-                    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
-    SELECT n_wedges, n_triangles,
-           CAST(CASE WHEN n_wedges = 0 THEN 0
-                     ELSE (3 * n_triangles * 1000000) // n_wedges END
-                AS BIGINT) AS gcc_ppm
-    FROM wd, t
-    """,
-)
-def copurchase_clustering_coeff(spark, sf_dir):
-    """Global clustering coefficient of the strong co-purchase graph —
-    3·triangles/wedges as an exact integer-ppm row. Wedge total is one
-    degree aggregation; triangles reuse the degree-ordered
-    `triangle_count`, so the whole statistic stays skew-bounded."""
-    from .operators.graph import clustering_coefficient
-
-    return clustering_coefficient(
-        _strong_copurchase_edges(spark, sf_dir), "pa", "pb"
-    )
-
-
-@q(
-    "copurchase_communities",
-    f"""
-    WITH {_STRONG_EDGES_SQL},
-    bidir AS (SELECT x AS src, y AS dst FROM e
-              UNION ALL SELECT y, x FROM e),
-    c1 AS (SELECT dst AS node, src AS label, count(*) AS c
-           FROM bidir GROUP BY 1, 2),
-    l1 AS (SELECT node, label FROM (
-             SELECT node, label,
-                    row_number() OVER (PARTITION BY node
-                                       ORDER BY c DESC, label) AS rn
-             FROM c1) WHERE rn = 1),
-    c2 AS (SELECT b.dst AS node, l.label, count(*) AS c
-           FROM bidir b JOIN l1 l ON b.src = l.node GROUP BY 1, 2),
-    l2 AS (SELECT node, label FROM (
-             SELECT node, label,
-                    row_number() OVER (PARTITION BY node
-                                       ORDER BY c DESC, label) AS rn
-             FROM c2) WHERE rn = 1)
-    SELECT node, CAST(label AS BIGINT) AS label FROM l2
-    """,
-)
-def copurchase_communities(spark, sf_dir):
-    """Community detection on the strong co-purchase graph: 2 rounds of
-    synchronous label propagation (`operators/graph.py
-    label_propagation`) — deterministic by construction (most-frequent
-    neighbor label, ties to the smallest), which is why a 2-round
-    unrolled SQL oracle can restate it exactly. Per round: one
-    edge-keyed message join + one (node, label) count + a node-KEYED
-    argmax window — the Pregel shape, nothing global."""
-    from .operators.graph import label_propagation
-
-    return label_propagation(
-        _strong_copurchase_edges(spark, sf_dir), iterations=2,
-        a_col="pa", b_col="pb",
-    )
-
-
-@q(
-    "attribution_last_click",
-    """
-    WITH s AS (SELECT event_id, user_id, event_type, ts,
-                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
-               FROM events),
-    w AS (SELECT event_id, user_id, event_type, ts_s,
-                 last_value(CASE WHEN event_type = 'click'
-                                 THEN event_id END IGNORE NULLS)
-                   OVER uw AS last_click_id,
-                 last_value(CASE WHEN event_type = 'click'
-                                 THEN ts_s END IGNORE NULLS)
-                   OVER uw AS click_ts
-          FROM s
-          WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING))
-    SELECT event_id AS purchase_id, user_id, last_click_id,
-           ts_s - click_ts AS gap_s
-    FROM w WHERE event_type = 'purchase'
-    """,
-)
-def attribution_last_click(spark, sf_dir):
-    """Last-touch attribution: for every purchase, the user's most
-    recent preceding click and the seconds between them (null when the
-    purchase was never preceded by a click) — the bread-and-butter
-    marketing attribution join, expressed as a single user-KEYED
-    ordered window with `last(..., ignorenulls)` instead of a range
-    self-join: one shuffle on user_id, no pair blowup, late events
-    handled by event-time ordering."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "ts",
-        F.col("ts").cast("long").alias("ts_s"),
-    )
-    uw = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    is_click = F.col("event_type") == "click"
-    w = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "ts_s",
-        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
-        .over(uw)
-        .alias("last_click_id"),
-        F.last(F.when(is_click, F.col("ts_s")), ignorenulls=True)
-        .over(uw)
-        .alias("click_ts"),
-    )
-    return w.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        "last_click_id",
-        (F.col("ts_s") - F.col("click_ts")).alias("gap_s"),
-    )
-
-
-# =====================================================================
-# §2.5 ext: distributed PCA + retrieval evaluation
-# =====================================================================
-
-@q(
-    "embedding_gram_matrix",
-    """
-    WITH q AS (
-      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
-               AS qi
-      FROM embeddings)
-    SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
-           CAST(sum(a.qi * b.qi) AS BIGINT) AS sxy_q
-    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
-    GROUP BY a.i, b.i
-    """,
-)
-def embedding_gram_matrix(spark, sf_dir):
-    """Distributed exact Gram matrix of the quantized embedding corpus
-    (pipeline/pca.py): one mapInPandas pass reduces each partition to its
-    d(d+1)/2 int64 partial (a qᵀq matmul per Arrow batch), then a tiny
-    DECIMAL(38,0)-guarded groupBy-sum merges partials — the shuffle is
-    P·d² rows no matter the corpus size. The moment-collection half of
-    large-scale PCA, integer-exact so the oracle hash-matches."""
-    from .pipeline.pca import gram_matrix
-
-    return gram_matrix(_t(spark, sf_dir, "embeddings"))
-
-
-@q("embedding_pca_project")  # rows-only: eigendecomposition isn't ANSI SQL
-def embedding_pca_project(spark, sf_dir):
-    """PCA projection (pipeline/pca.py): covariance assembled driver-side
-    from the exact distributed moments, numpy eigh on the d×d (trivial at
-    any scale), components sign-fixed (largest-|entry| positive) and
-    broadcast as LITERAL arrays; the corpus-sized projection pass is pure
-    codegen zip_with/aggregate. Deterministic run-to-run; contracts
-    (orthonormality, variance ordering, numpy parity) in
-    tests/test_pca.py."""
-    from .pipeline.pca import pca_project
-
-    return pca_project(_t(spark, sf_dir, "embeddings"), k=2)
-
-
-@q(
-    "retrieval_eval_metrics",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, len(t) AS dl, unnest(t) AS term
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
-    corpus AS (
-      SELECT count(*) AS n_docs,
-             CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS sl
-      FROM documents),
-    tf AS (
-      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-             any_value(dl) AS dl
-      FROM toks WHERE term IN ('dup', 'hash', 'scan')
-      GROUP BY doc_id, term),
-    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.term, tf.doc_id, tf.tf,
-             CAST(round(
-               CAST(CAST(round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-                          * 1e6) AS BIGINT)
-                    * 22 * sl * tf AS DOUBLE)
-               / CAST(10 * sl * tf + 3 * sl + 9 * dl * n_docs AS DOUBLE)
-             ) AS BIGINT) AS c
-      FROM tf JOIN dft USING (term), corpus),
-    ranked AS (
-      SELECT term, doc_id,
-             CAST(row_number() OVER (PARTITION BY term ORDER BY c DESC, doc_id)
-               AS BIGINT) AS rnk
-      FROM scored QUALIFY rnk <= 20),
-    qrels AS (SELECT term, doc_id FROM scored WHERE tf >= 2),
-    nrel AS (SELECT term, CAST(count(*) AS BIGINT) AS n_rel
-             FROM qrels GROUP BY term),
-    flags AS (
-      SELECT r.term, r.rnk,
-             CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS rel
-      FROM ranked r
-      LEFT JOIN qrels q ON r.term = q.term AND r.doc_id = q.doc_id),
-    cum AS (
-      SELECT term, rnk, rel,
-             CAST(sum(rel) OVER (PARTITION BY term ORDER BY rnk
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum_rel
-      FROM flags),
-    perq AS (
-      SELECT term,
-             CAST(sum(rel) AS BIGINT) AS hits,
-             min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
-             CAST(sum(CASE WHEN rel = 1
-                  THEN CAST(round(1e6 * cum_rel / rnk) AS BIGINT)
-                  ELSE 0 END) AS BIGINT) AS sum_prec_micro
-      FROM cum GROUP BY term)
-    SELECT p.term, n.n_rel, p.hits,
-           CAST(round(1e6 * p.hits / 20) AS BIGINT) AS prec_micro,
-           CAST(round(1e6 * p.hits / n.n_rel) AS BIGINT) AS recall_micro,
-           COALESCE(CAST(round(1e6 / p.first_rel) AS BIGINT), 0) AS rr_micro,
-           CAST(round(CAST(p.sum_prec_micro AS DOUBLE) / n.n_rel) AS BIGINT)
-             AS ap_micro
-    FROM perq p JOIN nrel n USING (term)
-    ORDER BY p.term
-    """,
-)
-def retrieval_eval_metrics(spark, sf_dir):
-    """IR evaluation loop (pipeline/retrieval.py:bm25_eval_metrics): each
-    of {dup, hash, scan} ranked as a one-term BM25 query, scored against
-    the deterministic tf≥2 relevance set — precision@20, recall@20,
-    reciprocal rank, and average precision per query, all integer micro
-    (the only FP steps are single round(1e6·a/b) divisions) → oracle
-    hash-matches. The settings-selection harness a corpus-mining pipeline
-    runs before committing to an upsample."""
-    from .pipeline.retrieval import bm25_eval_metrics
-
-    return bm25_eval_metrics(
-        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20, min_tf=2
-    )
-
-
-@q(
-    "retrieval_ndcg",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, len(t) AS dl, unnest(t) AS term
-      FROM (SELECT doc_id, {{toks}} AS t FROM documents)),
-    corpus AS (
-      SELECT count(*) AS n_docs,
-             CAST(sum(len({{toks}})) AS BIGINT) AS sl
-      FROM documents),
-    tf AS (
-      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
-             any_value(dl) AS dl
-      FROM toks WHERE term IN ('dup', 'hash', 'scan')
-      GROUP BY doc_id, term),
-    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.term, tf.doc_id, tf.tf,
-             CAST(round(
-               CAST(CAST(round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-                          * 1e6) AS BIGINT)
-                    * 22 * sl * tf AS DOUBLE)
-               / CAST(10 * sl * tf + 3 * sl + 9 * dl * n_docs AS DOUBLE)
-             ) AS BIGINT) AS c,
-             CAST(CASE WHEN tf.tf >= 2 THEN least(tf.tf, 4) ELSE 0 END
-                  AS BIGINT) AS gain
-      FROM tf JOIN dft USING (term), corpus),
-    dcg AS (
-      SELECT term, CAST(sum(CAST(round(1e6 * gain / log2(rnk + 1.0))
-                                 AS BIGINT)) AS BIGINT) AS dcg_micro
-      FROM (SELECT term, gain,
-                   CAST(row_number() OVER (PARTITION BY term
-                        ORDER BY c DESC, doc_id) AS BIGINT) AS rnk
-            FROM scored QUALIFY rnk <= 20)
-      GROUP BY term),
-    idcg AS (
-      SELECT term, CAST(sum(CAST(round(1e6 * gain / log2(rnk + 1.0))
-                                 AS BIGINT)) AS BIGINT) AS idcg_micro
-      FROM (SELECT term, gain,
-                   CAST(row_number() OVER (PARTITION BY term
-                        ORDER BY gain DESC, doc_id) AS BIGINT) AS rnk
-            FROM scored WHERE gain > 0 QUALIFY rnk <= 20)
-      GROUP BY term)
-    SELECT d.term, d.dcg_micro, i.idcg_micro,
-           CAST(round(1e6 * CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro)
-                AS BIGINT) AS ndcg_micro
-    FROM dcg d JOIN idcg i USING (term)
-    ORDER BY d.term
-    """.format(toks=_TOKENS_SQL),
-)
-def retrieval_ndcg(spark, sf_dir):
-    """nDCG@20 with GRADED relevance (gain = min(tf,4) above the tf≥2
-    gate) for the one-term BM25 harness — completes the IR-eval family
-    (`retrieval_eval_metrics` carries the binary P/R/RR/AP quartet).
-    DCG terms frozen to integer micro (round(1e6·gain/log2(rank+1))),
-    IDCG replays the ideal ordering over the relevance set, nDCG is one
-    final division — hash-exact against the oracle. Same scale shape as
-    the quartet: one filtered explode, per-term windows, constant-size
-    after the q·k QUALIFY."""
-    from .pipeline.retrieval import bm25_ndcg
-
-    return bm25_ndcg(
-        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20, min_tf=2
-    )
-
-
-@q(
-    "gdpr_delete_cascade",
-    f"""
-    WITH forget AS (
-      SELECT c_custkey FROM customer
-      WHERE ({_md5_bucket_sql("c_custkey")}) < 5),
-    ro AS (SELECT o_orderkey FROM orders
-           WHERE o_custkey IN (SELECT c_custkey FROM forget)),
-    rl AS (SELECT count(*) AS n FROM lineitem
-           WHERE l_orderkey IN (SELECT o_orderkey FROM ro)),
-    lc AS (SELECT count(*) AS n FROM lineitem),
-    stats AS (
-      SELECT 'customer' AS tbl,
-             (SELECT count(*) FROM customer) AS rows_before,
-             (SELECT count(*) FROM forget) AS rows_removed
-      UNION ALL
-      SELECT 'orders', (SELECT count(*) FROM orders),
-             (SELECT count(*) FROM ro)
-      UNION ALL
-      SELECT 'lineitem', (SELECT n FROM lc), (SELECT n FROM rl)),
-    orphans AS (
-      SELECT 'customer' AS tbl, CAST(0 AS BIGINT) AS orphans_after
-      UNION ALL
-      SELECT 'orders',
-             (SELECT count(*) FROM orders
-              WHERE o_custkey IN (SELECT c_custkey FROM forget)
-                AND o_orderkey NOT IN (SELECT o_orderkey FROM ro))
-      UNION ALL
-      SELECT 'lineitem',
-             (SELECT count(*) FROM lineitem
-              WHERE l_orderkey IN (SELECT o_orderkey FROM ro))
-             - (SELECT n FROM rl))
-    SELECT s.tbl, CAST(s.rows_before AS BIGINT) AS rows_before,
-           CAST(s.rows_removed AS BIGINT) AS rows_removed,
-           CAST(s.rows_before - s.rows_removed AS BIGINT) AS rows_after,
-           o.orphans_after
-    FROM stats s JOIN orphans o USING (tbl)
-    ORDER BY s.tbl
-    """,
-)
-def gdpr_delete_cascade(spark, sf_dir):
-    """Right-to-be-forgotten audit: the deletion LEDGER for erasing a
-    deterministic ~5% customer cohort (md5 bucket < 5) with full
-    referential cascade customer → orders → lineitem — per table
-    rows_before / rows_removed / rows_after plus an in-row
-    ``orphans_after`` proof that the cascade is complete (rows that
-    reference a forgotten parent but would survive the delete; 0 by
-    construction, ASSERTED in the result rather than assumed). The
-    lakehouse GDPR/CCPA erasure planning pass: at 100 TB you run
-    exactly this ledger before rewriting files, and the same semi-join
-    spine drives the actual MERGE DELETE.
-
-    Scale: the forget set is cohort-sized (broadcastable); the cascade
-    is two key semi-joins (orders on custkey, lineitem on orderkey) —
-    no shuffle wider than the join keys; counts are map-side-combinable
-    aggregates; nothing collected."""
-    from .pipeline.curation import md5_bucket
-
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    from .plans.hints import broadcast_if_small
-
-    forget = c.filter(md5_bucket("c_custkey", 100) < 5).select("c_custkey")
-    ro = o.join(
-        broadcast_if_small(forget),
-        o["o_custkey"] == forget["c_custkey"],
-        "left_semi",
-    ).select("o_orderkey")
-    rl_n = li.join(
-        broadcast_if_small(ro.select(F.col("o_orderkey").alias("k"))),
-        li["l_orderkey"] == F.col("k"),
-        "left_semi",
-    ).agg(F.count("*").alias("n"))
-
-    def one(tbl, before_df, removed_df_or_expr):
-        return (
-            before_df.agg(F.count("*").alias("rows_before"))
-            .crossJoin(F.broadcast(removed_df_or_expr))
-            .select(
-                F.lit(tbl).alias("tbl"),
-                F.col("rows_before").cast("long").alias("rows_before"),
-                F.col("rows_removed").cast("long").alias("rows_removed"),
-                (F.col("rows_before") - F.col("rows_removed"))
-                .cast("long")
-                .alias("rows_after"),
-            )
-        )
-
-    rows = (
-        one(
-            "customer",
-            c,
-            forget.agg(F.count("*").alias("rows_removed")),
-        )
-        .unionByName(
-            one("orders", o, ro.agg(F.count("*").alias("rows_removed")))
-        )
-        .unionByName(
-            one(
-                "lineitem",
-                li,
-                rl_n.select(F.col("n").alias("rows_removed")),
-            )
-        )
-    )
-    # completeness proof: rows referencing a forgotten parent that the
-    # cascade would NOT remove. orders-vs-forget is the real check (the
-    # semi-join spine must cover every referencing order); lineitem's
-    # check is definitionally 0 (rl counts exactly the semi-join) and
-    # customer has no parent — both stated as literals, orders computed.
-    orphan_orders = (
-        o.join(
-            broadcast_if_small(forget),
-            o["o_custkey"] == forget["c_custkey"],
-            "left_semi",
-        )
-        .join(
-            broadcast_if_small(ro.select(F.col("o_orderkey").alias("k2"))),
-            F.col("o_orderkey") == F.col("k2"),
-            "left_anti",
-        )
-        .agg(F.count("*").cast("long").alias("orphans_after"))
-        .select(F.lit("orders").alias("tbl"), "orphans_after")
-    )
-    z = F.lit(0).cast("long").alias("orphans_after")
-    orphans = (
-        spark.range(1)
-        .select(F.lit("customer").alias("tbl"), z)
-        .unionByName(orphan_orders)
-        .unionByName(spark.range(1).select(F.lit("lineitem").alias("tbl"), z))
-    )
-    return rows.join(orphans, "tbl").orderBy("tbl")
-
-
-def _SPAN_CORRUPTION_SQL() -> str:
-    mb = _md5_bucket_sql(
-        "concat(CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))"
-    )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
-    m AS (
-      SELECT doc_id, pos, tok, ({mb}) < 15 AS m
-      FROM toks),
-    f0 AS (
-      SELECT doc_id, pos, tok, m,
-             m AND (lag(m) OVER w IS NULL OR NOT lag(m) OVER w) AS st
-      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-    f AS (
-      SELECT doc_id, pos, tok, m, st,
-             CAST(sum(CASE WHEN st THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS k
-      FROM f0),
-    p AS (
-      SELECT doc_id, pos, k,
-             CASE WHEN NOT m THEN tok
-                  WHEN st THEN '<extra_id_' || k || '>' END AS in_piece,
-             CASE WHEN st THEN '<extra_id_' || k || '> ' || tok
-                  WHEN m THEN tok END AS tgt_piece
-      FROM f)
-    SELECT doc_id,
-           COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
-           COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
-           CAST(max(k) AS BIGINT) AS n_spans
-    FROM p GROUP BY doc_id
-    """
-
-
-@q(
-    "correlation_matrix_lineitem",
-    """
-    WITH c AS (
-      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
-             CAST(round(l_discount * 100) AS BIGINT) AS disc,
-             CAST(round(l_tax * 100) AS BIGINT) AS tax
-      FROM lineitem),
-    s AS (
-      SELECT count(*) AS n,
-             sum(qty) AS s_qty, sum(price) AS s_price,
-             sum(disc) AS s_disc, sum(tax) AS s_tax,
-             sum(qty * qty) AS ss_qty, sum(price * price) AS ss_price,
-             sum(disc * disc) AS ss_disc, sum(tax * tax) AS ss_tax,
-             sum(qty * price) AS p_qty_price, sum(qty * disc) AS p_qty_disc,
-             sum(qty * tax) AS p_qty_tax, sum(price * disc) AS p_price_disc,
-             sum(price * tax) AS p_price_tax, sum(disc * tax) AS p_disc_tax
-      FROM c),
-    pairs AS (
-      SELECT 'qty' AS col_a, 'price' AS col_b, p_qty_price AS sxy,
-             s_qty AS sx, s_price AS sy, ss_qty AS sxx, ss_price AS syy, n
-        FROM s
-      UNION ALL SELECT 'qty', 'disc', p_qty_disc, s_qty, s_disc,
-             ss_qty, ss_disc, n FROM s
-      UNION ALL SELECT 'qty', 'tax', p_qty_tax, s_qty, s_tax,
-             ss_qty, ss_tax, n FROM s
-      UNION ALL SELECT 'price', 'disc', p_price_disc, s_price, s_disc,
-             ss_price, ss_disc, n FROM s
-      UNION ALL SELECT 'price', 'tax', p_price_tax, s_price, s_tax,
-             ss_price, ss_tax, n FROM s
-      UNION ALL SELECT 'disc', 'tax', p_disc_tax, s_disc, s_tax,
-             ss_disc, ss_tax, n FROM s)
-    SELECT col_a, col_b,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                 6) AS corr
-    FROM pairs
-    """,
-)
-def correlation_matrix_lineitem(spark, sf_dir):
-    """Pairwise Pearson correlation of the lineitem measures in ONE scan:
-    all 14 moment sums (n, Σx, Σx², Σxy for 6 pairs) come from a single
-    wide aggregate over exact integer cents — partial-aggregated map-side
-    like any agg, DECIMAL(38,0) so Σ(price²·cents²) cannot wrap int64 at
-    any scale — then the 6 correlations are derived in-plan from the
-    one-row moment frame (inline table, no collect). Doubles are derived
-    identically from identical integers on both engines → hash-match.
-    The `ml.stat.Correlation` alternative assembles vectors per row; this
-    shape keeps everything in whole-stage codegen."""
-    li = _t(spark, sf_dir, "lineitem")
-    cols = {
-        "qty": "l_quantity",
-        "price": "l_extendedprice",
-        "disc": "l_discount",
-        "tax": "l_tax",
-    }
-    cents = {
-        k: F.round(F.col(v) * 100).cast("long") for k, v in cols.items()
-    }
-    names = list(cols)
-    aggs = [F.count("*").alias("n")]
-    for k in names:
-        aggs.append(F.sum(cents[k].cast("decimal(38,0)")).alias(f"s_{k}"))
-        aggs.append(
-            F.sum((cents[k] * cents[k]).cast("decimal(38,0)")).alias(f"ss_{k}")
-        )
-    pair_list = [
-        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
-    ]
-    for a, b in pair_list:
-        aggs.append(
-            F.sum((cents[a] * cents[b]).cast("decimal(38,0)")).alias(f"p_{a}_{b}")
-        )
-    s = li.agg(*aggs)
-    pair_structs = F.array(
-        *[
-            F.struct(
-                F.lit(a).alias("col_a"),
-                F.lit(b).alias("col_b"),
-                F.col(f"p_{a}_{b}").cast("double").alias("sxy"),
-                F.col(f"s_{a}").cast("double").alias("sx"),
-                F.col(f"s_{b}").cast("double").alias("sy"),
-                F.col(f"ss_{a}").cast("double").alias("sxx"),
-                F.col(f"ss_{b}").cast("double").alias("syy"),
-            )
-            for a, b in pair_list
-        ]
-    )
-    e = s.select(F.col("n").cast("double").alias("nd"), F.explode(pair_structs).alias("p"))
-    num = F.col("nd") * F.col("p.sxy") - F.col("p.sx") * F.col("p.sy")
-    den = F.sqrt(
-        (F.col("nd") * F.col("p.sxx") - F.col("p.sx") * F.col("p.sx"))
-        * (F.col("nd") * F.col("p.syy") - F.col("p.sy") * F.col("p.sy"))
-    )
-    return e.select(
-        F.col("p.col_a").alias("col_a"),
-        F.col("p.col_b").alias("col_b"),
-        F.round(num / den, 6).alias("corr"),
-    )
-
-
-@q(
-    "phrase_search",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
-    p0 AS (SELECT doc_id, pos FROM toks WHERE tok = 'hash'),
-    p1 AS (SELECT doc_id, pos FROM toks WHERE tok = 'value'),
-    p2 AS (SELECT doc_id, pos FROM toks WHERE tok = 'table')
-    SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
-    FROM p0
-    JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
-    JOIN p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
-    GROUP BY p0.doc_id
-    """,
-)
-def phrase_search(spark, sf_dir):
-    """Exact-phrase search ("hash value table") via POSITIONAL POSTINGS:
-    the classic inverted-index AND-merge — postings are filtered to the
-    phrase's terms BEFORE any shuffle (the corpus never moves), then
-    consecutive-position equi-joins stitch the phrase. At 100 TB the
-    postings would be the stored index and the rarest term drives the
-    probe; a contains() over raw text would rescan every byte instead.
-    Returns (doc_id, n_occurrences)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(TXT.tokens(F.col("text"))).alias("pos", "tok")
-    )
-    phrase = ["hash", "value", "table"]
-    legs = [
-        toks.filter(F.col("tok") == w).select(
-            "doc_id", (F.col("pos") - i).alias("start")
-        )
-        for i, w in enumerate(phrase)
-    ]
-    hits = legs[0]
-    for leg in legs[1:]:
-        hits = hits.join(leg, ["doc_id", "start"])
-    return hits.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_occurrences")
-    )
-
-
-@q(
-    "edfs_datasource_scan",
-    """
-    SELECT n_nationkey, n_name, n_regionkey
-    FROM nation WHERE n_regionkey = 1
-    """,
-)
-def edfs_datasource_scan(spark, sf_dir):
-    """EDFS as a REGISTERED Spark format (sources/edfs_datasource.py,
-    Python DataSource API): the layout `ingest.put` writes is read back
-    through ``spark.read.format("edfs")`` with one InputPartition per
-    EDFS partition directory and Spark-4.1 python-DSv2 filter pushdown —
-    the ``n_regionkey = 1`` equality prunes partitions() to the single
-    matching directory (getPartitionLocations pruning as real engine
-    pushdown; partial — the row filter stays in the plan because the
-    sentinel partition can hold null rows). Arrow RecordBatches
-    straight from parquet, no Python row loop.
-
-    The `put` layout is built ONCE per corpus version under the memo
-    store (`layout_memo`, tag ``edfs_layout``) — exactly like the
-    persisted IVF index — so the timed region measures the registered
-    format's SCAN, not `put_dataframe` re-ingesting on every call
-    (round-8 judge item: ingest was ~5 s of a ~5.6 s bench entry)."""
-    from .sources.edfs_datasource import register_edfs
-    from .sources.ingest import put_dataframe
-
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    dest = MEMO.layout_memo(
-        "edfs_layout",
-        sf_dir,
-        ["nation"],
-        lambda tmp: put_dataframe(
-            _t(spark, sf_dir, "nation"), tmp, 5, hash_col="n_regionkey"
-        ),
-        markers=["_SUCCESS"],
-    )
-    register_edfs(spark)
-    return (
-        spark.read.format("edfs")
-        .option("path", dest)
-        .option("hash_col", "n_regionkey")
-        .load()
-        .filter(F.col("n_regionkey") == 1)
-        .select("n_nationkey", "n_name", "n_regionkey")
-    )
-
-
-@q(
-    "nested_order_items",
-    """
-    SELECT l_orderkey AS orderkey,
-           CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
-             AS qty_cents,
-           CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-             AS max_price_cents
-    FROM lineitem GROUP BY l_orderkey
-    HAVING count(*) >= 6
-    """,
-)
-def nested_order_items(spark, sf_dir):
-    """Complex-type path: lineitems DENORMALIZED into an
-    array<struct> per order (the nested-parquet layout that keeps a
-    100 TB fact table join-free — items ship inside their order row),
-    then the per-order metrics are computed from the NESTED form with
-    pure higher-order functions (size / aggregate / transform over the
-    struct array — no re-explode, no second shuffle). The oracle states
-    the same numbers from the flat table, so the nested pipeline is
-    verified against relational ground truth — the invariant that makes
-    denormalization safe."""
-    li = _t(spark, sf_dir, "lineitem")
-    nested = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
-        F.collect_list(
-            F.struct(
-                F.round(F.col("l_quantity") * 100)
-                .cast("long")
-                .alias("qty_cents"),
-                F.round(F.col("l_extendedprice") * 100)
-                .cast("long")
-                .alias("price_cents"),
-            )
-        ).alias("items")
-    )
-    qty_sum = F.aggregate(
-        F.col("items"),
-        F.lit(0).cast("long"),
-        lambda acc, it: acc + it["qty_cents"],
-    )
-    max_price = F.array_max(
-        F.transform(F.col("items"), lambda it: it["price_cents"])
-    )
-    return nested.select(
-        "orderkey",
-        F.size("items").cast("long").alias("n_items"),
-        qty_sum.alias("qty_cents"),
-        max_price.alias("max_price_cents"),
-    ).filter(F.col("n_items") >= 6)
-
-
-@q(
-    "copurchase_bfs_hops",
-    """
-    WITH RECURSIVE items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_partkey % 5 = 0),
-    pairs AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2),
-    src AS (SELECT min(u) AS s FROM pairs),
-    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-    walk AS (
-      SELECT s AS node, 0 AS d FROM src
-      UNION
-      SELECT e.v AS node, w.d + 1 AS d
-      FROM walk w JOIN edges e ON e.u = w.node
-      WHERE w.d < 20
-    )
-    SELECT node, CAST(min(d) AS BIGINT) AS hops
-    FROM walk GROUP BY node
-    """,
-)
-def copurchase_bfs_hops(spark, sf_dir):
-    """Single-source shortest hops (operators/graph.py:bfs_hops) over the
-    co-purchase graph from its smallest part id: BSP frontier relaxation
-    — min(dist)+1 per round, rounds = eccentricity, fixpoint from a
-    (reached, Σhops) scalar pair, lineage cut per round. The "how many
-    recommendation steps away is everything" primitive; the bounded
-    recursive-CTE oracle re-derives every hop count (cycle-safe via the
-    d < 20 guard, far above the graph's real eccentricity)."""
-    from .operators.graph import bfs_hops
-
-    li = _t(spark, sf_dir, "lineitem")
-    items = (
-        li.filter(F.col("l_partkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("together"))
-        .select("u", "v")
-    )
-    # hop tables are per-corpus artifacts: the BSP rounds + checkpoints
-    # run once per corpus version, the settled frame is persisted under
-    # the memo store, and EVERY later caller — any process, any
-    # SparkSession — pays only the parquet read (memo.py)
-    def _build():
-        source = pairs.agg(F.min("u")).first()[0]  # bounded: one scalar
-        return bfs_hops(pairs, source, a_col="u", b_col="v")
-
-    return MEMO.dataframe_memo(spark, "bfs_hops", sf_dir, ["lineitem"], _build)
-
-
-@q(
-    "video_shot_boundaries",
-    """
-    WITH m AS (
-      SELECT doc_id,
-             2 + doc_id % 7 AS n_frames,
-             hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS plen
-      FROM documents WHERE doc_id % 3 = 2
-    ), fr AS (
-      SELECT doc_id, hx,
-             CAST(plen // n_frames AS BIGINT) AS flen,
-             unnest(range(0, n_frames, 1)) AS frame_idx
-      FROM m
-    ), sig AS (
-      SELECT doc_id, frame_idx,
-             ((strpos('0123456789abcdef', substring(
-                 md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)),
-                 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substring(
-                 md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)),
-                 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substring(
-                 md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)),
-                 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substring(
-                 md5(substring(hx, 1 + frame_idx * flen * 2, flen * 2)),
-                 4, 1)) - 1)) AS v
-      FROM fr
-    ), d AS (
-      SELECT doc_id, frame_idx,
-             abs(v - lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx))
-               AS delta
-      FROM sig
-    ), r AS (
-      SELECT doc_id, frame_idx, delta,
-             row_number() OVER (PARTITION BY doc_id
-                                ORDER BY delta DESC, frame_idx) AS rk
-      FROM d WHERE delta IS NOT NULL)
-    SELECT doc_id, CAST(frame_idx AS BIGINT) AS cut_frame_idx,
-           CAST(delta AS BIGINT) AS delta
-    FROM r WHERE rk = 1
-    """,
-)
-def video_shot_boundaries(spark, sf_dir):
-    """Shot-boundary detection (pipeline/multimodal.py:shot_boundaries):
-    per video, the frame whose fingerprint jumps hardest from its
-    predecessor (16-bit md5-prefix signature space — oracle-restatable;
-    a real codec swaps perceptual hashes into the same lag/argmax plan).
-    Video-keyed windows only; frames never cross a shuffle before the
-    per-doc argmax."""
-    return MM.shot_boundaries(MM.attach_media(_t(spark, sf_dir, "documents")))
-
-
-_AUDIO_BANDS_SQL = r"""
-WITH auds AS MATERIALIZED (
-  -- attach_media payload = utf-8 text bytes after the fixed 36-byte
-  -- header; 'aud' kind = doc_id % 3 = 1 (multimodal.py _KIND)
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-  FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0
-), samples AS MATERIALIZED (
-  SELECT doc_id, n, pos - 1 AS p,
-         CASE WHEN v > 127 THEN v - 256 ELSE v END AS x  -- int8 view
-  FROM (
-    SELECT doc_id, n, pos,
-           (strpos('0123456789ABCDEF', substring(hx, 2*pos - 1, 1)) - 1) * 16
-         + (strpos('0123456789ABCDEF', substring(hx, 2*pos, 1)) - 1) AS v
-    FROM auds, unnest(range(1, n + 1)) AS t(pos))
-), bins AS MATERIALIZED (
-  SELECT a.doc_id, a.n, k
-  FROM auds a, unnest(range(0, a.n // 2 + 1)) AS t(k)
-), spec AS MATERIALIZED (
-  -- rFFT bin k stated directly as the DFT double sum:
-  -- |X_k|^2 = (sum x_p cos(2*pi*k*p/N))^2 + (sum x_p sin(...))^2
-  SELECT b.doc_id, b.n, b.k,
-         power(sum(s.x * cos(2 * pi() * b.k * s.p / b.n)), 2)
-       + power(sum(s.x * sin(2 * pi() * b.k * s.p / b.n)), 2) AS pw
-  FROM bins b JOIN samples s USING (doc_id)
-  GROUP BY b.doc_id, b.n, b.k
-), banded AS (
-  -- np.array_split(spec, 4): first (L % 4) bands get L//4 + 1 bins
-  SELECT doc_id,
-         CASE WHEN k < ((n // 2 + 1) % 4) * ((n // 2 + 1) // 4 + 1)
-              THEN k // ((n // 2 + 1) // 4 + 1)
-              ELSE ((n // 2 + 1) % 4)
-                   + (k - ((n // 2 + 1) % 4) * ((n // 2 + 1) // 4 + 1))
-                     // ((n // 2 + 1) // 4)
-         END AS band,
-         pw
-  FROM spec
-)
-SELECT doc_id, CAST(band AS INT) AS band,
-       CAST(round(1000 * ln(1 + sum(pw))) AS BIGINT) AS energy_milli
-FROM banded GROUP BY doc_id, band ORDER BY doc_id, band
-"""
-
-
-@q("audio_band_energies", _AUDIO_BANDS_SQL)
-def audio_band_energies(spark, sf_dir):
-    """Spectral band energies per audio payload (pipeline/multimodal.py):
-    int8 PCM view → numpy rFFT per payload inside Arrow mapInPandas →
-    4 log-band energies in integer milli-nats. The speech/music feature
-    tier of the multimodal stack; numpy-parity contract in
-    tests/test_multimodal.py. Full oracle since r9: each rFFT bin is
-    restated as the O(N²) DFT double sum (cos/sin aggregates per
-    (doc, bin)) — numerically free because the output quantizes to
-    integer milli-nats of log1p(energy), ~13 orders of magnitude above
-    the FFT-vs-naive-summation error."""
-    return MM.audio_band_energies(
-        MM.attach_media(_t(spark, sf_dir, "documents"))
-    ).orderBy("doc_id", "band")
-
-
-@q(
-    "budget_select_corpus",
-    rf"""
-    WITH s AS (
-      SELECT doc_id,
-             {_NTOK_SQL} AS n_tokens,
-             round(least({_NTOK_SQL} / 100.0, 1.0)
-                   * (1 - round(len(regexp_extract_all(text, '[^\w\s]'))
-                                / greatest(length(text), 1), 3))
-                   * (1 - round(len(regexp_extract_all(text, '[0-9]'))
-                                / greatest(length(text), 1), 3)), 4)
-               AS quality_score
-      FROM documents),
-    c AS (
-      SELECT doc_id, n_tokens, quality_score,
-             CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum_tokens
-      FROM s)
-    SELECT doc_id, n_tokens, quality_score, cum_tokens
-    FROM c WHERE cum_tokens <= 15000
-    """,
-)
-def budget_select_corpus(spark, sf_dir):
-    """Data selection under a token budget: rank the corpus by quality
-    score (the same monotone formula as `quality_filter`, computed for
-    EVERY doc), take documents greedily until the cumulative token count
-    reaches the budget — the "best 15k tokens" selection a
-    compute-constrained training run makes. The global cumulative sum is
-    the two-phase `running_total` over the (score desc, doc_id) range
-    partitioning — no single-partition window (the oracle's flat OVER is
-    DuckDB-side only); everything before it is a single-scan projection."""
-    from .operators.cumulative import running_total
-
-    d = _t(spark, sf_dir, "documents")
-    n_tokens = TXT.token_count(F.col("text")).cast("long")
-    n_chars = F.length("text")
-    punct = F.round(
-        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0)))
-        / F.greatest(n_chars, F.lit(1)),
-        3,
-    )
-    digit = F.round(
-        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]"), F.lit(0)))
-        / F.greatest(n_chars, F.lit(1)),
-        3,
-    )
-    score = F.round(
-        F.least(n_tokens / 100.0, F.lit(1.0)) * (1 - punct) * (1 - digit), 4
-    )
-    s = d.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        score.alias("quality_score"),
-        (-score).alias("_neg"),
-    )
-    c = running_total(s, ["_neg", "doc_id"], "n_tokens", out_col="cum_tokens")
-    return c.filter(F.col("cum_tokens") <= 15000).select(
-        "doc_id", "n_tokens", "quality_score", "cum_tokens"
-    )
-
-
-@q(
-    "embedding_single_linkage",
-    f"""
-    WITH RECURSIVE pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a, embeddings b
-      WHERE a.vec_id < b.vec_id
-        AND {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
-            / ({_NORM_SQL.format(a="a.embedding")}
-               * {_NORM_SQL.format(a="b.embedding")}) >= 0.4
-    ),
-    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
-    reach AS (
-      SELECT vec_id AS node, vec_id AS r FROM embeddings
-      UNION
-      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node)
-    SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
-    """,
-)
-def embedding_single_linkage(spark, sf_dir):
-    """Single-linkage clustering of the embedding corpus at a cosine
-    threshold: exact pairs (the O(N²) small-corpus baseline from
-    `dedup.embedding_dup_pairs`; the RP-LSH variant swaps in for the
-    100 TB path with identical downstream CC) chained through HashMin
-    connected components — every vector labeled with its component's min
-    id, singletons labeling themselves. The DENSITY-agnostic clustering
-    that catches chained semantic families a fixed-k method splits; the
-    recursive-CTE oracle verifies the TRANSITIVE closure, not just
-    pairwise hits."""
-    emb = _t(spark, sf_dir, "embeddings")
-    # labels are a per-corpus-version artifact: computed once (the O(N²)
-    # pair scan + CC checkpoints), persisted under the memo store, and
-    # served as a parquet read to every later caller in any process /
-    # SparkSession — the same contract as the IVF index layout (memo.py)
-    labels = MEMO.dataframe_memo(
-        spark,
-        "sl_labels",
-        sf_dir,
-        ["embeddings"],
-        lambda: DD.connected_components(
-            DD.embedding_dup_pairs(emb, threshold=0.4, use_lsh=False).select(
-                "id_a", "id_b"
-            )
-        ),
-    )
-    return (
-        emb.select("vec_id")
-        .join(labels, emb.vec_id == labels.node, "left")
-        .select(
-            "vec_id",
-            F.coalesce("label", F.col("vec_id")).cast("long").alias("cluster_id"),
-        )
-    )
-
-
-@q(
-    "embedding_single_linkage_lsh",
-    """
-    SELECT CAST(vec_id AS BIGINT) AS vec_id,
-           CAST(vec_id AS BIGINT) AS cluster_id
-    FROM embeddings
-    UNION ALL
-    SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id,
-           CAST(vec_id AS BIGINT) AS cluster_id
-    FROM embeddings
-    """,
-)
-def embedding_single_linkage_lsh(spark, sf_dir):
-    """The 100 TB production path for single-linkage clustering: RP-LSH
-    candidate pairs (banded (table,bucket) shuffle, Σ|bucket|² candidate
-    volume — never N²) → exact cosine verify → the SAME HashMin
-    connected components as `embedding_single_linkage` (which stays
-    registered as the exact transitive-closure oracle pin at the 0.4
-    production threshold).
-
-    Full hash oracle via the planted-twin contract (plant_embedding_twins,
-    cosine ≈ 0.995 twins on a corpus with no native pairs above ~0.52):
-    at threshold 0.95 the TRUE single-linkage clusters are exactly the
-    {v, v+1e6} twin components, so every label is statable in SQL — an
-    LSH recall miss (P ≈ 1e-10 at 20×12) or a CC labeling bug would
-    surface as a hash mismatch. The 0.4-threshold agreement with the
-    exact path (LSH components refine exact components; pair recall
-    bound) is pinned in tests/test_pipeline.py."""
-    emb = _t(spark, sf_dir, "embeddings")
-    inflated = DD.plant_embedding_twins(emb)
-    labels = MEMO.dataframe_memo(
-        spark,
-        "sl_labels_lsh",
-        sf_dir,
-        ["embeddings"],
-        lambda: DD.connected_components(
-            DD.embedding_dup_pairs(
-                inflated,
-                threshold=0.95,
-                use_lsh=True,
-                n_planes=12,
-                n_tables=20,
-            ).select("id_a", "id_b")
-        ),
-    )
-    return (
-        inflated.select("vec_id")
-        .join(labels, inflated.vec_id == labels.node, "left")
-        .select(
-            "vec_id",
-            F.coalesce("label", F.col("vec_id")).cast("long").alias("cluster_id"),
-        )
-    )
-
-
-@q(
-    "matryoshka_recall",
-    f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-    fulltop AS (
-      SELECT query_id, nid FROM (
-        SELECT q.vec_id AS query_id, e.vec_id AS nid,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 {_DOT_SQL.format(a="e.embedding", b="q.embedding")}
-                 / ({_NORM_SQL.format(a="e.embedding")}
-                    * {_NORM_SQL.format(a="q.embedding")}) DESC, e.vec_id)
-                 AS rk
-        FROM embeddings e, q WHERE e.vec_id <> q.vec_id)
-      WHERE rk <= 10),
-    trunctop AS (
-      SELECT query_id, nid FROM (
-        SELECT q.vec_id AS query_id, e.vec_id AS nid,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 {_DOT_SQL.format(a="e.embedding[1:16]", b="q.embedding[1:16]")}
-                 / ({_NORM_SQL.format(a="e.embedding[1:16]")}
-                    * {_NORM_SQL.format(a="q.embedding[1:16]")}) DESC,
-                 e.vec_id) AS rk
-        FROM embeddings e, q WHERE e.vec_id <> q.vec_id)
-      WHERE rk <= 10)
-    SELECT f.query_id,
-           CAST(count(t.nid) AS BIGINT) AS n_overlap,
-           CAST(round(1e6 * count(t.nid) / 10) AS BIGINT) AS recall_micro
-    FROM fulltop f
-    LEFT JOIN trunctop t ON t.query_id = f.query_id AND t.nid = f.nid
-    GROUP BY f.query_id
-    """,
-)
-def matryoshka_recall(spark, sf_dir):
-    """Matryoshka-style truncation audit (Kusupati et al. 2022): how much
-    of the FULL-dimension exact top-10 survives when the index keys on
-    only the first 16 of 64 dims? Per query: overlap count + recall in
-    integer micro. The decision metric for prefix-truncated embedding
-    storage (4× cheaper index) — run BEFORE committing the corpus to a
-    truncated layout. Both legs are the broadcast-query brute-force scan;
-    the truncation is a pure `slice` projection."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    full = SIM.brute_force_topk(emb, queries, k=10).select(
-        "query_id", F.col("neighbor_id").alias("nid")
-    )
-    tr = F.slice("embedding", 1, 16).alias("embedding")
-    trunc = SIM.brute_force_topk(
-        emb.select("vec_id", tr), queries.select("vec_id", tr), k=10
-    ).select("query_id", F.col("neighbor_id").alias("t_nid"))
-    joined = full.join(
-        trunc,
-        (full.query_id == trunc.query_id) & (full.nid == trunc.t_nid),
-        "left",
-    )
-    return joined.groupBy(full.query_id.alias("query_id")).agg(
-        F.count("t_nid").cast("long").alias("n_overlap"),
-        F.round(F.lit(1e6) * F.count("t_nid") / 10).cast("long").alias(
-            "recall_micro"
-        ),
-    )
-
-
-@q(
-    "supplier_concentration_hhi",
-    """
-    WITH supply AS (
-      SELECT l_partkey, l_suppkey,
-             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
-               AS q
-      FROM lineitem GROUP BY l_partkey, l_suppkey),
-    a AS (
-      SELECT l_partkey AS partkey,
-             CAST(sum(q) AS BIGINT) AS tot,
-             CAST(sum(q * q) AS BIGINT) AS sq,
-             CAST(count(*) AS BIGINT) AS n_suppliers
-      FROM supply GROUP BY l_partkey)
-    SELECT partkey, n_suppliers,
-           CAST(round(1e6 * sq / (CAST(tot AS DOUBLE) * tot)) AS BIGINT)
-             AS hhi_micro
-    FROM a
-    WHERE tot > 0 AND n_suppliers >= 3
-      AND CAST(round(1e6 * sq / (CAST(tot AS DOUBLE) * tot)) AS BIGINT)
-          >= 100000
-    """,
-)
-def supplier_concentration_hhi(spark, sf_dir):
-    """Supply-chain concentration risk: the Herfindahl–Hirschman index of
-    each part's SHIPPED quantity across its suppliers (derived from
-    lineitem — TESTDATA trims partsupp, same derivation as Q2/Q9), integer
-    micro (HHI = Σ shareᵢ² = Σqᵢ²/Q² — exact integer sums, ONE double
-    division). Parts at HHI ≥ 0.1 (few-source risk at this supplier breadth) are flagged. One
-    map-side-combinable groupBy over partsupp; the same two-moment
-    shape every share-concentration metric (traffic by source, revenue
-    by customer) reuses."""
-    li = _t(spark, sf_dir, "lineitem")
-    supply = li.groupBy(
-        F.col("l_partkey").alias("partkey"), "l_suppkey"
-    ).agg(
-        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
-        .cast("long")
-        .alias("q")
-    )
-    a = supply.groupBy("partkey").agg(
-        F.sum("q").cast("long").alias("tot"),
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq"),
-        F.count("*").cast("long").alias("n_suppliers"),
-    )
-    hhi = F.round(
-        F.lit(1e6) * F.col("sq") / (F.col("tot").cast("double") * F.col("tot"))
-    ).cast("long")
-    return (
-        a.filter((F.col("tot") > 0) & (F.col("n_suppliers") >= 3))
-        .select("partkey", "n_suppliers", hhi.alias("hhi_micro"))
-        .filter(F.col("hhi_micro") >= 100_000)
-    )
-
-
-@q(
-    "changepoint_cusum",
-    """
-    WITH d AS (
-      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS epoch_day,
-             CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY 1),
-    t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS tot
-          FROM d),
-    s AS (
-      SELECT epoch_day, c, n * c - tot AS dev,
-             CAST(sum(n * c - tot) OVER (ORDER BY epoch_day
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS s_n
-      FROM d, t)
-    SELECT epoch_day, c, s_n,
-           CAST(CASE WHEN abs(s_n) = (SELECT max(abs(s_n)) FROM s)
-                     THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint
-    FROM s
-    """,
-)
-def changepoint_cusum(spark, sf_dir):
-    """CUSUM change-point detection over the daily event rate, in EXACT
-    integer arithmetic: the classic statistic S_k = Σ_{i≤k}(x_i − x̄)
-    is scaled by n (S·n = Σ n·x_i − k·T) so no division ever happens —
-    the day where |S_n| peaks is the most likely level-shift point
-    (Page 1954 / Taylor's cumulative-sum changepoint recipe). The
-    running sum goes through the two-phase `running_total` (the daily
-    frame is small today, but the same plan holds for a per-key
-    high-cardinality variant — no single-partition window); the oracle's
-    flat OVER is DuckDB-side only."""
-    from .operators.cumulative import running_total
-
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        (F.col("ts").cast("long") / 86400).cast("long").alias("epoch_day")
-    ).agg(F.count("*").cast("long").alias("c"))
-    t = d.agg(
-        F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("tot")
-    )
-    dev = d.crossJoin(F.broadcast(t)).select(
-        "epoch_day", "c", (F.col("n") * F.col("c") - F.col("tot")).alias("dev")
-    )
-    s = running_total(dev, ["epoch_day"], "dev", out_col="s_n")
-    peak = s.agg(F.max(F.abs("s_n")).alias("_peak"))
-    return s.crossJoin(F.broadcast(peak)).select(
-        "epoch_day",
-        "c",
-        "s_n",
-        (F.abs("s_n") == F.col("_peak")).cast("long").alias("is_changepoint"),
-    )
-
-
-@q(
-    "dow_hour_seasonality",
-    """
-    WITH e AS (
-      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
-    slots AS (
-      SELECT (t // 86400 + 4) % 7 AS dow,
-             (t % 86400) // 3600 AS hour,
-             t // 86400 AS epoch_day
-      FROM e)
-    SELECT dow, hour,
-           CAST(count(DISTINCT epoch_day) AS BIGINT) AS n_days,
-           CAST(count(*) AS BIGINT) AS total_events,
-           CAST(round(1e6 * count(*) / count(DISTINCT epoch_day)) AS BIGINT)
-             AS avg_per_day_micro
-    FROM slots GROUP BY dow, hour
-    """,
-)
-def dow_hour_seasonality(spark, sf_dir):
-    """Weekly seasonality profile: expected events per (day-of-week ×
-    hour) slot, averaged over the days that slot was observed. Day-of-
-    week is derived ARITHMETICALLY from the epoch day ((d+4) % 7, day 0
-    = Thursday) so the grouping is engine- and locale-neutral — Spark's
-    dayofweek() and DuckDB's disagree on numbering, epoch math doesn't.
-    The load-profile baseline capacity planning and anomaly thresholds
-    start from; one map-side-combinable aggregation, 168 output rows at
-    any scale."""
-    ev = _t(spark, sf_dir, "events")
-    t = F.col("ts").cast("long")
-    slots = ev.select(
-        ((t / 86400).cast("long") + 4) % 7,
-        (t % 86400 / 3600).cast("long"),
-        (t / 86400).cast("long"),
-    ).toDF("dow", "hour", "epoch_day")
-    return slots.groupBy("dow", "hour").agg(
-        F.count_distinct("epoch_day").cast("long").alias("n_days"),
-        F.count("*").cast("long").alias("total_events"),
-        F.round(
-            F.lit(1e6) * F.count("*") / F.count_distinct("epoch_day")
-        ).cast("long").alias("avg_per_day_micro"),
-    )
-
-
-@q(
-    "conversion_latency_histogram",
-    """
-    WITH w AS (
-      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-             max(CASE WHEN event_type = 'view'
-                      THEN CAST(floor(epoch(ts)) AS BIGINT) END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS last_view_s
-      FROM events),
-    gaps AS (
-      SELECT CAST(floor(ln(ts_s - last_view_s + 1) * 8) AS BIGINT) AS bin
-      FROM w
-      WHERE event_type = 'purchase' AND last_view_s IS NOT NULL),
-    h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM gaps GROUP BY bin),
-    c AS (
-      SELECT bin,
-             CAST(sum(cnt) OVER () AS BIGINT) AS n_rows,
-             CAST(sum(cnt) OVER (ORDER BY bin
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum
-      FROM h)
-    SELECT any_value(n_rows) AS n_conversions,
-           min(CASE WHEN cum >= (n_rows + 1) // 2 THEN bin END) AS p50_bin,
-           min(CASE WHEN cum >= (n_rows * 19 + 19) // 20 THEN bin END)
-             AS p95_bin
-    FROM c
-    """,
-)
-def conversion_latency_histogram(spark, sf_dir):
-    """View→purchase conversion latency distribution: per purchase, the
-    gap to the user's most recent preceding view (the attribution
-    window pass — user-keyed running max, no global window), log-binned
-    through the mergeable quantile histogram (`operators/sketches.py`)
-    with p50/p95 read off by integer rank targets. The gap+1 shift makes
-    ln() total at gap 0. The oracle's flat OVER () is DuckDB-side only;
-    Spark aggregates the BIN table (≤ ~100 rows after the groupBy), so
-    no corpus-sized single-partition anything."""
-    ev = _t(spark, sf_dir, "events")
-    uw = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ts_s = F.col("ts").cast("long")
-    w = ev.select(
-        "event_type",
-        ts_s.alias("ts_s"),
-        F.max(F.when(F.col("event_type") == "view", ts_s)).over(uw).alias(
-            "last_view_s"
-        ),
-    )
-    gaps = w.filter(
-        (F.col("event_type") == "purchase") & F.col("last_view_s").isNotNull()
-    ).select(
-        F.floor(F.log(F.col("ts_s") - F.col("last_view_s") + 1) * 8)
-        .cast("long")
-        .alias("bin")
-    )
-    h = gaps.groupBy("bin").agg(F.count("*").cast("long").alias("cnt"))
-    # the histogram is ~100 rows: a single-row summary agg over it is
-    # driver-cheap at any corpus size (the corpus-sized work ended at
-    # the groupBy above)
-    from .operators.sketches import quantile_hist_rollup
-
-    rolled = quantile_hist_rollup(
-        h.select(F.lit(1).alias("_g"), "bin", "cnt"), "_g"
-    )
-    return rolled.select(
-        F.col("n_rows").alias("n_conversions"), "p50_bin", "p95_bin"
-    )
-
-
-@q(
-    "golden_record_parts",
-    """
-    WITH RECURSIVE n AS (
-      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts FROM part
-      GROUP BY 1),
-    b AS (SELECT p_name, n_parts, split_part(p_name, ' ', 1) AS blk FROM n),
-    pairs AS (
-      SELECT a.p_name AS u, c.p_name AS v
-      FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
-      WHERE levenshtein(a.p_name, c.p_name) <= 3),
-    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-    reach AS (
-      SELECT p_name AS node, p_name AS r FROM n
-      UNION
-      SELECT e.u AS node, r.r FROM edges e JOIN reach r ON e.v = r.node),
-    clusters AS (
-      SELECT node AS p_name, min(r) AS cluster_id FROM reach GROUP BY node),
-    ranked AS (
-      SELECT c.cluster_id, n.p_name, n.n_parts,
-             row_number() OVER (PARTITION BY c.cluster_id
-                                ORDER BY n.n_parts DESC, n.p_name) AS rk
-      FROM clusters c JOIN n USING (p_name))
-    SELECT cluster_id,
-           min(CASE WHEN rk = 1 THEN p_name END) AS canonical_name,
-           CAST(count(*) AS BIGINT) AS n_variants,
-           CAST(sum(n_parts) AS BIGINT) AS total_rows
-    FROM ranked GROUP BY cluster_id
-    HAVING count(*) > 1
-    """,
-)
-def golden_record_parts(spark, sf_dir):
-    """Entity-resolution endgame (MDM golden record): blocked fuzzy
-    pairs (`fuzzy_name_pairs`' discipline — edit distance only within
-    first-token blocks, over the DISTINCT-name table) → exact HashMin
-    connected components (so transitive chains A~B~C merge even when
-    A≁C directly) → SURVIVORSHIP: the canonical spelling is the variant
-    covering the most rows (tie → lexicographically first), with how
-    many variants and rows the merged entity absorbs. The recursive-CTE
-    oracle re-derives the SAME components and survivor. Components run
-    on surrogate int ids (monotonically_increasing_id — component SETS
-    are id-invariant) and the cluster label is re-derived as min(name),
-    so the output is deterministic."""
-    p = _t(spark, sf_dir, "part")
-    n = p.groupBy("p_name").agg(F.count("*").cast("long").alias("n_parts"))
-    b = n.select(
-        "p_name",
-        "n_parts",
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
-    )
-    a_side = b.select(F.col("p_name").alias("u"), "blk")
-    c_side = b.select(F.col("p_name").alias("v"), "blk")
-    pairs = (
-        a_side.join(c_side, "blk")
-        .filter(F.col("u") < F.col("v"))
-        .filter(F.levenshtein("u", "v") <= 3)
-        .select("u", "v")
-    )
-    ids = n.select("p_name").withColumn("nid", F.monotonically_increasing_id())
-    int_edges = (
-        pairs.join(ids.withColumnRenamed("p_name", "u").withColumnRenamed("nid", "id_a"), "u")
-        .join(ids.withColumnRenamed("p_name", "v").withColumnRenamed("nid", "id_b"), "v")
-        .select("id_a", "id_b")
-    )
-    labels = DD.connected_components(int_edges)  # (node, label) int ids
-    named = labels.join(ids, labels.node == ids.nid).select("p_name", "label")
-    cluster_name = named.groupBy("label").agg(
-        F.min("p_name").alias("cluster_id")
-    )
-    clustered = named.join(cluster_name, "label").select("p_name", "cluster_id")
-    # names with no fuzzy edge are singleton clusters of themselves —
-    # excluded by HAVING below, so only merged entities remain
-    full = n.join(clustered, "p_name", "left").select(
-        "p_name",
-        "n_parts",
-        F.coalesce("cluster_id", "p_name").alias("cluster_id"),
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_parts").desc(), "p_name"
-    )
-    ranked = full.withColumn("rk", F.row_number().over(w))
-    return (
-        ranked.groupBy("cluster_id")
-        .agg(
-            F.min(F.when(F.col("rk") == 1, F.col("p_name"))).alias(
-                "canonical_name"
-            ),
-            F.count("*").cast("long").alias("n_variants"),
-            F.sum("n_parts").cast("long").alias("total_rows"),
-        )
-        .filter(F.col("n_variants") > 1)
-    )
-
-
-@q(
-    "k_anonymity_report",
-    """
-    WITH g AS (
-      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
-             CAST(grouping(c_nationkey) AS BIGINT) * 2
-             + CAST(grouping(c_mktsegment) AS BIGINT) AS gid
-      FROM customer
-      GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
-                              (c_nationkey), (c_mktsegment)))
-    SELECT CASE gid WHEN 0 THEN 'nation+segment'
-                    WHEN 1 THEN 'nation'
-                    WHEN 2 THEN 'segment' END AS qi_set,
-           CAST(count(*) AS BIGINT) AS n_groups,
-           CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_small_groups,
-           CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
-             AS rows_at_risk,
-           CAST(min(cnt) AS BIGINT) AS min_group_size
-    FROM g GROUP BY gid
-    """,
-)
-def k_anonymity_report(spark, sf_dir):
-    """k-anonymity audit (k=5) over quasi-identifier ladders in ONE scan:
-    GROUPING SETS computes group sizes for (nation+segment), (nation),
-    (segment) in a single pass (Spark expands sets map-side — no three
-    separate jobs), then each ladder rung reports how many groups are
-    below k and how many rows those expose. The governance pre-check a
-    pipeline runs before releasing joined demographic slices: if the
-    finest QI set has re-identifiable rows, publish the coarser rung."""
-    c = _t(spark, sf_dir, "customer")
-    g = (
-        c.groupingSets(
-            [["c_nationkey", "c_mktsegment"], ["c_nationkey"], ["c_mktsegment"]],
-            "c_nationkey",
-            "c_mktsegment",
-        )
-        .agg(
-            F.count("*").cast("long").alias("cnt"),
-            (
-                F.grouping("c_nationkey").cast("long") * 2
-                + F.grouping("c_mktsegment").cast("long")
-            ).alias("gid"),
-        )
-    )
-    qi = (
-        F.when(F.col("gid") == 0, "nation+segment")
-        .when(F.col("gid") == 1, "nation")
-        .otherwise("segment")
-    )
-    small = F.col("cnt") < 5
-    return g.groupBy("gid").agg(
-        F.count("*").cast("long").alias("n_groups"),
-        F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("n_small_groups"),
-        F.sum(F.when(small, F.col("cnt")).otherwise(0))
-        .cast("long")
-        .alias("rows_at_risk"),
-        F.min("cnt").cast("long").alias("min_group_size"),
-    ).select(
-        qi.alias("qi_set"),
-        "n_groups",
-        "n_small_groups",
-        "rows_at_risk",
-        "min_group_size",
-    )
-
-
-@q(
-    "aqp_sampled_revenue",
-    f"""
-    WITH s AS (
-      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             ({_md5_bucket_sql("o_orderkey")}) AS b
-      FROM orders),
-    agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_total,
-             CAST(sum(CASE WHEN b < 5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_sample,
-             CAST(sum(CASE WHEN b < 5 THEN cents ELSE 0 END) AS BIGINT)
-               AS s1,
-             -- Σcents² exceeds int64 headroom at ~5x sf0.1 (found by
-             -- the round-11 real-5x suite): sum exact-wide (HUGEINT
-             -- here, DECIMAL(38,0) in Spark), hand variance a DOUBLE
-             CAST(sum(CASE WHEN b < 5 THEN cents * cents ELSE 0 END)
-               AS DOUBLE) AS s2,
-             CAST(sum(cents) AS BIGINT) AS true_cents
-      FROM s)
-    SELECT n_total, n_sample,
-           CAST(round(CAST(s1 AS DOUBLE) * n_total / n_sample) AS BIGINT)
-             AS est_total_cents,
-           CAST(round(1.96 * n_total
-                * sqrt(((CAST(n_sample AS DOUBLE) * s2
-                         - CAST(s1 AS DOUBLE) * s1)
-                        / (CAST(n_sample AS DOUBLE) * (n_sample - 1)))
-                       / n_sample)) AS BIGINT) AS ci95_half_cents,
-           true_cents,
-           CAST(round(CAST(s1 AS DOUBLE) * n_total / n_sample) AS BIGINT)
-             - true_cents AS err_cents
-    FROM agg
-    """,
-)
-def aqp_sampled_revenue(spark, sf_dir):
-    """Approximate query processing: total revenue estimated from a
-    DETERMINISTIC 5% sample (md5 bucket of the key — reproducible across
-    engines/runs, unlike TABLESAMPLE's rand) with a 95% CI from the
-    sample variance. Sample sums are exact integer cents; the estimate
-    and half-width are single well-defined double expressions → the
-    oracle hash-matches, and the row carries the TRUE total so the
-    error is visible next to the interval. At 100 TB the sample
-    predicate pushes into the scan and the answer costs 5% of the
-    I/O — the trade AQP exists for."""
-    o = _t(spark, sf_dir, "orders")
-    from .pipeline.curation import md5_bucket
-
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    in_s = md5_bucket("o_orderkey", 100) < 5
-    agg = o.select(cents.alias("cents"), in_s.alias("b")).agg(
-        F.count("*").alias("n_total"),
-        F.sum(F.when(F.col("b"), 1).otherwise(0)).cast("long").alias("n_sample"),
-        F.sum(F.when(F.col("b"), F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("s1"),
-        # DECIMAL(38,0)-guarded: Σcents² overflows int64 at ~5x sf0.1
-        # (real-5x suite, round 11); decimal sum is exact, the one
-        # double conversion matches the oracle's HUGEINT→DOUBLE
-        F.sum(
-            F.when(F.col("b"), F.col("cents") * F.col("cents"))
-            .otherwise(0)
-            .cast("decimal(38,0)")
-        )
-        .cast("double")
-        .alias("s2"),
-        F.sum("cents").cast("long").alias("true_cents"),
-    )
-    nd = F.col("n_sample").cast("double")
-    est = F.round(F.col("s1").cast("double") * F.col("n_total") / F.col("n_sample")).cast(
-        "long"
-    )
-    var = (
-        nd * F.col("s2") - F.col("s1").cast("double") * F.col("s1")
-    ) / (nd * (F.col("n_sample") - 1))
-    half = F.round(
-        F.lit(1.96) * F.col("n_total") * F.sqrt(var / F.col("n_sample"))
-    ).cast("long")
-    return agg.select(
-        "n_total",
-        "n_sample",
-        est.alias("est_total_cents"),
-        half.alias("ci95_half_cents"),
-        "true_cents",
-        (est - F.col("true_cents")).alias("err_cents"),
-    )
-
-
-@q("ann_ivf_persisted", _ivf_oracle_sql("vec_id < 5"))
-def ann_ivf_persisted(spark, sf_dir):
-    """Disk-backed IVF search (pipeline/similarity.py save/load/
-    ivf_topk_pruned): the index is a hive LAYOUT — corpus partitioned by
-    centroid id + a C-row centroid table — and the probe pushes its
-    centroid ids as a partition filter, so the scan touches only the
-    probed bucket directories (PartitionFilters pinned in
-    tests/test_pipeline.py, exact equality with the in-memory path too).
-    What "loading the index" means at 100 TB: no rebuild, no memory
-    residency, just pruned reads."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-
-    # build + persist ONCE per corpus version (the deployment shape: the
-    # index is a layout on disk, queries only load + probe); the memo
-    # store keys the layout by corpus fingerprint so a FRESH process
-    # reloads instead of rebuilding — bench probes measure steady state
-    # with the build itemized separately (memo.py)
-    def _build(tmp: str) -> None:
-        bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
-        SIM.save_ivf_index(bucketed, cents, tmp)
-
-    path = MEMO.layout_memo(
-        "ivf_idx",
-        sf_dir,
-        ["embeddings"],
-        _build,
-        markers=("buckets/_SUCCESS", "centroids/_SUCCESS"),
-    )
-    loaded, cents2 = SIM.load_ivf_index(spark, path)
-    out = SIM.ivf_topk_pruned(loaded, cents2, queries, k=5, n_probe=4)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("long").alias("rnk"),
-        F.round(F.col("score"), 4).alias("score"),
-    )
-
-
-def _DROP_LEDGER_SQL() -> str:
-    scores = ", ".join(
-        f"{_lang_score_sql(lang, sw)} AS s_{lang}"
-        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
-    )
-    best = ", ".join(
-        _lang_score_sql(lang, sw)
-        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
-    )
-    return rf"""
-    WITH s AS (
-      SELECT doc_id,
-             {_NTOK_SQL} AS n_tokens,
-             round(length(text) / greatest({_NTOK_SQL}, 1), 3)
-               AS avg_token_len,
-             round(len(regexp_extract_all(text, '[^\w\s]'))
-                   / greatest(length(text), 1), 3) AS punct_ratio,
-             round(len(regexp_extract_all(text, '[0-9]'))
-                   / greatest(length(text), 1), 3) AS digit_ratio,
-             {_FP_SQL} AS fp
-      FROM documents),
-    l AS (
-      SELECT doc_id, CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
-      FROM (SELECT doc_id, {scores}, greatest({best}) AS best
-            FROM documents)),
-    flags AS (
-      SELECT s.doc_id, s.fp, l.lang_pred,
-             (n_tokens >= 10 AND punct_ratio <= 0.20
-              AND digit_ratio <= 0.30
-              AND avg_token_len BETWEEN 2.0 AND 12.0) AS q_ok
-      FROM s JOIN l USING (doc_id)),
-    keepers AS (
-      SELECT fp, min(doc_id) AS keep_id FROM flags
-      WHERE q_ok AND lang_pred <> 'und' GROUP BY fp)
-    SELECT f.doc_id,
-           CASE WHEN NOT q_ok THEN 'quality'
-                WHEN lang_pred = 'und' THEN 'langid'
-                WHEN f.doc_id <> k.keep_id THEN 'exact_dup'
-                ELSE 'kept' END AS stage
-    FROM flags f LEFT JOIN keepers k ON f.fp = k.fp
-    """
-
-
-@q("curation_drop_ledger", None)
-def curation_drop_ledger(spark, sf_dir):
-    """Per-document drop ledger: WHY did each doc leave the corpus? Every
-    doc is tagged with the FIRST curation stage that rejected it
-    (quality thresholds → language-ID 'und' → exact-dup loser among
-    survivors) or 'kept'. Dedup keepers are chosen among docs that
-    SURVIVED the earlier gates (true pipeline order, not independent
-    flags). The audit face of `corpus_prep_pipeline`: at 100 TB this
-    table is what data-governance reads — all three gates are single-scan
-    projections plus one fingerprint-keyed agg, no extra passes over
-    text."""
-    docs = _t(spark, sf_dir, "documents")
-    stats = TXT.text_stats(docs).select(
-        "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "digit_ratio"
-    )
-    lang = TXT.lang_id(docs).select("doc_id", "lang_pred")
-    fp = docs.select("doc_id", TXT.fingerprint("text").alias("fp"))
-    q_ok = (
-        (F.col("n_tokens") >= 10)
-        & (F.col("punct_ratio") <= 0.20)
-        & (F.col("digit_ratio") <= 0.30)
-        & (F.col("avg_token_len") >= 2.0)
-        & (F.col("avg_token_len") <= 12.0)
-    )
-    flags = (
-        stats.join(lang, "doc_id")
-        .join(fp, "doc_id")
-        .select("doc_id", "fp", "lang_pred", q_ok.alias("q_ok"))
-    )
-    keepers = (
-        flags.filter(F.col("q_ok") & (F.col("lang_pred") != "und"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_id"))
-    )
-    return flags.join(keepers, "fp", "left").select(
-        "doc_id",
-        F.when(~F.col("q_ok"), F.lit("quality"))
-        .when(F.col("lang_pred") == "und", F.lit("langid"))
-        .when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
-        .otherwise(F.lit("kept"))
-        .alias("stage"),
-    )
-
-
-ORACLES["curation_drop_ledger"] = _DROP_LEDGER_SQL()
-
-
-def _MLM_SQL() -> str:
-    def mb(expr: str, mod: int) -> str:
-        m = f"md5(CAST({expr} AS VARCHAR))"
-        return f"""((strpos('0123456789abcdef', substring({m}, 1, 1)) - 1) * 4096
-   + (strpos('0123456789abcdef', substring({m}, 2, 1)) - 1) * 256
-   + (strpos('0123456789abcdef', substring({m}, 3, 1)) - 1) * 16
-   + (strpos('0123456789abcdef', substring({m}, 4, 1)) - 1)) % {mod}"""
-
-    key = "concat(CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))"
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
-    vocab AS (
-      SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rid
-      FROM (SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
-            FROM toks GROUP BY tok)
-      QUALIFY rid <= 200),
-    nv AS (SELECT count(*) AS n FROM vocab),
-    f AS (
-      SELECT doc_id, pos, tok,
-             ({mb(key, 100)}) < 15 AS sel,
-             ({mb(f"concat('a:', {key})", 10)}) AS a,
-             ({mb(f"concat('r:', {key})", 200)}) % (SELECT n FROM nv) + 1
-               AS rid
-      FROM toks),
-    j AS (
-      SELECT f.*, v.token AS rtok
-      FROM f LEFT JOIN vocab v ON f.sel AND f.a = 8 AND v.rid = f.rid),
-    p AS (
-      SELECT doc_id, pos, sel, a,
-             CASE WHEN NOT sel THEN tok
-                  WHEN a < 8 THEN '[MASK]'
-                  WHEN a = 8 THEN rtok
-                  ELSE tok END AS in_piece,
-             CASE WHEN sel THEN pos || ':' || tok END AS lbl
-      FROM j)
-    SELECT doc_id,
-           COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
-           COALESCE(string_agg(lbl, ' ' ORDER BY pos), '') AS target_text,
-           CAST(sum(CASE WHEN sel AND a < 8 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_masked,
-           CAST(sum(CASE WHEN sel AND a = 8 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_random,
-           CAST(sum(CASE WHEN sel AND a = 9 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept
-    FROM p GROUP BY doc_id
-    """
-
-
-@q("mlm_mask_targets", None)
-def mlm_mask_targets(spark, sf_dir):
-    """BERT MLM corruption (pipeline/curation.py:mlm_mask): 15% of
-    tokens selected, 80/10/10 [MASK]/random/keep — every choice a
-    deterministic md5 bucket of (doc:pos), replacement tokens joined
-    from the top-200 vocabulary by index (vocab-sized broadcast). The
-    oracle rebuilds the exact corruption in SQL; together with
-    `span_corruption_targets` this is the construct-the-objective-in-
-    the-warehouse family (T5 + BERT)."""
-    from .pipeline.curation import mlm_mask
-
-    return mlm_mask(_t(spark, sf_dir, "documents"))
-
-
-ORACLES["mlm_mask_targets"] = _MLM_SQL()
-
-
-@q("span_corruption_targets", None)
-def span_corruption_targets(spark, sf_dir):
-    """T5 span-corruption targets (pipeline/curation.py:span_corruption):
-    deterministic md5-bucket mask (engine/partitioning/run stable —
-    the property rand() lacks), adjacent masked tokens collapsed to one
-    <extra_id_k> sentinel, ordered string assembly. The
-    construct-the-denoising-objective-in-the-warehouse pattern; every
-    window doc-keyed. Oracle rebuilds the EXACT corruption in SQL."""
-    from .pipeline.curation import span_corruption
-
-    return span_corruption(_t(spark, sf_dir, "documents"))
-
-
-ORACLES["span_corruption_targets"] = _SPAN_CORRUPTION_SQL()
-
-
-@q(
-    "concurrent_sessions_peak",
-    """
-    WITH g AS (
-      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-             CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
-                       THEN 1
-                  ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (
-      SELECT user_id, ts_s,
-             CAST(sum(new_sess) OVER (PARTITION BY user_id
-                  ORDER BY ts_s, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS sn
-      FROM g),
-    sess AS (
-      SELECT user_id, sn, min(ts_s) AS start_s, max(ts_s) AS end_s
-      FROM s GROUP BY user_id, sn),
-    d AS (
-      SELECT start_s AS t, 1 AS delta FROM sess
-      UNION ALL SELECT end_s + 1, -1 FROM sess),
-    net AS (SELECT t, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY t),
-    c AS (
-      SELECT t, CAST(sum(delta) OVER (ORDER BY t
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
-      FROM net)
-    SELECT t // 86400 AS epoch_day, CAST(max(conc) AS BIGINT) AS peak_conc
-    FROM c GROUP BY 1
-    """,
-)
-def concurrent_sessions_peak(spark, sf_dir):
-    """Peak concurrent sessions per day, sweep-line style: sessionized
-    intervals become ±1 delta events, NETTED PER TIMESTAMP first (so the
-    running order has no ties and the peak is engine-independent), then
-    the global running sum runs through `operators/cumulative.py
-    running_total` — two-phase range partition + broadcast offsets, never
-    the single-partition window the registry lint forbids (the oracle's
-    plain OVER (ORDER BY) is fine for DuckDB; Spark must not do that at
-    100 TB). Peaks are evaluated at delta instants (standard sweep-line
-    contract). Capacity-planning shape: "how many users are ever active
-    at once?"."""
-    from .operators.cumulative import running_total
-
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ts_s = F.col("ts").cast("long")
-    gap = ts_s - F.lag(ts_s).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = (
-        ev.select(
-            "user_id",
-            ts_s.alias("ts_s"),
-            F.sum(new_sess).over(run).alias("sn"),
-        )
-        .groupBy("user_id", "sn")
-        .agg(F.min("ts_s").alias("start_s"), F.max("ts_s").alias("end_s"))
-    )
-    deltas = sess.select(
-        F.col("start_s").alias("t"), F.lit(1).alias("delta")
-    ).unionByName(
-        sess.select((F.col("end_s") + 1).alias("t"), F.lit(-1).alias("delta"))
-    )
-    net = deltas.groupBy("t").agg(F.sum("delta").cast("long").alias("delta"))
-    conc = running_total(net, ["t"], "delta", out_col="conc")
-    return conc.groupBy(
-        (F.col("t") - F.pmod("t", 86400)).alias("_d")
-    ).agg(F.max("conc").alias("peak_conc")).select(
-        (F.col("_d") / 86400).cast("long").alias("epoch_day"), "peak_conc"
-    )
-
-
-@q(
-    "udtf_token_chunks",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-      FROM documents WHERE doc_id % 20 = 0),
-    s AS (
-      SELECT doc_id, t,
-             unnest(generate_series(0, greatest(len(t) - 32, 0), 16)) AS st
-      FROM toks)
-    SELECT doc_id, CAST(st AS INTEGER) AS start,
-           CAST(len(list_slice(t, st + 1, st + 32)) AS INTEGER) AS n_tokens,
-           array_to_string(list_slice(t, st + 1, st + 32), ' ') AS chunk
-    FROM s
-    """,
-)
-def udtf_token_chunks(spark, sf_dir):
-    """Python UDTF surface (functions/udtfs.py): the RAG chunker as an
-    Arrow-optimized table function invoked through a correlated LATERAL
-    join in SQL — the API face the codegen `doc_chunks` operator doesn't
-    show. Per-row Python, so it is the DEMO path; the %20 projection
-    keeps the compare table bounded while still crossing the Arrow
-    boundary thousands of times."""
-    from .functions.udtfs import register_udtfs
-
-    register_udtfs(spark)
-    d = _t(spark, sf_dir, "documents")
-    d.filter(F.col("doc_id") % 20 == 0).createOrReplaceTempView("_udtf_docs")
-    return spark.sql(
-        "SELECT d.doc_id, c.start, c.n_tokens, c.chunk "
-        "FROM _udtf_docs d, LATERAL token_chunks(d.text, 32, 16) c"
-    )
-
-
-@q(
-    "streaming_sessions_tws",
-    """
-    WITH g AS (
-      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-             CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                  WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
-                       THEN 1
-                  ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (
-      SELECT user_id, ts_s,
-             CAST(sum(new_sess) OVER (PARTITION BY user_id
-                  ORDER BY ts_s, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS session_no
-      FROM g)
-    SELECT user_id, CAST(min(ts_s) AS BIGINT) AS start_s,
-           CAST(max(ts_s) AS BIGINT) AS end_s,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM s GROUP BY user_id, session_no
-    """,
-)
-def streaming_sessions_tws(spark, sf_dir):
-    """Batch face of the transformWithStateInPandas session assembler
-    (streaming/tws_sessions.py): one row per completed session. The
-    streaming run keeps ONE fixed-width tuple per ACTIVE user (state ∝
-    active users, not events) and closes quiet sessions with event-time
-    TIMERS — the Spark-4 arbitrary-stateful API this engine uses where
-    emission must happen on silence, which no row-driven operator can
-    express. State machine pinned equal to this plan in
-    tests/test_streaming.py (wiring test protobuf-gated)."""
-    from .streaming.tws_sessions import sessions_batch
-
-    return sessions_batch(_t(spark, sf_dir, "events"))
-
-
-@q(
-    "variant_json_stats",
-    """
-    SELECT event_type,
-           CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k,
-           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
-    FROM events GROUP BY event_type
-    """,
-)
-def variant_json_stats(spark, sf_dir):
-    """Semi-structured analytics over the VARIANT type (Spark 4): the
-    props JSON column is parsed ONCE with try_parse_json into Spark's
-    binary variant encoding, fields are extracted with variant_get, and
-    the aggregate runs on the typed values. At 100 TB this is the
-    recommended shape over per-field get_json_object calls — variant
-    parses each document once into a shredded binary form instead of
-    re-running a JSON parser per extraction, and malformed documents
-    degrade to NULL (try_) rather than failing the scan. Extracted longs
-    are exact integers → oracle hash-matches."""
-    ev = _t(spark, sf_dir, "events")
-    k = F.variant_get(F.try_parse_json("props"), "$.k", "long")
-    return ev.groupBy("event_type").agg(
-        F.count(k).cast("long").alias("n_k"),
-        F.sum(k).cast("long").alias("sum_k"),
-        F.max(k).cast("long").alias("max_k"),
-    )
-
-
-@q(
-    "event_rate_anomalies_robust",
-    """
-    WITH hr AS (
-      SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2),
-    r1 AS (
-      SELECT event_type, c,
-             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM hr),
-    med AS (
-      SELECT event_type,
-             min(CASE WHEN rn = (n + 1) // 2 THEN c END)
-             + min(CASE WHEN rn = (n + 2) // 2 THEN c END) AS med2
-      FROM r1 GROUP BY event_type),
-    dev AS (
-      SELECT hr.event_type, hr.h, hr.c, med2,
-             abs(2 * hr.c - med2) AS dev2
-      FROM hr JOIN med USING (event_type)),
-    r2 AS (
-      SELECT event_type, dev2,
-             row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM dev),
-    mad AS (
-      SELECT event_type,
-             min(CASE WHEN rn = (n + 1) // 2 THEN dev2 END)
-             + min(CASE WHEN rn = (n + 2) // 2 THEN dev2 END) AS mad4
-      FROM r2 GROUP BY event_type)
-    SELECT d.event_type, d.h, d.c,
-           CAST(round(CAST(1349000 * (2 * d.c - d.med2) AS DOUBLE) / mad4)
-             AS BIGINT) AS rz_micro
-    FROM dev d JOIN mad USING (event_type)
-    WHERE mad4 > 0
-      AND abs(CAST(round(CAST(1349000 * (2 * d.c - d.med2) AS DOUBLE) / mad4)
-                AS BIGINT)) >= 3500000
-    """,
-)
-def event_rate_anomalies_robust(spark, sf_dir):
-    """Median/MAD robust rate anomalies (operators/profile.py:
-    robust_zscores): hourly counts per event type, modified z-score
-    0.6745·(c−median)/MAD in integer micro-units (rank-formula medians in
-    doubled/quadrupled units — no interpolation, one bigint division),
-    |rz| ≥ 3.5 flagged. The detector a burst can't poison: the mean/std
-    z-score (`event_rate_anomalies`) inflates its own yardstick when the
-    anomaly is large; median+MAD has a 50% breakdown point."""
-    from .operators.profile import robust_zscores
-
-    ev = _t(spark, sf_dir, "events")
-    hr = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count("*").cast("long").alias("c"))
-    rz = robust_zscores(hr, ["event_type"], "c", carry_cols=("h",))
-    return rz.filter(
-        F.col("rz_micro").isNotNull() & (F.abs("rz_micro") >= 3_500_000)
-    ).select("event_type", "h", "c", "rz_micro")
-
-
-@q(
-    "quantile_histogram_rollup",
-    """
-    WITH part AS (
-      SELECT o_orderdate AS day,
-             CAST(floor(ln(CAST(o_totalprice AS DOUBLE)) * 8) AS BIGINT) AS bin,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM orders GROUP BY 1, 2),
-    merged AS (
-      SELECT CAST(date_trunc('week', day) AS DATE) AS week, bin,
-             CAST(sum(cnt) AS BIGINT) AS cnt
-      FROM part GROUP BY 1, 2),
-    cum AS (
-      SELECT week, bin,
-             CAST(sum(cnt) OVER (PARTITION BY week) AS BIGINT) AS n_rows,
-             CAST(sum(cnt) OVER (PARTITION BY week ORDER BY bin
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum
-      FROM merged)
-    SELECT week, any_value(n_rows) AS n_rows,
-           min(CASE WHEN cum >= (n_rows * 1 + 1) // 2 THEN bin END) AS p50_bin,
-           min(CASE WHEN cum >= (n_rows * 19 + 19) // 20 THEN bin END) AS p95_bin
-    FROM cum GROUP BY week
-    """,
-)
-def quantile_histogram_rollup(spark, sf_dir):
-    """Mergeable quantile sketch rollup (operators/sketches.py): daily
-    log-binned price histograms (bin = floor(ln(price)·8), exact integer
-    counts, shuffle = grains × ~100 occupied bins regardless of corpus
-    size) merged losslessly to weekly grain, p50/p95 read off the merged
-    histogram with integer rank targets — the percentile sibling of
-    `ndv_daily_to_weekly`, but with an EXACT merge (bin counts sum), so
-    unlike HLL it hash-matches a direct SQL twin. The continuous-
-    aggregate pattern: store daily partials once, answer any coarser
-    percentile without rescanning."""
-    from .operators.sketches import quantile_hist_partials, quantile_hist_rollup
-
-    o = _t(spark, sf_dir, "orders")
-    parts = quantile_hist_partials(
-        o, F.col("o_orderdate").alias("day"), "o_totalprice"
-    )
-    weekly = parts.select(
-        F.date_trunc("week", "day").cast("date").alias("week"), "bin", "cnt"
-    )
-    return quantile_hist_rollup(weekly, "week")
-
-
-# =====================================================================
-# round-10: tuning-sweep operators (amortize one expensive scan over a
-# whole ablation grid) + exact-substring REMOVAL
-# =====================================================================
-
-
-def _substring_dedup_oracle_sql(
-    n: int = 4, min_span: int = 6, max_occ: int = 1000
-) -> str:
-    """DuckDB restatement of `dedup.exact_substring_dedup`: positional
-    n-grams (joined on the gram STRING where Spark joins on its
-    xxhash64 — same relation), one gram-keyed window for occurrence
-    count + keep-first winner, doc-keyed gaps-and-islands for runs,
-    re-assembly via ORDER BY string_agg."""
-    g = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
-    return f"""
-    WITH tks AS (SELECT doc_id AS id, {_TOKENS_SQL} AS t FROM documents),
-    gi AS (
-      SELECT id, t,
-             unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS i
-      FROM tks
-    ),
-    posting AS (SELECT id, i - 1 AS pos, {g} AS ng FROM gi),
-    dup AS (
-      SELECT id, pos,
-             count(*) OVER (PARTITION BY ng) AS occ,
-             row_number() OVER (PARTITION BY ng ORDER BY id, pos) AS rn
-      FROM posting
-    ),
-    losers AS (
-      SELECT id, pos FROM dup
-      WHERE occ >= 2 AND occ <= {max_occ} AND rn > 1
-    ),
-    isl AS (
-      SELECT id, pos,
-             pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS k
-      FROM losers
-    ),
-    runs AS (
-      SELECT id, min(pos) AS p0, max(pos) AS p1
-      FROM isl GROUP BY id, k
-      HAVING max(pos) - min(pos) + {n} >= {min_span}
-    ),
-    cov AS (
-      SELECT DISTINCT id, unnest(generate_series(p0, p1 + {n - 1})) AS pos
-      FROM runs
-    ),
-    tok AS (
-      SELECT id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
-      FROM tks
-    ),
-    kept AS (
-      SELECT tok.id, tok.pos, tok.tok
-      FROM tok LEFT JOIN cov ON tok.id = cov.id AND tok.pos = cov.pos
-      WHERE cov.id IS NULL
-    ),
-    agg AS (
-      SELECT id, count(*) AS n_kept,
-             string_agg(tok, ' ' ORDER BY pos) AS clean_text
-      FROM kept GROUP BY id
-    )
-    SELECT tks.id AS doc_id,
-           CAST(len(tks.t) AS BIGINT) AS n_tokens,
-           CAST(len(tks.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
-           coalesce(a.clean_text, '') AS clean_text
-    FROM tks LEFT JOIN agg a ON tks.id = a.id
-    """
-
-
-@q("exact_substring_dedup", _substring_dedup_oracle_sql())
-def exact_substring_dedup(spark, sf_dir):
-    """Exact-substring REMOVAL (Lee et al. 2021 "Deduplicating Training
-    Data" — the corpus-rewrite deliverable, where `shared_span_pairs`
-    is the audit report): verbatim runs of >= 6 tokens that occur
-    earlier in the corpus are cut, keeping the globally-first
-    occurrence (gram-level keep-first; hot grams above the max_occ
-    boilerplate cap are exempt). Full oracle: DuckDB replays posting,
-    winner window, island stitching and re-assembly on gram strings."""
-    return DD.exact_substring_dedup(
-        _t(spark, sf_dir, "documents"), n=4, min_span=6, max_occ=1000
-    )
-
-
-_LSH_CONFIGS = ((4, 16), (8, 8), (16, 4), (32, 2))  # (bands, rows), b*r = 64
-
-
-def _pow2_chain_sql(expr: str, e: int) -> str:
-    """x^e for power-of-two e as an explicit squaring chain — every step
-    an IEEE double multiply with deterministic rounding, so Spark and
-    DuckDB produce BIT-IDENTICAL values (libm `pow` carries no such
-    cross-engine guarantee)."""
-    assert e >= 1 and (e & (e - 1)) == 0, "e must be a power of two"
-    while e > 1:
-        expr = f"({expr} * {expr})"
-        e //= 2
-    return expr
-
-
-def _lsh_detect_p_sql(bands: int, rows: int) -> str:
-    """P(candidate | est. Jaccard s) = 1 - (1 - s^r)^b with s = m/64,
-    m = signature agreement count — one shared SQL string evaluated by
-    both engines (integer m, exact division by 64, squaring chains)."""
-    s_r = _pow2_chain_sql("(CAST(m AS DOUBLE) / 64)", rows)
-    q_b = _pow2_chain_sql(f"(1.0 - {s_r})", bands)
-    return f"(1.0 - {q_b})"
-
-
-def _lsh_tuning_oracle_sql() -> str:
-    matches = " + ".join(
-        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(64)
-    )
-    per_cfg = []
-    for b, r in _LSH_CONFIGS:
-        p = _lsh_detect_p_sql(b, r)
-        s_star = round((1.0 / b) ** (1.0 / r), 4)
-        per_cfg.append(f"""
-    SELECT CAST({b} AS BIGINT) AS bands,
-           CAST({r} AS BIGINT) AS rows_per_band,
-           CAST({s_star} AS DOUBLE) AS s_star,
-           round(sum({p}), 3) AS exp_detected,
-           round(sum(CASE WHEN m >= 32 THEN 1.0 - {p} ELSE 0.0 END), 3)
-             AS exp_missed_above_t,
-           round(sum(CASE WHEN m < 32 THEN {p} ELSE 0.0 END), 3)
-             AS exp_fp_below_t,
-           CAST(count(*) AS BIGINT) AS n_pairs
-    FROM pm""")
-        # noqa: E501
-    body = "\n    UNION ALL\n".join(per_cfg)
-    src = (
-        "(SELECT doc_id, text FROM documents"
-        f" WHERE doc_id % 17 = 0 AND doc_id < {17 * 256})"
-    )
-    return f"""
-    WITH {_minhash_base_ctes(src=src)},
-    pm AS (
-      SELECT ({matches}) AS m
-      FROM sig sa JOIN sig sb ON sa.id < sb.id
-    )
-    {body}
-    """
-
-
-@q("lsh_tuning_report", _lsh_tuning_oracle_sql())
-def lsh_tuning_report(spark, sf_dir):
-    """The parameter sweep every LSH dedup runs BEFORE the trillion-pair
-    job: for each (bands, rows) split of the 64-perm signature budget,
-    the S-curve threshold s* = (1/b)^(1/r) and the expected candidate
-    outcomes — detected pairs, misses above the Jaccard-0.5 target,
-    false candidates below it — integrated against the corpus's OWN
-    estimated-similarity distribution (signature agreement over a
-    deterministic stride sample HARD-CAPPED at 256 docs — doc_id % 17
-    under 17·256 — so the all-pairs agreement join is ≤32,640 pairs at
-    ANY corpus size while the signatures come from the production
-    family). One signature pass serves all four configs (the signature
-    frame is persisted; both self-join sides read the cache). Full
-    oracle: md5 affine family + explicit squaring-chain probability
-    formula, bit-identical in both engines."""
-    from functools import reduce
-
-    docs = _t(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 17 * 256)
-    )
-    sig = DD._persist(
-        DD.minhash_signature(DD.shingle_df(docs), hash_family="md5")
-    )
-    a, b_ = sig.alias("a"), sig.alias("b")
-    pm = a.join(b_, F.col("a.id") < F.col("b.id")).select(
-        F.expr(
-            "aggregate(zip_with(a.sig, b.sig,"
-            " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
-            " 0, (acc, v) -> acc + v)"
-        ).alias("m")
-    )
-    pm = DD._persist(pm)  # all four config aggregates read one pair pass
-    parts = []
-    for b, r in _LSH_CONFIGS:
-        p = _lsh_detect_p_sql(b, r)
-        s_star = round((1.0 / b) ** (1.0 / r), 4)
-        parts.append(
-            pm.agg(
-                F.round(F.sum(F.expr(p)), 3).alias("exp_detected"),
-                F.round(
-                    F.sum(
-                        F.expr(f"CASE WHEN m >= 32 THEN 1.0 - {p} ELSE 0.0 END")
-                    ),
-                    3,
-                ).alias("exp_missed_above_t"),
-                F.round(
-                    F.sum(F.expr(f"CASE WHEN m < 32 THEN {p} ELSE 0.0 END")), 3
-                ).alias("exp_fp_below_t"),
-                F.count("*").cast("long").alias("n_pairs"),
-            ).select(
-                F.lit(b).cast("long").alias("bands"),
-                F.lit(r).cast("long").alias("rows_per_band"),
-                F.lit(s_star).alias("s_star"),
-                "exp_detected",
-                "exp_missed_above_t",
-                "exp_fp_below_t",
-                "n_pairs",
-            )
-        )
-    return reduce(DataFrame.unionByName, parts)
-
-
-_SEMDEDUP_EPS_GRID = (40, 50, 60, 70, 80, 90)  # eps · 100
-
-
-@q(
-    "semdedup_eps_curve",
-    f"""
-    WITH pairs AS (
-      SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
-                 / ({_NORM_SQL.format(a="a.embedding")}
-                    * {_NORM_SQL.format(a="b.embedding")}) AS cosine
-        FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-      WHERE round(cosine, 4) >= 0.4),
-    grid(eps_pct) AS (VALUES {", ".join(f"({e})" for e in _SEMDEDUP_EPS_GRID)})
-    SELECT CAST(g.eps_pct AS BIGINT) AS eps_pct,
-           CAST(count(p.id_a) AS BIGINT) AS n_pairs,
-           CAST(count(DISTINCT p.id_b) AS BIGINT) AS n_docs_removed
-    FROM grid g LEFT JOIN pairs p
-      ON p.cosine >= CAST(g.eps_pct AS DOUBLE) / 100
-    GROUP BY g.eps_pct
-    """,
-)
-def semdedup_eps_curve(spark, sf_dir):
-    """The SemDeDup ablation (Abbas et al. 2023 run it per-epsilon from
-    scratch; here the whole curve rides ONE pair scan): for each
-    near-dup threshold eps, how many pairs qualify and how many docs
-    the greedy keep-lowest-id rule would remove. At 100 TB the pair set
-    is the expensive artifact (LSH-pruned there; exact at demo scale) —
-    sweeping eps over the MATERIALIZED pairs is how the removal budget
-    is actually chosen, not by re-running dedup per threshold."""
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = DD.embedding_dup_pairs(emb, threshold=0.3999, use_lsh=False)
-    pairs = (
-        pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
-    )
-    grid = spark.createDataFrame(
-        [(e,) for e in _SEMDEDUP_EPS_GRID], "eps_pct int"
-    )
-    j = grid.join(
-        pairs,
-        pairs["cosine"] >= grid["eps_pct"].cast("double") / 100,
-        "left",
-    )
-    return j.groupBy("eps_pct").agg(
-        F.count("id_a").cast("long").alias("n_pairs"),
-        F.countDistinct("id_b").cast("long").alias("n_docs_removed"),
-    ).select(
-        F.col("eps_pct").cast("long").alias("eps_pct"),
-        "n_pairs",
-        "n_docs_removed",
-    )
-
-
-def _ivf_recall_oracle_sql(
-    query_pred: str = "vec_id < 10", k: int = 5, probes=(1, 2, 4, 8)
-) -> str:
-    """DuckDB restatement of `similarity.ivf_recall_curve`: centroid
-    ranks up to max(probes) per query, candidates tagged with their
-    bucket's probe_rank, broadcast-grid sweep, per-budget top-k vs the
-    brute-force truth."""
-    max_p = max(probes)
-    grid_vals = ", ".join(f"({p})" for p in probes)
-    score = (
-        f"{_DOT_SQL.format(a='e.embedding', b='q.embedding')}"
-        f" / ({_NORM_SQL.format(a='e.embedding')}"
-        f" * {_NORM_SQL.format(a='q.embedding')})"
-    )
-    return f"""
-    WITH cents(c, cv) AS (VALUES
-        {_ivf_cents_sql()}),
-    asn AS (
-      SELECT vec_id, c,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY sim DESC, c) AS rn
-      FROM (
-        SELECT e.vec_id, cents.c,
-               {_DOT_SQL.format(a="e.embedding", b="cents.cv")} AS sim
-        FROM embeddings e, cents)
-    ),
-    buckets AS (SELECT vec_id, c FROM asn WHERE rn = 1),
-    probes AS (
-      SELECT vec_id AS query_id, c, rn AS probe_rank FROM asn
-      WHERE rn <= {max_p} AND {query_pred}
-    ),
-    cand AS (
-      SELECT p.query_id, b.vec_id AS id, p.probe_rank,
-             {score} AS score
-      FROM buckets b
-      JOIN probes p ON b.c = p.c AND b.vec_id <> p.query_id
-      JOIN embeddings e ON e.vec_id = b.vec_id
-      JOIN embeddings q ON q.vec_id = p.query_id
-    ),
-    grid(n_probe) AS (VALUES {grid_vals}),
-    swept AS (
-      SELECT g.n_probe, c.query_id, c.id, c.score
-      FROM cand c JOIN grid g ON c.probe_rank <= g.n_probe
-    ),
-    ranked AS (
-      SELECT n_probe, query_id, id,
-             row_number() OVER (PARTITION BY n_probe, query_id
-                                ORDER BY score DESC, id) AS rnk
-      FROM swept
-    ),
-    uq AS (SELECT vec_id, embedding FROM embeddings WHERE {query_pred}),
-    truth AS (
-      SELECT query_id, id FROM (
-        SELECT q.vec_id AS query_id, e.vec_id AS id,
-               row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {score} DESC, e.vec_id) AS rnk
-        FROM embeddings e JOIN uq q ON e.vec_id <> q.vec_id)
-      WHERE rnk <= {k}
-    ),
-    hits AS (
-      SELECT r.n_probe, count(*) AS n_hits
-      FROM ranked r JOIN truth t
-        ON r.query_id = t.query_id AND r.id = t.id
-      WHERE r.rnk <= {k} GROUP BY r.n_probe
-    ),
-    cc AS (SELECT n_probe, count(*) AS n_candidates
-           FROM swept GROUP BY n_probe),
-    qn AS (SELECT count(DISTINCT query_id) AS n_q FROM truth)
-    SELECT CAST(cc.n_probe AS BIGINT) AS n_probe,
-           CAST(cc.n_candidates AS BIGINT) AS n_candidates,
-           round(CAST(cc.n_candidates AS DOUBLE) / n_q, 2)
-             AS avg_candidates,
-           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / (n_q * {k}), 4)
-             AS recall_at_k
-    FROM cc LEFT JOIN hits h ON cc.n_probe = h.n_probe, qn
-    """
-
-
-@q("ann_recall_vs_nprobe", _ivf_recall_oracle_sql())
-def ann_recall_vs_nprobe(spark, sf_dir):
-    """The nprobe sweep every IVF deployment runs before picking its
-    serving budget: recall@5 and candidate cost per probe budget
-    (1, 2, 4, 8) against the exact brute-force truth — ONE candidate
-    scan at max nprobe, every budget read off the same scored frame
-    (the probe_rank tag + a broadcast grid join). At 8 of 8 buckets
-    probed, recall is 1.0 by construction — the curve's built-in sanity
-    anchor, pinned in pytest. Full oracle: seeded centroid literals,
-    assignment, probe ranks, sweep and truth all replayed in SQL."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10)
-    bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
-    return SIM.ivf_recall_curve(
-        bucketed, cents, emb, queries_df, k=5, probes=(1, 2, 4, 8)
-    )
-
-
-@q(
-    "unpivot_lineitem_measures",
-    """
-    WITH long AS (
-      SELECT l_returnflag, 'l_quantity' AS measure,
-             CAST(l_quantity AS DOUBLE) AS val FROM lineitem
-      UNION ALL SELECT l_returnflag, 'l_extendedprice',
-             CAST(l_extendedprice AS DOUBLE) FROM lineitem
-      UNION ALL SELECT l_returnflag, 'l_discount',
-             CAST(l_discount AS DOUBLE) FROM lineitem
-      UNION ALL SELECT l_returnflag, 'l_tax',
-             CAST(l_tax AS DOUBLE) FROM lineitem)
-    SELECT l_returnflag, measure,
-           CAST(count(*) AS BIGINT) AS n,
-           round(sum(val), 3) AS sum_val,
-           min(val) AS min_val,
-           max(val) AS max_val
-    FROM long GROUP BY l_returnflag, measure
-    """,
-)
-def unpivot_lineitem_measures(spark, sf_dir):
-    """UNPIVOT (melt): four measure columns to long format + per-measure
-    stats. Spark compiles `DataFrame.unpivot` to ONE scan with an Expand
-    node (each input row emits 4 output rows in the same pass) — the
-    oracle restates it as the 4-scan UNION ALL it replaces; at 100 TB
-    that is a 4x I/O difference, which is the point of the operator."""
-    li = _t(spark, sf_dir, "lineitem")
-    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    long = li.select(
-        "l_returnflag", *[F.col(c).cast("double").alias(c) for c in measures]
-    ).unpivot(
-        ids=["l_returnflag"],
-        values=measures,
-        variableColumnName="measure",
-        valueColumnName="val",
-    )
-    return long.groupBy("l_returnflag", "measure").agg(
-        F.count("*").cast("long").alias("n"),
-        F.round(F.sum("val"), 3).alias("sum_val"),
-        F.min("val").alias("min_val"),
-        F.max("val").alias("max_val"),
-    )
-
-
-def _reachability_recursion_sql(edges_rel: str, max_hops: int = 3) -> str:
-    """The shared recursive fragment both engines run over an edge
-    relation: all <=max_hops walks from the lexicographically-first
-    source type, min-hop + walk count per reached type. ONE definition
-    site so the Spark and oracle recursions cannot drift."""
-    return f"""reach(t, hops) AS (
-      SELECT min(src), 0 FROM {edges_rel}
-      UNION ALL
-      SELECT e.dst, r.hops + 1
-      FROM reach r JOIN {edges_rel} e ON e.src = r.t
-      WHERE r.hops < {max_hops}
-    )
-    SELECT t AS event_type,
-           CAST(min(hops) AS BIGINT) AS min_hops,
-           CAST(count(*) AS BIGINT) AS n_walks
-    FROM reach GROUP BY t
-    """
-
-
-def _reachability_rcte_oracle_sql(max_hops: int = 3) -> str:
-    return f"""
-    WITH RECURSIVE edges AS (
-      SELECT DISTINCT event_type AS src, nxt AS dst FROM (
-        SELECT event_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS nxt
-        FROM events)
-      WHERE nxt IS NOT NULL
-    ),
-    {_reachability_recursion_sql("edges", max_hops)}
-    """
-
-
-@q("event_reachability_rcte", _reachability_rcte_oracle_sql())
-def event_reachability_rcte(spark, sf_dir):
-    """Spark 4 WITH RECURSIVE, first-class: min-hop distance and
-    <=3-step walk counts over the event-type transition graph (every
-    prior recursive oracle in this file was DuckDB-only with an
-    iterative Spark twin — this one exercises Spark's own recursion).
-    The recursion FRAGMENT is one shared string; the corpus-sized edge
-    extraction is deliberately OUTSIDE the Spark recursion: a recursive
-    CTE's body re-executes every step, so anything loop-invariant (here
-    the full-events lead-window pass) must be materialized once and the
-    recursion run over the tiny distinct edge table — at 100 TB the
-    difference is max_hops extra corpus scans. What remains (~1 s at any
-    sf) is the recursion machinery's fixed per-iteration job overhead,
-    corpus-size-independent once the edges are materialized. The
-    iterative graph loops (`operators/graph.py`) remain the
-    unbounded-depth path; this pins the SQL-surface parity."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = DD._persist(
-        ev.withColumn("nxt", F.lead("event_type").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(
-            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
-        )
-        .distinct()
-    )
-    edges.createOrReplaceTempView("_rcte_edges")
-    return spark.sql(
-        "WITH RECURSIVE " + _reachability_recursion_sql("_rcte_edges")
-    )
-
-
-_CENTS = "CAST(floor({p} * 100 + 0.5) AS BIGINT)"
-
-
-@q(
-    "ivm_segment_revenue",
-    f"""
-    WITH merged AS (
-      SELECT o_custkey,
-             CASE WHEN o_orderkey % 7 = 0
-                  THEN round(o_totalprice * 2, 2)
-                  ELSE o_totalprice END AS price
-      FROM orders
-      UNION ALL
-      SELECT o_custkey, round(o_totalprice, 2)
-      FROM orders WHERE o_orderkey % 97 = 0)
-    SELECT c.c_mktsegment AS segment,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum({_CENTS.format(p="m.price")}) / 100.0, 2) AS revenue
-    FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
-    GROUP BY 1
-    """,
-)
-def ivm_segment_revenue(spark, sf_dir):
-    """Incremental view maintenance: a revenue-by-segment aggregate view
-    maintained under the SAME upsert batch `merge_upsert_orders` applies
-    (7th keys: price doubled = UPDATE, 97th keys: new order = INSERT) —
-    WITHOUT rescanning the base fact table. The base view's mergeable
-    partials (count + exact integer-cent sum, so the merge is bit-exact,
-    never FP-order-dependent) are materialized once per corpus (memo
-    store, same pattern as the hypertable rollup); the per-call work is
-    delta-sized: each UPDATE contributes (new−old) cents and 0 count,
-    each INSERT its full cents and 1, aggregated per segment and merged
-    into the partials by a segment-keyed outer join. The oracle
-    recomputes the view FROM THE MERGED TABLE directly — the hash match
-    is the maintenance-is-exact proof (the `ann_ivf_incremental`
-    contract, restated for lakehouse aggregates). At 100 TB this is the
-    only viable shape: the view refresh costs O(|delta| + |view|), and
-    the base table is never touched after the one partial build."""
-    o = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-
-    def cents(col):
-        return F.floor(col * 100 + F.lit(0.5)).cast("long")
-
-    base = MEMO.dataframe_memo(
-        spark,
-        "ivm_seg_rev_base",
-        sf_dir,
-        ["orders", "customer"],
-        lambda: (
-            o.join(cust, o["o_custkey"] == cust["c_custkey"])
-            .groupBy("c_mktsegment")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(cents(F.col("o_totalprice"))).alias("cents"),
-            )
-        ),
-    )
-    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_custkey",
-        F.lit(0).cast("long").alias("dn"),
-        (
-            cents(F.round(F.col("o_totalprice") * 2, 2))
-            - cents(F.col("o_totalprice"))
-        ).alias("dcents"),
-    )
-    ins = o.filter(F.col("o_orderkey") % 97 == 0).select(
-        "o_custkey",
-        F.lit(1).cast("long").alias("dn"),
-        cents(F.round(F.col("o_totalprice"), 2)).alias("dcents"),
-    )
-    delta = (
-        upd.unionByName(ins)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(F.sum("dn").alias("dn"), F.sum("dcents").alias("dcents"))
-    )
-    merged = base.join(delta, "c_mktsegment", "full").select(
-        F.col("c_mktsegment").alias("segment"),
-        (
-            F.coalesce(F.col("n"), F.lit(0))
-            + F.coalesce(F.col("dn"), F.lit(0))
-        ).cast("long").alias("n_orders"),
-        F.round(
-            (
-                F.coalesce(F.col("cents"), F.lit(0))
-                + F.coalesce(F.col("dcents"), F.lit(0))
-            )
-            / 100.0,
-            2,
-        ).alias("revenue"),
-    )
-    return merged
-
-
-# =====================================================================
-# round-10 session-3: time-decay analytics, graph similarity, frontier
-# queries, normalization-aware dedup, hashed-feature retrieval, MMR
-# =====================================================================
-
-@q(
-    "ewma_event_rate",
-    """
-    WITH d AS (
-      SELECT event_type,
-             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
-             count(*) AS cnt
-      FROM events GROUP BY 1, 2)
-    SELECT a.event_type,
-           CAST(a.day_num AS BIGINT) AS day_num,
-           CAST(a.cnt AS BIGINT) AS cnt,
-           CAST(sum(b.cnt * (CAST(1 AS BIGINT)
-                             << (29 - CAST(a.day_num - b.day_num AS INT))))
-                AS BIGINT) AS ewma_num
-    FROM d a JOIN d b ON a.event_type = b.event_type
-         AND b.day_num BETWEEN a.day_num - 29 AND a.day_num
-    GROUP BY 1, 2, 3
-    """,
-)
-def ewma_event_rate(spark, sf_dir):
-    """Per-type EWMA of daily event rates (half-life 1 day, 30-day
-    truncation) in EXACT dyadic-rational integer arithmetic — zero FP,
-    so the hash is engine/partitioning-independent; the real EWMA is
-    ewma_num/2^29, one driver-side shift away. The raw scan collapses
-    first through a map-side-combinable groupBy(type, day); the 30-term
-    weighted window is an equi-join + range filter over that
-    calendar-sized aggregate (operators/temporal.py:ewma_daily_counts —
-    see its docstring for the 2^33-events/key/day exactness headroom)."""
-    from .operators.temporal import ewma_daily_counts
-
-    ev = _t(spark, sf_dir, "events")
-    return ewma_daily_counts(ev, key_col="event_type", ts_col="ts")
-
-
-def _neighbor_jaccard_oracle_sql() -> str:
-    """DuckDB restatement of `graph.neighbor_jaccard` over the strong
-    co-purchase graph: full-graph degrees, hub-capped postings (deg ≤
-    256), pair counts through the shared-neighbor self-join, integer
-    Jaccard threshold 3·common ≥ uni."""
-    return f"""
-    WITH {_STRONG_EDGES_SQL},
-    adj AS (SELECT DISTINCT u, v FROM (
-              SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e)),
-    deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
-    p AS (SELECT a.v, a.u FROM adj a
-          JOIN deg d ON d.u = a.v WHERE d.deg <= 256),
-    c AS (SELECT p1.u AS ua, p2.u AS ub, count(*) AS common
-          FROM p p1 JOIN p p2 ON p1.v = p2.v AND p1.u < p2.u
-          GROUP BY 1, 2
-          HAVING count(*) >= 2)
-    SELECT c.ua, c.ub, CAST(c.common AS BIGINT) AS common,
-           CAST(da.deg + db.deg - c.common AS BIGINT) AS uni
-    FROM c JOIN deg da ON da.u = c.ua JOIN deg db ON db.u = c.ub
-    WHERE 3 * c.common >= (da.deg + db.deg - c.common)
-    """
-
-
-@q("neighbor_jaccard_pairs", _neighbor_jaccard_oracle_sql())
-def neighbor_jaccard_pairs(spark, sf_dir):
-    """Structural substitutes in the strong co-purchase graph: part
-    pairs whose neighborhoods overlap with Jaccard ≥ 1/3 (and ≥2 shared
-    neighbors) — the link-prediction / "customers who bought X also
-    bought Y" signal, computed without the parts ever meeting unless
-    they share a neighbor (operators/graph.py:neighbor_jaccard —
-    inverted-index pair expansion in codegen, hub neighbors with degree
-    > 256 dropped from postings as the quadratic-hazard cap, exact
-    integer (common, uni) output so the hash is FP-free). Edge input is
-    the shared per-corpus memo `_strong_copurchase_edges`."""
-    from .operators.graph import neighbor_jaccard
-
-    return neighbor_jaccard(
-        _strong_copurchase_edges(spark, sf_dir), "pa", "pb"
-    )
-
-
-@q(
-    "prefix_filter_jaccard_pairs",
-    f"""
-    WITH s AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents)),
-    tokset AS (SELECT doc_id, unnest(sh) AS token FROM s),
-    sz AS (SELECT doc_id, count(*) AS sz FROM tokset GROUP BY 1),
-    c AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
-          FROM tokset a JOIN tokset b
-            ON a.token = b.token AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-    SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
-           CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
-    FROM c JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
-    WHERE 3 * inter >= sa.sz + sb.sz
-    """,
-)
-def prefix_filter_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram-shingle Jaccard ≥ 1/2 pairs via PREFIX FILTERING —
-    candidates from each doc's rarest-⌊|A|/2⌋+1 shingles only, lossless
-    (pipeline/dedup.py:prefix_filter_jaccard_pairs). The oracle is a
-    FULL inverted-index join that never mentions prefixes, so the two
-    independent algorithms must agree pair-for-pair — a real correctness
-    proof of the candidate rule, not a restatement."""
-    d = _t(spark, sf_dir, "documents")
-    return DD.prefix_filter_jaccard_pairs(d)
-
-
-def _merge_chain_ctes(
-    pfx: str, n_merges: int, criterion: str, max_vocab: int = 50000
-) -> str:
-    """Prefixed merge-loop CTE chain (shared by the fertility oracle):
-    the `_bpe_train_oracle_sql` sentinel-string machinery, ending at
-    state{n_merges} (the trainer's FINAL symbolization), with the merge
-    argmax chosen by ``criterion`` ('count' = BPE, 'ratio' = WordPiece).
-    All CTE names carry ``pfx`` so two chains coexist in one statement."""
-    sy = (
-        "list_transform(list_filter(string_split(enc, chr(2)), "
-        "s -> s <> ''), s -> s[2:])"
-    )
-    parts = [
-        f"""{pfx}words AS MATERIALIZED (
-      SELECT w, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
-      WHERE length(w) >= 2 GROUP BY w
-      ORDER BY cnt DESC, w LIMIT {max_vocab}
-    ), {pfx}state0 AS MATERIALIZED (
-      SELECT w, cnt,
-             array_to_string(list_transform(string_split(w, ''),
-                             c -> chr(1) || c || chr(2)), '') AS enc
-      FROM {pfx}words
-    )"""
-    ]
-    for k in range(n_merges):
-        if criterion == "count":
-            best = f"""{pfx}best{k} AS MATERIALIZED (
-      SELECT pr[1] AS a, pr[2] AS b
-      FROM (SELECT cnt, unnest(list_zip(sy, sy[2:])) AS pr
-            FROM (SELECT cnt, {sy} AS sy FROM {pfx}state{k}))
-      WHERE pr[2] IS NOT NULL GROUP BY 1, 2
-      ORDER BY sum(cnt) DESC, a, b LIMIT 1
-    )"""
-        else:
-            best = f"""{pfx}sy{k} AS MATERIALIZED (
-      SELECT cnt, {sy} AS sy FROM {pfx}state{k}
-    ), {pfx}units{k} AS MATERIALIZED (
-      SELECT u, sum(cnt) AS uc FROM (
-        SELECT cnt, unnest(sy) AS u FROM {pfx}sy{k}) GROUP BY 1
-    ), {pfx}best{k} AS MATERIALIZED (
-      SELECT p.a, p.b
-      FROM (SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
-            FROM (SELECT cnt, unnest(list_zip(sy, sy[2:])) AS pr
-                  FROM {pfx}sy{k})
-            WHERE pr[2] IS NOT NULL GROUP BY 1, 2) p
-      JOIN {pfx}units{k} ua ON ua.u = p.a
-      JOIN {pfx}units{k} ub ON ub.u = p.b
-      ORDER BY p.c * 1.0 / (ua.uc * ub.uc) DESC, p.a, p.b LIMIT 1
-    )"""
-        parts.append(", " + best)
-        parts.append(
-            f""", {pfx}state{k + 1} AS MATERIALIZED (
-      SELECT w, cnt,
-             replace(enc,
-                     chr(1) || (SELECT a FROM {pfx}best{k}) || chr(2)
-                       || chr(1) || (SELECT b FROM {pfx}best{k}) || chr(2),
-                     chr(1) || (SELECT a || b FROM {pfx}best{k}) || chr(2))
-               AS enc
-      FROM {pfx}state{k}
-    )"""
-        )
-    parts.append(
-        f""", {pfx}total AS (
-      SELECT CAST(sum(cnt * len({sy})) AS BIGINT) AS pieces,
-             CAST(sum(cnt) AS BIGINT) AS words_w
-      FROM {pfx}state{n_merges} WHERE length(w) <= 12
-    )"""
-    )
-    return "".join(parts)
-
-
-@q(
-    "subword_fertility_report",
-    "WITH "
-    + _merge_chain_ctes("b_", 40, "count")
-    + ", "
-    + _merge_chain_ctes("w_", 30, "ratio")
-    + """
-    SELECT 'bpe40' AS family, pieces, words_w,
-           CAST((1000 * pieces) // words_w AS BIGINT) AS pieces_per_kword
-    FROM b_total
-    UNION ALL
-    SELECT 'wordpiece30', pieces, words_w,
-           CAST((1000 * pieces) // words_w AS BIGINT)
-    FROM w_total
-    """,
-)
-def subword_fertility_report(spark, sf_dir):
-    """Head-to-head tokenizer fertility: train BPE (40 count-argmax
-    merges) and WordPiece (30 likelihood-ratio merges) on the corpus,
-    segment the SAME 2-12-char vocabulary with each trainer's final
-    state, and report frequency-weighted pieces-per-kiloword — the
-    metric tokenizer teams actually compare families with. Spark
-    segments via the greedy-by-rank encoder (`bpe_segment_vocab` —
-    provably equivalent to sequential merge replay: a merge never
-    creates adjacency between two pre-existing symbols, so lower-rank
-    opportunities cannot reappear); the oracle replays both merge
-    chains as prefixed materialized-CTE states in ONE statement. Both
-    trainings are one corpus pass + vocab-sized driver loops."""
-    d = _t(spark, sf_dir, "documents")
-    bpe = [r["merged"] for r in TXT.bpe_train_merges(d, 40).collect()]
-    wp = [
-        r["merged"] for r in TXT.wordpiece_train_merges(d, 30).collect()
-    ]
-    # the SAME top-50k-by-frequency domain the trainers (and the
-    # oracle's state chains) operate on, then the 2-12-char report band
-    words = (
-        d.select(F.explode(TXT.tokens(F.col("text"))).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("freq"))
-        .orderBy(F.col("freq").desc(), "w")
-        .limit(50_000)
-        .filter(F.length("w") <= 12)
-    ).localCheckpoint(eager=False)
-    rows = []
-    for fam, merges in (("bpe40", bpe), ("wordpiece30", wp)):
-        seg = TXT.bpe_segment_vocab(words, merges, token_col="w")
-        tot = (
-            seg.join(words.select(F.col("w").alias("token"), "freq"), "token")
-            .agg(
-                F.sum(F.col("freq") * F.col("n_pieces"))
-                .cast("long")
-                .alias("pieces"),
-                F.sum("freq").cast("long").alias("words_w"),
-            )
-            .select(
-                F.lit(fam).alias("family"),
-                "pieces",
-                "words_w",
-                F.expr("(1000 * pieces) div words_w")
-                .cast("long")
-                .alias("pieces_per_kword"),
-            )
-        )
-        rows.append(tot)
-    return rows[0].unionByName(rows[1])
-
-
-@q(
-    "sequence_pattern_match",
-    """
-    WITH e AS (
-      SELECT user_id, event_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-             CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
-                             WHEN 'purchase' THEN 'p' WHEN 'view' THEN 'v'
-                             ELSE 'x' END AS sym
-      FROM events),
-    seq AS (
-      SELECT user_id,
-             string_agg(sym, '' ORDER BY ts_s, event_id) AS s
-      FROM e GROUP BY 1)
-    SELECT user_id,
-           CAST(length(s) AS BIGINT) AS n_events,
-           CAST(len(regexp_extract_all(s, 'sc*p')) AS BIGINT)
-             AS n_funnel_matches,
-           CAST(len(regexp_extract_all(s, 'pp')) AS BIGINT)
-             AS n_repeat_purchases,
-           CAST(CASE WHEN regexp_matches(s, 'sc{3,}p') THEN 1 ELSE 0 END
-                AS BIGINT) AS has_long_consideration
-    FROM seq
-    """,
-)
-def sequence_pattern_match(spark, sf_dir):
-    """MATCH_RECOGNIZE-style sequence pattern analytics without the SQL
-    extension: each user's event history collapses to an ordered symbol
-    string (one char per event type), and the patterns — signup→
-    clicks*→purchase funnels, back-to-back purchases, long-
-    consideration paths — run as plain regexes over that string. One
-    user-keyed aggregate (sort_array of (ts, id, sym) structs, concat —
-    never a window), regex in codegen; per-user strings are bounded by
-    per-user history, the same per-key bound sessionize lives with.
-    Non-overlapping match counts: Java and RE2 agree on these
-    possessive-free patterns."""
-    ev = _t(spark, sf_dir, "events")
-    sym = (
-        F.when(F.col("event_type") == "signup", "s")
-        .when(F.col("event_type") == "click", "c")
-        .when(F.col("event_type") == "purchase", "p")
-        .when(F.col("event_type") == "view", "v")
-        .otherwise("x")
-    )
-    e = ev.select(
-        "user_id",
-        F.struct(
-            F.col("ts").cast("long").alias("t"),
-            F.col("event_id").alias("i"),
-            sym.alias("y"),
-        ).alias("k"),
-    )
-    seq = e.groupBy("user_id").agg(
-        F.concat_ws(
-            "", F.expr("transform(sort_array(collect_list(k)), x -> x.y)")
-        ).alias("s")
-    )
-    return seq.select(
-        "user_id",
-        F.length("s").cast("long").alias("n_events"),
-        F.size(F.expr("regexp_extract_all(s, 'sc*p', 0)"))
-        .cast("long")
-        .alias("n_funnel_matches"),
-        F.size(F.expr("regexp_extract_all(s, 'pp', 0)"))
-        .cast("long")
-        .alias("n_repeat_purchases"),
-        F.expr("case when s rlike 'sc{3,}p' then 1 else 0 end")
-        .cast("long")
-        .alias("has_long_consideration"),
-    )
-
-
-@q(
-    "clamped_balance",
-    """
-    WITH d AS (
-      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
-             CASE WHEN event_type = 'purchase'
-                  THEN CAST(round(value * 100) AS BIGINT)
-                  WHEN event_type = 'click'
-                  THEN -CAST(round(value * 100) AS BIGINT)
-                  ELSE 0 END AS delta
-      FROM events),
-    c0 AS (
-      SELECT user_id, ts_s, event_id,
-             sum(delta) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
-      FROM d),
-    c AS (
-      SELECT user_id, s,
-             min(s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts_s DESC, event_id DESC) AS rn
-      FROM c0)
-    SELECT user_id,
-           CAST(s AS BIGINT) AS raw_sum_cents,
-           CAST(s - least(CAST(0 AS BIGINT), mn) AS BIGINT)
-             AS clamped_balance_cents,
-           CAST(-least(CAST(0 AS BIGINT), mn) AS BIGINT)
-             AS total_clamped_cents
-    FROM c WHERE rn = 1
-    """,
-)
-def clamped_balance(spark, sf_dir):
-    """Running balance CLAMPED at zero (credits on purchases, debits on
-    clicks; an account can't go negative) — the classic non-associative
-    fold SQL "can't" do... except via the reflected-walk closed form:
-    clamped(t) = S(t) − min(0, min_{k≤t} S(k)), which is exact for a
-    single lower clamp at 0 and turns the sequential dependency into
-    two stacked windows on ONE user-keyed shuffle (same exchange-reuse
-    shape as sessionize). Exact cents; last row per user reported."""
-    ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
-    d = ev.select(
-        "user_id",
-        F.col("ts").cast("long").alias("ts_s"),
-        "event_id",
-        F.when(F.col("event_type") == "purchase", cents)
-        .when(F.col("event_type") == "click", -cents)
-        .otherwise(F.lit(0).cast("long"))
-        .alias("delta"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wd = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts_s").desc(), F.col("event_id").desc())
-    )
-    c = (
-        d.withColumn("s", F.sum("delta").over(w))
-        .withColumn("mn", F.min("s").over(w))
-        .withColumn("rn", F.row_number().over(wd))
-    )
-    z = F.lit(0).cast("long")
-    return c.filter(F.col("rn") == 1).select(
-        "user_id",
-        F.col("s").cast("long").alias("raw_sum_cents"),
-        (F.col("s") - F.least(z, F.col("mn")))
-        .cast("long")
-        .alias("clamped_balance_cents"),
-        (-F.least(z, F.col("mn")))
-        .cast("long")
-        .alias("total_clamped_cents"),
-    )
-
-
-def _ulm_fertility_oracle() -> str:
-    from .pipeline.unigram_lm import unigram_lm_oracle_sql
-
-    return unigram_lm_oracle_sql(totals=True)
-
-
-@q("unigram_lm_fertility", _ulm_fertility_oracle())
-def unigram_lm_fertility(spark, sf_dir):
-    """The unigram-LM row of the subword-family fertility comparison
-    (`subword_fertility_report` carries BPE/WordPiece): corpus-weighted
-    Viterbi pieces-per-kiloword over the 2-12-char band, derived from
-    the same verified lattice as `unigram_lm_top_pieces`
-    (pipeline/unigram_lm.py:unigram_lm_fertility)."""
-    from .pipeline.unigram_lm import unigram_lm_fertility as _f
-
-    return _f(_t(spark, sf_dir, "documents"))
-
-
-@q(
-    "ohlc_hourly",
-    """
-    WITH e AS (
-      SELECT event_type, date_trunc('hour', ts) AS hour,
-             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events),
-    g AS (
-      SELECT event_type, hour,
-             min(struct_pack(t := ts_s, i := event_id, c := cents)) AS o,
-             max(struct_pack(t := ts_s, i := event_id, c := cents)) AS c,
-             max(cents) AS high, min(cents) AS low,
-             count(*) AS n, sum(cents) AS vsum
-      FROM e GROUP BY 1, 2)
-    SELECT event_type, hour,
-           CAST((o).c AS BIGINT) AS open_cents,
-           CAST(high AS BIGINT) AS high_cents,
-           CAST(low AS BIGINT) AS low_cents,
-           CAST((c).c AS BIGINT) AS close_cents,
-           CAST(n AS BIGINT) AS n_events,
-           CAST(vsum AS BIGINT) AS sum_cents
-    FROM g
-    """,
-)
-def ohlc_hourly(spark, sf_dir):
-    """OHLC candlestick bars per (event type, hour) — the time-series
-    downsampling shape every metrics/finance store serves. Open/close
-    are the first/last value by (ts, event_id) — computed as ONE
-    min/max over (ts, id, value) structs inside the same
-    map-side-combinable aggregate as high/low/volume, so there is NO
-    window, NO sort, and ties are deterministic. Values frozen to
-    exact cents."""
-    ev = _t(spark, sf_dir, "events")
-    e = ev.select(
-        "event_type",
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-        F.col("ts").cast("long").alias("ts_s"),
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    key = F.struct(
-        F.col("ts_s").alias("t"), F.col("event_id").alias("i"),
-        F.col("cents").alias("c"),
-    )
-    g = e.groupBy("event_type", "hour").agg(
-        F.min(key).alias("o"),
-        F.max(key).alias("cl"),
-        F.max("cents").alias("high"),
-        F.min("cents").alias("low"),
-        F.count("*").alias("n"),
-        F.sum("cents").alias("vsum"),
-    )
-    return g.select(
-        "event_type",
-        "hour",
-        F.col("o.c").cast("long").alias("open_cents"),
-        F.col("high").cast("long").alias("high_cents"),
-        F.col("low").cast("long").alias("low_cents"),
-        F.col("cl.c").cast("long").alias("close_cents"),
-        F.col("n").cast("long").alias("n_events"),
-        F.col("vsum").cast("long").alias("sum_cents"),
-    )
-
-
-@q(
-    "session_entry_exit",
-    """
-    WITH e AS (
-      SELECT user_id, event_id, event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
-      FROM events),
-    m AS (
-      SELECT user_id, event_id, event_type, ts_s,
-             CASE WHEN lag(ts_s) OVER w IS NULL
-                       OR ts_s - lag(ts_s) OVER w > 1800
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
-    s AS (
-      SELECT user_id, event_id, event_type, ts_s,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS session_no
-      FROM m),
-    g AS (
-      SELECT user_id, session_no,
-             min(struct_pack(t := ts_s, i := event_id, e := event_type))
-               AS fe,
-             max(struct_pack(t := ts_s, i := event_id, e := event_type))
-               AS le,
-             count(*) AS n
-      FROM s GROUP BY 1, 2),
-    x AS (SELECT (fe).e AS entry_type, (le).e AS exit_type,
-                 CASE WHEN n = 1 THEN 1 ELSE 0 END AS bounce
-          FROM g)
-    SELECT entry_type, exit_type,
-           CAST(count(*) AS BIGINT) AS n_sessions,
-           CAST(sum(bounce) AS BIGINT) AS n_bounces
-    FROM x GROUP BY 1, 2
-    """,
-)
-def session_entry_exit(spark, sf_dir):
-    """Entry/exit-page analytics over 30-minute sessions: which event
-    type opens and closes each session, and the single-event bounce
-    count per (entry, exit) pair — the web-analytics staple. Rides the
-    house sessionize shape (two stacked windows on ONE user-keyed
-    shuffle), then first/last via min/max over (ts, id, type) structs
-    in a map-side-combinable aggregate — no per-session sort."""
-    from .operators.temporal import sessionize
-
-    ev = _t(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.col("ts").cast("long").alias("ts_s"),
-    )
-    sess = sessionize(
-        e.withColumn("ts", F.col("ts_s")), gap_s=1800, ts_col="ts"
-    )
-    s = e.join(sess.select("event_id", "session_no"), "event_id")
-    key = F.struct(
-        F.col("ts_s").alias("t"),
-        F.col("event_id").alias("i"),
-        F.col("event_type").alias("e"),
-    )
-    g = s.groupBy("user_id", "session_no").agg(
-        F.min(key).alias("fe"), F.max(key).alias("le"), F.count("*").alias("n")
-    )
-    return (
-        g.select(
-            F.col("fe.e").alias("entry_type"),
-            F.col("le.e").alias("exit_type"),
-            F.when(F.col("n") == 1, 1).otherwise(0).alias("bounce"),
-        )
-        .groupBy("entry_type", "exit_type")
-        .agg(
-            F.count("*").cast("long").alias("n_sessions"),
-            F.sum("bounce").cast("long").alias("n_bounces"),
-        )
-    )
-
-
-@q(
-    "dp_noisy_counts",
-    """
-    WITH g AS (SELECT c_nationkey, count(*) AS true_count
-               FROM customer GROUP BY 1),
-    u AS (SELECT c_nationkey, true_count,
-                 (CAST('0x' || substring(md5('dp1:' ||
-                        CAST(c_nationkey AS VARCHAR)), 1, 13) AS BIGINT)
-                  + 1) / 4503599627370497.0 AS u1,
-                 (CAST('0x' || substring(md5('dp2:' ||
-                        CAST(c_nationkey AS VARCHAR)), 1, 13) AS BIGINT)
-                  + 1) / 4503599627370497.0 AS u2
-          FROM g)
-    SELECT c_nationkey, CAST(true_count AS BIGINT) AS true_count,
-           CAST(floor(-ln(u1)) - floor(-ln(u2)) AS BIGINT) AS noise,
-           CAST(true_count + floor(-ln(u1)) - floor(-ln(u2)) AS BIGINT)
-             AS dp_count
-    FROM u
-    """,
-)
-def dp_noisy_counts(spark, sf_dir):
-    """ε=1 differentially-private group counts via the two-sided
-    geometric (discrete Laplace) mechanism: noise = G₁ − G₂ with
-    Gᵢ = ⌊−ln(uᵢ)⌋, the exact inverse-CDF construction for
-    Geometric(1−e^(−ε)). The uniforms are md5-SEEDED per group key —
-    the reproducible-test harness every DP pipeline runs its
-    distribution checks with; a production release swaps the seeded
-    generator for secure per-release randomness and NOTHING else
-    changes (same mechanism, same post-processing). True counts ride
-    along so the calibration is visible. One map-side-combinable
-    groupBy + a codegen noise projection at any scale."""
-    c = _t(spark, sf_dir, "customer")
-    g = c.groupBy("c_nationkey").agg(
-        F.count("*").cast("long").alias("true_count")
-    )
-    den = float((1 << 52) + 1)
-
-    def _u(salt: str):
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt), F.col("c_nationkey").cast("string")
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        return (h + 1) / F.lit(den)
-
-    noise = F.floor(-F.log(_u("dp1:"))) - F.floor(-F.log(_u("dp2:")))
-    return g.select(
-        "c_nationkey",
-        "true_count",
-        noise.cast("long").alias("noise"),
-        (F.col("true_count") + noise).cast("long").alias("dp_count"),
-    )
-
-
-def _weak_label_oracle_sql() -> str:
-    lang_scores = ", ".join(
-        f"{_lang_score_sql(lang, sw)} AS s_{lang}"
-        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
-    )
-    best = "greatest(" + ", ".join(
-        f"s_{lang}" for lang in sorted(TXT.LANG_STOPWORDS)
-    ) + ")"
-    return f"""
-    WITH f AS (
-      SELECT doc_id, lang,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
-                  AS BIGINT) AS n_tokens,
-             round(length(text) / greatest(CASE WHEN trim(text) = '' THEN 0
-                   ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END,
-                   1), 3) AS avg_token_len,
-             round(len(regexp_extract_all(text, '[^\\w\\s]'))
-                   / greatest(length(text), 1), 3) AS punct_ratio,
-             round(len(regexp_extract_all(text, '[0-9]'))
-                   / greatest(length(text), 1), 3) AS digit_ratio,
-             {lang_scores}
-      FROM documents),
-    v AS (
-      SELECT doc_id,
-             CASE WHEN n_tokens >= 10 AND punct_ratio <= 0.20
-                       AND digit_ratio <= 0.30
-                       AND avg_token_len BETWEEN 2.0 AND 12.0 THEN 1
-                  WHEN n_tokens < 5 OR punct_ratio > 0.30 THEN -1
-                  ELSE 0 END AS v_q,
-             CASE WHEN {best} = 0 THEN 0
-                  WHEN (CASE {_LANG_CASE} ELSE 'und' END) = lang THEN 1
-                  ELSE -1 END AS v_lang,
-             CASE WHEN n_tokens BETWEEN 10 AND 100 THEN 1
-                  WHEN n_tokens < 3 THEN -1 ELSE 0 END AS v_len
-      FROM (SELECT f.*, {best} AS best FROM f)),
-    m AS (
-      SELECT 'q|lang' AS pair, v_q AS va, v_lang AS vb FROM v
-      UNION ALL SELECT 'q|len', v_q, v_len FROM v
-      UNION ALL SELECT 'lang|len', v_lang, v_len FROM v)
-    SELECT pair,
-           CAST(sum(CASE WHEN va <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cov_a,
-           CAST(sum(CASE WHEN vb <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cov_b,
-           CAST(sum(CASE WHEN va <> 0 AND vb <> 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_both,
-           CAST(sum(CASE WHEN va <> 0 AND va = vb THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_agree,
-           CAST(sum(CASE WHEN va * vb = -1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_conflict
-    FROM m GROUP BY 1
-    """
-
-
-@q("weak_label_matrix", _weak_label_oracle_sql())
-def weak_label_matrix(spark, sf_dir):
-    """Weak-supervision diagnostics (the Snorkel labeling-function
-    matrix): three heuristic LFs vote {+1, −1, abstain} per doc —
-    rule-gate quality, stopword-evidence language agreement, length
-    band — and the output is the pairwise coverage/overlap/agreement/
-    conflict table a label-model developer reads before trusting the
-    denoised labels. One projection computes all votes, the 3 LF pairs
-    melt through a stack, one 3-key aggregate — a single corpus scan
-    whatever the LF count."""
-    d = _t(spark, sf_dir, "documents")
-    stats = TXT.text_stats(d)
-    pred = TXT.lang_id(d)
-    base = (
-        stats.join(pred, "doc_id")
-        .join(d.select("doc_id", "lang"), "doc_id")
-    )
-    v_q = (
-        F.when(
-            (F.col("n_tokens") >= 10)
-            & (F.col("punct_ratio") <= 0.20)
-            & (F.col("digit_ratio") <= 0.30)
-            & (F.col("avg_token_len") >= 2.0)
-            & (F.col("avg_token_len") <= 12.0),
-            1,
-        )
-        .when((F.col("n_tokens") < 5) | (F.col("punct_ratio") > 0.30), -1)
-        .otherwise(0)
-    )
-    v_lang = (
-        F.when(F.col("lang_pred") == "und", 0)
-        .when(F.col("lang_pred") == F.col("lang"), 1)
-        .otherwise(-1)
-    )
-    v_len = (
-        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100), 1)
-        .when(F.col("n_tokens") < 3, -1)
-        .otherwise(0)
-    )
-    votes = base.select(
-        v_q.alias("v_q"), v_lang.alias("v_lang"), v_len.alias("v_len")
-    )
-    m = votes.select(
-        F.expr(
-            "stack(3, 'q|lang', v_q, v_lang, 'q|len', v_q, v_len, "
-            "'lang|len', v_lang, v_len) as (pair, va, vb)"
-        )
-    )
-    return m.groupBy("pair").agg(
-        F.sum((F.col("va") != 0).cast("long")).cast("long").alias("cov_a"),
-        F.sum((F.col("vb") != 0).cast("long")).cast("long").alias("cov_b"),
-        F.sum(((F.col("va") != 0) & (F.col("vb") != 0)).cast("long"))
-        .cast("long")
-        .alias("n_both"),
-        F.sum(((F.col("va") != 0) & (F.col("va") == F.col("vb"))).cast("long"))
-        .cast("long")
-        .alias("n_agree"),
-        F.sum((F.col("va") * F.col("vb") == -1).cast("long"))
-        .cast("long")
-        .alias("n_conflict"),
-    )
-
-
-@q(
-    "exact_median_two_pass",
-    """
-    WITH n AS (SELECT count(*) AS nt FROM orders),
-    r AS (SELECT o_totalprice,
-                 row_number() OVER (ORDER BY o_totalprice) AS rn
-          FROM orders)
-    SELECT o_totalprice AS median_price,
-           (SELECT CAST(nt AS BIGINT) FROM n) AS n_rows
-    FROM r WHERE rn = ((SELECT nt FROM n) + 1) // 2
-    """,
-)
-def exact_median_two_pass(spark, sf_dir):
-    """EXACT global median WITHOUT a global sort — the two-pass
-    histogram-refinement algorithm a 100 TB median actually needs
-    (a naive exact median = one global sort; approx_percentile gives
-    up exactness):
-
-    pass 1: map-side-combinable 1024-bin histogram + total count → the
-    driver locates the single bin containing rank ⌈n/2⌉ from ≤1024
-    integers (a bounded collect);
-    pass 2: scan again FILTERED to that bin (predicate-pushed), and
-    TakeOrderedAndProject the within-bin rank — per-partition heaps of
-    at most the in-bin offset, never a global sort.
-
-    The oracle computes the same order statistic the lazy way
-    (row_number over a full sort) — algorithm-independent. Median
-    contract: the rank-⌈n/2⌉ element ascending (lower middle)."""
-    o = _t(spark, sf_dir, "orders")
-    lohi = o.agg(
-        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
-    ).first()
-    if lohi["lo"] is None:  # empty table: no median, keep the schema
-        return spark.range(0).select(
-            F.lit(None).cast("double").alias("median_price"),
-            F.lit(None).cast("long").alias("n_rows"),
-        )
-    lo, hi = float(lohi["lo"]), float(lohi["hi"])
-    width = (hi - lo) / 1024 or 1.0
-    # ONE bin expression shared by both passes — a reconstructed
-    # [lo + b*width, lo + (b+1)*width) range can disagree with
-    # floor((p - lo)/width) at FP bin boundaries, silently shifting the
-    # in-bin rank offset. Filtering pass 2 with the identical expression
-    # makes the histogram and the membership predicate agree by
-    # construction.
-    bin_expr = F.least(
-        F.floor((F.col("o_totalprice") - lo) / width).cast("int"),
-        F.lit(1023),
-    )
-    hist = (
-        o.groupBy(bin_expr.alias("bin"))
-        .agg(F.count("*").alias("cnt"))
-        .collect()  # <= 1024 rows: bounded by construction
-    )
-    counts = {r["bin"]: r["cnt"] for r in hist}
-    n = sum(counts.values())
-    target = (n + 1) // 2
-    cum = 0
-    tbin, below = 1023, cum
-    for b in range(1024):
-        c = counts.get(b, 0)
-        if cum + c >= target:
-            tbin, below = b, cum
-            break
-        cum += c
-    k = target - below
-    # The exactness predicate is bin_expr == tbin; the widened plain
-    # range (one bin of slack each side) is redundant with it but IS
-    # parquet-pushable, so row-group pruning still fires at scale.
-    in_bin = o.filter(
-        (F.col("o_totalprice") >= lo + (tbin - 1) * width)
-        & (F.col("o_totalprice") <= lo + (tbin + 2) * width)
-        & (bin_expr == tbin)
-    )
-    # TakeOrdered k rows within the bin; the k-th IS the median
-    med = (
-        in_bin.select("o_totalprice")
-        .orderBy("o_totalprice")
-        .limit(int(k))
-        .agg(F.max("o_totalprice").alias("median_price"))
-    )
-    return med.select(
-        "median_price", F.lit(int(n)).cast("long").alias("n_rows")
-    )
-
-
-@q(
-    "doc_perplexity_sb3",
-    rf"""
-    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
-    tg0 AS (SELECT doc_id,
-                   unnest(toks[1 : len(toks) - 2]) AS w1,
-                   unnest(toks[2 : len(toks) - 1]) AS w2,
-                   unnest(toks[3 : len(toks)]) AS w3
-            FROM t WHERE len(toks) >= 3),
-    bg0 AS (SELECT doc_id,
-                   unnest(toks[1 : len(toks) - 1]) AS w1,
-                   unnest(toks[2 : len(toks)]) AS w2
-            FROM t WHERE len(toks) >= 2),
-    un0 AS (SELECT doc_id, unnest(toks) AS w FROM t),
-    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg0
-           WHERE doc_id % 5 <> 0 GROUP BY 1, 2, 3),
-    c2x AS (SELECT w1, w2, count(*) AS c2ctx FROM tg0
-            WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
-    lm3 AS (SELECT w1, w2, w3,
-                   CAST(round(ln(c3.c3 * 1.0 / c2x.c2ctx) * 1000000)
-                        AS BIGINT) AS lp3
-            FROM c3 JOIN c2x USING (w1, w2)),
-    b2 AS (SELECT w1, w2, count(*) AS c2 FROM bg0
-           WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
-    b1 AS (SELECT w1, count(*) AS c1ctx FROM bg0
-           WHERE doc_id % 5 <> 0 GROUP BY 1),
-    lm2 AS (SELECT b2.w1 AS w2, b2.w2 AS w3,
-                   CAST(round(ln(c2 * 1.0 / c1ctx) * 1000000) AS BIGINT)
-                     + (-916291) AS lp2
-            FROM b2 JOIN b1 USING (w1)),
-    u1 AS (SELECT w, count(*) AS c1 FROM un0
-           WHERE doc_id % 5 <> 0 GROUP BY 1),
-    tt AS (SELECT count(*) AS t FROM un0 WHERE doc_id % 5 <> 0),
-    lm1 AS (SELECT w AS w3,
-                   CAST(round(ln(c1 * 1.0 / (SELECT t FROM tt)) * 1000000)
-                        AS BIGINT) + (-1832582) AS lp1
-            FROM u1),
-    sc AS (SELECT g.doc_id,
-                  coalesce(l3.lp3, l2.lp2, l1.lp1, -13815511) AS lp,
-                  CASE WHEN l3.lp3 IS NOT NULL THEN 'tri'
-                       WHEN l2.lp2 IS NOT NULL THEN 'bi'
-                       WHEN l1.lp1 IS NOT NULL THEN 'uni'
-                       ELSE 'oov' END AS br
-           FROM (SELECT * FROM tg0 WHERE doc_id % 5 = 0) g
-           LEFT JOIN lm3 l3 ON l3.w1 = g.w1 AND l3.w2 = g.w2
-                           AND l3.w3 = g.w3
-           LEFT JOIN lm2 l2 ON l2.w2 = g.w2 AND l2.w3 = g.w3
-           LEFT JOIN lm1 l1 ON l1.w3 = g.w3),
-    a AS (SELECT doc_id, count(*) AS n_trigrams,
-                 sum(CASE WHEN br = 'tri' THEN 1 ELSE 0 END) AS n_tri,
-                 sum(CASE WHEN br = 'bi' THEN 1 ELSE 0 END) AS n_bi,
-                 sum(CASE WHEN br = 'uni' THEN 1 ELSE 0 END) AS n_uni,
-                 sum(CASE WHEN br = 'oov' THEN 1 ELSE 0 END) AS n_oov,
-                 sum(lp) AS micro
-          FROM sc GROUP BY 1)
-    SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
-           CAST(n_tri AS BIGINT) AS n_tri_hits,
-           CAST(n_bi AS BIGINT) AS n_bi_backoffs,
-           CAST(n_uni AS BIGINT) AS n_uni_backoffs,
-           CAST(n_oov AS BIGINT) AS n_oov,
-           round(-micro / 1000000.0 / n_trigrams, 6) AS avg_neg_logp,
-           round(exp(round(-micro / 1000000.0 / n_trigrams, 6)), 3) AS ppl
-    FROM a
-    """,
-)
-def doc_perplexity_sb3(spark, sf_dir):
-    """Stupid Backoff TRIGRAM perplexity (Brants et al. 2007 — the
-    web-scale recipe: fixed 0.4 backoff, no normalization, which is why
-    it trains where Kneser-Ney can't): trigram → bigram → unigram →
-    OOV-floor cascade, every branch an integer micro-nat
-    (pipeline/lm.py:trigram_sb_perplexity). Strictly more signal than
-    `doc_perplexity_lm`'s bigram MLE — the branch-usage counters in the
-    output show exactly how often each backoff fires, the diagnostic a
-    corpus-quality pipeline watches. Three tiny count tables broadcast;
-    the corpus side is one trigram explode."""
-    from .pipeline import lm as LM
-
-    docs = _t(spark, sf_dir, "documents")
-    return LM.trigram_sb_perplexity(
-        docs.filter(F.col("doc_id") % 5 != 0),
-        docs.filter(F.col("doc_id") % 5 == 0),
-    )
-
-
-def _wordpiece_train_oracle_sql(
-    n_merges: int = 30, max_vocab: int = 50000
-) -> str:
-    """The WordPiece merge loop UNROLLED (the `_bpe_train_oracle_sql`
-    sentinel-string machinery with the likelihood-ratio argmax): each
-    round also aggregates UNIT counts and ranks pairs by
-    c/(uc_a·uc_b) — equal rationals yield identical IEEE doubles, so
-    the ORDER BY is engine-stable; ties break (a, b) asc."""
-    sy = (
-        "list_transform(list_filter(string_split(enc, chr(2)), "
-        "s -> s <> ''), s -> s[2:])"
-    )
-    parts = [
-        f"""WITH words AS MATERIALIZED (
-      SELECT w, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
-      WHERE length(w) >= 2 GROUP BY w
-      ORDER BY cnt DESC, w LIMIT {max_vocab}
-    ), state0 AS MATERIALIZED (
-      SELECT w, cnt,
-             array_to_string(list_transform(string_split(w, ''),
-                             c -> chr(1) || c || chr(2)), '') AS enc
-      FROM words
-    )"""
-    ]
-    for k in range(n_merges):
-        parts.append(
-            f""", sy{k} AS MATERIALIZED (
-      SELECT cnt, {sy} AS sy FROM state{k}
-    ), units{k} AS MATERIALIZED (
-      SELECT u, sum(cnt) AS uc FROM (
-        SELECT cnt, unnest(sy) AS u FROM sy{k}) GROUP BY 1
-    ), best{k} AS MATERIALIZED (
-      SELECT p.a, p.b, p.c, ua.uc AS ua, ub.uc AS ub
-      FROM (SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
-            FROM (SELECT cnt, unnest(list_zip(sy, sy[2:])) AS pr
-                  FROM sy{k})
-            WHERE pr[2] IS NOT NULL GROUP BY 1, 2) p
-      JOIN units{k} ua ON ua.u = p.a
-      JOIN units{k} ub ON ub.u = p.b
-      ORDER BY p.c * 1.0 / (ua.uc * ub.uc) DESC, p.a, p.b LIMIT 1
-    )"""
-        )
-        if k < n_merges - 1:
-            parts.append(
-                f""", state{k + 1} AS MATERIALIZED (
-      SELECT w, cnt,
-             replace(enc,
-                     chr(1) || (SELECT a FROM best{k}) || chr(2)
-                       || chr(1) || (SELECT b FROM best{k}) || chr(2),
-                     chr(1) || (SELECT a || b FROM best{k}) || chr(2))
-               AS enc
-      FROM state{k}
-    )"""
-            )
-    union = "\nUNION ALL ".join(
-        f"SELECT {k} AS rank, a AS left, b AS right, a || b AS merged, "
-        f"CAST(c AS BIGINT) AS pair_count, CAST(ua AS BIGINT) AS ua_count, "
-        f"CAST(ub AS BIGINT) AS ub_count FROM best{k}"
-        for k in range(n_merges)
-    )
-    return "".join(parts) + "\n" + union + "\nORDER BY rank"
-
-
-@q("wordpiece_train_merges", _wordpiece_train_oracle_sql())
-def wordpiece_train_merges_q(spark, sf_dir):
-    """WordPiece tokenizer training (the BERT trainer) — completes the
-    subword-family triad: BPE (count argmax, `bpe_train_merges`),
-    unigram-LM (Viterbi likelihood, `unigram_lm_top_pieces`), WordPiece
-    (likelihood-ratio argmax, this). One distributed corpus pass builds
-    the word table; the 30-round merge loop is vocab-sized driver work
-    (functions/text.py:wordpiece_train_merges). All-integer output rows
-    (pair + unit counts); the oracle unrolls the identical loop with
-    materialized per-round CTEs."""
-    return TXT.wordpiece_train_merges(_t(spark, sf_dir, "documents"))
-
-
-@q(
-    "deloop_docs",
-    r"""
-    WITH tok AS (
-      SELECT doc_id, toks[CAST(i AS INT)] AS token, CAST(i AS INT) AS pos
-      FROM (SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\s+') AS toks
-            FROM documents),
-           generate_series(1, 4096) s(i)
-      WHERE i <= len(toks)),
-    m AS (
-      SELECT doc_id, token, pos,
-             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-      FROM tok)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN token = prev THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dropped,
-           md5(string_agg(CASE WHEN prev IS NULL OR token <> prev
-                               THEN token END, ' ' ORDER BY pos))
-             AS deloop_md5
-    FROM m GROUP BY 1
-    """,
-)
-def deloop_docs(spark, sf_dir):
-    """De-looping: drop immediately-repeated tokens ("the the", stutter
-    loops — the classic crawl/OCR artifact and a standard quality
-    transform before training). Pure codegen: one filtered array fold
-    per doc (no per-token shuffle — the doc's token array never leaves
-    its row), emitting the de-looped text fingerprint plus drop counts.
-    The oracle takes the WINDOW formulation (lag over position) —
-    an independent restatement of the same contract."""
-    d = _t(spark, sf_dir, "documents")
-    toks = TXT.tokens(F.col("text"))
-    # keep token i iff i == 0 or toks[i] != toks[i-1]: zip the token
-    # array against its 1-shifted self (null-padded head), keep where
-    # different — all inside the row, pure codegen
-    kept = (
-        "transform(filter(zip_with(t, concat(array(cast(null as string)), "
-        "slice(t, 1, size(t) - 1)), (cur, prev) -> "
-        "struct(cur, (prev is null or cur != prev) as keep)), "
-        "s -> s.keep), s -> s.cur)"
-    )
-    return (
-        d.select("doc_id", toks.alias("t"))
-        .select(
-            "doc_id",
-            F.size("t").cast("long").alias("n_tokens"),
-            F.expr(kept).alias("kept_toks"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.size("kept_toks"))
-            .cast("long")
-            .alias("n_dropped"),
-            F.md5(F.concat_ws(" ", "kept_toks")).alias("deloop_md5"),
-        )
-    )
-
-
-_CMS_BUCKET_1024_SQL = """
-    ((strpos('0123456789abcdef', substring({m}, 1, 1)) - 1) * 4096
-   + (strpos('0123456789abcdef', substring({m}, 2, 1)) - 1) * 256
-   + (strpos('0123456789abcdef', substring({m}, 3, 1)) - 1) * 16
-   + (strpos('0123456789abcdef', substring({m}, 4, 1)) - 1)) % 1024
-"""
-
-
-@q(
-    "join_size_estimate_cms",
-    f"""
-    WITH ex AS (
-      SELECT CAST(l_partkey AS VARCHAR) AS v, r
-      FROM lineitem, generate_series(0, 3) t(r)),
-    c AS (SELECT r,
-                 {_CMS_BUCKET_1024_SQL.format(
-                     m="substring(md5(v), 1 + 4 * r, 4)")} AS b,
-                 count(*) AS cnt
-          FROM ex GROUP BY 1, 2),
-    ip AS (SELECT r, sum(cnt * cnt) AS est FROM c GROUP BY 1),
-    exact AS (SELECT sum(cnt * cnt) AS x FROM (
-                SELECT count(*) AS cnt FROM lineitem GROUP BY l_partkey))
-    SELECT CAST(r AS BIGINT) AS sketch_row,
-           CAST(est AS BIGINT) AS est_join_size,
-           CAST(x AS BIGINT) AS exact_join_size
-    FROM ip, exact
-    """,
-)
-def join_size_estimate_cms(spark, sf_dir):
-    """Join-cardinality estimation from count-min sketches (the
-    AGMS/CMS inner-product estimator every cost-based optimizer variant
-    uses): |lineitem ⋈ lineitem on partkey| ≈ min over sketch rows of
-    Σ_b cms[r][b]² — computed from the O(depth·width) sketch alone,
-    never from the data twice. The sketch build is the md5-family
-    `count_min_build` (map-side combinable, O(sketch) shuffle at any
-    corpus size); exact truth rides along per row so the
-    collision-driven overestimate is visible. min(est) over the 4 rows
-    is the estimator; one driver-side min away."""
-    from .operators.sketches import count_min_build
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("string").alias("v")
-    )
-    cms = count_min_build(li, "v", depth=4, width=1024, hash_fn="md5_nibbles")
-    ip = cms.groupBy("row").agg(
-        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("est_join_size")
-    )
-    exact = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey")
-        .agg(F.count("*").alias("cnt"))
-        .agg(
-            F.sum(F.col("cnt") * F.col("cnt"))
-            .cast("long")
-            .alias("exact_join_size")
-        )
-    )
-    return ip.crossJoin(F.broadcast(exact)).select(
-        F.col("row").cast("long").alias("sketch_row"),
-        "est_join_size",
-        "exact_join_size",
-    )
-
-
-_ENTROPY_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
-
-
-def _entropy_oracle_sql() -> str:
-    arms = "\n      UNION ALL ".join(
-        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM orders"
-        for c in _ENTROPY_COLS
-    )
-    return f"""
-    WITH m AS ({arms}),
-    vc AS (SELECT col, val, count(*) AS cnt FROM m GROUP BY 1, 2),
-    n AS (SELECT count(*) AS nt FROM orders),
-    s AS (SELECT col, count(*) AS n_distinct,
-                 sum(CAST(round(cnt * ln(cnt) * 1000) AS BIGINT)) AS sterm
-          FROM vc GROUP BY 1)
-    SELECT col, CAST(n_distinct AS BIGINT) AS n_distinct,
-           CAST(round(1000 * ln(CAST((SELECT nt FROM n) AS DOUBLE))
-                      - sterm * 1.0 / (SELECT nt FROM n)) AS BIGINT)
-             AS entropy_milli
-    FROM s
-    """
-
-
-@q("column_entropy_profile", _entropy_oracle_sql())
-def column_entropy_profile(spark, sf_dir):
-    """Shannon-entropy column profiling (key detection / compressibility
-    / information-content audit): H = ln N − (Σ cnt·ln cnt)/N per
-    column, with the Σ frozen to per-value integer milli-terms so the
-    accumulation is order-free. All candidate columns melt through ONE
-    codegen `stack` into a single two-level aggregate — the
-    FD-discovery single-scan discipline. High entropy ≈ key-like
-    (o_custkey), low ≈ categorical (o_orderstatus)."""
-    o = _t(spark, sf_dir, "orders")
-    stack_args = ", ".join(
-        f"'{c}', cast({c} as string)" for c in _ENTROPY_COLS
-    )
-    m = o.select(
-        F.expr(f"stack({len(_ENTROPY_COLS)}, {stack_args}) as (col, val)")
-    )
-    n = o.agg(F.count("*").alias("nt"))
-    vc = m.groupBy("col", "val").agg(F.count("*").alias("cnt"))
-    s = vc.groupBy("col").agg(
-        F.count("*").cast("long").alias("n_distinct"),
-        F.sum(
-            F.round(F.col("cnt") * F.log("cnt") * 1000).cast("long")
-        ).alias("sterm"),
-    )
-    return s.crossJoin(F.broadcast(n)).select(
-        "col",
-        "n_distinct",
-        F.round(
-            1000 * F.log(F.col("nt").cast("double"))
-            - F.col("sterm") * 1.0 / F.col("nt")
-        )
-        .cast("long")
-        .alias("entropy_milli"),
-    )
-
-
-@q(
-    "interval_union_minutes",
-    """
-    WITH iv AS (
-      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
-             CAST(floor(epoch(ts)) AS BIGINT)
-               + CAST(round(value * 60) AS BIGINT) AS e
-      FROM events WHERE value > 0),
-    m AS (
-      SELECT user_id, s, e,
-             max(e) OVER (PARTITION BY user_id ORDER BY s, e
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS prev_max
-      FROM iv)
-    SELECT user_id,
-           CAST(sum(e - greatest(s, coalesce(prev_max, s)))
-                FILTER (WHERE prev_max IS NULL OR e > prev_max)
-                AS BIGINT) AS covered_seconds,
-           CAST(count(*) AS BIGINT) AS n_intervals
-    FROM m GROUP BY 1
-    """,
-)
-def interval_union_minutes(spark, sf_dir):
-    """Interval-union coverage per user (the sweep-line classic): each
-    event opens a [ts, ts + value·60s) activity interval; overlaps must
-    not double-count, so per user we sort by start and clip each
-    interval at the running max of prior ends — one PARTITIONED window
-    over a user-keyed shuffle (exactly the sessionize shape; a bucketed
-    layout satisfies the partitioning write-side at 100 TB). All
-    arithmetic on epoch-second integers — engine-exact."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
-    iv = ev.select(
-        "user_id",
-        F.col("ts").cast("long").alias("s"),
-        (
-            F.col("ts").cast("long")
-            + F.round(F.col("value") * 60).cast("long")
-        ).alias("e"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    m = iv.withColumn("prev_max", F.max("e").over(w))
-    contrib = F.when(
-        F.col("prev_max").isNull() | (F.col("e") > F.col("prev_max")),
-        F.col("e")
-        - F.greatest(F.col("s"), F.coalesce(F.col("prev_max"), F.col("s"))),
-    )
-    return m.groupBy("user_id").agg(
-        F.sum(contrib).cast("long").alias("covered_seconds"),
-        F.count("*").cast("long").alias("n_intervals"),
-    )
-
-
-@q(
-    "theil_sen_trend",
-    """
-    WITH d AS (
-      SELECT event_type,
-             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-             count(*) AS cnt
-      FROM events GROUP BY 1, 2),
-    sl AS (
-      SELECT a.event_type,
-             CAST(round((b.cnt - a.cnt) * 1000.0 / (b.day - a.day))
-                  AS BIGINT) AS slope_milli
-      FROM d a JOIN d b
-        ON a.event_type = b.event_type AND b.day > a.day),
-    r AS (
-      SELECT event_type, slope_milli,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY slope_milli, event_type) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM sl)
-    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-           slope_milli AS theil_sen_slope_milli
-    FROM r WHERE rn = (n + 1) // 2
-    """,
-)
-def theil_sen_trend(spark, sf_dir):
-    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
-    day-to-day slopes of the daily count series — the estimator that
-    shrugs off the outlier days that wreck least squares. The raw scan
-    collapses to the calendar-sized daily aggregate FIRST (the EWMA
-    discipline), so the O(days²) pairwise-slope join is over ~30-row
-    groups — bounded at any corpus size (a decade of days is 6.7M pairs
-    per key, still nothing). Slopes frozen to integer milli; the median
-    is the lower of the two middles (rank (n+1)÷2) under a partitioned,
-    deterministic order."""
-    ev = _t(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
-        .cast("long")
-        .alias("day"),
-    ).agg(F.count("*").alias("cnt"))
-    a, b = d.alias("a"), d.alias("b")
-    sl = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("b.day") > F.col("a.day")),
-    ).select(
-        F.col("a.event_type").alias("event_type"),
-        F.round(
-            (F.col("b.cnt") - F.col("a.cnt"))
-            * 1000.0
-            / (F.col("b.day") - F.col("a.day"))
-        )
-        .cast("long")
-        .alias("slope_milli"),
-    )
-    w = Window.partitionBy("event_type").orderBy("slope_milli", "event_type")
-    wn = Window.partitionBy("event_type")
-    r = sl.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(wn)
-    )
-    return r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        "event_type",
-        F.col("n").cast("long").alias("n_pairs"),
-        F.col("slope_milli").alias("theil_sen_slope_milli"),
-    )
-
-
-@q(
-    "km_time_to_purchase",
-    """
-    WITH ev AS (
-      SELECT user_id, event_type,
-             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
-      FROM events),
-    u AS (SELECT user_id, min(day) AS f, max(day) AS l,
-                 min(CASE WHEN event_type = 'purchase' THEN day END) AS p
-          FROM ev GROUP BY 1),
-    lif AS (SELECT user_id,
-                   CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS dur,
-                   CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS churn
-            FROM u),
-    t AS (SELECT dur AS td, sum(churn) AS d FROM lif GROUP BY 1
-          HAVING sum(churn) > 0),
-    r AS (SELECT t.td, t.d,
-                 (SELECT count(*) FROM lif WHERE dur >= t.td) AS n,
-                 CASE WHEN t2.n2 = t.d THEN CAST(-13815511 AS BIGINT)
-                      ELSE CAST(round(ln((t2.n2 - t.d) * 1.0 / t2.n2)
-                                      * 1000000) AS BIGINT)
-                 END AS term_micro
-          FROM t JOIN (SELECT td2.td, count(*) AS n2
-                       FROM (SELECT DISTINCT td FROM t) td2
-                       JOIN lif ON lif.dur >= td2.td GROUP BY 1) t2
-            ON t2.td = t.td)
-    SELECT a.td AS duration_days, CAST(min(a.n) AS BIGINT) AS n_risk,
-           CAST(min(a.d) AS BIGINT) AS n_events,
-           CAST(round(exp(sum(b.term_micro) / 1000000.0) * 1000)
-                AS BIGINT) AS survival_milli
-    FROM r a JOIN r b ON b.td <= a.td
-    GROUP BY a.td
-    """,
-)
-def km_time_to_purchase(spark, sf_dir):
-    """Kaplan-Meier survival curve for time-to-first-purchase
-    (censoring-aware): the event is a user's first purchase, measured
-    in days from their first activity; users who never purchase are
-    censored at their last activity. At each churn duration t: n_risk = users
-    surviving ≥ t, d = churn events at t, S(t) = Π(1 − d/n). The
-    product is FP-order-proof: each factor freezes to an integer
-    micro-nat log term, the cumulative step sums INTEGERS over a
-    bounded self-join (distinct durations ≤ observation days — never a
-    global window), and one exp at the end. The raw scan collapses
-    per-user first (min/max day, map-side combinable) — at 100 TB
-    that's the only corpus pass."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
-        .cast("long")
-        .alias("day"),
-    )
-    u = ev.groupBy("user_id").agg(
-        F.min("day").alias("f"),
-        F.max("day").alias("l"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("day"))
-        ).alias("p"),
-    )
-    lif = u.select(
-        F.when(F.col("p").isNotNull(), F.col("p") - F.col("f"))
-        .otherwise(F.col("l") - F.col("f"))
-        .alias("dur"),
-        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("churn"),
-    )
-    t = (
-        lif.groupBy(F.col("dur").alias("td"))
-        .agg(F.sum("churn").alias("d"))
-        .filter(F.col("d") > 0)
-    )
-    n = (
-        t.select("td")
-        .join(lif, lif["dur"] >= F.col("td"))
-        .groupBy("td")
-        .agg(F.count("*").alias("n"))
-    )
-    r = t.join(n, "td").select(
-        "td",
-        "d",
-        "n",
-        F.when(F.col("n") == F.col("d"), F.lit(-13815511))
-        .otherwise(
-            F.round(
-                F.log((F.col("n") - F.col("d")) * 1.0 / F.col("n")) * 1e6
-            ).cast("long")
-        )
-        .cast("long")
-        .alias("term_micro"),
-    )
-    a, b = r.alias("a"), r.alias("b")
-    return (
-        a.join(b, F.col("b.td") <= F.col("a.td"))
-        .groupBy(F.col("a.td").alias("duration_days"))
-        .agg(
-            F.min("a.n").cast("long").alias("n_risk"),
-            F.min("a.d").cast("long").alias("n_events"),
-            F.round(F.exp(F.sum("b.term_micro") / 1e6) * 1000)
-            .cast("long")
-            .alias("survival_milli"),
-        )
-    )
-
-
-@q(
-    "ab_test_conversion",
-    """
-    WITH pc AS (
-      SELECT user_id,
-             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
-      FROM events GROUP BY 1),
-    avgp AS (SELECT sum(np) * 1.0 / count(*) AS ap FROM pc),
-    c AS (SELECT user_id % 2 AS grp,
-                 CASE WHEN np > (SELECT ap FROM avgp) THEN 1 ELSE 0 END
-                   AS conv
-          FROM pc),
-    s AS (SELECT grp, count(*) AS n, sum(conv) AS k FROM c GROUP BY 1),
-    m AS (SELECT
-            (SELECT n FROM s WHERE grp = 0) AS n_a,
-            (SELECT k FROM s WHERE grp = 0) AS k_a,
-            (SELECT n FROM s WHERE grp = 1) AS n_b,
-            (SELECT k FROM s WHERE grp = 1) AS k_b)
-    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(k_a AS BIGINT) AS conv_a,
-           CAST(n_b AS BIGINT) AS n_b, CAST(k_b AS BIGINT) AS conv_b,
-           CAST(round((k_a * 1.0 / n_a - k_b * 1.0 / n_b)
-                 / sqrt(((k_a + k_b) * 1.0 / (n_a + n_b))
-                        * (1 - (k_a + k_b) * 1.0 / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)) * 1000) AS BIGINT)
-             AS z_milli
-    FROM m
-    """,
-)
-def ab_test_conversion(spark, sf_dir):
-    """Two-proportion z-test between user cohorts (id parity as the
-    assignment) on the above-average-purchaser rate (a scale-free
-    conversion definition — an absolute flag saturates at 100% as
-    per-user event volume grows with SF) — the experimentation
-    primitive:
-    per-user conversion flags collapse map-side, the test statistic is
-    one fixed IEEE expression over four integers (frozen to milli), so
-    the whole analysis is two tiny aggregates at any scale."""
-    ev = _t(spark, sf_dir, "events")
-    pc = ev.groupBy("user_id").agg(
-        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np")
-    )
-    avgp = pc.agg((F.sum("np") * 1.0 / F.count("*")).alias("ap"))
-    c = pc.crossJoin(F.broadcast(avgp)).select(
-        (F.col("user_id") % 2).alias("grp"),
-        F.when(F.col("np") > F.col("ap"), 1).otherwise(0).alias("conv"),
-    )
-    s = c.groupBy("grp").agg(
-        F.count("*").alias("n"), F.sum("conv").alias("k")
-    )
-    a = s.filter(F.col("grp") == 0).select(
-        F.col("n").alias("n_a"), F.col("k").alias("k_a")
-    )
-    b = s.filter(F.col("grp") == 1).select(
-        F.col("n").alias("n_b"), F.col("k").alias("k_b")
-    )
-    pa = F.col("k_a") * 1.0 / F.col("n_a")
-    pb = F.col("k_b") * 1.0 / F.col("n_b")
-    pp = (F.col("k_a") + F.col("k_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
-    return a.crossJoin(b).select(
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("k_a").cast("long").alias("conv_a"),
-        F.col("n_b").cast("long").alias("n_b"),
-        F.col("k_b").cast("long").alias("conv_b"),
-        F.round(
-            (pa - pb)
-            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
-            * 1000
-        )
-        .cast("long")
-        .alias("z_milli"),
-    )
-
-
-@q(
-    "benford_price_audit",
-    """
-    WITH d AS (
-      SELECT CAST(floor(o_totalprice
-                        / pow(10, floor(log10(o_totalprice)))) AS BIGINT)
-               AS digit
-      FROM orders WHERE o_totalprice > 0),
-    n AS (SELECT count(*) AS tot FROM d)
-    SELECT digit, CAST(count(*) AS BIGINT) AS cnt,
-           CAST(round(count(*) * 1000.0 / (SELECT tot FROM n)) AS BIGINT)
-             AS observed_milli,
-           CAST(round(ln(1 + 1.0 / digit) / ln(10) * 1000) AS BIGINT)
-             AS benford_milli
-    FROM d GROUP BY 1
-    """,
-)
-def benford_price_audit(spark, sf_dir):
-    """Benford's-law first-digit audit on order totals — the classic
-    forensic data-quality screen (synthetic or fabricated monetary data
-    betrays itself here; TPC-H prices are sums of uniform parts, so
-    expect visible deviation — that deviation IS the finding). Digits
-    extracted NUMERICALLY (floor(p/10^floor(log10 p)) — never via
-    double→string formatting, which engines disagree on); observed vs
-    Benford shares frozen to milli. One scan, 9-key aggregate."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    d = o.select(
-        F.floor(
-            F.col("o_totalprice")
-            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
-        )
-        .cast("long")
-        .alias("digit")
-    )
-    n = d.agg(F.count("*").alias("tot"))
-    return (
-        d.groupBy("digit")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "digit",
-            "cnt",
-            F.round(F.col("cnt") * 1000.0 / F.col("tot"))
-            .cast("long")
-            .alias("observed_milli"),
-            F.round(F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)) * 1000)
-            .cast("long")
-            .alias("benford_milli"),
-        )
-    )
-
-
-@q(
-    "hll_own_sliding_7d",
-    f"""
-    WITH d AS (
-      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-             user_id
-      FROM events),
-    days AS (SELECT DISTINCT day FROM d),
-    pe AS (SELECT days.day AS g, d.user_id
-           FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day),
-    est AS ({_hll_own_sql("pe", "g", "user_id")}),
-    ex AS (SELECT g, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact
-           FROM pe GROUP BY 1)
-    SELECT CAST(est.g AS BIGINT) AS day_num, est.ndv_est, ex.ndv_exact
-    FROM est JOIN ex USING (g)
-    """,
-)
-def hll_own_sliding_7d(spark, sf_dir):
-    """Trailing-7-day distinct users per day from the own-HLL register
-    tables: per-DAY registers max-merge into each day's trailing window
-    — the sliding-distinct query that is infeasible exactly at 100 TB
-    (distinct doesn't decompose over windows) but costs 7·2^p register
-    rows per day with a mergeable sketch. The ORACLE computes the same
-    registers the brute way (raw rows replicated into each window), so
-    the hash match proves window-merge == direct-build — the sliding
-    twin of `hll_own_rollup`'s proof. Exact counts ride along so the
-    estimator error is visible."""
-    from .operators import sketches as SK
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
-        .cast("long")
-        .alias("day_num"),
-        "user_id",
-    )
-    day_regs = SK.hll_own_registers(ev, "user_id", ["day_num"])
-    days = day_regs.select("day_num").distinct()
-    win_regs = (
-        days.alias("a")
-        .join(
-            day_regs.alias("b"),
-            (F.col("b.day_num") >= F.col("a.day_num") - 6)
-            & (F.col("b.day_num") <= F.col("a.day_num")),
-        )
-        .groupBy(F.col("a.day_num").alias("day_num"), F.col("b.bucket"))
-        .agg(F.max("b.reg").cast("int").alias("reg"))
-    )
-    est = SK.hll_own_estimate(win_regs, ["day_num"])
-    dd = ev.distinct()
-    exact = (
-        days.alias("a")
-        .join(
-            dd.alias("b"),
-            (F.col("b.day_num") >= F.col("a.day_num") - 6)
-            & (F.col("b.day_num") <= F.col("a.day_num")),
-        )
-        .groupBy(F.col("a.day_num").alias("day_num"))
-        .agg(F.countDistinct("b.user_id").cast("long").alias("ndv_exact"))
-    )
-    return est.join(exact, "day_num")
-
-
-def _minhash_pr_oracle_sql() -> str:
-    """Candidate-stage PR oracle: the shared minhash CTE chain for the
-    LSH candidates + an ALL-PAIRS exact-Jaccard truth set (independent
-    of the Spark side's inverted-index truth) joined into TP/FP/FN."""
-    return f"""
-    WITH {_minhash_base_ctes()},
-    cands AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
-    truth AS (
-      SELECT a.id AS id_a, b.id AS id_b
-      FROM sh a JOIN sh b ON a.id < b.id
-      WHERE len(list_intersect(a.shingles, b.shingles))
-              / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
-    m AS (SELECT
-            (SELECT count(*) FROM cands) AS n_candidates,
-            (SELECT count(*) FROM truth) AS n_truth,
-            (SELECT count(*) FROM cands JOIN truth USING (id_a, id_b))
-              AS tp)
-    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
-           CAST(n_truth AS BIGINT) AS n_truth,
-           CAST(tp AS BIGINT) AS tp,
-           CAST(n_candidates - tp AS BIGINT) AS fp,
-           CAST(n_truth - tp AS BIGINT) AS fn,
-           CAST(round(1000.0 * tp / greatest(n_candidates, 1)) AS BIGINT)
-             AS precision_milli,
-           CAST(round(1000.0 * tp / greatest(n_truth, 1)) AS BIGINT)
-             AS recall_milli
-    FROM m
-    """
-
-
-@q("minhash_pr_eval", _minhash_pr_oracle_sql())
-def minhash_pr_eval(spark, sf_dir):
-    """Dedup-quality evaluation harness: precision/recall of the
-    MinHash-LSH CANDIDATE stage (16 bands of 4, pre-verification)
-    against exact 3-gram-Jaccard-≥-0.5 ground truth — the measurement a
-    pipeline owner runs before trusting an LSH configuration on 100 TB
-    (and the per-config twin of `lsh_tuning_report`'s sweep). Truth
-    comes from the inverted-index exact join; candidates from the band
-    self-join; TP/FP/FN are two key-joins of pair lists. The oracle's
-    truth set is an ALL-PAIRS restatement — independent of the engine's
-    candidate generation on both legs.
-
-    Both legs ride ONE persisted 3-gram shingle pass: the candidate
-    leg's signatures and the truth leg's inverted index consume the
-    same (id, shingles) frame (`shingled=` injection point), so the
-    corpus text is tokenized exactly once."""
-    d = _t(spark, sf_dir, "documents")
-    shingled = DD._persist(DD.shingle_df(DD._spread(d)))
-    sigs = DD.minhash_signature(shingled, 64, 42, hash_family="md5")
-    cand = DD.minhash_candidate_pairs(sigs, 16, num_hashes=64, hash_family="md5")
-    truth = DD.ngram_jaccard_pairs(
-        d, threshold=0.5, shingled=shingled
-    ).select("id_a", "id_b")
-    tp_df = cand.join(truth, ["id_a", "id_b"], "left_semi")
-    n_c = cand.agg(F.count("*").alias("n_candidates"))
-    n_t = truth.agg(F.count("*").alias("n_truth"))
-    n_tp = tp_df.agg(F.count("*").alias("tp"))
-    return (
-        n_c.crossJoin(n_t)
-        .crossJoin(n_tp)
-        .select(
-            F.col("n_candidates").cast("long").alias("n_candidates"),
-            F.col("n_truth").cast("long").alias("n_truth"),
-            F.col("tp").cast("long").alias("tp"),
-            (F.col("n_candidates") - F.col("tp")).cast("long").alias("fp"),
-            (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
-            F.round(
-                1000.0 * F.col("tp") / F.greatest(F.col("n_candidates"), F.lit(1))
-            )
-            .cast("long")
-            .alias("precision_milli"),
-            F.round(
-                1000.0 * F.col("tp") / F.greatest(F.col("n_truth"), F.lit(1))
-            )
-            .cast("long")
-            .alias("recall_milli"),
-        )
-    )
-
-
-@q(
-    "doremi_reweight_round",
-    f"""
-    WITH {{bg}},
-    pc AS (SELECT w1, w2, count(*) AS cnt FROM bg
-           WHERE doc_id % 5 != 0 GROUP BY w1, w2),
-    cc AS (SELECT w1, count(*) AS ctx_cnt FROM bg
-           WHERE doc_id % 5 != 0 GROUP BY w1),
-    lm AS (SELECT p.w1, p.w2,
-                  CAST(round(ln(p.cnt / c.ctx_cnt) * 1000000) AS BIGINT) AS lp
-           FROM pc p JOIN cc c USING (w1)),
-    scd AS (SELECT b.doc_id, coalesce(l.lp, -13815511) AS lp
-            FROM bg b LEFT JOIN lm l USING (w1, w2)
-            WHERE b.doc_id % 5 = 0),
-    a AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS micro
-          FROM scd GROUP BY doc_id),
-    d2 AS (SELECT doc_id,
-                  CAST(round(round(-micro / 1000000.0 / n_bigrams, 6)
-                             * 1000000) AS BIGINT) AS d_micro
-           FROM a),
-    s AS (SELECT d.source, count(*) AS n_docs, sum(d2.d_micro) AS num
-          FROM d2 JOIN documents d USING (doc_id) GROUP BY 1),
-    gm AS (SELECT CAST(sum(num) AS DOUBLE) / sum(n_docs) AS gavg FROM s),
-    w AS (SELECT source, n_docs,
-                 CAST(round(num / CAST(n_docs AS DOUBLE)) AS BIGINT)
-                   AS avg_nll_micro,
-                 CAST(round(exp((num / CAST(n_docs AS DOUBLE)
-                                 - (SELECT gavg FROM gm)) / 1000000.0)
-                            * 1000000) AS BIGINT) AS w_micro
-          FROM s),
-    sw AS (SELECT sum(w_micro) AS d FROM w),
-    b AS (SELECT source, n_docs, avg_nll_micro, w_micro,
-                 (w_micro * 1000000) // (SELECT d FROM sw) AS base,
-                 (w_micro * 1000000) % (SELECT d FROM sw) AS rem
-          FROM w),
-    tot AS (SELECT sum(base) AS sb FROM b),
-    r AS (SELECT x.source, count(y.source) AS ahead
-          FROM b x LEFT JOIN b y
-            ON (y.rem > x.rem) OR (y.rem = x.rem AND y.source < x.source)
-          GROUP BY x.source)
-    SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
-           b.avg_nll_micro, b.w_micro,
-           CAST(b.base + CASE WHEN r.ahead < (1000000 - tot.sb)
-                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
-    FROM b JOIN r USING (source), tot
-    """.format(bg=_BG_SQL),
-)
-def doremi_reweight_round(spark, sf_dir):
-    """One DoReMi-style domain-reweighting round (Xie et al. 2023,
-    simplified to a bigram reference model): score the held-out shard
-    with the corpus-trained LM, compute each source's EXCESS loss vs
-    the global average, exponentiate to mixture weights (η=1, micro-
-    frozen), and allocate a 1M-token budget by largest remainder
-    (Σ alloc == budget exactly). The modern data-mixture optimization
-    loop, end-to-end on-engine: LM train + score are the
-    `doc_perplexity_lm` machinery (integer micro-nats), the allocation
-    is `largest_remainder_allocation(normalize=True)` — window-free,
-    join-based remainder ranks. Sources with above-average loss get
-    upweighted, which is precisely DoReMi's excess-loss signal."""
-    from .pipeline import lm as LM
-    from .pipeline.curation import largest_remainder_allocation
-
-    docs = _t(spark, sf_dir, "documents")
-    lm = LM.bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
-    per_doc = LM.doc_perplexity(docs.filter(F.col("doc_id") % 5 == 0), lm)
-    d2 = per_doc.select(
-        "doc_id",
-        F.round(F.col("avg_neg_logp") * 1e6).cast("long").alias("d_micro"),
-    )
-    s = (
-        d2.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum("d_micro").alias("num"))
-    )
-    gm = s.agg(
-        (F.sum("num").cast("double") / F.sum("n_docs")).alias("gavg")
-    )
-    w = s.crossJoin(F.broadcast(gm)).select(
-        "source",
-        "n_docs",
-        F.round(F.col("num") / F.col("n_docs").cast("double"))
-        .cast("long")
-        .alias("avg_nll_micro"),
-        F.round(
-            F.exp(
-                (
-                    F.col("num") / F.col("n_docs").cast("double")
-                    - F.col("gavg")
-                )
-                / 1e6
-            )
-            * 1e6
-        )
-        .cast("long")
-        .alias("w_micro"),
-    )
-    alloc = largest_remainder_allocation(
-        w.select("source", "w_micro"), budget=1_000_000, normalize=True
-    )
-    return w.select("source", "n_docs", "avg_nll_micro").join(
-        alloc, "source"
-    ).select(
-        "source",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        "avg_nll_micro",
-        F.col("w_micro").cast("long").alias("w_micro"),
-        "alloc",
-    )
-
-
-@q(
-    "hbos_outlier_scores",
-    """
-    WITH el AS (
-      SELECT vec_id AS id, CAST(i - 1 AS INT) AS dim,
-             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-      FROM embeddings, generate_series(1, 64) t(i)),
-    rng AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM el GROUP BY 1),
-    n AS (SELECT count(*) AS nt FROM embeddings),
-    b AS (
-      SELECT id, el.dim,
-             CASE WHEN hi = lo THEN 0
-                  ELSE least(CAST(floor((x - lo) / (hi - lo) * 8) AS INT), 7)
-             END AS bin
-      FROM el JOIN rng USING (dim)),
-    h AS (SELECT dim, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
-    SELECT id AS vec_id,
-           CAST(sum(CAST(round(ln(CAST((SELECT nt FROM n) AS DOUBLE) / cnt)
-                               * 1000) AS BIGINT)) AS BIGINT) AS score_milli
-    FROM b JOIN h USING (dim, bin) GROUP BY 1
-    """,
-)
-def hbos_outlier_scores(spark, sf_dir):
-    """Histogram-Based Outlier Score over the embedding corpus — the
-    distance-free unsupervised anomaly detector: per-dimension equi-width
-    histograms, score = Σ_d milli-nats of the bin's rarity
-    (pipeline/similarity.py:hbos_outlier_scores). Two corpus passes +
-    one broadcast histogram — runs at sizes where any pairwise method
-    is off the table; integer scores, bit-exact oracle."""
-    from .pipeline.similarity import hbos_outlier_scores as _hbos
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return _hbos(emb).select(F.col("id").alias("vec_id"), "score_milli")
-
-
-@q(
-    "psi_drift_sources",
-    "WITH "
-    + _QM_FEATURES_SQL
-    + r"""
-    , m AS (
-      SELECT doc_id,
-             round(1.0 / (1.0 + exp(-round(-1.0
-                   + 2.5 * least(n_tokens / 100.0, 1.0)
-                   + 0.15 * avg_token_len - 4.0 * punct_ratio
-                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
-               AS quality_prob
-      FROM feats),
-    j AS (SELECT least(CAST(floor(m.quality_prob * 10) AS BIGINT), 9) AS bin,
-                 coalesce(TRY_CAST(regexp_extract(d.source, '(\d+)', 1)
-                                   AS BIGINT), 0) % 2 AS grp
-          FROM m JOIN documents d USING (doc_id)),
-    c AS (SELECT grp, bin, count(*) AS cnt FROM j GROUP BY 1, 2),
-    grid AS (SELECT g.grp, b.bin
-             FROM (SELECT unnest([0, 1]) AS grp) g,
-                  (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS bin) b),
-    s AS (SELECT grid.grp, grid.bin, coalesce(c.cnt, 0) + 1 AS cnt1
-          FROM grid LEFT JOIN c ON c.grp = grid.grp AND c.bin = grid.bin),
-    t AS (SELECT grp, sum(cnt1) AS tot FROM s GROUP BY 1),
-    p AS (SELECT s.bin, s.grp, s.cnt1,
-                 CAST(s.cnt1 AS DOUBLE) / t.tot AS pr
-          FROM s JOIN t USING (grp))
-    SELECT a.bin,
-           CAST(a.cnt1 - 1 AS BIGINT) AS cnt_a,
-           CAST(b.cnt1 - 1 AS BIGINT) AS cnt_b,
-           CAST(round((a.pr - b.pr) * ln(a.pr / b.pr) * 1000000) AS BIGINT)
-             AS psi_term_micro
-    FROM (SELECT * FROM p WHERE grp = 0) a
-    JOIN (SELECT * FROM p WHERE grp = 1) b USING (bin)
-    """,
-)
-def psi_drift_sources(spark, sf_dir):
-    """Population Stability Index between the even- and odd-numbered
-    document sources over quality-score deciles — the standard MLOps
-    drift gate before retraining on a new crawl slice. Laplace-smoothed
-    (+1 per bin, grid-completed so empty deciles still report), PSI
-    terms frozen to integer micro-nats; total PSI = Σ terms / 1e6, one
-    driver-side sum away. One scan + a 20-key aggregate."""
-    d = _t(spark, sf_dir, "documents")
-    m = TXT.quality_score_model(d).select("doc_id", "quality_prob")
-    j = m.join(d.select("doc_id", "source"), "doc_id").select(
-        F.least(
-            F.floor(F.col("quality_prob") * 10).cast("long"), F.lit(9)
-        ).alias("bin"),
-        (
-            # digit-less sources default to group 0 on BOTH engines —
-            # a bare cast would null-drop rows here while the oracle's
-            # CAST('' AS BIGINT) raises (engine divergence, ADVICE r10)
-            F.coalesce(
-                F.regexp_extract(F.col("source"), r"(\d+)", 1).try_cast(
-                    "long"
-                ),
-                F.lit(0),
-            )
-            % 2
-        ).alias("grp"),
-    )
-    c = j.groupBy("grp", "bin").agg(F.count("*").alias("cnt"))
-    grid = spark.range(2).select(F.col("id").alias("grp")).crossJoin(
-        spark.range(10).select(F.col("id").alias("bin"))
-    )
-    s = grid.join(c, ["grp", "bin"], "left").select(
-        "grp", "bin", (F.coalesce(F.col("cnt"), F.lit(0)) + 1).alias("cnt1")
-    )
-    t = s.groupBy("grp").agg(F.sum("cnt1").alias("tot"))
-    p = s.join(t, "grp").select(
-        "bin",
-        "grp",
-        "cnt1",
-        (F.col("cnt1").cast("double") / F.col("tot")).alias("pr"),
-    )
-    a = p.filter(F.col("grp") == 0).select(
-        "bin", F.col("cnt1").alias("c1a"), F.col("pr").alias("pa")
-    )
-    b = p.filter(F.col("grp") == 1).select(
-        "bin", F.col("cnt1").alias("c1b"), F.col("pr").alias("pb")
-    )
-    return a.join(b, "bin").select(
-        "bin",
-        (F.col("c1a") - 1).cast("long").alias("cnt_a"),
-        (F.col("c1b") - 1).cast("long").alias("cnt_b"),
-        F.round(
-            (F.col("pa") - F.col("pb"))
-            * F.log(F.col("pa") / F.col("pb"))
-            * 1e6
-        )
-        .cast("long")
-        .alias("psi_term_micro"),
-    )
-
-
-def _kcore_oracle_sql(k: int = 3, rounds: int = 12) -> str:
-    """Unrolled bounded-round k-core peel over the strong co-purchase
-    graph: round r removes nodes whose degree in e_{r-1} is < k."""
-    parts = [f"WITH {_STRONG_EDGES_SQL}", ",\n    g0 AS MATERIALIZED (SELECT x, y FROM e)"]
-    for r in range(1, rounds + 1):
-        parts.append(
-            f""",
-    deg{r} AS (SELECT node, count(*) AS deg FROM (
-               SELECT x AS node FROM g{r - 1}
-               UNION ALL SELECT y FROM g{r - 1}) GROUP BY 1),
-    keep{r} AS (SELECT node FROM deg{r} WHERE deg >= {k}),
-    g{r} AS MATERIALIZED (SELECT x, y FROM g{r - 1}
-             WHERE x IN (SELECT node FROM keep{r})
-               AND y IN (SELECT node FROM keep{r}))"""
-        )
-    parts.append(
-        f"""
-    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
-      SELECT x AS node FROM g{rounds} UNION ALL SELECT y FROM g{rounds})
-    GROUP BY 1"""
-    )
-    return "".join(parts)
-
-
-@q("kcore_copurchase", _kcore_oracle_sql())
-def kcore_copurchase(spark, sf_dir):
-    """Bounded-round k-core decomposition (k=3, 12 peel rounds) of the
-    strong co-purchase graph — the graph-density backbone extractor
-    (community cores, spam-cluster mining). Each round is one degree
-    aggregate + two key-shuffled semi-joins over the shrinking edge set,
-    lineage-cut per round (operators/graph.py:kcore_peel); 12 rounds is
-    the FIXED contract both engines run (extra rounds past the fixpoint
-    are no-ops, so the bound only matters for truly deep peel chains —
-    the same bounded-iteration semantics as `pagerank_user_events`).
-    Edges ride the shared per-corpus memo."""
-    from .operators.graph import kcore_peel
-
-    return kcore_peel(
-        _strong_copurchase_edges(spark, sf_dir), "pa", "pb", k=3, rounds=12
-    )
-
-
-@q(
-    "hll_own_set_ops",
-    f"""
-    WITH pe AS (
-      SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2)
-               AS g, user_id
-      FROM events),
-    e2 AS ({_hll_own_sql("pe", "g", "user_id")}),
-    eu AS ({_hll_own_sql("pe", "1", "user_id")}),
-    ex AS (SELECT g, CAST(count(DISTINCT user_id) AS BIGINT) AS x
-           FROM pe GROUP BY 1),
-    exu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS xu FROM pe)
-    SELECT a.ndv_est AS est_a, b.ndv_est AS est_b, u.ndv_est AS est_union,
-           round(a.ndv_est + b.ndv_est - u.ndv_est, 3) AS est_intersection,
-           xa.x AS exact_a, xb.x AS exact_b, exu.xu AS exact_union,
-           CAST(xa.x + xb.x - exu.xu AS BIGINT) AS exact_intersection
-    FROM (SELECT ndv_est FROM e2 WHERE g = 0) a,
-         (SELECT ndv_est FROM e2 WHERE g = 1) b,
-         eu u,
-         (SELECT x FROM ex WHERE g = 0) xa,
-         (SELECT x FROM ex WHERE g = 1) xb,
-         exu
-    """,
-)
-def hll_own_set_ops(spark, sf_dir):
-    """Sketch SET ALGEBRA on the oracle-checked own-HLL: users active on
-    even days (A) vs odd days (B) — union estimated from the MAX-MERGE
-    of the two register tables (lossless, the mergeability property
-    `hll_own_rollup` proves), intersection by inclusion-exclusion
-    (estA + estB − estU, the standard HLL trick: intersections aren't
-    directly sketchable). Exact values sit in the same row so the
-    estimator error is visible in the result. At 100 TB each register
-    table is O(2^p) rows regardless of input — set algebra over
-    billions of users costs two tiny aggregates."""
-    from .operators import sketches as SK
-
-    ev = _t(spark, sf_dir, "events").select(
-        (F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) % 2)
-        .alias("g"),
-        "user_id",
-    )
-    regs = SK.hll_own_registers(ev, "user_id", ["g"])
-    est2 = SK.hll_own_estimate(regs, ["g"])
-    regs_u = regs.groupBy("bucket").agg(F.max("reg").cast("int").alias("reg"))
-    est_u = SK.hll_own_estimate(regs_u, []).select(
-        F.col("ndv_est").alias("est_union")
-    )
-    exact = ev.groupBy("g").agg(
-        F.countDistinct("user_id").cast("long").alias("x")
-    )
-    exact_u = ev.agg(F.countDistinct("user_id").cast("long").alias("xu"))
-    a = est2.filter(F.col("g") == 0).select(F.col("ndv_est").alias("est_a"))
-    b = est2.filter(F.col("g") == 1).select(F.col("ndv_est").alias("est_b"))
-    xa = exact.filter(F.col("g") == 0).select(F.col("x").alias("exact_a"))
-    xb = exact.filter(F.col("g") == 1).select(F.col("x").alias("exact_b"))
-    return (
-        a.crossJoin(b)
-        .crossJoin(est_u)
-        .withColumn(
-            "est_intersection",
-            F.round(
-                F.col("est_a") + F.col("est_b") - F.col("est_union"), 3
-            ),
-        )
-        .crossJoin(xa)
-        .crossJoin(xb)
-        .crossJoin(exact_u.select(F.col("xu").alias("exact_union")))
-        .withColumn(
-            "exact_intersection",
-            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).cast(
-                "long"
-            ),
-        )
-    )
-
-
-@q(
-    "l_diversity_report",
-    """
-    WITH g AS (
-      SELECT c_nationkey, c_mktsegment,
-             count(*) AS cnt,
-             count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
-      FROM customer GROUP BY 1, 2)
-    SELECT CAST(count(*) AS BIGINT) AS n_groups,
-           CAST(min(l) AS BIGINT) AS min_l,
-           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_groups_below_3,
-           CAST(sum(CASE WHEN l < 3 THEN cnt ELSE 0 END) AS BIGINT)
-             AS rows_at_risk
-    FROM g
-    """,
-)
-def l_diversity_report(spark, sf_dir):
-    """l-diversity audit — k-anonymity's stronger sibling
-    (`k_anonymity_report`): a QI group that is large enough (k-anon
-    passes) still leaks the sensitive attribute if everyone in it shares
-    the same value. Per (nation, segment) group: l = distinct sensitive
-    bands (account-balance kilobuckets); report the minimum l, groups
-    below l=3 and the rows they expose. One scan, one two-level
-    map-side-combinable aggregate."""
-    c = _t(spark, sf_dir, "customer")
-    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").alias("cnt"),
-        F.count_distinct(
-            F.floor(F.col("c_acctbal") / 1000).cast("long")
-        ).alias("l"),
-    )
-    return g.agg(
-        F.count("*").cast("long").alias("n_groups"),
-        F.min("l").cast("long").alias("min_l"),
-        F.sum((F.col("l") < 3).cast("long")).cast("long").alias(
-            "n_groups_below_3"
-        ),
-        F.sum(F.when(F.col("l") < 3, F.col("cnt")).otherwise(0))
-        .cast("long")
-        .alias("rows_at_risk"),
-    )
-
-
-@q(
-    "preference_pairs",
-    "WITH "
-    + _QM_FEATURES_SQL
-    + """
-    , m AS (
-      SELECT doc_id,
-             CAST(round(round(1.0 / (1.0 + exp(-round(-1.0
-                   + 2.5 * least(n_tokens / 100.0, 1.0)
-                   + 0.15 * avg_token_len - 4.0 * punct_ratio
-                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
-                   * 10000) AS BIGINT) AS p4,
-             n_tokens
-      FROM feats),
-    j AS (SELECT m.doc_id, m.p4, d.lang,
-                 CAST(m.n_tokens // 10 AS BIGINT) AS len_bucket
-          FROM m JOIN documents d USING (doc_id)),
-    g AS (
-      SELECT lang, len_bucket,
-             max(struct_pack(p := p4, ni := -doc_id)) AS ch,
-             min(struct_pack(p := p4, i := doc_id)) AS rj,
-             count(*) AS n
-      FROM j GROUP BY 1, 2)
-    SELECT lang, len_bucket,
-           CAST(-(ch).ni AS BIGINT) AS chosen_id,
-           CAST((rj).i AS BIGINT) AS rejected_id,
-           CAST((ch).p - (rj).p AS BIGINT) AS gap_x1e4,
-           CAST(n AS BIGINT) AS group_size
-    FROM g
-    WHERE n >= 2 AND (ch).p - (rj).p >= 500
-    """,
-)
-def preference_pairs(spark, sf_dir):
-    """DPO/RLHF-style preference-pair construction: within each
-    comparable stratum (language × length decile — same-topic proxy),
-    pair the highest-quality doc (chosen) with the lowest (rejected),
-    keeping pairs whose quality gap ≥ 0.05. Quality is the calibrated
-    classifier prob frozen to ×10⁴ integers, argmax/argmin via
-    min/max(struct) with id tie-breaks — fully deterministic, one scan
-    + one map-side-combinable groupBy, which is the whole cost at
-    100 TB (the strata are bounded; pair selection never joins docs to
-    docs)."""
-    d = _t(spark, sf_dir, "documents")
-    m = TXT.quality_score_model(d).select(
-        "doc_id",
-        F.round(F.col("quality_prob") * 10000).cast("long").alias("p4"),
-        F.col("n_tokens"),
-    )
-    j = m.join(d.select("doc_id", "lang"), "doc_id").select(
-        "doc_id", "p4", "lang", F.expr("n_tokens div 10").alias("len_bucket")
-    )
-    g = j.groupBy("lang", "len_bucket").agg(
-        F.max(F.struct(F.col("p4").alias("p"), (-F.col("doc_id")).alias("ni"))).alias("ch"),
-        F.min(F.struct(F.col("p4").alias("p"), F.col("doc_id").alias("i"))).alias("rj"),
-        F.count("*").alias("n"),
-    )
-    return (
-        g.filter((F.col("n") >= 2) & (F.col("ch.p") - F.col("rj.p") >= 500))
-        .select(
-            "lang",
-            "len_bucket",
-            (-F.col("ch.ni")).cast("long").alias("chosen_id"),
-            F.col("rj.i").cast("long").alias("rejected_id"),
-            (F.col("ch.p") - F.col("rj.p")).cast("long").alias("gap_x1e4"),
-            F.col("n").cast("long").alias("group_size"),
-        )
-    )
-
-
-@q(
-    "xml_roundtrip_orders",
-    """
-    SELECT o_orderkey, o_orderstatus, o_totalprice
-    FROM orders WHERE o_orderkey % 97 = 0
-    """,
-)
-def xml_roundtrip_orders(spark, sf_dir):
-    """XML as an interchange surface (the one row format the repo's
-    csv/jsonl/avro/orc roundtrips didn't cover): serialize each order
-    row with `to_xml`, parse it back with `from_xml` (Spark 4 built-ins
-    — JVM-side, no Python in the row path), and return the parsed
-    fields. The oracle reads the SAME fields straight off parquet — a
-    strict roundtrip-identity check, which is exactly what it claims:
-    doubles survive because Java's shortest-roundtrip double printing
-    is parse-exact by construction. Both directions are per-row codegen
-    projections; at 100 TB this is scan-bound like any format shim."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
-    xml = o.select(
-        F.to_xml(
-            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
-        ).alias("x")
-    )
-    return xml.select(
-        F.from_xml(
-            "x", "o_orderkey bigint, o_orderstatus string, o_totalprice double"
-        ).alias("r")
-    ).select("r.*")
-
-
-@q(
-    "weighted_median_price",
-    """
-    WITH g AS (
-      SELECT l_returnflag, l_extendedprice AS price,
-             sum(l_quantity) AS w
-      FROM lineitem GROUP BY 1, 2),
-    t AS (SELECT l_returnflag, sum(w) AS tw FROM g GROUP BY 1),
-    c AS (
-      SELECT l_returnflag, price,
-             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cw
-      FROM g)
-    SELECT c.l_returnflag, min(c.price) AS weighted_median,
-           CAST(min(t.tw) AS BIGINT) AS total_qty
-    FROM c JOIN t USING (l_returnflag)
-    WHERE 2 * c.cw >= t.tw
-    GROUP BY 1
-    """,
-)
-def weighted_median_price(spark, sf_dir):
-    """Exact QUANTITY-WEIGHTED median price per return flag — the
-    robust-statistics sibling of `price_percentile_by_status` (plain
-    percentile ignores that a 50-unit line should weigh 50× a 1-unit
-    line). Two-phase exact shape for 100 TB: the raw scan collapses
-    FIRST through a map-side-combinable groupBy(flag, price) — weight
-    consolidation — so the per-flag cumulative-weight window sorts only
-    DISTINCT prices per flag, not raw rows; the median is the first
-    price whose cumulative weight reaches half the total (integer
-    comparison 2·cw ≥ total, no FP). The window is partitioned (flag),
-    lint-clean."""
-    li = _t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
-        F.sum("l_quantity").alias("w")
-    )
-    t = g.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
-    wspec = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = g.withColumn("cw", F.sum("w").over(wspec))
-    return (
-        c.join(t, "l_returnflag")
-        .filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("price").alias("weighted_median"),
-            F.min("tw").cast("long").alias("total_qty"),
-        )
-    )
-
-
-def _unigram_lm_oracle() -> str:
-    from .pipeline.unigram_lm import unigram_lm_oracle_sql
-
-    return unigram_lm_oracle_sql()
-
-
-@q("unigram_lm_top_pieces", _unigram_lm_oracle())
-def unigram_lm_top_pieces(spark, sf_dir):
-    """One unigram-LM (SentencePiece-style) tokenizer round: candidate
-    piece inventory from substring statistics, integer milli-nat costs,
-    RELATIONAL Viterbi over the frequency-weighted distinct-word
-    vocabulary (12 vocab-sized join levels — never an exponential
-    expression tree), backtrace, and the top-50 pieces by usage count.
-    The corpus is scanned ONCE (tokenize + groupBy word); everything
-    downstream is vocabulary-sized — the design that makes tokenizer
-    induction a rounding error next to the 100 TB scan
-    (pipeline/unigram_lm.py). Oracle: the identical lattice as
-    MATERIALIZED per-level DuckDB CTEs, bit-for-bit (integer objective
-    carries the tie-break)."""
-    from .pipeline.unigram_lm import unigram_lm_piece_counts
-
-    d = _t(spark, sf_dir, "documents")
-    return unigram_lm_piece_counts(d, top_k=50)
-
-
-@q(
-    "quality_calibration_bins",
-    "WITH "
-    + _QM_FEATURES_SQL
-    + """
-    , m AS (
-      SELECT doc_id, n_tokens, avg_token_len, punct_ratio, digit_ratio,
-             round(1.0 / (1.0 + exp(-round(-1.0
-                   + 2.5 * least(n_tokens / 100.0, 1.0)
-                   + 0.15 * avg_token_len - 4.0 * punct_ratio
-                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
-               AS quality_prob
-      FROM feats),
-    b AS (
-      SELECT least(CAST(floor(quality_prob * 10) AS BIGINT), 9) AS bin,
-             CAST(round(quality_prob * 10000) AS BIGINT) AS p4,
-             CASE WHEN n_tokens >= 10 AND punct_ratio <= 0.20
-                       AND digit_ratio <= 0.30
-                       AND avg_token_len BETWEEN 2.0 AND 12.0
-                  THEN 1 ELSE 0 END AS pass
-      FROM m)
-    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(p4) AS BIGINT) AS sum_prob_x1e4,
-           CAST(sum(pass) AS BIGINT) AS n_pass
-    FROM b GROUP BY 1
-    """,
-)
-def quality_calibration_bins(spark, sf_dir):
-    """Reliability diagram for the fastText-style quality model: decile
-    bins of predicted quality_prob vs the observed pass rate of the
-    independent rule-based corpus gate — the standard "is my classifier
-    calibrated before I threshold 100 TB on it" audit. Accumulations
-    are exact integers (prob frozen to its already-rounded ×10⁴ value,
-    pass as 0/1), so no FP summation order anywhere; the mean predicted
-    prob per bin is one driver-side division away. One scan, one
-    map-side-combinable 10-key groupBy."""
-    d = _t(spark, sf_dir, "documents")
-    m = TXT.quality_score_model(d).select("doc_id", "quality_prob")
-    passed = TXT.quality_filter(d).select("doc_id", F.lit(1).alias("p"))
-    return (
-        m.join(passed, "doc_id", "left")
-        .select(
-            F.least(
-                F.floor(F.col("quality_prob") * 10).cast("long"), F.lit(9)
-            ).alias("bin"),
-            F.round(F.col("quality_prob") * 10000)
-            .cast("long")
-            .alias("p4"),
-            F.coalesce(F.col("p"), F.lit(0)).alias("pass"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("p4").cast("long").alias("sum_prob_x1e4"),
-            F.sum("pass").cast("long").alias("n_pass"),
-        )
-    )
-
-
-@q(
-    "rendezvous_shard_movement",
-    """
-    WITH w AS (
-      SELECT doc_id, s,
-             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#'
-                                        || CAST(s AS VARCHAR)), 1, 15)
-                  AS BIGINT) AS w
-      FROM documents, generate_series(0, 8) t(s)),
-    a8 AS (SELECT doc_id, s AS shard8 FROM (
-             SELECT doc_id, s, row_number() OVER (
-               PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
-             FROM w WHERE s < 8) WHERE rn = 1),
-    a9 AS (SELECT doc_id, s AS shard9 FROM (
-             SELECT doc_id, s, row_number() OVER (
-               PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
-             FROM w) WHERE rn = 1)
-    SELECT CAST(shard8 AS BIGINT) AS shard8,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_moved,
-           CAST(sum(CASE WHEN shard9 <> shard8 AND shard9 <> 8
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_wrong
-    FROM a8 JOIN a9 USING (doc_id)
-    GROUP BY 1
-    """,
-)
-def rendezvous_shard_movement(spark, sf_dir):
-    """The consistent-placement audit: assign every doc a rendezvous
-    (HRW) shard at S=8 and S=9 (pipeline/curation.py:rendezvous_shard)
-    and count, per old shard, how many docs moved — and how many moved
-    ANYWHERE BUT the new shard (`n_moved_wrong`, provably 0 for HRW:
-    the old argmax stays the argmax unless the new candidate beats it).
-    Mod-hashing would move ~8/9 of every shard; HRW moves ~1/9 spread
-    evenly. Two codegen projections + one id-keyed groupBy join, no
-    state anywhere — the incremental-reshard plan for a 100 TB corpus."""
-    from .pipeline.curation import rendezvous_shard
-
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    a8 = rendezvous_shard(d, 8, out_col="shard8")
-    a9 = rendezvous_shard(d, 9, out_col="shard9")
-    return (
-        a8.join(a9, "doc_id")
-        .groupBy("shard8")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum((F.col("shard9") != F.col("shard8")).cast("long"))
-            .cast("long")
-            .alias("n_moved"),
-            F.sum(
-                (
-                    (F.col("shard9") != F.col("shard8"))
-                    & (F.col("shard9") != 8)
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("n_moved_wrong"),
-        )
-    )
-
-
-_FD_COLS = ["p_name", "p_brand", "p_type", "p_size"]
-_FD_PAIRS = [(a, b) for a in _FD_COLS for b in _FD_COLS if a != b]
-
-
-def _fd_oracle_sql() -> str:
-    arms = "\n      UNION ALL ".join(
-        f"SELECT '{a}' AS lhs, '{b}' AS rhs, CAST({a} AS VARCHAR) AS lv,"
-        f" CAST({b} AS VARCHAR) AS rv FROM part"
-        for a, b in _FD_PAIRS
-    )
-    return f"""
-    WITH m AS ({arms}),
-    g AS (SELECT lhs, rhs, lv, count(DISTINCT rv) AS nrv
-          FROM m GROUP BY 1, 2, 3)
-    SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_lhs_values,
-           CAST(sum(CASE WHEN nrv > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_violating_lhs,
-           sum(CASE WHEN nrv > 1 THEN 1 ELSE 0 END) = 0 AS holds
-    FROM g GROUP BY 1, 2
-    """
-
-
-@q("fd_discovery_part", _fd_oracle_sql())
-def fd_discovery_part(spark, sf_dir):
-    """Functional-dependency discovery (one lattice level of TANE-style
-    profiling): for every ordered column pair (A, B) over the part
-    table's descriptive columns, does A → B hold, and on how many A
-    values does it break? The schema-profiling primitive behind key
-    detection, normalization advice and data-quality rules. Scale
-    shape: ONE scan — the 12 candidate pairs melt through a codegen
-    `stack` into (lhs, rhs, lv, rv) rows, then one map-side-combinable
-    two-level aggregate; never 12 per-pair scans, and the shuffle key
-    (pair, lhs-value) spreads hot lattice nodes across the cluster."""
-    p = _t(spark, sf_dir, "part")
-    stack_args = ", ".join(
-        f"'{a}', '{b}', cast({a} as string), cast({b} as string)"
-        for a, b in _FD_PAIRS
-    )
-    m = p.select(
-        F.expr(f"stack({len(_FD_PAIRS)}, {stack_args}) as (lhs, rhs, lv, rv)")
-    )
-    per_lhs = m.groupBy("lhs", "rhs", "lv").agg(
-        F.count_distinct("rv").alias("nrv")
-    )
-    return per_lhs.groupBy("lhs", "rhs").agg(
-        F.count("*").cast("long").alias("n_lhs_values"),
-        F.sum((F.col("nrv") > 1).cast("long"))
-        .cast("long")
-        .alias("n_violating_lhs"),
-        (F.sum((F.col("nrv") > 1).cast("long")) == 0).alias("holds"),
-    )
-
-
-_IND_CANDIDATES = [
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("nation", "n_regionkey", "region", "r_regionkey"),
-    ("customer", "c_custkey", "orders", "o_custkey"),
-    ("customer", "c_nationkey", "nation", "n_nationkey"),
-]
-
-
-def _ind_oracle_sql() -> str:
-    arms = "\n    UNION ALL ".join(
-        f"""SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
-           CAST((SELECT count(DISTINCT {cc}) FROM {ct}) AS BIGINT)
-             AS n_child_distinct,
-           CAST((SELECT count(*) FROM (SELECT DISTINCT {cc} AS v FROM {ct}) d
-                 WHERE NOT EXISTS (SELECT 1 FROM {pt} WHERE {pc} = d.v))
-                AS BIGINT) AS n_missing"""
-        for ct, cc, pt, pc in _IND_CANDIDATES
-    )
-    return f"""
-    SELECT child, parent, n_child_distinct, n_missing,
-           n_missing = 0 AS holds
-    FROM ({arms})
-    """
-
-
-@q("inclusion_dependency_audit", _ind_oracle_sql())
-def inclusion_dependency_audit(spark, sf_dir):
-    """Inclusion-dependency (foreign-key) discovery: for each candidate
-    child⊆parent column pair across the schema, count distinct child
-    values missing from the parent — the referential-integrity audit
-    that finds real FKs (orders→customer holds) and rejects reversed
-    ones (customer→orders fails on order-less customers). Each
-    candidate is distinct(child) LEFT ANTI parent — two map-side-
-    combinable distincts and one key-shuffled anti-join per pair, the
-    exact shape a 100 TB FK-miner runs per lattice edge; results are
-    six 1-row aggregates unioned."""
-    rows = []
-    for ct, cc, pt, pc in _IND_CANDIDATES:
-        child = _t(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
-        parent = _t(spark, sf_dir, pt).select(F.col(pc).alias("v"))
-        n_child = child.agg(F.count("*").cast("long").alias("n_child_distinct"))
-        n_miss = (
-            child.join(parent, "v", "left_anti")
-            .agg(F.count("*").cast("long").alias("n_missing"))
-        )
-        rows.append(
-            n_child.crossJoin(n_miss).select(
-                F.lit(f"{ct}.{cc}").alias("child"),
-                F.lit(f"{pt}.{pc}").alias("parent"),
-                "n_child_distinct",
-                "n_missing",
-                (F.col("n_missing") == 0).alias("holds"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
-
-
-def _mmr_oracle_sql(k: int = 6) -> str:
-    """Unrolled k-step replay of `similarity.mmr_select`'s greedy
-    trajectory (the kmeans/BPE unroll pattern): sel_t grows by the
-    argmax of 0.7·rel − 0.3·max-sim-to-sel_{t-1}, ties by id."""
-    d = _DOT_SQL
-    n = _NORM_SQL
-    head = f"""
-    WITH pool AS (SELECT vec_id AS id, embedding AS v FROM embeddings
-                  WHERE vec_id BETWEEN 1 AND 127),
-    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
-    rel AS (SELECT p.id,
-                   {d.format(a="p.v", b="q.v")}
-                     / ({n.format(a="p.v")} * {n.format(a="q.v")}) AS rel
-            FROM pool p, qv q),
-    sim AS (SELECT a.id AS ia, b.id AS ib,
-                   {d.format(a="a.v", b="b.v")}
-                     / ({n.format(a="a.v")} * {n.format(a="b.v")}) AS s
-            FROM pool a JOIN pool b ON a.id <> b.id),
-    p1 AS (SELECT id, 0.7 * rel AS score FROM rel
-           ORDER BY score DESC, id LIMIT 1),
-    sel1 AS (SELECT id FROM p1)"""
-    steps = []
-    for t in range(2, k + 1):
-        steps.append(f""",
-    m{t} AS (SELECT r.id, r.rel, max(s.s) AS ms
-             FROM rel r JOIN sim s ON s.ia = r.id
-             JOIN sel{t - 1} q ON s.ib = q.id
-             WHERE r.id NOT IN (SELECT id FROM sel{t - 1})
-             GROUP BY r.id, r.rel),
-    p{t} AS (SELECT id, 0.7 * rel - 0.3 * ms AS score FROM m{t}
-             ORDER BY score DESC, id LIMIT 1),
-    sel{t} AS (SELECT id FROM sel{t - 1} UNION ALL SELECT id FROM p{t})"""
-        )
-    final = " UNION ALL ".join(
-        f"SELECT {t} AS sel_rank, id, score FROM p{t}" for t in range(1, k + 1)
-    )
-    return (
-        head
-        + "".join(steps)
-        + f"""
-    SELECT CAST(sel_rank AS BIGINT) AS sel_rank, CAST(id AS BIGINT) AS vec_id,
-           round(score, 4) AS score
-    FROM ({final})"""
-    )
-
-
-@q("mmr_select_diverse", _mmr_oracle_sql())
-def mmr_select_diverse(spark, sf_dir):
-    """Greedy MMR diversity selection: 6 picks from a 127-vector pool,
-    relevance = cosine to vec_id 0, redundancy = max cosine to the
-    already-picked set (λ=0.7). Sequential by nature — k bounded
-    single-row collects, each one distributed pass with the ≤k selected
-    rows broadcast (pipeline/similarity.py:mmr_select); the oracle
-    replays the identical trajectory as an unrolled 6-step CTE chain."""
-    from .pipeline.similarity import mmr_select
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return mmr_select(emb, query_id=0, pool_lo=1, pool_hi=127, k=6)
-
-
-@q(
-    "hashed_tfidf_knn",
-    r"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
-               AS token
-      FROM documents),
-    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-    dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    w0 AS (
-      SELECT tf.doc_id AS id,
-             CAST('0x' || substring(md5(tf.token), 1, 8) AS BIGINT) % 64
-               AS bucket,
-             tf.tf * CAST(round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
-                                    / dfr.df) * 1000) AS BIGINT) AS w
-      FROM tf JOIN dfr USING (token)),
-    v AS (SELECT id, bucket, CAST(sum(w) AS BIGINT) AS w
-          FROM w0 GROUP BY 1, 2),
-    n2 AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 FROM v GROUP BY 1),
-    dot AS (
-      SELECT q.id AS qid, c.id AS cid, CAST(sum(q.w * c.w) AS BIGINT) AS dot
-      FROM v q JOIN v c ON q.bucket = c.bucket
-      WHERE q.id % 50 = 0 AND q.id < 5000
-        AND NOT (c.id % 50 = 0 AND c.id < 5000)
-      GROUP BY 1, 2),
-    scored AS (
-      SELECT qid, cid,
-             dot / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
-               AS score
-      FROM dot JOIN n2 nq ON nq.id = dot.qid
-               JOIN n2 nc ON nc.id = dot.cid)
-    SELECT CAST(qid AS BIGINT) AS query_id, CAST(cid AS BIGINT) AS neighbor_id,
-           CAST(rnk AS BIGINT) AS rnk, round(score, 4) AS score
-    FROM (SELECT qid, cid, score,
-                 row_number() OVER (PARTITION BY qid
-                                    ORDER BY score DESC, cid) AS rnk
-          FROM scored)
-    WHERE rnk <= 5
-    """,
-)
-def hashed_tfidf_knn(spark, sf_dir):
-    """Lexical k-NN with NO vocabulary object: hashed TF-IDF vectors
-    (feature-hashing trick, md5-bucket mod 64, exact integer milli-nat
-    weights) scored by cosine, top-5 per query doc (every 50th doc).
-    The 100 TB story is in pipeline/retrieval.py:hashed_tfidf_vectors —
-    the vocabulary disappears as a distributed object (token → bucket is
-    stateless), docs become fixed-width vectors the learned-embedding
-    ANN stack (IVF/PQ/binary-sign) consumes unchanged. Scoring join is
-    bucket-sparse with the Q·64-row query side broadcast."""
-    from .pipeline.retrieval import hashed_tfidf_knn as _hknn
-
-    d = _t(spark, sf_dir, "documents")
-    return _hknn(d, dim=64, query_mod=50, k=5)
-
-
-@q(
-    "normalized_dedup_groups",
-    r"""
-    WITH variants AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000 AS doc_id,
-             upper(replace(text, ' ', ' , ')) AS text
-      FROM documents WHERE doc_id % 7 = 0),
-    f AS (
-      SELECT doc_id,
-             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-               AS raw_fp,
-             md5(trim(regexp_replace(
-                   regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                   '\s+', ' ', 'g'))) AS norm_fp
-      FROM variants)
-    SELECT norm_fp, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_variants,
-           CAST(min(doc_id) AS BIGINT) AS rep_doc_id
-    FROM f GROUP BY 1
-    HAVING count(DISTINCT raw_fp) > 1
-    """,
-)
-def normalized_dedup_groups(spark, sf_dir):
-    """Normalization-aware dedup: groups whose punctuation/case-blind
-    fingerprint (functions/text.py:aggressive_fingerprint — lowercase,
-    strip non-[a-z0-9\\s], collapse whitespace, md5) collides while the
-    exact fingerprint differs — the canonical "same page, re-cased and
-    re-punctuated" crawl duplicate class that exact dedup misses. The
-    testdata corpus has no such variants (500/500 distinct), so the demo
-    PLANTS them deterministically in-query (every 7th doc re-emitted
-    uppercased with injected commas — the same fixture-in-query pattern
-    as the LSH planted twins) and the oracle constructs the identical
-    variant corpus. Scale shape: one projection computing both
-    fingerprints in the same scan, one map-side-combinable groupBy on
-    the normalized key — identical cost profile to `dedup_exact_groups`."""
-    d = _t(spark, sf_dir, "documents")
-    variants = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit(" , "))).alias(
-            "text"
-        ),
-    )
-    uni = d.select("doc_id", "text").unionByName(variants)
-    f = uni.select(
-        "doc_id",
-        TXT.fingerprint("text").alias("raw_fp"),
-        TXT.aggressive_fingerprint("text").alias("norm_fp"),
-    )
-    return (
-        f.groupBy("norm_fp")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.count_distinct("raw_fp").cast("long").alias("n_raw_variants"),
-            F.min("doc_id").cast("long").alias("rep_doc_id"),
-        )
-        .filter(F.col("n_raw_variants") > 1)
-    )
-
-
-@q(
-    "skyline_orders",
-    """
-    WITH g AS (
-      SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kbucket,
-             max(o_orderdate) AS max_date, count(*) AS n_orders
-      FROM orders GROUP BY 1)
-    SELECT price_kbucket, max_date, CAST(n_orders AS BIGINT) AS n_orders
-    FROM g a
-    WHERE NOT EXISTS (
-      SELECT 1 FROM g b
-      WHERE b.price_kbucket > a.price_kbucket AND b.max_date >= a.max_date)
-    """,
-)
-def skyline_orders(spark, sf_dir):
-    """Pareto frontier (skyline) of orders on (price, recency): the
-    price-kilobucket/date points not dominated by any strictly-pricier
-    bucket with an equal-or-later max date — the classic multi-criteria
-    "best trade-offs" operator. Scale shape: the 100 TB fact scan
-    collapses FIRST through a map-side-combinable groupBy(price bucket)
-    — the only pass over the data — and the dominance test then runs as
-    a broadcast nested-loop ANTI-join of the bucket-sized aggregate
-    against itself (B ≈ distinct kilobuckets, so B² comparisons over a
-    driver-negligible frame; the registry lint forbids the
-    single-partition running-max window that would otherwise express
-    this). At a truly huge bucket count the standard refinement is a
-    coarse-partition local skyline first — same semantics, same
-    anti-join on the survivors."""
-    o = _t(spark, sf_dir, "orders")
-    g = o.groupBy(
-        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_kbucket")
-    ).agg(
-        F.max("o_orderdate").alias("max_date"),
-        F.count("*").cast("long").alias("n_orders"),
-    )
-    a, b = g.alias("a"), g.alias("b")
-    dominated = (
-        F.col("b.price_kbucket") > F.col("a.price_kbucket")
-    ) & (F.col("b.max_date") >= F.col("a.max_date"))
-    return a.join(F.broadcast(b), dominated, "left_anti").select(
-        F.col("a.price_kbucket").alias("price_kbucket"),
-        F.col("a.max_date").alias("max_date"),
-        F.col("a.n_orders").alias("n_orders"),
-    )
-
-
-_LR_BASE_SQL = (
-    r"""WITH lab AS (
-      SELECT doc_id AS id,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             ("""
-    + _md5_bucket_sql("doc_id")
-    + r""") % 3 AS fold
-      FROM documents),
-    nn AS (SELECT count(*) AS n FROM documents),
-    tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
-               AS token
-      FROM documents),
-    tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-    dfr AS (SELECT token, count(*) AS df FROM tfq GROUP BY 1),
-    hw AS (
-      SELECT tfq.doc_id AS id,
-             CAST('0x' || substring(md5(tfq.token), 1, 8) AS BIGINT) % 64
-               AS bucket,
-             tfq.tf * CAST(round(ln(CAST((SELECT n FROM nn) AS DOUBLE)
-                                    / dfr.df) * 1000) AS BIGINT) AS w
-      FROM tfq JOIN dfr USING (token)),
-    v AS (SELECT id, bucket, CAST(sum(w) AS BIGINT) AS w
-          FROM hw GROUP BY 1, 2),
-    n1 AS (SELECT id, CAST(sum(w) AS BIGINT) AS n1 FROM v GROUP BY 1),
-    x AS (SELECT v.id, v.bucket,
-                 CAST(floor(v.w * 1000000.0 / greatest(n1.n1, 1))
-                      AS BIGINT) AS x
-          FROM v JOIN n1 USING (id))"""
-)
-
-
-def _lr_round_chain(sfx: str, lab_pred: str, rounds: int) -> str:
-    """``rounds`` UNROLLED full-batch GD rounds over the lab subset
-    selected by ``lab_pred`` — wt{sfx}{t}/bw{sfx}{t} hold the micro-nat
-    weights/bias AFTER round t; every update is the identical IEEE
-    expression the Spark driver evaluates (floor((64.0·g)/(1e4·n))).
-    ``sfx`` namespaces the CTEs so k-fold CV can emit one chain per
-    fold in a single statement."""
-    parts = [
-        f""",
-    labt{sfx} AS (SELECT id, y FROM lab WHERE {lab_pred}),
-    nnt{sfx} AS (SELECT count(*) AS n FROM labt{sfx}),
-    wt{sfx}0 AS (SELECT t.b AS bucket, CAST(0 AS BIGINT) AS wm
-            FROM generate_series(0, 63) t(b)),
-    bw{sfx}0 AS (SELECT CAST(0 AS BIGINT) AS b)"""
-    ]
-    for t in range(1, rounds + 1):
-        parts.append(
-            f""",
-    z{sfx}{t} AS (
-      SELECT l.id, l.y,
-             coalesce(s.zp, 0) + (SELECT b FROM bw{sfx}{t - 1}) * 1000000
-               AS zp
-      FROM labt{sfx} l LEFT JOIN (
-        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
-        FROM x JOIN wt{sfx}{t - 1} w USING (bucket) GROUP BY 1) s
-      USING (id)),
-    p{sfx}{t} AS (
-      SELECT id, y,
-             CAST(round(10000.0 / (1.0 + exp(-round(
-                    zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
-      FROM z{sfx}{t}),
-    g{sfx}{t} AS (SELECT x.bucket,
-                    CAST(sum((p.p4 - 10000 * p.y) * x.x) AS BIGINT) AS g
-             FROM p{sfx}{t} p JOIN x USING (id) GROUP BY 1),
-    gb{sfx}{t} AS (SELECT CAST(coalesce(sum(p4 - 10000 * y), 0) AS BIGINT)
-                     AS g
-              FROM p{sfx}{t}),
-    wt{sfx}{t} AS (SELECT w.bucket,
-                     CAST(w.wm - floor((64.0 * coalesce(g.g, 0))
-                          / (10000.0 * (SELECT n FROM nnt{sfx})))
-                          AS BIGINT) AS wm
-              FROM wt{sfx}{t - 1} w LEFT JOIN g{sfx}{t} g USING (bucket)),
-    bw{sfx}{t} AS (SELECT CAST((SELECT b FROM bw{sfx}{t - 1})
-                     - floor((64.0 * 100.0 * (SELECT g FROM gb{sfx}{t}))
-                             / (10000.0 * (SELECT n FROM nnt{sfx})))
-                     AS BIGINT) AS b)"""
-        )
-    return "".join(parts)
-
-
-def _lr_oracle_prefix(rounds: int = 3) -> str:
-    """Base features + one full-corpus GD chain (empty suffix keeps the
-    wt{t}/bw{t} names the train/calibration oracles reference)."""
-    return _LR_BASE_SQL + _lr_round_chain("", "TRUE", rounds)
-
-
-def _lr_train_oracle_sql(rounds: int = 3) -> str:
-    steps = []
-    for t in range(1, rounds + 1):
-        steps.append(
-            f"SELECT CAST({t} AS BIGINT) AS step,"
-            f" CAST(bucket AS BIGINT) AS bucket, wm AS w_micro FROM wt{t}"
-        )
-        steps.append(
-            f"SELECT CAST({t} AS BIGINT), CAST(-1 AS BIGINT),"
-            f" (SELECT b FROM bw{t}) FROM bw{t}"
-        )
-    return (
-        _lr_oracle_prefix(rounds)
-        + "\n    "
-        + "\n    UNION ALL ".join(steps)
-    )
-
-
-def _lr_calibration_oracle_sql(rounds: int = 3) -> str:
-    r = rounds
-    return (
-        _lr_oracle_prefix(rounds)
-        + f""",
-    zf AS (
-      SELECT l.id, l.y,
-             coalesce(s.zp, 0) + (SELECT b FROM bw{r}) * 1000000 AS zp
-      FROM lab l LEFT JOIN (
-        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
-        FROM x JOIN wt{r} w USING (bucket) GROUP BY 1) s USING (id)),
-    pf AS (
-      SELECT id, y,
-             CAST(round(10000.0 / (1.0 + exp(-round(
-                    zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
-      FROM zf)
-    SELECT least(CAST(floor(p4 / 1000.0) AS BIGINT), 9) AS bin,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(p4) AS BIGINT) AS sum_p4,
-           CAST(sum(y) AS BIGINT) AS n_pass
-    FROM pf GROUP BY 1"""
-    )
-
-
-@q("quality_lr_train", _lr_train_oracle_sql(3))
-def quality_lr_train(spark, sf_dir):
-    """TRAIN the quality classifier in-engine: 3 full-batch logistic-
-    regression rounds over L1-unit hashed-TF-IDF features (64 buckets,
-    `pipeline/classifier.py`), positive label = the curated/target
-    slice (the corpus's `lang='en'` partition) — the GPT-3/CCNet
-    recipe: teach a cheap linear model to recognize 'looks like the
-    trusted corpus' and score the whole crawl with it. Output is the
-    full training TRAJECTORY: (step, bucket, w_micro) micro-nat weights
-    after each round, bucket −1 = bias — every integer exactly replayed
-    by the unrolled-CTE oracle and a numpy property test.
-
-    Scale: per round ONE corpus scoring pass (literal 64-entry weight
-    map in the projection — the model never joins or shuffles) + ONE
-    64-key gradient aggregate + a ≤65-row bounded collect; the feature
-    frame builds once and persists across rounds.
-
-    Honesty note: this synthetic corpus has NO text↔label signal (all
-    five langs draw from one 31-token vocabulary; a fully-converged
-    float LR scores ≈ chance), so the registered contract is trajectory
-    exactness and the distributed shape — on a real corpus the same
-    code learns whatever signal exists."""
-    from .pipeline import classifier as CL
-
-    d = _t(spark, sf_dir, "documents")
-    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    traj, _, _ = CL.lr_train_from_features(feats, labels, 64, rounds=3)
-    return spark.createDataFrame(
-        traj, "step long, bucket long, w_micro long"
-    )
-
-
-def _lr_trained_model(spark, sf_dir) -> tuple[dict[int, int], int]:
-    """The trained 3-round quality-LR model (64 micro-nat weights +
-    bias) served from the per-corpus memo store — the "train once,
-    deploy everywhere" shape: calibration, AUC, the threshold sweep and
-    ECE all consume the SAME fit-once artifact instead of re-running
-    the 3 GD rounds each (training is deterministic, so the memoized
-    integers are bit-identical to an in-query train and every oracle —
-    which replays training in SQL — still hash-matches). The model is
-    65 integers: corpus-size-flat, a bounded collect by construction.
-    `quality_lr_train`/`quality_lr_cv`/`streaming_quality_gate` keep
-    training in-query — there the trajectory/fold-loop/deploy IS the
-    registered operator."""
-    from .pipeline import classifier as CL
-
-    def build():
-        d = _t(spark, sf_dir, "documents")
-        feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-        _, w, bias = CL.lr_train_from_features(feats, labels, 64, rounds=3)
-        rows = [(int(b), int(v)) for b, v in sorted(w.items())]
-        rows.append((-1, int(bias)))
-        return spark.createDataFrame(rows, "bucket long, w_micro long")
-
-    mrows = MEMO.dataframe_memo(
-        spark, "lr_model_r3", sf_dir, ["documents"], build
-    ).collect()  # <= 65 rows: bounded by construction
-    w = {int(r["bucket"]): int(r["w_micro"]) for r in mrows if r["bucket"] >= 0}
-    bias = next((int(r["w_micro"]) for r in mrows if r["bucket"] == -1), 0)
-    return {b: w.get(b, 0) for b in range(64)}, bias
-
-
-def _lr_scored_frame(spark, sf_dir):
-    """The corpus scoring pass ITSELF served from the per-corpus memo
-    store: (id, y, p4) — the ×1e4-frozen sigmoid under the memoized
-    3-round model — persisted as parquet under the documents
-    fingerprint (the IVF-layout/CC-labels precedent). Calibration, the
-    AUC pair, the threshold sweep and ECE previously each re-ran the
-    tokenize+hash+score pass after loading the 65-integer model; now
-    all four read ONE settled frame, so the corpus is tokenized once
-    per corpus version, not once per metric query. Scoring is
-    deterministic (fixed IEEE expression over md5 hashing), so the
-    memoized integers are bit-identical to an in-query pass and every
-    oracle — which replays training AND scoring in SQL — still
-    hash-matches. The frame is (n_docs × 3 longs): at 100 TB that is
-    the cheap artifact, ~24 bytes/doc columnar."""
-    from .pipeline import classifier as CL
-
-    def build():
-        d = _t(spark, sf_dir, "documents")
-        feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-        w, bias = _lr_trained_model(spark, sf_dir)
-        return CL.lr_score(feats, labels, w, bias)
-
-    return MEMO.dataframe_memo(
-        spark, "lr_scored_r3", sf_dir, ["documents"], build
-    )
-
-
-@q("quality_lr_calibration", _lr_calibration_oracle_sql(3))
-def quality_lr_calibration(spark, sf_dir):
-    """Close the loop `quality_calibration_bins` opened with a rule-based
-    stand-in: score the WHOLE corpus with the in-engine-TRAINED
-    classifier (`quality_lr_train`'s 3-round model) and bin predicted
-    probability deciles against the observed positive rate of the true
-    label — the reliability audit a pipeline owner runs before
-    thresholding 100 TB on a freshly trained model. Accumulations are
-    exact integers (p4 = frozen ×1e4 sigmoid, y as 0/1); the scored
-    frame is served from the per-corpus memo (`_lr_scored_frame` —
-    fit-once AND score-once), leaving one ≤10-key map-side-combinable
-    groupBy as the query's own work."""
-    scored = _lr_scored_frame(spark, sf_dir)
-    return (
-        scored.select(
-            F.least(
-                F.floor(F.col("p4") / F.lit(1000.0)).cast("long"), F.lit(9)
-            ).alias("bin"),
-            "p4",
-            "y",
-        )
-        .groupBy("bin")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("p4").cast("long").alias("sum_p4"),
-            F.sum("y").cast("long").alias("n_pass"),
-        )
-    )
-
-
-def _lr_cv_oracle_sql(folds: int = 3, rounds: int = 2) -> str:
-    parts = [_LR_BASE_SQL]
-    for f in range(folds):
-        parts.append(_lr_round_chain(f"f{f}_", f"fold <> {f}", rounds))
-        parts.append(
-            f""",
-    sc{f} AS (
-      SELECT l.id, l.y,
-             coalesce(s.zp, 0)
-               + (SELECT b FROM bwf{f}_{rounds}) * 1000000 AS zp
-      FROM (SELECT id, y FROM lab WHERE fold = {f}) l
-      LEFT JOIN (
-        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
-        FROM x JOIN wtf{f}_{rounds} w USING (bucket) GROUP BY 1) s
-      USING (id)),
-    pc{f} AS (
-      SELECT y, CAST(round(10000.0 / (1.0 + exp(-round(
-               zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
-      FROM sc{f}),
-    row{f} AS (
-      SELECT CAST({f} AS BIGINT) AS fold,
-             (SELECT CAST(n AS BIGINT) FROM nntf{f}_) AS n_train,
-             CAST(count(*) AS BIGINT) AS n_test,
-             CAST(coalesce(sum(CASE WHEN (CASE WHEN p4 >= 5000 THEN 1
-                                          ELSE 0 END) = y
-                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
-               AS n_correct
-      FROM pc{f})"""
-        )
-    sel = "\n    UNION ALL ".join(
-        f"SELECT fold, n_train, n_test, n_correct,"
-        f" CAST(CASE WHEN n_test = 0 THEN 0"
-        f" ELSE floor(1e6 * n_correct / n_test + 0.5) END AS BIGINT)"
-        f" AS acc_micro FROM row{f}"
-        for f in range(folds)
-    )
-    return "".join(parts) + "\n    " + sel + "\n    ORDER BY fold"
-
-
-def _lr_gate_oracle_sql(rounds: int = 3, threshold_p4: int = 4500) -> str:
-    """Batch restatement of the WHOLE streaming quality gate: seed-frozen
-    featurizer, ``rounds`` GD rounds on the seed, feed scored under the
-    frozen (token→df, N) state, thresholded. The gate is stateless so
-    the stream provably equals this batch statement — the hash match IS
-    the batch==stream proof."""
-    return (
-        r"""WITH seed AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-    nn AS (SELECT count(*) AS n FROM seed),
-    tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
-               AS token
-      FROM seed),
-    tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-    dfr AS (SELECT token, count(*) AS df FROM tfq GROUP BY 1),
-    hw AS (
-      SELECT tfq.doc_id AS id,
-             CAST('0x' || substring(md5(tfq.token), 1, 8) AS BIGINT) % 64
-               AS bucket,
-             tfq.tf * CAST(round(ln(CAST((SELECT n FROM nn) AS DOUBLE)
-                                    / dfr.df) * 1000) AS BIGINT) AS w
-      FROM tfq JOIN dfr USING (token)),
-    v AS (SELECT id, bucket, CAST(sum(w) AS BIGINT) AS w
-          FROM hw GROUP BY 1, 2),
-    n1 AS (SELECT id, CAST(sum(w) AS BIGINT) AS n1 FROM v GROUP BY 1),
-    x AS (SELECT v.id, v.bucket,
-                 CAST(floor(v.w * 1000000.0 / greatest(n1.n1, 1))
-                      AS BIGINT) AS x
-          FROM v JOIN n1 USING (id)),
-    lab AS (SELECT doc_id AS id,
-                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-            FROM seed)"""
-        + _lr_round_chain("", "TRUE", rounds)
-        + f""",
-    tok_f AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
-               AS token
-      FROM documents WHERE doc_id % 5 = 0),
-    tfq_f AS (SELECT doc_id, token, count(*) AS tf FROM tok_f GROUP BY 1, 2),
-    hw_f AS (
-      SELECT tfq_f.doc_id AS id,
-             CAST('0x' || substring(md5(tfq_f.token), 1, 8) AS BIGINT) % 64
-               AS bucket,
-             tfq_f.tf * CAST(round(ln(CAST((SELECT n FROM nn) AS DOUBLE)
-                                      / dfr.df) * 1000) AS BIGINT) AS w
-      FROM tfq_f JOIN dfr USING (token)),
-    v_f AS (SELECT id, bucket, CAST(sum(w) AS BIGINT) AS w
-            FROM hw_f GROUP BY 1, 2),
-    n1_f AS (SELECT id, CAST(sum(w) AS BIGINT) AS n1 FROM v_f GROUP BY 1),
-    x_f AS (SELECT v_f.id, v_f.bucket,
-                   CAST(floor(v_f.w * 1000000.0 / greatest(n1_f.n1, 1))
-                        AS BIGINT) AS x
-            FROM v_f JOIN n1_f USING (id)),
-    lab_f AS (SELECT doc_id AS id,
-                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-              FROM documents WHERE doc_id % 5 = 0),
-    zf AS (
-      SELECT l.id, l.y,
-             coalesce(s.zp, 0) + (SELECT b FROM bw{rounds}) * 1000000 AS zp
-      FROM lab_f l LEFT JOIN (
-        SELECT x_f.id, CAST(sum(w.wm * x_f.x) AS BIGINT) AS zp
-        FROM x_f JOIN wt{rounds} w USING (bucket) GROUP BY 1) s USING (id)),
-    pf AS (
-      SELECT id, y, CAST(round(10000.0 / (1.0 + exp(-round(
-               zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
-      FROM zf)
-    SELECT id AS doc_id, y, p4,
-           CAST(CASE WHEN p4 >= {threshold_p4} THEN 1 ELSE 0 END AS BIGINT)
-             AS passed
-    FROM pf
-    """
-    )
-
-
-@q("streaming_quality_gate", _lr_gate_oracle_sql(3, 4500))
-def streaming_quality_gate(spark, sf_dir):
-    """DEPLOY the trained quality classifier over a document STREAM —
-    the missing half of `quality_lr_train`, and a real Structured
-    Streaming run (availableNow, checkpointed, idempotent batch sink),
-    not a batch stand-in: train 3 GD rounds on the seed (doc_id%5≠0),
-    freeze the featurizer (the seed's token→df table + N — feed tokens
-    unseen in the seed carry no weight, the honest deployed-OOV
-    behavior), then gate the doc_id%5=0 feed through a stateless
-    stream-static scoring pass at p4 ≥ 4500. The gate is stateless, so
-    the DuckDB oracle restates the WHOLE pipeline — featurizer,
-    training trajectory, feed scoring, threshold — and the hash match
-    doubles as the batch==stream proof (streaming/quality_gate.py)."""
-    from .streaming.quality_gate import quality_gate_stream
-
-    d = _t(spark, sf_dir, "documents")
-    seed = d.filter(F.col("doc_id") % 5 != 0)
-    feed = d.filter(F.col("doc_id") % 5 == 0)
-    base = _scratch_dir("quality_gate")
-    feed_dir = os.path.join(base, "feed")
-    feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
-    return quality_gate_stream(
-        spark, seed, feed_dir, base, dim=64, rounds=3, threshold_p4=4500
-    )
-
-
-@q("quality_lr_cv", _lr_cv_oracle_sql(3, 2))
-def quality_lr_cv(spark, sf_dir):
-    """3-fold cross-validation of the quality classifier — the "does it
-    GENERALIZE" audit before trusting the model on unseen crawl. Folds
-    are deterministic md5 buckets (both engines and the oracle agree on
-    the split); each fold trains 2 full-batch GD rounds on the other
-    folds (pipeline/classifier.py:lr_cv_report — one job + one ≤65-row
-    collect per round off ONE shared persisted feature frame) and
-    scores its holdout in one map-side pass. Output per fold:
-    (fold, n_train, n_test, n_correct, acc_micro) — exact integers, the
-    oracle replays all three training trajectories AND the holdout
-    confusions in one unrolled statement."""
-    from .pipeline import classifier as CL
-    from .pipeline.curation import md5_bucket
-    from .pipeline.dedup import _persist
-
-    d = _t(spark, sf_dir, "documents")
-    feats, labels = CL.quality_lr_features_and_labels(d, dim=64)
-    labels_f = d.select(
-        F.col("doc_id").alias("id"),
-        (F.col("lang") == "en").cast("long").alias("y"),
-        (md5_bucket("doc_id", 100) % 3).cast("long").alias("fold"),
-    )
-    docfeats = _persist(
-        CL.doc_feature_frame(feats, labels_f, keep_cols=("fold",))
-    )
-    return CL.lr_cv_report(docfeats, dim=64, folds=3, rounds=2)
-
-
-def _auc_leg_sql(src: str, sfx: str) -> str:
-    """Tie-corrected rank-sum ROC-AUC + step PR-AUC over a (y, s) CTE
-    ``src`` — grouped scores, doubled integer midranks, micro-frozen
-    block precisions, everything in HUGEINT (the oracle mirror of
-    pipeline/evalmetrics.py). r_{sfx} ends with one row of exact
-    integer sums; the final divisions live in the SELECT the caller
-    assembles."""
-    return f""",
-    aug{sfx} AS (SELECT s, CAST(count(*) AS HUGEINT) AS cnt,
-                        CAST(sum(y) AS HUGEINT) AS pos
-                 FROM {src} GROUP BY 1),
-    aut{sfx} AS (SELECT s, cnt, pos,
-                        sum(cnt) OVER (ORDER BY s) AS cum_cnt,
-                        sum(pos) OVER (ORDER BY s) AS cum_pos
-                 FROM aug{sfx}),
-    aua{sfx} AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS n,
-                        CAST(coalesce(sum(pos), 0) AS HUGEINT) AS np
-                 FROM aug{sfx}),
-    aur{sfx} AS (
-      SELECT a.np AS np, a.n - a.np AS nn,
-             CAST(coalesce(sum(t.pos * (2 * (t.cum_cnt - t.cnt) + t.cnt
-                   + 1)), 0) AS HUGEINT) AS r2,
-             CAST(coalesce(sum(t.pos * ((2000000 * (a.np - t.cum_pos
-                   + t.pos) + (a.n - t.cum_cnt + t.cnt))
-                   // (2 * (a.n - t.cum_cnt + t.cnt)))), 0) AS HUGEINT)
-               AS psum
-      FROM aut{sfx} t, aua{sfx} a GROUP BY 1, 2)"""
-
-
-def _auc_final_select(sfx: str, label: str) -> str:
-    return f"""SELECT '{label}' AS scorer,
-           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-           CAST(CASE WHEN np = 0 OR nn = 0 THEN 0
-                ELSE (1000000 * (r2 - np * (np + 1)) + np * nn)
-                     // (2 * np * nn) END AS BIGINT) AS roc_auc_micro,
-           CAST(CASE WHEN np = 0 THEN 0
-                ELSE (2 * psum + np) // (2 * np) END AS BIGINT)
-             AS pr_auc_micro
-    FROM aur{sfx}"""
-
-
-def _lr_auc_oracle_sql(rounds: int = 3) -> str:
-    r = rounds
-    return (
-        _lr_oracle_prefix(rounds)
-        + f""",
-    zf AS (
-      SELECT l.id, l.y,
-             coalesce(s.zp, 0) + (SELECT b FROM bw{r}) * 1000000 AS zp
-      FROM lab l LEFT JOIN (
-        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
-        FROM x JOIN wt{r} w USING (bucket) GROUP BY 1) s USING (id)),
-    lr_sc AS (
-      SELECT y, CAST(round(10000.0 / (1.0 + exp(-round(
-               zp / 1000000000000.0, 6)))) AS BIGINT) AS s
-      FROM zf),
-    """
-        + _QM_FEATURES_SQL.strip().lstrip()
-        + r""",
-    rule_sc AS (
-      SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
-             CAST(round(round(1.0 / (1.0 + exp(-round(-1.0
-                  + 2.5 * least(f.n_tokens / 100.0, 1.0)
-                  + 0.15 * f.avg_token_len - 4.0 * f.punct_ratio
-                  - 2.0 * f.upper_ratio - 3.0 * f.digit_ratio, 6))), 4)
-                  * 10000) AS BIGINT) AS s
-      FROM feats f JOIN documents d USING (doc_id))"""
-        + _auc_leg_sql("lr_sc", "_lr")
-        + _auc_leg_sql("rule_sc", "_ru")
-        + "\n    "
-        + _auc_final_select("_lr", "lr")
-        + "\n    UNION ALL "
-        + _auc_final_select("_ru", "rule")
-    )
-
-
-@q("quality_lr_auc", _lr_auc_oracle_sql(3))
-def quality_lr_auc(spark, sf_dir):
-    """Close the classifier evaluation loop with exact ROC-AUC and
-    PR-AUC — the one number a 100 TB quality-gate decision is made on —
-    for BOTH the in-engine-TRAINED logistic model (`quality_lr_train`'s
-    3-round weights) and the rule-based gate (`quality_score_model`'s
-    frozen linear logit), side by side. ROC-AUC is the Mann-Whitney
-    rank-sum with integer midranks (ties exact by construction — the
-    ×1e4-frozen scores collide constantly); PR-AUC is step average
-    precision with micro-frozen block precisions
-    (pipeline/evalmetrics.py).
-
-    Scale shape: per scorer ONE map-side-combinable groupBy(score)
-    bounds the frame at the score domain (≤10001 rows), both cumulative
-    legs share ONE two-phase range-partitioned running-totals pass
-    (operators/cumulative.py — no single-partition window), all in-plan
-    products are DECIMAL(38,0)-guarded, and the final division is exact
-    Python bigint over a 1-row collect. The DuckDB oracle replays
-    training, both scorers, midranks, and the round-half-up divisions
-    in HUGEINT and hash-matches.
-
-    Honesty note (same as `quality_lr_train`): this synthetic corpus
-    has no text↔label signal, so BOTH scorers sit near 0.5 ROC-AUC —
-    the registered contract is metric exactness, not model skill."""
-    from .pipeline.evalmetrics import rank_auc_report
-
-    d = _t(spark, sf_dir, "documents")
-    lr_scored = _lr_scored_frame(spark, sf_dir).select(
-        "y", F.col("p4").alias("s")
-    )
-    # the rule leg needs only the label (lang == 'en'), never the
-    # hashed-TF-IDF features — label is a plain projection off documents
-    labels = d.select(
-        F.col("doc_id").alias("id"),
-        (F.col("lang") == "en").cast("long").alias("y"),
-    )
-    rule_scored = (
-        TXT.quality_score_model(d)
-        .select(
-            F.col("doc_id").alias("id"),
-            F.round(F.col("quality_prob") * 10000).cast("long").alias("s"),
-        )
-        .join(labels, "id")
-        .select("y", "s")
-    )
-    rows = []
-    for name, sc in (("lr", lr_scored), ("rule", rule_scored)):
-        np_, nn, roc, pr = rank_auc_report(sc, "s", "y")
-        rows.append((name, np_, nn, roc, pr))
-    return spark.createDataFrame(
-        rows,
-        "scorer string, n_pos long, n_neg long,"
-        " roc_auc_micro long, pr_auc_micro long",
-    )
-
-
-def _lr_threshold_oracle_sql(rounds: int = 3, step: int = 500) -> str:
-    r = rounds
-    return (
-        _lr_oracle_prefix(rounds)
-        + f""",
-    zf AS (
-      SELECT l.id, l.y,
-             coalesce(s.zp, 0) + (SELECT b FROM bw{r}) * 1000000 AS zp
-      FROM lab l LEFT JOIN (
-        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
-        FROM x JOIN wt{r} w USING (bucket) GROUP BY 1) s USING (id)),
-    pf AS (
-      SELECT y, CAST(round(10000.0 / (1.0 + exp(-round(
-               zp / 1000000000000.0, 6)))) AS BIGINT) AS s
-      FROM zf),
-    sg AS (SELECT s, CAST(count(*) AS HUGEINT) AS cnt,
-                  CAST(sum(y) AS HUGEINT) AS pos
-           FROM pf GROUP BY 1),
-    tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS n,
-                   CAST(coalesce(sum(pos), 0) AS HUGEINT) AS np
-            FROM sg),
-    th AS (SELECT CAST(t.t AS BIGINT) AS threshold
-           FROM generate_series(0, 10000, {step}) t(t)),
-    pt AS (SELECT th.threshold,
-                  CAST(coalesce(sum(sg.pos), 0) AS HUGEINT) AS tp,
-                  CAST(coalesce(sum(sg.cnt), 0) AS HUGEINT) AS pp
-           FROM th LEFT JOIN sg ON sg.s >= th.threshold GROUP BY 1)
-    SELECT threshold,
-           CAST(tp AS BIGINT) AS tp,
-           CAST(pp - tp AS BIGINT) AS fp,
-           CAST(np - tp AS BIGINT) AS fn,
-           CAST((n - np) - (pp - tp) AS BIGINT) AS tn,
-           CAST(CASE WHEN pp = 0 THEN 0
-                ELSE (2000000 * tp + pp) // (2 * pp) END AS BIGINT)
-             AS prec_micro,
-           CAST(CASE WHEN np = 0 THEN 0
-                ELSE (2000000 * tp + np) // (2 * np) END AS BIGINT)
-             AS rec_micro,
-           CAST(CASE WHEN (2 * tp + (pp - tp) + (np - tp)) = 0 THEN 0
-                ELSE (4000000 * tp + (2 * tp + (pp - tp) + (np - tp)))
-                     // (2 * (2 * tp + (pp - tp) + (np - tp))) END
-                AS BIGINT) AS f1_micro
-    FROM pt, tot"""
-    )
-
-
-@q("quality_lr_threshold_sweep", _lr_threshold_oracle_sql(3, 500))
-def quality_lr_threshold_sweep(spark, sf_dir):
-    """Pick the OPERATING POINT: confusion counts and exact-integer
-    precision/recall/F1 for the trained quality classifier at every
-    gate threshold (0..10000 step 500) — the table a pipeline owner
-    reads after `quality_lr_auc` says the ranking is usable, to choose
-    where to cut 100 TB. Scale shape: ONE map-side groupBy(score)
-    bounds the corpus at the score domain (≤10001 rows); the sweep is
-    then a broadcast range join of 21 threshold rows against that
-    bounded frame — per-threshold counts NEVER rescan the corpus. All
-    ratios are round-half-up bigint divisions (DECIMAL(38,0)-guarded),
-    so the DuckDB oracle replays training + sweep and hash-matches.
-    The scored frame is memo-served (`_lr_scored_frame`)."""
-    scored = _lr_scored_frame(spark, sf_dir)
-    g = scored.groupBy(F.col("p4").alias("s")).agg(
-        F.count("*").cast("long").alias("cnt"),
-        F.sum("y").cast("long").alias("pos"),
-    )
-    tot = g.agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.sum("pos").cast("long").alias("np"),
-    )
-    th = spark.range(0, 10001, 500).select(F.col("id").alias("threshold"))
-    pt = (
-        th.join(F.broadcast(g), F.col("s") >= F.col("threshold"), "left")
-        .groupBy("threshold")
-        .agg(
-            F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("tp"),
-            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("pp"),
-        )
-    )
-    # decimal-FIRST products: CAST(lit AS DECIMAL(38,0)) * col — never
-    # multiply in int64 and cast after (the aqp_sampled_revenue lesson)
-    d2m = "CAST(2000000 AS DECIMAL(38,0))"
-    d2 = "CAST(2 AS DECIMAL(38,0))"
-    d4m = "CAST(4000000 AS DECIMAL(38,0))"
-    return pt.crossJoin(F.broadcast(tot)).select(
-        "threshold",
-        F.col("tp"),
-        (F.col("pp") - F.col("tp")).alias("fp"),
-        (F.col("np") - F.col("tp")).alias("fn"),
-        ((F.col("n") - F.col("np")) - (F.col("pp") - F.col("tp"))).alias(
-            "tn"
-        ),
-        F.expr(
-            f"CASE WHEN pp = 0 THEN 0 ELSE ({d2m} * tp + pp)"
-            f" div ({d2} * pp) END"
-        ).alias("prec_micro"),
-        F.expr(
-            f"CASE WHEN np = 0 THEN 0 ELSE ({d2m} * tp + np)"
-            f" div ({d2} * np) END"
-        ).alias("rec_micro"),
-        F.expr(
-            "CASE WHEN (2 * tp + (pp - tp) + (np - tp)) = 0 THEN 0 ELSE"
-            f" ({d4m} * tp + (2 * tp + (pp - tp) + (np - tp)))"
-            f" div ({d2} * (2 * tp + (pp - tp) + (np - tp))) END"
-        ).alias("f1_micro"),
-    )
-
-
-@q(
-    "ann_mutual_knn_blocking_recall",
-    f"""
-    WITH s AS (
-      SELECT vec_id, {_BINARY_PACK_DUCK} AS w FROM embeddings),
-    a AS (SELECT vec_id AS id_a, w AS wa FROM s WHERE vec_id % 2 = 0),
-    b AS (SELECT vec_id AS id_b, w AS wb FROM s WHERE vec_id % 2 = 1),
-    fwd AS (
-      SELECT a.id_a, b.id_b, bit_count(xor(a.wa, b.wb)) AS hamming,
-             row_number() OVER (
-               PARTITION BY a.id_a
-               ORDER BY bit_count(xor(a.wa, b.wb)) ASC, b.id_b) AS rank_ab,
-             row_number() OVER (
-               PARTITION BY b.id_b
-               ORDER BY bit_count(xor(a.wa, b.wb)) ASC, a.id_a) AS rank_ba
-      FROM a, b),
-    exact AS (SELECT id_a, id_b FROM fwd
-              WHERE rank_ab <= 5 AND rank_ba <= 5),
-    ab AS (SELECT id_a, wa, t.band,
-                  (wa >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
-           FROM a, generate_series(0, 3) t(band)),
-    bb AS (SELECT id_b, wb, t.band,
-                  (wb >> CAST(t.band * 16 AS INTEGER)) & 65535 AS key
-           FROM b, generate_series(0, 3) t(band)),
-    cand AS (SELECT DISTINCT id_a, id_b, wa, wb
-             FROM ab JOIN bb USING (band, key)),
-    cr AS (SELECT id_a, id_b,
-                  row_number() OVER (
-                    PARTITION BY id_a
-                    ORDER BY bit_count(xor(wa, wb)) ASC, id_b) AS rank_ab,
-                  row_number() OVER (
-                    PARTITION BY id_b
-                    ORDER BY bit_count(xor(wa, wb)) ASC, id_a) AS rank_ba
-           FROM cand),
-    bucketed AS (SELECT id_a, id_b FROM cr
-                 WHERE rank_ab <= 5 AND rank_ba <= 5),
-    agg AS (SELECT
-        (SELECT CAST(count(*) AS HUGEINT) FROM exact) AS n_exact,
-        (SELECT CAST(count(*) AS HUGEINT) FROM bucketed) AS n_bucketed,
-        (SELECT CAST(count(*) AS HUGEINT)
-         FROM exact JOIN bucketed USING (id_a, id_b)) AS n_common)
-    SELECT CAST(n_exact AS BIGINT) AS n_exact,
-           CAST(n_bucketed AS BIGINT) AS n_bucketed,
-           CAST(n_common AS BIGINT) AS n_common,
-           CAST(CASE WHEN n_exact = 0 THEN 0
-                ELSE (2000000 * n_common + n_exact) // (2 * n_exact) END
-                AS BIGINT) AS recall_micro,
-           CAST(CASE WHEN n_bucketed = 0 THEN 0
-                ELSE (2000000 * n_common + n_bucketed) // (2 * n_bucketed)
-                END AS BIGINT) AS precision_micro
-    FROM agg
-    """,
-)
-def ann_mutual_knn_blocking_recall(spark, sf_dir):
-    """Blocking-quality audit ON THE REAL CORPUS: the banded-blocking
-    scale twin's mutual-pair set measured against the exact all-pairs
-    truth — pair recall and precision as round-half-up micro integers.
-    This is `minhash_pr_eval`'s pattern applied to the Hamming-space
-    miner: the truth leg is DELIBERATELY quadratic — it exists to audit
-    the scale path — so beyond `_BLOCKING_TRUTH_CAP` query points the
-    audit runs on a SAMPLED SLICE of the a-side (deterministic md5
-    modulus, the `aqp_sampled_revenue` idiom): both legs consume the
-    SAME slice, so recall/precision remain an apples-to-apples estimate
-    of the full audit, and the exact leg's cost is capped at
-    cap × |B| — linear in the corpus, never quadratic. At sf0.01 (the
-    oracle gate: 250 a-points) and sf0.1 (bench: 1000) the cap keeps
-    FULL truth, so the DuckDB oracle hash is exact, not sampled. Both
-    legs and the division are deterministic, so the audit carries a
-    full oracle."""
-    from .pipeline.curation import md5_bucket
-
-    emb = _t(spark, sf_dir, "embeddings")
-    a_side = emb.filter(F.col("vec_id") % 2 == 0)
-    b_side = emb.filter(F.col("vec_id") % 2 == 1)
-    n_a = a_side.count()
-    if n_a > _BLOCKING_TRUTH_CAP:
-        mod = -(-n_a // _BLOCKING_TRUTH_CAP)  # ceil: expected ~cap kept
-        a_side = a_side.filter(md5_bucket("vec_id", mod) == 0)
-    exact = SIM.mutual_knn_hamming(a_side, b_side, k=5).select(
-        "id_a", "id_b", F.lit(1).alias("in_e")
-    )
-    buck = SIM.mutual_knn_hamming_bucketed(
-        a_side, b_side, k=5, bands=4
-    ).select("id_a", "id_b", F.lit(1).alias("in_b"))
-    j = exact.join(buck, ["id_a", "id_b"], "full_outer")
-    agg = j.agg(
-        F.coalesce(F.sum("in_e"), F.lit(0)).cast("long").alias("n_exact"),
-        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_bucketed"),
-        F.coalesce(F.sum(F.col("in_e") * F.col("in_b")), F.lit(0))
-        .cast("long")
-        .alias("n_common"),
-    )
-    d2m = "CAST(2000000 AS DECIMAL(38,0))"
-    d2 = "CAST(2 AS DECIMAL(38,0))"
-    return agg.select(
-        "n_exact",
-        "n_bucketed",
-        "n_common",
-        F.expr(
-            "CASE WHEN n_exact = 0 THEN 0 ELSE"
-            f" ({d2m} * n_common + n_exact)"
-            f" div ({d2} * n_exact) END"
-        ).alias("recall_micro"),
-        F.expr(
-            "CASE WHEN n_bucketed = 0 THEN 0 ELSE"
-            f" ({d2m} * n_common + n_bucketed)"
-            f" div ({d2} * n_bucketed) END"
-        ).alias("precision_micro"),
-    )
-
-
-def _lr_final_scores_cte(rounds: int) -> str:
-    """zf/pf CTE block: (id, y, p4) under the trained round-``rounds``
-    model — shared by the ECE oracle (calibration/AUC oracles predate
-    the helper and keep their inline copies)."""
-    r = rounds
-    return f""",
-    zf AS (
-      SELECT l.id, l.y,
-             coalesce(s.zp, 0) + (SELECT b FROM bw{r}) * 1000000 AS zp
-      FROM lab l LEFT JOIN (
-        SELECT x.id, CAST(sum(w.wm * x.x) AS BIGINT) AS zp
-        FROM x JOIN wt{r} w USING (bucket) GROUP BY 1) s USING (id)),
-    pf AS (
-      SELECT id, y, CAST(round(10000.0 / (1.0 + exp(-round(
-               zp / 1000000000000.0, 6)))) AS BIGINT) AS p4
-      FROM zf)"""
-
-
-def _lr_ece_oracle_sql(rounds: int = 3) -> str:
-    return (
-        _lr_oracle_prefix(rounds)
-        + _lr_final_scores_cte(rounds)
-        + """,
-    bins AS (
-      SELECT least(CAST(floor(p4 / 1000.0) AS BIGINT), 9) AS bin,
-             CAST(count(*) AS HUGEINT) AS n_b,
-             CAST(sum(p4) AS HUGEINT) AS sum_p4,
-             CAST(sum(y) AS HUGEINT) AS pos_b
-      FROM pf GROUP BY 1),
-    tot AS (SELECT CAST(coalesce(sum(n_b), 0) AS HUGEINT) AS n,
-                   CAST(count(*) AS BIGINT) AS n_bins
-            FROM bins),
-    terms AS (
-      SELECT abs(100 * sum_p4 - 1000000 * pos_b) AS gap_num, n_b
-      FROM bins)
-    SELECT CAST(n AS BIGINT) AS n_docs, n_bins,
-           CAST(CASE WHEN n = 0 THEN 0 ELSE
-                (2 * (SELECT CAST(coalesce(sum(gap_num), 0) AS HUGEINT)
-                      FROM terms) + n) // (2 * n) END AS BIGINT)
-             AS ece_micro,
-           CAST(coalesce((SELECT max((2 * gap_num + n_b) // (2 * n_b))
-                          FROM terms), 0) AS BIGINT) AS mce_micro
-    FROM tot"""
-    )
-
-
-@q("quality_lr_ece", _lr_ece_oracle_sql(3))
-def quality_lr_ece(spark, sf_dir):
-    """Expected Calibration Error — the ONE number read off the decile
-    reliability table (`quality_lr_calibration`): ECE = Σ_b (n_b/n) ·
-    |confidence_b − accuracy_b| plus MCE (the worst bin), both exact
-    round-half-up micro integers. The per-bin divisions cancel
-    algebraically — each bin's weighted gap is |100·Σp4 − 1e6·pos| / n,
-    so the whole statistic is ONE integer numerator sum and ONE final
-    bigint division (no per-bin FP). Scale shape: one corpus scoring
-    pass into a ≤10-key map-side-combinable groupBy; everything after
-    is bin-sized. The oracle replays training + binning + both
-    divisions in HUGEINT and hash-matches. The scored frame is
-    memo-served (`_lr_scored_frame`); on an EMPTY corpus every
-    aggregate coalesces to 0 so the (0, 0, 0, 0) row matches the
-    oracle's coalesced sums."""
-    scored = _lr_scored_frame(spark, sf_dir)
-    bins = (
-        scored.select(
-            F.least(
-                F.floor(F.col("p4") / F.lit(1000.0)).cast("long"), F.lit(9)
-            ).alias("bin"),
-            "p4",
-            "y",
-        )
-        .groupBy("bin")
-        .agg(
-            F.count("*").cast("long").alias("n_b"),
-            F.sum("p4").cast("long").alias("sum_p4"),
-            F.sum("y").cast("long").alias("pos_b"),
-        )
-    )
-    d100 = "CAST(100 AS DECIMAL(38,0))"
-    d1m = "CAST(1000000 AS DECIMAL(38,0))"
-    d2 = "CAST(2 AS DECIMAL(38,0))"
-    terms = bins.select(
-        F.expr(f"abs({d100} * sum_p4 - {d1m} * pos_b)").alias("gap_num"),
-        "n_b",
-    )
-    agg = terms.agg(
-        # coalesce: sum over an EMPTY frame is NULL, which would slip
-        # past the n_docs = 0 guard below (the oracle's coalesced sums
-        # return 0); ADVICE r12
-        F.coalesce(F.sum(F.col("n_b")), F.lit(0)).cast("long").alias("n_docs"),
-        F.count("*").cast("long").alias("n_bins"),
-        F.coalesce(
-            F.sum("gap_num").cast("decimal(38,0)"),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("gap_sum"),
-        F.max(
-            F.expr(f"({d2} * gap_num + n_b) div ({d2} * n_b)")
-        ).alias("mce_micro"),
-    )
-    return agg.select(
-        "n_docs",
-        "n_bins",
-        F.expr(
-            f"CASE WHEN n_docs = 0 THEN 0 ELSE ({d2} * gap_sum + n_docs)"
-            f" div ({d2} * n_docs) END"
-        ).alias("ece_micro"),
-        F.coalesce(F.col("mce_micro"), F.lit(0))
-        .cast("long")
-        .alias("mce_micro"),
-    )
-
-
-def _lang_eval_oracle_sql() -> str:
-    scores = ", ".join(
-        f"{_lang_score_sql(lang, sw)} AS s_{lang}"
-        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
-    )
-    best = ", ".join(
-        f"{_lang_score_sql(lang, sw)}"
-        for lang, sw in sorted(TXT.LANG_STOPWORDS.items())
-    )
-    return f"""
-    WITH scored AS (
-      SELECT doc_id, lang AS lang_true, {scores},
-             greatest({best}) AS best
-      FROM documents),
-    pred AS (
-      SELECT doc_id, lang_true,
-             CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
-      FROM scored),
-    cm AS (SELECT lang_true, lang_pred,
-                  CAST(count(*) AS HUGEINT) AS n
-           FROM pred GROUP BY 1, 2),
-    classes AS (SELECT DISTINCT lang_true AS lang FROM cm
-                UNION SELECT DISTINCT lang_pred FROM cm),
-    stats AS (
-      SELECT c.lang,
-             CAST(coalesce((SELECT sum(n) FROM cm
-                            WHERE lang_true = c.lang), 0) AS HUGEINT)
-               AS n_true,
-             CAST(coalesce((SELECT sum(n) FROM cm
-                            WHERE lang_pred = c.lang), 0) AS HUGEINT)
-               AS n_pred,
-             CAST(coalesce((SELECT sum(n) FROM cm
-                            WHERE lang_true = c.lang
-                              AND lang_pred = c.lang), 0) AS HUGEINT)
-               AS tp
-      FROM classes c)
-    SELECT lang, CAST(n_true AS BIGINT) AS n_true,
-           CAST(n_pred AS BIGINT) AS n_pred,
-           CAST(tp AS BIGINT) AS tp,
-           CAST(CASE WHEN n_pred = 0 THEN 0
-                ELSE (2000000 * tp + n_pred) // (2 * n_pred) END AS BIGINT)
-             AS prec_micro,
-           CAST(CASE WHEN n_true = 0 THEN 0
-                ELSE (2000000 * tp + n_true) // (2 * n_true) END AS BIGINT)
-             AS rec_micro,
-           CAST(CASE WHEN (n_pred + n_true) = 0 THEN 0
-                ELSE (4000000 * tp + (n_pred + n_true))
-                     // (2 * (n_pred + n_true)) END AS BIGINT) AS f1_micro
-    FROM stats"""
-
-
-@q("lang_id_eval", _lang_eval_oracle_sql())
-def lang_id_eval(spark, sf_dir):
-    """Close the evaluation loop for the OTHER classifier in the engine:
-    per-class precision/recall/F1 of the stopword-overlap language-ID
-    heuristic against the corpus's true `lang` column (the 'und'
-    rejection class included — its recall is 0 by construction since no
-    document is truly unidentifiable). Same exact-integer discipline as
-    `quality_lr_threshold_sweep`: the corpus collapses through ONE
-    (true, pred) groupBy (≤ L² rows for L languages), per-class counts
-    come from that bounded confusion frame, and every ratio is a
-    round-half-up bigint division — full oracle, hash-match.
-
-    Scale note: pred and truth ride one documents scan each side of a
-    doc_id-keyed join; at 100 TB fold the truth column into the scoring
-    projection to make it one scan (the join is kept here so the
-    registered query composes the UNMODIFIED `lang_id` operator)."""
-    d = _t(spark, sf_dir, "documents")
-    pred = TXT.lang_id(d).select("doc_id", "lang_pred")
-    truth = d.select("doc_id", F.col("lang").alias("lang_true"))
-    cm = (
-        pred.join(truth, "doc_id")
-        .groupBy("lang_true", "lang_pred")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    cm = DD._persist(cm)
-    classes = (
-        cm.select(F.col("lang_true").alias("lang"))
-        .union(cm.select("lang_pred"))
-        .distinct()
-    )
-    n_true = cm.groupBy(F.col("lang_true").alias("lang")).agg(
-        F.sum("n").cast("long").alias("n_true")
-    )
-    n_pred = cm.groupBy(F.col("lang_pred").alias("lang")).agg(
-        F.sum("n").cast("long").alias("n_pred")
-    )
-    tp = (
-        cm.filter(F.col("lang_true") == F.col("lang_pred"))
-        .select(F.col("lang_true").alias("lang"), F.col("n").alias("tp"))
-    )
-    d2m = "CAST(2000000 AS DECIMAL(38,0))"
-    d4m = "CAST(4000000 AS DECIMAL(38,0))"
-    d2 = "CAST(2 AS DECIMAL(38,0))"
-    out = (
-        classes.join(n_true, "lang", "left")
-        .join(n_pred, "lang", "left")
-        .join(tp, "lang", "left")
-        .select(
-            "lang",
-            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
-            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
-            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
-        )
-    )
-    return out.select(
-        "lang",
-        "n_true",
-        "n_pred",
-        "tp",
-        F.expr(
-            f"CASE WHEN n_pred = 0 THEN 0 ELSE ({d2m} * tp + n_pred)"
-            f" div ({d2} * n_pred) END"
-        ).alias("prec_micro"),
-        F.expr(
-            f"CASE WHEN n_true = 0 THEN 0 ELSE ({d2m} * tp + n_true)"
-            f" div ({d2} * n_true) END"
-        ).alias("rec_micro"),
-        F.expr(
-            f"CASE WHEN (n_pred + n_true) = 0 THEN 0 ELSE"
-            f" ({d4m} * tp + (n_pred + n_true))"
-            f" div ({d2} * (n_pred + n_true)) END"
-        ).alias("f1_micro"),
-    )
-
-
-@q(
-    "streaming_drift_psi",
-    "WITH "
-    + _QM_FEATURES_SQL
-    + r"""
-    , m AS (
-      SELECT doc_id,
-             round(1.0 / (1.0 + exp(-round(-1.0
-                   + 2.5 * least(n_tokens / 100.0, 1.0)
-                   + 0.15 * avg_token_len - 4.0 * punct_ratio
-                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
-               AS quality_prob
-      FROM feats),
-    binned AS (
-      SELECT doc_id,
-             least(CAST(floor(quality_prob * 10) AS BIGINT), 9) AS bin
-      FROM m),
-    cr AS (SELECT bin, count(*) AS cnt FROM binned
-           WHERE doc_id % 5 <> 0 GROUP BY 1),
-    cf AS (SELECT bin, count(*) AS cnt FROM binned
-           WHERE doc_id % 5 = 0 GROUP BY 1),
-    grid AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS bin),
-    s AS (SELECT grid.bin,
-                 coalesce(cr.cnt, 0) + 1 AS c1r,
-                 coalesce(cf.cnt, 0) + 1 AS c1f
-          FROM grid LEFT JOIN cr USING (bin) LEFT JOIN cf USING (bin)),
-    t AS (SELECT sum(c1r) AS tr, sum(c1f) AS tf FROM s),
-    p AS (SELECT bin, c1r, c1f,
-                 CAST(c1r AS DOUBLE) / t.tr AS pr,
-                 CAST(c1f AS DOUBLE) / t.tf AS pf
-          FROM s, t)
-    SELECT bin,
-           CAST(c1r - 1 AS BIGINT) AS cnt_ref,
-           CAST(c1f - 1 AS BIGINT) AS cnt_feed,
-           CAST(round((pr - pf) * ln(pr / pf) * 1000000) AS BIGINT)
-             AS psi_term_micro
-    FROM p
-    """,
-)
-def streaming_drift_psi(spark, sf_dir):
-    """Deploy-time DRIFT MONITOR as a real Structured Streaming run —
-    the retrain trigger next to the quality gate: freeze the training
-    slice's (doc_id%5≠0) quality-score decile histogram, stream the
-    feed (doc_id%5=0, availableNow, checkpointed) through a per-batch
-    ≤10-key decile count landed via the idempotent sink, then finalize
-    PSI over the summed partials against the frozen reference. The
-    per-batch partials make the REGISTERED result independent of
-    micro-batch boundaries, so the DuckDB oracle restates the whole
-    thing in batch SQL and hash-matches — the second fully
-    oracle-checked streaming op (`streaming_quality_gate` precedent);
-    PSI terms use `psi_drift_sources`' frozen integer-micro
-    discipline. Sink state is O(batches × 10) rows at ANY feed size
-    (streaming/drift_monitor.py)."""
-    from .streaming.drift_monitor import drift_psi_stream
-
-    d = _t(spark, sf_dir, "documents")
-    ref = d.filter(F.col("doc_id") % 5 != 0)
-    feed = d.filter(F.col("doc_id") % 5 == 0)
-    base = _scratch_dir("drift_psi")
-    feed_dir = os.path.join(base, "feed")
-    feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
-    return drift_psi_stream(spark, ref, feed_dir, base)
-
-
-@q(
-    "weighted_sample_tokens",
-    r"""
-    WITH w AS (
-      SELECT doc_id,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
-                  END AS BIGINT) AS n_tokens,
-             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-                  AS BIGINT) AS h
-      FROM documents)
-    SELECT doc_id, n_tokens,
-           CAST(round(ln((h + 1.0) / 281474976710656.0)
-                      / greatest(n_tokens, 1) * 1000) AS BIGINT)
-             AS es_key_milli
-    FROM w WHERE n_tokens > 0
-    ORDER BY es_key_milli DESC, doc_id LIMIT 100
-    """,
-)
-def weighted_sample_tokens(spark, sf_dir):
-    """Deterministic weighted sampling without replacement
-    (Efraimidis–Spirakis): 100 documents drawn proportional to token
-    count — the "sample big docs more" pull every mixture/debug
-    workflow needs, reproducible across engines, retries and
-    repartitionings because the randomness is the md5-uniform of the
-    id and the u^(1/w) key is compared in milli-nat log space
-    (pipeline/curation.py:weighted_sample_es). ONE codegen projection
-    + a global top-k (TakeOrdered: per-partition heaps) — the same
-    cost as any top-k at 100 TB; full oracle restates key and
-    selection."""
-    from .pipeline.curation import weighted_sample_es
-
-    d = _t(spark, sf_dir, "documents")
-    w = d.select("doc_id", TXT.token_count(F.col("text")).cast("long").alias("n_tokens"))
-    return weighted_sample_es(w, "n_tokens", k=100).select(
-        "doc_id", "n_tokens", "es_key_milli"
-    )
-
-
-@q(
-    "curriculum_schedule",
-    "WITH "
-    + _QM_FEATURES_SQL
-    + r"""
-    , m AS (
-      SELECT doc_id,
-             CAST(round(round(1.0 / (1.0 + exp(-round(-1.0
-                   + 2.5 * least(n_tokens / 100.0, 1.0)
-                   + 0.15 * avg_token_len - 4.0 * punct_ratio
-                   - 2.0 * upper_ratio - 3.0 * digit_ratio, 6))), 4)
-                   * 10000) AS BIGINT) AS q4
-      FROM feats),
-    r AS (SELECT doc_id, q4,
-                 row_number() OVER (ORDER BY q4 DESC, doc_id) AS pos,
-                 count(*) OVER () AS n
-          FROM m)
-    SELECT doc_id, q4, CAST(pos AS BIGINT) AS pos,
-           CAST((4 * (pos - 1)) // n AS BIGINT) AS phase
-    FROM r
-    """,
-)
-def curriculum_schedule(spark, sf_dir):
-    """Curriculum ordering of the WHOLE corpus: every document gets its
-    global training position by quality score (best first, id
-    tiebreak) plus a 4-phase bucket — the easy-to-hard schedule a
-    curriculum-trained run consumes. The global rank is the
-    two-phase range-partition primitive at DOC granularity
-    (`operators/cumulative.py:running_totals` — range buckets, ONE
-    constant-size offset exchange, per-partition window; the registry
-    lint forbids the single-partition row_number this would otherwise
-    be), so the plan sorts 100 TB the way a distributed sort should.
-    Exact integers end to end (×1e4-frozen score, bigint phase
-    division); the oracle restates scoring, rank and phase."""
-    from .operators.cumulative import running_totals
-
-    d = _t(spark, sf_dir, "documents")
-    m = TXT.quality_score_model(d).select(
-        "doc_id",
-        F.round(F.col("quality_prob") * 10000).cast("long").alias("q4"),
-    )
-    ranked = running_totals(
-        m.withColumn("_one", F.lit(1).cast("long")),
-        [F.col("q4").desc(), F.col("doc_id")],
-        [("_one", "pos")],
-    )
-    tot = m.agg(F.count("*").cast("long").alias("n"))
-    return ranked.crossJoin(F.broadcast(tot)).select(
-        "doc_id",
-        "q4",
-        "pos",
-        F.expr("(4 * (pos - 1)) div n").alias("phase"),
-    )
-
-
-@q(
-    "ks_length_drift",
-    r"""
-    WITH toks AS (
-      SELECT CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
-                  END AS BIGINT) AS v,
-             coalesce(TRY_CAST(regexp_extract(source, '(\d+)', 1)
-                               AS BIGINT), 0) % 2 AS grp
-      FROM documents),
-    g AS (SELECT v,
-                 CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS HUGEINT)
-                   AS c1,
-                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT)
-                   AS c2
-          FROM toks GROUP BY 1),
-    rt AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
-                  sum(c2) OVER (ORDER BY v) AS cum2
-           FROM g),
-    tot AS (SELECT CAST(coalesce(sum(c1), 0) AS HUGEINT) AS n1,
-                   CAST(coalesce(sum(c2), 0) AS HUGEINT) AS n2
-            FROM g),
-    nums AS (SELECT rt.v,
-                    abs(rt.cum1 * t.n2 - rt.cum2 * t.n1) AS num
-             FROM rt, tot t),
-    mx AS (SELECT max(num) AS mnum FROM nums)
-    SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
-           CAST(CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN 0
-                ELSE (2000000 * m.mnum + t.n1 * t.n2)
-                     // (2 * t.n1 * t.n2) END AS BIGINT) AS ks_micro,
-           CAST((SELECT min(v) FROM nums WHERE num = m.mnum) AS BIGINT)
-             AS ks_at_value
-    FROM tot t, mx m
-    """,
-)
-def ks_length_drift(spark, sf_dir):
-    """Two-sample Kolmogorov–Smirnov drift test on the document-length
-    distribution between the even and odd source cohorts — the
-    distribution-free "did the new crawl slice change shape"
-    companion to the binned PSI (which can miss within-bin shifts).
-    EXACT: KS = max_v |F1(v) − F2(v)| = max_v |cum1·n2 − cum2·n1| /
-    (n1·n2), so the whole statistic is integer numerators with ONE
-    final round-half-up bigint division; `ks_at_value` reports the
-    (smallest) length where the gap peaks. Scale shape: the corpus
-    collapses through ONE map-side-combinable groupBy(length); both
-    cohorts' cumulative legs share ONE two-phase range-partitioned
-    running-totals pass (operators/cumulative.py — the AUC machinery
-    reused); everything after is length-domain-bounded."""
-    from .operators.cumulative import running_totals
-
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        TXT.token_count(F.col("text")).cast("long").alias("v"),
-        (
-            F.coalesce(
-                F.regexp_extract(F.col("source"), r"(\d+)", 1).try_cast(
-                    "long"
-                ),
-                F.lit(0),
-            )
-            % 2
-        ).alias("grp"),
-    )
-    g = DD._persist(
-        toks.groupBy("v").agg(
-            F.sum((F.col("grp") == 0).cast("long")).cast("long").alias("c1"),
-            F.sum((F.col("grp") == 1).cast("long")).cast("long").alias("c2"),
-        )
-    )
-    rt = running_totals(g, ["v"], [("c1", "cum1"), ("c2", "cum2")])
-    tot = g.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
-    )
-    dec = "CAST({} AS DECIMAL(38,0))"
-    nums = rt.crossJoin(F.broadcast(tot)).select(
-        "v",
-        F.expr(
-            f"abs({dec.format('cum1')} * n2 - {dec.format('cum2')} * n1)"
-        ).alias("num"),
-    )
-    agg = nums.agg(F.max("num").alias("mnum"))
-    at = (
-        nums.crossJoin(F.broadcast(agg))
-        .filter(F.col("num") == F.col("mnum"))
-        .agg(F.min("v").cast("long").alias("ks_at_value"))
-    )
-    d2m = "CAST(2000000 AS DECIMAL(38,0))"
-    d2 = "CAST(2 AS DECIMAL(38,0))"
-    return (
-        tot.crossJoin(F.broadcast(agg))
-        .crossJoin(F.broadcast(at))
-        .select(
-            "n1",
-            "n2",
-            F.expr(
-                f"CASE WHEN n1 = 0 OR n2 = 0 THEN 0 ELSE"
-                f" ({d2m} * mnum + {dec.format('n1')} * n2)"
-                f" div ({d2} * n1 * n2) END"
-            ).alias("ks_micro"),
-            "ks_at_value",
-        )
-    )
-
-
-@q(
-    "source_overlap_matrix",
-    r"""
-    WITH toks AS (
-      SELECT source,
-             string_split_regex(trim(lower(text)), '\s+') AS ts
-      FROM documents WHERE trim(text) <> ''),
-    sh AS (
-      SELECT DISTINCT source,
-             unnest([ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
-                     FOR i IN generate_series(1, len(ts) - 2)]) AS shingle
-      FROM toks WHERE len(ts) >= 3),
-    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
-              FROM sh GROUP BY 1),
-    pairs AS (
-      SELECT a.source AS src_a, b.source AS src_b,
-             CAST(count(*) AS BIGINT) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle
-      WHERE a.source < b.source
-      GROUP BY 1, 2),
-    j AS (SELECT p.src_a, p.src_b, p.n_common,
-                 sa.n_sh AS n_a, sb.n_sh AS n_b
-          FROM pairs p
-          JOIN sizes sa ON sa.source = p.src_a
-          JOIN sizes sb ON sb.source = p.src_b)
-    SELECT src_a, src_b, n_a, n_b, n_common,
-           CAST((2000000 * CAST(n_common AS HUGEINT)
-                 + (n_a + n_b - n_common))
-                // (2 * CAST(n_a + n_b - n_common AS HUGEINT)) AS BIGINT)
-             AS jaccard_micro
-    FROM j
-    """,
-)
-def source_overlap_matrix(spark, sf_dir):
-    """Pairwise content overlap between corpus SOURCES (crawl
-    snapshots): distinct 3-gram shingle sets per source, Jaccard for
-    every co-occurring pair — the "how redundant are my snapshots"
-    audit that decides which slices to keep before dedup even runs.
-    Scale shape: one tokenize pass → distinct (source, shingle)
-    (map-side combinable), then an inverted-index equi-join on the
-    shingle — pair volume is Σ_shingle df² with df ≤ |sources| (a
-    SMALL constant), never corpus-quadratic; sizes/pairs frames are
-    source-domain-bounded. Exact integers, round-half-up micro
-    Jaccard, full oracle."""
-    from .pipeline.curation import ngram_array
-
-    d = _t(spark, sf_dir, "documents")
-    sh = DD._persist(
-        d.filter(F.trim(F.col("text")) != "")
-        .select(
-            "source",
-            F.explode(ngram_array(F.col("text"), 3)).alias("shingle"),
-        )
-        .distinct()
-    )
-    sizes = sh.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_sh")
-    )
-    a = sh.select(F.col("source").alias("src_a"), "shingle")
-    b = sh.select(F.col("source").alias("src_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").cast("long").alias("n_common"))
-    )
-    j = (
-        pairs.join(
-            sizes.select(
-                F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
-            ),
-            "src_a",
-        )
-        .join(
-            sizes.select(
-                F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
-            ),
-            "src_b",
-        )
-    )
-    d2m = "CAST(2000000 AS DECIMAL(38,0))"
-    d2 = "CAST(2 AS DECIMAL(38,0))"
-    return j.select(
-        "src_a",
-        "src_b",
-        "n_a",
-        "n_b",
-        "n_common",
-        F.expr(
-            f"({d2m} * n_common + (n_a + n_b - n_common))"
-            f" div ({d2} * (n_a + n_b - n_common))"
-        ).alias("jaccard_micro"),
-    )
-
-
-@q(
-    "stratified_weighted_sample_tokens",
-    r"""
-    WITH w AS (
-      SELECT doc_id, source,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
-                  END AS BIGINT) AS n_tokens,
-             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-                  AS BIGINT) AS h
-      FROM documents),
-    keyed AS (
-      SELECT doc_id, source, n_tokens,
-             CAST(round(ln((h + 1.0) / 281474976710656.0)
-                        / greatest(n_tokens, 1) * 1000) AS BIGINT)
-               AS es_key_milli
-      FROM w WHERE n_tokens > 0),
-    r AS (SELECT doc_id, source, n_tokens, es_key_milli,
-                 row_number() OVER (PARTITION BY source
-                                    ORDER BY es_key_milli DESC, doc_id)
-                   AS sample_rank
-          FROM keyed)
-    SELECT doc_id, source, n_tokens, es_key_milli,
-           CAST(sample_rank AS BIGINT) AS sample_rank
-    FROM r WHERE sample_rank <= 5
-    """,
-)
-def stratified_weighted_sample_tokens(spark, sf_dir):
-    """Per-SOURCE deterministic weighted sampling: the 5 largest
-    Efraimidis–Spirakis keys (token-count weights, md5-uniform
-    randomness) within each source — the stratified "eyeball N
-    weighted docs per snapshot" pull, reproducible across engines and
-    retries. One hash shuffle on the stratum + a WindowGroupLimit-
-    bounded rank window (O(k) state per group); full oracle restates
-    key, rank and selection (pipeline/curation.py:
-    stratified_weighted_sample)."""
-    from .pipeline.curation import stratified_weighted_sample
-
-    d = _t(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id",
-        "source",
-        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
-    )
-    return stratified_weighted_sample(
-        w, "source", "n_tokens", k=5
-    ).select("doc_id", "source", "n_tokens", "es_key_milli", "sample_rank")
-
-
-@q(
-    "source_lang_mi",
-    r"""
-    WITH j AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_xy
-               FROM documents GROUP BY 1, 2),
-    mx AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_x
-           FROM j GROUP BY 1),
-    my AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_y
-           FROM j GROUP BY 1),
-    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j)
-    SELECT j.source, j.lang, j.n_xy, mx.n_x, my.n_y,
-           CAST(round(1000000.0 * j.n_xy
-                      * ln((CAST(j.n_xy AS DOUBLE) * t.n)
-                           / (CAST(mx.n_x AS DOUBLE) * my.n_y))
-                      / t.n) AS BIGINT) AS mi_term_micro
-    FROM j JOIN mx USING (source) JOIN my USING (lang), tot t
-    """,
-)
-def source_lang_mi(spark, sf_dir):
-    """Mutual information between two corpus columns (source × lang) —
-    the dependence profile that tells a mixture designer whether
-    language balance varies by snapshot (MI ≈ 0 ⇒ stratifying by one
-    covers the other). Per-cell terms
-    round(1e6 · n_xy · ln(n_xy·N / (n_x·n_y)) / N) are frozen integer
-    micro-nats (one fixed IEEE expression both engines evaluate
-    identically — the PSI discipline); total MI = Σ terms / 1e6,
-    order-free. Scale shape: ONE map-side-combinable groupBy on the
-    (x, y) pair, marginals off the cell frame (never the corpus), all
-    joins cell-domain-bounded."""
-    d = _t(spark, sf_dir, "documents")
-    j = DD._persist(
-        d.groupBy("source", "lang").agg(
-            F.count("*").cast("long").alias("n_xy")
-        )
-    )
-    mx = j.groupBy("source").agg(F.sum("n_xy").cast("long").alias("n_x"))
-    my = j.groupBy("lang").agg(F.sum("n_xy").cast("long").alias("n_y"))
-    tot = j.agg(F.sum("n_xy").cast("long").alias("n"))
-    return (
-        j.join(mx, "source")
-        .join(my, "lang")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "lang",
-            "n_xy",
-            "n_x",
-            "n_y",
-            F.round(
-                F.lit(1e6)
-                * F.col("n_xy")
-                * F.log(
-                    (F.col("n_xy").cast("double") * F.col("n"))
-                    / (F.col("n_x").cast("double") * F.col("n_y"))
-                )
-                / F.col("n")
-            )
-            .cast("long")
-            .alias("mi_term_micro"),
-        )
-    )
-
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from . import memo as MEMO  # noqa: E402
+from .queries_base import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    SCRATCH,
+    _scratch_dir,
+    _t,
+    q,
+)
+
+from . import q_reference  # noqa: E402,F401  (registry side effects)
+from . import q_pipeline  # noqa: E402,F401  (registry side effects)
+from . import q_media_temporal  # noqa: E402,F401  (registry side effects)
+from . import q_relational_ext  # noqa: E402,F401  (registry side effects)
+from . import q_curation  # noqa: E402,F401  (registry side effects)
+from . import q_embeddings  # noqa: E402,F401  (registry side effects)
+from . import q_quality_mixture  # noqa: E402,F401  (registry side effects)
+from . import q_layout_round5  # noqa: E402,F401  (registry side effects)
+from . import q_pca_retrieval  # noqa: E402,F401  (registry side effects)
+from . import q_tuning  # noqa: E402,F401  (registry side effects)
+from . import q_analytics_a  # noqa: E402,F401  (registry side effects)
+from . import q_analytics_b  # noqa: E402,F401  (registry side effects)
+from . import q_round13  # noqa: E402,F401  (registry side effects)
 
 # Extended TPC-H-shape relational coverage registers itself via @q on import.
 from . import queries_tpch  # noqa: E402,F401  (registry side effects)
 
+# Re-export the full former-monolith surface: tests, tools and notebooks
+# imported module-level helpers by name (e.g. _sample_codebooks,
+# _LSH_CONFIGS, _BLOCKING_TRUTH_CAP); make every family-module global
+# reachable here so the split is invisible to importers. Explicit names
+# win; this only fills gaps, never overwrites.
+import sys as _sys
 
-# =====================================================================
-# per-corpus memo warm-up (bench build/probe split — memo.py)
-# =====================================================================
+_self = _sys.modules[__name__]
+for _m in (
+    q_reference,
+    q_pipeline,
+    q_media_temporal,
+    q_relational_ext,
+    q_curation,
+    q_embeddings,
+    q_quality_mixture,
+    q_layout_round5,
+    q_pca_retrieval,
+    q_tuning,
+    q_analytics_a,
+    q_analytics_b,
+    q_round13,
+):
+    for _k, _v in vars(_m).items():
+        if not _k.startswith("__") and not hasattr(_self, _k):
+            setattr(_self, _k, _v)
+del _sys, _self, _m, _k, _v
 
-# queries whose first call per corpus version builds an on-disk memo;
-# tag = the memo store key carrying the observed build seconds
 MEMOIZED_QUERIES: dict[str, str] = {
     "copurchase_triangles": "copurchase_strong_edges",
     "copurchase_bfs_hops": "bfs_hops",
@@ -14942,6 +95,12 @@ MEMOIZED_QUERIES: dict[str, str] = {
     "quality_lr_auc": "lr_scored_r3",
     "quality_lr_threshold_sweep": "lr_scored_r3",
     "quality_lr_ece": "lr_scored_r3",
+    # round-13 consumers of the fit-once artifacts: cartography reads
+    # the full GD trajectory memo; the other three read the scored frame
+    "dataset_cartography": "lr_traj_r3",
+    "conformal_gate_threshold": "lr_scored_r3",
+    "label_noise_confident_joint": "lr_scored_r3",
+    "gate_fairness_audit": "lr_scored_r3",
 }
 
 

@@ -58,6 +58,51 @@ def test_r1_comparable_prefix_is_frozen():
     assert bench.HEADLINE[:25] == R1_SET
 
 
+def test_queries_split_import_surface():
+    """Round-13 split pin (verdict r12 #5): the per-family q_* modules
+    register into the shared dicts, no module exceeds 3,000 lines, and
+    every name external consumers import from `queries` still resolves
+    on the facade — the split is invisible to importers."""
+    import inspect
+
+    import dsci551_edfs_spark.queries as Q
+
+    # the full former-monolith import surface used by tests/tools/entry
+    for name in (
+        "QUERIES",
+        "ORACLES",
+        "MEMOIZED_QUERIES",
+        "warm_memos",
+        "_t",
+        "_scratch_dir",
+        "q",
+        "_BLOCKING_TRUTH_CAP",
+        "_sample_codebooks",
+        "_LSH_CONFIGS",
+        "_lsh_detect_p_sql",
+        "_lr_scored_frame",
+        "_lr_trained_model",
+    ):
+        assert hasattr(Q, name), name
+    assert len(Q.QUERIES) >= 307
+    assert set(Q.ORACLES) <= set(Q.QUERIES)
+    # size bound: the maintainability risk the split exists to remove
+    import dsci551_edfs_spark as pkg
+    import os as _os
+
+    pkg_dir = _os.path.dirname(pkg.__file__)
+    for f in sorted(_os.listdir(pkg_dir)):
+        if f.endswith(".py"):
+            with open(_os.path.join(pkg_dir, f)) as fh:
+                n = sum(1 for _ in fh)
+            assert n <= 3000, f"{f} has {n} lines (>3000)"
+    # registration really comes from the family modules
+    from dsci551_edfs_spark import q_analytics_b, q_reference
+
+    assert inspect.getmodule(Q.QUERIES["pmr_avg"]) is q_reference
+    assert inspect.getmodule(Q.QUERIES["quality_lr_ece"]) is q_analytics_b
+
+
 def test_memoized_queries_resolve():
     from dsci551_edfs_spark.queries import MEMOIZED_QUERIES, QUERIES
 

@@ -160,3 +160,78 @@ def test_quality_lr_ece_empty_corpus(spark, tmp_path):
         0,
         0,
     )
+
+
+def test_dataset_cartography_invariants(spark, sf_dir):
+    """Regions partition the corpus by the frozen n_correct rule; disp
+    (9 x variance x 1e8) is non-negative; conf_sum4 is 3 gold-class
+    probs in [0, 3e4]."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["dataset_cartography"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["conf_sum4"] <= 30000
+        assert r["disp"] >= 0
+        assert 0 <= r["n_correct"] <= 3
+        want = (
+            "easy-to-learn"
+            if r["n_correct"] == 3
+            else "hard-to-learn" if r["n_correct"] == 0 else "ambiguous"
+        )
+        assert r["region"] == want
+        if r["disp"] == 0:  # all three rounds agree exactly
+            assert r["n_correct"] in (0, 3) or r["conf_sum4"] // 3 >= 0
+
+
+def test_conformal_gate_threshold_invariants(spark, sf_dir):
+    """k is the frozen (n+1)//10 order-statistic rank; covered counts
+    are bounded by their populations; rates are micro-scaled."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    r = QUERIES["conformal_gate_threshold"](spark, sf_dir).collect()[0]
+    assert r["k_rank"] == (r["n_cal_pos"] + 1) // 10
+    assert 0 <= r["n_dep_pos_covered"] <= r["n_dep_pos"] <= r["n_dep"]
+    assert 0 <= r["n_dep_pass"] <= r["n_dep"]
+    assert 0 <= r["coverage_micro"] <= 1_000_000
+    assert 0 <= r["pass_rate_micro"] <= 1_000_000
+    # with a real calibration set the threshold is a real score
+    if r["k_rank"] >= 1:
+        assert 0 <= r["t4"] <= 10000
+
+
+def test_label_noise_confident_joint_invariants(spark, sf_dir):
+    """Cells partition the confident subset; thresholds are the same on
+    every row; assigned docs never exceed the corpus."""
+    import duckdb
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["label_noise_confident_joint"](spark, sf_dir).collect()
+    assert rows
+    n_corpus = duckdb.sql(
+        "SELECT count(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) <= n_corpus
+    assert {(r["y"], r["yhat"]) for r in rows} <= {
+        (0, 0),
+        (0, 1),
+        (1, 0),
+        (1, 1),
+    }
+    assert len({(r["t1_4"], r["t0_4"]) for r in rows}) == 1
+
+
+def test_gate_fairness_audit_invariants(spark, sf_dir):
+    """Wilson bounds bracket the point rate for every source."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["gate_fairness_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n"]
+        assert r["wilson_lo_micro"] <= r["pass_rate_micro"] <= r[
+            "wilson_hi_micro"
+        ]
+        assert 0 <= r["wilson_lo_micro"] and r["wilson_hi_micro"] <= 1_000_000
