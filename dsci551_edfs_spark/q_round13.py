@@ -471,3 +471,324 @@ def gate_fairness_audit(spark, sf_dir):
         F.expr(_wilson_sql("-")).alias("wilson_lo_micro"),
         F.expr(_wilson_sql("+")).alias("wilson_hi_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# Packing / mixture planning (round-13 batch additions)
+# ---------------------------------------------------------------------
+
+_PACK_CURVE_LENS = (128, 256, 512, 1024, 2048)
+
+_PACK_CURVE_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                  END AS BIGINT) AS nt
+      FROM documents),
+    c AS (
+      SELECT doc_id, nt,
+             sum(nt) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM t),
+    l AS (SELECT unnest([128, 256, 512, 1024, 2048]) AS ctx_len)
+    SELECT CAST(l.ctx_len AS BIGINT) AS ctx_len,
+           CAST(coalesce(sum(CASE WHEN nt > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(nt), 0) AS BIGINT) AS total_tokens,
+           CAST((coalesce(sum(nt), 0) + l.ctx_len - 1) // l.ctx_len
+                AS BIGINT) AS n_seqs_packed,
+           CAST(coalesce(sum((nt + l.ctx_len - 1) // l.ctx_len), 0)
+                AS BIGINT) AS n_seqs_padded,
+           CAST(coalesce(sum((nt + l.ctx_len - 1) // l.ctx_len), 0)
+                * l.ctx_len - coalesce(sum(nt), 0) AS BIGINT)
+             AS pad_waste_tokens,
+           CAST(coalesce(sum(CASE WHEN nt > 0
+                        AND (cum - nt) // l.ctx_len <> (cum - 1) // l.ctx_len
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_split,
+           CAST(CASE WHEN coalesce(sum(nt), 0) = 0 THEN 0
+                ELSE coalesce(sum(nt), 0) * 1000000
+                     // (((coalesce(sum(nt), 0) + l.ctx_len - 1)
+                          // l.ctx_len) * l.ctx_len) END AS BIGINT)
+             AS packed_util_ppm
+    FROM c CROSS JOIN l
+    GROUP BY l.ctx_len
+    """
+
+
+@q("sequence_packing_curve", _PACK_CURVE_SQL)
+def sequence_packing_curve(spark, sf_dir):
+    """Context-length sweep for the pretraining loader: for each
+    candidate window L in {128..2048}, how many sequences does the
+    corpus yield under concat-and-chunk packing vs pad-each-doc, how
+    many tokens does padding waste, and how many documents straddle a
+    window boundary (the fragmentation a span-corruption objective
+    cares about). `sequence_packing` commits to ONE L; this is the
+    table you read to CHOOSE it — the padded/packed gap is the
+    compute the packed loader saves, docs_split is the price.
+
+    Exactness: everything is integer (ceil via (x+L-1) div L,
+    utilization as round-down ppm) over the deterministic (md5(id),
+    id) order. Scale shape: ONE 256-way two-phase prefix pass
+    (`_bucketed_global_prefix` — never a single-partition window),
+    then ONE row per doc is aggregated map-side under all five L
+    values simultaneously (conditional aggregates in a single
+    projection — the corpus is NOT exploded 5x), and only the 1-row
+    partial stacks into the 5-row curve. At 100 TB the added cost
+    over `sequence_packing` itself is one scalar aggregate."""
+    from .functions.text import token_count
+    from .pipeline.curation import _bucketed_global_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("_k"),
+        token_count(F.col("text")).cast("long").alias("nt"),
+    )
+    summed = _bucketed_global_prefix(base, "doc_id", "nt")
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("nt") > 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("nd"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("tot"),
+    ]
+    for L in _PACK_CURVE_LENS:
+        aggs.append(
+            F.coalesce(F.sum(F.expr(f"(nt + {L} - 1) div {L}")), F.lit(0))
+            .cast("long")
+            .alias(f"pad_{L}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("nt") > 0)
+                        & (
+                            F.expr(f"(_cum - nt) div {L}")
+                            != F.expr(f"(_cum - 1) div {L}")
+                        ),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"split_{L}")
+        )
+    one = summed.agg(*aggs)
+    curve = one.select(
+        "nd",
+        "tot",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("long").alias("ctx_len"),
+                        F.col(f"pad_{L}").alias("padded"),
+                        F.col(f"split_{L}").alias("split"),
+                    )
+                    for L in _PACK_CURVE_LENS
+                ]
+            )
+        ).alias("r"),
+    )
+    return curve.select(
+        F.col("r.ctx_len").alias("ctx_len"),
+        F.col("nd").alias("n_docs"),
+        F.col("tot").alias("total_tokens"),
+        F.expr("(tot + r.ctx_len - 1) div r.ctx_len")
+        .cast("long")
+        .alias("n_seqs_packed"),
+        F.col("r.padded").alias("n_seqs_padded"),
+        (F.col("r.padded") * F.col("r.ctx_len") - F.col("tot"))
+        .cast("long")
+        .alias("pad_waste_tokens"),
+        F.col("r.split").alias("docs_split"),
+        F.expr(
+            "CASE WHEN tot = 0 THEN 0 ELSE tot * 1000000"
+            " div (((tot + r.ctx_len - 1) div r.ctx_len) * r.ctx_len) END"
+        )
+        .cast("long")
+        .alias("packed_util_ppm"),
+    )
+
+
+_MIX_EPOCHS_SQL = r"""
+    WITH tok AS (
+      SELECT source,
+             CAST(coalesce(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                  END), 0) AS BIGINT) AS toks
+      FROM documents GROUP BY source),
+    w AS (SELECT source, toks,
+                 CAST(1000 + 700 * CAST(substr(source, 4) AS INT)
+                      AS BIGINT) AS w_milli
+          FROM tok),
+    bb AS (SELECT 3 * sum(toks) AS budget FROM w),
+    d1 AS (SELECT sum(w_milli) AS dw FROM w),
+    a1 AS (SELECT source, toks, w_milli,
+                  (w_milli * bb.budget) // d1.dw AS base,
+                  (w_milli * bb.budget) % d1.dw AS rem
+           FROM w, d1, bb),
+    t1 AS (SELECT sum(base) AS sb FROM a1),
+    r1 AS (SELECT x.source, count(y.source) AS ahead
+           FROM a1 x LEFT JOIN a1 y
+             ON (y.rem > x.rem) OR (y.rem = x.rem AND y.source < x.source)
+           GROUP BY x.source),
+    raw AS (SELECT a1.source, a1.toks, a1.w_milli,
+                   CAST(a1.base + CASE WHEN r1.ahead < (bb.budget - t1.sb)
+                                       THEN 1 ELSE 0 END AS BIGINT)
+                     AS alloc_raw
+            FROM a1 JOIN r1 USING (source), t1, bb),
+    cap AS (SELECT source, toks, w_milli, alloc_raw,
+                   4 * toks AS cap_tokens,
+                   least(alloc_raw, 4 * toks) AS alloc_capped
+            FROM raw),
+    lo AS (SELECT bb.budget - sum(alloc_capped) AS leftover
+           FROM cap, bb GROUP BY bb.budget),
+    u AS (SELECT source, w_milli FROM cap WHERE alloc_raw < cap_tokens),
+    d2 AS (SELECT sum(w_milli) AS dw FROM u),
+    a2 AS (SELECT u.source,
+                  (u.w_milli * lo.leftover) // d2.dw AS base,
+                  (u.w_milli * lo.leftover) % d2.dw AS rem
+           FROM u, d2, lo),
+    t2 AS (SELECT coalesce(sum(base), 0) AS sb FROM a2),
+    r2 AS (SELECT x.source, count(y.source) AS ahead
+           FROM a2 x LEFT JOIN a2 y
+             ON (y.rem > x.rem) OR (y.rem = x.rem AND y.source < x.source)
+           GROUP BY x.source),
+    red AS (SELECT a2.source,
+                   CAST(a2.base + CASE WHEN r2.ahead <
+                          ((SELECT leftover FROM lo) - t2.sb)
+                        THEN 1 ELSE 0 END AS BIGINT) AS redist
+            FROM a2 JOIN r2 USING (source), t2)
+    SELECT c.source,
+           c.toks AS tokens_avail,
+           c.w_milli,
+           c.alloc_raw,
+           CAST(c.cap_tokens AS BIGINT) AS cap_tokens,
+           CAST(least(c.alloc_capped + coalesce(red.redist, 0),
+                      c.cap_tokens) AS BIGINT) AS alloc_final,
+           CAST(CASE WHEN c.toks = 0 THEN 0
+                ELSE least(c.alloc_capped + coalesce(red.redist, 0),
+                           c.cap_tokens) * 1000000 // c.toks END
+                AS BIGINT) AS epochs_micro,
+           CAST(CASE WHEN c.alloc_raw > c.cap_tokens THEN 1 ELSE 0 END
+                AS BIGINT) AS capped
+    FROM cap c LEFT JOIN red USING (source)
+    """
+
+
+@q("mixture_epochs_plan", _MIX_EPOCHS_SQL)
+def mixture_epochs_plan(spark, sf_dir):
+    """Epoch-aware mixture planning under a token budget — the
+    data-constrained-scaling step (Muennighoff et al. 2023: repeating
+    data beyond ~4 epochs stops helping) the flat allocators
+    (`mixture_token_allocation`, `mixture_temperature_sampling`) skip.
+    The designer's TARGET mixture weights are exogenous to the corpus
+    (in practice they come from downstream-eval tuning à la DoReMi —
+    here the deterministic skewed family 1000+700·idx, the
+    `mixture_token_allocation` precedent), the CAPACITY is the real
+    per-source token count, and the budget is 3× total corpus tokens,
+    so it scales with the corpus at any SF. Largest remainder
+    allocates the budget to the target weights (exact, Σ == budget);
+    any source driven past 4 epochs of its actual tokens is CAPPED,
+    and the freed budget pushes back onto the uncapped sources with a
+    SECOND largest-remainder pass (one redistribution round,
+    re-capped; still-stranded budget stays unallocated by design —
+    documented single-round semantics keep the plan SQL-restatable
+    instead of an iterate-to-fixpoint loop). epochs_micro =
+    alloc·1e6 div tokens is the per-source repeat factor the loader
+    actually runs; on this corpus the high-weight sources cap at
+    exactly 4e6 and the low-weight tail absorbs the redistribution —
+    both branches of the planner are exercised and oracle-checked.
+
+    Scale shape: ONE map-side-combinable groupBy(source) token count
+    is the only corpus-granularity pass; both allocation passes run on
+    the source-cardinality frame (≤ thousands of rows — the join-based
+    remainder rank, never a global window), and the budget/leftover
+    scalars are 1-row bounded collects (the 256-offset precedent).
+    Weights are milli-scaled so quota products stay < 2^63 even at
+    100 TB budgets (1.5e4 · 3e14 ≈ 4.5e18 < 2^63)."""
+    from .functions.text import token_count
+    from .pipeline.curation import largest_remainder_allocation
+
+    max_epochs = 4
+    d = _t(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.coalesce(F.sum(token_count(F.col("text")).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("toks")
+    )
+    w = tok.select(
+        "source",
+        "toks",
+        (1000 + 700 * F.substring("source", 4, 10).cast("int"))
+        .cast("long")
+        .alias("w_milli"),
+    )
+    from .pipeline.dedup import _persist
+
+    w = _persist(w)
+    budget = 3 * int(
+        w.agg(F.coalesce(F.sum("toks"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]  # 1-row bounded collect: the budget scalar
+    )
+    raw = largest_remainder_allocation(
+        w.select("source", "w_milli"),
+        budget=budget,
+        key_col="source",
+        weight_col="w_milli",
+        normalize=True,
+    ).withColumnRenamed("alloc", "alloc_raw")
+    c = (
+        w.join(raw.select("source", "alloc_raw"), "source")
+        .withColumn(
+            "cap_tokens", (F.lit(max_epochs) * F.col("toks")).cast("long")
+        )
+        .withColumn(
+            "alloc_capped", F.least(F.col("alloc_raw"), F.col("cap_tokens"))
+        )
+    )
+    c = _persist(c)
+    leftover = budget - int(
+        c.agg(F.coalesce(F.sum("alloc_capped"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]  # 1-row bounded collect: the leftover scalar
+    )
+    uncapped = c.filter(F.col("alloc_raw") < F.col("cap_tokens")).select(
+        "source", "w_milli"
+    )
+    red = largest_remainder_allocation(
+        uncapped,
+        budget=leftover,
+        key_col="source",
+        weight_col="w_milli",
+        normalize=True,
+    ).select("source", F.col("alloc").alias("redist"))
+    out = c.join(red, "source", "left").withColumn(
+        "alloc_final",
+        F.least(
+            F.col("alloc_capped") + F.coalesce(F.col("redist"), F.lit(0)),
+            F.col("cap_tokens"),
+        ).cast("long"),
+    )
+    return out.select(
+        "source",
+        F.col("toks").alias("tokens_avail"),
+        "w_milli",
+        "alloc_raw",
+        "cap_tokens",
+        "alloc_final",
+        F.expr(
+            "CASE WHEN toks = 0 THEN 0"
+            " ELSE alloc_final * 1000000 div toks END"
+        )
+        .cast("long")
+        .alias("epochs_micro"),
+        F.when(F.col("alloc_raw") > F.col("cap_tokens"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("capped"),
+    )

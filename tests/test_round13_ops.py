@@ -235,3 +235,54 @@ def test_gate_fairness_audit_invariants(spark, sf_dir):
             "wilson_hi_micro"
         ]
         assert 0 <= r["wilson_lo_micro"] and r["wilson_hi_micro"] <= 1_000_000
+
+
+def test_sequence_packing_curve_invariants(spark, sf_dir):
+    """Exact packing identities per context length: packed seqs =
+    ceil(total/L), padded waste = padded*L - total >= 0, packing never
+    uses MORE sequences than padding, and docs_split is bounded by both
+    the doc count and the number of window boundaries."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["sequence_packing_curve"](spark, sf_dir).collect()
+    assert {r["ctx_len"] for r in rows} == {128, 256, 512, 1024, 2048}
+    for r in rows:
+        L, tot = r["ctx_len"], r["total_tokens"]
+        assert r["n_seqs_packed"] == (tot + L - 1) // L
+        assert r["n_seqs_padded"] >= r["n_seqs_packed"]
+        assert (
+            r["pad_waste_tokens"] == r["n_seqs_padded"] * L - tot >= 0
+        )
+        # a doc can only split at a boundary; there are packed-1 interior
+        # boundaries, and each doc splits at most once in this count
+        assert 0 <= r["docs_split"] <= min(
+            r["n_docs"], max(r["n_seqs_packed"] - 1, 0)
+        )
+        assert 0 < r["packed_util_ppm"] <= 1_000_000
+    # longer contexts never increase the padded-sequence count
+    by_len = sorted(rows, key=lambda r: r["ctx_len"])
+    for a, b in zip(by_len, by_len[1:]):
+        assert b["n_seqs_padded"] <= a["n_seqs_padded"]
+
+
+def test_mixture_epochs_plan_invariants(spark, sf_dir):
+    """The cap is never exceeded, Σ alloc_raw == budget exactly
+    (largest remainder), redistribution never un-caps a source, and
+    epochs_micro is the exact integer ratio."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["mixture_epochs_plan"](spark, sf_dir).collect()
+    assert rows
+    budget = 3 * sum(r["tokens_avail"] for r in rows)
+    assert sum(r["alloc_raw"] for r in rows) == budget
+    assert sum(r["alloc_final"] for r in rows) <= budget
+    for r in rows:
+        assert r["cap_tokens"] == 4 * r["tokens_avail"]
+        assert 0 <= r["alloc_final"] <= r["cap_tokens"]
+        assert r["capped"] == (1 if r["alloc_raw"] > r["cap_tokens"] else 0)
+        if r["tokens_avail"] > 0:
+            assert (
+                r["epochs_micro"]
+                == r["alloc_final"] * 1_000_000 // r["tokens_avail"]
+            )
+            assert r["epochs_micro"] <= 4_000_000
