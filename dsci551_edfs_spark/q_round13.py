@@ -10,12 +10,15 @@ one corpus-granularity pass of its own.
 
 from __future__ import annotations
 
-from .queries_base import F, MEMO, _t, q
+import os
+
+from .queries_base import F, MEMO, _scratch_dir, _t, q
 from .q_curation import _md5_bucket_sql
 from .q_analytics_b import (
     _lr_final_scores_cte,
     _lr_oracle_prefix,
     _lr_scored_frame,
+    _lr_trained_model,
 )
 
 
@@ -791,4 +794,120 @@ def mixture_epochs_plan(spark, sf_dir):
         .otherwise(0)
         .cast("long")
         .alias("capped"),
+    )
+
+
+def _conformal_t4(spark, sf_dir) -> int:
+    """The frozen split-conformal threshold as a scalar: same
+    calibration-split order statistic `conformal_gate_threshold`
+    computes (k = (n_cal_pos+1) div 10 smallest positive score, md5
+    bucket < 50), collected as ONE bounded row — this is the frozen
+    deploy-time state the streaming monitor carries, exactly like the
+    drift monitor's frozen reference histogram."""
+    from .operators.cumulative import running_total
+    from .pipeline.curation import md5_bucket
+
+    sc = _lr_scored_frame(spark, sf_dir)
+    calp = sc.filter((md5_bucket("id", 100) < 50) & (F.col("y") == 1))
+    g = calp.groupBy(F.col("p4").alias("s")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    rt = running_total(g, ["s"], "cnt", out_col="cum")
+    tot = g.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_cal_pos")
+    ).withColumn("k_rank", F.expr("(n_cal_pos + 1) div 10"))
+    tsel = (
+        rt.crossJoin(F.broadcast(tot))
+        .filter((F.col("k_rank") >= 1) & (F.col("cum") >= F.col("k_rank")))
+        .agg(F.coalesce(F.min("s"), F.lit(0)).cast("long").alias("t4"))
+    )
+    return int(tsel.collect()[0]["t4"])  # 1-row bounded collect
+
+
+def _streaming_conformal_oracle_sql(rounds: int = 3) -> str:
+    return (
+        _lr_oracle_prefix(rounds)
+        + _lr_final_scores_cte(rounds)
+        + f""",
+    calp AS (SELECT p4 FROM pf
+             WHERE ({_md5_bucket_sql("id")}) < 50 AND y = 1),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal_pos FROM calp),
+    kk AS (SELECT n_cal_pos,
+                  CAST((n_cal_pos + 1) // 10 AS BIGINT) AS k_rank
+           FROM nc),
+    rk AS (SELECT p4, row_number() OVER (ORDER BY p4) AS rn FROM calp),
+    tt AS (SELECT coalesce(
+             (SELECT CAST(rk.p4 AS BIGINT) FROM rk, kk
+              WHERE kk.k_rank >= 1 AND rk.rn = kk.k_rank), 0) AS t4),
+    dep AS (SELECT y, p4 FROM pf
+            WHERE ({_md5_bucket_sql("id")}) >= 50),
+    agg AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n_feed,
+             CAST(coalesce(sum(CASE WHEN p4 >= t.t4 THEN 1 ELSE 0 END),
+                           0) AS HUGEINT) AS n_feed_pass,
+             CAST(coalesce(sum(y), 0) AS HUGEINT) AS n_feed_pos,
+             CAST(coalesce(sum(CASE WHEN y = 1 AND p4 >= t.t4
+                                    THEN 1 ELSE 0 END), 0) AS HUGEINT)
+               AS n_feed_pos_covered
+      FROM dep, tt t)
+    SELECT t.t4,
+           CAST(a.n_feed AS BIGINT) AS n_feed,
+           CAST(a.n_feed_pass AS BIGINT) AS n_feed_pass,
+           CAST(a.n_feed_pos AS BIGINT) AS n_feed_pos,
+           CAST(a.n_feed_pos_covered AS BIGINT) AS n_feed_pos_covered,
+           CAST(CASE WHEN a.n_feed_pos = 0 THEN 0
+                ELSE (2000000 * a.n_feed_pos_covered + a.n_feed_pos)
+                     // (2 * a.n_feed_pos) END AS BIGINT)
+             AS coverage_micro,
+           CAST(CASE WHEN a.n_feed = 0 THEN 0
+                ELSE (2000000 * a.n_feed_pass + a.n_feed)
+                     // (2 * a.n_feed) END AS BIGINT) AS pass_rate_micro,
+           CAST(CASE WHEN a.n_feed_pos > 0
+                      AND (CASE WHEN a.n_feed_pos = 0 THEN 0
+                           ELSE (2000000 * a.n_feed_pos_covered
+                                 + a.n_feed_pos)
+                                // (2 * a.n_feed_pos) END) < 900000
+                THEN 1 ELSE 0 END AS BIGINT) AS alert_low_coverage
+    FROM tt t, agg a"""
+    )
+
+
+@q("streaming_conformal_coverage", _streaming_conformal_oracle_sql(3))
+def streaming_conformal_coverage(spark, sf_dir):
+    """Deploy-time CONFORMAL COVERAGE monitor as a real Structured
+    Streaming run — the third fully oracle-checked streaming op (after
+    the quality gate and the PSI drift monitor): freeze the trained
+    65-integer model and the split-conformal threshold t4 (calibration
+    md5-bucket < 50) BEFORE the stream starts, stream the deploy split
+    (bucket >= 50, raw documents — scored IN-STREAM, availableNow,
+    checkpointed) through a per-batch featurize+score+count landing
+    1-row coverage partials via the idempotent sink, then finalize the
+    realized coverage/pass rates and the under-coverage alert
+    (coverage_micro < 900000 = the 90% promise is broken on this
+    feed — recalibrate). The partials are additive, so the registered
+    result is independent of micro-batch boundaries and the DuckDB
+    oracle restates the whole thing — training, scoring, the
+    order-statistic threshold, the aggregation, the alert — in batch
+    SQL; the hash match IS the batch==stream proof
+    (streaming/conformal_monitor.py). Sink state is O(batches) 1-row
+    partials at ANY feed size."""
+    from .pipeline.curation import md5_bucket
+    from .streaming.conformal_monitor import (
+        conformal_coverage_stream,
+        frozen_idf_table,
+    )
+
+    w, bias = _lr_trained_model(spark, sf_dir)
+    t4 = _conformal_t4(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    # the frozen deploy artifact is model + threshold + FEATURIZER:
+    # the train-time IDF table (corpus-level doc frequencies), without
+    # which per-batch scoring would silently train/serve-skew
+    idf = frozen_idf_table(d)
+    feed = d.filter(md5_bucket("doc_id", 100) >= 50)
+    base = _scratch_dir("conformal_cov")
+    feed_dir = os.path.join(base, "feed")
+    feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    return conformal_coverage_stream(
+        spark, idf, w, bias, t4, feed_dir, base
     )

@@ -286,3 +286,53 @@ def test_mixture_epochs_plan_invariants(spark, sf_dir):
                 == r["alloc_final"] * 1_000_000 // r["tokens_avail"]
             )
             assert r["epochs_micro"] <= 4_000_000
+
+
+def test_streaming_conformal_coverage_invariants(spark, sf_dir):
+    """Realized-coverage monitor: counts nest, rates are exact micro
+    integers, and the alert fires iff coverage undercuts the 90%
+    promise on a non-empty positive feed."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    r = QUERIES["streaming_conformal_coverage"](spark, sf_dir).collect()[0]
+    assert 0 <= r["n_feed_pos_covered"] <= r["n_feed_pos"] <= r["n_feed"]
+    assert 0 <= r["n_feed_pass"] <= r["n_feed"]
+    if r["n_feed_pos"] > 0:
+        want = (2_000_000 * r["n_feed_pos_covered"] + r["n_feed_pos"]) // (
+            2 * r["n_feed_pos"]
+        )
+        assert r["coverage_micro"] == want
+    assert r["alert_low_coverage"] == (
+        1 if r["n_feed_pos"] > 0 and r["coverage_micro"] < 900_000 else 0
+    )
+    assert 0 <= r["t4"] <= 10000
+
+
+def test_conformal_batch_partials_are_additive(spark, sf_dir):
+    """Batch-boundary independence, directly: scoring the feed as ONE
+    batch and as TWO disjoint halves (with the SAME frozen IDF/model/
+    threshold) must sum to identical coverage partials — the property
+    that makes the streaming result oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.q_analytics_b import _lr_trained_model
+    from dsci551_edfs_spark.q_round13 import _conformal_t4
+    from dsci551_edfs_spark.queries import _t
+    from dsci551_edfs_spark.streaming.conformal_monitor import (
+        batch_coverage_counts,
+        frozen_idf_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w, bias = _lr_trained_model(spark, sf_dir)
+    t4 = _conformal_t4(spark, sf_dir)
+    idf = frozen_idf_table(d)
+    whole = batch_coverage_counts(d, idf, w, bias, t4).collect()[0]
+    lo = batch_coverage_counts(
+        d.filter(F.col("doc_id") % 2 == 0), idf, w, bias, t4
+    ).collect()[0]
+    hi = batch_coverage_counts(
+        d.filter(F.col("doc_id") % 2 == 1), idf, w, bias, t4
+    ).collect()[0]
+    for c in ("n", "n_pass", "n_pos", "n_pos_covered"):
+        assert whole[c] == lo[c] + hi[c]
