@@ -101,6 +101,9 @@ MEMOIZED_QUERIES: dict[str, str] = {
     "conformal_gate_threshold": "lr_scored_r3",
     "label_noise_confident_joint": "lr_scored_r3",
     "gate_fairness_audit": "lr_scored_r3",
+    # the streaming coverage monitor freezes t4 off the scored frame
+    # (and the model memo inside it) before the stream starts
+    "streaming_conformal_coverage": "lr_scored_r3",
 }
 
 
