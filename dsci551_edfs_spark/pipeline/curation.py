@@ -430,6 +430,192 @@ def largest_remainder_allocation(
     )
 
 
+def packing_curve(
+    df: DataFrame,
+    lens: tuple[int, ...] = (128, 256, 512, 1024, 2048),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-length sweep for the pretraining loader
+    (`sequence_packing_curve`): for each candidate window L, the
+    packed (concat-and-chunk) vs pad-each-doc sequence counts, the
+    exact padding waste, and the number of docs straddling a window
+    boundary in the deterministic (md5(id), id) order. All integer:
+    ceil via (x+L-1) div L, utilization as round-down ppm.
+
+    Scale shape: ONE 256-way two-phase prefix pass
+    (`_bucketed_global_prefix` — never a single-partition window),
+    then one row per doc aggregates map-side under ALL lens values
+    simultaneously (conditional aggregates in a single projection —
+    the corpus is NOT exploded len(lens)×), and only the 1-row
+    partial stacks into the len(lens)-row curve."""
+    from ..functions.text import token_count
+
+    base = df.select(
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+        token_count(F.col(text_col)).cast("long").alias("nt"),
+    )
+    summed = _bucketed_global_prefix(base, id_col, "nt")
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("nt") > 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("nd"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("tot"),
+    ]
+    for L in lens:
+        aggs.append(
+            F.coalesce(F.sum(F.expr(f"(nt + {L} - 1) div {L}")), F.lit(0))
+            .cast("long")
+            .alias(f"pad_{L}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("nt") > 0)
+                        & (
+                            F.expr(f"(_cum - nt) div {L}")
+                            != F.expr(f"(_cum - 1) div {L}")
+                        ),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"split_{L}")
+        )
+    one = summed.agg(*aggs)
+    curve = one.select(
+        "nd",
+        "tot",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("long").alias("ctx_len"),
+                        F.col(f"pad_{L}").alias("padded"),
+                        F.col(f"split_{L}").alias("split"),
+                    )
+                    for L in lens
+                ]
+            )
+        ).alias("r"),
+    )
+    return curve.select(
+        F.col("r.ctx_len").alias("ctx_len"),
+        F.col("nd").alias("n_docs"),
+        F.col("tot").alias("total_tokens"),
+        F.expr("(tot + r.ctx_len - 1) div r.ctx_len")
+        .cast("long")
+        .alias("n_seqs_packed"),
+        F.col("r.padded").alias("n_seqs_padded"),
+        (F.col("r.padded") * F.col("r.ctx_len") - F.col("tot"))
+        .cast("long")
+        .alias("pad_waste_tokens"),
+        F.col("r.split").alias("docs_split"),
+        F.expr(
+            "CASE WHEN tot = 0 THEN 0 ELSE tot * 1000000"
+            " div (((tot + r.ctx_len - 1) div r.ctx_len) * r.ctx_len) END"
+        )
+        .cast("long")
+        .alias("packed_util_ppm"),
+    )
+
+
+def epoch_capped_allocation(
+    weights: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    key_col: str = "source",
+    weight_col: str = "w_milli",
+    capacity_col: str = "toks",
+) -> DataFrame:
+    """Largest-remainder budget allocation with a per-key EPOCH CAP and
+    one exact redistribution round — the data-constrained-scaling
+    planner core (`mixture_epochs_plan`): ``weights`` carries one row
+    per key with its target weight and its REAL token capacity;
+    ``budget`` tokens are allocated to the weights by largest remainder
+    (Σ alloc_raw == budget exactly), every key is capped at
+    ``max_epochs × capacity``, and the freed budget goes back onto the
+    uncapped keys with a SECOND largest-remainder pass, re-capped.
+    Single documented redistribution round (not iterate-to-fixpoint) so
+    the whole plan stays SQL-restatable; budget stranded after the
+    second pass stays unallocated by design.
+
+    Scale shape: both allocation passes run on the key-cardinality
+    frame (join-based remainder ranks — no global window); the leftover
+    scalar is a 1-row bounded collect. Returns (key, capacity, weight,
+    alloc_raw, cap_tokens, alloc_final, epochs_micro, capped)."""
+    from .dedup import _persist
+
+    w = weights.select(
+        F.col(key_col),
+        F.col(capacity_col).cast("long").alias(capacity_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+    )
+    raw = largest_remainder_allocation(
+        w.select(key_col, weight_col),
+        budget=budget,
+        key_col=key_col,
+        weight_col=weight_col,
+        normalize=True,
+    ).withColumnRenamed("alloc", "alloc_raw")
+    c = (
+        w.join(raw.select(key_col, "alloc_raw"), key_col)
+        .withColumn(
+            "cap_tokens",
+            (F.lit(int(max_epochs)) * F.col(capacity_col)).cast("long"),
+        )
+        .withColumn(
+            "alloc_capped", F.least(F.col("alloc_raw"), F.col("cap_tokens"))
+        )
+    )
+    c = _persist(c)
+    leftover = budget - int(
+        c.agg(F.coalesce(F.sum("alloc_capped"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]  # 1-row bounded collect: the leftover scalar
+    )
+    uncapped = c.filter(F.col("alloc_raw") < F.col("cap_tokens")).select(
+        key_col, weight_col
+    )
+    red = largest_remainder_allocation(
+        uncapped,
+        budget=leftover,
+        key_col=key_col,
+        weight_col=weight_col,
+        normalize=True,
+    ).select(key_col, F.col("alloc").alias("redist"))
+    out = c.join(red, key_col, "left").withColumn(
+        "alloc_final",
+        F.least(
+            F.col("alloc_capped") + F.coalesce(F.col("redist"), F.lit(0)),
+            F.col("cap_tokens"),
+        ).cast("long"),
+    )
+    return out.select(
+        key_col,
+        capacity_col,
+        weight_col,
+        "alloc_raw",
+        "cap_tokens",
+        "alloc_final",
+        F.expr(
+            f"CASE WHEN {capacity_col} = 0 THEN 0"
+            f" ELSE alloc_final * 1000000 div {capacity_col} END"
+        )
+        .cast("long")
+        .alias("epochs_micro"),
+        F.when(F.col("alloc_raw") > F.col("cap_tokens"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("capped"),
+    )
+
+
 def _bucketed_global_prefix(
     base: DataFrame, id_col: str, weight_col: str | None
 ) -> DataFrame:

@@ -539,82 +539,10 @@ def sequence_packing_curve(spark, sf_dir):
     projection — the corpus is NOT exploded 5x), and only the 1-row
     partial stacks into the 5-row curve. At 100 TB the added cost
     over `sequence_packing` itself is one scalar aggregate."""
-    from .functions.text import token_count
-    from .pipeline.curation import _bucketed_global_prefix
+    from .pipeline.curation import packing_curve
 
-    d = _t(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        F.md5(F.col("doc_id").cast("string")).alias("_k"),
-        token_count(F.col("text")).cast("long").alias("nt"),
-    )
-    summed = _bucketed_global_prefix(base, "doc_id", "nt")
-    aggs = [
-        F.coalesce(
-            F.sum(F.when(F.col("nt") > 0, 1).otherwise(0)), F.lit(0)
-        )
-        .cast("long")
-        .alias("nd"),
-        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("tot"),
-    ]
-    for L in _PACK_CURVE_LENS:
-        aggs.append(
-            F.coalesce(F.sum(F.expr(f"(nt + {L} - 1) div {L}")), F.lit(0))
-            .cast("long")
-            .alias(f"pad_{L}")
-        )
-        aggs.append(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("nt") > 0)
-                        & (
-                            F.expr(f"(_cum - nt) div {L}")
-                            != F.expr(f"(_cum - 1) div {L}")
-                        ),
-                        1,
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"split_{L}")
-        )
-    one = summed.agg(*aggs)
-    curve = one.select(
-        "nd",
-        "tot",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(L).cast("long").alias("ctx_len"),
-                        F.col(f"pad_{L}").alias("padded"),
-                        F.col(f"split_{L}").alias("split"),
-                    )
-                    for L in _PACK_CURVE_LENS
-                ]
-            )
-        ).alias("r"),
-    )
-    return curve.select(
-        F.col("r.ctx_len").alias("ctx_len"),
-        F.col("nd").alias("n_docs"),
-        F.col("tot").alias("total_tokens"),
-        F.expr("(tot + r.ctx_len - 1) div r.ctx_len")
-        .cast("long")
-        .alias("n_seqs_packed"),
-        F.col("r.padded").alias("n_seqs_padded"),
-        (F.col("r.padded") * F.col("r.ctx_len") - F.col("tot"))
-        .cast("long")
-        .alias("pad_waste_tokens"),
-        F.col("r.split").alias("docs_split"),
-        F.expr(
-            "CASE WHEN tot = 0 THEN 0 ELSE tot * 1000000"
-            " div (((tot + r.ctx_len - 1) div r.ctx_len) * r.ctx_len) END"
-        )
-        .cast("long")
-        .alias("packed_util_ppm"),
+    return packing_curve(
+        _t(spark, sf_dir, "documents"), lens=_PACK_CURVE_LENS
     )
 
 
@@ -716,84 +644,37 @@ def mixture_epochs_plan(spark, sf_dir):
     Weights are milli-scaled so quota products stay < 2^63 even at
     100 TB budgets (1.5e4 · 3e14 ≈ 4.5e18 < 2^63)."""
     from .functions.text import token_count
-    from .pipeline.curation import largest_remainder_allocation
+    from .pipeline.curation import epoch_capped_allocation
+    from .pipeline.dedup import _persist
 
-    max_epochs = 4
     d = _t(spark, sf_dir, "documents")
     tok = d.groupBy("source").agg(
         F.coalesce(F.sum(token_count(F.col("text")).cast("long")), F.lit(0))
         .cast("long")
         .alias("toks")
     )
-    w = tok.select(
-        "source",
-        "toks",
-        (1000 + 700 * F.substring("source", 4, 10).cast("int"))
-        .cast("long")
-        .alias("w_milli"),
+    w = _persist(
+        tok.select(
+            "source",
+            "toks",
+            (1000 + 700 * F.substring("source", 4, 10).cast("int"))
+            .cast("long")
+            .alias("w_milli"),
+        )
     )
-    from .pipeline.dedup import _persist
-
-    w = _persist(w)
     budget = 3 * int(
         w.agg(F.coalesce(F.sum("toks"), F.lit(0)).alias("s"))
         .collect()[0]["s"]  # 1-row bounded collect: the budget scalar
     )
-    raw = largest_remainder_allocation(
-        w.select("source", "w_milli"),
-        budget=budget,
-        key_col="source",
-        weight_col="w_milli",
-        normalize=True,
-    ).withColumnRenamed("alloc", "alloc_raw")
-    c = (
-        w.join(raw.select("source", "alloc_raw"), "source")
-        .withColumn(
-            "cap_tokens", (F.lit(max_epochs) * F.col("toks")).cast("long")
-        )
-        .withColumn(
-            "alloc_capped", F.least(F.col("alloc_raw"), F.col("cap_tokens"))
-        )
-    )
-    c = _persist(c)
-    leftover = budget - int(
-        c.agg(F.coalesce(F.sum("alloc_capped"), F.lit(0)).alias("s"))
-        .collect()[0]["s"]  # 1-row bounded collect: the leftover scalar
-    )
-    uncapped = c.filter(F.col("alloc_raw") < F.col("cap_tokens")).select(
-        "source", "w_milli"
-    )
-    red = largest_remainder_allocation(
-        uncapped,
-        budget=leftover,
-        key_col="source",
-        weight_col="w_milli",
-        normalize=True,
-    ).select("source", F.col("alloc").alias("redist"))
-    out = c.join(red, "source", "left").withColumn(
-        "alloc_final",
-        F.least(
-            F.col("alloc_capped") + F.coalesce(F.col("redist"), F.lit(0)),
-            F.col("cap_tokens"),
-        ).cast("long"),
-    )
-    return out.select(
+    return epoch_capped_allocation(w, budget, max_epochs=4).select(
         "source",
         F.col("toks").alias("tokens_avail"),
         "w_milli",
         "alloc_raw",
         "cap_tokens",
         "alloc_final",
-        F.expr(
-            "CASE WHEN toks = 0 THEN 0"
-            " ELSE alloc_final * 1000000 div toks END"
-        )
-        .cast("long")
-        .alias("epochs_micro"),
-        F.when(F.col("alloc_raw") > F.col("cap_tokens"), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("capped"),
+        "epochs_micro",
+        "capped",
     )
 
 

@@ -1880,3 +1880,125 @@ def test_running_totals_near_int64_headroom(spark):
     }
     assert got == {0: v, 1: 2 * v, 2: 3 * v}
     assert got[2] > 2**62  # regime certificate: past int64/2
+
+
+def _lr_alloc_py(pairs, budget):
+    """Pure-Python largest remainder (normalize=True): pairs =
+    [(key, w)], returns {key: alloc}. Mirrors
+    curation.largest_remainder_allocation exactly: quota = w*B div Σw,
+    leftover units to the largest remainders, ties by key ascending."""
+    dw = sum(w for _, w in pairs)
+    base = {k: (w * budget) // dw for k, w in pairs}
+    rem = {k: (w * budget) % dw for k, w in pairs}
+    left = budget - sum(base.values())
+    order = sorted(pairs, key=lambda kw: (-rem[kw[0]], kw[0]))
+    out = dict(base)
+    for k, _ in order[: int(left)]:
+        out[k] += 1
+    return out
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),   # capacity toks
+            st.integers(min_value=1, max_value=20000),  # weight
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=6),  # budget multiplier
+)
+def test_epoch_capped_allocation_matches_python(spark, rows, mult):
+    """The two-pass cap-and-redistribute planner must equal the plain
+    sequential replica on every column: LR allocate, cap at 4 epochs,
+    LR-redistribute the freed budget over uncapped keys, re-cap."""
+    from dsci551_edfs_spark.pipeline.curation import epoch_capped_allocation
+
+    keys = [f"s{i:02d}" for i in range(len(rows))]
+    budget = mult * sum(t for t, _ in rows)
+    pairs = list(zip(keys, [w for _, w in rows]))
+    raw = _lr_alloc_py(pairs, budget)
+    capped = {
+        k: min(raw[k], 4 * t) for k, (t, _) in zip(keys, rows)
+    }
+    leftover = budget - sum(capped.values())
+    un = [
+        (k, w)
+        for k, (t, w) in zip(keys, rows)
+        if raw[k] < 4 * t
+    ]
+    redist = _lr_alloc_py(un, leftover) if un and leftover > 0 else {}
+    # pass-2 with budget 0 allocates 0 everywhere — same as no pass
+    want = {}
+    for k, (t, w) in zip(keys, rows):
+        fin = min(capped[k] + redist.get(k, 0), 4 * t)
+        want[k] = (
+            raw[k],
+            4 * t,
+            fin,
+            (fin * 1_000_000 // t) if t > 0 else 0,
+            1 if raw[k] > 4 * t else 0,
+        )
+    df = spark.createDataFrame(
+        list(zip(keys, [t for t, _ in rows], [w for _, w in rows])),
+        "source string, toks long, w_milli long",
+    )
+    got = {
+        r["source"]: (
+            r["alloc_raw"],
+            r["cap_tokens"],
+            r["alloc_final"],
+            r["epochs_micro"],
+            r["capped"],
+        )
+        for r in epoch_capped_allocation(df, budget).collect()
+    }
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=15))
+def test_packing_curve_matches_sequential_reference(spark, tok_counts):
+    """Every curve column vs the plain sequential loop over the
+    (md5(id), id) order — packed/padded counts, waste, and the
+    boundary-split census must be exactly the distributed result."""
+    import hashlib
+
+    from dsci551_edfs_spark.pipeline.curation import packing_curve
+
+    rows = [
+        (i, " ".join(["t"] * n) if n else "") for i, n in enumerate(tok_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["ctx_len"]: r
+        for r in packing_curve(df, lens=(32, 64, 128)).collect()
+    }
+    order = sorted(
+        range(len(tok_counts)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    tot = sum(tok_counts)
+    nd = sum(1 for n in tok_counts if n > 0)
+    for L in (32, 64, 128):
+        splits = 0
+        off = 0
+        for i in order:
+            n = tok_counts[i]
+            if n > 0 and off // L != (off + n - 1) // L:
+                splits += 1
+            off += n
+        r = got[L]
+        assert r["n_docs"] == nd
+        assert r["total_tokens"] == tot
+        assert r["n_seqs_packed"] == (tot + L - 1) // L
+        assert r["n_seqs_padded"] == sum((n + L - 1) // L for n in tok_counts)
+        assert r["pad_waste_tokens"] == r["n_seqs_padded"] * L - tot
+        assert r["docs_split"] == splits
+        if tot:
+            assert (
+                r["packed_util_ppm"]
+                == tot * 1_000_000 // (((tot + L - 1) // L) * L)
+            )
