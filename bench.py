@@ -223,6 +223,10 @@ HEADLINE = [
     "conformal_gate_threshold",
     "label_noise_confident_joint",
     "gate_fairness_audit",
+    "sequence_packing_curve",
+    "mixture_epochs_plan",
+    "streaming_conformal_coverage",
+    "pass_at_k_eval",
 ]
 
 
@@ -247,6 +251,12 @@ _SPLIT_PROVIDERS: dict[str, tuple[str, str, str, str]] = {
         "LAST_CV_TIMINGS",
         "feature_build_s",
         "cv_folds_s",
+    ),
+    "streaming_conformal_coverage": (
+        "dsci551_edfs_spark.streaming.conformal_monitor",
+        "LAST_TIMINGS",
+        "stream_startup_s",
+        "stream_drain_s",
     ),
 }
 

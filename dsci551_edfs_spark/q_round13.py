@@ -775,20 +775,160 @@ def streaming_conformal_coverage(spark, sf_dir):
     from .pipeline.curation import md5_bucket
     from .streaming.conformal_monitor import (
         conformal_coverage_stream,
-        frozen_idf_table,
+        frozen_featurizer_state,
     )
 
     w, bias = _lr_trained_model(spark, sf_dir)
     t4 = _conformal_t4(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
     # the frozen deploy artifact is model + threshold + FEATURIZER:
-    # the train-time IDF table (corpus-level doc frequencies), without
+    # the train-time df table (corpus-level doc frequencies), without
     # which per-batch scoring would silently train/serve-skew
-    idf = frozen_idf_table(d)
+    dfr, n_ref = frozen_featurizer_state(d)
     feed = d.filter(md5_bucket("doc_id", 100) >= 50)
     base = _scratch_dir("conformal_cov")
     feed_dir = os.path.join(base, "feed")
     feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
     return conformal_coverage_stream(
-        spark, idf, w, bias, t4, feed_dir, base
+        spark, dfr, n_ref, w, bias, t4, feed_dir, base
+    )
+
+
+# ---------------------------------------------------------------------
+# Eval-family: unbiased pass@k over per-task sampled attempts
+# ---------------------------------------------------------------------
+
+_PASS_AT_K_N = 20
+_PASS_AT_K_KS = (1, 2, 5, 10)
+
+
+def _pass_at_k_oracle_sql() -> str:
+    n = _PASS_AT_K_N
+    per_k = []
+    for k in _PASS_AT_K_KS:
+        den = 1
+        for i in range(k):
+            den *= n - i
+        num = " * ".join(f"({n} - c - {i})" for i in range(k))
+        per_k.append(
+            f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_tasks,
+           CAST(CASE WHEN count(*) = 0 THEN 0 ELSE
+             (2 * sum((({den} - (CASE WHEN {n} - c >= {k}
+                                 THEN {num} ELSE 0 END))
+                       * 1000000) // {den}) + count(*))
+             // (2 * count(*)) END AS BIGINT) AS mean_pass_micro
+    FROM t"""
+        )
+    return (
+        f"""
+    WITH r AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1 ELSE 0 END AS ok,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events),
+    t AS (
+      SELECT user_id, CAST(sum(ok) AS BIGINT) AS c
+      FROM r WHERE rn <= {n}
+      GROUP BY user_id HAVING count(*) = {n})
+    """
+        + " UNION ALL ".join(per_k)
+    )
+
+
+@q("pass_at_k_eval", _pass_at_k_oracle_sql())
+def pass_at_k_eval(spark, sf_dir):
+    """The unbiased pass@k estimator (Chen et al. 2021, "Evaluating
+    Large Language Models Trained on Code", eq. 1) in exact integer
+    combinatorics — the eval-pipeline aggregation run over millions of
+    (task, sampled attempts, verifier outcome) rows: per task, draw a
+    FIXED n = 20 attempts (the first 20 events in deterministic
+    (md5(event_id), event_id) order — an unbiased, reproducible
+    subsample of the attempt stream), count verifier successes c
+    (stand-in rule: the attempt converts — purchase/signup; the
+    MACHINERY is the operator, the rule is corpus-specific), and
+    estimate pass@k = 1 − C(n−c,k)/C(n,k) WITHOUT floating
+    combinatorics: the ratio telescopes to Π(n−c−i)/Π(n−i) whose
+    numerator/denominator are exact int64 products for k ≤ 10, so
+    per-task pass@k_micro = (den−num)·1e6 div den is bit-identical on
+    every engine, and the per-k mean over tasks is the round-half-up
+    micro division. Tasks with fewer than n attempts are dropped
+    (fixed-n eval protocol).
+
+    Scale shape: ONE per-task window (PARTITIONED by task — never
+    global), one groupBy(task) to (n, c), then ONE scalar aggregate
+    computes all four k values as conditional sums (the packing-curve
+    stacking idiom — the task frame is not exploded 4×). At 100 TB of
+    eval logs everything is map-side combinable past the window."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    n = _PASS_AT_K_N
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    r = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").isin("purchase", "signup")
+        .cast("long")
+        .alias("ok"),
+    ).withColumn("rn", F.row_number().over(w))
+    t = (
+        r.filter(F.col("rn") <= n)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("nn"),
+            F.sum("ok").cast("long").alias("c"),
+        )
+        .filter(F.col("nn") == n)
+    )
+    aggs = [F.count("*").cast("long").alias("n_tasks")]
+    dens = {}
+    for k in _PASS_AT_K_KS:
+        den = 1
+        for i in range(k):
+            den *= n - i
+        dens[k] = den
+        num = " * ".join(f"({n} - c - {i})" for i in range(k))
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"(({den} - (CASE WHEN {n} - c >= {k}"
+                        f" THEN {num} ELSE 0 END)) * 1000000) div {den}"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"s_{k}")
+        )
+    one = t.agg(*aggs)
+    return one.select(
+        "n_tasks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        F.col(f"s_{k}").alias("s"),
+                    )
+                    for k in _PASS_AT_K_KS
+                ]
+            )
+        ).alias("r"),
+    ).select(
+        F.col("r.k").alias("k"),
+        "n_tasks",
+        F.expr(
+            "CASE WHEN n_tasks = 0 THEN 0"
+            " ELSE (2 * r.s + n_tasks) div (2 * n_tasks) END"
+        )
+        .cast("long")
+        .alias("mean_pass_micro"),
     )

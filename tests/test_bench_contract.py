@@ -126,6 +126,9 @@ TIMED_WRITE_WHITELIST = {
     "streaming_merge_upsert": "CDC feed write + replay is the operator",
     "streaming_quality_gate": "feed write + gated stream run IS the op",
     "streaming_drift_psi": "feed write + monitored stream run IS the op",
+    "streaming_conformal_coverage": (
+        "feed write + coverage-monitored stream run IS the op"
+    ),
     "jsonl_roundtrip": "write+read roundtrip",
     "orc_roundtrip": "write+read roundtrip",
     "csv_roundtrip": "write+read roundtrip",

@@ -320,19 +320,67 @@ def test_conformal_batch_partials_are_additive(spark, sf_dir):
     from dsci551_edfs_spark.queries import _t
     from dsci551_edfs_spark.streaming.conformal_monitor import (
         batch_coverage_counts,
-        frozen_idf_table,
+        frozen_featurizer_state,
     )
 
     d = _t(spark, sf_dir, "documents")
     w, bias = _lr_trained_model(spark, sf_dir)
     t4 = _conformal_t4(spark, sf_dir)
-    idf = frozen_idf_table(d)
-    whole = batch_coverage_counts(d, idf, w, bias, t4).collect()[0]
+    dfr, n_ref = frozen_featurizer_state(d)
+    whole = batch_coverage_counts(d, dfr, n_ref, w, bias, t4).collect()[0]
     lo = batch_coverage_counts(
-        d.filter(F.col("doc_id") % 2 == 0), idf, w, bias, t4
+        d.filter(F.col("doc_id") % 2 == 0), dfr, n_ref, w, bias, t4
     ).collect()[0]
     hi = batch_coverage_counts(
-        d.filter(F.col("doc_id") % 2 == 1), idf, w, bias, t4
+        d.filter(F.col("doc_id") % 2 == 1), dfr, n_ref, w, bias, t4
     ).collect()[0]
     for c in ("n", "n_pass", "n_pos", "n_pos_covered"):
         assert whole[c] == lo[c] + hi[c]
+
+
+def test_pass_at_k_eval_invariants(spark, sf_dir):
+    """pass@k is monotone non-decreasing in k, micro-bounded, with one
+    shared fixed-n task census across rows; a pure-Python replay of the
+    estimator over the same md5-ordered first-20 attempts must agree."""
+    import hashlib
+
+    import duckdb
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["pass_at_k_eval"](spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [1, 2, 5, 10]
+    assert len({r["n_tasks"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert 0 <= a["mean_pass_micro"] <= b["mean_pass_micro"] <= 1_000_000
+
+    ev = duckdb.sql(
+        "SELECT user_id, event_id, event_type FROM read_parquet("
+        f"'{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_task = {}
+    for uid, eid, et in ev:
+        by_task.setdefault(uid, []).append((eid, et))
+    cs = []
+    for uid, evs in by_task.items():
+        evs.sort(key=lambda e: (hashlib.md5(str(e[0]).encode()).hexdigest(), e[0]))
+        if len(evs) < 20:
+            continue
+        cs.append(sum(1 for _, et in evs[:20] if et in ("purchase", "signup")))
+    for r in rows:
+        k = r["k"]
+        den = 1
+        for i in range(k):
+            den *= 20 - i
+        s = 0
+        for c in cs:
+            num = 1 if 20 - c >= k else 0
+            if num:
+                for i in range(k):
+                    num *= 20 - c - i
+            s += (den - num) * 1_000_000 // den
+        assert r["n_tasks"] == len(cs)
+        assert r["mean_pass_micro"] == (2 * s + len(cs)) // (2 * len(cs))
