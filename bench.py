@@ -227,6 +227,7 @@ HEADLINE = [
     "mixture_epochs_plan",
     "streaming_conformal_coverage",
     "pass_at_k_eval",
+    "quality_budget_curve",
 ]
 
 

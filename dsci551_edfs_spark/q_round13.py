@@ -932,3 +932,171 @@ def pass_at_k_eval(spark, sf_dir):
         .cast("long")
         .alias("mean_pass_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# Data-selection quality/budget trade-off curve
+# ---------------------------------------------------------------------
+
+_BUDGET_CURVE_PCTS = (10, 25, 50, 75, 100)
+
+
+def _budget_curve_oracle_sql() -> str:
+    from .q_media_temporal import _NTOK_SQL
+
+    per_pct = []
+    for p in _BUDGET_CURVE_PCTS:
+        per_pct.append(
+            f"""
+    SELECT CAST({p} AS BIGINT) AS budget_pct,
+           CAST(tt * {p} // 100 AS BIGINT) AS budget_tokens,
+           CAST(coalesce(sum(CASE WHEN cum_tokens <= tt * {p} // 100
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_docs,
+           CAST(coalesce(sum(CASE WHEN cum_tokens <= tt * {p} // 100
+                                  THEN n_tokens ELSE 0 END), 0)
+                AS BIGINT) AS tokens_selected,
+           CAST(CASE WHEN coalesce(sum(CASE WHEN cum_tokens <=
+                              tt * {p} // 100 THEN 1 ELSE 0 END), 0) = 0
+                THEN 0 ELSE
+                  (200 * sum(CASE WHEN cum_tokens <= tt * {p} // 100
+                             THEN q4 ELSE 0 END)
+                   + sum(CASE WHEN cum_tokens <= tt * {p} // 100
+                         THEN 1 ELSE 0 END))
+                  // (2 * sum(CASE WHEN cum_tokens <= tt * {p} // 100
+                              THEN 1 ELSE 0 END)) END AS BIGINT)
+             AS mean_q_micro,
+           CAST(coalesce(min(CASE WHEN cum_tokens <= tt * {p} // 100
+                                  THEN q4 END), 0) AS BIGINT)
+             AS frontier_q4
+    FROM c, tot GROUP BY tt"""
+        )
+    return (
+        rf"""
+    WITH s AS (
+      SELECT doc_id,
+             {_NTOK_SQL} AS n_tokens,
+             CAST(round(round(least({_NTOK_SQL} / 100.0, 1.0)
+                   * (1 - round(len(regexp_extract_all(text, '[^\w\s]'))
+                                / greatest(length(text), 1), 3))
+                   * (1 - round(len(regexp_extract_all(text, '[0-9]'))
+                                / greatest(length(text), 1), 3)), 4)
+                   * 10000) AS BIGINT) AS q4,
+             round(least({_NTOK_SQL} / 100.0, 1.0)
+                   * (1 - round(len(regexp_extract_all(text, '[^\w\s]'))
+                                / greatest(length(text), 1), 3))
+                   * (1 - round(len(regexp_extract_all(text, '[0-9]'))
+                                / greatest(length(text), 1), 3)), 4)
+               AS quality_score
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, q4,
+             CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM s),
+    tot AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tt
+            FROM s)
+    """
+        + " UNION ALL ".join(per_pct)
+    )
+
+
+@q("quality_budget_curve", _budget_curve_oracle_sql())
+def quality_budget_curve(spark, sf_dir):
+    """The data-selection TRADE-OFF curve `budget_select_corpus` picks
+    one point of: rank the corpus by the frozen quality score, then for
+    token budgets at 10/25/50/75/100% of TOTAL corpus tokens (budgets
+    scale with the corpus — no fixed literal that degenerates at other
+    SFs) report how many docs/tokens make the cut, the mean selected
+    quality (round-half-up micro over the ×1e4-frozen scores) and the
+    FRONTIER quality — the marginal doc's score, i.e. what quality a
+    bigger compute budget buys you. This is the table a
+    compute-constrained pretraining owner reads to pick the
+    budget/quality operating point (the selection-scaling companion to
+    `quality_lr_threshold_sweep`'s precision/recall sweep).
+
+    Scale shape: one scan projects (n_tokens, q4), the global
+    cumulative is the autoscaled two-phase `running_total` over
+    (score desc, id) — never a single-partition window — and ONE
+    scalar aggregate computes all five budgets as conditional sums
+    (the packing-curve stacking idiom; the corpus is not exploded
+    5×). The oracle's flat OVER is DuckDB-side only."""
+    from .operators.cumulative import running_total
+
+    d = _t(spark, sf_dir, "documents")
+    from .functions.text import token_count
+
+    n_tokens = token_count(F.col("text")).cast("long")
+    n_chars = F.length("text")
+    punct = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0)))
+        / F.greatest(n_chars, F.lit(1)),
+        3,
+    )
+    digit = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]"), F.lit(0)))
+        / F.greatest(n_chars, F.lit(1)),
+        3,
+    )
+    score = F.round(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * (1 - punct) * (1 - digit), 4
+    )
+    s = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(score * 10000).cast("long").alias("q4"),
+        (-score).alias("_neg"),
+    )
+    c = running_total(s, ["_neg", "doc_id"], "n_tokens", out_col="cum_tokens")
+    tot = s.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tt")
+    )
+    cc = c.crossJoin(F.broadcast(tot))
+    aggs = [F.first("tt").alias("tt")]
+    for p in _BUDGET_CURVE_PCTS:
+        sel = F.col("cum_tokens") <= F.expr(f"tt * {p} div 100")
+        aggs += [
+            F.coalesce(F.sum(F.when(sel, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"nd_{p}"),
+            F.coalesce(F.sum(F.when(sel, F.col("n_tokens")).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"tk_{p}"),
+            F.coalesce(F.sum(F.when(sel, F.col("q4")).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"qs_{p}"),
+            F.coalesce(F.min(F.when(sel, F.col("q4"))), F.lit(0))
+            .cast("long")
+            .alias(f"mq_{p}"),
+        ]
+    one = cc.agg(*aggs)
+    return one.select(
+        "tt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("budget_pct"),
+                        F.col(f"nd_{p}").alias("nd"),
+                        F.col(f"tk_{p}").alias("tk"),
+                        F.col(f"qs_{p}").alias("qs"),
+                        F.col(f"mq_{p}").alias("mq"),
+                    )
+                    for p in _BUDGET_CURVE_PCTS
+                ]
+            )
+        ).alias("r"),
+    ).select(
+        F.col("r.budget_pct").alias("budget_pct"),
+        F.expr("tt * r.budget_pct div 100").cast("long").alias("budget_tokens"),
+        F.col("r.nd").alias("n_docs"),
+        F.col("r.tk").alias("tokens_selected"),
+        F.expr(
+            "CASE WHEN r.nd = 0 THEN 0"
+            " ELSE (200 * r.qs + r.nd) div (2 * r.nd) END"
+        )
+        .cast("long")
+        .alias("mean_q_micro"),
+        F.col("r.mq").alias("frontier_q4"),
+    )

@@ -384,3 +384,29 @@ def test_pass_at_k_eval_invariants(spark, sf_dir):
             s += (den - num) * 1_000_000 // den
         assert r["n_tasks"] == len(cs)
         assert r["mean_pass_micro"] == (2 * s + len(cs)) // (2 * len(cs))
+
+
+def test_quality_budget_curve_invariants(spark, sf_dir):
+    """Monotone trade-off: bigger budgets select supersets (docs and
+    tokens non-decreasing), mean selected quality never improves as the
+    budget grows, the frontier only falls, tokens never exceed the
+    budget, and the 100% row takes the whole corpus."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["quality_budget_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["budget_pct"],
+    )
+    assert [r["budget_pct"] for r in rows] == [10, 25, 50, 75, 100]
+    for r in rows:
+        assert r["tokens_selected"] <= r["budget_tokens"]
+        assert 0 <= r["frontier_q4"] <= 10000
+        assert 0 <= r["mean_q_micro"] <= 1_000_000
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs"] <= b["n_docs"]
+        assert a["tokens_selected"] <= b["tokens_selected"]
+        if a["n_docs"] > 0:
+            assert a["mean_q_micro"] >= b["mean_q_micro"]
+            assert a["frontier_q4"] >= b["frontier_q4"]
+    full = rows[-1]
+    assert full["tokens_selected"] == full["budget_tokens"]
