@@ -228,6 +228,7 @@ HEADLINE = [
     "streaming_conformal_coverage",
     "pass_at_k_eval",
     "quality_budget_curve",
+    "shuffle_mixing_audit",
 ]
 
 

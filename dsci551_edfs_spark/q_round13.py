@@ -1100,3 +1100,110 @@ def quality_budget_curve(spark, sf_dir):
         .alias("mean_q_micro"),
         F.col("r.mq").alias("frontier_q4"),
     )
+
+
+# ---------------------------------------------------------------------
+# Shuffle-mixing audit over the deterministic pretraining order
+# ---------------------------------------------------------------------
+
+_SHUFFLE_MIX_SQL = r"""
+    WITH o AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      FROM documents),
+    l AS (SELECT source,
+                 lag(source) OVER (ORDER BY pos) AS prev
+          FROM o),
+    a AS (SELECT CAST(coalesce(sum(CASE WHEN source = prev
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS same_adj
+          FROM l),
+    g AS (SELECT CAST(coalesce(sum(CAST(c AS HUGEINT)
+                                   * (CAST(c AS HUGEINT) - 1)), 0)
+                      AS HUGEINT) AS pairs,
+                 CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+          FROM (SELECT count(*) AS c FROM documents GROUP BY source))
+    SELECT g.n AS n_docs,
+           a.same_adj,
+           CAST(CASE WHEN g.n = 0 THEN 0
+                ELSE (g.pairs * 1000000) // g.n END AS BIGINT)
+             AS expected_same_micro,
+           CAST(CASE WHEN g.pairs = 0 THEN 0
+                ELSE (CAST(a.same_adj AS HUGEINT) * 1000000 * g.n)
+                     // g.pairs END AS BIGINT) AS mixing_ratio_micro
+    FROM a, g
+    """
+
+
+@q("shuffle_mixing_audit", _SHUFFLE_MIX_SQL)
+def shuffle_mixing_audit(spark, sf_dir):
+    """Does the deterministic pretraining shuffle actually MIX the
+    sources? Batches drawn from a badly mixed order are
+    source-correlated — gradient noise stops being i.i.d. and the loss
+    curve inherits source-sized oscillations — so pipeline owners
+    audit the order before training, not after. Over the
+    `global_shuffle_order` (md5(id), id) ranking: count ADJACENT pairs
+    sharing a source and compare with the uniform-permutation
+    expectation E[same] = Σ_s n_s(n_s−1)/N (the Wald–Wolfowitz runs
+    logic restated in exact integers); mixing_ratio_micro ≈ 1e6 means
+    the order is indistinguishable from a fresh random permutation,
+    ≫1e6 flags residual source clumping. Σ n_s(n_s−1) is accumulated
+    in DECIMAL(38,0)/HUGEINT — at 100 TB n_s² overflows int64 (the
+    `aqp_sampled_revenue` overflow lesson).
+
+    Scale shape: the rank is the 256-way two-phase bucketed prefix;
+    adjacency is ONE equi-join on pos+1 == pos (shuffle-partitioned on
+    pos — no window over the whole corpus, no driver data); the
+    per-source census is one map-side groupBy."""
+    from .pipeline.curation import global_shuffle_order
+
+    d = _t(spark, sf_dir, "documents")
+    o = global_shuffle_order(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    a = o.select(F.col("shuffle_pos").alias("p"), F.col("source").alias("s1"))
+    b = o.select(
+        (F.col("shuffle_pos") - 1).alias("p"), F.col("source").alias("s2")
+    )
+    adj = a.join(b, "p").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("s1") == F.col("s2"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("same_adj")
+    )
+    g = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(c AS DECIMAL(38,0))"
+                        " * (CAST(c AS DECIMAL(38,0)) - 1)"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("pairs"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    return adj.crossJoin(F.broadcast(g)).select(
+        F.col("n").alias("n_docs"),
+        "same_adj",
+        F.expr(
+            "CASE WHEN n = 0 THEN 0"
+            " ELSE (pairs * 1000000) div CAST(n AS DECIMAL(38,0)) END"
+        )
+        .cast("long")
+        .alias("expected_same_micro"),
+        F.expr(
+            "CASE WHEN pairs = 0 THEN 0"
+            " ELSE (CAST(same_adj AS DECIMAL(38,0)) * 1000000"
+            " * CAST(n AS DECIMAL(38,0))) div pairs END"
+        )
+        .cast("long")
+        .alias("mixing_ratio_micro"),
+    )

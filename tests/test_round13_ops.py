@@ -410,3 +410,82 @@ def test_quality_budget_curve_invariants(spark, sf_dir):
             assert a["frontier_q4"] >= b["frontier_q4"]
     full = rows[-1]
     assert full["tokens_selected"] == full["budget_tokens"]
+
+
+def test_shuffle_mixing_audit_matches_python(spark, sf_dir):
+    """Exact replay: same-source adjacency over the md5 order and the
+    uniform-permutation expectation, recomputed in plain Python from
+    the parquet, must equal the distributed result; the md5 order of a
+    multi-source corpus should mix to within 3x of expectation."""
+    import hashlib
+
+    import duckdb
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    r = QUERIES["shuffle_mixing_audit"](spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"SELECT doc_id, source FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    order = sorted(
+        rows, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+    )
+    same = sum(
+        1 for x, y in zip(order, order[1:]) if x[1] == y[1]
+    )
+    from collections import Counter
+
+    cnt = Counter(s for _, s in rows)
+    n = len(rows)
+    pairs = sum(c * (c - 1) for c in cnt.values())
+    assert r["n_docs"] == n
+    assert r["same_adj"] == same
+    assert r["expected_same_micro"] == pairs * 1_000_000 // n
+    assert r["mixing_ratio_micro"] == same * 1_000_000 * n // pairs
+    # the md5 order behaves like a fresh permutation on this corpus
+    assert r["mixing_ratio_micro"] < 3_000_000
+
+
+def test_packing_curve_empty_corpus(spark, tmp_path):
+    """Degenerate input: zero docs still yields the full 5-row curve of
+    zeros (the CASE guards, not NULLs or divide-by-zero)."""
+    from dsci551_edfs_spark.pipeline.curation import packing_curve
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = packing_curve(empty, lens=(128, 256)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (
+            r["n_docs"],
+            r["total_tokens"],
+            r["n_seqs_packed"],
+            r["n_seqs_padded"],
+            r["pad_waste_tokens"],
+            r["docs_split"],
+            r["packed_util_ppm"],
+        ) == (0, 0, 0, 0, 0, 0, 0)
+
+
+def test_pass_at_k_short_tasks_dropped(spark, tmp_path):
+    """Tasks with fewer than n=20 attempts are excluded by the fixed-n
+    protocol; with NO qualifying task every row degrades to the guarded
+    (0, 0) — not NULL."""
+    import os
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    sf = str(tmp_path / "sf_short")
+    os.makedirs(sf)
+    ev = spark.range(30).select(
+        F.col("id").alias("event_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        (F.col("id") % 10).alias("user_id"),  # 3 events/user < 20
+        F.lit("purchase").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    rows = QUERIES["pass_at_k_eval"](spark, sf).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r["n_tasks"], r["mean_pass_micro"]) == (0, 0)
