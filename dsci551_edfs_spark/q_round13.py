@@ -773,18 +773,32 @@ def streaming_conformal_coverage(spark, sf_dir):
     (streaming/conformal_monitor.py). Sink state is O(batches) 1-row
     partials at ANY feed size."""
     from .pipeline.curation import md5_bucket
-    from .streaming.conformal_monitor import (
-        conformal_coverage_stream,
-        frozen_featurizer_state,
-    )
+    from .streaming.conformal_monitor import conformal_coverage_stream
 
     w, bias = _lr_trained_model(spark, sf_dir)
     t4 = _conformal_t4(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
+
     # the frozen deploy artifact is model + threshold + FEATURIZER:
     # the train-time df table (corpus-level doc frequencies), without
-    # which per-batch scoring would silently train/serve-skew
-    dfr, n_ref = frozen_featurizer_state(d)
+    # which per-batch scoring would silently train/serve-skew. The df
+    # table is itself a fit-once per-corpus artifact, so it serves
+    # from the memo store (the lr_model_r3/lr_scored_r3 precedent) —
+    # deterministic build, bit-identical to an in-query tokenize
+    def _build_dfr():
+        from .streaming.quality_gate import frozen_featurizer
+
+        return frozen_featurizer(d)[0]
+
+    from .pipeline.dedup import _persist
+
+    dfr = _persist(
+        MEMO.dataframe_memo(
+            spark, "tfidf_dfr", sf_dir, ["documents"], _build_dfr
+        )
+    )
+    dfr.count()  # freeze BEFORE the stream starts (train-time state)
+    n_ref = d.count()
     feed = d.filter(md5_bucket("doc_id", 100) >= 50)
     base = _scratch_dir("conformal_cov")
     feed_dir = os.path.join(base, "feed")
