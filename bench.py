@@ -229,6 +229,7 @@ HEADLINE = [
     "pass_at_k_eval",
     "quality_budget_curve",
     "shuffle_mixing_audit",
+    "ann_ivf_tombstone_delete",
 ]
 
 

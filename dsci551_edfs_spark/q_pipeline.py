@@ -753,13 +753,20 @@ def hard_negatives(spark, sf_dir):
     )
 
 
-def _ivf_oracle_sql(query_pred: str, k: int = 5, n_probe: int = 4) -> str:
+def _ivf_oracle_sql(
+    query_pred: str,
+    k: int = 5,
+    n_probe: int = 4,
+    exclude: str = "FALSE",
+) -> str:
     """DuckDB restatement of the full IVF search: nearest-centroid
     assignment (argmax dot — scale-invariant, so the raw vectors serve),
     top-n_probe probes per query, exact cosine inside probed buckets,
     per-query rank. Shared by the in-memory and persisted-layout demos:
     both produce the same top-k by construction (the layout is storage,
-    not semantics)."""
+    not semantics). ``exclude`` is a candidate-side tombstone predicate
+    (on ``b.vec_id``) for the delete-maintenance demo; the default
+    FALSE excludes nothing."""
     return f"""
     WITH cents(c, cv) AS (VALUES
         {_ivf_cents_sql()}),
@@ -786,6 +793,7 @@ def _ivf_oracle_sql(query_pred: str, k: int = 5, n_probe: int = 4) -> str:
       JOIN probes p ON b.c = p.c AND b.vec_id <> p.query_id
       JOIN embeddings e ON e.vec_id = b.vec_id
       JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE NOT ({exclude})
     )
     SELECT query_id, neighbor_id, rnk, round(score, 4) AS score FROM (
       SELECT query_id, id AS neighbor_id,

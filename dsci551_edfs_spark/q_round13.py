@@ -1221,3 +1221,70 @@ def shuffle_mixing_audit(spark, sf_dir):
         .cast("long")
         .alias("mixing_ratio_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# ANN index maintenance: tombstone deletes without rebuild
+# ---------------------------------------------------------------------
+
+
+def _ivf_tombstone_oracle() -> str:
+    from .q_pipeline import _ivf_oracle_sql
+
+    return _ivf_oracle_sql(
+        "vec_id < 5 AND vec_id % 17 <> 0", exclude="b.vec_id % 17 = 0"
+    )
+
+
+@q("ann_ivf_tombstone_delete", _ivf_tombstone_oracle())
+def ann_ivf_tombstone_delete(spark, sf_dir):
+    """GDPR delete meets the vector index: when rows must disappear
+    from a 100 TB IVF layout NOW, you don't re-cluster — you tombstone.
+    The persisted hive layout (`ivf_idx` memo, shared with
+    `ann_ivf_persisted`) stays untouched on disk; deleted ids
+    (vec_id % 17 = 0, the deterministic stand-in for a deletion ledger)
+    are anti-joined out of the probed buckets at QUERY time via a
+    broadcast tombstone set, and deleted queries don't query. Centroids
+    and assignments are unchanged (tombstoning ≠ re-clustering — the
+    documented maintenance trade-off: recall degrades only if a bucket
+    empties), so the full IVF oracle restates the search with the
+    candidate-side exclusion predicate and hash-matches — the proof
+    that delete-time results equal filter-the-full-search, with no
+    rebuild and no layout rewrite.
+
+    Scale shape: the tombstone ledger broadcasts (deletes ≪ corpus);
+    the centroid partition filter still pushes below the anti-join to
+    the pruned bucket directories (the layout's PartitionFilters
+    contract), so a delete-aware probe reads exactly what a plain
+    probe reads minus nothing — one extra broadcast hash anti-join in
+    the probed slice."""
+    from .pipeline import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tomb = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") < 5) & (F.col("vec_id") % 17 != 0)
+    )
+
+    def _build(tmp: str) -> None:
+        bucketed, cents = SIM.build_ivf_index(emb, n_centroids=8)
+        SIM.save_ivf_index(bucketed, cents, tmp)
+
+    path = MEMO.layout_memo(
+        "ivf_idx",
+        sf_dir,
+        ["embeddings"],
+        _build,
+        markers=("buckets/_SUCCESS", "centroids/_SUCCESS"),
+    )
+    loaded, cents2 = SIM.load_ivf_index(spark, path)
+    alive = loaded.join(F.broadcast(tomb), "id", "left_anti")
+    out = SIM.ivf_topk_pruned(alive, cents2, queries, k=5, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rnk"),
+        F.round(F.col("score"), 4).alias("score"),
+    )

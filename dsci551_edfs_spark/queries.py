@@ -79,6 +79,7 @@ MEMOIZED_QUERIES: dict[str, str] = {
     "embedding_single_linkage_lsh": "sl_labels_lsh",
     "ann_ivf_persisted": "ivf_idx",
     "knn_label_vote_ivf": "ivf_idx",
+    "ann_ivf_tombstone_delete": "ivf_idx",
     "edfs_datasource_scan": "edfs_layout",
     "hypertable_rollup_day": "rollup_hour",
     "sessionize_events_bucketed": "sess_bucket",

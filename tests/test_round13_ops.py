@@ -489,3 +489,35 @@ def test_pass_at_k_short_tasks_dropped(spark, tmp_path):
     assert len(rows) == 4
     for r in rows:
         assert (r["n_tasks"], r["mean_pass_micro"]) == (0, 0)
+
+
+def test_ivf_tombstone_delete_contract(spark, sf_dir):
+    """Delete-aware probe: no tombstoned id appears as query or
+    neighbor, ranks stay a contiguous 1..k prefix per query, and every
+    result the plain probe returned for an alive (query, neighbor) pair
+    survives with the same score."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["ann_ivf_tombstone_delete"](spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] % 17 != 0
+        assert r["neighbor_id"] % 17 != 0
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+    plain = QUERIES["ann_ivf_persisted"](spark, sf_dir).collect()
+    plain_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in plain
+        if r["query_id"] % 17 != 0 and r["neighbor_id"] % 17 != 0
+    }
+    got_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in rows
+    }
+    # every alive pair the plain top-5 surfaced is still there, same
+    # score (deletes can only ADD lower-ranked alive neighbors)
+    for k, v in plain_scores.items():
+        assert got_scores.get(k) == v
