@@ -230,6 +230,7 @@ HEADLINE = [
     "quality_budget_curve",
     "shuffle_mixing_audit",
     "ann_ivf_tombstone_delete",
+    "forecast_backtest_mase",
 ]
 
 

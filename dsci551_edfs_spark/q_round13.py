@@ -1288,3 +1288,154 @@ def ann_ivf_tombstone_delete(spark, sf_dir):
         F.col("rank").cast("long").alias("rnk"),
         F.round(F.col("score"), 4).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------
+# Forecast backtest: seasonal-naive MASE over the event stream
+# ---------------------------------------------------------------------
+
+_MASE_SQL = r"""
+    WITH h AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             count(*) AS y
+      FROM events GROUP BY 1),
+    b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+    spine AS (
+      SELECT b.h0 + CAST(unnest(generate_series(0, b.h1 - b.h0))
+                         AS BIGINT) AS hr
+      FROM b),
+    yy AS (
+      SELECT s.hr, CAST(coalesce(h.y, 0) AS BIGINT) AS y
+      FROM spine s LEFT JOIN h USING (hr)),
+    lagged AS (
+      SELECT a.hr, a.y, CAST(coalesce(p.y, 0) AS BIGINT) AS yhat
+      FROM yy a LEFT JOIN yy p ON p.hr = a.hr - 168),
+    split AS (
+      SELECT l.*, b.h0, b.h1,
+             CASE WHEN l.hr > b.h1 - 168 THEN 'test'
+                  WHEN l.hr - 168 >= b.h0 THEN 'train'
+                  ELSE 'burnin' END AS part
+      FROM lagged l, b),
+    agg AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN part = 'train' THEN 1 END), 0)
+             AS BIGINT) AS n_train_hours,
+        CAST(coalesce(sum(CASE WHEN part = 'test' THEN 1 END), 0)
+             AS BIGINT) AS n_test_hours,
+        CAST(coalesce(sum(CASE WHEN part = 'test'
+                          THEN abs(y - yhat) END), 0) AS BIGINT)
+          AS test_abs_err,
+        CAST(coalesce(sum(CASE WHEN part = 'train'
+                          THEN abs(y - yhat) END), 0) AS BIGINT)
+          AS train_scale_abs,
+        CAST(coalesce(sum(CASE WHEN part = 'test'
+                          THEN y - yhat END), 0) AS BIGINT) AS test_bias
+      FROM split)
+    SELECT n_train_hours, n_test_hours, test_abs_err, train_scale_abs,
+           test_bias,
+           CAST(CASE WHEN train_scale_abs = 0 OR n_test_hours = 0 THEN 0
+                ELSE (CAST(test_abs_err AS HUGEINT) * n_train_hours
+                      * 1000000)
+                     // (CAST(train_scale_abs AS HUGEINT) * n_test_hours)
+                END AS BIGINT) AS mase_micro
+    FROM agg
+    """
+
+
+@q("forecast_backtest_mase", _MASE_SQL)
+def forecast_backtest_mase(spark, sf_dir):
+    """Forecast BACKTEST with the scale-free error metric production
+    monitoring actually uses: seasonal-naive ŷ(h) = y(h−168) (same
+    hour last week) over the densified hourly event-count series, MASE
+    (Hyndman–Koehler) = test MAE / in-sample seasonal-naive MAE — the
+    "would a real forecaster beat last week's value?" baseline every
+    capacity-planning pipeline runs before trusting a model. The last
+    168 hours are the holdout; earlier hours with a full-lag history
+    are the scale sample; MASE < 1e6 micro means the naive carries
+    signal. Everything is exact integers (counts, absolute sums;
+    the final ratio multiplies in HUGEINT/DECIMAL(38,0) — n_hours ×
+    abs-err products overflow int64 at 100 TB event volumes).
+
+    Scale shape: one map-side groupBy(hour) count, a generated hour
+    SPINE (range over the 1-row bounds — zero-count hours must exist
+    or the lag silently skips gaps), the lag as ONE equi-join on
+    hr−168 (no corpus-wide window), and one conditional-sum scalar
+    aggregate."""
+    d = _t(spark, sf_dir, "events")
+    h = d.groupBy(
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 3600").alias(
+            "hr"
+        )
+    ).agg(F.count("*").cast("long").alias("y"))
+    from .pipeline.dedup import _persist
+
+    h = _persist(h)
+    b = h.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1")).collect()[0]
+    h0, h1 = int(b["h0"]), int(b["h1"])  # 1-row bounded collect: bounds
+    spine = spark.range(h0, h1 + 1).select(F.col("id").alias("hr"))
+    yy = spine.join(h, "hr", "left").select(
+        "hr", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+    )
+    prev = yy.select((F.col("hr") + 168).alias("hr"), F.col("y").alias("yp"))
+    lagged = yy.join(prev, "hr", "left").select(
+        "hr",
+        "y",
+        F.coalesce(F.col("yp"), F.lit(0)).cast("long").alias("yhat"),
+    )
+    part = (
+        F.when(F.col("hr") > h1 - 168, F.lit("test"))
+        .when(F.col("hr") - 168 >= h0, F.lit("train"))
+        .otherwise(F.lit("burnin"))
+    )
+    agg = lagged.withColumn("part", part).agg(
+        F.coalesce(F.sum(F.when(F.col("part") == "train", 1)), F.lit(0))
+        .cast("long")
+        .alias("n_train_hours"),
+        F.coalesce(F.sum(F.when(F.col("part") == "test", 1)), F.lit(0))
+        .cast("long")
+        .alias("n_test_hours"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("part") == "test",
+                    F.abs(F.col("y") - F.col("yhat")),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("test_abs_err"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("part") == "train",
+                    F.abs(F.col("y") - F.col("yhat")),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("train_scale_abs"),
+        F.coalesce(
+            F.sum(F.when(F.col("part") == "test", F.col("y") - F.col("yhat"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("test_bias"),
+    )
+    return agg.select(
+        "n_train_hours",
+        "n_test_hours",
+        "test_abs_err",
+        "train_scale_abs",
+        "test_bias",
+        F.expr(
+            "CASE WHEN train_scale_abs = 0 OR n_test_hours = 0 THEN 0"
+            " ELSE (CAST(test_abs_err AS DECIMAL(38,0)) * n_train_hours"
+            " * 1000000)"
+            " div (CAST(train_scale_abs AS DECIMAL(38,0)) * n_test_hours)"
+            " END"
+        )
+        .cast("long")
+        .alias("mase_micro"),
+    )

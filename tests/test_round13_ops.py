@@ -521,3 +521,42 @@ def test_ivf_tombstone_delete_contract(spark, sf_dir):
     # score (deletes can only ADD lower-ranked alive neighbors)
     for k, v in plain_scores.items():
         assert got_scores.get(k) == v
+
+
+def test_forecast_backtest_mase_matches_python(spark, sf_dir):
+    """Full Python replay of the densified hourly series, the 168-hour
+    seasonal-naive lag, the train/test/burn-in split and the MASE
+    rational — must equal the distributed result exactly."""
+    import duckdb
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    r = QUERIES["forecast_backtest_mase"](spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        "SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, count(*)"
+        f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+    ).fetchall()
+    y = {h: c for h, c in rows}
+    h0, h1 = min(y), max(y)
+    nte = ntr = tae = tsa = bias = 0
+    for h in range(h0, h1 + 1):
+        yh = y.get(h, 0)
+        yp = y.get(h - 168, 0) if h - 168 >= h0 else 0
+        if h > h1 - 168:
+            nte += 1
+            tae += abs(yh - yp)
+            bias += yh - yp
+        elif h - 168 >= h0:
+            ntr += 1
+            tsa += abs(yh - yp)
+    assert (
+        r["n_train_hours"],
+        r["n_test_hours"],
+        r["test_abs_err"],
+        r["train_scale_abs"],
+        r["test_bias"],
+    ) == (ntr, nte, tae, tsa, bias)
+    assert r["mase_micro"] == tae * ntr * 1_000_000 // (tsa * nte)
+    # events are roughly stationary: the seasonal naive must beat a
+    # wildly-off forecast but stay in a sane band
+    assert 0 < r["mase_micro"] < 5_000_000
