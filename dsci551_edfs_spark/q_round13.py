@@ -1,11 +1,18 @@
-"""Round-13 additions: training-dynamics dataset cartography, a
-split-conformal gate threshold, a confident-learning label-noise audit,
-and a per-source gate fairness report — the curation/governance loop
-AROUND the trained quality classifier, each with a full DuckDB oracle.
+"""Round-13 additions, all full-oracle:
 
-All four ride the existing fit-once artifacts (the GD trajectory memo or
-the scored-frame memo), so none re-trains in-query; each adds at most
-one corpus-granularity pass of its own.
+- the curation/governance loop AROUND the trained quality classifier:
+  training-dynamics dataset cartography, a split-conformal gate
+  threshold, a confident-learning label-noise audit, a per-source gate
+  fairness report, and the STREAMING conformal-coverage monitor (third
+  fully oracle-checked streaming op). These ride the fit-once artifacts
+  (GD trajectory / scored-frame / df-table memos), so none re-trains
+  in-query.
+- loader/mixture planning: the context-length packing curve, the
+  epoch-capped mixture planner, the quality/budget selection curve and
+  the shuffle-mixing audit.
+- eval/maintenance: the exact-integer pass@k estimator, IVF tombstone
+  deletes over the persisted layout, and the seasonal-naive MASE
+  forecast backtest.
 """
 
 from __future__ import annotations
