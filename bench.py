@@ -231,6 +231,7 @@ HEADLINE = [
     "shuffle_mixing_audit",
     "ann_ivf_tombstone_delete",
     "forecast_backtest_mase",
+    "vocab_growth_curve",
 ]
 
 

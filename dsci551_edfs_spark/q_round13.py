@@ -1446,3 +1446,157 @@ def forecast_backtest_mase(spark, sf_dir):
         .cast("long")
         .alias("mase_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# Vocabulary growth (Heaps-law) curve over the pretraining order
+# ---------------------------------------------------------------------
+
+_VOCAB_CURVE_PCTS = (10, 25, 50, 75, 100)
+
+
+def _vocab_growth_oracle_sql() -> str:
+    per_pct = []
+    for p in _VOCAB_CURVE_PCTS:
+        per_pct.append(
+            f"""
+    SELECT CAST({p} AS BIGINT) AS pct,
+           CAST(nn.n * {p} // 100 AS BIGINT) AS n_docs_prefix,
+           CAST((SELECT coalesce(sum(nt), 0) FROM tp
+                 WHERE pos <= nn.n * {p} // 100) AS BIGINT)
+             AS tokens_processed,
+           CAST((SELECT count(*) FROM tk
+                 WHERE first_pos <= nn.n * {p} // 100) AS BIGINT)
+             AS distinct_tokens,
+           CAST(CASE WHEN (SELECT coalesce(sum(nt), 0) FROM tp
+                           WHERE pos <= nn.n * {p} // 100) = 0 THEN 0
+                ELSE (SELECT count(*) FROM tk
+                      WHERE first_pos <= nn.n * {p} // 100) * 1000000
+                     // (SELECT coalesce(sum(nt), 0) FROM tp
+                         WHERE pos <= nn.n * {p} // 100) END AS BIGINT)
+             AS ttr_micro
+    FROM nn"""
+        )
+    return (
+        r"""
+    WITH o AS (
+      SELECT doc_id, text,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      FROM documents),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tk AS (
+      SELECT token, min(pos) AS first_pos
+      FROM (SELECT pos,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                     AS token
+            FROM o WHERE trim(text) <> '')
+      GROUP BY token),
+    tp AS (
+      SELECT pos,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                  END AS BIGINT) AS nt
+      FROM o)
+    """
+        + " UNION ALL ".join(per_pct)
+    )
+
+
+@q("vocab_growth_curve", _vocab_growth_oracle_sql())
+def vocab_growth_curve(spark, sf_dir):
+    """Heaps-law audit over the pretraining order: at 10/25/50/75/100%
+    of the (md5(id), id) document stream, how many distinct token
+    TYPES has the loader seen vs token OCCURRENCES processed, plus the
+    type-token ratio in exact micro. A corpus whose curve flattens
+    early has stopped yielding new vocabulary (heavy near-duplication
+    or a saturated domain — the "is more of this source still worth
+    ingesting?" diagnostic); a curve that keeps climbing justifies the
+    next crawl. First-occurrence position is an exact min, so the
+    whole curve is integers — no sampling, no sketch.
+
+    Scale shape: one two-phase rank + one token explode into a
+    groupBy(token) min (the `token_frequencies` shuffle shape —
+    token-cardinality, map-side combinable), one per-doc token-count
+    projection; all five checkpoints read off those two frames as
+    conditional aggregates against the broadcast 1-row census (the
+    packing-curve stacking idiom)."""
+    from .functions.text import token_count, tokens
+    from .pipeline.curation import global_shuffle_order
+
+    d = _t(spark, sf_dir, "documents")
+    o = global_shuffle_order(d).join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+    tk = (
+        o.filter(F.trim(F.col("text")) != "")
+        .select(
+            F.col("shuffle_pos").alias("pos"),
+            F.explode(tokens(F.col("text"))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    tp = o.select(
+        F.col("shuffle_pos").alias("pos"),
+        token_count(F.col("text")).cast("long").alias("nt"),
+    )
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    a1 = tk.crossJoin(F.broadcast(nn)).agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("first_pos") <= F.expr(f"n * {p} div 100"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"dt_{p}")
+            for p in _VOCAB_CURVE_PCTS
+        ]
+    )
+    a2 = tp.crossJoin(F.broadcast(nn)).agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("pos") <= F.expr(f"n * {p} div 100"),
+                        F.col("nt"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"tkp_{p}")
+            for p in _VOCAB_CURVE_PCTS
+        ]
+    )
+    one = a1.crossJoin(a2).crossJoin(F.broadcast(nn))
+    return one.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("pct"),
+                        F.col(f"dt_{p}").alias("dt"),
+                        F.col(f"tkp_{p}").alias("tkp"),
+                    )
+                    for p in _VOCAB_CURVE_PCTS
+                ]
+            )
+        ).alias("r"),
+    ).select(
+        F.col("r.pct").alias("pct"),
+        F.expr("n * r.pct div 100").cast("long").alias("n_docs_prefix"),
+        F.col("r.tkp").alias("tokens_processed"),
+        F.col("r.dt").alias("distinct_tokens"),
+        F.expr(
+            "CASE WHEN r.tkp = 0 THEN 0"
+            " ELSE r.dt * 1000000 div r.tkp END"
+        )
+        .cast("long")
+        .alias("ttr_micro"),
+    )

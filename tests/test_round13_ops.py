@@ -560,3 +560,33 @@ def test_forecast_backtest_mase_matches_python(spark, sf_dir):
     # events are roughly stationary: the seasonal naive must beat a
     # wildly-off forecast but stay in a sane band
     assert 0 < r["mase_micro"] < 5_000_000
+
+
+def test_vocab_growth_curve_invariants(spark, sf_dir):
+    """Monotone growth: distinct types and processed occurrences never
+    fall as the prefix grows; TTR never rises (Heaps); the 100% row
+    sees the full vocabulary and token mass."""
+    import duckdb
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["vocab_growth_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["pct"],
+    )
+    assert [r["pct"] for r in rows] == [10, 25, 50, 75, 100]
+    for a, b in zip(rows, rows[1:]):
+        assert a["distinct_tokens"] <= b["distinct_tokens"]
+        assert a["tokens_processed"] <= b["tokens_processed"]
+        if a["tokens_processed"] > 0:
+            assert a["ttr_micro"] >= b["ttr_micro"]
+    full = rows[-1]
+    truth = duckdb.sql(
+        "SELECT count(DISTINCT token), count(*) FROM ("
+        r"SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))"
+        " AS token"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE trim(text) <> '')"
+    ).fetchone()
+    assert full["distinct_tokens"] == truth[0]
+    assert full["tokens_processed"] == truth[1]
