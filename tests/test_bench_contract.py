@@ -129,6 +129,9 @@ TIMED_WRITE_WHITELIST = {
     "streaming_conformal_coverage": (
         "feed write + coverage-monitored stream run IS the op"
     ),
+    "streaming_gram_novelty": (
+        "feed write + novelty-monitored stream run IS the op"
+    ),
     "jsonl_roundtrip": "write+read roundtrip",
     "orc_roundtrip": "write+read roundtrip",
     "csv_roundtrip": "write+read roundtrip",

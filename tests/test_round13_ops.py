@@ -590,3 +590,67 @@ def test_vocab_growth_curve_invariants(spark, sf_dir):
     ).fetchone()
     assert full["distinct_tokens"] == truth[0]
     assert full["tokens_processed"] == truth[1]
+
+
+def test_streaming_gram_novelty_invariants(spark, sf_dir):
+    """Novel occurrences never exceed the feed's gram mass, the ppm is
+    the exact ratio, and on this corpus the feed IS 3-gram novel while
+    being unigram-saturated (the reason the monitor runs on n-grams)."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    r = QUERIES["streaming_gram_novelty"](spark, sf_dir).collect()[0]
+    assert 0 <= r["n_new_grams"] <= r["new_occurrences"]
+    assert r["new_occurrences"] <= r["feed_occurrences"]
+    assert (
+        r["novelty_ppm"]
+        == r["new_occurrences"] * 1_000_000 // r["feed_occurrences"]
+    )
+    assert r["n_new_grams"] > 0
+
+
+def test_gram_novelty_partials_merge_across_batches(spark, sf_dir):
+    """Batch-boundary independence for the DISTINCT-type count: the
+    same novel gram arriving in two different batches must count ONCE
+    after the finalize union — the property per-batch scalars would
+    violate and the reason the sink keeps per-gram rows."""
+    from pyspark.sql import functions as F
+
+    from dsci551_edfs_spark.queries import _t
+    from dsci551_edfs_spark.streaming.novelty_monitor import (
+        batch_novelty,
+        frozen_gram_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 5 != 0)
+    feed = d.filter(F.col("doc_id") % 5 == 0)
+    vocab = frozen_gram_vocab(ref)
+    whole = batch_novelty(feed, vocab)
+    lo = batch_novelty(feed.filter(F.col("doc_id") % 2 == 0), vocab)
+    hi = batch_novelty(feed.filter(F.col("doc_id") % 2 == 1), vocab)
+    merged = lo.unionByName(hi)
+
+    def finalize(parts):
+        r = parts.agg(
+            F.countDistinct("gram").alias("t"),
+            F.coalesce(
+                F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt"))),
+                F.lit(0),
+            ).alias("o"),
+            F.coalesce(
+                F.sum(F.when(F.col("gram").isNull(), F.col("cnt"))),
+                F.lit(0),
+            ).alias("f"),
+        ).collect()[0]
+        return (r["t"], r["o"], r["f"])
+
+    assert finalize(whole) == finalize(merged)
+    # and the split genuinely shares novel grams across halves, so a
+    # scalar per-batch count WOULD have double-counted
+    lo_set = {
+        r["gram"] for r in lo.collect() if r["gram"] is not None
+    }
+    hi_set = {
+        r["gram"] for r in hi.collect() if r["gram"] is not None
+    }
+    assert lo_set & hi_set
