@@ -7,6 +7,11 @@ Usage: python tools/check_correctness.py [--json PATH] [name ...]
 ``--json PATH`` additionally writes the per-query results as a JSON dict
 (same shape as the driver's CORRECTNESS_r{N}.json) so a full-registry
 sweep leaves an auditable artifact in the tree, not just stdout.
+``--sf DIR`` points the sweep at another scale factor (default sf0.01 —
+the driver's gate); an sf0.001/sf0.1 sweep is the SF-INVARIANCE check:
+every oracle must hash-match at ANY scale, so an SF-dependent bug
+(fixed literal that only works at one size, overflow that only bites
+when counts grow) fails loudly instead of hiding behind the gate SF.
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = "/root/testdata/sf0.01"  # overridden by --sf
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -56,6 +61,19 @@ def _fmt(v) -> str:
 
 
 def main() -> int:
+    global SF_DIR
+
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        SF_DIR = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+
     from __spark_entry__ import oracle_sql, queries
 
     from dsci551_edfs_spark import get_spark
@@ -71,12 +89,6 @@ def main() -> int:
 
     qs = queries()
     oracles = oracle_sql()
-    argv = sys.argv[1:]
-    json_path = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_path = argv[i + 1]
-        argv = argv[:i] + argv[i + 2 :]
     names = argv or list(qs)
     results: dict[str, dict] = {}
     failures = 0
