@@ -233,6 +233,8 @@ HEADLINE = [
     "forecast_backtest_mase",
     "vocab_growth_curve",
     "streaming_gram_novelty",
+    "data_contract_audit",
+    "diff_in_diff_conversion",
 ]
 
 

@@ -1664,3 +1664,321 @@ def streaming_gram_novelty(spark, sf_dir):
     feed_dir = os.path.join(base, "feed")
     feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
     return gram_novelty_stream(spark, vocab, feed_dir, base)
+
+
+# ---------------------------------------------------------------------
+# Data-contract validation audit (dbt-tests / expectation-suite shape)
+# ---------------------------------------------------------------------
+
+_CONTRACT_SQL = r"""
+    SELECT 1 AS rule_id, 'orders.o_orderkey unique' AS rule,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 2, 'orders.o_custkey not_null',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_custkey IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 3, 'orders.o_custkey refs customer.c_custkey',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 4, 'orders.o_orderstatus accepted_values(P,O,F)',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN
+                                  ('P', 'O', 'F')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 5, 'orders.o_totalprice positive',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_totalprice <= 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 6, 'orders.o_orderdate freshness(1990..2005)',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_orderdate <
+                                       TIMESTAMP '1990-01-01'
+                                    OR o_orderdate >=
+                                       TIMESTAMP '2005-01-01'
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 7, 'lineitem.(l_orderkey,l_linenumber) unique',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - (SELECT count(*) FROM
+                 (SELECT DISTINCT l_orderkey, l_linenumber
+                  FROM lineitem)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 8, 'lineitem.l_orderkey refs orders.o_orderkey',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 9, 'lineitem.l_discount in [0, 0.5]',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN l_discount < 0
+                                    OR l_discount > 0.5
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    """
+
+_CONTRACT_WRAP = f"""
+    WITH r AS ({_CONTRACT_SQL})
+    SELECT CAST(rule_id AS BIGINT) AS rule_id, rule, n_checked,
+           n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS passed
+    FROM r
+    """
+
+
+@q("data_contract_audit", _CONTRACT_WRAP)
+def data_contract_audit(spark, sf_dir):
+    """Declared-contract VALIDATION — the production sibling of the
+    profiling ops (`fd_discovery_part` / `inclusion_dependency_audit`
+    DISCOVER constraints; this ASSERTS a declared suite, the
+    dbt-tests / expectation-suite shape every lakehouse gate runs
+    before publishing a snapshot): nine rules across uniqueness,
+    not-null, referential integrity, accepted values, range and
+    freshness, each reported as exact (n_checked, n_violations,
+    passed). The suite deliberately contains a rule that FAILS on this
+    corpus — lineitem's (l_orderkey, l_linenumber) is NOT unique here
+    — so both verdict branches are exercised and oracle-checked, and
+    the audit's value is visible: it catches exactly the key-collision
+    a blind writer would ship.
+
+    Scale shape: every rule is one map-side-combinable aggregate or
+    one broadcast/shuffle anti-join count over the child table; rules
+    stack as a UNION of 1-row frames — no rule touches more than one
+    pass over its table, and an engine running the suite nightly at
+    100 TB pays #rules scans, trivially parallel."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def row(rid, rule, n_checked_col, n_viol_col, frame):
+        return frame.agg(
+            F.lit(rid).cast("long").alias("rule_id"),
+            F.lit(rule).alias("rule"),
+            n_checked_col.cast("long").alias("n_checked"),
+            F.coalesce(n_viol_col, F.lit(0)).cast("long").alias(
+                "n_violations"
+            ),
+        )
+
+    cnt = F.count("*")
+    rows = [
+        row(
+            1,
+            "orders.o_orderkey unique",
+            cnt,
+            cnt - F.countDistinct("o_orderkey"),
+            o,
+        ),
+        row(
+            2,
+            "orders.o_custkey not_null",
+            cnt,
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            o,
+        ),
+        row(
+            3,
+            "orders.o_custkey refs customer.c_custkey",
+            F.first("n_orders"),
+            F.first("n_orphans"),
+            o.agg(F.count("*").alias("n_orders")).crossJoin(
+                o.join(
+                    c.select(F.col("c_custkey").alias("o_custkey")),
+                    "o_custkey",
+                    "left_anti",
+                ).agg(F.count("*").alias("n_orphans"))
+            ),
+        ),
+        row(
+            4,
+            "orders.o_orderstatus accepted_values(P,O,F)",
+            cnt,
+            F.sum(
+                F.when(
+                    ~F.col("o_orderstatus").isin("P", "O", "F"), 1
+                ).otherwise(0)
+            ),
+            o,
+        ),
+        row(
+            5,
+            "orders.o_totalprice positive",
+            cnt,
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+            o,
+        ),
+        row(
+            6,
+            "orders.o_orderdate freshness(1990..2005)",
+            cnt,
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                    | (
+                        F.col("o_orderdate")
+                        >= F.lit("2005-01-01").cast("timestamp")
+                    ),
+                    1,
+                ).otherwise(0)
+            ),
+            o,
+        ),
+        row(
+            7,
+            "lineitem.(l_orderkey,l_linenumber) unique",
+            cnt,
+            cnt - F.countDistinct("l_orderkey", "l_linenumber"),
+            li,
+        ),
+        row(
+            8,
+            "lineitem.l_orderkey refs orders.o_orderkey",
+            F.first("n_li"),
+            F.first("n_orphans"),
+            li.agg(F.count("*").alias("n_li")).crossJoin(
+                li.join(
+                    o.select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey",
+                    "left_anti",
+                ).agg(F.count("*").alias("n_orphans"))
+            ),
+        ),
+        row(
+            9,
+            "lineitem.l_discount in [0, 0.5]",
+            cnt,
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+                    1,
+                ).otherwise(0)
+            ),
+            li,
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "rule_id",
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Difference-in-differences conversion estimator
+# ---------------------------------------------------------------------
+
+_DID_SQL = r"""
+    WITH b AS (
+      SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+      FROM events),
+    e AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       >= b.t0 + (b.t1 - b.t0) // 2
+                  THEN 1 ELSE 0 END AS post,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events, b),
+    g AS (
+      SELECT treated, post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(y), 0) AS BIGINT) AS conv,
+             CAST(CASE WHEN count(*) = 0 THEN 0
+                  ELSE (2000000 * coalesce(sum(y), 0) + count(*))
+                       // (2 * count(*)) END AS BIGINT) AS rate_micro
+      FROM e GROUP BY 1, 2),
+    p AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 1 THEN rate_micro END) AS tp,
+        max(CASE WHEN treated = 1 AND post = 0 THEN rate_micro END) AS tq,
+        max(CASE WHEN treated = 0 AND post = 1 THEN rate_micro END) AS cp,
+        max(CASE WHEN treated = 0 AND post = 0 THEN rate_micro END) AS cq
+      FROM g)
+    SELECT g.treated, g.post, g.n, g.conv, g.rate_micro,
+           CAST((p.tp - p.tq) - (p.cp - p.cq) AS BIGINT) AS did_micro
+    FROM g, p
+    """
+
+
+@q("diff_in_diff_conversion", _DID_SQL)
+def diff_in_diff_conversion(spark, sf_dir):
+    """Difference-in-differences over the event stream — the quasi-
+    experimental estimator product teams reach for when treatment
+    wasn't randomized (`ab_test_conversion` covers the randomized
+    case): treated = odd user ids (the deterministic cohort stand-in),
+    post = the second half of the observed time range (split derived
+    from the DATA's min/max, so it scales to any SF), outcome =
+    purchase conversion. The 2x2 cell table carries exact counts and
+    round-half-up micro rates; did_micro = (T,post − T,pre) −
+    (C,post − C,pre) rides every row — the parallel-trends-adjusted
+    lift estimate, all integer arithmetic.
+
+    Scale shape: one 1-row bounds aggregate broadcast back, then ONE
+    map-side-combinable groupBy over exactly 4 cells; the estimator is
+    arithmetic on the 4-row frame. Nothing grows with the corpus but
+    the scan."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("CAST(floor(unix_timestamp(min(ts))) AS BIGINT)").alias("t0"),
+        F.expr("CAST(floor(unix_timestamp(max(ts))) AS BIGINT)").alias("t1"),
+    )
+    e = ev.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("treated"),
+        F.when(
+            F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)")
+            >= F.expr("t0 + (t1 - t0) div 2"),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = e.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("conv"),
+    )
+    g = g.withColumn(
+        "rate_micro",
+        F.expr(
+            "CASE WHEN n = 0 THEN 0"
+            " ELSE (2000000 * conv + n) div (2 * n) END"
+        ).cast("long"),
+    )
+    p = g.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("rate_micro"))).alias("tp"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("rate_micro"))).alias("tq"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("rate_micro"))).alias("cp"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("rate_micro"))).alias("cq"),
+    )
+    return g.crossJoin(F.broadcast(p)).select(
+        "treated",
+        "post",
+        "n",
+        "conv",
+        "rate_micro",
+        F.expr("(tp - tq) - (cp - cq)").cast("long").alias("did_micro"),
+    )

@@ -654,3 +654,43 @@ def test_gram_novelty_partials_merge_across_batches(spark, sf_dir):
         r["gram"] for r in hi.collect() if r["gram"] is not None
     }
     assert lo_set & hi_set
+
+
+def test_data_contract_audit_mixed_verdicts(spark, sf_dir):
+    """The suite must exercise BOTH branches on this corpus: the
+    lineitem composite-key rule fails (known collision), the orders
+    rules pass; violations are bounded by rows checked and passed is
+    exactly the zero-violations indicator."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["data_contract_audit"](spark, sf_dir).collect()
+    assert len(rows) == 9
+    by_rule = {r["rule_id"]: r for r in rows}
+    for r in rows:
+        assert 0 <= r["n_violations"] <= r["n_checked"]
+        assert r["passed"] == (1 if r["n_violations"] == 0 else 0)
+    assert by_rule[7]["passed"] == 0  # the planted real failure
+    assert by_rule[1]["passed"] == 1
+    assert by_rule[3]["passed"] == 1
+
+
+def test_diff_in_diff_identity(spark, sf_dir):
+    """did_micro equals the 2x2 rate arithmetic of the same row set,
+    and the four cells partition the event stream."""
+    import duckdb
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["diff_in_diff_conversion"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    cells = {(r["treated"], r["post"]): r for r in rows}
+    assert set(cells) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_events
+    want = (
+        cells[(1, 1)]["rate_micro"] - cells[(1, 0)]["rate_micro"]
+    ) - (cells[(0, 1)]["rate_micro"] - cells[(0, 0)]["rate_micro"])
+    assert len({r["did_micro"] for r in rows}) == 1
+    assert rows[0]["did_micro"] == want
