@@ -235,6 +235,7 @@ HEADLINE = [
     "streaming_gram_novelty",
     "data_contract_audit",
     "diff_in_diff_conversion",
+    "cuped_adjusted_lift",
 ]
 
 

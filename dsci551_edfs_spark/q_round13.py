@@ -1982,3 +1982,183 @@ def diff_in_diff_conversion(spark, sf_dir):
         "rate_micro",
         F.expr("(tp - tq) - (cp - cq)").cast("long").alias("did_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------
+
+_CUPED_SQL = r"""
+    WITH b AS (
+      SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+      FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(max(user_id % 2) AS BIGINT) AS treated,
+             CAST(coalesce(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                          < b.t0 + (b.t1 - b.t0) // 2
+                          AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                          >= b.t0 + (b.t1 - b.t0) // 2
+                          AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS y
+      FROM events, b GROUP BY user_id),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM u),
+    a AS (
+      SELECT CAST(coalesce(sum(CASE WHEN treated = 1 THEN 1 END), 0)
+                  AS BIGINT) AS nt,
+             CAST(coalesce(sum(CASE WHEN treated = 0 THEN 1 END), 0)
+                  AS BIGINT) AS nc,
+             CAST(coalesce(sum(CASE WHEN treated = 1 THEN x END), 0)
+                  AS BIGINT) AS sxt,
+             CAST(coalesce(sum(CASE WHEN treated = 0 THEN x END), 0)
+                  AS BIGINT) AS sxc,
+             CAST(coalesce(sum(CASE WHEN treated = 1 THEN y END), 0)
+                  AS BIGINT) AS syt,
+             CAST(coalesce(sum(CASE WHEN treated = 0 THEN y END), 0)
+                  AS BIGINT) AS syc
+      FROM u)
+    SELECT s.n, a.nt, a.nc,
+           CAST(round((CAST(s.n AS DOUBLE) * s.sxy
+                       - CAST(s.sx AS DOUBLE) * s.sy)
+                      / (CAST(s.n AS DOUBLE) * s.sxx
+                         - CAST(s.sx AS DOUBLE) * s.sx)
+                      * 1000000) AS BIGINT) AS theta_micro,
+           CAST(round((CAST(a.syt AS DOUBLE) / a.nt
+                       - CAST(a.syc AS DOUBLE) / a.nc)
+                      * 1000000) AS BIGINT) AS lift_raw_micro,
+           CAST(round(((CAST(a.syt AS DOUBLE) / a.nt
+                        - CAST(a.syc AS DOUBLE) / a.nc)
+                       - ((CAST(s.n AS DOUBLE) * s.sxy
+                           - CAST(s.sx AS DOUBLE) * s.sy)
+                          / (CAST(s.n AS DOUBLE) * s.sxx
+                             - CAST(s.sx AS DOUBLE) * s.sx))
+                         * (CAST(a.sxt AS DOUBLE) / a.nt
+                            - CAST(a.sxc AS DOUBLE) / a.nc))
+                      * 1000000) AS BIGINT) AS lift_cuped_micro,
+           CAST(round(((CAST(s.n AS DOUBLE) * s.sxy
+                        - CAST(s.sx AS DOUBLE) * s.sy)
+                       * (CAST(s.n AS DOUBLE) * s.sxy
+                          - CAST(s.sx AS DOUBLE) * s.sy))
+                      / ((CAST(s.n AS DOUBLE) * s.sxx
+                          - CAST(s.sx AS DOUBLE) * s.sx)
+                         * (CAST(s.n AS DOUBLE) * s.syy
+                            - CAST(s.sy AS DOUBLE) * s.sy))
+                      * 1000000) AS BIGINT) AS var_reduction_micro
+    FROM s, a
+    """
+
+
+@q("cuped_adjusted_lift", _CUPED_SQL)
+def cuped_adjusted_lift(spark, sf_dir):
+    """CUPED (Deng et al. 2013, "Improving the Sensitivity of Online
+    Controlled Experiments by Utilizing Pre-Experiment Data") — the
+    variance-reduction adjustment every modern experimentation
+    platform applies before reading an A/B test: per user, the
+    POST-period purchase count is the outcome Y and the PRE-period
+    count is the covariate X (split at the data's time midpoint, same
+    integer-exact boundary as `diff_in_diff_conversion`); θ =
+    Cov(X,Y)/Var(X) pooled, the adjusted lift subtracts θ·(ΔX̄), and
+    var_reduction_micro = ρ²·1e6 is the fraction of outcome variance
+    the covariate removes — the whole point of CUPED (ρ²≈0.3 means the
+    experiment reads like one with 1/(1−0.3)× the traffic).
+
+    Exactness discipline: every SUFFICIENT STATISTIC (n, Σx, Σy, Σxy,
+    Σx², Σy², per-arm sums) is an exact integer; the final ratios are
+    ONE fixed IEEE double expression evaluated identically by both
+    engines from those identical integers (the Wilson/PSI precedent —
+    +,−,×,/ and round are correctly rounded, so the micro outputs are
+    bit-equal). Scale shape: one groupBy(user) + two map-side scalar
+    aggregates; nothing but the scan grows with the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.expr("CAST(floor(unix_timestamp(min(ts))) AS BIGINT)").alias("t0"),
+        F.expr("CAST(floor(unix_timestamp(max(ts))) AS BIGINT)").alias("t1"),
+    )
+    mid = F.expr("t0 + (t1 - t0) div 2")
+    ep = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)")
+    pur = F.col("event_type") == "purchase"
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("user_id") % 2).cast("long").alias("treated"),
+            F.coalesce(
+                F.sum(F.when((ep < mid) & pur, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when((ep >= mid) & pur, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    from .pipeline.dedup import _persist
+
+    u = _persist(u)
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    a = u.agg(
+        F.coalesce(F.sum(F.when(F.col("treated") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("nt"),
+        F.coalesce(F.sum(F.when(F.col("treated") == 0, 1)), F.lit(0))
+        .cast("long")
+        .alias("nc"),
+        F.coalesce(F.sum(F.when(F.col("treated") == 1, F.col("x"))), F.lit(0))
+        .cast("long")
+        .alias("sxt"),
+        F.coalesce(F.sum(F.when(F.col("treated") == 0, F.col("x"))), F.lit(0))
+        .cast("long")
+        .alias("sxc"),
+        F.coalesce(F.sum(F.when(F.col("treated") == 1, F.col("y"))), F.lit(0))
+        .cast("long")
+        .alias("syt"),
+        F.coalesce(F.sum(F.when(F.col("treated") == 0, F.col("y"))), F.lit(0))
+        .cast("long")
+        .alias("syc"),
+    )
+    theta = (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    )
+    dy = "(CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / nc)"
+    dx = "(CAST(sxt AS DOUBLE) / nt - CAST(sxc AS DOUBLE) / nc)"
+    return s.crossJoin(F.broadcast(a)).select(
+        "n",
+        "nt",
+        "nc",
+        F.expr(f"CAST(round(({theta}) * 1000000) AS BIGINT)").alias(
+            "theta_micro"
+        ),
+        F.expr(f"CAST(round({dy} * 1000000) AS BIGINT)").alias(
+            "lift_raw_micro"
+        ),
+        F.expr(
+            f"CAST(round(({dy} - ({theta}) * {dx}) * 1000000) AS BIGINT)"
+        ).alias("lift_cuped_micro"),
+        F.expr(
+            "CAST(round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))"
+            " / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+            " * 1000000) AS BIGINT)"
+        ).alias("var_reduction_micro"),
+    )

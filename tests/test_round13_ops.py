@@ -694,3 +694,55 @@ def test_diff_in_diff_identity(spark, sf_dir):
     ) - (cells[(0, 1)]["rate_micro"] - cells[(0, 0)]["rate_micro"])
     assert len({r["did_micro"] for r in rows}) == 1
     assert rows[0]["did_micro"] == want
+
+
+def test_cuped_adjusted_lift_identities(spark, sf_dir):
+    """The CUPED readout satisfies its own algebra: rho^2 in [0, 1e6],
+    arm sizes partition the users, and the adjusted lift equals
+    raw - theta*dx recomputed from the same sufficient statistics."""
+    import duckdb
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    r = QUERIES["cuped_adjusted_lift"](spark, sf_dir).collect()[0]
+    assert 0 <= r["var_reduction_micro"] <= 1_000_000
+    n_users = duckdb.sql(
+        "SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert r["n"] == r["nt"] + r["nc"] == n_users
+    # full-precision recomputation of the identity from raw events
+    row = duckdb.sql(
+        f"""
+        WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) t0,
+                          CAST(floor(epoch(max(ts))) AS BIGINT) t1
+                   FROM read_parquet('{sf_dir}/events.parquet')),
+        u AS (SELECT user_id, max(user_id % 2) treated,
+                     sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                              < b.t0 + (b.t1 - b.t0) // 2
+                              AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) x,
+                     sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                              >= b.t0 + (b.t1 - b.t0) // 2
+                              AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) y
+              FROM read_parquet('{sf_dir}/events.parquet'), b
+              GROUP BY user_id)
+        SELECT count(*), sum(x), sum(y), sum(x*y), sum(x*x),
+               sum(CASE WHEN treated=1 THEN 1 END),
+               sum(CASE WHEN treated=0 THEN 1 END),
+               sum(CASE WHEN treated=1 THEN x END),
+               sum(CASE WHEN treated=0 THEN x END),
+               sum(CASE WHEN treated=1 THEN y END),
+               sum(CASE WHEN treated=0 THEN y END)
+        FROM u"""
+    ).fetchone()
+    n, sx, sy, sxy, sxx, nt, nc, sxt, sxc, syt, syc = (
+        int(v) for v in row
+    )
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    dy = syt / nt - syc / nc
+    dx = sxt / nt - sxc / nc
+    assert abs(r["theta_micro"] - theta * 1e6) <= 1
+    assert abs(r["lift_raw_micro"] - dy * 1e6) <= 1
+    assert abs(r["lift_cuped_micro"] - (dy - theta * dx) * 1e6) <= 1
