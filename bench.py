@@ -236,6 +236,7 @@ HEADLINE = [
     "data_contract_audit",
     "diff_in_diff_conversion",
     "cuped_adjusted_lift",
+    "association_rules_2item",
 ]
 
 

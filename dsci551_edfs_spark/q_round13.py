@@ -2162,3 +2162,127 @@ def cuped_adjusted_lift(spark, sf_dir):
             " * 1000000) AS BIGINT)"
         ).alias("var_reduction_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# Association rules (2-itemset support / confidence / lift)
+# ---------------------------------------------------------------------
+
+_ASSOC_SQL = r"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+           FROM b),
+    ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1),
+    pr AS (SELECT a.l_partkey AS pa, b2.l_partkey AS pb,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM b a JOIN b b2
+             ON a.l_orderkey = b2.l_orderkey
+            AND a.l_partkey < b2.l_partkey
+           GROUP BY 1, 2),
+    keep AS (
+      SELECT pr.pa, pr.pb, pr.c, nb.n
+      FROM pr, nb
+      WHERE pr.c >= 3 AND pr.c * 1000000 // nb.n >= 150),
+    dir AS (
+      SELECT pa AS antecedent, pb AS consequent, c, n FROM keep
+      UNION ALL
+      SELECT pb, pa, c, n FROM keep)
+    SELECT d.antecedent, d.consequent,
+           d.c AS c_pair,
+           ia.c AS c_ante,
+           ico.c AS c_cons,
+           d.n AS n_baskets,
+           CAST(d.c * 1000000 // d.n AS BIGINT) AS support_ppm,
+           CAST((2000000 * d.c + ia.c) // (2 * ia.c) AS BIGINT)
+             AS confidence_micro,
+           CAST((CAST(d.c AS HUGEINT) * d.n * 2000000 + ia.c * ico.c)
+                // (2 * CAST(ia.c AS HUGEINT) * ico.c) AS BIGINT)
+             AS lift_micro
+    FROM dir d
+    JOIN ic ia ON ia.l_partkey = d.antecedent
+    JOIN ic ico ON ico.l_partkey = d.consequent
+    """
+
+
+@q("association_rules_2item", _ASSOC_SQL)
+def association_rules_2item(spark, sf_dir):
+    """Market-basket association rules at the 2-itemset level
+    (Agrawal–Srikant support/confidence/lift): baskets are orders,
+    items are parts; candidate pairs pass BOTH an absolute support
+    floor (≥3 baskets — kills the c=1 noise mass, 112k pairs on this
+    corpus) and a RELATIVE floor (support ≥150 ppm of baskets — the
+    threshold that keeps the rule count sane as the corpus grows; an
+    absolute-only floor floods at 100 TB, the r11 relative-cap lesson
+    in reverse). Each surviving pair emits both directed rules with
+    exact integers: support ppm, round-half-up confidence micro, and
+    lift = c_ab·N/(c_a·c_b) in HUGEINT/DECIMAL(38,0) micro (the
+    product c_a·c_b·2e6 overflows int64 at warehouse scale).
+
+    Scale shape: the within-basket self-join is bounded by Σ(basket
+    size choose 2) — basket sizes are small constants in any real
+    order stream, so pair volume is LINEAR in baskets; item counts
+    attach by two part-key equi-joins; everything else is
+    map-side-combinable aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    from .pipeline.dedup import _persist
+
+    b = _persist(b)
+    nb = b.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    ic = b.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    a1 = b.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    a2 = b.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pr = (
+        a1.join(a2, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    keep = pr.crossJoin(F.broadcast(nb)).filter(
+        (F.col("c") >= 3) & (F.expr("c * 1000000 div n") >= 150)
+    )
+    d = keep.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "c",
+        "n",
+    ).unionByName(
+        keep.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "c",
+            "n",
+        )
+    )
+    ia = ic.select(
+        F.col("l_partkey").alias("antecedent"), F.col("c").alias("c_ante")
+    )
+    ico = ic.select(
+        F.col("l_partkey").alias("consequent"), F.col("c").alias("c_cons")
+    )
+    out = d.join(ia, "antecedent").join(ico, "consequent")
+    return out.select(
+        "antecedent",
+        "consequent",
+        F.col("c").alias("c_pair"),
+        "c_ante",
+        "c_cons",
+        F.col("n").alias("n_baskets"),
+        F.expr("c * 1000000 div n").cast("long").alias("support_ppm"),
+        F.expr("(2000000 * c + c_ante) div (2 * c_ante)")
+        .cast("long")
+        .alias("confidence_micro"),
+        F.expr(
+            "(CAST(c AS DECIMAL(38,0)) * n * 2000000 + c_ante * c_cons)"
+            " div (2 * CAST(c_ante AS DECIMAL(38,0)) * c_cons)"
+        )
+        .cast("long")
+        .alias("lift_micro"),
+    )

@@ -746,3 +746,30 @@ def test_cuped_adjusted_lift_identities(spark, sf_dir):
     assert abs(r["theta_micro"] - theta * 1e6) <= 1
     assert abs(r["lift_raw_micro"] - dy * 1e6) <= 1
     assert abs(r["lift_cuped_micro"] - (dy - theta * dx) * 1e6) <= 1
+
+
+def test_association_rules_invariants(spark, sf_dir):
+    """Rules come in directed pairs sharing c_pair; confidence and lift
+    obey their identities; support floors hold."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["association_rules_2item"](spark, sf_dir).collect()
+    assert rows and len(rows) % 2 == 0
+    pairs = {}
+    for r in rows:
+        assert r["c_pair"] >= 3
+        assert r["support_ppm"] >= 150
+        assert r["c_pair"] <= min(r["c_ante"], r["c_cons"])
+        assert (
+            r["confidence_micro"]
+            == (2_000_000 * r["c_pair"] + r["c_ante"]) // (2 * r["c_ante"])
+        )
+        want_lift = (
+            r["c_pair"] * r["n_baskets"] * 2_000_000
+            + r["c_ante"] * r["c_cons"]
+        ) // (2 * r["c_ante"] * r["c_cons"])
+        assert r["lift_micro"] == want_lift
+        key = frozenset((r["antecedent"], r["consequent"]))
+        pairs.setdefault(key, []).append(r["c_pair"])
+    for key, cs in pairs.items():
+        assert len(cs) == 2 and cs[0] == cs[1]
