@@ -237,6 +237,8 @@ HEADLINE = [
     "diff_in_diff_conversion",
     "cuped_adjusted_lift",
     "association_rules_2item",
+    "nelson_aalen_hazard",
+    "grouped_latency_percentiles",
 ]
 
 

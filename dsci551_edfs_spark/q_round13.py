@@ -2286,3 +2286,189 @@ def association_rules_2item(spark, sf_dir):
         .cast("long")
         .alias("lift_micro"),
     )
+
+
+# ---------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard (censoring-aware, integer-exact)
+# ---------------------------------------------------------------------
+
+_NA_SQL = r"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      FROM events),
+    u AS (SELECT user_id, min(day) AS f, max(day) AS l,
+                 min(CASE WHEN event_type = 'purchase' THEN day END) AS p
+          FROM ev GROUP BY 1),
+    lif AS (SELECT user_id,
+                   CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS dur,
+                   CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM u),
+    t AS (SELECT dur AS td, CAST(sum(ev) AS BIGINT) AS d FROM lif
+          GROUP BY 1 HAVING sum(ev) > 0),
+    r AS (SELECT t.td, t.d, t2.n,
+                 CAST((2000000 * t.d + t2.n) // (2 * t2.n) AS BIGINT)
+                   AS term_micro
+          FROM t JOIN (SELECT td2.td, CAST(count(*) AS BIGINT) AS n
+                       FROM (SELECT DISTINCT td FROM t) td2
+                       JOIN lif ON lif.dur >= td2.td GROUP BY 1) t2
+            ON t2.td = t.td)
+    SELECT a.td AS duration_days,
+           CAST(min(a.n) AS BIGINT) AS n_risk,
+           CAST(min(a.d) AS BIGINT) AS n_events,
+           CAST(sum(b.term_micro) AS BIGINT) AS cum_hazard_micro
+    FROM r a JOIN r b ON b.td <= a.td
+    GROUP BY a.td
+    """
+
+
+@q("nelson_aalen_hazard", _NA_SQL)
+def nelson_aalen_hazard(spark, sf_dir):
+    """Nelson–Aalen cumulative hazard for time-to-first-purchase —
+    the estimator read NEXT to `km_time_to_purchase`'s survival curve
+    (same lifetimes, same censoring; H(t) = Σ d/n is the hazard mass
+    KM exponentiates away, and the one a reliability owner plots to
+    see WHERE risk accumulates). Each step's d/n freezes to a
+    round-half-up integer micro term; the cumulative is a SUM OF
+    INTEGERS over the step-time join — FP-order-proof by construction
+    (the KM discipline, minus even the log/exp).
+
+    Scale shape: one groupBy(user) lifetime pass, a step table bounded
+    by distinct event DURATIONS (days — small), and the cumulative
+    join is steps×steps on that bounded table. Nothing corpus-sized
+    past the first aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("date_diff(CAST(ts AS DATE), DATE '1970-01-01')")
+    u = ev.select("user_id", "event_type", day.alias("day")).groupBy(
+        "user_id"
+    ).agg(
+        F.min("day").alias("f"),
+        F.max("day").alias("l"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("p"),
+    )
+    lif = u.select(
+        F.when(F.col("p").isNotNull(), F.col("p") - F.col("f"))
+        .otherwise(F.col("l") - F.col("f"))
+        .alias("dur"),
+        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    from .pipeline.dedup import _persist
+
+    lif = _persist(lif)
+    t = (
+        lif.groupBy(F.col("dur").alias("td"))
+        .agg(F.sum("ev").cast("long").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    n = (
+        t.select("td")
+        .distinct()
+        .join(lif, F.col("dur") >= F.col("td"))
+        .groupBy("td")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    r = t.join(n, "td").select(
+        "td",
+        "d",
+        "n",
+        F.expr("(2000000 * d + n) div (2 * n)")
+        .cast("long")
+        .alias("term_micro"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.join(b, F.col("b.td") <= F.col("a.td"))
+        .groupBy(F.col("a.td").alias("duration_days"))
+        .agg(
+            F.min(F.col("a.n")).cast("long").alias("n_risk"),
+            F.min(F.col("a.d")).cast("long").alias("n_events"),
+            F.sum(F.col("b.term_micro")).cast("long").alias(
+                "cum_hazard_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Grouped exact percentiles (nearest-rank, per event type)
+# ---------------------------------------------------------------------
+
+_GRP_PCTL_SQL = r"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (SELECT event_type, cents, count(*) AS c FROM v GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cm
+      FROM g),
+    tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM g
+            GROUP BY 1),
+    p AS (SELECT unnest([50, 90, 99]) AS pctl)
+    SELECT t.event_type, CAST(p.pctl AS BIGINT) AS pctl, t.n,
+           CAST(min(CASE WHEN cum.cm >=
+                      (p.pctl * t.n + 99) // 100
+                     THEN cum.cents END) AS BIGINT) AS value_cents
+    FROM tot t CROSS JOIN p
+    JOIN cum ON cum.event_type = t.event_type
+    GROUP BY 1, 2, 3
+    """
+
+
+@q("grouped_latency_percentiles", _GRP_PCTL_SQL)
+def grouped_latency_percentiles(spark, sf_dir):
+    """Grouped EXACT percentiles — the p50/p90/p99 SLO table, computed
+    as true order statistics (nearest-rank: smallest value whose
+    within-group cumulative count reaches ceil(p·n/100)), not the
+    approximate t-digest/GK numbers monitoring stacks settle for
+    (`profile.py` has the sketch path; THIS is the exact audit you run
+    when the SLO number is contractual). Values freeze to integer
+    cents; rank arithmetic is pure integers.
+
+    Scale shape: the corpus collapses through ONE map-side-combinable
+    groupBy(group, value) — state bounded by group × value-domain
+    cardinality, not rows — then the cumulative runs in a window
+    PARTITIONED by group (per-group parallelism, never the
+    single-partition global window the registry lints against), and
+    the three ranks read off it with conditional mins."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.withColumn("cm", F.sum("c").over(w))
+    tot = g.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    p = cum.sparkSession.createDataFrame(
+        [(50,), (90,), (99,)], "pctl long"
+    )
+    out = (
+        tot.crossJoin(F.broadcast(p))
+        .join(cum, "event_type")
+        .groupBy("event_type", "pctl", "n")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm") >= F.expr("(pctl * n + 99) div 100"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    return out.select("event_type", "pctl", "n", "value_cents")

@@ -773,3 +773,59 @@ def test_association_rules_invariants(spark, sf_dir):
         pairs.setdefault(key, []).append(r["c_pair"])
     for key, cs in pairs.items():
         assert len(cs) == 2 and cs[0] == cs[1]
+
+
+def test_nelson_aalen_monotone_and_km_consistent(spark, sf_dir):
+    """H(t) is non-decreasing, n_risk non-increasing in t, each step
+    adds exactly its round-half-up d/n term, and the step times match
+    the KM curve's (same lifetimes)."""
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["nelson_aalen_hazard"](spark, sf_dir).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    prev_h, prev_n = 0, None
+    for r in rows:
+        term = (2_000_000 * r["n_events"] + r["n_risk"]) // (
+            2 * r["n_risk"]
+        )
+        assert r["cum_hazard_micro"] == prev_h + term
+        prev_h = r["cum_hazard_micro"]
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n
+        prev_n = r["n_risk"]
+    km = QUERIES["km_time_to_purchase"](spark, sf_dir).collect()
+    assert {r["duration_days"] for r in rows} == {
+        r["duration_days"] for r in km
+    }
+
+
+def test_grouped_percentiles_match_python(spark, sf_dir):
+    """Nearest-rank order statistics per group, recomputed in plain
+    Python from the parquet, must equal the distributed result."""
+    import duckdb
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    rows = QUERIES["grouped_latency_percentiles"](spark, sf_dir).collect()
+    vals = {}
+    for et, v in duckdb.sql(
+        "SELECT event_type, CAST(round(value * 100) AS BIGINT) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall():
+        vals.setdefault(et, []).append(v)
+    for et in vals:
+        vals[et].sort()
+    for r in rows:
+        xs = vals[r["event_type"]]
+        assert r["n"] == len(xs)
+        k = (r["pctl"] * len(xs) + 99) // 100
+        assert r["value_cents"] == xs[k - 1]
+    # p50 <= p90 <= p99 within each group
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], {})[r["pctl"]] = r["value_cents"]
+    for et, d in by.items():
+        assert d[50] <= d[90] <= d[99]
