@@ -239,6 +239,7 @@ HEADLINE = [
     "association_rules_2item",
     "nelson_aalen_hazard",
     "grouped_latency_percentiles",
+    "trimmed_mean_price",
 ]
 
 

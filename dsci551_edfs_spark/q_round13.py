@@ -2472,3 +2472,136 @@ def grouped_latency_percentiles(spark, sf_dir):
         )
     )
     return out.select("event_type", "pctl", "n", "value_cents")
+
+
+# ---------------------------------------------------------------------
+# Trimmed / winsorized mean (exact order-statistic clipping)
+# ---------------------------------------------------------------------
+
+_TRIMMED_SQL = r"""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    g AS (SELECT cents, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+    cum AS (
+      SELECT cents, c,
+             sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cm
+      FROM g),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c * cents) AS BIGINT) AS s
+          FROM g),
+    kk AS (SELECT n, s, n // 10 AS k FROM t),
+    clip AS (
+      SELECT kk.n, kk.s, kk.k,
+             CAST(coalesce(sum(
+               greatest(least(cum.cm, kk.n - kk.k)
+                        - greatest(cum.cm - cum.c, kk.k), 0)
+               * cum.cents), 0) AS HUGEINT) AS trimmed_sum,
+             CAST(min(CASE WHEN cum.cm >= kk.k + 1
+                      THEN cum.cents END) AS BIGINT) AS v_low,
+             CAST(min(CASE WHEN cum.cm >= kk.n - kk.k
+                      THEN cum.cents END) AS BIGINT) AS v_high
+      FROM cum, kk GROUP BY 1, 2, 3)
+    SELECT n, k,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE (2 * s * 1000 + n) // (2 * n) END AS BIGINT)
+             AS mean_millicents,
+           CAST(CASE WHEN n - 2 * k = 0 THEN 0
+                ELSE (2 * trimmed_sum * 1000 + (n - 2 * k))
+                     // (2 * (n - 2 * k)) END AS BIGINT)
+             AS trimmed_mean_millicents,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE (2 * (trimmed_sum + k * v_low + k * v_high) * 1000
+                      + n) // (2 * n) END AS BIGINT)
+             AS winsorized_mean_millicents
+    FROM clip
+    """
+
+
+@q("trimmed_mean_price", _TRIMMED_SQL)
+def trimmed_mean_price(spark, sf_dir):
+    """Exact 10% two-sided trimmed AND winsorized means of the order
+    totals — the robust location estimates a finance owner reads when
+    the plain mean is hostage to tail orders (`weighted_median_price`
+    and the MAD z-scores cover the median family; trimming/winsorizing
+    keep mean-like efficiency). No sort of the corpus: the value
+    domain collapses through groupBy(cents), the cumulative runs over
+    the VALUE-GROUPED frame, and each distinct value contributes
+    min(cm, n−k) − max(cm−c, k) clamped ≥0 occurrences to the trimmed
+    sum — exact tie handling as pure integer arithmetic (a rank-range
+    clip, not a fragile per-row rank filter). Winsorized = trimmed sum
+    plus k copies of each boundary order statistic. Sums accumulate in
+    HUGEINT/DECIMAL(38,0); means are round-half-up millicents.
+
+    Scale shape: one map-side-combinable value groupBy bounds state at
+    the price domain; the cumulative window rides the grouped frame
+    (domain-sized, single range — documented bound, same class as the
+    score-domain AUC windows)."""
+    o = _t(spark, sf_dir, "orders")
+
+    g = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    from .operators.cumulative import running_total
+    from .pipeline.dedup import _persist
+
+    g = _persist(g)
+
+    cum = running_total(g, ["cents"], "c", out_col="cm")
+    t = g.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("c") * F.col("cents")), F.lit(0))
+        .cast("long")
+        .alias("s"),
+    ).withColumn("k", F.expr("n div 10"))
+    clip = cum.crossJoin(F.broadcast(t)).agg(
+        F.first("n").alias("n"),
+        F.first("s").alias("s"),
+        F.first("k").alias("k"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "greatest(least(cm, n - k) - greatest(cm - c, k), 0)"
+                )
+                * F.col("cents")
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("trimmed_sum"),
+        F.min(
+            F.when(F.col("cm") >= F.expr("k + 1"), F.col("cents"))
+        ).alias("v_low"),
+        F.min(
+            F.when(F.col("cm") >= F.expr("n - k"), F.col("cents"))
+        ).alias("v_high"),
+    )
+    d2 = "CAST(2 AS DECIMAL(38,0))"
+    return clip.select(
+        "n",
+        "k",
+        F.expr(
+            f"CASE WHEN n = 0 THEN 0"
+            f" ELSE ({d2} * s * 1000 + n) div ({d2} * n) END"
+        )
+        .cast("long")
+        .alias("mean_millicents"),
+        F.expr(
+            f"CASE WHEN n - 2 * k = 0 THEN 0"
+            f" ELSE ({d2} * trimmed_sum * 1000 + (n - 2 * k))"
+            f" div ({d2} * (n - 2 * k)) END"
+        )
+        .cast("long")
+        .alias("trimmed_mean_millicents"),
+        F.expr(
+            f"CASE WHEN n = 0 THEN 0"
+            f" ELSE ({d2} * (trimmed_sum + k * v_low + k * v_high) * 1000"
+            f" + n) div ({d2} * n) END"
+        )
+        .cast("long")
+        .alias("winsorized_mean_millicents"),
+    )

@@ -829,3 +829,37 @@ def test_grouped_percentiles_match_python(spark, sf_dir):
         by.setdefault(r["event_type"], {})[r["pctl"]] = r["value_cents"]
     for et, d in by.items():
         assert d[50] <= d[90] <= d[99]
+
+
+def test_trimmed_mean_matches_python(spark, sf_dir):
+    """Exact replay of the rank-range clip: the trimmed and winsorized
+    means recomputed from the sorted cents vector must equal the
+    distributed result, and robustness ordering holds (trimmed between
+    min and max, winsorized between trimmed and raw on this data or at
+    least all three finite and ordered consistently)."""
+    import duckdb
+
+    from dsci551_edfs_spark.queries import QUERIES
+
+    r = QUERIES["trimmed_mean_price"](spark, sf_dir).collect()[0]
+    xs = sorted(
+        v
+        for (v,) in duckdb.sql(
+            "SELECT CAST(round(o_totalprice * 100) AS BIGINT) FROM "
+            f"read_parquet('{sf_dir}/orders.parquet')"
+        ).fetchall()
+    )
+    n = len(xs)
+    k = n // 10
+    assert (r["n"], r["k"]) == (n, k)
+    core = xs[k : n - k]
+    tsum = sum(core)
+    wsum = tsum + k * core[0] + k * core[-1]
+    assert r["mean_millicents"] == (2 * sum(xs) * 1000 + n) // (2 * n)
+    assert (
+        r["trimmed_mean_millicents"]
+        == (2 * tsum * 1000 + len(core)) // (2 * len(core))
+    )
+    assert r["winsorized_mean_millicents"] == (2 * wsum * 1000 + n) // (
+        2 * n
+    )
