@@ -32,7 +32,6 @@ from .dedup import _persist
 from .retrieval import hashed_tfidf_vectors
 
 __all__ = [
-    "l1_unit_features",
     "doc_feature_frame",
     "lr_train_from_features",
     "lr_train_on_docfeats",
@@ -60,22 +59,6 @@ _BIAS_X = 100
 LAST_CV_TIMINGS: dict[str, float] = {}
 
 
-def l1_unit_features(vecs: DataFrame) -> DataFrame:
-    """(id, bucket, x): integer features in [0, 1e6], the L1-normalized
-    hashed TF-IDF vector frozen as floor(1e6·w / Σw). Normalization
-    bounds every doc's total feature mass at 1e6 regardless of length —
-    without it raw milli-nat magnitudes (~1e5 per bucket) blow the
-    logits out of sigmoid's dynamic range in one step."""
-    n1 = vecs.groupBy("id").agg(F.sum("w").alias("n1"))
-    return vecs.join(n1, "id").select(
-        "id",
-        "bucket",
-        F.floor(F.col("w") * 1e6 / F.greatest(F.col("n1"), F.lit(1)))
-        .cast("long")
-        .alias("x"),
-    )
-
-
 def quality_lr_features_and_labels(
     docs: DataFrame,
     text_col: str = "text",
@@ -95,10 +78,11 @@ def quality_lr_features_and_labels(
     from ..plans.hints import spread_small
 
     # spread before the per-token hashing stages: a single-row-group
-    # parquet would otherwise tokenize+md5 the whole corpus on one core
-    feats = l1_unit_features(
-        hashed_tfidf_vectors(spread_small(docs), text_col, id_col, dim)
-    )
+    # parquet would otherwise tokenize+md5 the whole corpus on one core.
+    # Features are the RAW hashed-TF-IDF weights (id, bucket, w); the L1
+    # normalization to x = floor(1e6·w/Σw) is fused into
+    # `doc_feature_frame`'s single groupBy(id) (optimization r13).
+    feats = hashed_tfidf_vectors(spread_small(docs), text_col, id_col, dim)
     labels = docs.select(
         F.col(id_col).alias("id"),
         (F.col("lang") == target_lang).cast("long").alias("y"),
@@ -113,24 +97,48 @@ def doc_feature_frame(
     x>>) with the synthetic bias element appended — the frame every
     training round and the final scoring pass fold over map-side.
     Built once, persisted by the caller. ``keep_cols`` (extra label
-    columns, e.g. a CV fold id) ride along."""
-    arr = feats.groupBy("id").agg(
-        F.collect_list(F.struct("bucket", "x")).alias("fs0")
+    columns, e.g. a CV fold id) ride along.
+
+    ``feats`` carries the RAW integer weights (id, bucket, w); the
+    L1-unit normalization x = floor(1e6·w / max(Σw, 1)) — which bounds
+    every doc's total feature mass at 1e6 so milli-nat magnitudes don't
+    blow the logits out of sigmoid's range — happens HERE, inside the
+    one groupBy(id) that assembles the array (optimization r13,
+    guide §2.4: the former `l1_unit_features` stage cost a separate
+    groupBy(id) Exchange plus a join back onto the (id, bucket) frame,
+    then THIS function exchanged the same rows by id a third time;
+    Σw and each entry's x are per-doc arithmetic over the ≤dim-entry
+    collected list, so one id-keyed Exchange does all of it — identical
+    doubles: w·1e6 stays under 2^53, the division and floor are the
+    same IEEE ops the unfused stage ran)."""
+    ent = feats.groupBy("id").agg(
+        F.collect_list(F.struct("bucket", "w")).alias("es")
     )
+    fs0 = F.transform(
+        "es",
+        lambda e: F.struct(
+            e["bucket"].cast("long").alias("bucket"),
+            F.floor(e["w"] * 1e6 / F.greatest(F.col("_n1"), F.lit(1)))
+            .cast("long")
+            .alias("x"),
+        ),
+    )
+    arr = ent.withColumn(
+        "_n1",
+        F.aggregate("es", F.lit(0).cast("long"), lambda acc, e: acc + e["w"]),
+    ).select("id", fs0.alias("fs0"))
     bias_el = F.array(
         F.struct(
             F.lit(_BIAS_BUCKET).cast("long").alias("bucket"),
             F.lit(_BIAS_X).cast("long").alias("x"),
         )
     )
+    empty = F.array().cast("array<struct<bucket:bigint,x:bigint>>")
     return labels.join(arr, "id", "left").select(
         "id",
         "y",
         *keep_cols,
-        F.concat(
-            F.coalesce(F.col("fs0"), F.array().cast(arr.schema["fs0"].dataType)),
-            bias_el,
-        ).alias("fs"),
+        F.concat(F.coalesce(F.col("fs0"), empty), bias_el).alias("fs"),
     )
 
 
@@ -308,12 +316,20 @@ def lr_cv_report(
 
     Per fold: ``rounds`` full-batch GD rounds on the other folds
     (lr_train_on_docfeats — one job + one <=65-row collect per round),
-    then ONE map-side scoring pass over the held-out fold. Returns
+    then ONE map-side scoring pass over the held-out fold. The folds
+    are mutually independent given the shared cached frame, so they
+    run CONCURRENTLY from a driver thread pool (optimization r13,
+    guide §2.6: each fold's bounded jobs leave most executors idle at
+    these frame sizes — overlapping the folds back-fills them; Spark's
+    FIFO scheduler interleaves the per-round jobs). Results are exact
+    integers either way — thread order cannot change them — and rows
+    come back sorted by fold. Returns
     (fold, n_train, n_test, n_correct, acc_micro) with
     acc_micro = round(1e6·correct/n_test) — exact integers end to end,
     so an unrolled-CTE oracle replays every fold's trajectory AND its
     holdout confusion exactly."""
     import time
+    from concurrent.futures import ThreadPoolExecutor
 
     spark = docfeats.sparkSession
     LAST_CV_TIMINGS.clear()
@@ -324,8 +340,8 @@ def lr_cv_report(
     docfeats.count()
     LAST_CV_TIMINGS["feature_build_s"] = round(time.perf_counter() - t0, 3)
     t1 = time.perf_counter()
-    out_rows: list[tuple[int, int, int, int, int]] = []
-    for f in range(folds):
+
+    def _one_fold(f: int) -> tuple[int, int, int, int, int]:
         train = docfeats.filter(F.col("fold") != f)
         _, w, bias, n_train = lr_train_on_docfeats(train, dim, rounds, lr_num)
         test = docfeats.filter(F.col("fold") == f)
@@ -343,7 +359,10 @@ def lr_cv_report(
         acc = (
             math.floor((1e6 * n_correct) / n_test + 0.5) if n_test else 0
         )
-        out_rows.append((f, n_train, n_test, n_correct, acc))
+        return (f, n_train, n_test, n_correct, acc)
+
+    with ThreadPoolExecutor(max_workers=folds) as pool:
+        out_rows = sorted(pool.map(_one_fold, range(folds)))
     LAST_CV_TIMINGS["cv_folds_s"] = round(time.perf_counter() - t1, 3)
     return spark.createDataFrame(
         out_rows,

@@ -13,15 +13,19 @@ property replica replays it on random tied score vectors.
 
 Scale posture (100 TB): the corpus collapses FIRST through ONE
 map-side-combinable groupBy(score) — bounded at the score domain
-(≤10001 rows for p4), the only full pass over the data. Both
-cumulative legs (count and positives) then ride ONE two-phase
-range-partitioned running-totals pass (`operators/cumulative.py` —
-no single-partition window), the totals frame is a broadcast scalar
-crossJoin, and the final division happens on the driver over a
-1-row collect. All driver-side arithmetic is arbitrary-precision
-Python int; all in-plan products are DECIMAL(38,0)-guarded (the
-r11 `aqp_sampled_revenue` int64-headroom lesson: Σ pos·midrank ~ 2n²
-overflows int64 past n ≈ 2e9).
+(≤10001 rows for p4), the only full pass over the data. The tail —
+both cumulative legs, the midrank/precision products and the final
+round-half-up divisions — is then a single-pass fold over that
+score-domain-bounded frame in arbitrary-precision Python int on the
+driver (optimization r13: it was previously a two-phase
+range-partitioned running-totals pass + broadcast-totals crossJoin +
+DECIMAL(38,0)-guarded aggregate — 4 extra Spark jobs per leg, every
+one of them over a ≤10001-row frame; a bounded collect + exact bigint
+fold computes the identical integers in zero extra jobs, the same
+bounded-collect class as the ≤65-row model collects). Σ pos·midrank
+~ 2n² overflows int64 past n ≈ 2e9, which is exactly why the fold
+uses Python bigints — strictly wider headroom than the previous
+in-plan DECIMAL(38,0) guard.
 """
 
 from __future__ import annotations
@@ -29,17 +33,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..operators.cumulative import running_totals
-from .dedup import _persist
-
 __all__ = [
     "rank_auc_report",
     "rank_auc_from_grouped",
     "auc_from_counts",
     "auc_from_grouped_counts",
 ]
-
-_DEC = "decimal(38,0)"
 
 
 def rank_auc_report(
@@ -62,74 +61,26 @@ def rank_auc_report(
     constant score gives ROC-AUC exactly 500000 via the midrank
     correction.
     """
-    g = _persist(
+    return rank_auc_from_grouped(
         scored.groupBy(F.col(score_col).alias("s")).agg(
             F.count("*").cast("long").alias("cnt"),
             F.sum(label_col).cast("long").alias("pos"),
         )
     )
-    out = rank_auc_from_grouped(g)
-    g.unpersist()
-    return out
 
 
 def rank_auc_from_grouped(g: DataFrame) -> tuple[int, int, int, int]:
     """(n_pos, n_neg, roc_auc_micro, pr_auc_micro) from a PRE-GROUPED
-    (s, cnt, pos) frame — the in-plan tail of `rank_auc_report`,
-    exposed so adversarial fixtures can feed counts far past what raw
-    rows could materialize (cnt ~ 1e14 blocks push Σ pos·midrank to
-    ~1e30, deep into the DECIMAL(38,0)-guard regime the r11
-    `aqp_sampled_revenue` overflow lesson says bites at scale first).
-    ``g`` should be persisted/settled by the caller if it is expensive:
-    it is consumed by three jobs (totals, offsets collect, final agg)."""
-    rt = running_totals(
-        g, ["s"], [("cnt", "cum_cnt"), ("pos", "cum_pos")]
+    (s, cnt, pos) frame. The frame is score-domain-bounded by
+    construction (≤10001 rows for p4), so the whole tail is ONE bounded
+    collect + the exact bigint fold `auc_from_grouped_counts` — no
+    running-totals shuffle, no per-leg aggregate jobs, and Python-int
+    headroom covers adversarial counts (cnt ~ 1e14 blocks push
+    Σ pos·midrank to ~1e30) with no DECIMAL ceiling at all."""
+    rows = g.select("s", "cnt", "pos").collect()  # score-domain-bounded
+    return auc_from_grouped_counts(
+        [(int(r["s"]), int(r["cnt"] or 0), int(r["pos"] or 0)) for r in rows]
     )
-    tot = g.agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.sum("pos").cast("long").alias("np"),
-    )
-    term = rt.crossJoin(F.broadcast(tot)).select(
-        F.col("pos").cast(_DEC).alias("pos"),
-        # doubled midrank of the tied block ending at cum_cnt
-        (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1)
-        .cast(_DEC)
-        .alias("mr2"),
-        # ≥-this-score cumulatives (descending-threshold leg)
-        (F.col("n") - F.col("cum_cnt") + F.col("cnt"))
-        .cast(_DEC)
-        .alias("ge_cnt"),
-        (F.col("np") - F.col("cum_pos") + F.col("pos"))
-        .cast(_DEC)
-        .alias("ge_pos"),
-    )
-    row = (
-        term.select(
-            "pos",
-            "mr2",
-            # block precision at micro units, round-half-up:
-            # (2e6·ge_pos + ge_cnt) div (2·ge_cnt)
-            F.expr(
-                "(CAST(2000000 AS DECIMAL(38,0)) * ge_pos + ge_cnt)"
-                " div (2 * ge_cnt)"
-            ).alias("prec_micro"),
-        )
-        .agg(
-            F.sum(F.col("pos") * F.col("mr2")).cast(_DEC).alias("r2"),
-            F.sum(F.col("pos") * F.col("prec_micro"))
-            .cast(_DEC)
-            .alias("psum"),
-            F.sum("pos").cast("long").alias("np"),
-        )
-        .crossJoin(F.broadcast(tot.select("n")))
-        .first()
-    )
-    n = int(row["n"] or 0)
-    np_ = int(row["np"] or 0)
-    nn = n - np_
-    r2 = int(row["r2"] or 0)
-    psum = int(row["psum"] or 0)
-    return np_, nn, *auc_from_counts(r2, psum, np_, nn)
 
 
 def auc_from_counts(

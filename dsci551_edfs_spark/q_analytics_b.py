@@ -1464,17 +1464,21 @@ def quality_lr_auc(spark, sf_dir):
     (pipeline/evalmetrics.py).
 
     Scale shape: per scorer ONE map-side-combinable groupBy(score)
-    bounds the frame at the score domain (≤10001 rows), both cumulative
-    legs share ONE two-phase range-partitioned running-totals pass
-    (operators/cumulative.py — no single-partition window), all in-plan
-    products are DECIMAL(38,0)-guarded, and the final division is exact
-    Python bigint over a 1-row collect. The DuckDB oracle replays
+    bounds the frame at the score domain (≤10001 rows); the whole AUC
+    tail is then a bounded collect + exact Python-bigint fold
+    (pipeline/evalmetrics.py — optimization r13: the former
+    running-totals pass cost 4 extra jobs per leg over that ≤10001-row
+    frame), and the two scorer legs run CONCURRENTLY from a driver
+    thread pool (guide §2.6 — the memo-read lr leg and the
+    featurize-scan rule leg are independent). The DuckDB oracle replays
     training, both scorers, midranks, and the round-half-up divisions
     in HUGEINT and hash-matches.
 
     Honesty note (same as `quality_lr_train`): this synthetic corpus
     has no text↔label signal, so BOTH scorers sit near 0.5 ROC-AUC —
     the registered contract is metric exactness, not model skill."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .pipeline.evalmetrics import rank_auc_report
 
     d = _t(spark, sf_dir, "documents")
@@ -1496,10 +1500,15 @@ def quality_lr_auc(spark, sf_dir):
         .join(labels, "id")
         .select("y", "s")
     )
-    rows = []
-    for name, sc in (("lr", lr_scored), ("rule", rule_scored)):
-        np_, nn, roc, pr = rank_auc_report(sc, "s", "y")
-        rows.append((name, np_, nn, roc, pr))
+    legs = [("lr", lr_scored), ("rule", rule_scored)]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        reports = list(
+            pool.map(lambda leg: rank_auc_report(leg[1], "s", "y"), legs)
+        )
+    rows = [
+        (name, np_, nn, roc, pr)
+        for (name, _), (np_, nn, roc, pr) in zip(legs, reports)
+    ]
     return spark.createDataFrame(
         rows,
         "scorer string, n_pos long, n_neg long,"

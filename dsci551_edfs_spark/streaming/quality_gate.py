@@ -32,7 +32,6 @@ from ..functions.text import tokens
 from ..pipeline.classifier import (
     _score_p4,
     doc_feature_frame,
-    l1_unit_features,
     lr_train_on_docfeats,
 )
 from ..pipeline.dedup import _md5_base_hash, _persist
@@ -40,7 +39,13 @@ from ..plans.hints import broadcast_if_small
 from .sinks import write_batch_idempotent
 from .windows import stream_from_parquet
 
-__all__ = ["frozen_featurizer", "featurize_with", "quality_gate_stream"]
+__all__ = [
+    "doc_term_freq",
+    "frozen_featurizer",
+    "featurize_from_tf",
+    "featurize_with",
+    "quality_gate_stream",
+]
 
 #: wall-clock split of the LAST quality_gate_stream run — bench.py reads
 #: this to report the fixed stream-machinery cost separately from the
@@ -52,39 +57,17 @@ __all__ = ["frozen_featurizer", "featurize_with", "quality_gate_stream"]
 LAST_TIMINGS: dict[str, float] = {}
 
 
-def frozen_featurizer(
-    seed_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, int]:
-    """(df_table, n_seed): the featurizer state frozen at train time —
-    the seed corpus's (token → document frequency) table and its doc
-    count. THIS is what ships with the model; scoring any later shard
-    reuses it unchanged (new tokens score 0, df never drifts)."""
-    tf = (
-        seed_docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(tokens(F.col(text_col))).alias("token"),
-        )
-        .groupBy("id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_seed = seed_docs.count()
-    return dfr, n_seed
-
-
-def featurize_with(
-    docs: DataFrame,
-    dfr: DataFrame,
-    n_seed: int,
-    dim: int = 64,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def doc_term_freq(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """L1-unit integer features for ANY document frame under the frozen
-    featurizer — one tokenize pass + a broadcast join against the
-    (vocab-sized) df table; n_seed rides as a literal so the idf is
-    bit-identical to train time."""
-    tf = (
+    """(id, token, tf): the one tokenize pass + map-side-combinable
+    (id, token) count every featurization starts from — exposed so the
+    train path computes it ONCE and derives BOTH the frozen df table
+    and the seed features from it (optimization r13: frozen_featurizer
+    and featurize_with each ran their own identical tokenize+groupBy
+    over the seed corpus — two full scans+exchanges of the biggest
+    input for one training run)."""
+    return (
         docs.select(
             F.col(id_col).alias("id"),
             F.explode(tokens(F.col(text_col))).alias("token"),
@@ -92,6 +75,29 @@ def featurize_with(
         .groupBy("id", "token")
         .agg(F.count("*").alias("tf"))
     )
+
+
+def frozen_featurizer(
+    seed_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, int]:
+    """(df_table, n_seed): the featurizer state frozen at train time —
+    the seed corpus's (token → document frequency) table and its doc
+    count. THIS is what ships with the model; scoring any later shard
+    reuses it unchanged (new tokens score 0, df never drifts)."""
+    dfr = doc_term_freq(seed_docs, text_col, id_col).groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n_seed = seed_docs.count()
+    return dfr, n_seed
+
+
+def featurize_from_tf(
+    tf: DataFrame, dfr: DataFrame, n_seed: int, dim: int = 64
+) -> DataFrame:
+    """RAW hashed-TF-IDF weights (id, bucket, w) for a prebuilt
+    (id, token, tf) frame under the frozen featurizer; n_seed rides as
+    a literal so the idf is bit-identical to train time. L1
+    normalization happens inside `classifier.doc_feature_frame`."""
     # size-guarded hint: the df table is vocabulary-sized, which on a
     # web-scale seed corpus can exceed broadcast memory — degrade to a
     # key-shuffled hash join rather than OOM the driver
@@ -105,7 +111,23 @@ def featurize_with(
             ).cast("long")
         ).alias("w"),
     )
-    return l1_unit_features(w.groupBy("id", "bucket").agg(F.sum("w").alias("w")))
+    return w.groupBy("id", "bucket").agg(F.sum("w").alias("w"))
+
+
+def featurize_with(
+    docs: DataFrame,
+    dfr: DataFrame,
+    n_seed: int,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAW hashed-TF-IDF weights for ANY document frame under the
+    frozen featurizer — one tokenize pass + a broadcast join against
+    the (vocab-sized) df table."""
+    return featurize_from_tf(
+        doc_term_freq(docs, text_col, id_col), dfr, n_seed, dim
+    )
 
 
 def quality_gate_stream(
@@ -130,17 +152,17 @@ def quality_gate_stream(
     import time
 
     t_train0 = time.perf_counter()
-    dfr, n_seed = frozen_featurizer(seed_docs, text_col, id_col)
-    dfr = _persist(dfr)
+    # ONE tokenize pass over the seed: tf feeds both the frozen df table
+    # and the seed featurization (it used to be recomputed by each)
+    tf = _persist(doc_term_freq(seed_docs, text_col, id_col))
+    dfr = _persist(tf.groupBy("token").agg(F.count("*").alias("df")))
+    n_seed = seed_docs.count()
     labels = seed_docs.select(
         F.col(id_col).alias("id"),
         (F.col("lang") == target_lang).cast("long").alias("y"),
     )
     docfeats = _persist(
-        doc_feature_frame(
-            featurize_with(seed_docs, dfr, n_seed, dim, text_col, id_col),
-            labels,
-        )
+        doc_feature_frame(featurize_from_tf(tf, dfr, n_seed, dim), labels)
     )
     _, w, bias, _n = lr_train_on_docfeats(docfeats, dim, rounds)
 

@@ -1451,7 +1451,7 @@ def test_ohlc_struct_minmax_matches_python(spark, ticks):
 lr_cases = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=7),        # bucket (dim 8)
-        st.integers(min_value=0, max_value=1_000_000),  # x feature
+        st.integers(min_value=0, max_value=1_000_000),  # raw weight w
     ),
     min_size=1,
     max_size=6,
@@ -1467,10 +1467,12 @@ lr_cases = st.lists(
 @given(st.lists(lr_cases, min_size=2, max_size=6))
 def test_lr_train_matches_numpy_replica(spark, docs):
     """lr_train_from_features' full integer trajectory vs a pure-numpy
-    replica running the IDENTICAL frozen ops: pico-nat dot, round-6
-    logit, x1e4 sigmoid freeze, exact integer gradients, and the
-    floor((lr*g)/(1e4*n)) update. Every (step, bucket) weight must be
-    bit-equal, bias included."""
+    replica running the IDENTICAL frozen ops — INCLUDING the fused L1
+    normalization x = floor(w·1e6 / max(Σw, 1)) that doc_feature_frame
+    now applies to the raw (id, bucket, w) weights (r13), then the
+    pico-nat dot, round-6 logit, x1e4 sigmoid freeze, exact integer
+    gradients, and the floor((lr*g)/(1e4*n)) update. Every
+    (step, bucket) weight must be bit-equal, bias included."""
     import math
 
     import numpy as np
@@ -1487,12 +1489,16 @@ def test_lr_train_matches_numpy_replica(spark, docs):
     for i, (feats, label) in enumerate(docs):
         y[i] = label
         dedup = {}
-        for b, x in feats:
-            dedup[b] = x  # last write wins; keep (id,bucket) unique
-        for b, x in dedup.items():
-            rows.append((i, b, x))
-            X[i, b] = x
-    feats_df = spark.createDataFrame(rows, "id long, bucket long, x long")
+        for b, w_raw in feats:
+            dedup[b] = w_raw  # last write wins; keep (id,bucket) unique
+        for b, w_raw in dedup.items():
+            rows.append((i, b, w_raw))
+        # the fused normalization, same IEEE doubles as the engine:
+        # w·1e6 (exact ≤ 1e12) / max(Σw, 1), floored
+        n1 = max(sum(dedup.values()), 1)
+        for b, w_raw in dedup.items():
+            X[i, b] = math.floor(float(w_raw) * 1e6 / float(n1))
+    feats_df = spark.createDataFrame(rows, "id long, bucket long, w long")
     lab_df = spark.createDataFrame(
         list(enumerate(int(v) for v in y)), "id long, y long"
     )

@@ -193,5 +193,6 @@ def test_frozen_featurizer_oov_tokens_score_zero(spark):
         by_id.setdefault(r["id"], []).append(r)
     assert 10 not in by_id          # all-OOV doc: zero feature rows
     assert len(by_id[11]) == 1      # only 'alpha' survives
-    # alpha df=2, n=2 -> idf ln(1)=0 -> weight 0 -> x floor(0/..)=0
-    assert by_id[11][0]["x"] == 0
+    # alpha df=2, n=2 -> idf ln(1)=0 -> raw weight 0 (featurize_with
+    # returns raw w since r13; L1-x happens in doc_feature_frame)
+    assert by_id[11][0]["w"] == 0

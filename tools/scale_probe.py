@@ -141,8 +141,9 @@ def inflate_items_hot_basket(li, k, hot_parts=512):
 def _featurize_frozen(d):
     """The deployed featurizer path end to end: freeze (token -> df, N)
     on the corpus, then score the SAME corpus under the frozen state —
-    one tf shuffle, one df join (size-guarded broadcast hint), one
-    per-id L1 normalization join (classifier.l1_unit_features)."""
+    one tf shuffle + one df join (size-guarded broadcast hint); since
+    r13 featurize_with returns raw (id, bucket, w) and the L1
+    normalization rides doc_feature_frame's fused groupBy(id)."""
     from dsci551_edfs_spark.pipeline.dedup import _persist
     from dsci551_edfs_spark.streaming.quality_gate import (
         featurize_with,
@@ -937,7 +938,7 @@ def main() -> None:
         ),
         # ---- round-12 hot-key stress (VERDICT r11 #6): the trained-
         # classifier featurizer path — frozen_featurizer's token->df
-        # shuffle and l1_unit_features' per-id normalization join —
+        # shuffle and the fused per-id (id,bucket,w) aggregation —
         # under (a) one token planted in ~half the corpus (hot df key)
         # and (b) one 1M-token doc with a fully distinct vocabulary
         # (hot id in the (id, token) agg + a vocab-exploded df table,
