@@ -377,57 +377,55 @@ def largest_remainder_allocation(
     arithmetic → bit-identical on any engine (SQL-oracle-checkable).
 
     ``normalize=True`` drops the weights-sum-to-1e6 precondition: the
-    divisor becomes Σ weights (scalar-agg broadcast), so RAW integer
-    scores — e.g. temperature-sampling scores round(n^α · 1e6) — allocate
-    directly without a lossy pre-normalization step (quota = s·budget
-    div Σs stays integer-exact)."""
-    w = weights.select(
+    divisor becomes Σ weights, so RAW integer scores — e.g.
+    temperature-sampling scores round(n^α · 1e6) — allocate directly
+    without a lossy pre-normalization step (quota = s·budget div Σs
+    stays integer-exact).
+
+    Execution (optimization r13, guide §1.2/§7.2): the input is
+    key-cardinality-bounded by contract (≤ thousands of mixture
+    sources), yet the former in-plan formulation — quota projection +
+    scalar-agg crossJoin + remainder-rank self-join + totals crossJoin —
+    re-expanded the (often expensive: DoReMi's whole LM-scoring
+    pipeline) input subtree THREE times in the plan and put 5 exchanges
+    on a ≤thousands-row frame; `mixture_epochs_plan`, which composes two
+    of these passes, carried a 305-Exchange physical plan whose Catalyst
+    analysis alone dominated its runtime. Now: ONE bounded collect of
+    (key, weight), exact Python-int largest-remainder on the driver
+    (identical arithmetic: quota = w·budget, base = quota div d,
+    leftover = budget − Σbase to the largest remainders, ties by key
+    asc), returned as a local frame — the same bounded-collect class as
+    the budget scalar every caller already collects."""
+    ktype = dict(weights.dtypes)[key_col]
+    rows = weights.select(
         F.col(key_col).alias("_k"), F.col(weight_col).cast("long").alias("_w")
+    ).collect()  # key-cardinality-bounded by contract
+    kw = [(r["_k"], int(r["_w"] or 0)) for r in rows]
+    alloc = _remainder_alloc(kw, budget, normalize)
+    return weights.sparkSession.createDataFrame(
+        [(k, w, alloc[k]) for k, w in kw],
+        f"{key_col} {ktype}, {weight_col} long, alloc long",
     )
-    if normalize:
-        denom = w.agg(F.sum("_w").alias("_d"))
-        w = w.crossJoin(F.broadcast(denom))
-    else:
-        w = w.withColumn("_d", F.lit(1_000_000).cast("long"))
-    alloc = w.select(
-        "_k",
-        "_w",
-        "_d",
-        (F.col("_w") * budget).alias("_quota"),
-    ).select(
-        "_k",
-        "_w",
-        F.expr("_quota div _d").alias("_base"),
-        (F.col("_quota") % F.col("_d")).alias("_rem"),
-    )
-    tot = alloc.agg(F.sum("_base").alias("_sb"))
-    a, b = alloc.alias("a"), alloc.alias("b")
-    ahead = (
-        a.join(
-            b,
-            (F.col("b._rem") > F.col("a._rem"))
-            | ((F.col("b._rem") == F.col("a._rem")) & (F.col("b._k") < F.col("a._k"))),
-            "left",
-        )
-        .groupBy(F.col("a._k").alias("_k"))
-        .agg(F.count(F.col("b._k")).alias("_ahead"))
-    )
-    return (
-        alloc.join(ahead, "_k")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("_k").alias(key_col),
-            F.col("_w").alias(weight_col),
-            (
-                F.col("_base")
-                + F.when(
-                    F.col("_ahead") < (budget - F.col("_sb")), F.lit(1)
-                ).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("alloc"),
-        )
-    )
+
+
+def _remainder_alloc(
+    kw: list[tuple], budget: int, normalize: bool
+) -> dict:
+    """Exact-integer largest-remainder core over collected (key, weight)
+    pairs: quota = w·budget, base = quota div d, the budget − Σbase
+    leftover units go to the largest remainders (ties by key asc) —
+    the same arithmetic the former in-plan formulation ran, in Python
+    bigints. d == 0 (all-zero weights under normalize) allocates
+    nothing: there is no remainder order to hand the budget out by."""
+    d = sum(w for _, w in kw) if normalize else 1_000_000
+    base = {k: (w * budget) // d if d else 0 for k, w in kw}
+    rem = {k: (w * budget) % d if d else 0 for k, w in kw}
+    leftover = (budget - sum(base.values())) if d else 0
+    order = sorted(kw, key=lambda t: (-rem[t[0]], t[0]))
+    return {
+        k: int(base[k] + (1 if i < leftover else 0))
+        for i, (k, _) in enumerate(order)
+    }
 
 
 def packing_curve(
@@ -546,73 +544,50 @@ def epoch_capped_allocation(
     the whole plan stays SQL-restatable; budget stranded after the
     second pass stays unallocated by design.
 
-    Scale shape: both allocation passes run on the key-cardinality
-    frame (join-based remainder ranks — no global window); the leftover
-    scalar is a 1-row bounded collect. Returns (key, capacity, weight,
-    alloc_raw, cap_tokens, alloc_final, epochs_micro, capped)."""
-    from .dedup import _persist
-
-    w = weights.select(
-        F.col(key_col),
-        F.col(capacity_col).cast("long").alias(capacity_col),
-        F.col(weight_col).cast("long").alias(weight_col),
-    )
-    raw = largest_remainder_allocation(
-        w.select(key_col, weight_col),
-        budget=budget,
-        key_col=key_col,
-        weight_col=weight_col,
-        normalize=True,
-    ).withColumnRenamed("alloc", "alloc_raw")
-    c = (
-        w.join(raw.select(key_col, "alloc_raw"), key_col)
-        .withColumn(
-            "cap_tokens",
-            (F.lit(int(max_epochs)) * F.col(capacity_col)).cast("long"),
+    Execution (optimization r13): the input is key-cardinality-bounded
+    by contract, and the former two-pass in-plan formulation (two
+    largest-remainder subplans, a persisted intermediate, a leftover
+    collect and two joins) compiled to a 305-Exchange physical plan in
+    `mixture_epochs_plan` — Catalyst analysis alone dominated the
+    query. Now ONE bounded collect of (key, weight, capacity) feeds
+    both exact Python-int passes (identical arithmetic — quota/base/
+    remainder ranks, cap at max_epochs·capacity, one redistribution
+    round re-capped), returned as a local frame. Returns (key,
+    capacity, weight, alloc_raw, cap_tokens, alloc_final,
+    epochs_micro, capped)."""
+    ktype = dict(weights.dtypes)[key_col]
+    rows = weights.select(
+        F.col(key_col).alias("_k"),
+        F.col(capacity_col).cast("long").alias("_c"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).collect()  # key-cardinality-bounded by contract
+    kcw = [(r["_k"], int(r["_c"] or 0), int(r["_w"] or 0)) for r in rows]
+    raw = _remainder_alloc([(k, w) for k, _, w in kcw], budget, True)
+    cap = {k: int(max_epochs) * c for k, c, _ in kcw}
+    capped_alloc = {k: min(raw[k], cap[k]) for k, _, _ in kcw}
+    leftover = budget - sum(capped_alloc.values())
+    uncapped = [(k, w) for k, _, w in kcw if raw[k] < cap[k]]
+    red = _remainder_alloc(uncapped, leftover, True) if uncapped else {}
+    out = []
+    for k, c, w in kcw:
+        final = min(capped_alloc[k] + red.get(k, 0), cap[k])
+        out.append(
+            (
+                k,
+                c,
+                w,
+                raw[k],
+                cap[k],
+                final,
+                (final * 1_000_000) // c if c else 0,
+                1 if raw[k] > cap[k] else 0,
+            )
         )
-        .withColumn(
-            "alloc_capped", F.least(F.col("alloc_raw"), F.col("cap_tokens"))
-        )
-    )
-    c = _persist(c)
-    leftover = budget - int(
-        c.agg(F.coalesce(F.sum("alloc_capped"), F.lit(0)).alias("s"))
-        .collect()[0]["s"]  # 1-row bounded collect: the leftover scalar
-    )
-    uncapped = c.filter(F.col("alloc_raw") < F.col("cap_tokens")).select(
-        key_col, weight_col
-    )
-    red = largest_remainder_allocation(
-        uncapped,
-        budget=leftover,
-        key_col=key_col,
-        weight_col=weight_col,
-        normalize=True,
-    ).select(key_col, F.col("alloc").alias("redist"))
-    out = c.join(red, key_col, "left").withColumn(
-        "alloc_final",
-        F.least(
-            F.col("alloc_capped") + F.coalesce(F.col("redist"), F.lit(0)),
-            F.col("cap_tokens"),
-        ).cast("long"),
-    )
-    return out.select(
-        key_col,
-        capacity_col,
-        weight_col,
-        "alloc_raw",
-        "cap_tokens",
-        "alloc_final",
-        F.expr(
-            f"CASE WHEN {capacity_col} = 0 THEN 0"
-            f" ELSE alloc_final * 1000000 div {capacity_col} END"
-        )
-        .cast("long")
-        .alias("epochs_micro"),
-        F.when(F.col("alloc_raw") > F.col("cap_tokens"), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("capped"),
+    return weights.sparkSession.createDataFrame(
+        out,
+        f"{key_col} {ktype}, {capacity_col} long, {weight_col} long,"
+        " alloc_raw long, cap_tokens long, alloc_final long,"
+        " epochs_micro long, capped long",
     )
 
 

@@ -1751,7 +1751,12 @@ def doremi_reweight_round(spark, sf_dir):
         "doc_id",
         F.round(F.col("avg_neg_logp") * 1e6).cast("long").alias("d_micro"),
     )
-    s = (
+    from .pipeline.dedup import _persist
+
+    # persisted: the whole LM-train+score pipeline collapses to this
+    # source-cardinality frame, which the allocation's bounded collect
+    # and the final join both consume — one LM pass, not two
+    s = _persist(
         d2.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("d_micro").alias("num"))

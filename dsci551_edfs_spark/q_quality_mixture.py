@@ -1415,16 +1415,23 @@ def mixture_temperature_sampling(spark, sf_dir):
     (a 1e6-unit budget here, i.e. ppm sampling rates). One count agg +
     a sources-sized self-join; no window."""
     from .pipeline.curation import largest_remainder_allocation
+    from .pipeline.dedup import _persist
 
     n = (
         _t(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
-    scored = n.select(
-        "source",
-        "n_docs",
-        F.round(F.sqrt(F.col("n_docs")) * 1e6).cast("long").alias("w_micro"),
+    # persisted: the allocation's bounded collect and the n_docs join
+    # below both read this source-cardinality frame — one corpus pass
+    scored = _persist(
+        n.select(
+            "source",
+            "n_docs",
+            F.round(F.sqrt(F.col("n_docs")) * 1e6)
+            .cast("long")
+            .alias("w_micro"),
+        )
     )
     out = largest_remainder_allocation(
         scored, budget=1_000_000, key_col="source", normalize=True
