@@ -41,18 +41,30 @@ MIN_RANK_PARTITIONS = 32
 def derive_rank_partitions(df: DataFrame, rank_partitions: int | None) -> int:
     """Resolve the range-partition count for the two-phase prefix pass.
 
-    ``None`` (the default everywhere) derives it from the input:
-    ``max(32, input partition count)`` — so a doc-granularity consumer
-    (corpus shuffle order, curriculum schedule, CUSUM over a 100 TB event
-    log) keeps the cluster's full parallelism instead of collapsing to a
-    fixed 32 window tasks, while the offset exchange stays one row per
-    range partition (KB-scale even at thousands of partitions). Callers
-    with domain knowledge (e.g. a score-domain-bounded frame) may still
-    pass an explicit count.
+    ``None`` (the default everywhere) derives it from the session's
+    ``spark.sql.shuffle.partitions`` (floor 32) — the knob that is sized
+    to ~2-3x total executor cores on a real cluster (session.py
+    contract), so a doc-granularity consumer (corpus shuffle order,
+    curriculum schedule, CUSUM over a 100 TB event log) keeps the
+    cluster's full parallelism while the offset exchange stays one row
+    per range partition (KB-scale even at thousands of partitions).
+
+    It was previously derived from ``df.rdd.getNumPartitions()``
+    (optimization r13, guide §7.3): that probe pays a full
+    Catalyst-plan→RDD conversion per call (~0.4-0.5 s of pure driver
+    time on every running_total consumer) and, for the post-shuffle
+    frames most consumers pass in, reports the pre-execution AQE
+    placeholder (1) rather than anything about the input — all cost, no
+    signal. Callers with domain knowledge (e.g. a score-domain-bounded
+    frame) may still pass an explicit count.
     """
     if rank_partitions is not None:
         return rank_partitions
-    return max(MIN_RANK_PARTITIONS, df.rdd.getNumPartitions())
+    try:
+        conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf = MIN_RANK_PARTITIONS
+    return max(MIN_RANK_PARTITIONS, conf)
 
 
 def running_totals(

@@ -223,11 +223,24 @@ def subword_fertility_report(spark, sf_dir):
     opportunities cannot reappear); the oracle replays both merge
     chains as prefixed materialized-CTE states in ONE statement. Both
     trainings are one corpus pass + vocab-sized driver loops."""
+    from concurrent.futures import ThreadPoolExecutor
+
     d = _t(spark, sf_dir, "documents")
-    bpe = [r["merged"] for r in TXT.bpe_train_merges(d, 40).collect()]
-    wp = [
-        r["merged"] for r in TXT.wordpiece_train_merges(d, 30).collect()
-    ]
+    # the two trainings are independent vocab-sized driver loops over
+    # their own corpus pass — overlap them (optimization r13, guide
+    # §2.6: each loop's bounded jobs leave executors idle; the second
+    # training back-fills them). Results are deterministic merge lists.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bpe = pool.submit(
+            lambda: [r["merged"] for r in TXT.bpe_train_merges(d, 40).collect()]
+        )
+        f_wp = pool.submit(
+            lambda: [
+                r["merged"]
+                for r in TXT.wordpiece_train_merges(d, 30).collect()
+            ]
+        )
+        bpe, wp = f_bpe.result(), f_wp.result()
     # the SAME top-50k-by-frequency domain the trainers (and the
     # oracle's state chains) operate on, then the 2-12-char report band
     words = (

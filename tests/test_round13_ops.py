@@ -7,21 +7,31 @@ import os
 from pyspark.sql import functions as F
 
 
-def test_derive_rank_partitions_tracks_input(spark):
+def test_derive_rank_partitions_conf_rule(spark):
+    """Derivation rule (optimization r13): max(32, shuffle partitions
+    conf) — cluster-scale-adaptive (the conf is ~2-3x executor cores on
+    a real deployment) with zero driver cost. The former
+    df.rdd.getNumPartitions() probe paid a plan->RDD conversion per
+    call and reported the pre-AQE placeholder (1) on shuffled inputs."""
     from dsci551_edfs_spark.operators.cumulative import (
         MIN_RANK_PARTITIONS,
         derive_rank_partitions,
     )
 
-    small = spark.range(100).repartition(4)
-    wide = spark.range(100).repartition(64)
-    # floor: small inputs still get full local parallelism
-    assert derive_rank_partitions(small, None) == MIN_RANK_PARTITIONS
-    # derived: a wide input keeps its parallelism (the 100 TB case —
-    # a fixed 32 would cap the prefix stage at 32 tasks forever)
-    assert derive_rank_partitions(wide, None) == 64
+    df = spark.range(100).repartition(4)
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert derive_rank_partitions(df, None) == max(
+        MIN_RANK_PARTITIONS, conf
+    )
     # explicit caller hint always wins
-    assert derive_rank_partitions(wide, 7) == 7
+    assert derive_rank_partitions(df, 7) == 7
+    # scale-adaptivity: a cluster-sized conf drives the prefix stage —
+    # a fixed 32 would cap the 100 TB prefix stage at 32 tasks forever
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    try:
+        assert derive_rank_partitions(df, None) == 128
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf))
 
 
 def test_running_total_derived_partitions_matches_naive(spark):
@@ -78,7 +88,7 @@ def test_running_totals_offset_frame_tracks_derived_count(spark):
         out.collect()
     finally:
         C.derive_rank_partitions = orig
-    assert captured["n"] == 40
+    assert captured["n"] == orig(df, None)
 
 
 def test_weighted_sample_excludes_nonpositive_weights(spark):
