@@ -1233,60 +1233,87 @@ def mmr_select(
     primitive for eval-set construction and prompt-example curation,
     where plain top-k returns k near-copies of the same best document.
 
-    Control flow is honestly sequential (each pick depends on the last):
-    k driver iterations, each ONE distributed pass — score every
-    remaining candidate against the ≤k-row broadcast selected set, take
-    the argmax with ``orderBy(score desc, id).limit(1)``
-    (TakeOrderedAndProject, a bounded single-row collect). Total work is
-    k corpus scans; at 100 TB you run this over a pre-filtered candidate
-    pool (top-N by relevance — here the pool IS the demo's filter), the
-    standard two-stage shape. Ties break by id ascending, so the entire
-    greedy trajectory is deterministic and a k-step unrolled-CTE DuckDB
-    oracle replays it exactly."""
-    pool = (
-        spread_small(embeddings)
-        .filter((F.col(id_col) >= pool_lo) & (F.col(id_col) <= pool_hi))
-        .select(F.col(id_col).alias("id"), normalize(as_double(vec_col)).alias("v"))
-        .persist()
+    Control flow is honestly sequential (each pick depends on the last),
+    and the candidate POOL is bounded by contract (pool_lo..pool_hi — at
+    100 TB you run this over a pre-filtered top-N-by-relevance pool, the
+    standard two-stage shape). So the greedy loop runs on the DRIVER
+    over ONE bounded collect of the pool + query vectors (optimization
+    r13, guide §1.2: the former formulation ran k distributed
+    argmax passes + two persists — 8+ jobs for k=6 picks over a ≤127-row
+    pool). The arithmetic is the identical IEEE double sequence the
+    in-plan expressions ran (functions/vectors.py documents the
+    left-fold accumulation order; Python floats are the same doubles),
+    so the trajectory — ties broken by id ascending — is unchanged and
+    the k-step unrolled-CTE DuckDB oracle still replays it exactly."""
+    import math
+
+    rows = (
+        embeddings.filter(
+            ((F.col(id_col) >= pool_lo) & (F.col(id_col) <= pool_hi))
+            | (F.col(id_col) == query_id)
+        )
+        .select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+        .collect()  # pool-bounded by contract (≤ pool_hi - pool_lo + 2)
     )
-    qv = embeddings.filter(F.col(id_col) == query_id).select(
-        normalize(as_double(vec_col)).alias("qv")
-    )
-    rel = (
-        pool.join(F.broadcast(qv), F.lit(True))
-        .select("id", dot(F.col("v"), F.col("qv")).alias("rel"))
-        .persist()
-    )
+
+    def _div(x: float, n: float) -> float:
+        # Spark double division semantics: x/0 -> ±Inf, 0/0 -> NaN
+        if n == 0.0:
+            return float("nan") if x == 0.0 else math.copysign(
+                float("inf"), x
+            )
+        return x / n
+
+    def _unit(v: list) -> list:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x  # left fold, same order as F.aggregate
+        n = math.sqrt(acc)
+        return [_div(x, n) for x in v]
+
+    def _dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    qv = None
+    pool_vecs: dict[int, list] = {}
+    for r in rows:
+        if r["id"] == query_id:
+            qv = _unit(list(r["v"]))
+        if pool_lo <= r["id"] <= pool_hi:
+            pool_vecs[r["id"]] = _unit(list(r["v"]))
+
     spark = embeddings.sparkSession
     picked: list[tuple[int, int, float]] = []
-    for step in range(1, k + 1):
-        if not picked:
-            cand = rel.select("id", (F.lit(0.7) * F.col("rel")).alias("score"))
-        else:
-            sel_ids = [p[1] for p in picked]
-            sel_vecs = pool.filter(F.col("id").isin(sel_ids)).select(
-                F.col("id").alias("sid"), F.col("v").alias("sv")
-            )
-            cand = (
-                pool.filter(~F.col("id").isin(sel_ids))
-                .join(F.broadcast(sel_vecs), F.lit(True))
-                .select("id", dot(F.col("v"), F.col("sv")).alias("s"))
-                .groupBy("id")
-                .agg(F.max("s").alias("ms"))
-                .join(rel, "id")
-                .select(
-                    "id",
-                    (
-                        F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")
-                    ).alias("score"),
-                )
-            )
-        top = cand.orderBy(F.col("score").desc(), F.col("id")).limit(1).first()
-        if top is None:  # pool exhausted: k > |pool| degrades gracefully
-            break
-        picked.append((step, top["id"], float(top["score"])))
-    pool.unpersist()
-    rel.unpersist()
+    if qv is not None:
+        rel = {i: _dot(v, qv) for i, v in pool_vecs.items()}
+        chosen: list[int] = []
+        for step in range(1, k + 1):
+            best_id, best_score = None, None
+            for i in sorted(pool_vecs):
+                if i in chosen:
+                    continue
+                if not chosen:
+                    score = 0.7 * rel[i]
+                else:
+                    ms = max(
+                        _dot(pool_vecs[i], pool_vecs[s]) for s in chosen
+                    )
+                    score = 0.7 * rel[i] - 0.3 * ms
+                # argmax with (score desc, id asc); NaN sorts largest,
+                # matching Spark's double ordering
+                if best_id is None or (
+                    math.isnan(score) and not math.isnan(best_score)
+                ) or (
+                    not math.isnan(best_score) and score > best_score
+                ):
+                    best_id, best_score = i, score
+            if best_id is None:  # pool exhausted: k > |pool| degrades
+                break
+            chosen.append(best_id)
+            picked.append((step, best_id, float(best_score)))
     out = spark.createDataFrame(
         picked, "sel_rank long, vec_id long, score double"
     )

@@ -1106,29 +1106,41 @@ def join_size_estimate_cms(spark, sf_dir):
     AGMS/CMS inner-product estimator every cost-based optimizer variant
     uses): |lineitem ⋈ lineitem on partkey| ≈ min over sketch rows of
     Σ_b cms[r][b]² — computed from the O(depth·width) sketch alone,
-    never from the data twice. The sketch build is the md5-family
-    `count_min_build` (map-side combinable, O(sketch) shuffle at any
-    corpus size); exact truth rides along per row so the
+    never from the data twice. Exact truth rides along per row so the
     collision-driven overestimate is visible. min(est) over the 4 rows
-    is the estimator; one driver-side min away."""
-    from .operators.sketches import count_min_build
+    is the estimator; one driver-side min away.
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("string").alias("v")
+    Build shape (optimization r13, guide §1.2): ONE lineitem scan
+    collapses to the (partkey, count) frame, and BOTH legs read it —
+    the sketch becomes a Σcount-per-bucket aggregation over key
+    cardinality (counts are additive, so bucketing the per-key counts
+    is bit-identical to bucketing the raw rows — md5_nibbles windows
+    unchanged) and the exact Σc² is one more scalar agg. The former
+    formulation scanned lineitem twice and md5-hashed every raw row
+    ×depth."""
+    from .operators.sketches import _cms_bucket
+    from .pipeline.dedup import _persist
+
+    kc = _persist(
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("c"))
     )
-    cms = count_min_build(li, "v", depth=4, width=1024, hash_fn="md5_nibbles")
+    ex = kc.select(
+        F.col("l_partkey").cast("string").alias("v"),
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("row"),
+    )
+    cms = ex.groupBy(
+        "row", _cms_bucket(1024, "md5_nibbles").alias("bucket")
+    ).agg(F.sum("c").cast("long").alias("cnt"))
     ip = cms.groupBy("row").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("est_join_size")
     )
-    exact = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey")
-        .agg(F.count("*").alias("cnt"))
-        .agg(
-            F.sum(F.col("cnt") * F.col("cnt"))
-            .cast("long")
-            .alias("exact_join_size")
-        )
+    exact = kc.agg(
+        F.sum(F.col("c") * F.col("c"))
+        .cast("long")
+        .alias("exact_join_size")
     )
     return ip.crossJoin(F.broadcast(exact)).select(
         F.col("row").cast("long").alias("sketch_row"),

@@ -2219,29 +2219,37 @@ def association_rules_2item(spark, sf_dir):
     lift = c_ab·N/(c_a·c_b) in HUGEINT/DECIMAL(38,0) micro (the
     product c_a·c_b·2e6 overflows int64 at warehouse scale).
 
-    Scale shape: the within-basket self-join is bounded by Σ(basket
-    size choose 2) — basket sizes are small constants in any real
-    order stream, so pair volume is LINEAR in baskets; item counts
-    attach by two part-key equi-joins; everything else is
-    map-side-combinable aggregation."""
-    li = _t(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    Scale shape: baskets collapse to sorted distinct-item ARRAYS in one
+    groupBy(order) pass, and the Σ(basket size choose 2) candidate
+    pairs are generated IN-ROW from each array (optimization r13,
+    guide §2.4 — this replaces the former (order, part) distinct +
+    basket-keyed self-join, which exchanged the basket rows twice more
+    to build the same pairs); basket sizes are small constants in any
+    real order stream, so pair volume stays LINEAR in baskets and the
+    pair aggregation is map-side-combinable. Item counts read off the
+    same persisted basket arrays."""
     from .pipeline.dedup import _persist
 
-    b = _persist(b)
-    nb = b.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n")
+    li = _t(spark, sf_dir, "lineitem")
+    g = _persist(
+        li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
     )
-    ic = b.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
-    a1 = b.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    nb = g.agg(F.count("*").cast("long").alias("n"))
+    ic = (
+        g.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("c"))
     )
-    a2 = b.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)),"
+        " y -> named_struct('pa', x, 'pb', y))))"
     )
     pr = (
-        a1.join(a2, "k")
-        .filter(F.col("pa") < F.col("pb"))
+        g.select(F.explode(pair_expr).alias("e"))
+        .select("e.pa", "e.pb")
         .groupBy("pa", "pb")
         .agg(F.count("*").cast("long").alias("c"))
     )
