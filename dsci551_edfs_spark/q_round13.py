@@ -224,36 +224,28 @@ def conformal_gate_threshold(spark, sf_dir):
     rates are round-half-up micro integers. Scale shape: the scored
     frame is memo-served; the calibration side collapses through ONE
     groupBy(score) bounded at the score domain (≤10001 rows), the
-    quantile comes off the two-phase running total — no
-    single-partition window — and the deploy side is one
-    map-side-combinable aggregate against the broadcast 1-row
-    threshold. The oracle replays training, scoring, the order
-    statistic and both divisions, and hash-matches."""
-    from .operators.cumulative import running_total
+    order statistic is then a bounded collect + exact driver fold
+    (optimization r13 — the same score-domain-bounded class as the AUC
+    tail; the former two-phase running total + crossJoin chain cost 4
+    extra jobs over that ≤10001-row frame), and the deploy side is one
+    map-side-combinable aggregate against the literal threshold. The
+    oracle replays training, scoring, the order statistic and both
+    divisions, and hash-matches."""
     from .pipeline.curation import md5_bucket
 
     sc = _lr_scored_frame(spark, sf_dir)
     is_cal = md5_bucket("id", 100) < 50
-    calp = sc.filter(is_cal & (F.col("y") == 1))
-    g = calp.groupBy(F.col("p4").alias("s")).agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    rt = running_total(g, ["s"], "cnt", out_col="cum")
-    tot = g.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_cal_pos")
-    ).withColumn("k_rank", F.expr("(n_cal_pos + 1) div 10"))
-    tsel = (
-        rt.crossJoin(F.broadcast(tot))
-        .filter((F.col("k_rank") >= 1) & (F.col("cum") >= F.col("k_rank")))
-        .agg(F.min("s").alias("t4_raw"))
-    )
-    scal = tot.crossJoin(F.broadcast(tsel)).select(
-        "n_cal_pos",
-        "k_rank",
-        F.coalesce(F.col("t4_raw"), F.lit(0)).cast("long").alias("t4"),
+    n_cal_pos, k_rank, t4 = _cal_order_statistic(
+        sc.filter(is_cal & (F.col("y") == 1))
     )
     dep = sc.filter(~is_cal)
-    agg = dep.crossJoin(F.broadcast(scal)).agg(
+    agg = dep.select(
+        "y",
+        "p4",
+        F.lit(n_cal_pos).cast("long").alias("n_cal_pos"),
+        F.lit(k_rank).cast("long").alias("k_rank"),
+        F.lit(t4).cast("long").alias("t4"),
+    ).agg(
         F.first("n_cal_pos").alias("n_cal_pos"),
         F.first("k_rank").alias("k_rank"),
         F.first("t4").alias("t4"),
@@ -685,31 +677,45 @@ def mixture_epochs_plan(spark, sf_dir):
     )
 
 
+def _cal_order_statistic(calp) -> tuple[int, int, int]:
+    """(n_cal_pos, k_rank, t4) off the calibration-positive frame: ONE
+    map-side groupBy(score) bounds it at the score domain (≤10001
+    rows), then a bounded collect + exact driver fold picks the k-th
+    smallest score with k = (n+1) div 10 — t4 = 0 when k < 1, matching
+    the oracle's coalesce. Replaces a two-phase running_total +
+    crossJoin + filter + agg chain (4 extra jobs over the ≤10001-row
+    frame; optimization r13, same class as the AUC-tail fold)."""
+    rows = (
+        calp.groupBy(F.col("p4").alias("s"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()  # score-domain-bounded
+    )
+    groups = sorted((int(r["s"]), int(r["cnt"] or 0)) for r in rows)
+    n = sum(c for _, c in groups)
+    k = (n + 1) // 10
+    t4 = 0
+    if k >= 1:
+        cum = 0
+        for s, c in groups:
+            cum += c
+            if cum >= k:
+                t4 = s
+                break
+    return n, k, t4
+
+
 def _conformal_t4(spark, sf_dir) -> int:
     """The frozen split-conformal threshold as a scalar: same
     calibration-split order statistic `conformal_gate_threshold`
     computes (k = (n_cal_pos+1) div 10 smallest positive score, md5
-    bucket < 50), collected as ONE bounded row — this is the frozen
-    deploy-time state the streaming monitor carries, exactly like the
-    drift monitor's frozen reference histogram."""
-    from .operators.cumulative import running_total
+    bucket < 50) — this is the frozen deploy-time state the streaming
+    monitor carries, exactly like the drift monitor's frozen reference
+    histogram."""
     from .pipeline.curation import md5_bucket
 
     sc = _lr_scored_frame(spark, sf_dir)
     calp = sc.filter((md5_bucket("id", 100) < 50) & (F.col("y") == 1))
-    g = calp.groupBy(F.col("p4").alias("s")).agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    rt = running_total(g, ["s"], "cnt", out_col="cum")
-    tot = g.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_cal_pos")
-    ).withColumn("k_rank", F.expr("(n_cal_pos + 1) div 10"))
-    tsel = (
-        rt.crossJoin(F.broadcast(tot))
-        .filter((F.col("k_rank") >= 1) & (F.col("cum") >= F.col("k_rank")))
-        .agg(F.coalesce(F.min("s"), F.lit(0)).cast("long").alias("t4"))
-    )
-    return int(tsel.collect()[0]["t4"])  # 1-row bounded collect
+    return _cal_order_statistic(calp)[2]
 
 
 def _streaming_conformal_oracle_sql(rounds: int = 3) -> str:
