@@ -17,6 +17,22 @@ corpus memo builds/reloads (IVF index, BFS hop table, single-linkage
 labels — see dsci551_edfs_spark/memo.py) run OUTSIDE the timed region
 and are itemized under "memo_warm" — per-query medians measure
 steady-state probes.
+
+Round-14 contract additions (both mandated by the r13 verdict; every
+prior key is kept unchanged):
+- COLD-START MEMO PRICING: the run begins by WIPING this corpus's memo
+  store, so every once-per-corpus build really runs inside the bench
+  and `memo_build_total_s` prices it (it read 0.0 for every driver run
+  since r10 because the artifacts were settled by earlier sessions).
+  Per-query medians still measure memo-warm steady state — methodology
+  unchanged — and `value_with_builds` = value + memo_build_total_s is
+  the honest cold-corpus total alongside the comparable `value`.
+- PER-QUERY MAP IN THE FINAL LINE: the driver's per-query/scaling
+  comparison parses only the last ~2000 chars of stdout, so the final
+  line now carries a `queries` map with as many per-query medians as
+  fit that budget (the r1-comparable 25 first, then the most expensive
+  of the rest — ~50+ entries; `queries_elided` counts the cheap tail
+  that did not fit; the full map is always in the committed artifact).
 """
 
 from __future__ import annotations
@@ -394,6 +410,52 @@ def _measure_r1_quiet(
     }
 
 
+def _wipe_corpus_memos(sf_dir: str) -> int:
+    """Delete every memo-store artifact built against ``sf_dir``'s
+    corpus (dir basename is embedded in each memo's name — see
+    memo.memo_path), so the builds run COLD inside this bench and
+    `memo_build_total_s` prices them (r13 verdict item 1: every driver
+    bench since r10 ran against pre-settled artifacts and reported
+    0.0 build cost). Other corpora's memos (sf0.001 tests, sf0.01
+    oracle gate) are untouched."""
+    import glob
+    import shutil
+
+    from dsci551_edfs_spark import memo as MEMO
+
+    corpus = (
+        os.path.basename(os.path.abspath(sf_dir).rstrip("/")) or "corpus"
+    )
+    n = 0
+    for d in glob.glob(os.path.join(MEMO.SCRATCH, "memo", f"*_{corpus}_*")):
+        shutil.rmtree(d, ignore_errors=True)
+        n += 1
+    MEMO.BUILD_SECONDS.clear()
+    MEMO.clear_plan_cache()
+    return n
+
+
+def _budgeted_query_map(
+    timings: dict, r1_set: list[str], budget_chars: int
+) -> dict:
+    """As many per-query medians as fit the final line's tail-capture
+    budget (compact-JSON chars): the r1-comparable set first for
+    cross-round continuity, then the rest by descending cost — the
+    queries a per-query regression comparison is actually about."""
+    rest = sorted(
+        (q for q in timings if q not in r1_set), key=lambda q: -timings[q]
+    )
+    out: dict[str, float] = {}
+    used = 2  # braces
+    for qn in [q for q in r1_set if q in timings] + rest:
+        entry = len(json.dumps(qn)) + len(json.dumps(timings[qn])) + 2
+        if used + entry > budget_chars:
+            break
+        out[qn] = timings[qn]
+        used += entry
+    return out
+
+
 def _round_number() -> int:
     """Next round index: 1 + the highest committed BENCH_r{N}.json."""
     import re
@@ -543,7 +605,10 @@ def main() -> None:
 
     # warm up JVM / parquet footer caches outside the timed region
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-    # once-per-corpus memo builds (or disk reloads) — itemized, untimed
+    # COLD-START the memo store for this corpus (r13 verdict item 1):
+    # the builds below really run, and memo_build_total_s prices them
+    memos_wiped = _wipe_corpus_memos(SF_DIR)
+    # once-per-corpus memo builds (now cold) — itemized, untimed
     memo_warm = warm_memos(spark, SF_DIR)
     release_cached()  # drop any persisted build intermediates (LSH unit vecs)
 
@@ -610,6 +675,14 @@ def main() -> None:
             sum(v["build_s"] for v in memo_warm.values()), 3
         ),
     }
+    # honest cold-corpus total: suite + the once-per-corpus builds the
+    # wipe above forced into this run. `value` keeps the memo-warm
+    # methodology every prior round's artifact used, so the two series
+    # stay directly comparable.
+    totals["value_with_builds"] = round(
+        totals["value"] + totals["memo_build_total_s"], 3
+    )
+    totals["memos_wiped"] = memos_wiped
     # stamp the artifact with the git SHA it was produced at (same field
     # tools/check_correctness.py --json writes), so a judge can bind
     # BENCH_local_r{N}*.json to a commit without forensics. `code_sha`
@@ -636,17 +709,29 @@ def main() -> None:
     )
     artifact = _place_artifact(full, here, rnd)
     # full object first (humans / full-stdout consumers), SHORT totals
-    # line LAST so it lands complete inside the driver's tail capture
+    # line LAST so it lands complete inside the driver's tail capture.
+    # The driver keeps exactly the last 2000 chars of stdout (every
+    # committed BENCH_r*.json tail is 2000 chars), so the final line is
+    # budgeted to ~1900: compact separators, and a `queries` map sized
+    # to whatever room the fixed keys leave (r13 verdict item 2 — the
+    # driver's per-query and scaling comparison parses THIS line).
     print(json.dumps(full))
-    print(
+    short = dict(
+        totals,
+        full_artifact=os.path.basename(artifact),
+        ambient_cpu_frac=full["ambient_load"]["ambient_cpu_frac"],
+    )
+    base_len = len(
         json.dumps(
-            dict(
-                totals,
-                full_artifact=os.path.basename(artifact),
-                ambient_cpu_frac=full["ambient_load"]["ambient_cpu_frac"],
-            )
+            dict(short, queries={}, queries_elided=len(timings)),
+            separators=(",", ":"),
         )
     )
+    short["queries"] = _budgeted_query_map(
+        timings, r1_set, 1900 - base_len
+    )
+    short["queries_elided"] = len(timings) - len(short["queries"])
+    print(json.dumps(short, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -76,7 +76,16 @@ def pagerank_micro(
             .groupBy("node")
             .agg(F.sum("c").alias("sc"))
         )
-        pr = nodes.join(contrib, "node", "left").select(
+        # per-query SHUFFLE_HASH hint (optimization r14, guide §3.1;
+        # r13 deferred item): the planner picked SortMergeJoin for all
+        # three rank joins — both sides node-cardinality, neither
+        # broadcastable at scale — paying a per-partition sort of each
+        # side per iteration. The aggregated contrib side builds a
+        # per-partition hash table instead (buildRight is valid for
+        # LeftOuter), removing both sorts; partition-level build memory
+        # is contrib/partitions, which scales with
+        # spark.sql.shuffle.partitions like every other operator here.
+        pr = nodes.join(contrib.hint("shuffle_hash"), "node", "left").select(
             "node",
             (
                 F.lit(teleport)

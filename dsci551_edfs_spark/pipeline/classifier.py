@@ -323,7 +323,12 @@ def lr_cv_report(
     these frame sizes — overlapping the folds back-fills them; Spark's
     FIFO scheduler interleaves the per-round jobs). Results are exact
     integers either way — thread order cannot change them — and rows
-    come back sorted by fold. Returns
+    come back sorted by fold. CONSTRAINT (ADVICE r13): without PySpark
+    pinned-thread mode, job-group/description inheritance across these
+    plain threads is undefined and one fold's failure does not cancel
+    sibling folds' in-flight jobs — enable
+    ``spark.python.pinned.thread`` / use ``InheritableThread`` before
+    adding per-fold job tagging or cancellation here. Returns
     (fold, n_train, n_test, n_correct, acc_micro) with
     acc_micro = round(1e6·correct/n_test) — exact integers end to end,
     so an unrolled-CTE oracle replays every fold's trajectory AND its

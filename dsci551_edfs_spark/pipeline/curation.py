@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
+# bounded-collect guard cap for largest_remainder_allocation (contract:
+# ≤ thousands of mixture sources; see plans/guards.py)
+_ALLOC_COLLECT_CAP = 1_000_000
+
 __all__ = [
     "ngram_array",
     "repetition_stats",
@@ -362,11 +366,15 @@ def largest_remainder_allocation(
     weight_col: str = "w_micro",
     normalize: bool = False,
 ) -> DataFrame:
-    """Integer token-budget allocation by the largest-remainder method:
-    given per-source mixture weights in micro-units (summing to 1e6) and
-    a total ``budget``, return ``(key, w_micro, alloc)`` with
-    Σ alloc == budget EXACTLY — the mixture planner step before
-    `stratified_sample`/`upsample_repeat` materialize the allocation.
+    """EAGER: collects the (bounded) ``weights`` frame and runs Spark
+    jobs at CALL time, returning a snapshot local frame — persist an
+    expensive input before calling, and do not compose this lazily
+    (ADVICE r13). Integer token-budget allocation by the
+    largest-remainder method: given per-source mixture weights in
+    micro-units (summing to 1e6) and a total ``budget``, return
+    ``(key, w_micro, alloc)`` with Σ alloc == budget EXACTLY — the
+    mixture planner step before `stratified_sample`/`upsample_repeat`
+    materialize the allocation.
 
     quota = budget·w (micro-exact), base = quota // 1e6, and the
     ``budget − Σ base`` leftover units go to the largest remainders
@@ -396,11 +404,31 @@ def largest_remainder_allocation(
     leftover = budget − Σbase to the largest remainders, ties by key
     asc), returned as a local frame — the same bounded-collect class as
     the budget scalar every caller already collects."""
+    from ..plans.guards import collect_bounded
+
     ktype = dict(weights.dtypes)[key_col]
-    rows = weights.select(
-        F.col(key_col).alias("_k"), F.col(weight_col).cast("long").alias("_w")
-    ).collect()  # key-cardinality-bounded by contract
+    rows = collect_bounded(
+        weights.select(
+            F.col(key_col).alias("_k"),
+            F.col(weight_col).cast("long").alias("_w"),
+        ),
+        cap=_ALLOC_COLLECT_CAP,  # contract: ≤ thousands of mixture sources
+        what="largest_remainder_allocation",
+    )
     kw = [(r["_k"], int(r["_w"] or 0)) for r in rows]
+    # contract checks the former join-based formulation enforced
+    # implicitly (ADVICE r13): duplicate keys would silently collapse
+    # in the dict fold, negative weights would diverge from the SQL
+    # div/% (truncate-toward-zero) restatement — surface both instead
+    if len({k for k, _ in kw}) != len(kw):
+        raise ValueError(
+            "largest_remainder_allocation: duplicate allocation keys"
+        )
+    if any(w < 0 for _, w in kw):
+        raise ValueError(
+            "largest_remainder_allocation: negative weights violate the "
+            "non-negative-weight contract"
+        )
     alloc = _remainder_alloc(kw, budget, normalize)
     return weights.sparkSession.createDataFrame(
         [(k, w, alloc[k]) for k, w in kw],
@@ -532,7 +560,9 @@ def epoch_capped_allocation(
     weight_col: str = "w_milli",
     capacity_col: str = "toks",
 ) -> DataFrame:
-    """Largest-remainder budget allocation with a per-key EPOCH CAP and
+    """EAGER like `largest_remainder_allocation` (collects ``weights``
+    at call time; persist expensive inputs, don't compose lazily).
+    Largest-remainder budget allocation with a per-key EPOCH CAP and
     one exact redistribution round — the data-constrained-scaling
     planner core (`mixture_epochs_plan`): ``weights`` carries one row
     per key with its target weight and its REAL token capacity;

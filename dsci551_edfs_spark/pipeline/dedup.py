@@ -526,6 +526,7 @@ def minhash_dedup_pairs(
     exact_verify: bool = True,
     max_bucket_size: int | None = None,
     hash_family: str = "xxhash64",
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → (id_a, id_b, jaccard) pairs with
     jaccard ≥ threshold.
@@ -535,8 +536,16 @@ def minhash_dedup_pairs(
     the shingle table). exact_verify=False estimates Jaccard as the
     signature agreement rate — nothing bigger than the 8·k-byte signatures
     is ever shuffled, the right trade at 100 TB.
+
+    ``shingled`` injects a prebuilt (id, shingles) frame — same n! —
+    (e.g. the per-corpus `shared_text_layout.shingle_sets` memo), so the
+    tokenize+gram scan is skipped (optimization r14).
     """
-    shingled = shingle_df(_spread(df), text_col, id_col, n).cache()
+    shingled = (
+        shingled
+        if shingled is not None
+        else shingle_df(_spread(df), text_col, id_col, n)
+    ).cache()
     # persist the signatures BEFORE banding: _banded slices `sig` once per
     # band, and with the map-side fold signature (minhash_sig_expr) an
     # unpinned projection would be CollapseProject-inlined into every
@@ -857,6 +866,7 @@ def _pair_intersections(
     prune_df1: bool = True,
     max_df: int | None = None,
     shingled: DataFrame | None = None,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, na, nb, inter): shared shingle counts per candidate
     pair via the inverted-index join — the machinery behind BOTH
@@ -881,16 +891,25 @@ def _pair_intersections(
     (minhash_pr_eval's candidate leg) tokenizes the corpus ONCE instead
     of re-scanning raw text here (round-10 verdict: at 100 TB the
     second text scan dominates an op whose point is auditing the
-    first)."""
-    sh = (
-        shingled
-        if shingled is not None
-        else shingle_df(_spread(df), text_col, id_col, n)
-    )
-    sized = sh.select("id", F.size("shingles").alias("n_sh"), "shingles")
-    posting = sized.select(
-        "id", "n_sh", F.explode("shingles").alias("shingle")
-    ).select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
+    first). ``posting`` injects the per-corpus BUCKETED
+    (id, n_sh, shash) posting layout
+    (sources/shared_text_layout.shingle_posting, optimization r14):
+    its bucketed scan already satisfies hashpartitioning(shash), so
+    the DF-count aggregate, the prune semi-join and the candidate
+    self-join below all plan WITHOUT an Exchange and the
+    repartition("shash") is skipped — same rows, keyed shuffle paid
+    once at the layout write."""
+    prebucketed = posting is not None
+    if not prebucketed:
+        sh = (
+            shingled
+            if shingled is not None
+            else shingle_df(_spread(df), text_col, id_col, n)
+        )
+        sized = sh.select("id", F.size("shingles").alias("n_sh"), "shingles")
+        posting = sized.select(
+            "id", "n_sh", F.explode("shingles").alias("shingle")
+        ).select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
     if prune_df1 or max_df is not None:
         # one agg pass serves both DF bounds; persist the RAW posting
         # (two consumers: the DF-count agg and the semi-join left side)
@@ -905,8 +924,9 @@ def _pair_intersections(
     # Persist the FILTERED posting pre-partitioned on the join key: both
     # self-join aliases read the same cache, and hashpartitioning(shash)
     # from the cache satisfies the pair join's distribution so it adds
-    # no exchange.
-    posting = _persist(posting.repartition("shash"))
+    # no exchange. A pre-bucketed posting carries that partitioning from
+    # its scan — no repartition needed.
+    posting = _persist(posting if prebucketed else posting.repartition("shash"))
     a, b = posting.alias("a"), posting.alias("b")
     return (
         a.join(
@@ -933,13 +953,16 @@ def ngram_jaccard_pairs(
     prune_df1: bool = True,
     max_df: int | None = None,
     shingled: DataFrame | None = None,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT pairwise n-gram Jaccard via the inverted-index join
     (`_pair_intersections` — not a cross join): |∩| counted per pair,
     |∪| = |A|+|B|−|∩| from the precomputed per-doc sizes. ``shingled``
-    (same n!) skips the tokenize scan — see `_pair_intersections`."""
+    (same n!) skips the tokenize scan; ``posting`` injects the bucketed
+    per-corpus posting layout — see `_pair_intersections`."""
     inter = _pair_intersections(
-        df, text_col, id_col, n, prune_df1, max_df, shingled=shingled
+        df, text_col, id_col, n, prune_df1, max_df,
+        shingled=shingled, posting=posting,
     )
     return inter.select(
         "id_a",
@@ -958,6 +981,7 @@ def containment_dup_pairs(
     threshold: float = 0.7,
     prune_df1: bool = True,
     max_df: int | None = None,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """CONTAINMENT near-dup pairs: |∩| / min(|A|, |B|) ≥ threshold — the
     doc-inside-doc detector Jaccard misses by construction. A short doc
@@ -970,7 +994,9 @@ def containment_dup_pairs(
     pruning/caps, different denominator. Returns
     (id_a, id_b, containment) with id_a < id_b; the CONTAINED side is
     whichever of the pair has fewer shingles."""
-    inter = _pair_intersections(df, text_col, id_col, n, prune_df1, max_df)
+    inter = _pair_intersections(
+        df, text_col, id_col, n, prune_df1, max_df, posting=posting
+    )
     return inter.select(
         "id_a",
         "id_b",
@@ -987,6 +1013,7 @@ def tfidf_cosine_pairs(
     max_df_den: int = 5,
     max_df_cap: int = 1000,
     threshold_milli: int = 500,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity pairs via an inverted index — the
     lexical complement of `embedding_dup_pairs`: documents only meet when
@@ -1015,11 +1042,21 @@ def tfidf_cosine_pairs(
     from ..functions import text as TXT
     from ..plans.hints import broadcast_if_small
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(TXT.tokens(F.col(text_col))).alias("token"),
-    )
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # `tf` injects the per-corpus (doc_id|id, token, tf) layout
+    # (shared_text_layout.token_tf, bucketed by token — optimization
+    # r14): the DF aggregate and the tf⨝df join below then read it
+    # exchange-free, and the downstream repartition("token") is
+    # satisfied by the bucketed scan. Identical rows either way.
+    prebucketed = tf is not None
+    if prebucketed:
+        if "id" in tf.columns and "doc_id" not in tf.columns:
+            tf = tf.withColumnRenamed("id", "doc_id")
+    else:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(TXT.tokens(F.col(text_col))).alias("token"),
+        )
+        tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_tot = df.agg(F.count("*").alias("_n"))
     idf_milli = F.round(
@@ -1049,11 +1086,13 @@ def tfidf_cosine_pairs(
             "doc_id", "token", (F.col("tf").cast("long") * idf_milli).alias("w")
         )
     )
-    return cosine_pairs_from_weights(w, threshold_milli)
+    return cosine_pairs_from_weights(
+        w, threshold_milli, pre_partitioned=prebucketed
+    )
 
 
 def cosine_pairs_from_weights(
-    w: DataFrame, threshold_milli: int = 500
+    w: DataFrame, threshold_milli: int = 500, pre_partitioned: bool = False
 ) -> DataFrame:
     """Pair stage of `tfidf_cosine_pairs` over a prepared (doc_id, token,
     w) weight table — exposed so the overflow contract is property-
@@ -1070,8 +1109,11 @@ def cosine_pairs_from_weights(
     cast back to long would just re-introduce the wrap at the edge."""
     # three consumers (norm agg + both pair-join sides): persist ONCE,
     # pre-partitioned on the join key so the a⋈b join adds no exchange —
-    # only the norm agg re-keys (by doc_id)
-    w = _persist(w.repartition("token"))
+    # only the norm agg re-keys (by doc_id). ``pre_partitioned`` means
+    # the caller's weight frame already carries hashpartitioning(token)
+    # (token-bucketed layout through a broadcast join): skip the
+    # repartition instead of re-shuffling the same keying.
+    w = _persist(w if pre_partitioned else w.repartition("token"))
     wd = F.col("w").cast("decimal(19,0)")
     nrm = (
         w.select("doc_id", (wd * wd).alias("w2"))

@@ -33,6 +33,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# bounded-collect guard cap (score domain is ≤10001 for p4; see
+# plans/guards.py)
+_AUC_COLLECT_CAP = 1_000_000
+
 __all__ = [
     "rank_auc_report",
     "rank_auc_from_grouped",
@@ -77,7 +81,24 @@ def rank_auc_from_grouped(g: DataFrame) -> tuple[int, int, int, int]:
     running-totals shuffle, no per-leg aggregate jobs, and Python-int
     headroom covers adversarial counts (cnt ~ 1e14 blocks push
     Σ pos·midrank to ~1e30) with no DECIMAL ceiling at all."""
-    rows = g.select("s", "cnt", "pos").collect()  # score-domain-bounded
+    from ..plans.guards import collect_bounded
+
+    # the fold sorts by the score value, so a non-integral score column
+    # would be silently TRUNCATED by int() — distinct scores inside one
+    # integer collapse/misorder and the AUC is wrong with no error
+    # (ADVICE r13, medium). All in-repo callers pass frozen integer
+    # scores; assert that instead of guessing.
+    s_type = dict(g.dtypes)["s"]
+    if s_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"rank_auc_from_grouped: score column must be integral "
+            f"(frozen-integer score contract), got {s_type}"
+        )
+    rows = collect_bounded(
+        g.select("s", "cnt", "pos"),
+        cap=_AUC_COLLECT_CAP,  # score-domain-bounded (≤10001 for p4)
+        what="rank_auc_from_grouped",
+    )
     return auc_from_grouped_counts(
         [(int(r["s"]), int(r["cnt"] or 0), int(r["pos"] or 0)) for r in rows]
     )

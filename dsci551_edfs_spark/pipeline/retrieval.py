@@ -417,6 +417,7 @@ def hashed_tfidf_vectors(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 64,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """The feature-hashing trick (Weinberger et al. 2009): TF-IDF doc
     vectors of FIXED dimension ``dim`` with no vocabulary table — each
@@ -435,11 +436,17 @@ def hashed_tfidf_vectors(
     """
     from ..pipeline.dedup import _md5_base_hash
 
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.col(text_col))).alias("token"),
-    )
-    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    # `tf` injects the per-corpus (id, token, tf) layout
+    # (shared_text_layout.token_tf, bucketed by token — optimization
+    # r14): the tokenize scan and the (id, token) exchange disappear,
+    # and the DF aggregate below reads the bucketed scan exchange-free.
+    # Identical counts either way.
+    if tf is None:
+        toks = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
     dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_tot = docs.agg(F.count("*").alias("_n"))
     w = (
@@ -467,6 +474,7 @@ def hashed_tfidf_knn(
     query_mod: int = 50,
     k: int = 5,
     query_id_max: int = 5000,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Lexical k-NN over hashed TF-IDF vectors: every ``query_mod``-th
     doc AMONG THE FIRST ``query_id_max`` ids plays the query set,
@@ -492,7 +500,7 @@ def hashed_tfidf_knn(
     from .dedup import _persist
 
     # registered with release_cached like every pinned intermediate
-    vecs = _persist(hashed_tfidf_vectors(docs, text_col, id_col, dim))
+    vecs = _persist(hashed_tfidf_vectors(docs, text_col, id_col, dim, tf=tf))
     is_q = ((F.col("id") % query_mod) == 0) & (
         F.col("id") < query_id_max
     )

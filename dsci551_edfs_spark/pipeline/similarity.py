@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double, dot, normalize
 from ..plans.hints import spread_small
 
+# bounded-collect guard cap for mmr_select's candidate pool (contract:
+# ≤ pool_hi - pool_lo + 2 rows; see plans/guards.py)
+_MMR_COLLECT_CAP = 100_000
+
 __all__ = [
     "brute_force_topk",
     "knn_classify",
@@ -1226,7 +1230,10 @@ def mmr_select(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Greedy Maximal Marginal Relevance selection (Carbonell &
+    """EAGER: collects the (pool-bounded) candidate vectors and runs
+    the greedy loop at CALL time, returning a snapshot local frame —
+    persist an expensive ``embeddings`` input before calling (ADVICE
+    r13). Greedy Maximal Marginal Relevance selection (Carbonell &
     Goldstein 1998): pick ``k`` items maximizing
     ``0.7·cos(v, q) − 0.3·max_{s∈S} cos(v, s)`` — relevance to the query
     minus redundancy with what's already chosen. THE diversity-selection
@@ -1247,13 +1254,15 @@ def mmr_select(
     the k-step unrolled-CTE DuckDB oracle still replays it exactly."""
     import math
 
-    rows = (
+    from ..plans.guards import collect_bounded
+
+    rows = collect_bounded(
         embeddings.filter(
             ((F.col(id_col) >= pool_lo) & (F.col(id_col) <= pool_hi))
             | (F.col(id_col) == query_id)
-        )
-        .select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-        .collect()  # pool-bounded by contract (≤ pool_hi - pool_lo + 2)
+        ).select(F.col(id_col).alias("id"), as_double(vec_col).alias("v")),
+        cap=_MMR_COLLECT_CAP,  # pool-bounded by contract (≤ pool_hi - pool_lo + 2)
+        what="mmr_select",
     )
 
     def _div(x: float, n: float) -> float:

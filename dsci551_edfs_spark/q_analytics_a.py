@@ -1669,16 +1669,21 @@ def minhash_pr_eval(spark, sf_dir):
     truth set is an ALL-PAIRS restatement — independent of the engine's
     candidate generation on both legs.
 
-    Both legs ride ONE persisted 3-gram shingle pass: the candidate
-    leg's signatures and the truth leg's inverted index consume the
-    same (id, shingles) frame (`shingled=` injection point), so the
-    corpus text is tokenized exactly once."""
+    Both legs ride the per-corpus shared text layout (optimization
+    r14): the candidate leg's signatures read the
+    `shared_text_layout.shingle_sets` memo and the truth leg's
+    inverted index reads the shash-bucketed
+    `shared_text_layout.shingle_posting` memo (DF agg, prune semi-join
+    and candidate self-join exchange-free), so the corpus text is
+    tokenized exactly once PER CORPUS, not per query."""
+    from .sources.shared_text_layout import shingle_posting, shingle_sets
+
     d = _t(spark, sf_dir, "documents")
-    shingled = DD._persist(DD.shingle_df(DD._spread(d)))
+    shingled = shingle_sets(spark, sf_dir)
     sigs = DD.minhash_signature(shingled, 64, 42, hash_family="md5")
     cand = DD.minhash_candidate_pairs(sigs, 16, num_hashes=64, hash_family="md5")
     truth = DD.ngram_jaccard_pairs(
-        d, threshold=0.5, shingled=shingled
+        d, threshold=0.5, posting=shingle_posting(spark, sf_dir)
     ).select("id_a", "id_b")
     tp_df = cand.join(truth, ["id_a", "id_b"], "left_semi")
     n_c = cand.agg(F.count("*").alias("n_candidates"))

@@ -844,11 +844,15 @@ def hashed_tfidf_knn(spark, sf_dir):
     the vocabulary disappears as a distributed object (token → bucket is
     stateless), docs become fixed-width vectors the learned-embedding
     ANN stack (IVF/PQ/binary-sign) consumes unchanged. Scoring join is
-    bucket-sparse with the Q·64-row query side broadcast."""
+    bucket-sparse with the Q·64-row query side broadcast. The (id,
+    token, tf) frame comes from the token-bucketed per-corpus layout
+    (shared_text_layout.token_tf, optimization r14): no tokenize scan,
+    no (id, token) exchange, DF aggregate exchange-free."""
     from .pipeline.retrieval import hashed_tfidf_knn as _hknn
+    from .sources.shared_text_layout import token_tf
 
     d = _t(spark, sf_dir, "documents")
-    return _hknn(d, dim=64, query_mod=50, k=5)
+    return _hknn(d, dim=64, query_mod=50, k=5, tf=token_tf(spark, sf_dir))
 
 
 @q(
@@ -1333,6 +1337,7 @@ def streaming_quality_gate(spark, sf_dir):
     the DuckDB oracle restates the WHOLE pipeline — featurizer,
     training trajectory, feed scoring, threshold — and the hash match
     doubles as the batch==stream proof (streaming/quality_gate.py)."""
+    from .sources.shared_text_layout import token_tf
     from .streaming.quality_gate import quality_gate_stream
 
     d = _t(spark, sf_dir, "documents")
@@ -1341,8 +1346,13 @@ def streaming_quality_gate(spark, sf_dir):
     base = _scratch_dir("quality_gate")
     feed_dir = os.path.join(base, "feed")
     feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    # seed tf from the token-bucketed per-corpus layout (r14): the
+    # train leg's tokenize scan is the layout build, paid once per
+    # corpus (priced by the bench's cold-start memo accounting)
+    seed_tf = token_tf(spark, sf_dir).filter(F.col("id") % 5 != 0)
     return quality_gate_stream(
-        spark, seed, feed_dir, base, dim=64, rounds=3, threshold_p4=4500
+        spark, seed, feed_dir, base, dim=64, rounds=3, threshold_p4=4500,
+        tf=seed_tf,
     )
 
 

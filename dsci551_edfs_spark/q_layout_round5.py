@@ -999,9 +999,15 @@ def tfidf_doc_pairs(spark, sf_dir):
     integer arithmetic (4·dot² ≥ ‖a‖²·‖b‖², valid since weights are
     non-negative) — no FP division anywhere, so the result is
     engine- and partitioning-independent. Output carries the exact
-    integer dot and norms; cosine itself is one driver-side sqrt away."""
+    integer dot and norms; cosine itself is one driver-side sqrt away.
+    The (doc_id, token, tf) frame reads the token-bucketed per-corpus
+    layout (shared_text_layout.token_tf, optimization r14): DF
+    aggregate, tf⨝df join and the pair stage's token repartition all
+    ride the bucketed scan's partitioning."""
+    from .sources.shared_text_layout import token_tf
+
     d = _t(spark, sf_dir, "documents")
-    return DD.tfidf_cosine_pairs(d)
+    return DD.tfidf_cosine_pairs(d, tf=token_tf(spark, sf_dir))
 
 
 @q(
@@ -1035,11 +1041,18 @@ def fuzzy_name_pairs(spark, sf_dir):
     c = b.select(
         F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"), "blk"
     )
+    # banded levenshtein (optimization r14): length prune is lossless
+    # (an edit moves length by ≤1) and the threshold form runs the
+    # O(threshold·n) early-exit DP, returning the true distance for
+    # every surviving (≤3) pair — identical rows, cheaper per pair.
     return (
         a.join(c, "blk")
         .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("dist") <= 3)
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 3)
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b", 3).cast("long")
+        )
+        .filter(F.col("dist") >= 0)
         .select(
             "name_a",
             "name_b",

@@ -1313,10 +1313,20 @@ def golden_record_parts(spark, sf_dir):
     )
     a_side = b.select(F.col("p_name").alias("u"), "blk")
     c_side = b.select(F.col("p_name").alias("v"), "blk")
+    # lossless pair pruning (optimization r14, guide §1.2 per-task
+    # work): an edit changes length by ≤1, so |len(u)−len(v)| > 3 can
+    # never pass — the cheap length check runs before the DP; and the
+    # THRESHOLD form of levenshtein (Spark 3.5+) runs the banded
+    # O(threshold·n) algorithm with early exit (returns −1 past the
+    # threshold) instead of the full O(n²) table per pair. Identical
+    # pair set.
     pairs = (
         a_side.join(c_side, "blk")
         .filter(F.col("u") < F.col("v"))
-        .filter(F.levenshtein("u", "v") <= 3)
+        .filter(
+            (F.abs(F.length("u") - F.length("v")) <= 3)
+            & (F.levenshtein("u", "v", 3) >= 0)
+        )
         .select("u", "v")
     )
     ids = n.select("p_name").withColumn("nid", F.monotonically_increasing_id())

@@ -62,9 +62,15 @@ _SHINGLES_SQL = f"""
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     """EXACT 3-gram Jaccard near-dup pairs via inverted-index join — the
-    ground truth the MinHash path approximates."""
+    ground truth the MinHash path approximates. Reads the per-corpus
+    shash-bucketed posting layout (shared_text_layout.shingle_posting,
+    optimization r14): the DF aggregate, prune semi-join and candidate
+    self-join plan exchange-free off the bucketed scan."""
+    from .sources.shared_text_layout import shingle_posting
+
     return DD.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2,
+        posting=shingle_posting(spark, sf_dir),
     ).orderBy("id_a", "id_b")
 
 
@@ -89,9 +95,13 @@ def containment_dup_pairs(spark, sf_dir):
     dedup (a short article quoted inside a long aggregator page has
     near-zero Jaccard but containment ~1). Same inverted-index join and
     DF-cap machinery as `ngram_jaccard_pairs`
-    (dedup._pair_intersections), different denominator."""
+    (dedup._pair_intersections), different denominator. Same bucketed
+    posting layout as `ngram_jaccard_pairs` (optimization r14)."""
+    from .sources.shared_text_layout import shingle_posting
+
     return DD.containment_dup_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        posting=shingle_posting(spark, sf_dir),
     ).orderBy("id_a", "id_b")
 
 
@@ -365,9 +375,14 @@ def minhash_dedup_pairs(spark, sf_dir):
     Jaccard verify are all replayed in SQL. The production default stays
     xxhash64 (JVM-side, no string round-trip); recall vs
     `ngram_jaccard_pairs` ground truth is pinned in pytest for BOTH
-    families."""
+    families. The shingle arrays come from the per-corpus
+    `shared_text_layout.shingle_sets` memo (optimization r14): the
+    tokenize+gram scan runs once per corpus, not once per query."""
+    from .sources.shared_text_layout import shingle_sets
+
     return DD.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, hash_family="md5"
+        _t(spark, sf_dir, "documents"), threshold=0.5, hash_family="md5",
+        shingled=shingle_sets(spark, sf_dir),
     ).orderBy("id_a", "id_b")
 
 

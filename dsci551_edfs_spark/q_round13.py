@@ -21,6 +21,10 @@ import os
 
 from .queries_base import F, MEMO, _scratch_dir, _t, q
 from .q_curation import _md5_bucket_sql
+# bounded-collect guard cap (score domain is ≤10001 for p4; see
+# plans/guards.py)
+_CAL_COLLECT_CAP = 1_000_000
+
 from .q_analytics_b import (
     _lr_final_scores_cte,
     _lr_oracle_prefix,
@@ -685,10 +689,14 @@ def _cal_order_statistic(calp) -> tuple[int, int, int]:
     the oracle's coalesce. Replaces a two-phase running_total +
     crossJoin + filter + agg chain (4 extra jobs over the ≤10001-row
     frame; optimization r13, same class as the AUC-tail fold)."""
-    rows = (
-        calp.groupBy(F.col("p4").alias("s"))
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .collect()  # score-domain-bounded
+    from .plans.guards import collect_bounded
+
+    rows = collect_bounded(
+        calp.groupBy(F.col("p4").alias("s")).agg(
+            F.count("*").cast("long").alias("cnt")
+        ),
+        cap=_CAL_COLLECT_CAP,  # score-domain-bounded (≤10001 for p4)
+        what="_cal_order_statistic",
     )
     groups = sorted((int(r["s"]), int(r["cnt"] or 0)) for r in rows)
     n = sum(c for _, c in groups)

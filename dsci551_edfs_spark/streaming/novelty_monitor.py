@@ -87,20 +87,23 @@ def batch_novelty(
     occurrence of a 3-gram OUTSIDE the frozen set, plus one census row
     (gram = NULL) carrying the batch's TOTAL gram-occurrence count.
     Union-keyed by gram, so the finalize dedup/sum is batch-boundary
-    independent."""
+    independent.
+
+    One pass (optimization r14, guide §1.2): ``cube("gram")`` over a
+    single column is exactly grouping sets ((gram), ()) — the per-gram
+    counts AND the grand-total census row (gram = NULL, Spark's cube
+    marker) from ONE tokenize + ONE aggregation, where the previous
+    novel/total union evaluated `doc_grams` twice per micro-batch. The
+    anti-join then drops in-vocab gram rows and keeps the census row
+    (a NULL key never matches, and real grams are never NULL —
+    concat_ws output), so the emitted rows are value-identical."""
     from ..plans.hints import broadcast_if_small
 
     g = doc_grams(docs, text_col)
-    novel = (
-        g.join(broadcast_if_small(vocab), "gram", "left_anti")
-        .groupBy("gram")
-        .agg(F.count("*").cast("long").alias("cnt"))
+    all_plus_total = g.cube("gram").agg(
+        F.count("*").cast("long").alias("cnt")
     )
-    total = g.agg(
-        F.lit(None).cast("string").alias("gram"),
-        F.count("*").cast("long").alias("cnt"),
-    )
-    return novel.unionByName(total)
+    return all_plus_total.join(broadcast_if_small(vocab), "gram", "left_anti")
 
 
 def gram_novelty_stream(

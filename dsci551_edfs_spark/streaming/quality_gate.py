@@ -124,10 +124,28 @@ def featurize_with(
 ) -> DataFrame:
     """RAW hashed-TF-IDF weights for ANY document frame under the
     frozen featurizer — one tokenize pass + a broadcast join against
-    the (vocab-sized) df table."""
-    return featurize_from_tf(
-        doc_term_freq(docs, text_col, id_col), dfr, n_seed, dim
+    the (vocab-sized) df table.
+
+    Deploy-side shape (optimization r14, guide §2.4): the frozen df
+    table makes the per-(id, token) TF pre-aggregation REDUNDANT here —
+    tf·round(ln(N/df)·1e3) summed per bucket equals the per-OCCURRENCE
+    idf weight summed per bucket (integer multiplication distributes
+    exactly), so token occurrences join the broadcast df table directly
+    and sum straight into (id, bucket): one exchange per micro-batch
+    instead of two. The TRAIN path keeps `doc_term_freq`'s (id, token)
+    aggregate because the df table itself is derived from it."""
+    occ = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
     )
+    w = occ.join(broadcast_if_small(dfr), "token").select(
+        "id",
+        (_md5_base_hash(F.col("token")) % dim).alias("bucket"),
+        F.round(F.log(F.lit(float(n_seed)) / F.col("df")) * 1e3)
+        .cast("long")
+        .alias("w"),
+    )
+    return w.groupBy("id", "bucket").agg(F.sum("w").alias("w"))
 
 
 def quality_gate_stream(
@@ -143,18 +161,27 @@ def quality_gate_stream(
     id_col: str = "doc_id",
     max_files: int = 2,
     timeout_sec: int = 300,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Train on ``seed_docs``, then stream the parquet feed at
     ``feed_dir`` through the gate (availableNow, checkpointed,
     idempotent sink under ``base_dir``) and return the landed
     ``(doc_id, y, p4, passed)`` audit frame. Blocks until the stream
-    drains; raises on timeout."""
+    drains; raises on timeout.
+
+    ``tf`` injects a prebuilt (id, token, tf) frame for the SEED corpus
+    (the token-bucketed `shared_text_layout.token_tf` layout filtered
+    to the seed — optimization r14): the train-time tokenize scan
+    disappears and the frozen df table's groupBy(token) reads the
+    bucketed partitioning exchange-free. Identical counts either way."""
     import time
 
     t_train0 = time.perf_counter()
     # ONE tokenize pass over the seed: tf feeds both the frozen df table
     # and the seed featurization (it used to be recomputed by each)
-    tf = _persist(doc_term_freq(seed_docs, text_col, id_col))
+    if tf is None:
+        tf = doc_term_freq(seed_docs, text_col, id_col)
+    tf = _persist(tf)
     dfr = _persist(tf.groupBy("token").agg(F.count("*").alias("df")))
     n_seed = seed_docs.count()
     labels = seed_docs.select(

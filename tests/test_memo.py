@@ -136,9 +136,13 @@ def test_load_table_plan_cache_identity(spark, sf_dir):
 
 
 def test_spread_small_parallelizes_single_partition(spark, sf_dir):
-    """spread_small fans a one-partition frame out to default
-    parallelism and leaves well-partitioned frames untouched (no extra
-    shuffle at scale)."""
+    """spread_small fans a tiny (one-split-sized) frame out to default
+    parallelism and leaves LARGE frames untouched (no extra shuffle at
+    scale). Since optimization r14 the small/large decision comes from
+    Catalyst's sizeInBytes estimate vs maxPartitionBytes — not from a
+    df.rdd.getNumPartitions() probe, which cost a full plan→RDD
+    conversion on the driver per call (guide §7.3, the r13
+    derive_rank_partitions fix applied to this helper's many callers)."""
     from dsci551_edfs_spark.plans.hints import spread_small
 
     one = spark.range(100).coalesce(1)
@@ -146,7 +150,10 @@ def test_spread_small_parallelizes_single_partition(spark, sf_dir):
     sp = spread_small(one)
     assert sp.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert sp.count() == 100
-    wide = spark.range(1000).repartition(
+    # estimate 8 B/row × 3e8 rows ≈ 2.4 GB ≥ parallelism/4 input splits
+    # at the default 128 MB split size for any parallelism ≤ 75: stays
+    # untouched without ever planning an RDD (plan-only assertion)
+    wide = spark.range(300_000_000).repartition(
         spark.sparkContext.defaultParallelism
     )
     assert spread_small(wide) is wide

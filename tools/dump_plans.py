@@ -1,11 +1,11 @@
-"""Dump `explain("formatted")` for named queries to plans/r13/ —
+"""Dump `explain("formatted")` for named queries to plans/r14/ —
 the before/after plan evidence for the optimization round (guide §1:
 capture plan shape — Exchange count, join strategy, PushedFilters,
 ReadSchema, WholeStageCodegen / BatchEvalPython nodes — next to every
 timing claim).
 
 Usage: python tools/dump_plans.py SUFFIX [query ...]
-Writes plans/r13/<query>_<SUFFIX>.txt per query (default: the full
+Writes plans/r14/<query>_<SUFFIX>.txt per query (default: the full
 bench HEADLINE list). SUFFIX is normally "before" or "after".
 """
 
@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
-OUT_DIR = "/root/repo/plans/r13"
+OUT_DIR = "/root/repo/plans/r14"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
