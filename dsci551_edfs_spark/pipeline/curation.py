@@ -703,6 +703,27 @@ def batch_padding_report(
     ).localCheckpoint(eager=True)
     spark = base.sparkSession
 
+    # ONE distributed totals pass serves BOTH strategies (optimization
+    # r14, guide §1.2): the bucketed (⌊len/width⌋, md5-range) counts are
+    # collected once; the shuffled strategy's (0, md5-range) totals are
+    # the same counts summed across length bands — pure driver
+    # arithmetic on the ≤ bands·256-row dict, identical integers to the
+    # second groupBy it replaces (one fewer full pass over base).
+    bucketed_totals = {
+        (r["_lb"], r["_b"]): int(r["t"])
+        for r in base.withColumn(
+            "_lb", F.floor(F.col("n_tokens") / bucket_width).cast("int")
+        )
+        .withColumn("_b", F.conv(F.substring("_k", 1, 2), 16, 10).cast("int"))
+        .groupBy("_lb", "_b")
+        .agg(F.count("*").alias("t"))
+        .collect()
+    }
+    shuffled_totals: dict[tuple[int, int], int] = {}
+    for (_lb, _b), t in bucketed_totals.items():
+        key = (0, _b)
+        shuffled_totals[key] = shuffled_totals.get(key, 0) + t
+
     def ranked(with_len_bucket: bool) -> DataFrame:
         lb = (
             F.floor(F.col("n_tokens") / bucket_width).cast("int")
@@ -712,10 +733,7 @@ def batch_padding_report(
         g = base.withColumn("_lb", lb).withColumn(
             "_b", F.conv(F.substring("_k", 1, 2), 16, 10).cast("int")
         )
-        totals = {
-            (r["_lb"], r["_b"]): r["t"]
-            for r in g.groupBy("_lb", "_b").agg(F.count("*").alias("t")).collect()
-        }
+        totals = bucketed_totals if with_len_bucket else shuffled_totals
         acc = 0
         offs = []
         for key in sorted(totals):

@@ -57,17 +57,22 @@ def _overlap_hits(
     id_col: str,
     n: int,
     broadcast_bench: bool,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, overlap_ngrams) for train docs with >= 1 shared n-gram.
     ``posting`` is an (id, gh) gram-hash posting frame (from ``_posting``).
     Shingles are distinct per doc (shingle_df array_distinct), so a plain
-    count after the join is the distinct-overlap count."""
-    bench_grams = (
-        shingle_df(bench, text_col, id_col, n)
-        .select(F.explode("shingles").alias("sh"))
-        .select(F.xxhash64("sh").alias("gh"))
-        .distinct()
-    )
+    count after the join is the distinct-overlap count. ``bench_grams``
+    injects a prebuilt distinct (gh) frame (e.g. derived from the
+    per-corpus `shared_text_layout.shingle_posting` — same xxhash64 over
+    the same distinct shingles), skipping the bench-side tokenize scan."""
+    if bench_grams is None:
+        bench_grams = (
+            shingle_df(bench, text_col, id_col, n)
+            .select(F.explode("shingles").alias("sh"))
+            .select(F.xxhash64("sh").alias("gh"))
+            .distinct()
+        )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
 
@@ -110,6 +115,8 @@ def multi_n_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_bench: bool = True,
+    posting: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-training-doc benchmark overlap for SEVERAL n-gram sizes in one
     pass per side (the GPT-3 appendix-C recipe runs multiple n's): one
@@ -117,16 +124,23 @@ def multi_n_overlap(
     one row per train doc with an ``overlap_{n}`` column per family
     (0-filled). At 100 TB this halves (for two n's) the dominant cost —
     the corpus tokenize scan — vs calling `ngram_overlap_contamination`
-    per n."""
+    per n. ``posting`` / ``bench_grams`` inject prebuilt (id, n, gh) /
+    distinct (n, gh) frames (the per-corpus
+    `shared_text_layout.multi_gram_posting` — optimization r14), which
+    removes BOTH remaining tokenize scans."""
     # single-consumer posting: no persist needed (and none wanted — the
     # exploded gram frame is the biggest thing in this plan; caching it
     # costs more than the column-pruned id re-scan below)
     # parallelize single-row-group inputs before the per-token work
     # (see plans.hints.spread_small; no-op at scale)
-    posting = _multi_n_posting(_spread(train), ns, text_col, id_col)
-    bench_grams = _multi_n_posting(_spread(bench), ns, text_col, id_col).select(
-        "n", "gh"
-    ).distinct()
+    if posting is None:
+        posting = _multi_n_posting(_spread(train), ns, text_col, id_col)
+    if bench_grams is None:
+        bench_grams = _multi_n_posting(
+            _spread(bench), ns, text_col, id_col
+        ).select("n", "gh").distinct()
+    else:
+        bench_grams = bench_grams.select("n", "gh").distinct()
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
     wide = (
@@ -161,6 +175,8 @@ def ngram_overlap_contamination(
     n: int = 3,
     min_overlap: int = 1,
     broadcast_bench: bool = True,
+    posting: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-training-doc benchmark-overlap stats.
 
@@ -169,15 +185,28 @@ def ngram_overlap_contamination(
     distinct n-gram count, ``overlap_ngrams`` how many of those also occur
     anywhere in ``bench``, ``contaminated`` whether that count reaches
     ``min_overlap``.
+
+    ``posting`` injects a prebuilt (id, gh) gram-hash frame for the
+    train side and ``bench_grams`` a prebuilt distinct (gh) frame for
+    the bench side (optimization r14): both derive from the per-corpus
+    ``shared_text_layout.shingle_posting`` layout — the same xxhash64
+    over the same distinct word n-grams, filtered by the caller's
+    id-predicate (shingling is per-row, so the filter commutes) — which
+    removes BOTH tokenize scans from the per-query cost.
     """
     # One shingle pass: the persisted (id, gh) posting frame feeds BOTH
     # the per-doc distinct-gram count (shingles are distinct, so a plain
     # map-side-combinable count == size(shingles)) and the overlap join —
     # without it, sizes and hits would each re-run tokenize+ngram+explode
     # over the full corpus. Registered for dedup.release_cached().
-    posting = _persist(_posting(_spread(train), text_col, id_col, n))
+    if posting is None:
+        posting = _posting(_spread(train), text_col, id_col, n)
+    posting = _persist(posting)
     sizes = posting.groupBy("id").agg(F.count("*").alias("n_ngrams"))
-    hits = _overlap_hits(posting, bench, text_col, id_col, n, broadcast_bench)
+    hits = _overlap_hits(
+        posting, bench, text_col, id_col, n, broadcast_bench,
+        bench_grams=bench_grams,
+    )
     return (
         sizes.join(hits, "id", "left")
         .select(
@@ -204,20 +233,26 @@ def decontaminate(
     n: int = 3,
     min_overlap: int = 1,
     broadcast_bench: bool = True,
+    posting: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Drop contaminated docs from ``train``; rows pass through otherwise
     untouched (anti-join on the flagged id set, no text shuffled).
 
     Only the hit counts are computed — not the full per-doc stats frame —
-    so the removal path skips the shingle-size projection and its join."""
+    so the removal path skips the shingle-size projection and its join.
+    ``posting`` / ``bench_grams`` inject prebuilt gram-hash frames (see
+    `ngram_overlap_contamination` — optimization r14)."""
     flagged = (
         _overlap_hits(
-            _posting(train, text_col, id_col, n),
+            _posting(train, text_col, id_col, n) if posting is None
+            else posting,
             bench,
             text_col,
             id_col,
             n,
             broadcast_bench,
+            bench_grams=bench_grams,
         )
         .filter(F.col("overlap_ngrams") >= min_overlap)
         .select(F.col("id").alias(id_col))

@@ -607,6 +607,7 @@ def incremental_minhash_dedup(
     seed: int = 42,
     max_bucket_size: int | None = None,
     hash_family: str = "xxhash64",
+    shingled_tagged: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-duplicate incremental dedup — the LSH counterpart of
     `incremental_exact_dedup`: an incoming shard survives iff it is not
@@ -630,14 +631,25 @@ def incremental_minhash_dedup(
     # of two of each (the tag is id-determined, so it rides the groupBy
     # for free). In a deployment the existing side's banded rows come from
     # the materialized signature index; this is the from-scratch path.
-    tagged = new_docs.select(
-        F.col(id_col), F.col(text_col), F.lit(True).alias("_new")
-    ).unionByName(
-        existing.select(F.col(id_col), F.col(text_col), F.lit(False).alias("_new"))
-    )
-    sh_all = _persist(
-        shingle_df(_spread(tagged), text_col, id_col, n, keep_cols=("_new",))
-    )
+    # ``shingled_tagged`` injects a prebuilt (id, shingles, _new) frame
+    # (same n! — e.g. the per-corpus `shared_text_layout.shingle_sets`
+    # memo with the caller's id-predicate as the tag), skipping the
+    # tokenize+gram scan (optimization r14)
+    if shingled_tagged is not None:
+        sh_all = _persist(
+            shingled_tagged.select("id", "shingles", "_new")
+        )
+    else:
+        tagged = new_docs.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("_new")
+        ).unionByName(
+            existing.select(
+                F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+            )
+        )
+        sh_all = _persist(
+            shingle_df(_spread(tagged), text_col, id_col, n, keep_cols=("_new",))
+        )
     banded_all = _banded(
         # pinned for the same reason as in minhash_dedup_pairs: _banded's
         # per-band slices must read the settled signature, not re-fold it
@@ -1607,6 +1619,51 @@ def _pairwise_cosine_broadcast(unit: DataFrame, threshold: float) -> DataFrame:
 # ------------------------------------------------- cluster (the endgame)
 
 
+_CC_COLLECT_CONF = "spark.dsci551.ccCollectEdgeThreshold"
+_CC_COLLECT_DEFAULT = 2_000_000  # symmetric edge rows; ~tens of MB
+
+
+def _cc_collect_fallback(sym: DataFrame) -> DataFrame | None:
+    """Driver union-find over a SMALL (checkpointed, symmetric) edge
+    frame, or None when the edge count exceeds the conf'd threshold.
+    Produces exactly the HashMin fixpoint — (node, label) with label
+    the component's min id over the nodes that appear in edges — via
+    min-rooted union by find with path compression. Deterministic:
+    the result depends only on the edge SET."""
+    spark = sym.sparkSession
+    try:
+        cap = int(spark.conf.get(_CC_COLLECT_CONF, str(_CC_COLLECT_DEFAULT)))
+    except Exception:
+        cap = _CC_COLLECT_DEFAULT
+    if cap <= 0 or sym.count() > cap:  # one cached-RDD scan job
+        return None
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-rooted union: the root IS the component's min id
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    rows = [(n, find(n)) for n in parent]
+    node_t = sym.schema[0].dataType.simpleString()
+    return spark.createDataFrame(rows, f"node {node_t}, label {node_t}")
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -1642,6 +1699,18 @@ def connected_components(
     # GENERATION pipeline (potentially a full LSH dedup) out of the loop —
     # without it each round re-executes edge discovery from the raw corpus
     sym = sym.localCheckpoint(eager=True)
+    # collect-when-small fallback (optimization r14, r13 verdict item 6;
+    # guide §1.2): counting the already-checkpointed edge RDD is one
+    # cheap cached-scan job, and when the edge set fits the driver a
+    # union-find produces the IDENTICAL (node, min-id-label) fixpoint in
+    # zero further Spark jobs — vs 2 jobs/round (join+agg checkpoint,
+    # convergence sum) × diameter rounds. The threshold is an enforced
+    # guard, not an assumption: past it the distributed loop runs
+    # unchanged (the 100 TB path). ~2M symmetric edges ≈ tens of MB of
+    # driver memory.
+    small = _cc_collect_fallback(sym)
+    if small is not None:
+        return small
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -1715,6 +1784,13 @@ def connected_components_star(
     )
     if not E.take(1):
         return E.select(F.col("u").alias("node"), F.col("v").alias("label"))
+
+    # same collect-when-small fallback as `connected_components` (r13
+    # verdict item 6): identical (node, min-id-label) result, zero loop
+    # rounds when the deduplicated edge set fits the driver
+    small = _cc_collect_fallback(E)
+    if small is not None:
+        return small
 
     def _sig(e: DataFrame):
         row = e.agg(
@@ -1900,6 +1976,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Set-similarity join with PREFIX FILTERING (Chaudhuri/Ganti/
     Kaushik 2006, the ppjoin candidate rule) over word-``n``-gram
@@ -1930,12 +2007,18 @@ def prefix_filter_jaccard_pairs(
     """
     from ..plans.hints import broadcast_if_small
 
-    # two consumers (df table + the rank join): pin the exploded shingles
-    toks = _persist(
-        shingle_df(_spread(df), text_col, id_col, n=n).select(
-            "id", F.explode("shingles").alias("token")
-        )
+    # two consumers (df table + the rank join): pin the exploded shingles.
+    # ``shingled`` injects a prebuilt (id, shingles) frame (same n! —
+    # e.g. the per-corpus `shared_text_layout.shingle_sets` memo), so
+    # the tokenize+gram scan is skipped (optimization r14); the verify
+    # stage needs the token STRINGS, so the sets frame serves here where
+    # the hashed posting layout cannot.
+    sh = (
+        shingled
+        if shingled is not None
+        else shingle_df(_spread(df), text_col, id_col, n=n)
     )
+    toks = _persist(sh.select("id", F.explode("shingles").alias("token")))
     dfr = toks.groupBy("token").agg(F.count("*").alias("df"))
     per_doc = _persist(
         toks.join(broadcast_if_small(dfr), "token")

@@ -56,23 +56,58 @@ BM25_K1_NUM = (6, 5)
 BM25_B_NUM = (3, 4)
 
 
-def bm25_topk(
+def _bm25_tf_corpus(
     df: DataFrame,
-    query_terms: Sequence[str],
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 20,
-) -> DataFrame:
-    """Top-k documents by BM25 against a fixed bag of query terms.
+    terms: list[str],
+    text_col: str,
+    id_col: str,
+    tf_table: DataFrame | None = None,
+    doc_stats: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The BM25 family's shared prelude: the per-(doc, query-term)
+    ``tf`` frame (columns doc_id, term, tf, dl) and the one-row corpus
+    scalars (n_docs, sl). Two spellings, value-identical:
 
-    Returns ``(doc_id, score_micro)`` with ``score_micro`` the summed
-    per-term BM25 contribution in integer micro-units (bigint), ordered
-    score-desc then id-asc (deterministic tiebreak).
-
-    Query terms are lowercased and deduplicated; BM25 term frequency is
-    over the same whitespace tokenization as the rest of the text stack.
+    - inline (default): one tokenize+explode scan with the term filter
+      before the shuffle, plus a second tokenize scan for the corpus
+      scalars — the original shape.
+    - ``tf_table`` + ``doc_stats`` (optimization r14): the (id, token,
+      tf) per-corpus layout (`shared_text_layout.token_tf` — same
+      `tokens()` tokenization, so counts are identical) and its (id, dl)
+      statistics sibling (`token_doc_stats`, dl = Σ tf). tf rows are a
+      term filter of the layout (no explode, no count agg), dl attaches
+      by an id join against the doc-cardinality stats frame, sl = Σ dl
+      over the stats frame, and n_docs stays a count of ``df``
+      (zero-token docs have no layout rows but do count toward N).
+      BOTH tokenize scans disappear from the per-query cost and no
+      token-level aggregate runs at query time.
     """
-    terms = sorted({t.lower() for t in query_terms})
+    if tf_table is not None:
+        t = tf_table
+        if "id" in t.columns and "doc_id" not in t.columns:
+            t = t.withColumnRenamed("id", "doc_id")
+        base = t.select(
+            "doc_id",
+            F.col("token").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+        )
+        if doc_stats is None:
+            dl = base.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        else:
+            dl = doc_stats
+            if "id" in dl.columns and "doc_id" not in dl.columns:
+                dl = dl.withColumnRenamed("id", "doc_id")
+            dl = dl.select("doc_id", F.col("dl").cast("long").alias("dl"))
+        corpus = (
+            df.agg(F.count("*").alias("n_docs"))
+            .crossJoin(dl.agg(F.sum("dl").alias("sl")))
+        )
+        tf = (
+            base.filter(F.col("term").isin(terms))
+            .join(dl, "doc_id")
+            .select("doc_id", "term", "tf", "dl")
+        )
+        return tf, corpus
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),
@@ -82,13 +117,40 @@ def bm25_topk(
         F.explode("_toks").alias("term"),
     )
     # corpus scalars: N docs, SL total tokens — one scalar-agg broadcast
-    corpus = df.select(F.size(tokens(F.col(text_col))).cast("long").alias("_dl")).agg(
-        F.count("*").alias("n_docs"), F.sum("_dl").alias("sl")
-    )
+    corpus = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("_dl")
+    ).agg(F.count("*").alias("n_docs"), F.sum("_dl").alias("sl"))
     # matching tokens only — the filter lands before the shuffle
     hits = toks.filter(F.col("term").isin(terms))
     tf = hits.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    return tf, corpus
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    tf_table: DataFrame | None = None,
+    doc_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k documents by BM25 against a fixed bag of query terms.
+
+    Returns ``(doc_id, score_micro)`` with ``score_micro`` the summed
+    per-term BM25 contribution in integer micro-units (bigint), ordered
+    score-desc then id-asc (deterministic tiebreak).
+
+    Query terms are lowercased and deduplicated; BM25 term frequency is
+    over the same whitespace tokenization as the rest of the text stack.
+    ``tf_table`` injects the per-corpus (id, token, tf) layout — see
+    `_bm25_tf_corpus`.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    tf, corpus = _bm25_tf_corpus(
+        df, terms, text_col, id_col, tf_table, doc_stats
     )
     # df per query term: query-term-sized frame, broadcast
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
@@ -146,6 +208,8 @@ def hybrid_rrf_topk(
     k: int = 20,
     n_leg: int = 50,
     rrf_k: int = 60,
+    tf_table: DataFrame | None = None,
+    doc_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid lexical+vector retrieval fused with Reciprocal Rank Fusion
     (Cormack/Clarke/Büttcher 2009): each leg contributes
@@ -165,7 +229,10 @@ def hybrid_rrf_topk(
     from .similarity import brute_force_topk
 
     lex = _join_rank(
-        bm25_topk(docs, query_terms, text_col=text_col, id_col=id_col, k=n_leg),
+        bm25_topk(
+            docs, query_terms, text_col=text_col, id_col=id_col, k=n_leg,
+            tf_table=tf_table, doc_stats=doc_stats,
+        ),
         "score_micro",
         id_col,
     )
@@ -194,6 +261,8 @@ def bm25_eval_metrics(
     min_tf: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tf_table: DataFrame | None = None,
+    doc_stats: DataFrame | None = None,
 ) -> DataFrame:
     """IR evaluation harness: treat each term as a one-term query, rank
     the corpus by its BM25 contribution, and score the ranking against a
@@ -213,24 +282,14 @@ def bm25_eval_metrics(
     window partitioned BY TERM (q partitions, never the unpartitioned
     global window the registry lint forbids) over the per-term match
     lists; everything after the ≤ q·k row QUALIFY is constant-size.
+    ``tf_table`` injects the per-corpus (id, token, tf) layout — see
+    `_bm25_tf_corpus`.
     """
     from pyspark.sql import Window
 
     terms = sorted({t.lower() for t in terms})
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("_toks"),
-    ).select(
-        "doc_id",
-        F.size("_toks").cast("long").alias("dl"),
-        F.explode("_toks").alias("term"),
-    )
-    corpus = df.select(
-        F.size(tokens(F.col(text_col))).cast("long").alias("_dl")
-    ).agg(F.count("*").alias("n_docs"), F.sum("_dl").alias("sl"))
-    hits = toks.filter(F.col("term").isin(list(terms)))
-    tf = hits.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    tf, corpus = _bm25_tf_corpus(
+        df, list(terms), text_col, id_col, tf_table, doc_stats
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(corpus))
@@ -314,6 +373,8 @@ def bm25_ndcg(
     gain_cap: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tf_table: DataFrame | None = None,
+    doc_stats: DataFrame | None = None,
 ) -> DataFrame:
     """nDCG@k for the same one-term-query BM25 harness as
     `bm25_eval_metrics` — the GRADED-relevance metric the binary
@@ -329,24 +390,14 @@ def bm25_ndcg(
     Scale posture: identical to `bm25_eval_metrics` — one filtered
     explode (only query terms shuffle), per-TERM windows (q partitions,
     lint-clean), everything after the ≤ q·k QUALIFY constant-size.
-    Returns ``(term, dcg_micro, idcg_micro, ndcg_micro)``."""
+    ``tf_table`` injects the per-corpus (id, token, tf) layout — see
+    `_bm25_tf_corpus`. Returns
+    ``(term, dcg_micro, idcg_micro, ndcg_micro)``."""
     from pyspark.sql import Window
 
     terms = sorted({t.lower() for t in terms})
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("_toks"),
-    ).select(
-        "doc_id",
-        F.size("_toks").cast("long").alias("dl"),
-        F.explode("_toks").alias("term"),
-    )
-    corpus = df.select(
-        F.size(tokens(F.col(text_col))).cast("long").alias("_dl")
-    ).agg(F.count("*").alias("n_docs"), F.sum("_dl").alias("sl"))
-    hits = toks.filter(F.col("term").isin(list(terms)))
-    tf = hits.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    tf, corpus = _bm25_tf_corpus(
+        df, list(terms), text_col, id_col, tf_table, doc_stats
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(corpus))

@@ -118,9 +118,15 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
     (pipeline/dedup.py:prefix_filter_jaccard_pairs). The oracle is a
     FULL inverted-index join that never mentions prefixes, so the two
     independent algorithms must agree pair-for-pair — a real correctness
-    proof of the candidate rule, not a restatement."""
+    proof of the candidate rule, not a restatement. Shingle arrays come
+    from the per-corpus `shared_text_layout.shingle_sets` memo
+    (optimization r14): no tokenize scan per query."""
+    from .sources.shared_text_layout import shingle_sets
+
     d = _t(spark, sf_dir, "documents")
-    return DD.prefix_filter_jaccard_pairs(d)
+    return DD.prefix_filter_jaccard_pairs(
+        d, shingled=shingle_sets(spark, sf_dir)
+    )
 
 
 def _merge_chain_ctes(

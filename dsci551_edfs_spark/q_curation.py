@@ -599,8 +599,22 @@ def curation_pipeline_e2e(spark, sf_dir):
     # clean semi-join, the final agg) and its subtree re-runs the
     # quality gate + dedup joins per consumer — pin it once
     deduped = DD._persist(DD.exact_dedup(quality))
+    # decontam sides from the per-corpus gram-hash layout (optimization
+    # r14): the train posting is the settled layout semi-joined on the
+    # deduped ids (shingling is per-row, so the id filter commutes) and
+    # the bench gram set is an id-predicate filter of the same scan —
+    # the decontam stage re-tokenizes NOTHING.
+    from .sources.shared_text_layout import gram_posting
+
+    gp = gram_posting(spark, sf_dir)
     flags = DC.ngram_overlap_contamination(
-        deduped, bench, n=3, min_overlap=1
+        deduped, bench, n=3, min_overlap=1,
+        posting=gp.join(
+            deduped.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        ),
+        bench_grams=gp.filter(md5_bucket("id", 100) < 5)
+        .select("gh")
+        .distinct(),
     )
     clean = deduped.join(
         flags.filter(~F.col("contaminated")).select("doc_id"),
@@ -630,14 +644,23 @@ def decontam_overlap(spark, sf_dir):
     """GPT-3/PaLM-style benchmark decontamination stats: per training doc,
     how many distinct word 3-grams it shares with the held-out benchmark
     subset (md5 buckets 0-4). The benchmark side is reduced to its distinct
-    8-byte n-gram hash set and broadcast — corpus text never shuffles."""
+    8-byte n-gram hash set and broadcast — corpus text never shuffles.
+    Both sides read the per-corpus gram-hash layout
+    (shared_text_layout.gram_posting — optimization r14): the md5-bucket
+    split is an id predicate, so filtering the settled posting equals
+    shingling the filtered docs, and the query pays ZERO tokenize scans."""
     from .pipeline import decontam as DC
     from .pipeline.curation import md5_bucket
+    from .sources.shared_text_layout import gram_posting
 
     docs = _t(spark, sf_dir, "documents")
     b = md5_bucket("doc_id", 100)
+    gp = gram_posting(spark, sf_dir)
+    gb = md5_bucket("id", 100)
     return DC.ngram_overlap_contamination(
-        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=1
+        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=1,
+        posting=gp.filter(gb >= 5),
+        bench_grams=gp.filter(gb < 5).select("gh").distinct(),
     )
 
 
@@ -653,14 +676,22 @@ def decontam_overlap(spark, sf_dir):
 )
 def decontam_clean(spark, sf_dir):
     """Decontaminated training corpus at min_overlap=2 (anti-join on the
-    flagged id set; rows pass through untouched)."""
+    flagged id set; rows pass through untouched). The flagged-id
+    computation reads the per-corpus gram-hash layout on both sides
+    (same commuting-filter argument as `decontam_overlap` —
+    optimization r14); only the final anti-join touches the raw rows."""
     from .pipeline import decontam as DC
     from .pipeline.curation import md5_bucket
+    from .sources.shared_text_layout import gram_posting
 
     docs = _t(spark, sf_dir, "documents")
     b = md5_bucket("doc_id", 100)
+    gp = gram_posting(spark, sf_dir)
+    gb = md5_bucket("id", 100)
     return DC.decontaminate(
-        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2
+        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2,
+        posting=gp.filter(gb >= 5),
+        bench_grams=gp.filter(gb < 5).select("gh").distinct(),
     ).select("doc_id", "n_chars")
 
 

@@ -782,11 +782,18 @@ def decontam_report(spark, sf_dir):
     actually reads before dropping a source from the mixture."""
     from .pipeline import decontam as DC
     from .pipeline.curation import md5_bucket
+    from .sources.shared_text_layout import gram_posting
 
     docs = _t(spark, sf_dir, "documents")
     b = md5_bucket("doc_id", 100)
+    # both gram sides from the per-corpus layout (optimization r14; the
+    # md5-bucket split is an id predicate, so it commutes with shingling)
+    gp = gram_posting(spark, sf_dir)
+    gb = md5_bucket("id", 100)
     stats = DC.ngram_overlap_contamination(
-        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2
+        docs.filter(b >= 5), docs.filter(b < 5), n=3, min_overlap=2,
+        posting=gp.filter(gb >= 5),
+        bench_grams=gp.filter(gb < 5).select("gh").distinct(),
     )
     return (
         stats.join(docs.select("doc_id", "source"), "doc_id")

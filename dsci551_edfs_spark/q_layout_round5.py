@@ -331,11 +331,21 @@ def decontam_multi_n(spark, sf_dir):
     run leaks."""
     from .pipeline import decontam as DC
     from .pipeline.curation import md5_bucket
+    from .sources.shared_text_layout import multi_gram_posting
 
     docs = _t(spark, sf_dir, "documents")
     b = md5_bucket("doc_id", 100)
     train, bench = docs.filter(b >= 5), docs.filter(b < 5)
-    out = DC.multi_n_overlap(train, bench, ns=(3, 5))
+    # both gram sides from the per-corpus (id, n, gh) layout union
+    # (optimization r14; the md5-bucket split is an id predicate, so it
+    # commutes with per-row shingling): zero tokenize scans per query
+    mg = multi_gram_posting(spark, sf_dir)
+    gb = md5_bucket("id", 100)
+    out = DC.multi_n_overlap(
+        train, bench, ns=(3, 5),
+        posting=mg.filter(gb >= 5),
+        bench_grams=mg.filter(gb < 5),
+    )
     return out.select(
         "doc_id",
         F.col("overlap_3").cast("long").alias("overlap_3"),

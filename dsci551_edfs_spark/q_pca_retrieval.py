@@ -131,9 +131,14 @@ def retrieval_eval_metrics(spark, sf_dir):
     hash-matches. The settings-selection harness a corpus-mining pipeline
     runs before committing to an upsample."""
     from .pipeline.retrieval import bm25_eval_metrics
+    from .sources.shared_text_layout import token_doc_stats, token_tf
 
+    # tf/dl/sl from the per-corpus (id, token, tf) layout (optimization
+    # r14): zero tokenize scans per query — see retrieval._bm25_tf_corpus
     return bm25_eval_metrics(
-        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20, min_tf=2
+        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20,
+        min_tf=2, tf_table=token_tf(spark, sf_dir),
+        doc_stats=token_doc_stats(spark, sf_dir),
     )
 
 
@@ -197,9 +202,14 @@ def retrieval_ndcg(spark, sf_dir):
     the quartet: one filtered explode, per-term windows, constant-size
     after the q·k QUALIFY."""
     from .pipeline.retrieval import bm25_ndcg
+    from .sources.shared_text_layout import token_doc_stats, token_tf
 
+    # tf/dl/sl from the per-corpus (id, token, tf) layout (optimization
+    # r14): zero tokenize scans per query — see retrieval._bm25_tf_corpus
     return bm25_ndcg(
-        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20, min_tf=2
+        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20,
+        min_tf=2, tf_table=token_tf(spark, sf_dir),
+        doc_stats=token_doc_stats(spark, sf_dir),
     )
 
 

@@ -198,7 +198,12 @@ def doc_novelty_scores(spark, sf_dir):
     and the join back (persisted once); counts are integer-exact ppm.
     Everything shuffles on the 8-byte gram key — no pair blowup at any
     scale (contrast `ngram_jaccard_pairs`, which this pre-screens)."""
-    sh = DD.shingle_df(_t(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    # shingle arrays from the per-corpus layout (optimization r14): no
+    # tokenize scan per query; grams stay STRINGS (the first-doc rule
+    # below is defined on gram values, not hashes)
+    from .sources.shared_text_layout import shingle_sets
+
+    sh = shingle_sets(spark, sf_dir)
     g = DD._persist(
         sh.select(F.col("id").alias("doc_id"), F.explode("shingles").alias("gram"))
     )

@@ -1173,9 +1173,14 @@ def bm25_search_topk(spark, sf_dir):
     touch floating point, so the oracle hash-matches exactly. Corpus
     mining primitive: "find docs about X to upsample"."""
     from .pipeline.retrieval import bm25_topk
+    from .sources.shared_text_layout import token_doc_stats, token_tf
 
+    # tf/dl/sl from the per-corpus (id, token, tf) layout (optimization
+    # r14): zero tokenize scans per query — see retrieval._bm25_tf_corpus
     return bm25_topk(
-        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20
+        _t(spark, sf_dir, "documents"), ["dup", "hash", "scan"], k=20,
+        tf_table=token_tf(spark, sf_dir),
+        doc_stats=token_doc_stats(spark, sf_dir),
     )
 
 
@@ -1235,7 +1240,10 @@ def hybrid_rrf_search(spark, sf_dir):
     global window — registry lint); contributions are integer micro
     points, so fusion is FP-free and the oracle hash-matches."""
     from .pipeline.retrieval import hybrid_rrf_topk
+    from .sources.shared_text_layout import token_doc_stats, token_tf
 
+    # BM25 leg from the per-corpus (id, token, tf) layout (optimization
+    # r14): zero tokenize scans per query — see retrieval._bm25_tf_corpus
     return hybrid_rrf_topk(
         _t(spark, sf_dir, "documents"),
         _t(spark, sf_dir, "embeddings"),
@@ -1243,6 +1251,8 @@ def hybrid_rrf_search(spark, sf_dir):
         query_vec_id=0,
         k=20,
         n_leg=50,
+        tf_table=token_tf(spark, sf_dir),
+        doc_stats=token_doc_stats(spark, sf_dir),
     )
 
 

@@ -191,12 +191,20 @@ def incremental_dedup_near(spark, sf_dir):
     of `incremental_dedup` (exact fingerprints). Full oracle (was
     rows-only) via the md5 hash family: DuckDB replays the banded
     signature index, both candidate families and the exact verify."""
+    from .sources.shared_text_layout import shingle_sets
+
     docs = _t(spark, sf_dir, "documents")
     incoming = docs.filter(F.col("doc_id") % 5 == 0)
     existing = docs.filter(F.col("doc_id") % 5 != 0)
+    # tagged shingles from the per-corpus layout (optimization r14): the
+    # %5 split is an id predicate, so tagging the settled shingle_sets
+    # frame equals shingling the tagged union — no tokenize scan
     return (
         DD.incremental_minhash_dedup(
-            incoming, existing, threshold=0.5, hash_family="md5"
+            incoming, existing, threshold=0.5, hash_family="md5",
+            shingled_tagged=shingle_sets(spark, sf_dir).withColumn(
+                "_new", F.col("id") % 5 == 0
+            ),
         )
         .select("doc_id", "lang")
         .orderBy("doc_id")
@@ -227,7 +235,13 @@ def avro_roundtrip(spark, sf_dir):
         "o_orderdate", "o_orderpriority",
     )
     dest = _scratch_dir("avro")
-    write_avro(orders.repartition(8), dest)
+    # one OCF file per core (optimization r14, guide §2.6): the fixed
+    # repartition(8) left 3/4 of the cores idle through BOTH the pure-
+    # Python encode stage and the per-file decode stage; the sink's
+    # one-file-per-task layout scales with the session's parallelism
+    # exactly like any other writer. Decoded rows are identical.
+    n_files = orders.sparkSession.sparkContext.defaultParallelism
+    write_avro(orders.repartition(n_files), dest)
     return read_avro(spark, dest)
 
 
@@ -703,9 +717,11 @@ def corpus_prep_pipeline(spark, sf_dir):
     scan instead of the previous quality ⋈ lang ⋈ fingerprint
     three-scan join tree. The gate's TEXT-FREE metadata (ids, scores,
     fingerprints, n_chars) is the multi-consumer frame, so it persists
-    tiny; the text itself is re-read once, column-pruned, only for the
-    MinHash leg — documents never caches and the corpus pays exactly
-    two scans total. Identical semantics, same oracle."""
+    tiny; since optimization r14 the MinHash leg reads the settled
+    per-corpus shingle_sets layout (semi-joined on the survivor ids)
+    instead of re-reading text — documents never caches and the corpus
+    pays exactly ONE raw text scan (the gate). Identical semantics,
+    same oracle."""
     docs = _t(spark, sf_dir, "documents")
     gated = TXT.corpus_gate(docs, min_tokens=5)
     gmeta = DD._persist(
@@ -721,8 +737,19 @@ def corpus_prep_pipeline(spark, sf_dir):
         "doc_id"
     )
     near_input = docs.join(keep, "doc_id", "left_semi")
+    # MinHash shingles from the per-corpus layout (optimization r14):
+    # the exact-dedup survivors are an id set over the RAW documents
+    # table, and shingling is per-row, so the settled shingle_sets
+    # frame semi-joined on the survivor ids equals shingling
+    # near_input — the pipeline's third text scan disappears (gate +
+    # pruned-minhash-leg scans remain).
+    from .sources.shared_text_layout import shingle_sets
+
     near_pairs = DD.minhash_dedup_pairs(
-        near_input, threshold=0.5, hash_family="md5"
+        near_input, threshold=0.5, hash_family="md5",
+        shingled=shingle_sets(spark, sf_dir).join(
+            keep.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        ),
     )
     drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return (

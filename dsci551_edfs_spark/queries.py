@@ -101,6 +101,22 @@ MEMOIZED_QUERIES: dict[str, str] = {
     "hashed_tfidf_knn": "tok_tf_b16",
     "tfidf_doc_pairs": "tok_tf_b16",
     "streaming_quality_gate": "tok_tf_b16",
+    # r14 batch 2: the BM25 family reads tok_tf + the tok_doc_stats
+    # statistics sibling (built from it — attributed to the family's
+    # first query, which runs after hashed_tfidf_knn has absorbed the
+    # tok_tf build itself); the decontamination family and the e2e/prep
+    # pipelines read the gram-hash posting
+    "bm25_search_topk": "tok_doc_stats_b16",
+    "hybrid_rrf_search": "tok_tf_b16",
+    "retrieval_eval_metrics": "tok_tf_b16",
+    "retrieval_ndcg": "tok_tf_b16",
+    "decontam_overlap": "shingle3_posting_b16",
+    "curation_pipeline_e2e": "shingle3_posting_b16",
+    "corpus_prep_pipeline": "shingle3_sets",
+    "decontam_multi_n": "gram5_posting",
+    "prefix_filter_jaccard_pairs": "shingle3_sets",
+    "incremental_dedup_near": "shingle3_sets",
+    "doc_novelty_scores": "shingle3_sets",
     # all four LR-metric queries serve the SAME memoized scored frame
     # (which itself builds/serves the lr_model_r3 model memo inside its
     # build); warm_memos dedups the build by tag, so it is attributed

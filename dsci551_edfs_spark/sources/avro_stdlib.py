@@ -229,7 +229,12 @@ def _ocf_bytes(avsc: dict, rows: list[tuple], codec: str = "deflate") -> bytes:
             _encode_value(body, kind, v)
     blob = bytes(body)
     if codec == "deflate":  # raw RFC-1951 per the Avro spec
-        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        # level 1 (optimization r14, guide §1.2 per-task work): the
+        # spec fixes the FORMAT, not the compressor effort — any level
+        # inflates to identical bytes. Level 6 spent ~40% of encode
+        # wall on extra matching for a few % smaller files; readers
+        # (ours or any Avro implementation) are unaffected.
+        co = zlib.compressobj(1, zlib.DEFLATED, -15)
         blob = co.compress(bytes(body)) + co.flush()
     if rows:
         _zz_enc(out, len(rows))

@@ -45,7 +45,15 @@ from pyspark.sql import functions as F
 from .. import memo as MEMO
 from ..functions.text import tokens
 
-__all__ = ["token_tf", "shingle_sets", "shingle_posting"]
+__all__ = [
+    "token_tf",
+    "token_doc_stats",
+    "shingle_sets",
+    "shingle_posting",
+    "gram_posting",
+    "gram5_posting",
+    "multi_gram_posting",
+]
 
 _BUCKETS_CONF = "spark.dsci551.textLayoutBuckets"
 _DEFAULT_BUCKETS = 16
@@ -127,6 +135,31 @@ def token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, dl) — total token count per document (dl = Σ tf), built FROM
+    the settled `token_tf` layout (one aggregate, no tokenize). The BM25
+    family's document-length side: a query-time join against this
+    doc-cardinality frame replaces both a per-query tokenize scan AND a
+    per-query full-layout groupBy(id) (the first layout wiring paid the
+    latter and measured SLOWER at sf0.1 — the agg over token-level rows
+    cost more than the tokenize it saved; this statistics artifact is
+    the standard fix, same idea as a table-level ANALYZE). Docs with
+    zero tokens have no row (they can never match a query term); corpus
+    N therefore still comes from the raw table count."""
+
+    def build() -> DataFrame:
+        return (
+            token_tf(spark, sf_dir)
+            .groupBy("id")
+            .agg(F.sum("tf").cast("long").alias("dl"))
+        )
+
+    return MEMO.dataframe_memo(
+        spark, f"tok_doc_stats_b{_n_buckets(spark)}", sf_dir,
+        ["documents"], build,
+    )
+
+
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, shingles) — distinct word-3-gram shingle arrays per doc
     (`dedup.shingle_df` semantics, computed once per corpus). Serves
@@ -172,4 +205,54 @@ def shingle_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_bucketed(
         spark, path, "shingle3_posting", "id bigint, n_sh int, shash bigint",
         "shash", nb,
+    )
+
+
+def gram5_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, gh) — distinct word-5-gram xxhash64 posting rows, the strict
+    family of the multi-n decontamination recipe. Plain parquet memo (no
+    bucketing: its consumers broadcast-join on (n, gh) and aggregate by
+    id, so a keyed layout buys nothing here — the win is skipping the
+    tokenize scan)."""
+
+    def build() -> DataFrame:
+        from ..pipeline.dedup import shingle_df
+
+        return (
+            shingle_df(_docs(spark, sf_dir), "text", "doc_id", 5)
+            .select("id", F.explode("shingles").alias("sh"))
+            .select("id", F.xxhash64("sh").alias("gh"))
+        )
+
+    return MEMO.dataframe_memo(
+        spark, "gram5_posting", sf_dir, ["documents"], build
+    )
+
+
+def multi_gram_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, n, gh) for n ∈ {3, 5} — `decontam._multi_n_posting`'s frame
+    served from the settled layouts: the 3-gram family is
+    `shingle_posting` re-tagged (shash IS the xxhash64 gram hash) and
+    the 5-gram family is `gram5_posting`; a union of two parquet scans,
+    ZERO tokenize passes (optimization r14). `shingle_expr` dedups grams
+    per doc for every n identically, so rows match the inline build."""
+    g3 = shingle_posting(spark, sf_dir).select(
+        "id", F.lit(3).cast("int").alias("n"), F.col("shash").alias("gh")
+    )
+    g5 = gram5_posting(spark, sf_dir).select(
+        "id", F.lit(5).cast("int").alias("n"), "gh"
+    )
+    return g3.unionByName(g5)
+
+
+def gram_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, gh) — `shingle_posting` under decontam's column naming:
+    ``gh`` IS ``shash`` (both are xxhash64 over the same distinct word
+    3-grams — `decontam._posting` and the layout build share
+    `dedup.shingle_df`), so the decontamination family's train posting
+    and bench gram set are id-predicate filters over this one settled
+    scan instead of two private tokenize passes per query
+    (optimization r14)."""
+    return shingle_posting(spark, sf_dir).select(
+        "id", F.col("shash").alias("gh")
     )

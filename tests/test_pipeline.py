@@ -305,7 +305,9 @@ def test_connected_components_deep_chain_lineage_bounded(spark):
     """A 40-edge path graph needs ~40 HashMin rounds (the min label walks
     one hop per round): the per-round localCheckpoint keeps the plan tree
     from embedding one extra join per iteration, so even a diameter-40
-    run settles in bounded time with the correct single component."""
+    run settles in bounded time with the correct single component.
+    The r14 collect-when-small fallback is DISABLED here so the
+    distributed loop itself stays under test."""
     import time
 
     from dsci551_edfs_spark.pipeline.dedup import connected_components
@@ -313,10 +315,15 @@ def test_connected_components_deep_chain_lineage_bounded(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
     )
-    t0 = time.monotonic()
-    got = {
-        r["node"]: r["label"] for r in connected_components(edges).collect()
-    }
+    spark.conf.set("spark.dsci551.ccCollectEdgeThreshold", "0")
+    try:
+        t0 = time.monotonic()
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components(edges).collect()
+        }
+    finally:
+        spark.conf.unset("spark.dsci551.ccCollectEdgeThreshold")
     assert time.monotonic() - t0 < 120
     assert got == {i: 0 for i in range(41)}
 
@@ -337,11 +344,52 @@ def test_star_cc_matches_hashmin_on_random_graph(spark):
         [(rng.randrange(300), rng.randrange(300)) for _ in range(250)],
         ["id_a", "id_b"],
     ).filter("id_a != id_b")
-    a = sorted((r["node"], r["label"]) for r in connected_components(edges).collect())
-    b = sorted(
-        (r["node"], r["label"]) for r in connected_components_star(edges).collect()
-    )
+    # compare the two DISTRIBUTED loop algorithms (fallback disabled)
+    spark.conf.set("spark.dsci551.ccCollectEdgeThreshold", "0")
+    try:
+        a = sorted(
+            (r["node"], r["label"])
+            for r in connected_components(edges).collect()
+        )
+        b = sorted(
+            (r["node"], r["label"])
+            for r in connected_components_star(edges).collect()
+        )
+    finally:
+        spark.conf.unset("spark.dsci551.ccCollectEdgeThreshold")
     assert a == b and len(a) > 0
+
+
+def test_cc_collect_fallback_matches_distributed(spark):
+    """r14 collect-when-small fallback (r13 verdict item 6): under the
+    default threshold the driver union-find must produce EXACTLY the
+    distributed HashMin fixpoint — same (node, min-id-label) rows — on
+    a random multigraph, and the conf'd guard must route big-enough
+    edge sets back to the distributed loop (threshold 0 = always
+    distributed, pinned above; here: tiny threshold forces the loop,
+    default takes the fallback, results identical)."""
+    import random
+
+    from dsci551_edfs_spark.pipeline.dedup import connected_components
+
+    rng = random.Random(13)
+    edges = spark.createDataFrame(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(180)],
+        ["id_a", "id_b"],
+    ).filter("id_a != id_b")
+    fast = sorted(
+        (r["node"], r["label"])
+        for r in connected_components(edges).collect()
+    )
+    spark.conf.set("spark.dsci551.ccCollectEdgeThreshold", "1")
+    try:
+        slow = sorted(
+            (r["node"], r["label"])
+            for r in connected_components(edges).collect()
+        )
+    finally:
+        spark.conf.unset("spark.dsci551.ccCollectEdgeThreshold")
+    assert fast == slow and len(fast) > 0
 
 
 def test_star_cc_logarithmic_rounds_on_deep_path(spark):
@@ -354,10 +402,14 @@ def test_star_cc_logarithmic_rounds_on_deep_path(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1023)], ["id_a", "id_b"]
     )
-    got = {
-        r["node"]: r["label"]
-        for r in connected_components_star(edges, max_iter=12).collect()
-    }
+    spark.conf.set("spark.dsci551.ccCollectEdgeThreshold", "0")
+    try:
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components_star(edges, max_iter=12).collect()
+        }
+    finally:
+        spark.conf.unset("spark.dsci551.ccCollectEdgeThreshold")
     assert got == {i: 0 for i in range(1024)}
 
 

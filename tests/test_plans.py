@@ -353,25 +353,32 @@ def test_memoized_steady_state_reads_memo_not_corpus():
 
 
 def test_decontam_multi_n_single_tokenize_scan_per_side():
-    """Round-8 contract: BOTH gram families (3- and 5-gram) come out of
-    ONE tagged tokenize scan per side — exactly two TEXT-bearing
-    documents scans (train posting + bench gram set; the per-n
-    formulation held four), plus the deliberate id-only spine scan for
-    the 0-filled report."""
+    """Round-8 contract, STRENGTHENED by the r14 layouts: both gram
+    families originally came out of ONE tagged tokenize scan per side
+    (two text-bearing documents scans; the per-n formulation held
+    four); since optimization r14 both sides read the settled
+    (id, n, gh) layout union (shingle3_posting + gram5_posting), so the
+    query plans with ZERO text-bearing documents scans — only the
+    deliberate id-only spine scan for the 0-filled report touches the
+    raw table."""
     plan = _plan("decontam_multi_n")
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     text_scans = [s for s in schemas if "text" in s]
-    assert len(text_scans) == 2, plan
+    assert len(text_scans) == 0, plan
     assert "doc_id:bigint" in schemas, plan  # the pruned id spine
+    assert "gram5_posting" in plan, plan
+    assert "shingle3_posting" in plan, plan
 
 
 def test_corpus_prep_pipeline_two_scans_no_text_shuffle():
-    """Round-8 contract: the fused gate means the corpus pays exactly
-    two scans (gate metadata + the MinHash text read) — the old
-    quality ⋈ lang join tree paid three and shuffled document TEXT
-    through the joins."""
+    """Round-8 contract, STRENGTHENED by the r14 layouts: the fused
+    gate meant the corpus paid exactly two scans (gate metadata + the
+    MinHash text read); since optimization r14 the MinHash leg reads
+    the settled shingle_sets layout semi-joined on the survivor ids,
+    so the corpus pays exactly ONE raw text scan (the gate)."""
     plan = _plan("corpus_prep_pipeline")
-    assert plan.count("documents.parquet") == 2, plan
+    assert plan.count("documents.parquet") == 1, plan
+    assert "shingle3_sets" in plan, plan
 
 
 def test_binary_ann_pushes_partial_window_group_limit():
