@@ -319,6 +319,40 @@ def label_propagation(
     return labels
 
 
+def _bfs_collect_fallback(sym: DataFrame, source) -> DataFrame | None:
+    """Driver BFS over a SMALL (checkpointed, symmetric) edge frame, or
+    None when the edge count exceeds the same conf'd threshold the CC
+    collect fallback uses (`spark.dsci551.ccCollectEdgeThreshold`,
+    0 disables). Returns exactly the BSP fixpoint: (node, hops) for
+    REACHABLE nodes only, hops = unweighted shortest distance."""
+    from collections import deque
+
+    from ..pipeline.dedup import _CC_COLLECT_CONF, _CC_COLLECT_DEFAULT
+
+    spark = sym.sparkSession
+    try:
+        cap = int(spark.conf.get(_CC_COLLECT_CONF, str(_CC_COLLECT_DEFAULT)))
+    except Exception:
+        cap = _CC_COLLECT_DEFAULT
+    if cap <= 0 or sym.count() > cap:
+        return None
+    adj: dict = {}
+    for row in sym.collect():
+        adj.setdefault(row[0], []).append(row[1])
+    hops = {source: 0} if source in adj else {}
+    dq = deque([source]) if source in adj else deque()
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in hops:
+                hops[v] = hops[u] + 1
+                dq.append(v)
+    node_t = sym.schema[0].dataType.simpleString()
+    return spark.createDataFrame(
+        sorted(hops.items()), f"node {node_t}, hops long"
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     source,
@@ -343,6 +377,16 @@ def bfs_hops(
     ).union(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     ).localCheckpoint(eager=True)
+    # collect-when-small fallback (optimization r14 — the CC precedent,
+    # dedup._cc_collect_fallback, applied to the single-source case):
+    # counting the checkpointed edge RDD is one cheap job; when the
+    # edge set fits under the same conf'd threshold a driver BFS gives
+    # the identical (node, hops) table in zero loop rounds — vs 2 Spark
+    # jobs per eccentricity round. Past the guard, the BSP loop below
+    # runs unchanged (the 100 TB path).
+    small = _bfs_collect_fallback(sym, source)
+    if small is not None:
+        return small
     dist = (
         sym.select(F.col("src").alias("node"))
         .distinct()

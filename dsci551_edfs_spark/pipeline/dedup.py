@@ -1849,6 +1849,7 @@ def dedup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     method: str = "hashmin",
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level dedup assignment: every document gets a ``cluster_id``
     (the min doc id of its near-dup component; singletons cluster to
@@ -1859,9 +1860,13 @@ def dedup_clusters(
     The components table is NOT broadcast-hinted: it has one row per node
     that appears in any near-dup edge — unbounded at corpus scale (a web
     crawl easily has billions of near-dup docs). AQE broadcasts it at
-    runtime when it actually fits; a forced hint would OOM at 100 TB."""
+    runtime when it actually fits; a forced hint would OOM at 100 TB.
+    ``posting`` injects the per-corpus bucketed (id, n_sh, shash)
+    posting layout for the pair stage (same n! — see
+    `_pair_intersections`, optimization r14)."""
     edges = ngram_jaccard_pairs(
-        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold,
+        posting=posting,
     ).select("id_a", "id_b")
     cc = connected_components_star if method == "star" else connected_components
     comp = cc(edges)

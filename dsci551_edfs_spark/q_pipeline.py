@@ -139,9 +139,14 @@ def dedup_clusters(spark, sf_dir):
     connected components → every doc labeled with its component's min id
     (singletons label themselves). The DuckDB oracle recomputes the SAME
     components via a recursive CTE, so transitive chains (A~B~C with A≁C)
-    are verified, not just pairwise hits. Retention = doc_id == cluster_id."""
+    are verified, not just pairwise hits. Retention = doc_id == cluster_id.
+    Pair stage reads the per-corpus bucketed posting layout
+    (optimization r14)."""
+    from .sources.shared_text_layout import shingle_posting
+
     return DD.dedup_clusters(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2,
+        posting=shingle_posting(spark, sf_dir),
     ).orderBy("doc_id")
 
 
@@ -158,13 +163,20 @@ def dedup_clusters_star(spark, sf_dir):
     Cluster labels are a per-corpus-version artifact (the same contract
     as the single-linkage labels): the shingle→pair→star-CC pipeline
     runs once, the settled (doc, cluster) table serves every caller."""
+    from .sources.shared_text_layout import shingle_posting
+
     labels = MEMO.dataframe_memo(
         spark,
         "dedup_clusters_star",
         sf_dir,
         ["documents"],
+        # pair stage from the bucketed posting layout (optimization
+        # r14): the build's dominant cost was the private tokenize+
+        # shingle scan the layout already paid once per corpus
         lambda: DD.dedup_clusters(
-            _t(spark, sf_dir, "documents"), n=3, threshold=0.2, method="star"
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.2,
+            method="star",
+            posting=shingle_posting(spark, sf_dir),
         ),
     )
     return labels.orderBy("doc_id")
@@ -270,7 +282,12 @@ def dedup_cluster_keep_best(spark, sf_dir):
     crawled first, including truncated ones). Reuses `dedup_clusters`'
     components; the per-cluster argmax is a cluster-KEYED window over
     cluster-sized groups."""
-    cl = DD.dedup_clusters(_t(spark, sf_dir, "documents"), n=3, threshold=0.2)
+    from .sources.shared_text_layout import shingle_posting
+
+    cl = DD.dedup_clusters(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2,
+        posting=shingle_posting(spark, sf_dir),
+    )
     meta = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     j = cl.join(meta, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(

@@ -392,6 +392,35 @@ def test_cc_collect_fallback_matches_distributed(spark):
     assert fast == slow and len(fast) > 0
 
 
+def test_bfs_collect_fallback_matches_distributed(spark):
+    """r14: the driver-BFS fallback must equal the distributed BSP
+    frontier relaxation — same (node, hops) rows, reachable nodes only
+    — on a random graph with an unreachable island; same conf guard as
+    the CC fallback."""
+    import random
+
+    from dsci551_edfs_spark.operators.graph import bfs_hops
+
+    rng = random.Random(29)
+    e = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    e += [(100 + rng.randrange(10), 100 + rng.randrange(10)) for _ in range(8)]
+    edges = spark.createDataFrame(e, ["a", "b"]).filter("a != b")
+    src = min(x for t in e for x in t)
+    fast = sorted(
+        (r["node"], r["hops"]) for r in bfs_hops(edges, src).collect()
+    )
+    spark.conf.set("spark.dsci551.ccCollectEdgeThreshold", "1")
+    try:
+        slow = sorted(
+            (r["node"], r["hops"]) for r in bfs_hops(edges, src).collect()
+        )
+    finally:
+        spark.conf.unset("spark.dsci551.ccCollectEdgeThreshold")
+    assert fast == slow and len(fast) > 0
+    # the island (nodes 100+) must be absent from both
+    assert all(n < 100 for n, _ in fast)
+
+
 def test_star_cc_logarithmic_rounds_on_deep_path(spark):
     """The O(log d) claim, pinned: a 1024-node path (diameter 1023) must
     reach the fixpoint within 12 star rounds — HashMin would need ~1023.
